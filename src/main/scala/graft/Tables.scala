@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Catalog over the harness parquet tables (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. Reads are plain
+  * `spark.read.parquet` so Catalyst's pushdown/pruning reach the scan —
+  * every query should show `PushedFilters`/pruned `ReadSchema` in explain.
+  */
+object Tables {
+
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  val extra: Seq[String] = Seq("events", "documents", "embeddings")
+
+  val all: Seq[String] = tpch ++ extra
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read the raw int64 nanos and convert losslessly to
+      // a microsecond TimestampType (integer `div`, not double division —
+      // nanos since epoch exceed double's 53-bit mantissa).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path(sfDir, name))
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    } else spark.read.parquet(path(sfDir, name))
+
+  /** Register every table as a temp view so `spark.sql` text matches the
+    * DuckDB oracle's table names exactly.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
