@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MinHash / SimHash signature machinery, expressed with Spark built-ins
+  * and higher-order functions so signatures are computed scan-side (no
+  * shuffle, no UDF) — at 100 TB the signature pass is embarrassingly
+  * parallel and the only shuffle in near-dup detection is the bucket join
+  * on band keys.
+  */
+object Hashing {
+
+  /** Mersenne prime 2^31-1 for the affine permutation family. Base hashes
+    * and (a,b) all live below 2^31 so `a*h + b < 2^62` never overflows a
+    * Long and the mod-prime arithmetic stays mathematically exact.
+    */
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a_i, b_i) parameters for the permutation family,
+    * derived from splitmix64 of the index — reproducible across runs and
+    * executors with no broadcast state.
+    */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def permParams(numPerm: Int): Seq[(Long, Long)] =
+    (0 until numPerm).map { i =>
+      val a = math.abs(splitmix64(2L * i)) % (P - 1) + 1 // a ∈ [1, P-1]
+      val b = math.abs(splitmix64(2L * i + 1)) % P       // b ∈ [0, P-1]
+      (a, b)
+    }
+
+  /** MinHash signature (array<bigint> of length `numPerm`) of a set of
+    * string shingles. One xxhash64 per shingle, then `numPerm` affine
+    * permutations `(a*h + b) mod (2^61-1)` minimized per permutation.
+    * Empty shingle sets get the max value in every slot (matches nothing).
+    */
+  def minHashSignature(shingles: Column, numPerm: Int = 64): Column = {
+    val base = transform(array_distinct(shingles), s => pmod(xxhash64(s), lit(P)))
+    val perms = array(permParams(numPerm).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    transform(perms, p =>
+      coalesce(
+        array_min(transform(base, h =>
+          pmod(pmod(p.getField("a") * h, lit(P)) + p.getField("b"), lit(P)))),
+        lit(Long.MaxValue)))
+  }
+
+  /** LSH band keys for a MinHash signature: `numBands` keys, each a hash of
+    * `rowsPerBand` consecutive signature slots. Docs sharing ≥1 band key
+    * are near-dup candidates. Returns array<struct<band:int, key:bigint>>
+    * ready to explode + shuffle on.
+    */
+  def bandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)), b =>
+      struct(
+        b.cast("int").as("band"),
+        xxhash64(concat_ws("_", b, concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as("key")))
+
+  /** Exact Jaccard similarity of two shingle arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 1.0).otherwise(inter / uni)
+  }
+
+  /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
+    * slots).
+    */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), e => e)).cast("double") /
+      size(sigA)
+
+  /** 64-bit SimHash (Charikar) of a token array: each token hashes to 64
+    * bits; bit j of the result is 1 iff the sum of ±1 votes over tokens is
+    * positive. Computed as a 64-slot vote vector folded with `aggregate` +
+    * `zip_with`, then packed into one BIGINT.
+    */
+  def simHash(toks: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(63))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, bitIdx, (a, i) =>
+          a + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, bitIdx, (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Charikar blocking keys for SimHash near-dup search: split the 64-bit
+    * hash into `numBlocks` contiguous bit blocks; two hashes within
+    * Hamming distance < numBlocks share ≥1 identical block (pigeonhole).
+    * Returns array<struct<band:int, key:bigint>>.
+    */
+  def simHashBlocks(sim: Column, numBlocks: Int = 4): Column = {
+    val width = 64 / numBlocks
+    val mask = (1L << width) - 1
+    transform(sequence(lit(0), lit(numBlocks - 1)), b =>
+      struct(
+        b.cast("int").as("band"),
+        call_function("shiftright", sim, b * width).bitwiseAND(lit(mask)).as("key")))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, document fingerprinting.
+  *
+  * Everything is column-in/column-out over Spark built-ins and higher-order
+  * functions — no UDFs, no driver round-trips — so the operators inline into
+  * whole-stage-codegen'd projections and scale linearly with input splits
+  * (a 100 TB corpus is just more partitions; there is no per-operator
+  * shuffle here at all).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed, lowercased text; empty text → []. */
+  def tokens(text: Column): Column = {
+    val t = lower(trim(text))
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word pre-tokenization (GPT-2-style contractions + word /
+    * number / punctuation runs), for token-budget estimation.
+    */
+  def bpeIshTokens(text: Column): Column =
+    regexp_extract_all(
+      text,
+      lit("'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+"),
+      lit(0))
+
+  def bpeIshTokenCount(text: Column): Column = size(bpeIshTokens(text))
+
+  // --- language identification (stopword-hit heuristic + CJK script) -----
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "you", "that", "it",
+      "was", "for", "on", "are", "as", "with", "they", "at", "this", "have"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ich", "nicht", "sie",
+      "mit", "sich", "auf", "für", "als", "auch", "es", "ein", "eine", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du",
+      "que", "pas", "pour", "dans", "ce", "il", "qui", "ne", "sur", "se"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "se", "no", "por",
+      "con", "su", "para", "como", "es", "los", "las", "una", "más"))
+
+  /** Count of tokens that are stopwords of `lang` (frequency-weighted). */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(lit(stopwords(lang).toArray), t)))
+
+  /** Heuristic language ID over a small closed set ({en,de,fr,es} by
+    * stopword evidence, zh by CJK script presence); 'und' when no evidence.
+    * Ties break deterministically (max score, then lexicographically max
+    * language code) via struct-ordered `array_max`.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = array(stopwords.keys.toSeq.sorted.map { l =>
+      struct(stopwordHits(toks, l).as("score"), lit(l).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(best.getField("score") === 0, "und")
+      .otherwise(best.getField("lang"))
+  }
+
+  // --- quality scoring ----------------------------------------------------
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, 0.0).otherwise(
+      (n - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))).cast("double") / n)
+  }
+
+  /** Ratio of tokens that are English stopwords — a natural-language-ness
+    * signal (boilerplate/code scores near 0).
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(stopwordHits(toks, "en").cast("double") / size(toks))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite document quality score in [0,1]: length band + token-shape
+    * band + punctuation sanity + stopword evidence, equally weighted.
+    * (Heuristics after C4/Gopher-style rule filters; weights are
+    * documented constants, not learned.)
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(nTok.between(10, 100000), 1.0).otherwise(0.0)
+    val shapeOk = when(meanTokenLen(text).between(3.0, 12.0), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
+    (lenOk + shapeOk + punctOk + stopOk) / 4.0
+  }
+
+  // --- fingerprinting (winnowing over rolling hashes) ---------------------
+
+  /** Character k-gram shingles of normalized text. */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = lower(trim(text))
+    when(length(t) < k, array(t))
+      .otherwise(transform(sequence(lit(1), length(t) - (k - 1)), i => substring(t, i, lit(k))))
+  }
+
+  /** Token k-gram (word n-gram) shingles. */
+  def tokenShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - k), i =>
+          concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash
+    * every k-gram, take the min hash of each sliding window of `w`
+    * consecutive k-grams, dedup. Robust to local edits; output is a small
+    * sorted set of 64-bit fingerprints suitable for an inverted index.
+    */
+  def winnowingFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val hashes = transform(charShingles(text, k), s => xxhash64(s))
+    val mins = when(size(hashes) <= w, array(array_min(hashes)))
+      .otherwise(
+        transform(sequence(lit(0), size(hashes) - w), i =>
+          array_min(slice(hashes, i + 1, lit(w)))))
+    array_sort(array_distinct(mins))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Baseline: brute-force cosine top-k — the query set is broadcast, the
+  * corpus is scanned exactly once, per-partition top-k is taken **before**
+  * the shuffle so only `numPartitions × k` candidate rows move, then the
+  * final top-k per query comes from a tiny sort. This is the plan that
+  * survives a 100 TB corpus: no corpus shuffle, no window over the full
+  * cross product.
+  *
+  * Scale path: SRP-LSH bucketing — corpus signatures computed scan-side,
+  * candidates restricted to low-Hamming buckets, ranking only within
+  * candidates.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol, ...) — arbitrarily large
+    * @param queries (idCol, vecCol)      — small, broadcastable
+    * @return (query_id, neighbor_id, cosine, rank) with rank 1..k
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "cosine")
+    topKPerKey(scored, "query_id", k)
+  }
+
+  /** SRP-LSH approximate top-k: corpus + queries get hyperplane bit
+    * signatures; candidates are corpus rows whose signature is within
+    * `maxHamming` of the query's (cheap bit ops on a broadcast query set),
+    * ranked by exact cosine within the candidate set only.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 16,
+      maxHamming: Int = 6): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      Vectors.hyperplaneSignature(col(vecCol), numPlanes).as("__qsig"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"),
+      Vectors.hyperplaneSignature(col(vecCol), numPlanes).as("__csig"))
+    val scored = c
+      .join(
+        broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          bit_count(col("__qsig").bitwiseXOR(col("__csig"))) <= maxHamming)
+      .withColumn("cosine", Vectors.cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "cosine")
+    topKPerKey(scored, "query_id", k)
+  }
+
+  /** Distributed top-k per key, two-phase: phase 1 prunes to k rows per
+    * (key, input-partition) — the window shuffles on the composite
+    * (key, spark_partition_id) so a handful of hot query keys still spread
+    * over the cluster instead of serializing on one reducer; phase 2 ranks
+    * the ≤ partitions×k survivors with a narrow per-key window.
+    *
+    * A single window over the raw key would sort the entire candidate set
+    * on however many reducers there are queries — unusable at scale.
+    * (Roadmap: replace phase 1 with a bounded-heap TypedImperativeAggregate
+    * so the prune happens map-side with no first shuffle at all.)
+    */
+  def topKPerKey(scored: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPart = Window
+      .partitionBy(col(keyCol), spark_partition_id())
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val pruned = scored
+      .withColumn("__pr", row_number().over(byPart))
+      .filter(col("__pr") <= k)
+      .drop("__pr")
+    val global = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pruned
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+  }
+
+  /** All corpus pairs with cosine ≥ threshold (embedding near-dup).
+    * Exact O(n²) baseline — fine for dimension tables / verification; use
+    * [[lshTopK]]-style bucketing when n is web-scale.
+    */
+  def cosinePairs(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", Vectors.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

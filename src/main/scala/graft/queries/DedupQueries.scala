@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.NearDup
+
+/** Deduplication operator suite over the documents table. The testdata
+  * plants near-duplicates: ~5% of docs are an existing doc's text plus a
+  * trailing " dup" token (token-3-gram Jaccard ≈ (n-2)/(n-1) ≥ 0.88).
+  */
+object DedupQueries extends QueryGroup {
+
+  /** Shared oracle: exact token-3-gram Jaccard pairs at threshold 0.8.
+    * Serves BOTH the inverted-index query (identical algorithm) and the
+    * MinHash-LSH query (LSH recall at J≥0.8 with 16×4 bands is
+    * 1-(1-0.8^4)^16 ≈ 0.9998 and candidates are verified with exact
+    * Jaccard, so its output equals the exact pair set whp — the spec
+    * asserts equality at sf0.001).
+    */
+  private val pairsOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(tk) - 1),
+      |                               i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |  FROM toks WHERE len(tk) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // Exact dedup by content hash (identity on this corpus — no exact dups —
+  // which the oracle confirms; the near-dup ops below do the real work).
+  private val qD1 = Q(
+    "q_d1_exact_dedup",
+    """SELECT min(doc_id) AS doc_id, CAST(count(*) AS INT) AS n_copies, text
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).cast("int").as("n_copies"))
+      .select("doc_id", "n_copies", "text")
+      .orderBy("doc_id")
+  }
+
+  // Exact n-gram Jaccard pairs (inverted-index baseline).
+  private val qD2 = Q("q_d2_ngram_jaccard_pairs", pairsOracle) { (s, dir) =>
+    NearDup
+      .ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  // MinHash + LSH near-dup pairs (the 100 TB path) — verified candidates,
+  // same oracle as the exact pair set.
+  private val qD3 = Q("q_d3_minhash_lsh_pairs", pairsOracle) { (s, dir) =>
+    NearDup
+      .minHashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures; xxhash64
+  // isn't expressible in the oracle — spec-verified against brute-force
+  // Hamming in Spark).
+  private val qD4 = Q.rowsOnly("q_d4_simhash_pairs") { (s, dir) =>
+    NearDup
+      .simHashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, numBlocks = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  // End-to-end dedup application: corpus minus near-duplicates
+  // (keep-smallest-id policy), oracle = anti-join against the pair set.
+  private val qD5 = Q(
+    "q_d5_dedup_corpus",
+    s"""WITH pairs AS ($pairsOracle)
+       |SELECT d.doc_id, d.text FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = NearDup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+    NearDup.dropDuplicatesByPairs(docs, "doc_id", pairs)
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qD1, qD2, qD3, qD4, qD5)
+}

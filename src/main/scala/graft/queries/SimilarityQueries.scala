@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Vectors
+import graft.operators.SimilaritySearch
+
+/** Similarity search over the embeddings table (array<float>, 64-dim).
+  *
+  * Oracle precision: both engines compute the dot products as sequential
+  * left-to-right double accumulation over double-cast elements, and the
+  * cosine as dot/(sqrt(na)*sqrt(nb)) — bit-identical IEEE results, so
+  * thresholds and ranks agree exactly.
+  */
+object SimilarityQueries extends QueryGroup {
+
+  /** DuckDB-side cosine identical to [[Vectors.cosine]]. */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform(range(len($b)), i -> CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))))))""".stripMargin.replaceAll("\n", " ")
+
+  // Vector math sanity: per-row norm (oracle-checked double math over the
+  // float arrays).
+  private val qV0 = Q(
+    "q_v0_vector_norms",
+    s"""SELECT vec_id,
+       |       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+       |       CAST(len(embedding) AS INT) AS dim
+       |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        Vectors.norm(col("embedding")).as("l2_norm"),
+        size(col("embedding")).as("dim"))
+      .orderBy("vec_id")
+  }
+
+  // Embedding near-dup pairs: exact all-pairs cosine ≥ threshold.
+  private val qV1 = Q(
+    "q_v1_cosine_pairs",
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       ${duckCosine("a.embedding", "b.embedding")} AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    SimilaritySearch
+      .cosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      .orderBy("id_a", "id_b")
+  }
+
+  // Brute-force cosine top-k for a fixed query set (the exact ANN
+  // baseline): rank output, deterministic tie-break on neighbor id.
+  private val qV2 = Q(
+    "q_v2_ann_bruteforce_topk",
+    s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |       ${duckCosine("q.embedding", "c.embedding")} AS cosine,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY q.vec_id
+       |         ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS INT) AS rank
+       |FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+       |JOIN embeddings c ON c.vec_id != q.vec_id
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    SimilaritySearch
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // SRP-LSH approximate top-k (the scale path; recall vs brute force is
+  // spec-asserted, rows-only here).
+  private val qV3 = Q.rowsOnly("q_v3_ann_lsh_topk") { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    SimilaritySearch
+      .lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, numPlanes = 16, maxHamming = 6)
+      .orderBy("query_id", "rank")
+  }
+
+  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3)
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextAnalysis._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("tokens handles empty / ragged whitespace") {
+    assert(one[Seq[String]](tokens(col("t")), "") === Seq.empty)
+    assert(one[Seq[String]](tokens(col("t")), "  A  b\tc ") === Seq("a", "b", "c"))
+    assert(one[Int](tokenCount(col("t")), "one two three") === 3)
+  }
+
+  test("bpe-ish tokens split contractions, words, numbers, punct runs") {
+    assert(one[Seq[String]](bpeIshTokens(col("t")), "don't stop, 42!!") ===
+      Seq("don", "'t", "stop", ",", "42", "!!"))
+  }
+
+  test("langId picks the language with most stopword evidence") {
+    assert(one[String](langId(col("t")), "the cat is on the mat and it was fine") === "en")
+    assert(one[String](langId(col("t")), "der Hund ist nicht auf das Sofa und die Katze") === "de")
+    assert(one[String](langId(col("t")), "le chat et les maisons du village qui ne dort pas") === "fr")
+    assert(one[String](langId(col("t")), "el perro no come por la noche en su casa") === "es")
+    assert(one[String](langId(col("t")), "你好 世界") === "zh")
+    assert(one[String](langId(col("t")), "zzz qqq xyzzy") === "und")
+  }
+
+  test("punctRatio / meanTokenLen / stopwordRatio known answers") {
+    assert(one[Double](punctRatio(col("t")), "a,b.") === 0.5)
+    assert(one[Double](punctRatio(col("t")), "") === 0.0)
+    assert(one[Double](meanTokenLen(col("t")), "ab abcd") === 3.0)
+    assert(one[Double](stopwordRatio(col("t")), "the dog the cat") === 0.5)
+  }
+
+  test("qualityScore stays in [0,1] and ranks clean text above junk") {
+    val clean = "the quick brown fox jumps over the lazy dog and it was good to see"
+    val junk = ";;;; !!! ### $$$ %%%"
+    val qc = one[Double](qualityScore(col("t")), clean)
+    val qj = one[Double](qualityScore(col("t")), junk)
+    assert(qc >= 0.0 && qc <= 1.0 && qj >= 0.0 && qj <= 1.0)
+    assert(qc > qj)
+  }
+
+  test("shingles known answers") {
+    assert(one[Seq[String]](charShingles(col("t"), 3), "abcd") === Seq("abc", "bcd"))
+    assert(one[Seq[String]](tokenShingles(col("t"), 2), "a b c") === Seq("a b", "b c"))
+    assert(one[Seq[String]](tokenShingles(col("t"), 5), "a b") === Seq("a b")) // shorter than k
+  }
+
+  test("winnowing fingerprint: deterministic, identity-stable, edit-robust") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val edited = base.replace("lazy", "hazy")
+    val df = Seq((1, base), (2, base), (3, edited)).toDF("id", "t")
+      .select(col("id"), winnowingFingerprint(col("t")).as("fp"))
+    val rows = df.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1) === rows(2)) // deterministic
+    val inter = rows(1).toSet.intersect(rows(3).toSet).size.toDouble
+    val uni = rows(1).toSet.union(rows(3).toSet).size.toDouble
+    assert(inter / uni > 0.5, s"local edit should preserve most fingerprints ($inter/$uni)")
+    assert(rows(1) !== rows(3))
+  }
+}
