@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.ColumnMap
+import graft.operators.{Descriptors, SyncDiff}
+
+/** The flagship end-to-end pipeline: SURVEY.md §3.2's entity-assembly
+  * dataflow (reference: SisConnectorService.java:142-160 and the
+  * per-entity helpers at :201-461), re-expressed as ONE declarative Spark
+  * plan over the harness star schema.
+  *
+  * Shape mapping (Banner → testdata):
+  *   - candidate ids      = customers in a market segment
+  *     (teacherCandidateIds.sql: join + filter + order)
+  *   - candidate scalars  = customer row via ColumnMap projection (P1)
+  *     with last-row-wins semantics made explicit (A3)
+  *   - descriptor lookup  = nationkey → nation-name URI, broadcast left
+  *     join + passthrough fallback (J3)
+  *   - addresses          = the customer's orders (detail query per key in
+  *     the reference — its N+1 loop J2 becomes one scan + hash join)
+  *   - address periods    = each order's distinct (shipdate, returnflag)
+  *     lineitem pairs, dedup-merged exactly like addTeacherAddress's
+  *     period-set union (A1)
+  *   - nesting            = collect_list(struct(...)) per parent (A2/J5)
+  *   - sync diff          = assembled keys vs the full customer snapshot
+  *     → delete set (J4)
+  *
+  * Scale notes: the two collect_list aggregations shuffle on
+  * (o_orderkey) then (custkey) — both high-cardinality, AQE-splittable;
+  * the nation dimension is broadcast; everything else is scan-side.
+  * Arrays are sorted so results are deterministic under any partitioning.
+  */
+object EntityAssembly {
+
+  /** Candidate-id slice: the configurable filter the reference keeps in
+    * teacherCandidateIds.sql (P2 equality on a segment code).
+    */
+  val segment = "BUILDING"
+
+  /** ColumnMap for the candidate projection — exercised exactly as the
+    * reference's .map files: case-insensitive physicals, unmapped → null.
+    */
+  val candidateMap: ColumnMap = ColumnMap(Seq(
+    "studentUniqueId" -> "C_CUSTKEY",
+    "fullName"        -> "c_name",
+    "segment"         -> "c_mktsegment",
+    "nationCode"      -> "c_nationkey",
+    "accountBalance"  -> "c_acctbal",
+    "unmappedField"   -> "NO_SUCH_COLUMN"))
+
+  /** Nested periods per order: A1's dedup-merge (collect_set of the period
+    * struct), sorted for determinism.
+    */
+  private def orderPeriods(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(struct(
+        col("l_shipdate").cast("date").as("beginDate"),
+        col("l_returnflag").as("flag")))).as("periods"))
+
+  /** Addresses (orders) with their period arrays nested, then rolled up to
+    * one address array per customer: A2 + J5.
+    */
+  private def customerAddresses(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(orderPeriods(lineitem), col("o_orderkey") === col("l_orderkey"))
+      .drop("l_orderkey")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(
+        col("o_orderkey").as("addressId"),
+        col("o_orderstatus").as("statusCode"),
+        col("o_orderpriority").as("priority"),
+        col("periods")))).as("addresses"))
+
+  /** The assembled nested entity frame:
+    * (studentUniqueId, fullName, segment, nationDescriptor, accountBalance,
+    *  unmappedField, studentReference struct, addresses array).
+    */
+  def assemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables.load(spark, sfDir, "customer")
+    val nation   = Tables.load(spark, sfDir, "nation")
+    val orders   = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+
+    val ids = customer.filter(col("c_mktsegment") === segment)
+
+    val cand = candidateMap.project(ids)
+
+    val resolved = Descriptors.resolve(
+      cand, nation,
+      codeCol = "nationCode", dimCode = "n_nationkey", dimValue = "n_name",
+      outCol = "nationDescriptor", namespacePrefix = "uri://graft/nation#")
+
+    val addrs = customerAddresses(orders, lineitem)
+
+    resolved
+      .join(addrs, resolved("studentUniqueId") === addrs("o_custkey"), "left")
+      .drop("o_custkey")
+      .withColumn("addresses", coalesce(col("addresses"), array()))
+      .withColumn("studentReference",
+        struct(col("studentUniqueId"), col("fullName")))
+      .select(
+        col("studentUniqueId"), col("fullName"), col("segment"),
+        col("nationDescriptor"), col("accountBalance"), col("unmappedField"),
+        col("studentReference"), col("addresses"))
+  }
+
+  /** Entities rendered as the sink payload (reference: Gson POJO → JSON,
+    * JSON.java:94-96): one JSON document per entity.
+    */
+  def assembleJson(spark: SparkSession, sfDir: String): DataFrame =
+    assemble(spark, sfDir).select(
+      col("studentUniqueId"),
+      to_json(struct(col("studentUniqueId"), col("fullName"), col("segment"),
+        col("nationDescriptor"), col("studentReference"), col("addresses")))
+        .as("payload"))
+
+  /** Oracle-expressible flattening: per entity, the address/period counts
+    * plus an md5 fingerprint of the canonical address rendering — DuckDB
+    * reproduces the same string with sorted string_agg, so the whole nested
+    * assembly is hash-verified without nested-type comparison.
+    *
+    * Canonical form per address: `addressId:statusCode:priority:[p1|p2|…]`
+    * with periods `beginDate,flag` sorted; addresses joined with `;`.
+    */
+  def flattened(spark: SparkSession, sfDir: String): DataFrame =
+    assemble(spark, sfDir).select(
+      col("studentUniqueId"),
+      col("fullName"),
+      col("nationDescriptor"),
+      size(col("addresses")).as("n_addresses"),
+      coalesce(
+        aggregate(col("addresses"), lit(0), (acc, a) => acc + size(a.getField("periods"))),
+        lit(0)).as("n_periods"),
+      md5(concat_ws(";",
+        transform(col("addresses"), a =>
+          concat_ws(":",
+            a.getField("addressId"),
+            a.getField("statusCode"),
+            a.getField("priority"),
+            concat_ws("|", transform(a.getField("periods"), p =>
+              concat_ws(",",
+                date_format(p.getField("beginDate"), "yyyy-MM-dd"),
+                p.getField("flag")))))))).as("addresses_md5"))
+
+  /** The sync plan for the assembled entities against the full customer
+    * snapshot (J4): customers outside the segment are the delete set.
+    */
+  def syncPlan(spark: SparkSession, sfDir: String): SyncDiff.SyncPlan = {
+    val target = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("studentUniqueId"))
+    SyncDiff.plan(
+      source = assemble(spark, sfDir).select("studentUniqueId"),
+      target = target,
+      keyCols = Seq("studentUniqueId"))
+  }
+}
