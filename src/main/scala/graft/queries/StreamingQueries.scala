@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming operators, each run to completion with
+  * Trigger.AvailableNow so the driver's batch DuckDB oracle verifies the
+  * streaming implementation end to end (same SQL as the batch twins
+  * q_e1/q_e2 in [[RelationalQueries]]).
+  */
+object StreamingQueries extends QueryGroup {
+
+  private val qSt1 = Q(
+    "q_st1_stream_window_agg",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+      |       event_type,
+      |       CAST(count(*) AS INT) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    EventStreams.windowedAggAvailableNow(s, dir)
+  }
+
+  private val qSt2 = Q(
+    "q_st2_stream_sessionize",
+    """SELECT user_id,
+      |       CAST(count(*) AS INT) AS n_events,
+      |       CAST(sum(CASE WHEN prev_ts IS NULL
+      |                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS INT) AS n_sessions
+      |FROM (SELECT user_id, ts,
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM events) t
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    EventStreams.sessionCountsAvailableNow(s, dir)
+  }
+
+  override val all: Seq[Q] = Seq(qSt1, qSt2)
+}

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Structured Streaming operators over the events table.
+  *
+  * The reference is a single batch run (SURVEY.md §2.5 — re-runs give
+  * incremental sync via the upsert/anti-delete diff), so streaming here is
+  * the engine's forward extension: the same event analytics as the batch
+  * queries q_e1/q_e2, expressed as streaming plans that run to completion
+  * with `Trigger.AvailableNow` — micro-batch per sync run, which is exactly
+  * how a 100 TB pipeline would consume a landing zone incrementally
+  * (checkpointed offsets + exactly-once file listing, no reprocessing).
+  *
+  * Scale notes: the windowed aggregation carries watermarked state bounded
+  * by (#open windows × #event types); the sessionizer's state is one small
+  * struct per active user key, dropped on event-time timeout — both are the
+  * canonical bounded-state shapes for unbounded inputs.
+  */
+object EventStreams {
+
+  /** Event row with microsecond epoch timestamp (keeps stateful-op state
+    * flat and encodable).
+    */
+  final case class Event(user_id: Long, event_id: Long, ts_us: Long)
+
+  final case class SessionState(lastTsUs: Long, nEvents: Int, nSessions: Int)
+
+  final case class SessionAgg(user_id: Long, n_events: Int, n_sessions: Int)
+
+  /** 30-minute session gap, as microseconds. */
+  val sessionGapUs: Long = 1800L * 1000 * 1000
+
+  /** Streaming read of the events parquet directory. The testdata file has
+    * parquet TIMESTAMP(NANOS) (see [[Tables.load]]): the stream reads the
+    * raw int64 and converts to a microsecond timestamp losslessly.
+    */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // schema discovered from the batch reader (driver-side, tiny footer read)
+    val batchSchema = spark.read.parquet(Tables.path(sfDir, "events")).schema
+    // FileStreamSource wants a directory: stream the sf dir with a glob
+    // narrowing the listing to the events table.
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    if (batchSchema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Streaming twin of q_e1: tumbling 1-hour windows per event type with a
+    * 2-hour watermark. Decimal-exact value sums (partial-aggregation-order
+    * independent), projected back to the batch query's column shape.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).cast("int").as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Per-user session/event counters via mapGroupsWithState: a session
+    * starts at any event ≥30 min after the previous one. Within a batch the
+    * group's events are sorted by (ts, event_id) — same total order as the
+    * batch twin q_e2.
+    */
+  private def updateSession(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[SessionState]): SessionAgg = {
+    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0))
+    sorted.foreach { e =>
+      val newSession = s.lastTsUs == Long.MinValue || e.ts_us - s.lastTsUs > sessionGapUs
+      s = SessionState(e.ts_us, s.nEvents + 1, s.nSessions + (if (newSession) 1 else 0))
+    }
+    state.update(s)
+    SessionAgg(userId, s.nEvents, s.nSessions)
+  }
+
+  def sessionCounts(events: DataFrame)(implicit spark: SparkSession): Dataset[SessionAgg] = {
+    import spark.implicits._
+    events
+      .select(
+        col("user_id").cast("long"),
+        col("event_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      // NoTimeout: an AvailableNow run is bounded, so state never needs
+      // eviction; an unbounded deployment would switch to EventTimeTimeout
+      // and drop users idle past the gap — same update function.
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateSession _)
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) into a named
+    * in-memory table and return it as a batch DataFrame — the bridge that
+    * lets the driver's batch oracle verify streaming operators.
+    */
+  def runToTable(
+      spark: SparkSession,
+      streaming: DataFrame,
+      name: String,
+      mode: OutputMode): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** q_e1's streaming twin, run to completion — oracle-identical output. */
+  def windowedAggAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(
+      spark,
+      windowedAgg(readEventStream(spark, sfDir)),
+      s"stream_window_agg_${System.nanoTime()}",
+      OutputMode.Complete())
+      .orderBy("hour_bucket", "event_type")
+
+  /** q_e2's streaming twin, run to completion. Update mode re-emits a
+    * user's counters every batch it appears in; counters are monotone, so
+    * the final value per user is the row with max n_events.
+    */
+  def sessionCountsAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val updates = runToTable(
+      spark,
+      sessionCounts(readEventStream(spark, sfDir)).toDF(),
+      s"stream_sessions_${System.nanoTime()}",
+      OutputMode.Update())
+    updates
+      .groupBy("user_id")
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max_by(col("n_sessions"), col("n_events")).as("n_sessions"))
+      .orderBy("user_id")
+  }
+}

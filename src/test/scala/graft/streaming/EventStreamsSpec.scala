@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class EventStreamsSpec extends SparkSpec {
+
+  test("streaming windowed agg (AvailableNow) equals the batch twin") {
+    val streamed = EventStreams.windowedAggAvailableNow(spark, sf())
+    val batch = Tables.load(spark, sf(), "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).cast("int").as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("streaming sessionizer (AvailableNow) equals the batch lag-window twin") {
+    val streamed = EventStreams.sessionCountsAvailableNow(spark, sf())
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = Tables.load(spark, sf(), "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_events"),
+        sum(
+          when(
+            col("prev_ts").isNull ||
+              (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > EventStreams.sessionGapUs,
+            1).otherwise(0)).cast("int").as("n_sessions"))
+      .select(col("user_id").cast("long"), col("n_events"), col("n_sessions"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("sessionizer state update is incremental: splitting a group across calls is equivalent") {
+    // pure-function check of the update semantics the stream relies on:
+    // folding events in two chunks == folding once (monotone counters)
+    import EventStreams._
+    val evs = Seq(
+      Event(1, 1, 0L), Event(1, 2, 60L * 1000000),
+      Event(1, 3, 4000L * 1000000), Event(1, 4, 4100L * 1000000))
+    def fold(chunks: Seq[Seq[Event]]): (Int, Int) = {
+      var s = SessionState(Long.MinValue, 0, 0)
+      chunks.foreach { ch =>
+        ch.foreach { e =>
+          val ns = s.lastTsUs == Long.MinValue || e.ts_us - s.lastTsUs > sessionGapUs
+          s = SessionState(e.ts_us, s.nEvents + 1, s.nSessions + (if (ns) 1 else 0))
+        }
+      }
+      (s.nEvents, s.nSessions)
+    }
+    assert(fold(Seq(evs)) === ((4, 2)))
+    assert(fold(Seq(evs.take(2), evs.drop(2))) === ((4, 2)))
+  }
+}
