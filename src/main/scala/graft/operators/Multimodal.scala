@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media travels as an opaque `binary` payload column plus a
+  * typed metadata struct; decode / feature-extraction / frame-sampling are
+  * per-row transforms that scale embarrassingly (no shuffle — the only
+  * cluster concern is partition *balance*, handled by hash repartitioning
+  * on the id before heavy decode stages).
+  *
+  * The container has no media codecs, so the DECODE STEP IS A STUB: a
+  * deterministic synthetic "decoder" marked [STUB] below stands in where
+  * libjpeg/ffmpeg would be called. Everything around it — schema, batch
+  * shape, partitioning, null handling — is real and tested, so swapping a
+  * real codec in is a one-function change.
+  */
+object Multimodal {
+
+  /** Canonical media-record schema: `(payload binary, meta struct)`.
+    * Attach to any frame carrying a binary column.
+    */
+  def withMediaMeta(df: DataFrame, payloadCol: String, mediaType: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      lit(mediaType).as("media_type"),
+      length(col(payloadCol)).as("n_bytes"),
+      xxhash64(col(payloadCol)).as("content_hash")))
+
+  /** [STUB] Header decode: a real implementation parses the codec header
+    * (JPEG SOF / WAV fmt / MP4 moov); this deterministic stand-in derives
+    * plausible dimensions from the content hash so downstream logic
+    * (filtering by resolution, bucketing by aspect ratio) is exercised
+    * end-to-end. Null payload → null struct, as a real decoder's failure
+    * path would produce.
+    */
+  def decodeImageMetaStub(payload: Column): Column =
+    // position-salted hashes, not hash arithmetic: ANSI mode (Spark 4
+    // default) faults on long overflow
+    when(payload.isNull, lit(null)).otherwise(struct(
+      (pmod(xxhash64(payload, lit(0)), lit(1920L)) + 32L).cast("int").as("width"),
+      (pmod(xxhash64(payload, lit(1)), lit(1080L)) + 32L).cast("int").as("height"),
+      pmod(xxhash64(payload, lit(2)), lit(3L)).cast("int").as("channels")))
+
+  /** [STUB] Fixed-dim feature vector from a payload: a real implementation
+    * runs a vision/audio encoder over decoded pixels; this stand-in derives
+    * the vector from position-salted content hashes, normalized to [-1,1] —
+    * shape and determinism match a real extractor, so the ANN operators in
+    * [[SimilaritySearch]] compose with it unchanged.
+    */
+  def extractFeaturesStub(payload: Column, dim: Int = 16): Column =
+    when(payload.isNull, lit(null)).otherwise(
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        ((pmod(xxhash64(payload, i), lit(2000001L)).cast("double") / 1000000.0) - 1.0)
+          .cast("float")))
+
+  /** Frame sampling: cut `n` evenly-spaced fixed-width byte windows from
+    * the payload — the exact plumbing (array<binary> out, index arithmetic,
+    * short-payload degenerate case) of video frame extraction, with the
+    * codec call stubbed to `substring`.
+    */
+  def sampleFramesStub(payload: Column, n: Int = 4, frameBytes: Int = 64): Column = {
+    val len = length(payload)
+    when(payload.isNull, lit(null)).otherwise(
+      transform(sequence(lit(0), lit(n - 1)), i => {
+        val offset = (i * greatest(len - frameBytes, lit(0)) / lit(math.max(n - 1, 1))).cast("int")
+        substring(payload, lit(1) + offset, lit(frameBytes))
+      }))
+  }
+
+  /** Heavy-decode stage wrapper: repartition by content hash so decode work
+    * is balanced across executors regardless of upstream partitioning (file
+    * order correlates with size/content in real corpora), then apply the
+    * per-row decode columns. At 1000 executors this is the difference
+    * between one straggler decoding all 4K video and an even spread.
+    */
+  def decodeStage(df: DataFrame, payloadCol: String, numPartitions: Int)(
+      decodeCols: Column => Seq[(String, Column)]): DataFrame = {
+    val balanced = df.repartition(numPartitions, xxhash64(col(payloadCol)))
+    decodeCols(col(payloadCol)).foldLeft(balanced) {
+      case (acc, (name, c)) => acc.withColumn(name, c)
+    }
+  }
+}

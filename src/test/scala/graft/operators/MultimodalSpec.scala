@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class MultimodalSpec extends SparkSpec {
+
+  lazy val docs = Tables.load(spark, sf(), "documents")
+    .withColumn("payload", col("text").cast("binary"))
+    .cache()
+
+  test("media meta struct: byte length and content hash are stable") {
+    val m = Multimodal.withMediaMeta(docs, "payload", "text/plain")
+    val row = m.select("media_meta.media_type", "media_meta.n_bytes", "media_meta.content_hash")
+      .filter(col("n_bytes") > 0).limit(1).collect()(0)
+    assert(row.getString(0) === "text/plain")
+    // hash matches recomputation (deterministic)
+    val again = Multimodal.withMediaMeta(docs, "payload", "text/plain")
+    assert(m.select("doc_id", "media_meta.content_hash")
+      .except(again.select("doc_id", "media_meta.content_hash")).isEmpty)
+  }
+
+  test("decode stub: plausible dimensions, null payload → null struct") {
+    val withNull = docs.withColumn("payload",
+      when(col("doc_id") === 0, lit(null).cast("binary")).otherwise(col("payload")))
+    val d = withNull.select(col("doc_id"), Multimodal.decodeImageMetaStub(col("payload")).as("m"))
+    assert(d.filter(col("doc_id") === 0).select("m").collect()(0).isNullAt(0))
+    val dims = d.filter(col("m").isNotNull)
+      .select(col("m.width"), col("m.height"), col("m.channels")).collect()
+    assert(dims.nonEmpty)
+    dims.foreach { r =>
+      assert(r.getInt(0) >= 32 && r.getInt(0) < 1952)
+      assert(r.getInt(1) >= 32 && r.getInt(1) < 1112)
+      assert(r.getInt(2) >= 0 && r.getInt(2) < 3)
+    }
+  }
+
+  test("feature stub: fixed dim, values in [-1,1], deterministic") {
+    val f = docs.select(col("doc_id"), Multimodal.extractFeaturesStub(col("payload"), 16).as("v"))
+    val sizes = f.select(size(col("v"))).distinct().collect().map(_.getInt(0))
+    assert(sizes.toSeq === Seq(16))
+    val bad = f.select(explode(col("v")).as("x")).filter(col("x") < -1.0 || col("x") > 1.0)
+    assert(bad.count() === 0)
+  }
+
+  test("frame sampling: n frames, fixed width, covers payload start to end") {
+    val fr = docs.filter(length(col("payload")) >= 128)
+      .select(col("doc_id"), col("payload"), Multimodal.sampleFramesStub(col("payload"), 4, 64).as("frames"))
+    val r = fr.limit(1).collect()(0)
+    val frames = r.getSeq[Array[Byte]](2)
+    assert(frames.size === 4)
+    assert(frames.forall(_.length == 64))
+    val payload = r.getAs[Array[Byte]]("payload")
+    assert(frames.head.toSeq === payload.take(64).toSeq, "first frame at start")
+    assert(frames.last.toSeq === payload.takeRight(64).toSeq, "last frame at end")
+  }
+
+  test("decode stage rebalances partitions by content hash") {
+    val staged = Multimodal.decodeStage(docs, "payload", numPartitions = 8) { p =>
+      Seq("image_meta" -> Multimodal.decodeImageMetaStub(p))
+    }
+    assert(staged.rdd.getNumPartitions === 8)
+    val counts = staged.groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
+    assert(counts.length === 8)
+    // hash-balanced: no partition holds more than 3x the mean
+    val mean = counts.sum.toDouble / counts.length
+    assert(counts.forall(_ <= mean * 3), s"skewed: ${counts.toSeq}")
+  }
+}
