@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column↔Expression converters (Spark 4
+  * moved Column onto ColumnNode; `ExpressionUtils` is the sanctioned
+  * conversion point, spark/sql/classic/columnNodeSupport.scala). This is
+  * the ONLY file outside the `graft` namespace: it exists solely to give
+  * graft's native Catalyst expressions a public `Column` surface.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
