@@ -14,11 +14,14 @@ object SparkEntry {
 
   /** Query groups, each a themed slice of the operator inventory. */
   private def groups: Seq[QueryGroup] = Seq(
-    RelationalQueries)
+    RelationalQueries, TextQueries, DedupQueries, SimilarityQueries,
+    PipelineQueries, StreamingQueries, MultimodalQueries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full §3.2 nested entity assembly.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_f1_entity_nested")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -338,16 +338,23 @@ object RelationalQueries extends QueryGroup {
   }
 
   // Window functions (engine completeness; absent from the reference —
-  // SURVEY.md §2.5): ranking + running aggregate in one pass.
+  // SURVEY.md §2.5): ranking + running aggregate in one pass. The window
+  // order is a TOTAL order ((orderkey, linenumber, qty, price, discount,
+  // shipdate) is unique in the testdata) so ranks and running sums are
+  // engine-independent.
   private val qWindow = Q(
     "q_w_window_funcs",
     """SELECT l_orderkey, l_linenumber,
-      |       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS INT) AS rn,
+      |       CAST(row_number() OVER (PARTITION BY l_orderkey
+      |              ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_shipdate) AS INT) AS rn,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-      |            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |            OVER (PARTITION BY l_orderkey
+      |                  ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_shipdate
       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      |FROM lineitem ORDER BY l_orderkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_shipdate"))
     t(s, dir, "lineitem")
       .select(
         col("l_orderkey"), col("l_linenumber"),
@@ -355,7 +362,7 @@ object RelationalQueries extends QueryGroup {
         sum(col("l_quantity").cast("decimal(18,2)"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("running_qty"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "rn")
   }
 
   // The headline aggregation (TPC-H Q1 shape): decimal-exact money math so
