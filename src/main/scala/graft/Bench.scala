@@ -28,6 +28,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
       }
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints the formatted physical plan for selected
+  * queries so scan pushdown (`PushedFilters`/`ReadSchema`), join
+  * strategies (broadcast vs shuffle), and codegen coverage
+  * (`WholeStageCodegen` spans) can be reviewed. Usage:
+  * `runMain graft.Explain [sfDir] [queryName ...]` — no args = audit set.
+  */
+object Explain {
+
+  val auditSet: Seq[String] = Seq(
+    "q_s1_scan_project",      // pushdown + pruning must reach the scan
+    "q1_agg",                 // partial aggregation map-side
+    "q_j1_inner_join",        // join strategy at scale
+    "q_j3_descriptor_lookup", // must be a broadcast hash join
+    "q_j4_anti_diff",         // anti-join strategy
+    "q_f2_entity_flat",       // the flagship pipeline's full plan
+    "q_d3_minhash_lsh_pairs", // signature pass + band-bucket join
+    "q_v2_ann_bruteforce_topk") // broadcast NL join + two-phase top-k
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else auditSet
+    val spark: SparkSession = GraftSession.local("graft-explain")
+    names.foreach { n =>
+      println(s"\n${"=" * 78}\n== $n\n${"=" * 78}")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

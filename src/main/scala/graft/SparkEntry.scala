@@ -15,7 +15,7 @@ object SparkEntry {
   /** Query groups, each a themed slice of the operator inventory. */
   private def groups: Seq[QueryGroup] = Seq(
     RelationalQueries, TextQueries, DedupQueries, SimilarityQueries,
-    PipelineQueries, StreamingQueries, MultimodalQueries)
+    PipelineQueries, StreamingQueries, MultimodalQueries, RegistryQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full §3.2 nested entity assembly.

@@ -39,4 +39,16 @@ object Tables {
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Ensure at least the cluster's default parallelism before heavy per-row
+    * compute (signature passes, per-doc hashing). A small corpus arriving
+    * as one parquet row group is ONE input split — without this, a 32-core
+    * machine runs the whole MinHash/SimHash pass on a single task. No-op
+    * when the input already has enough splits (the 100 TB case: thousands
+    * of row groups), so no shuffle is added at scale.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -40,17 +40,19 @@ object Hashing {
     * permutations `(a*h + b) mod (2^61-1)` minimized per permutation.
     * Empty shingle sets get the max value in every slot (matches nothing).
     */
-  def minHashSignature(shingles: Column, numPerm: Int = 64): Column = {
-    val base = transform(array_distinct(shingles), s => pmod(xxhash64(s), lit(P)))
-    val perms = array(permParams(numPerm).map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    transform(perms, p =>
-      coalesce(
-        array_min(transform(base, h =>
-          pmod(pmod(p.getField("a") * h, lit(P)) + p.getField("b"), lit(P)))),
-        lit(Long.MaxValue)))
-  }
+  def minHashSignature(shingles: Column, numPerm: Int = 64): Column =
+    // base hashes bound once: referenced from the per-permutation lambda
+    // they would otherwise be recomputed numPerm times (graft.functions.hof)
+    hof.bind(transform(array_distinct(shingles), s => pmod(xxhash64(s), lit(P)))) { base =>
+      val perms = array(permParams(numPerm).map { case (a, b) =>
+        struct(lit(a).as("a"), lit(b).as("b"))
+      }: _*)
+      transform(perms, p =>
+        coalesce(
+          array_min(transform(base, h =>
+            pmod(pmod(p.getField("a") * h, lit(P)) + p.getField("b"), lit(P)))),
+          lit(Long.MaxValue)))
+    }
 
   /** LSH band keys for a MinHash signature: `numBands` keys, each a hash of
     * `rowsPerBand` consecutive signature slots. Docs sharing ≥1 band key
@@ -88,11 +90,13 @@ object Hashing {
     val votes = aggregate(
       toks,
       array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, bitIdx, (a, i) =>
-          a + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      })
+      (acc, t) =>
+        // token hash bound once per token — inside the 64-slot zip_with it
+        // would otherwise be recomputed per BIT (64× the hashing work)
+        hof.bind(xxhash64(t)) { h =>
+          zip_with(acc, bitIdx, (a, i) =>
+            a + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        })
     aggregate(
       zip_with(votes, bitIdx, (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
       lit(0L),

@@ -107,33 +107,39 @@ object TextAnalysis {
 
   // --- fingerprinting (winnowing over rolling hashes) ---------------------
 
-  /** Character k-gram shingles of normalized text. */
-  def charShingles(text: Column, k: Int): Column = {
-    val t = lower(trim(text))
-    when(length(t) < k, array(t))
-      .otherwise(transform(sequence(lit(1), length(t) - (k - 1)), i => substring(t, i, lit(k))))
-  }
+  /** Character k-gram shingles of normalized text. The normalized string
+    * is `bind`-bound: referenced from the per-position lambda it would
+    * otherwise be recomputed per shingle (see [[hof.bind]]).
+    */
+  def charShingles(text: Column, k: Int): Column =
+    hof.bind(lower(trim(text))) { t =>
+      when(length(t) < k, array(t))
+        .otherwise(transform(sequence(lit(1), length(t) - (k - 1)), i => substring(t, i, lit(k))))
+    }
 
-  /** Token k-gram (word n-gram) shingles. */
-  def tokenShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(sequence(lit(0), size(toks) - k), i =>
-          concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** Token k-gram (word n-gram) shingles; token array bound once. */
+  def tokenShingles(text: Column, k: Int): Column =
+    hof.bind(tokens(text)) { toks =>
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(
+          transform(sequence(lit(0), size(toks) - k), i =>
+            concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    }
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash
     * every k-gram, take the min hash of each sliding window of `w`
     * consecutive k-grams, dedup. Robust to local edits; output is a small
     * sorted set of 64-bit fingerprints suitable for an inverted index.
+    *
+    * The hash array is `bind`-bound: the windowed min references it from a
+    * lambda, which unbound is O(n²) re-evaluation (30× slower measured).
     */
-  def winnowingFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val hashes = transform(charShingles(text, k), s => xxhash64(s))
-    val mins = when(size(hashes) <= w, array(array_min(hashes)))
-      .otherwise(
-        transform(sequence(lit(0), size(hashes) - w), i =>
-          array_min(slice(hashes, i + 1, lit(w)))))
-    array_sort(array_distinct(mins))
-  }
+  def winnowingFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    hof.bind(transform(charShingles(text, k), s => xxhash64(s))) { hashes =>
+      val mins = when(size(hashes) <= w, array(array_min(hashes)))
+        .otherwise(
+          transform(sequence(lit(0), size(hashes) - w), i =>
+            array_min(slice(hashes, i + 1, lit(w)))))
+      array_sort(array_distinct(mins))
+    }
 }

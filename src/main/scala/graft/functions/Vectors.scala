@@ -41,27 +41,45 @@ object Vectors {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 of the index pair mapped to [-1, 1). No stored model, no
-    * broadcast — every executor derives the same planes from the indices.
+    * xxhash64 of "plane:dim" mapped to [-1, 1). No stored model, no
+    * broadcast — the same value on every executor. Computed at PLAN time
+    * (it only depends on indices); the per-row form cost a string concat +
+    * hash per (plane, dim) per row.
     */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(concat_ws(":", plane, dim)), lit(1000000L)).cast("double") /
-      500000.0) - 1.0
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = XxHash64(Seq(Literal(UTF8String.fromString(s"$plane:$dim"),
+      org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 500000.0 - 1.0
+  }
+
+  /** Supported embedding dimensionality ceiling for the literal plane
+    * matrix (rows are sliced to the input's actual dim).
+    */
+  val maxDim = 512
 
   /** Random-hyperplane (SRP) LSH bit signature of a float vector packed
     * into one BIGINT: bit i = sign(v · r_i). Cosine-similar vectors agree
-    * on most bits (collision prob = 1 - θ/π per bit).
+    * on most bits (collision prob = 1 - θ/π per bit). The plane matrix is
+    * a plan-time literal — per row the work is numPlanes × dim multiplies,
+    * nothing else.
     */
-  def hyperplaneSignature(v: Column, numPlanes: Int = 16): Column =
+  def hyperplaneSignature(v: Column, numPlanes: Int = 16): Column = {
+    val planes: Seq[Seq[Double]] =
+      (0 until numPlanes).map(p => (0 until maxDim).map(i => planeComponent(p, i)))
+    val planesLit = typedlit(planes)
     aggregate(
       transform(sequence(lit(0), lit(numPlanes - 1)), p => {
         val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-            x.cast("double") * planeComponent(p, i)),
+          zip_with(v, slice(element_at(planesLit, p + 1), lit(1), size(v)), (x, c) =>
+            x.cast("double") * c),
           lit(0.0),
           (acc, x) => acc + x)
         when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
       }),
       lit(0L),
       (acc, x) => acc.bitwiseOR(x))
+  }
 }

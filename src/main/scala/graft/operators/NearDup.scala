@@ -31,10 +31,14 @@ object NearDup {
     Dedup.keepFirstBy(docs.withColumn("__h", md5(col(textCol))), Seq("__h"), idCol)
       .drop("__h")
 
-  /** Distinct token-k-gram shingles per doc, exploded as (id, shingle). */
+  /** Distinct token-k-gram shingles per doc, exploded as (id, shingle).
+    * The corpus is spread to full parallelism first: the shingle/signature
+    * pass is the compute-heavy scan stage and must not serialize on one
+    * input split (graft.Tables.spread is a no-op at real scale).
+    */
   private def explodedShingles(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(
+    graft.Tables.spread(docs).select(
       col(idCol),
       explode(array_distinct(TextAnalysis.tokenShingles(col(textCol), k))).as("__s"))
 
@@ -100,13 +104,17 @@ object NearDup {
       threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rows = numPerm / bands
-    val base = docs.select(
+    // shingle arrays are cheap (O(tokens) per doc); the 64-permutation
+    // signature is the expensive pass, so it is computed on exactly ONE
+    // plan branch (banded) — the verify joins reuse only the shingles.
+    val shingled = graft.Tables.spread(docs).select(
       col(idCol),
       array_distinct(TextAnalysis.tokenShingles(col(textCol), k)).as("__sh"))
+    val banded = shingled
       .withColumn("__sig", Hashing.minHashSignature(col("__sh"), numPerm))
-    val banded = base.select(
-      col(idCol),
-      explode(Hashing.bandKeys(col("__sig"), bands, rows)).as("__bk"))
+      .select(
+        col(idCol),
+        explode(Hashing.bandKeys(col("__sig"), bands, rows)).as("__bk"))
       .select(col(idCol), col("__bk.band").as("__band"), col("__bk.key").as("__key"))
     val aB = banded.toDF("id_a", "__band", "__key")
     val bB = banded.toDF("id_b", "__band2", "__key2")
@@ -116,8 +124,8 @@ object NearDup {
           aB("id_a") < bB("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val setsA = base.select(col(idCol).as("id_a"), col("__sh").as("__sha"))
-    val setsB = base.select(col(idCol).as("id_b"), col("__sh").as("__shb"))
+    val setsA = shingled.select(col(idCol).as("id_a"), col("__sh").as("__sha"))
+    val setsB = shingled.select(col(idCol).as("id_b"), col("__sh").as("__shb"))
     cand
       .join(setsA, "id_a")
       .join(setsB, "id_b")
@@ -138,7 +146,7 @@ object NearDup {
       maxHamming: Int = 3,
       numBlocks: Int = 4): DataFrame = {
     require(maxHamming < numBlocks * 2, "pigeonhole needs maxHamming < numBlocks (guaranteed) — larger values lose recall")
-    val base = docs.select(
+    val base = graft.Tables.spread(docs).select(
       col(idCol),
       Hashing.simHash(TextAnalysis.tokens(col(textCol))).as("__sim"))
     val blocked = base.select(

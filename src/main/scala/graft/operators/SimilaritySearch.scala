@@ -34,7 +34,7 @@ object SimilaritySearch {
       vecCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val scored = corpus
+    val scored = graft.Tables.spread(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.cosine(col("__qv"), col("__cv")))
@@ -59,7 +59,7 @@ object SimilaritySearch {
       col(idCol).as("query_id"),
       col(vecCol).as("__qv"),
       Vectors.hyperplaneSignature(col(vecCol), numPlanes).as("__qsig"))
-    val c = corpus.select(
+    val c = graft.Tables.spread(corpus).select(
       col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"),
       Vectors.hyperplaneSignature(col(vecCol), numPlanes).as("__csig"))
@@ -107,7 +107,9 @@ object SimilaritySearch {
     */
   def cosinePairs(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    // the streamed (left) side of the nested-loop join is spread so pair
+    // scoring parallelizes; the right side broadcasts
+    val a = graft.Tables.spread(corpus).select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", Vectors.cosine(col("__va"), col("__vb")))

@@ -51,7 +51,7 @@ object MultimodalQueries extends QueryGroup {
   // Stub-decoded features feeding the ANN operator — multimodal similarity
   // is the text pipeline with a different encoder (rows-only).
   private val qM3 = Q.rowsOnly("q_m3_media_ann") { (s, dir) =>
-    val feats = withPayload(Tables.load(s, dir, "documents"))
+    val feats = withPayload(Tables.spread(Tables.load(s, dir, "documents")))
       .select(col("doc_id").as("vec_id"),
         Multimodal.extractFeaturesStub(col("payload"), dim = 16).as("embedding"))
     graft.operators.SimilaritySearch

@@ -51,7 +51,7 @@ object TextQueries extends QueryGroup {
   // Language ID (heuristic — not SQL-expressible; spec-verified on crafted
   // multilingual samples, rows-only here).
   private val qT3 = Q.rowsOnly("q_t3_lang_id") { (s, dir) =>
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(
         col("doc_id"),
         col("lang").as("lang_declared"),
@@ -62,7 +62,7 @@ object TextQueries extends QueryGroup {
   // Composite quality score + BPE-ish token budget (rows-only; the
   // components are oracle-checked in q_t1/q_t2).
   private val qT4 = Q.rowsOnly("q_t4_quality_score") { (s, dir) =>
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(
         col("doc_id"),
         qualityScore(col("text")).as("quality_score"),
@@ -73,11 +73,15 @@ object TextQueries extends QueryGroup {
   // Winnowing fingerprint (rolling-hash document sketch; spec-verified for
   // edit-robustness, rows-only here).
   private val qT5 = Q.rowsOnly("q_t5_fingerprint") { (s, dir) =>
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(
         col("doc_id"),
-        winnowingFingerprint(col("text")).as("fingerprint"),
-        size(winnowingFingerprint(col("text"))).as("fp_size"))
+        // fingerprint bound once; a second bare reference would re-run the
+        // whole winnowing pass for the size column (no CSE in HOF exprs)
+        graft.functions.hof.bind(winnowingFingerprint(col("text"))) { fp =>
+          struct(fp.as("fingerprint"), size(fp).as("fp_size"))
+        }.as("__fp"))
+      .select(col("doc_id"), col("__fp.fingerprint"), col("__fp.fp_size"))
       .orderBy("doc_id")
   }
 
