@@ -2,7 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 
+import graft.expressions.TopKScoreId
 import graft.functions.Vectors
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -73,18 +75,35 @@ object SimilaritySearch {
     topKPerKey(scored, "query_id", k)
   }
 
-  /** Distributed top-k per key, two-phase: phase 1 prunes to k rows per
-    * (key, input-partition) — the window shuffles on the composite
-    * (key, spark_partition_id) so a handful of hot query keys still spread
-    * over the cluster instead of serializing on one reducer; phase 2 ranks
-    * the ≤ partitions×k survivors with a narrow per-key window.
-    *
-    * A single window over the raw key would sort the entire candidate set
-    * on however many reducers there are queries — unusable at scale.
-    * (Roadmap: replace phase 1 with a bounded-heap TypedImperativeAggregate
-    * so the prune happens map-side with no first shuffle at all.)
+  /** Distributed top-k per key via the bounded-heap aggregate
+    * [[TopKScoreId]]: every input row is an O(log k) MAP-SIDE heap update
+    * inside the hash aggregate, partial buffers of ≤ k entries shuffle,
+    * and the full candidate set is never sorted anywhere. Tie-break
+    * (score desc, id asc) matches the window form and the oracle exactly.
     */
   def topKPerKey(scored: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val agg = bridge.column(
+      TopKScoreId(
+        bridge.expression(col("cosine")),
+        bridge.expression(col("neighbor_id")),
+        k).toAggregateExpression())
+    scored
+      .groupBy(col(keyCol))
+      .agg(agg.as("__topk"))
+      .select(col(keyCol), posexplode(col("__topk")))
+      .select(
+        col(keyCol),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).as("rank"))
+  }
+
+  /** Window-function top-k, kept as the cross-check reference for
+    * [[topKPerKey]] (spec-asserted equal). Two-phase: phase 1 prunes to k
+    * rows per (key, input-partition); phase 2 ranks the survivors. Still
+    * sorts candidates within partitions — the aggregate form replaces it.
+    */
+  def topKPerKeyWindow(scored: DataFrame, keyCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPart = Window
       .partitionBy(col(keyCol), spark_partition_id())

@@ -81,7 +81,7 @@ object RelationalQueries extends QueryGroup {
     val closed = nullif(col("o_orderstatus"), lit("O"))
     t(s, dir, "orders")
       .withColumn("closed_status", closed)
-      .withColumn("sentinel_compat", coalesce(closed, lit("[null]")))
+      .withColumn("sentinel_compat", graft.functions.Compat.encodeNullSentinel(closed))
       .filter(closed.isNull)
       .select("o_orderkey", "closed_status", "sentinel_compat")
       .orderBy("o_orderkey")

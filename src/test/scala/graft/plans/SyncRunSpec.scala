@@ -1,0 +1,45 @@
+package graft.plans
+
+import java.time.Instant
+
+import graft.SparkSpec
+import graft.sources.FakeServer
+
+class SyncRunSpec extends SparkSpec {
+
+  test("full sync run: upserts in-segment entities, deletes the rest, reports counts") {
+    FakeServer.reset()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sync_report").toString
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    val result = SyncRun.run(
+      spark, sf(),
+      new FakeServer.Fake, new FakeServer.Tokens,
+      entityPath = "/entities",
+      reportDir = Some(dir),
+      now = () => t0)
+
+    val customer = spark.read.parquet(s"${sf()}/customer.parquet")
+    val inSegment = customer
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === EntityAssembly.segment)
+      .count()
+    assert(result.upserts === inSegment)
+    assert(result.deletes === customer.count() - inSegment)
+    // server converged to exactly the upserted key set
+    assert(FakeServer.store.size() === inSegment)
+    // report rendered to disk with injected timestamps
+    val files = new java.io.File(dir).listFiles()
+    assert(files.length === 1)
+    val text = java.nio.file.Files.readString(files(0).toPath)
+    assert(text.contains(s"upserts:  $inSegment"))
+    assert(text.contains("started:  2026-01-01T00:00:00Z"))
+  }
+
+  test("re-run converges (idempotent): same counts, same server state") {
+    FakeServer.reset()
+    def once() = SyncRun.run(spark, sf(), new FakeServer.Fake, new FakeServer.Tokens, "/entities")
+    val first = once()
+    val second = once()
+    assert(first.upserts === second.upserts)
+    assert(FakeServer.store.size() === first.upserts)
+  }
+}

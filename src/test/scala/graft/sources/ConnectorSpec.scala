@@ -34,7 +34,7 @@ object FakeServer {
       req.method match {
         case "POST" =>
           posts.incrementAndGet()
-          val id = req.body.replaceAll(""".*"id":(\d+).*""", "$1")
+          val id = req.body.replaceAll(""".*?"(?:id|studentUniqueId)":(\d+).*""", "$1")
           store.put(id, req.body)
           Response(200, "")
         case "DELETE" =>
