@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit skew mitigation for shuffled equi-joins: salt the skewed
+  * (large, hot-keyed) side into `saltFactor` sub-keys and replicate the
+  * other side across all salts, so one hot key spreads over `saltFactor`
+  * reducers instead of serializing on one.
+  *
+  * AQE's skew-join splitting (on in [[graft.GraftSession]]) handles most
+  * cases at runtime; explicit salting remains the tool when a single key
+  * exceeds what one task can hold even after AQE splits (the classic
+  * power-law join at 100 TB), or when AQE is unavailable (streaming
+  * micro-batch joins).
+  */
+object Skew {
+
+  /** Inner equi-join `left ⋈ right` on `leftKey == rightKey`, with `left`
+    * the skewed side. Deterministic salt: hash of the whole left row mod
+    * `saltFactor` (no rand() — retries and replays stay stable).
+    */
+  def saltedInnerJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    val saltedLeft = left.withColumn(
+      "__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+    val replicatedRight = right.withColumn(
+      "__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft
+      .join(replicatedRight,
+        col(leftKey) === col(rightKey) && saltedLeft("__salt") === replicatedRight("__salt"))
+      .drop("__salt")
+  }
+}

@@ -365,6 +365,63 @@ object RelationalQueries extends QueryGroup {
       .orderBy("l_orderkey", "rn")
   }
 
+  // Outer joins (beyond the reference's left-ish shapes): full outer with
+  // both-null-side rows exercised.
+  private val qJ7 = Q(
+    "q_j7_full_outer",
+    """SELECT n_nationkey, n_name, s_suppkey
+      |FROM (SELECT * FROM nation WHERE n_nationkey < 20) n
+      |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+      |ORDER BY n_nationkey NULLS FIRST, s_suppkey NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "nation").filter(col("n_nationkey") < 20)
+      .join(t(s, dir, "supplier"), col("s_nationkey") === col("n_nationkey"), "full_outer")
+      .select("n_nationkey", "n_name", "s_suppkey")
+      .orderBy(col("n_nationkey").asc_nulls_first, col("s_suppkey").asc_nulls_first)
+  }
+
+  // Cross join (the join lattice's degenerate case; tiny inputs only).
+  private val qJ8 = Q(
+    "q_j8_cross_join",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "region").select("r_name")
+      .crossJoin(t(s, dir, "nation").select("n_name"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // ROLLUP: subtotal lattice over two grouping columns; grouping() columns
+  // disambiguate real NULLs from subtotal rows.
+  private val qRollup = Q(
+    "q_a4_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty")
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // Distinct-count: exact (oracle) alongside the HLL sketch the scale path
+  // uses (approx is engine-specific → sanity-bounded here, not hashed).
+  private val qA5 = Q(
+    "q_a5_count_distinct",
+    """SELECT l_returnflag,
+      |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+  }
+
   // The headline aggregation (TPC-H Q1 shape): decimal-exact money math so
   // the result is independent of partial-aggregation order.
   private val qAgg = Q(
@@ -438,8 +495,8 @@ object RelationalQueries extends QueryGroup {
 
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
-    qJ1, qJ2, qJ3, qJ4, qJ5, qJ6,
-    qA1, qA3, qDistinct,
+    qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
+    qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions)
 }

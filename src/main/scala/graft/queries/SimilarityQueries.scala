@@ -80,5 +80,23 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("query_id", "rank")
   }
 
-  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3)
+  // Embedding-cosine near-dup APPLIED as a dedup (the q_d5 pattern on the
+  // embedding modality): drop the greater id of every pair over threshold.
+  private val qV4 = Q(
+    "q_v4_embed_dedup",
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.45)
+       |SELECT e.vec_id FROM embeddings e
+       |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = e.vec_id)
+       |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val pairs = SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", 0.45)
+    graft.operators.NearDup.dropDuplicatesByPairs(emb, "vec_id", pairs)
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
+  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3, qV4)
 }

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout helpers for the 100 TB posture: bucketing co-locates
+  * join/aggregation keys at WRITE time so repeated joins on the key are
+  * shuffle-free reads (Exchange elided on both sides when bucket specs
+  * match), and partitioned layouts give coarse pruning on the partition
+  * column.
+  *
+  * The reference has no storage layer at all (everything driver-heap,
+  * Dao.java:40-75); this is where the engine's sync tables (target
+  * snapshots keyed by entity id, detail tables keyed by student id)
+  * would live between runs.
+  */
+object Layout {
+
+  /** Write `df` bucketed by `keyCols` as a managed table; joins between
+    * tables bucketed the same way on the same keys skip the shuffle.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keyCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Write partitioned-by-column layout (coarse pruning; e.g. run date). */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** True when the physical plan of `df` contains a shuffle exchange —
+    * used by specs to prove bucketed joins are exchange-free.
+    */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  def dropTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Skew
+
+class LayoutSkewSpec extends SparkSpec {
+
+  test("salted join equals plain join on skewed data (one key = 90% of rows)") {
+    import spark.implicits._
+    val left = ((1 to 900).map(_ => (1L, "hot")) ++ (1 to 100).map(i => (i.toLong + 1, "cold")))
+      .toDF("k", "tag")
+    val right = (1 to 60).map(i => (i.toLong, s"dim$i")).toDF("rk", "name")
+    val plain = left.join(right, $"k" === $"rk").select("k", "tag", "name")
+    val salted = Skew.saltedInnerJoin(left, right, "k", "rk", saltFactor = 8)
+      .select("k", "tag", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("salted join spreads a hot key across many partitions") {
+    import spark.implicits._
+    val left = (1 to 2000).map(_ => (1L, "hot")).toDF("k", "tag").repartition(8)
+    val right = Seq((1L, "dim")).toDF("rk", "name")
+    val parts = Skew.saltedInnerJoin(left, right, "k", "rk", saltFactor = 8)
+      .groupBy(spark_partition_id()).count().count()
+    assert(parts > 1, "hot key must not land on a single reducer")
+  }
+
+  test("bucketed tables join without a shuffle exchange; unbucketed do not") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cust = Tables.load(spark, sf(), "customer").select("c_custkey", "c_name")
+    val ord = Tables.load(spark, sf(), "orders").select("o_custkey", "o_orderkey")
+    Layout.writeBucketed(cust, "b_cust", Seq("c_custkey"), 8)
+    Layout.writeBucketed(ord.withColumnRenamed("o_custkey", "c_custkey"), "b_ord", Seq("c_custkey"), 8)
+    try {
+      // AQE off for a deterministic plan-shape assertion
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = spark.table("b_cust").join(spark.table("b_ord"), "c_custkey")
+      val unbucketed = cust.join(
+        ord.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")
+      assert(!Layout.hasShuffle(bucketed), "bucketed join must elide the exchange")
+      assert(Layout.hasShuffle(unbucketed), "sanity: plain join shuffles under these confs")
+      // and the bucketed join returns the same rows
+      assert(bucketed.count() === unbucketed.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      Layout.dropTable(spark, "b_cust")
+      Layout.dropTable(spark, "b_ord")
+    }
+  }
+}
