@@ -120,6 +120,64 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    * Voronoi cells around `numCentroids` centroids; a query is ranked only
+    * against the cells of its `nprobe` nearest centroids.
+    *
+    * Centroid selection is deterministic hash-sampling of corpus vectors
+    * (k-means iterations refine recall but aren't required for the
+    * structure); the centroid set is a driver-side MODEL ARTIFACT (like any
+    * trained index) embedded as plan literals, so cell assignment is
+    * scan-side arithmetic — no shuffle, no join against a centroid table.
+    * The only movement: each corpus row to its cell's reducers via the
+    * top-k hash aggregate, exactly as [[bruteForceTopK]] but over
+    * corpus/numCentroids-sized slices.
+    *
+    * @param nprobe cells probed per query — recall/latency dial
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    require(nprobe <= numCentroids)
+    // deterministic sample: the numCentroids corpus vectors with smallest
+    // hashed id (reproducible, no rand())
+    val centroids: Array[Seq[Float]] = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy("__h")
+      .limit(numCentroids)
+      .collect()
+      .map(r => r.getSeq[Float](1))
+    val cLits = centroids.map(c => typedlit(c))
+    // nearest-centroid assignment, scan-side: argmax of dot over literals
+    def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
+      val scoredCells = array(cLits.zipWithIndex.map { case (c, i) =>
+        struct(Vectors.cosine(v, c).as("s"), lit(i).as("cell"))
+      }: _*)
+      slice(reverse(array_sort(scoredCells)), 1, n)
+    }
+    val c = graft.Tables.spread(corpus).select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"),
+      element_at(bestCells(col(vecCol), 1), 1).getField("cell").as("__cell"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      explode(transform(bestCells(col(vecCol), nprobe), e => e.getField("cell")))
+        .as("__cell"))
+    val scored = c
+      .join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "cosine")
+    topKPerKey(scored, "query_id", k)
+  }
+
   /** All corpus pairs with cosine ≥ threshold (embedding near-dup).
     * Exact O(n²) baseline — fine for dimension tables / verification; use
     * [[lshTopK]]-style bucketing when n is web-scale.

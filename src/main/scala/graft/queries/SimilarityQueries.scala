@@ -98,5 +98,15 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("vec_id")
   }
 
-  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3, qV4)
+  // IVF approximate top-k (the second scale path beside SRP-LSH; recall
+  // spec-asserted, rows-only here).
+  private val qV5 = Q.rowsOnly("q_v5_ann_ivf_topk") { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    SimilaritySearch
+      .ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, numCentroids = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3, qV4, qV5)
 }

@@ -32,5 +32,12 @@ object StreamingQueries extends QueryGroup {
     EventStreams.sessionCountsAvailableNow(s, dir)
   }
 
-  override val all: Seq[Q] = Seq(qSt1, qSt2)
+  private val qSt3 = Q(
+    "q_st3_stream_dedup",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    EventStreams.dedupKeysAvailableNow(s, dir)
+  }
+
+  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3)
 }

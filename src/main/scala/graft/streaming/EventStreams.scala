@@ -104,6 +104,25 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateSession _)
   }
 
+  /** Streaming exact dedup on key columns. Unbounded state (one entry per
+    * distinct key) — exact forever, the right tool when the key space is
+    * bounded (entity ids). For unbounded key spaces switch to
+    * [[dedupKeysWithinWatermark]].
+    */
+  def dedupKeys(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.select(keys.head, keys.tail: _*).dropDuplicates(keys)
+
+  /** Streaming dedup with watermark-bounded state: duplicates arriving
+    * within the watermark horizon are suppressed, state for expired keys
+    * is dropped — the 100 TB posture for unbounded key spaces (late
+    * duplicates beyond the horizon re-emit, by declared contract).
+    */
+  def dedupKeysWithinWatermark(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .select(keys.head, keys.tail: _*)
+
   /** Run a streaming frame to completion (AvailableNow) into a named
     * in-memory table and return it as a batch DataFrame — the bridge that
     * lets the driver's batch oracle verify streaming operators.
@@ -131,6 +150,18 @@ object EventStreams {
       s"stream_window_agg_${System.nanoTime()}",
       OutputMode.Complete())
       .orderBy("hour_bucket", "event_type")
+
+  /** Streaming dedup run to completion: the distinct (user, event_type)
+    * key set — batch-oracle-verifiable (first-arrival payloads would be
+    * arrival-order-dependent; the key set is not).
+    */
+  def dedupKeysAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(
+      spark,
+      dedupKeys(readEventStream(spark, sfDir), Seq("user_id", "event_type")),
+      s"stream_dedup_${System.nanoTime()}",
+      OutputMode.Append())
+      .orderBy("user_id", "event_type")
 
   /** q_e2's streaming twin, run to completion. Update mode re-emits a
     * user's counters every batch it appears in; counters are monotone, so

@@ -64,6 +64,23 @@ class SimilaritySearchSpec extends SparkSpec {
     info(s"SRP-LSH recall@10 vs brute force: $recall")
   }
 
+  test("IVF topK achieves useful recall vs brute force; probing more cells helps") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
+    val narrow = pairs(SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10, 16, 2))
+    val wide = pairs(SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10, 16, 16))
+    val rNarrow = brute.intersect(narrow).size.toDouble / brute.size
+    val rWide = brute.intersect(wide).size.toDouble / brute.size
+    info(s"IVF recall@10: nprobe=2 → $rNarrow, nprobe=16 (exhaustive) → $rWide")
+    assert(rNarrow >= 0.2, s"narrow-probe recall floor, got $rNarrow")
+    assert(rWide === 1.0, "probing every cell IS brute force")
+    assert(rWide >= rNarrow)
+  }
+
   test("cosinePairs finds symmetric threshold pairs") {
     val corpus = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0.99f, 0.14f)), (3L, Seq(0f, 1f)))
