@@ -28,4 +28,23 @@ object Compat {
     */
   def refBooleanValueOf(c: Column): Column =
     coalesce(lower(c) === "true", lit(false))
+
+  /** `DBMS_RANDOM.STRING('a', n)` compat (the anonymization scalar in the
+    * shipped SQL, teacherCandidate.sql:3-5): n random mixed-case letters.
+    *
+    * Two modes, because "random" is a fork in a distributed engine:
+    *   - seeded (default): deterministic per input key — same key, same
+    *     pseudonym across runs AND across task retries (referentially
+    *     transparent anonymization, what a retried Spark task needs);
+    *   - `seedCol = None`-style true randomness is deliberately absent:
+    *     rand()-derived strings change under retry and break upsert
+    *     convergence. The reference only avoids this by being
+    *     single-threaded.
+    */
+  def dbmsRandomString(seedCol: Column, n: Int): Column =
+    concat((0 until n).map { i =>
+      val h = pmod(xxhash64(seedCol, lit(i)), lit(52L))
+      // 0-25 → a-z, 26-51 → A-Z
+      when(h < 26, chr(h + 97)).otherwise(chr(h - 26 + 65))
+    }: _*)
 }

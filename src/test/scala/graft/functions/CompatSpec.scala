@@ -17,6 +17,18 @@ class CompatSpec extends SparkSpec {
     assert(dec.toSeq === Seq("x", null, null))
   }
 
+  test("dbmsRandomString: right length/charset, deterministic per key, varied across keys") {
+    val df = (1 to 100).map(_.toLong).toDF("k")
+      .select(col("k"), Compat.dbmsRandomString(col("k"), 8).as("s"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.forall(_._2.length == 8))
+    assert(rows.forall(_._2.forall(c => c.isLetter)))
+    assert(rows.map(_._2).distinct.length > 95, "pseudonyms vary across keys")
+    // deterministic: recompute equals
+    val again = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("reference Boolean.valueOf semantics: only 'true' (any case) is true") {
     val df = Seq("true", "TRUE", "false", "[null]", "garbage", null)
       .toDF("v")
