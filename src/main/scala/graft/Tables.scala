@@ -44,11 +44,19 @@ object Tables {
     * compute (signature passes, per-doc hashing). A small corpus arriving
     * as one parquet row group is ONE input split — without this, a 32-core
     * machine runs the whole MinHash/SimHash pass on a single task. No-op
-    * when the input already has enough splits (the 100 TB case: thousands
-    * of row groups), so no shuffle is added at scale.
+    * when the input already has enough files (the 100 TB case: thousands),
+    * so no shuffle is added at scale.
+    *
+    * The gate reads `inputFiles` (a listing, no job) rather than
+    * `rdd.getNumPartitions` — under AQE the latter materializes every
+    * upstream shuffle stage just to learn a partition count. File count
+    * under-estimates splits for multi-row-group files (large files split
+    * further by maxPartitionBytes), erring toward a harmless repartition
+    * of inputs that are small anyway; non-file plans (in-memory test
+    * frames, post-join frames) report zero files and are spread too.
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (df.inputFiles.length >= target) df else df.repartition(target)
   }
 }

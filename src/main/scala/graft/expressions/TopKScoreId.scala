@@ -61,7 +61,11 @@ case class TopKScoreId(
   override def update(b: Buffer, input: InternalRow): Buffer = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null) b.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    // null and NaN scores are unrankable and excluded. NaN especially: every
+    // comparison against it is false, so one admitted NaN at the heap root
+    // would block all future admissions (poisoned buffer).
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
+      b.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
     b
   }
 

@@ -70,6 +70,12 @@ object Vectors {
     val planes: Seq[Seq[Double]] =
       (0 until numPlanes).map(p => (0 until maxDim).map(i => planeComponent(p, i)))
     val planesLit = typedlit(planes)
+    // explicit failure beyond maxDim: a truncated plane row would zip-pad
+    // with nulls, null out every projection, and silently give EVERY vector
+    // signature 0 — one giant LSH bucket instead of an error
+    val checked = when(size(v) > maxDim,
+      raise_error(concat(lit(s"hyperplaneSignature supports dim <= $maxDim, got "),
+        size(v).cast("string")))).otherwise(lit(0)).cast("bigint")
     aggregate(
       transform(sequence(lit(0), lit(numPlanes - 1)), p => {
         val proj = aggregate(
@@ -80,6 +86,6 @@ object Vectors {
         when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
       }),
       lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
+      (acc, x) => acc.bitwiseOR(x)) + checked
   }
 }

@@ -145,7 +145,9 @@ object NearDup {
       textCol: String,
       maxHamming: Int = 3,
       numBlocks: Int = 4): DataFrame = {
-    require(maxHamming < numBlocks * 2, "pigeonhole needs maxHamming < numBlocks (guaranteed) — larger values lose recall")
+    require(maxHamming < numBlocks,
+      s"pigeonhole guarantee needs maxHamming < numBlocks (got $maxHamming >= $numBlocks): " +
+        "signatures differing in every block would be missed")
     val base = graft.Tables.spread(docs).select(
       col(idCol),
       Hashing.simHash(TextAnalysis.tokens(col(textCol))).as("__sim"))

@@ -80,6 +80,9 @@ object SimilaritySearch {
     * inside the hash aggregate, partial buffers of ≤ k entries shuffle,
     * and the full candidate set is never sorted anywhere. Tie-break
     * (score desc, id asc) matches the window form and the oracle exactly.
+    *
+    * Null/NaN-score rows are unrankable and excluded (both forms); a key
+    * with NO rankable candidates is absent from the output.
     */
   def topKPerKey(scored: DataFrame, keyCol: String, k: Int): DataFrame = {
     val agg = bridge.column(
@@ -99,9 +102,10 @@ object SimilaritySearch {
   }
 
   /** Window-function top-k, kept as the cross-check reference for
-    * [[topKPerKey]] (spec-asserted equal). Two-phase: phase 1 prunes to k
-    * rows per (key, input-partition); phase 2 ranks the survivors. Still
-    * sorts candidates within partitions — the aggregate form replaces it.
+    * [[topKPerKey]] (spec-asserted equal, including the null/NaN-score
+    * exclusion). Two-phase: phase 1 prunes to k rows per
+    * (key, input-partition); phase 2 ranks the survivors. Still sorts
+    * candidates within partitions — the aggregate form replaces it.
     */
   def topKPerKeyWindow(scored: DataFrame, keyCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -109,6 +113,7 @@ object SimilaritySearch {
       .partitionBy(col(keyCol), spark_partition_id())
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val pruned = scored
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .withColumn("__pr", row_number().over(byPart))
       .filter(col("__pr") <= k)
       .drop("__pr")

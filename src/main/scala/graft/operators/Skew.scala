@@ -35,7 +35,8 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft
       .join(replicatedRight,
-        col(leftKey) === col(rightKey) && saltedLeft("__salt") === replicatedRight("__salt"))
+        saltedLeft(leftKey) === replicatedRight(rightKey) &&
+          saltedLeft("__salt") === replicatedRight("__salt"))
       .drop("__salt")
   }
 }

@@ -45,8 +45,14 @@ object SyncRun {
         .select(org.apache.spark.sql.functions.col("c_custkey").as("studentUniqueId")),
       keyCols = Seq("studentUniqueId"))
 
-    val up = RestSink.upsert(source, transport, tokens, entityPath)
-    val del = RestSink.delete(plan.deletes, "studentUniqueId", transport, tokens, entityPath)
+    // a sink failure must still produce a report (S11 contract: counts +
+    // errors), not abort the run silently
+    val (up, upErr) =
+      try (RestSink.upsert(source, transport, tokens, entityPath), None)
+      catch { case e: Exception => (RestSink.SinkReport(0, 0), Some(s"upsert: ${e.getMessage}")) }
+    val (del, delErr) =
+      try (RestSink.delete(plan.deletes, "studentUniqueId", transport, tokens, entityPath), None)
+      catch { case e: Exception => (RestSink.SinkReport(0, 0), Some(s"delete: ${e.getMessage}")) }
 
     val finished = now()
     val report = FileSinks.RunReport(
@@ -54,7 +60,7 @@ object SyncRun {
       finishedAt = finished.toString,
       upsertCount = up.succeeded,
       deleteCount = del.succeeded,
-      errors = Seq.empty)
+      errors = Seq(upErr, delErr).flatten)
     reportDir.foreach(d =>
       FileSinks.writeReport(report, d, started.toString.replaceAll("[:.]", "-")))
     Result(up.succeeded, del.succeeded, report)

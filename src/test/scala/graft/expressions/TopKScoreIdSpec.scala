@@ -49,6 +49,22 @@ class TopKScoreIdSpec extends SparkSpec {
     assert(viaAgg.except(viaWin).isEmpty && viaWin.except(viaAgg).isEmpty)
   }
 
+  test("NaN/null scores are excluded and never poison the heap; window form agrees") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 0.5), (1L, 12L, Double.NaN),
+      (1L, 13L, 0.7), (2L, 20L, Double.NaN))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val viaAgg = SimilaritySearch.topKPerKey(scored, "query_id", 2)
+    assert(viaAgg.orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq ===
+      Seq(13L, 11L), "NaN offered first must not block later admissions")
+    assert(viaAgg.filter(col("query_id") === 2).count() === 0, "all-NaN key absent")
+    val viaWin = SimilaritySearch.topKPerKeyWindow(scored, "query_id", 2)
+      .select("query_id", "neighbor_id", "rank")
+    assert(viaAgg.select("query_id", "neighbor_id", "rank").except(viaWin).isEmpty &&
+      viaWin.except(viaAgg.select("query_id", "neighbor_id", "rank")).isEmpty)
+  }
+
   test("fewer candidates than k yields all of them, ranked") {
     import spark.implicits._
     val scored = Seq((1L, 10L, 0.9), (1L, 11L, 0.8)).toDF("query_id", "neighbor_id", "cosine")

@@ -34,6 +34,16 @@ class SyncRunSpec extends SparkSpec {
     assert(text.contains("started:  2026-01-01T00:00:00Z"))
   }
 
+  test("sink failure is recorded in the report, not thrown") {
+    val failing = new graft.sources.Http.Transport {
+      def send(req: graft.sources.Http.Request) = graft.sources.Http.Response(500, "")
+    }
+    val result = SyncRun.run(spark, sf(), failing, new FakeServer.Tokens, "/entities")
+    assert(result.upserts === 0)
+    assert(result.report.errors.exists(_.startsWith("upsert:")))
+    assert(result.report.errors.exists(_.startsWith("delete:")))
+  }
+
   test("re-run converges (idempotent): same counts, same server state") {
     FakeServer.reset()
     def once() = SyncRun.run(spark, sf(), new FakeServer.Fake, new FakeServer.Tokens, "/entities")
