@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.expressions.FloatVectorDot
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions so `spark.sql` users (and the registered
+  * `.sql`-file queries of [[graft.core.QueryRegistry]]) can call them
+  * without the Scala DSL:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(
+      FunctionIdentifier,
+      ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq((
+    new FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+    children => {
+      require(children.length == 2, "vec_dot(array<float>, array<float>)")
+      FloatVectorDot(children(0), children(1))
+    }))
+
+  /** Same registrations applied to an already-running session (extensions
+    * are consumed only at session construction).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.bridge.registerFunction(spark, id.funcName, info, builder)
+    }
+}
