@@ -30,14 +30,16 @@ object Hashing {
 
   def permParams(numPerm: Int): Seq[(Long, Long)] =
     (0 until numPerm).map { i =>
-      val a = math.abs(splitmix64(2L * i)) % (P - 1) + 1 // a ∈ [1, P-1]
-      val b = math.abs(splitmix64(2L * i + 1)) % P       // b ∈ [0, P-1]
+      // floorMod, not math.abs: abs(Long.MinValue) is negative, which would
+      // break the a ∈ [1, P-1] invariant
+      val a = java.lang.Math.floorMod(splitmix64(2L * i), P - 1) + 1 // a ∈ [1, P-1]
+      val b = java.lang.Math.floorMod(splitmix64(2L * i + 1), P)     // b ∈ [0, P-1]
       (a, b)
     }
 
   /** MinHash signature (array<bigint> of length `numPerm`) of a set of
     * string shingles. One xxhash64 per shingle, then `numPerm` affine
-    * permutations `(a*h + b) mod (2^61-1)` minimized per permutation.
+    * permutations `(a*h + b) mod (2^31-1)` minimized per permutation.
     * Empty shingle sets get the max value in every slot (matches nothing).
     */
   def minHashSignature(shingles: Column, numPerm: Int = 64): Column =

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join `left ⋈ right` on `leftKey == rightKey`, with `left`
-    * the skewed side. Deterministic salt: hash of the whole left row mod
-    * `saltFactor` (no rand() — retries and replays stay stable).
+    * the skewed side. Deterministic salt (no rand() — retries and replays
+    * stay stable): hash of the whole left row MIXED WITH the row's position
+    * id, so fully duplicate rows — the common degenerate form of key skew —
+    * still spread across salts instead of re-colliding on one reducer.
     */
   def saltedInnerJoin(
       left: DataFrame,
@@ -29,7 +31,8 @@ object Skew {
     require(saltFactor > 0)
     val saltedLeft = left.withColumn(
       "__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(struct(left.columns.map(col): _*), monotonically_increasing_id()),
+        lit(saltFactor)).cast("int"))
     val replicatedRight = right.withColumn(
       "__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -118,13 +118,27 @@ object EntityAssembly {
         col("nationDescriptor"), col("studentReference"), col("addresses")))
         .as("payload"))
 
+  /** Canonical string rendering of an `addresses` array — the shared spine
+    * of every fingerprinted projection: per address
+    * `addressId:statusCode:priority:p1|p2|…` with periods `beginDate,flag`
+    * sorted; addresses joined with `;`. DuckDB reproduces the identical
+    * string with sorted string_agg, so md5 of it hash-verifies the whole
+    * nested assembly without nested-type comparison.
+    */
+  private def addressesCanonical(addresses: Column): Column =
+    concat_ws(";",
+      transform(addresses, a =>
+        concat_ws(":",
+          a.getField("addressId"),
+          a.getField("statusCode"),
+          a.getField("priority"),
+          concat_ws("|", transform(a.getField("periods"), p =>
+            concat_ws(",",
+              date_format(p.getField("beginDate"), "yyyy-MM-dd"),
+              p.getField("flag")))))))
+
   /** Oracle-expressible flattening: per entity, the address/period counts
-    * plus an md5 fingerprint of the canonical address rendering — DuckDB
-    * reproduces the same string with sorted string_agg, so the whole nested
-    * assembly is hash-verified without nested-type comparison.
-    *
-    * Canonical form per address: `addressId:statusCode:priority:[p1|p2|…]`
-    * with periods `beginDate,flag` sorted; addresses joined with `;`.
+    * plus an md5 fingerprint of the canonical address rendering.
     */
   def flattened(spark: SparkSession, sfDir: String): DataFrame =
     assemble(spark, sfDir).select(
@@ -135,16 +149,31 @@ object EntityAssembly {
       coalesce(
         aggregate(col("addresses"), lit(0), (acc, a) => acc + size(a.getField("periods"))),
         lit(0)).as("n_periods"),
-      md5(concat_ws(";",
-        transform(col("addresses"), a =>
-          concat_ws(":",
-            a.getField("addressId"),
-            a.getField("statusCode"),
-            a.getField("priority"),
-            concat_ws("|", transform(a.getField("periods"), p =>
-              concat_ws(",",
-                date_format(p.getField("beginDate"), "yyyy-MM-dd"),
-                p.getField("flag")))))))).as("addresses_md5"))
+      md5(addressesCanonical(col("addresses"))).as("addresses_md5"))
+
+  /** The FULL assembled entity as oracle-comparable scalars: every scalar
+    * field verbatim, the reference struct flattened, and one md5 over the
+    * canonical rendering of the complete entity (scalars + nested
+    * addresses) — a value-level proof of the whole nested assembly that
+    * survives harness frameworks which cannot sort/hash array columns.
+    */
+  def fingerprinted(spark: SparkSession, sfDir: String): DataFrame =
+    assemble(spark, sfDir).select(
+      col("studentUniqueId"),
+      col("fullName"),
+      col("segment"),
+      col("nationDescriptor"),
+      col("accountBalance"),
+      col("unmappedField"),
+      col("studentReference").getField("studentUniqueId").as("ref_id"),
+      col("studentReference").getField("fullName").as("ref_name"),
+      size(col("addresses")).as("n_addresses"),
+      md5(concat_ws("~",
+        col("studentUniqueId"),
+        col("fullName"),
+        col("segment"),
+        col("nationDescriptor"),
+        addressesCanonical(col("addresses")))).as("entity_md5"))
 
   /** The sync plan for the assembled entities against the full customer
     * snapshot (J4): customers outside the segment are the delete set.

@@ -22,10 +22,16 @@ object DedupQueries extends QueryGroup {
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
       |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, len(tk) - 1),
-      |                               i -> array_to_string(tk[i:i+2], ' '))) AS s
-      |  FROM toks WHERE len(tk) >= 3),
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(tk) - 1),
+      |                                 i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(tk) >= 3
+      |    UNION ALL
+      |    -- docs shorter than k tokens contribute their whole text as the
+      |    -- single shingle, exactly as TextAnalysis.tokenShingles does
+      |    SELECT doc_id, array_to_string(tk, ' ') AS s
+      |    FROM toks WHERE len(tk) < 3)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

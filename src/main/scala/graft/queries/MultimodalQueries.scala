@@ -32,8 +32,10 @@ object MultimodalQueries extends QueryGroup {
   }
 
   // Full media-record assembly: payload + typed metadata struct + stubbed
-  // decode + features + frame samples (rows-only: stub outputs have no SQL
-  // oracle; shapes and determinism are spec-verified).
+  // decode + features + frame samples, emitted as harness-sortable scalars
+  // (structs flattened, arrays fingerprinted). Rows-only: the stub outputs
+  // are xxhash64-derived, so no SQL oracle; shapes and determinism are
+  // spec-verified.
   private val qM2 = Q.rowsOnly("q_m2_media_record") { (s, dir) =>
     val docs = withPayload(Tables.load(s, dir, "documents"))
     Multimodal
@@ -44,7 +46,17 @@ object MultimodalQueries extends QueryGroup {
           "features"   -> Multimodal.extractFeaturesStub(p, dim = 16),
           "frames"     -> Multimodal.sampleFramesStub(p, n = 4, frameBytes = 64))
       }
-      .select("doc_id", "media_meta", "image_meta", "features", "frames")
+      .select(
+        col("doc_id"),
+        col("media_meta.media_type").as("media_type"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.content_hash").as("content_hash"),
+        col("image_meta.width").as("width"),
+        col("image_meta.height").as("height"),
+        col("image_meta.channels").as("channels"),
+        md5(concat_ws(",", transform(col("features"), _.cast("string")))).as("features_md5"),
+        size(col("frames")).as("n_frames"),
+        md5(concat_ws(",", transform(col("frames"), f => hex(f)))).as("frames_md5"))
       .orderBy("doc_id")
   }
 

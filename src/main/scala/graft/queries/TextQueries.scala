@@ -9,16 +9,23 @@ import graft.functions.TextAnalysis._
 object TextQueries extends QueryGroup {
 
   // Token counting + shape stats. Oracle mirrors the exact tokenization
-  // (split lower(trim(text)) on \s+) so int/int division matches bit-exact.
+  // (split lower(trim(text)) on \s+, empty text → zero tokens — DuckDB's
+  // string_split_regex('') is [''], so the empty case is guarded explicitly
+  // to keep the contract corpus-independent) so division matches bit-exact.
   private val qT1 = Q(
     "q_t1_token_stats",
-    """SELECT doc_id,
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents)
+      |SELECT doc_id,
       |       CAST(n_chars AS INT) AS n_chars,
-      |       CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS token_count,
-      |       CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\s+'),
-      |                                    t -> length(t))) AS DOUBLE)
-      |         / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_token_len
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |       CAST(len(tk) AS INT) AS token_count,
+      |       CASE WHEN len(tk) = 0 THEN 0.0
+      |            ELSE CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk)
+      |       END AS mean_token_len
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
       .select(
         col("doc_id"),
@@ -31,15 +38,21 @@ object TextQueries extends QueryGroup {
   // Quality-signal ratios: punctuation + English-stopword evidence.
   private val qT2 = Q(
     "q_t2_quality_ratios",
-    """SELECT doc_id,
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents)
+      |SELECT doc_id,
       |       CASE WHEN length(text) = 0 THEN 0.0
       |            ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
       |                 / length(text) END AS punct_ratio,
-      |       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |       CASE WHEN len(tk) = 0 THEN 0.0
+      |            ELSE CAST(len(list_filter(tk,
       |              t -> list_contains(['the','of','and','to','in','is','you','that','it','was',
       |                                  'for','on','are','as','with','they','at','this','have'], t))) AS DOUBLE)
-      |         / len(string_split_regex(lower(trim(text)), '\s+')) AS stopword_ratio
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |                 / len(tk) END AS stopword_ratio
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
       .select(
         col("doc_id"),
@@ -48,9 +61,36 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  // Language ID (heuristic — not SQL-expressible; spec-verified on crafted
-  // multilingual samples, rows-only here).
-  private val qT3 = Q.rowsOnly("q_t3_lang_id") { (s, dir) =>
+  // Language ID: the stopword-evidence heuristic is deterministic token
+  // arithmetic, so the oracle replays it exactly — per-language stopword
+  // hit counts, best = (max score, then lexicographically max language
+  // code), CJK script check first, no evidence → 'und'.
+  private val qT3 = Q(
+    "q_t3_lang_id",
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, text,
+      |    len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','ich','nicht','sie',
+      |        'mit','sich','auf','für','als','auch','es','ein','eine','zu'], x))) AS de,
+      |    len(list_filter(tk, x -> list_contains(['the','of','and','to','in','is','you','that','it',
+      |        'was','for','on','are','as','with','they','at','this','have'], x))) AS en,
+      |    len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','se','no','por',
+      |        'con','su','para','como','es','los','las','una','más'], x))) AS es,
+      |    len(list_filter(tk, x -> list_contains(['le','la','et','les','des','est','un','une','du',
+      |        'que','pas','pour','dans','ce','il','qui','ne','sur','se'], x))) AS fr
+      |  FROM t)
+      |SELECT doc_id, lang AS lang_declared,
+      |       CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |            WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+      |            WHEN fr >= de AND fr >= en AND fr >= es THEN 'fr'
+      |            WHEN es >= de AND es >= en THEN 'es'
+      |            WHEN en >= de THEN 'en'
+      |            ELSE 'de' END AS lang_predicted
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.spread(Tables.load(s, dir, "documents"))
       .select(
         col("doc_id"),
@@ -59,9 +99,37 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  // Composite quality score + BPE-ish token budget (rows-only; the
-  // components are oracle-checked in q_t1/q_t2).
-  private val qT4 = Q.rowsOnly("q_t4_quality_score") { (s, dir) =>
+  // Composite quality score + BPE-ish token budget: all four score
+  // components are deterministic ratios the oracle recomputes bit-exact;
+  // the BPE-ish count is one RE2-compatible regexp_extract_all both
+  // engines evaluate identically.
+  private val qT4 = Q(
+    "q_t4_quality_score",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, text, len(tk) AS ntok,
+      |         CASE WHEN len(tk) = 0 THEN 0.0
+      |              ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) END AS mtl,
+      |         CASE WHEN length(text) = 0 THEN 0.0
+      |              ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+      |                   / length(text) END AS pr,
+      |         CASE WHEN len(tk) = 0 THEN 0.0
+      |              ELSE CAST(len(list_filter(tk, x -> list_contains(['the','of','and','to','in','is','you',
+      |                     'that','it','was','for','on','are','as','with','they','at','this','have'], x))) AS DOUBLE)
+      |                   / len(tk) END AS sr
+      |  FROM t)
+      |SELECT doc_id,
+      |       ((CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+      |        (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+      |        (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) +
+      |        (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality_score,
+      |       CAST(len(regexp_extract_all(text,
+      |              '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS INT) AS bpe_ish_tokens
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.spread(Tables.load(s, dir, "documents"))
       .select(
         col("doc_id"),
@@ -70,18 +138,22 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  // Winnowing fingerprint (rolling-hash document sketch; spec-verified for
-  // edit-robustness, rows-only here).
+  // Winnowing fingerprint, emitted as scalars (size + md5 of the canonical
+  // comma-joined rendering): xxhash64 keeps it rows-only — no DuckDB
+  // oracle — but the output is harness-sortable and the algorithm is
+  // spec-verified for edit-robustness and vs a brute-force reference.
   private val qT5 = Q.rowsOnly("q_t5_fingerprint") { (s, dir) =>
     Tables.spread(Tables.load(s, dir, "documents"))
       .select(
         col("doc_id"),
         // fingerprint bound once; a second bare reference would re-run the
-        // whole winnowing pass for the size column (no CSE in HOF exprs)
+        // whole winnowing pass for each derived column (no CSE in HOF exprs)
         graft.functions.hof.bind(winnowingFingerprint(col("text"))) { fp =>
-          struct(fp.as("fingerprint"), size(fp).as("fp_size"))
+          struct(
+            size(fp).as("fp_size"),
+            md5(concat_ws(",", transform(fp, _.cast("string")))).as("fp_md5"))
         }.as("__fp"))
-      .select(col("doc_id"), col("__fp.fingerprint"), col("__fp.fp_size"))
+      .select(col("doc_id"), col("__fp.fp_size"), col("__fp.fp_md5"))
       .orderBy("doc_id")
   }
 

@@ -36,23 +36,28 @@ object RestSource {
       limit: Int = 100,
       maxPages: Int = 10000): DataFrame = {
     import spark.implicits._
-    val pages = Iterator
-      .from(0)
-      .take(maxPages)
-      .map { p =>
-        val resp = authed.call(Request("GET", path,
-          params = Map("offset" -> (p * limit).toString, "limit" -> limit.toString,
-            "totalCount" -> "false")))
-        require(resp.status == 200, s"GET $path page $p failed: HTTP ${resp.status}")
-        parseJsonArray(resp.body)
-      }
-      .takeWhile(_.nonEmpty)
-      .toSeq
-    // stop-after-short-page: takeWhile keeps full pages plus the final
-    // short one because emptiness, not shortness, ends the iterator — a
-    // short non-empty page is kept and the NEXT fetch returns empty.
-    val rows = pages.flatten
-    spark.createDataset(rows).toDF("json")
+    val buf = Seq.newBuilder[String]
+    var page = 0
+    var lastSize = limit
+    while (lastSize >= limit) {
+      // a full last page means the server may hold more rows: exhausting
+      // maxPages in that state is an error, never a silent truncation (the
+      // exact defect of the reference this source exists to fix)
+      if (page >= maxPages)
+        throw new IllegalStateException(
+          s"GET $path: $maxPages pages fetched and the last page was still full " +
+            s"(limit=$limit); refusing to return a truncated snapshot — raise " +
+            "maxPages or read the warehouse copy of this endpoint")
+      val resp = authed.call(Request("GET", path,
+        params = Map("offset" -> (page * limit).toString, "limit" -> limit.toString,
+          "totalCount" -> "false")))
+      require(resp.status == 200, s"GET $path page $page failed: HTTP ${resp.status}")
+      val rows = parseJsonArray(resp.body)
+      buf ++= rows
+      lastSize = rows.size
+      page += 1
+    }
+    spark.createDataset(buf.result()).toDF("json")
       .select(from_json(col("json"), schema).as("r"))
       .select("r.*")
   }
