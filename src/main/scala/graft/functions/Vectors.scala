@@ -61,14 +61,18 @@ object Vectors {
   val maxDim = 512
 
   /** Random-hyperplane (SRP) LSH bit signature of a float vector packed
-    * into one BIGINT: bit i = sign(v · r_i). Cosine-similar vectors agree
-    * on most bits (collision prob = 1 - θ/π per bit). The plane matrix is
-    * a plan-time literal — per row the work is numPlanes × dim multiplies,
-    * nothing else.
+    * into one BIGINT: bit i = sign(v · r_(planeOffset+i)). Cosine-similar
+    * vectors agree on most bits (collision prob = 1 - θ/π per bit). The
+    * plane matrix is a plan-time literal — per row the work is
+    * numPlanes × dim multiplies, nothing else. `planeOffset` selects a
+    * disjoint slice of the plane family so banded LSH
+    * ([[graft.operators.SimilaritySearch.srpPairs]]) gets independent
+    * per-band signatures.
     */
-  def hyperplaneSignature(v: Column, numPlanes: Int = 16): Column = {
+  def hyperplaneSignature(v: Column, numPlanes: Int = 16, planeOffset: Int = 0): Column = {
     val planes: Seq[Seq[Double]] =
-      (0 until numPlanes).map(p => (0 until maxDim).map(i => planeComponent(p, i)))
+      (planeOffset until planeOffset + numPlanes)
+        .map(p => (0 until maxDim).map(i => planeComponent(p, i)))
     val planesLit = typedlit(planes)
     // explicit failure beyond maxDim: a truncated plane row would zip-pad
     // with nulls, null out every projection, and silently give EVERY vector

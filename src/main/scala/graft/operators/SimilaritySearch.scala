@@ -125,18 +125,69 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** Spherical k-means centroids over a deterministic hash-ordered sample
+    * of the corpus: init = first `k` sample vectors (the previous
+    * hash-sample behavior), then `iters` Lloyd rounds of cosine assignment
+    * + mean recompute (means re-normalized implicitly by the cosine). The
+    * sample (≤ `sampleSize` rows) and the iterations are a DRIVER-SIDE
+    * MODEL FIT — like training any index structure — and the result ships
+    * to executors as plan literals, never as a joined table.
+    */
+  private[operators] def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      sampleSize: Int = 2048,
+      iters: Int = 3): Array[Seq[Float]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy("__h")
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    val dim = sample.head.length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      if (n == 0) 0.0 else d / n
+    }
+    var cents = sample.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val s = cos(cents(c), v); if (s > bestS) { bestS = s; best = c }; c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cents.map(_.map(_.toFloat).toSeq)
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
     * Voronoi cells around `numCentroids` centroids; a query is ranked only
     * against the cells of its `nprobe` nearest centroids.
     *
-    * Centroid selection is deterministic hash-sampling of corpus vectors
-    * (k-means iterations refine recall but aren't required for the
-    * structure); the centroid set is a driver-side MODEL ARTIFACT (like any
-    * trained index) embedded as plan literals, so cell assignment is
-    * scan-side arithmetic — no shuffle, no join against a centroid table.
-    * The only movement: each corpus row to its cell's reducers via the
-    * top-k hash aggregate, exactly as [[bruteForceTopK]] but over
-    * corpus/numCentroids-sized slices.
+    * Centroids come from [[kmeansCentroids]] — a deterministic sample +
+    * Lloyd refinement on the driver; the centroid set is a MODEL ARTIFACT
+    * (like any trained index) embedded as plan literals, so cell
+    * assignment is scan-side arithmetic — no shuffle, no join against a
+    * centroid table. The only movement: each corpus row to its cell's
+    * reducers via the top-k hash aggregate, exactly as [[bruteForceTopK]]
+    * but over corpus/numCentroids-sized slices.
     *
     * @param nprobe cells probed per query — recall/latency dial
     */
@@ -147,17 +198,10 @@ object SimilaritySearch {
       vecCol: String,
       k: Int,
       numCentroids: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
     require(nprobe <= numCentroids)
-    // deterministic sample: the numCentroids corpus vectors with smallest
-    // hashed id (reproducible, no rand())
-    val centroids: Array[Seq[Float]] = corpus
-      .select(col(idCol), col(vecCol))
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy("__h")
-      .limit(numCentroids)
-      .collect()
-      .map(r => r.getSeq[Float](1))
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, numCentroids, iters = kmeansIters)
     val cLits = centroids.map(c => typedlit(c))
     // nearest-centroid assignment, scan-side: argmax of dot over literals
     def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
@@ -184,8 +228,10 @@ object SimilaritySearch {
   }
 
   /** All corpus pairs with cosine ≥ threshold (embedding near-dup).
-    * Exact O(n²) baseline — fine for dimension tables / verification; use
-    * [[lshTopK]]-style bucketing when n is web-scale.
+    * Exact O(n²) baseline via broadcast nested-loop — fine when the corpus
+    * side fits in executor memory (dimension tables, verification). At
+    * scale use [[blockedCosinePairs]] (exact, shuffle-only) or
+    * [[srpPairs]] (approximate, subquadratic candidate generation).
     */
   def cosinePairs(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
@@ -197,5 +243,119 @@ object SimilaritySearch {
       .withColumn("cosine", Vectors.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact cosine-threshold self-join WITHOUT broadcasting or collecting
+    * the corpus: rows hash into `numBlocks` groups, a row in group g is
+    * shuffled to the block-pair keys {(g,h): h ≥ g} as the a-side and
+    * {(l,g): l ≤ g} as the b-side, so every unordered group pair meets at
+    * exactly one equi-join key and every id pair is scored exactly once
+    * (same-group pairs meet at (g,g) in both orders — the id inequality
+    * keeps one; cross-group pairs meet once with the lower-group row as
+    * the a-side).
+    *
+    * The O(n²) dot products are inherent to EXACT threshold semantics in
+    * a dense space; what this plan fixes vs [[cosinePairs]] is the memory
+    * model: shuffle volume is (numBlocks+1)·n rows spread over
+    * numBlocks·(numBlocks+1)/2 reducer keys, nothing is materialized on
+    * the driver or broadcast, so it runs at any corpus size. Size
+    * numBlocks ≈ √(2 × cluster cores) for full parallelism.
+    */
+  def blockedCosinePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+    require(numBlocks > 0)
+    val base = graft.Tables.spread(corpus).select(
+      col(idCol).as("__id"),
+      col(vecCol).as("__v"),
+      pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("__g"))
+    val aSide = base
+      .select(col("__g").as("__lo"), explode(sequence(col("__g"), lit(numBlocks - 1))).as("__hi"),
+        col("__id").as("__ida"), col("__v").as("__va"))
+    val bSide = base
+      .select(explode(sequence(lit(0), col("__g"))).as("__lo2"), col("__g").as("__hi2"),
+        col("__id").as("__idb"), col("__v").as("__vb"))
+    aSide
+      .join(bSide,
+        col("__lo") === col("__lo2") && col("__hi") === col("__hi2") &&
+          (col("__lo") =!= col("__hi") || col("__ida") < col("__idb")))
+      .withColumn("cosine", Vectors.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(
+        least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        col("cosine"))
+  }
+
+  /** SRP-LSH banded near-dup pair mining — the embedding mirror of
+    * [[graft.operators.NearDup.minHashLshPairs]]: per row, `numBands`
+    * independent `bandBits`-bit hyperplane signatures (disjoint plane
+    * slices) become band keys; rows sharing a (band, key) are candidates;
+    * exact cosine verifies candidates, so false positives never escape.
+    *
+    * Recall is governed by band geometry: a pair at cosine c collides on
+    * one band with probability p^bandBits where p = 1 − arccos(c)/π, so
+    * the per-pair miss probability is (1 − p^bandBits)^numBands. The
+    * defaults (6, 24) give miss ≈ 1.3e-4 at c = 0.85 while a random pair
+    * (c ≈ 0) collides somewhere with probability ≈ 0.3. LOW thresholds
+    * need wider geometry: at c = 0.45 use bandBits = 2, numBands = 64
+    * (miss ≈ 7e-16) and accept that candidate pruning fades — SRP cannot
+    * separate c = 0.45 from c = 0.40 background; its value regime is the
+    * high-threshold near-dup band.
+    */
+  def srpPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bandBits: Int = 6,
+      numBands: Int = 24): DataFrame = {
+    require(bandBits > 0 && bandBits <= 63 && numBands > 0)
+    val base = graft.Tables.spread(corpus)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val banded = base
+      .select(col("__id"), explode(array((0 until numBands).map(b =>
+        struct(
+          lit(b).as("band"),
+          Vectors.hyperplaneSignature(col("__v"), bandBits, b * bandBits).as("key"))): _*))
+        .as("__bk"))
+      .select(col("__id"), col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+    val aB = banded.toDF("id_a", "__band", "__key")
+    val bB = banded.toDF("id_b", "__band2", "__key2")
+    val cand = aB
+      .join(bB,
+        aB("__band") === bB("__band2") && aB("__key") === bB("__key2") &&
+          aB("id_a") < bB("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val va = base.toDF("id_a", "__va")
+    val vb = base.toDF("id_b", "__vb")
+    cand
+      .join(va, "id_a")
+      .join(vb, "id_b")
+      .withColumn("cosine", Vectors.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Per-query recall of an approximate top-k result against the exact
+    * one: |approx ∩ exact| / k over the exact result's query set (a query
+    * the approximate index returned nothing for scores 0, not absent).
+    * Both inputs are (query_id, neighbor_id, ...) frames as produced by
+    * the *TopK operators.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("__hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 }

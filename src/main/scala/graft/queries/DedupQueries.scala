@@ -66,6 +66,47 @@ object DedupQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  // Inverted-index pairs WITH the hot-shingle cap — the scale guard that
+  // bounds posting-list blowup (a shingle in f docs yields O(f²) candidate
+  // pairs; stopword n-grams make f huge at corpus scale). The oracle
+  // applies the identical cap, so the (documented) approximation — the
+  // Jaccard of the CAPPED shingle sets — is verified exactly. maxDocFreq=4
+  // genuinely prunes on this corpus (max observed doc-freq is 7) while
+  // preserving the full pair set.
+  private val qD2b = Q(
+    "q_d2b_ngram_jaccard_capped",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(tk) - 1),
+      |                                 i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(tk) >= 3
+      |    UNION ALL
+      |    SELECT doc_id, array_to_string(tk, ' ') AS s
+      |    FROM toks WHERE len(tk) < 3)),
+      |sh AS (
+      |  SELECT sh0.doc_id, sh0.s FROM sh0
+      |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 4) keep USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    NearDup
+      .ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8, maxDocFreq = 4L)
+      .orderBy("id_a", "id_b")
+  }
+
   // MinHash + LSH near-dup pairs (the 100 TB path) — verified candidates,
   // same oracle as the exact pair set.
   private val qD3 = Q("q_d3_minhash_lsh_pairs", pairsOracle) { (s, dir) =>
@@ -101,5 +142,5 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qD1, qD2, qD3, qD4, qD5)
+  override val all: Seq[Q] = Seq(qD1, qD2, qD2b, qD3, qD4, qD5)
 }

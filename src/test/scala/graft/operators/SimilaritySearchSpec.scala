@@ -89,4 +89,64 @@ class SimilaritySearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((1L, 2L)))
   }
+
+  test("blockedCosinePairs equals the broadcast baseline exactly, any block count") {
+    val emb = Tables.load(spark, sf(), "embeddings").repartition(5)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = pset(SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    for (blocks <- Seq(1, 3, 8)) {
+      val got = pset(SimilaritySearch.blockedCosinePairs(emb, "vec_id", "embedding", 0.4, blocks))
+      assert(got === want, s"numBlocks=$blocks")
+    }
+  }
+
+  test("blockedCosinePairs plan has no broadcast of the corpus side") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val plan = SimilaritySearch.blockedCosinePairs(emb, "vec_id", "embedding", 0.4, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "blocked form must not nested-loop")
+  }
+
+  test("srpPairs with exhaustive geometry equals the exact pair set; candidates verified") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pset(SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", 0.45))
+    val srp = pset(SimilaritySearch.srpPairs(emb, "vec_id", "embedding", 0.45,
+      bandBits = 2, numBands = 64))
+    assert(srp === exact)
+    // narrow geometry: never false positives (exact verify), possibly missing pairs
+    val narrow = pset(SimilaritySearch.srpPairs(emb, "vec_id", "embedding", 0.45,
+      bandBits = 8, numBands = 4))
+    assert(narrow.subsetOf(exact))
+  }
+
+  test("recallAtK: exact vs itself is 1.0; disjoint result is 0.0; absent query scores 0") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val qs = emb.filter($"vec_id" < 4)
+    val exact = SimilaritySearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+    val self = SimilaritySearch.recallAtK(exact, exact, 5).collect()
+    assert(self.length === 4 && self.forall(_.getDouble(1) === 1.0))
+    val empty = exact.filter(lit(false))
+    val zero = SimilaritySearch.recallAtK(exact, empty, 5).collect()
+    assert(zero.length === 4 && zero.forall(_.getDouble(1) === 0.0))
+  }
+
+  test("k-means refinement does not hurt IVF recall vs raw hash-sample centroids") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
+    val raw = pairs(SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10, 16, 4,
+      kmeansIters = 0))
+    val refined = pairs(SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10, 16, 4,
+      kmeansIters = 3))
+    val rRaw = brute.intersect(raw).size.toDouble / brute.size
+    val rRef = brute.intersect(refined).size.toDouble / brute.size
+    info(s"IVF recall@10 nprobe=4: raw centroids → $rRaw, 3 Lloyd iters → $rRef")
+    assert(rRef >= rRaw - 0.1, "refinement should not materially regress recall")
+  }
 }
