@@ -41,8 +41,21 @@ object Hashing {
     * string shingles. One xxhash64 per shingle, then `numPerm` affine
     * permutations `(a*h + b) mod (2^31-1)` minimized per permutation.
     * Empty shingle sets get the max value in every slot (matches nothing).
+    *
+    * Native codegen'd kernel ([[graft.expressions.MinHashSignature]]);
+    * [[minHashSignatureHof]] keeps the composable HOF form for
+    * cross-verification.
     */
   def minHashSignature(shingles: Column, numPerm: Int = 64): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.graft.bridge.expression(shingles), numPerm))
+
+  /** Reference HOF implementation of [[minHashSignature]] — identical
+    * values, interpreted evaluation; used by specs to cross-check the
+    * native expression.
+    */
+  def minHashSignatureHof(shingles: Column, numPerm: Int = 64): Column =
     // base hashes bound once: referenced from the per-permutation lambda
     // they would otherwise be recomputed numPerm times (graft.functions.hof)
     hof.bind(transform(array_distinct(shingles), s => pmod(xxhash64(s), lit(P)))) { base =>

@@ -72,4 +72,29 @@ class HashingSpec extends SparkSpec {
     assert(keys(1).intersect(keys(2)).nonEmpty)  // hamming 1 < 4 blocks → must collide
     assert(keys(1).intersect(keys(3)).size === 3) // differs only in block 0
   }
+
+  test("native MinHashSignature expression equals the HOF reference bit-exact") {
+    // real documents: the full shingle pipeline both interpreted and codegen'd
+    val docs = graft.Tables.load(spark, sf(), "documents").limit(200)
+      .select(col("doc_id"), array_distinct(TextAnalysis.tokenShingles(col("text"), 3)).as("sh"))
+    val both = docs.select(
+      col("doc_id"),
+      minHashSignature(col("sh"), 64).as("native"),
+      minHashSignatureHof(col("sh"), 64).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+
+    // edge cases: empty set, duplicate shingles, single element
+    val edges = Seq(
+      (1, Seq.empty[String]),
+      (2, Seq("x", "x", "x")),
+      (3, Seq("only"))).toDF("id", "sh")
+    val e = edges.select(
+      minHashSignature(col("sh"), 32).as("native"),
+      minHashSignatureHof(array_distinct(col("sh")), 32).as("hof"))
+    assert(e.filter(col("native") =!= col("hof")).count() === 0)
+    // empty set → MaxValue in every slot
+    val empty = edges.filter(col("id") === 1)
+      .select(minHashSignature(col("sh"), 8)).collect().head.getSeq[Long](0)
+    assert(empty === Seq.fill(8)(Long.MaxValue))
+  }
 }
