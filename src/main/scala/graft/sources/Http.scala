@@ -37,6 +37,54 @@ object Http {
     def refresh(): String
   }
 
+  /** Production [[TokenSource]]: OAuth client-credentials against a token
+    * endpoint (reference: TokenRetriever.java:44-73 — POST with Basic
+    * key:secret auth, `grant_type=client_credentials` form body,
+    * access_token out of the JSON response). Runs over the pluggable
+    * [[Transport]], so specs drive it with a fake endpoint end to end —
+    * including the stale-token path: [[refresh]] always re-POSTs and
+    * replaces the cached token, [[current]] reuses it until someone
+    * refreshes.
+    */
+  final class ClientCredentialsTokenSource(
+      transport: Transport,
+      tokenPath: String,
+      clientKey: String,
+      clientSecret: String) extends TokenSource {
+
+    @volatile private var cached: String = _
+
+    override def current(): String = {
+      val c = cached
+      if (c != null) c else refresh()
+    }
+
+    override def refresh(): String = synchronized {
+      val basic = java.util.Base64.getEncoder
+        .encodeToString(s"$clientKey:$clientSecret".getBytes("UTF-8"))
+      val resp = transport.send(Request("POST", tokenPath,
+        body = "grant_type=client_credentials",
+        headers = Map(
+          "Authorization" -> s"Basic $basic",
+          "Content-Type" -> "application/x-www-form-urlencoded")))
+      require(resp.status == 200, s"POST $tokenPath failed: HTTP ${resp.status}")
+      val tok = parseAccessToken(resp.body)
+      cached = tok
+      tok
+    }
+  }
+
+  /** Extract `access_token` from a token-endpoint JSON body. A targeted
+    * match, not a JSON parser — the token grammar (RFC 6749 §A.12) has no
+    * escapes, and the connector layer deliberately has zero parser
+    * dependencies.
+    */
+  private[sources] def parseAccessToken(body: String): String = {
+    val m = """"access_token"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
+    require(m.isDefined, s"no access_token in token response: ${body.take(80)}")
+    m.get.group(1)
+  }
+
   /** Bearer-auth wrapper with the reference's 401 semantics: on 401,
     * refresh the token and retry ONCE; any second 401 (or other error
     * status) surfaces to the caller.

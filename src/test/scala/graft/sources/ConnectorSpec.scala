@@ -141,6 +141,60 @@ class ConnectorSpec extends SparkSpec {
     FileSinks.writeReport(r, dir, "run1")
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "run1.report")).contains("deletes:  2"))
   }
+
+  test("pagedJson refuses to silently truncate: full last page at maxPages throws") {
+    FakeServer.reset()
+    val authed = new Authed(new FakeServer.Fake, new FakeServer.Tokens)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    // snapshot has 250 rows; 2 pages of 50 both come back full → must throw
+    val e = intercept[IllegalStateException] {
+      RestSource.pagedJson(spark, authed, "/snap", schema, limit = 50, maxPages = 2).count()
+    }
+    assert(e.getMessage.contains("truncated"))
+    // exactly enough pages (5 full + 1 empty terminator) succeeds
+    assert(RestSource.pagedJson(spark, authed, "/snap", schema, limit = 50, maxPages = 6)
+      .count() === FakeServer.snapshotSize)
+  }
+
+  test("client-credentials token source: POST once, cache, re-POST on refresh") {
+    val minted = new AtomicInteger(0)
+    val endpoint = new Transport {
+      def send(req: Request): Response = {
+        assert(req.method == "POST" && req.path == "/oauth/token")
+        assert(req.body == "grant_type=client_credentials")
+        val basic = java.util.Base64.getEncoder.encodeToString("key:secret".getBytes("UTF-8"))
+        if (!req.headers.get("Authorization").contains(s"Basic $basic")) Response(401, "")
+        else Response(200, s"""{"access_token":"tok${minted.incrementAndGet()}","token_type":"bearer","expires_in":1800}""")
+      }
+    }
+    val ts = new ClientCredentialsTokenSource(endpoint, "/oauth/token", "key", "secret")
+    assert(ts.current() === "tok1")
+    assert(ts.current() === "tok1") // cached — no second POST
+    assert(minted.get === 1)
+    assert(ts.refresh() === "tok2") // refresh always re-POSTs
+    assert(ts.current() === "tok2")
+    assert(minted.get === 2)
+    // bad credentials surface, not loop
+    val bad = new ClientCredentialsTokenSource(endpoint, "/oauth/token", "key", "wrong")
+    intercept[IllegalArgumentException] { bad.current() }
+  }
+
+  test("client-credentials source drives the 401-refresh-retry path end to end") {
+    FakeServer.reset()
+    val minted = new AtomicInteger(0)
+    val tokenEndpoint = new Transport {
+      def send(req: Request): Response =
+        Response(200, s"""{"access_token":"t${minted.incrementAndGet()}"}""")
+    }
+    val ts = new ClientCredentialsTokenSource(tokenEndpoint, "/oauth/token", "k", "s")
+    val authed = new Authed(new FakeServer.Fake, ts)
+    assert(ts.current() === "t1")
+    FakeServer.validToken.set("t2") // server-side token expiry
+    val resp = authed.call(Request("GET", "/snap", params = Map("offset" -> "0", "limit" -> "10")))
+    assert(resp.status === 200) // one 401, one refresh, one retry
+    assert(FakeServer.auth401s.get === 1)
+    assert(minted.get === 2)
+  }
 }
 
 object Files {
