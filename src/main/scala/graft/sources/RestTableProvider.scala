@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import Http._
+
+/** DataSourceV2 surface for the paged REST snapshot source: the idiomatic
+  * way to hand a REST endpoint to Spark as a TABLE —
+  *
+  * {{{
+  * RestTableProvider.registerEndpoint("sis", authed)
+  * spark.read.format("graft.sources.RestTableProvider")
+  *   .schema(recordSchema)
+  *   .option("endpoint", "sis").option("path", "/students")
+  *   .option("limit", "100")
+  *   .option("totalCount", "123456").option("numPartitions", "16")
+  *   .load()
+  * }}}
+  *
+  * Where [[RestSource.pagedJson]] is a driver-side loop (right for small
+  * dimension endpoints), this provider plans offset-RANGE input partitions
+  * when the caller supplies `totalCount`: N executors page N disjoint
+  * offset windows concurrently — the REST analog of the JDBC
+  * partitioned-range read, and the missing piece for big snapshot
+  * endpoints (reference truncated these at one page,
+  * SisConnectorService.java:493,694). Without `totalCount` it degrades to
+  * one sequential partition with the same short-page/maxPages contract as
+  * `pagedJson`.
+  *
+  * The transport is injected driver-side via [[registerEndpoint]] (options
+  * are strings; a connection cannot be one) and ships to executors inside
+  * the serialized reader factory — [[Http.Transport]] is Serializable by
+  * contract.
+  */
+final class RestTableProvider extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft REST table needs an explicit record schema: spark.read.schema(...) " +
+        "(a paged JSON endpoint carries no self-describing metadata)")
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new RestTable(schema, properties.asScala.toMap)
+}
+
+object RestTableProvider {
+
+  private val endpoints = new ConcurrentHashMap[String, Authed]()
+
+  /** Driver-side registration of a named, already-authenticated endpoint.
+    * The Authed wrapper (transport + token source) is captured by the scan
+    * and serialized to executors.
+    */
+  def registerEndpoint(name: String, authed: Authed): Unit =
+    endpoints.put(name, authed)
+
+  private[sources] def endpoint(name: String): Authed = {
+    val a = endpoints.get(name)
+    require(a != null, s"no REST endpoint registered under '$name' " +
+      "(call RestTableProvider.registerEndpoint on the driver first)")
+    a
+  }
+}
+
+private final class RestTable(tableSchema: StructType, options: Map[String, String])
+    extends Table with SupportsRead {
+
+  override def name(): String = s"rest(${options.getOrElse("path", "?")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = options ++ caseInsensitive.asScala
+    new ScanBuilder {
+      override def build(): Scan = new RestScan(tableSchema, opts)
+    }
+  }
+}
+
+private final class RestScan(schema: StructType, options: Map[String, String])
+    extends Scan with Batch {
+
+  private def opt(key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private val path = opt("path").getOrElse(
+    throw new IllegalArgumentException("option 'path' is required"))
+  private val limit = opt("limit").map(_.toInt).getOrElse(100)
+  private val maxPages = opt("maxPages").map(_.toInt).getOrElse(10000)
+  private val authed = RestTableProvider.endpoint(opt("endpoint").getOrElse(
+    throw new IllegalArgumentException("option 'endpoint' is required")))
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    opt("totalCount").map(_.toLong) match {
+      case Some(total) if total > 0 =>
+        // known extent → disjoint offset windows, one per partition, read
+        // concurrently (rows per window: ceil(total / n))
+        val n = math.max(1, opt("numPartitions").map(_.toInt).getOrElse(1))
+        val per = (total + n - 1) / n
+        (0L until total by per)
+          .map(start => RestOffsetRange(start, math.min(start + per, total))
+            : InputPartition)
+          .toArray
+      case Some(_) => Array.empty // declared empty endpoint
+      case None =>
+        // unknown extent → one sequential short-page-terminated partition
+        Array(RestOffsetRange(0L, Long.MaxValue))
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(schema, authed, path, limit, maxPages)
+}
+
+private final case class RestOffsetRange(start: Long, end: Long) extends InputPartition
+
+private final class RestReaderFactory(
+    schema: StructType,
+    authed: Authed,
+    path: String,
+    limit: Int,
+    maxPages: Int) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val range = partition.asInstanceOf[RestOffsetRange]
+    new PartitionReader[InternalRow] {
+      // executor-side: Jackson machinery is built here, never serialized
+      private val parse = bridge.jsonRowParser(schema)
+      private var offset = range.start
+      private var pages = 0
+      private var exhausted = false
+      private var current: Iterator[InternalRow] = Iterator.empty
+      private var row: InternalRow = _
+
+      private def fetchPage(): Unit = {
+        val want = math.min(limit.toLong, range.end - offset).toInt
+        if (want <= 0 || exhausted) { exhausted = true; return }
+        if (pages >= maxPages)
+          throw new IllegalStateException(
+            s"GET $path: $maxPages pages fetched in [${range.start},${range.end}) " +
+              s"and more remain (limit=$limit) — refusing to truncate; raise maxPages")
+        val resp = authed.call(Request("GET", path,
+          params = Map("offset" -> offset.toString, "limit" -> want.toString,
+            "totalCount" -> "false")))
+        require(resp.status == 200, s"GET $path offset=$offset failed: HTTP ${resp.status}")
+        val records = RestSource.parseJsonArray(resp.body)
+        pages += 1
+        offset += records.size
+        if (records.size < want) exhausted = true
+        current = records.iterator.flatMap(parse)
+      }
+
+      override def next(): Boolean = {
+        while (!current.hasNext && !exhausted) fetchPage()
+        if (current.hasNext) { row = current.next(); true } else false
+      }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -25,4 +25,23 @@ object bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       new org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** JSON-text → InternalRow parser for a fixed schema (the machinery
+    * behind `from_json`; JacksonParser and JSONOptions are private[sql]).
+    * Construct INSIDE the executor task — the returned closure holds a
+    * non-serializable Jackson parser.
+    */
+  def jsonRowParser(schema: org.apache.spark.sql.types.StructType)
+      : String => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val parser = new org.apache.spark.sql.catalyst.json.JacksonParser(
+      schema,
+      new org.apache.spark.sql.catalyst.json.JSONOptions(Map.empty[String, String], "UTC"),
+      allowArrayAsStructs = false,
+      Seq.empty)
+    s =>
+      parser.parse(
+        s,
+        org.apache.spark.sql.catalyst.json.CreateJacksonParser.string,
+        org.apache.spark.unsafe.types.UTF8String.fromString).iterator
+  }
 }
