@@ -46,7 +46,7 @@ object Vectors {
     * (it only depends on indices); the per-row form cost a string concat +
     * hash per (plane, dim) per row.
     */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.unsafe.types.UTF8String
     val h = XxHash64(Seq(Literal(UTF8String.fromString(s"$plane:$dim"),
@@ -68,8 +68,22 @@ object Vectors {
     * disjoint slice of the plane family so banded LSH
     * ([[graft.operators.SimilaritySearch.srpPairs]]) gets independent
     * per-band signatures.
+    *
+    * Native codegen'd kernel ([[graft.expressions.HyperplaneSignature]]);
+    * [[hyperplaneSignatureHof]] keeps the composable HOF form for
+    * cross-verification. (One contract nuance: the native form
+    * null-propagates a NULL input vector; the HOF form yields 0 — no
+    * caller feeds null vectors.)
     */
-  def hyperplaneSignature(v: Column, numPlanes: Int = 16, planeOffset: Int = 0): Column = {
+  def hyperplaneSignature(v: Column, numPlanes: Int = 16, planeOffset: Int = 0): Column =
+    bridge.column(graft.expressions.HyperplaneSignature(
+      bridge.expression(v), numPlanes, planeOffset))
+
+  /** Reference HOF implementation of [[hyperplaneSignature]] — identical
+    * values, interpreted evaluation; used by specs to cross-check the
+    * native expression.
+    */
+  def hyperplaneSignatureHof(v: Column, numPlanes: Int = 16, planeOffset: Int = 0): Column = {
     val planes: Seq[Seq[Double]] =
       (planeOffset until planeOffset + numPlanes)
         .map(p => (0 until maxDim).map(i => planeComponent(p, i)))
