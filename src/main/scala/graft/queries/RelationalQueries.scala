@@ -493,10 +493,65 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  // HLL-sketch distinct counting — the 100 TB path where exact
+  // countDistinct's full shuffle is the bottleneck. The sketch value is
+  // engine-specific, so the gate checks the INVARIANT: per group, the
+  // HLL++ estimate lands within the documented tolerance of the exact
+  // count (default rsd 5%; bound set at 15% for margin), alongside the
+  // exact count verified verbatim.
+  private val qA5b = Q(
+    "q_a5b_approx_distinct",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS INT) AS n_exact,
+      |       true AS within_tolerance
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).cast("int").as("n_exact"),
+        approx_count_distinct(col("user_id")).as("__approx"))
+      .select(
+        col("event_type"),
+        col("n_exact"),
+        (abs(col("__approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.15)
+          .as("within_tolerance"))
+      .orderBy("event_type")
+  }
+
+  // As-of join: attribute each purchase to the user's latest prior click
+  // (DuckDB's native ASOF LEFT JOIN is the oracle; timestamps pre-truncated
+  // to microseconds on the oracle side to match Spark's timestamp unit).
+  private val qAsOf = Q(
+    "q_e3_asof_attribution",
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value
+      |  FROM events),
+      |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM ev WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.value,
+      |       c.event_id AS click_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    graft.operators.AsOfJoin
+      .leftAsOf(purchases, clicks, "user_id", "ts",
+        carryCols = Seq("event_id", "ts"), tieBreakCol = "event_id")
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        col("asof_event_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("wait_us"))
+      .orderBy("event_id")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
-    qAgg, qEvents, qSessions)
+    qAgg, qEvents, qSessions, qAsOf, qA5b)
 }
