@@ -521,13 +521,18 @@ object RelationalQueries extends QueryGroup {
   // As-of join: attribute each purchase to the user's latest prior click
   // (DuckDB's native ASOF LEFT JOIN is the oracle; timestamps pre-truncated
   // to microseconds on the oracle side to match Spark's timestamp unit).
+  // Clicks are pre-deduped to one per (user, microsecond) — max event_id,
+  // the same choice AsOfJoin's tieBreakCol would make — because DuckDB's
+  // ASOF picks an ARBITRARY row among equal-timestamp matches; without the
+  // dedup the gate would rely on the corpus never producing a tie.
   private val qAsOf = Q(
     "q_e3_asof_attribution",
     """WITH ev AS (
       |  SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value
       |  FROM events),
       |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-      |c AS (SELECT * FROM ev WHERE event_type = 'click')
+      |c AS (SELECT user_id, ts, max(event_id) AS event_id
+      |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
       |SELECT p.event_id, p.user_id, p.value,
       |       c.event_id AS click_id,
       |       epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
@@ -537,7 +542,8 @@ object RelationalQueries extends QueryGroup {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value")
     val clicks = ev.filter(col("event_type") === "click")
-      .select("user_id", "ts", "event_id")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("event_id"))
     graft.operators.AsOfJoin
       .leftAsOf(purchases, clicks, "user_id", "ts",
         carryCols = Seq("event_id", "ts"), tieBreakCol = "event_id")

@@ -36,6 +36,7 @@ object RestSource {
       limit: Int = 100,
       maxPages: Int = 10000): DataFrame = {
     import spark.implicits._
+    require(limit > 0, s"page limit must be positive, got $limit")
     val buf = Seq.newBuilder[String]
     var page = 0
     var lastSize = limit

@@ -86,7 +86,8 @@ private final class RestTable(tableSchema: StructType, options: Map[String, Stri
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
-    val opts = options ++ caseInsensitive.asScala
+    // normalize once: lowercase keys, scan options override table properties
+    val opts = (options ++ caseInsensitive.asScala).map { case (k, v) => k.toLowerCase -> v }
     new ScanBuilder {
       override def build(): Scan = new RestScan(tableSchema, opts)
     }
@@ -96,8 +97,7 @@ private final class RestTable(tableSchema: StructType, options: Map[String, Stri
 private final class RestScan(schema: StructType, options: Map[String, String])
     extends Scan with Batch {
 
-  private def opt(key: String): Option[String] =
-    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  private def opt(key: String): Option[String] = options.get(key.toLowerCase)
 
   private val path = opt("path").getOrElse(
     throw new IllegalArgumentException("option 'path' is required"))
@@ -164,7 +164,13 @@ private final class RestReaderFactory(
         val records = RestSource.parseJsonArray(resp.body)
         pages += 1
         offset += records.size
-        if (records.size < want) exhausted = true
+        // termination: an EMPTY page always means the server is out of rows.
+        // A short non-empty page ends only the open-ended scan — inside a
+        // known offset range it just means the server clamped the page size
+        // (offset already advanced by records.size, so keep fetching; the
+        // silent-truncation defect this source exists to prevent).
+        if (records.isEmpty) exhausted = true
+        else if (records.size < want && range.end == Long.MaxValue) exhausted = true
         current = records.iterator.flatMap(parse)
       }
 

@@ -28,6 +28,8 @@ object bridge {
 
   /** JSON-text → InternalRow parser for a fixed schema (the machinery
     * behind `from_json`; JacksonParser and JSONOptions are private[sql]).
+    * PERMISSIVE like `from_json`: a malformed record yields one all-null
+    * row instead of crashing the task with an internal BadRecordException.
     * Construct INSIDE the executor task — the returned closure holds a
     * non-serializable Jackson parser.
     */
@@ -38,10 +40,14 @@ object bridge {
       new org.apache.spark.sql.catalyst.json.JSONOptions(Map.empty[String, String], "UTC"),
       allowArrayAsStructs = false,
       Seq.empty)
-    s =>
-      parser.parse(
+    val safe = new org.apache.spark.sql.catalyst.util.FailureSafeParser[String](
+      s => parser.parse(
         s,
         org.apache.spark.sql.catalyst.json.CreateJacksonParser.string,
-        org.apache.spark.unsafe.types.UTF8String.fromString).iterator
+        org.apache.spark.unsafe.types.UTF8String.fromString),
+      org.apache.spark.sql.catalyst.util.PermissiveMode,
+      schema,
+      "_corrupt_record")
+    safe.parse(_)
   }
 }

@@ -56,6 +56,41 @@ class RestTableProviderSpec extends SparkSpec {
     assert(dsv2 === loop)
   }
 
+  test("bounded range survives a server that clamps page size (no silent truncation)") {
+    FakeServer.reset()
+    // server honors at most 30 rows per page regardless of the requested limit
+    val clamping = new Transport {
+      private val inner = new FakeServer.Fake
+      def send(req: Request): Response = {
+        val asked = req.params.get("limit").map(_.toInt).getOrElse(30)
+        inner.send(req.copy(params = req.params + ("limit" -> math.min(asked, 30).toString)))
+      }
+    }
+    RestTableProvider.registerEndpoint("clamped",
+      new Authed(clamping, new FakeServer.Tokens))
+    val df = spark.read.format("graft.sources.RestTableProvider").schema(schema)
+      .option("endpoint", "clamped").option("path", "/snap").option("limit", "100")
+      .option("totalCount", FakeServer.snapshotSize.toString).option("numPartitions", "2")
+      .load()
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === (0L until FakeServer.snapshotSize))
+  }
+
+  test("malformed record yields a null row (PERMISSIVE), not a task crash") {
+    val broken = new Transport {
+      def send(req: Request): Response =
+        if (req.params("offset").toInt > 0) Response(200, "[]")
+        else Response(200, """[{"id":1,"name":"ok"},{"id":2,"name":]""")
+    }
+    RestTableProvider.registerEndpoint("broken",
+      new Authed(broken, new FakeServer.Tokens))
+    val rows = spark.read.format("graft.sources.RestTableProvider").schema(schema)
+      .option("endpoint", "broken").option("path", "/x").load()
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.count(_.isNullAt(0)) === 1) // the malformed record
+    assert(rows.exists(r => !r.isNullAt(0) && r.getLong(0) == 1L))
+  }
+
   test("missing schema and unregistered endpoint fail with guidance") {
     register()
     val noSchema = intercept[Exception] {
