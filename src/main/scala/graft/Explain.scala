@@ -18,7 +18,10 @@ object Explain {
     "q_j4_anti_diff",         // anti-join strategy
     "q_f2_entity_flat",       // the flagship pipeline's full plan
     "q_d3_minhash_lsh_pairs", // signature pass + band-bucket join
-    "q_v2_ann_bruteforce_topk") // broadcast NL join + two-phase top-k
+    "q_v2_ann_bruteforce_topk", // broadcast NL join + two-phase top-k
+    "q_v4_embed_dedup",       // blocked pair join — NO BroadcastNestedLoop
+    "q_v6_srp_pairs",         // banded SRP mining + verify join
+    "q_e3_asof_attribution")  // union+window as-of — no join operator
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -79,12 +79,22 @@ object EntityAssembly {
     * (studentUniqueId, fullName, segment, nationDescriptor, accountBalance,
     *  unmappedField, studentReference struct, addresses array).
     */
-  def assemble(spark: SparkSession, sfDir: String): DataFrame = {
-    val customer = Tables.load(spark, sfDir, "customer")
-    val nation   = Tables.load(spark, sfDir, "nation")
-    val orders   = Tables.load(spark, sfDir, "orders")
-    val lineitem = Tables.load(spark, sfDir, "lineitem")
+  def assemble(spark: SparkSession, sfDir: String): DataFrame =
+    assembleFrom(
+      Tables.load(spark, sfDir, "customer"),
+      Tables.load(spark, sfDir, "nation"),
+      Tables.load(spark, sfDir, "orders"),
+      Tables.load(spark, sfDir, "lineitem"))
 
+  /** Frame-parameterized core of [[assemble]] — the same plan over ANY
+    * customer/dimension/detail frames (the incremental-sync driver feeds a
+    * change-batch as `customer`; the batch form feeds warehouse scans).
+    */
+  def assembleFrom(
+      customer: DataFrame,
+      nation: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
     val ids = customer.filter(col("c_mktsegment") === segment)
 
     val cand = candidateMap.project(ids)
@@ -112,7 +122,11 @@ object EntityAssembly {
     * JSON.java:94-96): one JSON document per entity.
     */
   def assembleJson(spark: SparkSession, sfDir: String): DataFrame =
-    assemble(spark, sfDir).select(
+    toJsonPayload(assemble(spark, sfDir))
+
+  /** Sink-payload projection of an assembled frame. */
+  def toJsonPayload(assembled: DataFrame): DataFrame =
+    assembled.select(
       col("studentUniqueId"),
       to_json(struct(col("studentUniqueId"), col("fullName"), col("segment"),
         col("nationDescriptor"), col("studentReference"), col("addresses")))
