@@ -493,6 +493,43 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  // Exact interpolated percentiles (both engines: linear interpolation
+  // over the sorted values — identical arithmetic).
+  private val qA6 = Q(
+    "q_a6_percentiles",
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.9) AS p90
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .orderBy("event_type")
+  }
+
+  // Pivot: per-user event counts spread into one column per type (explicit
+  // value list — no driver-side distinct scan). Absent combos emitted as 0
+  // on both sides.
+  private val qPivot = Q(
+    "q_p11_pivot",
+    """SELECT user_id,
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS click,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT) AS error,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS purchase,
+      |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INT) AS signup,
+      |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    types.foldLeft(
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()) { (df, c) => df.withColumn(c, coalesce(col(c), lit(0L)).cast("int")) }
+      .orderBy("user_id")
+  }
+
   // HLL-sketch distinct counting — the 100 TB path where exact
   // countDistinct's full shuffle is the bottleneck. The sketch value is
   // engine-specific, so the gate checks the INVARIANT: per group, the
@@ -554,10 +591,38 @@ object RelationalQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  // Binned interval join: purchases within ±1 h of each error event —
+  // a pure range predicate (no equi key) executed as a bin equi-join, not
+  // a nested loop; the oracle evaluates the same predicate directly.
+  private val qRange = Q(
+    "q_e4_range_join",
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('microseconds', ts) AS ts, event_type, value
+      |  FROM events),
+      |e AS (SELECT event_id AS err_id, ts AS ets FROM ev WHERE event_type = 'error'),
+      |p AS (SELECT ts AS pts, value FROM ev WHERE event_type = 'purchase')
+      |SELECT err_id, CAST(count(*) AS INT) AS n_purchases,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM e JOIN p ON abs(epoch_us(ets) - epoch_us(pts)) <= 3600000000
+      |GROUP BY err_id ORDER BY err_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("ets"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("pts"), col("value"))
+    graft.operators.RangeJoin
+      .binnedIntervalJoin(errors, purchases, "ets", "pts", 3600000000L)
+      .groupBy("err_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_purchases"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy("err_id")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
-    qAgg, qEvents, qSessions, qAsOf, qA5b)
+    qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qPivot, qRange)
 }
