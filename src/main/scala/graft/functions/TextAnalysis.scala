@@ -105,6 +105,32 @@ object TextAnalysis {
     (lenOk + shapeOk + punctOk + stopOk) / 4.0
   }
 
+  // --- PII scrubbing ------------------------------------------------------
+
+  /** Redaction patterns, deliberately RE2-compatible (no backrefs, no
+    * lookaround) so the DuckDB oracle evaluates the identical regexes.
+    */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"                -> "[PHONE]",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b"                      -> "[SSN]")
+
+  /** Training-corpus PII scrub: emails, phone-shaped and SSN-shaped
+    * numbers replaced with typed placeholders. Scan-side regexp_replace
+    * chain — no shuffle, codegen-friendly. (Pattern-based scrubbing is a
+    * FILTERING heuristic, not a compliance guarantee.)
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+
+  /** Per-category PII hit counts (pre-redaction evidence for filtering
+    * decisions): (n_emails, n_phones, n_ssns).
+    */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(piiPatterns(0)._1), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(piiPatterns(1)._1), lit(0))).as("n_phones"),
+    size(regexp_extract_all(text, lit(piiPatterns(2)._1), lit(0))).as("n_ssns"))
+
   // --- fingerprinting (winnowing over rolling hashes) ---------------------
 
   /** Character k-gram shingles of normalized text. The normalized string

@@ -591,6 +591,39 @@ object RelationalQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  // Multi-join aggregate (TPC-H Q3 shape): 3-table join with filters on
+  // every side, grouped revenue, top-10 — the plan Catalyst must get right
+  // at scale (filter pushdown on all three scans, join order, partial
+  // aggregation before the group shuffle). Revenue goes through DECIMAL so
+  // the sum is order-independent; DESC sort tie-broken on the key.
+  private val qJ9 = Q(
+    "q_j9_multijoin_topk",
+    """SELECT l_orderkey,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       CAST(o_orderdate AS DATE) AS o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < lit("1995-03-15").cast("date")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > lit("1995-03-15").cast("date")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   // Binned interval join: purchases within ±1 h of each error event —
   // a pure range predicate (no equi key) executed as a bin equi-join, not
   // a nested loop; the oracle evaluates the same predicate directly.
@@ -624,5 +657,5 @@ object RelationalQueries extends QueryGroup {
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
-    qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qPivot, qRange)
+    qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qPivot, qRange, qJ9)
 }

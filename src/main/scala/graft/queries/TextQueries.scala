@@ -157,5 +157,65 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5)
+  // Corpus TF-IDF, top-5 terms per doc — tf/df/N aggregations and the
+  // smoothed sklearn idf replayed exactly in SQL (identical double math,
+  // identical tie-break on the term).
+  private val qT6 = Q(
+    "q_t6_tfidf_topterms",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |terms AS (SELECT doc_id, unnest(tk) AS term FROM t),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+      |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |         CAST(tf.tf AS INT) AS tf, CAST(df.df AS INT) AS df,
+      |         tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) + 1.0) AS tfidf,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY tf.doc_id
+      |           ORDER BY tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) + 1.0) DESC,
+      |                    tf.term) AS INT) AS rank
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    graft.operators.Tfidf
+      .topTerms(Tables.load(s, dir, "documents"), "doc_id", "text", k = 5)
+      .select(
+        col("doc_id"), col("term"),
+        col("tf").cast("int").as("tf"),
+        col("df").cast("int").as("df"),
+        col("tfidf"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  // PII scrub: per-category hit counts + md5 of the redacted text; the
+  // oracle runs the identical RE2-compatible regexes ('g' — DuckDB
+  // replaces first-match-only by default).
+  private val qT7 = Q(
+    "q_t7_pii_redaction",
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |       CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phones,
+      |       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssns,
+      |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+      |             '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g')) AS redacted_md5
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.spread(Tables.load(s, dir, "documents"))
+      .select(
+        col("doc_id"),
+        piiCounts(col("text")).as("__p"),
+        md5(redactPii(col("text"))).as("redacted_md5"))
+      .select(
+        col("doc_id"),
+        col("__p.n_emails"), col("__p.n_phones"), col("__p.n_ssns"),
+        col("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5, qT6, qT7)
 }

@@ -65,4 +65,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(inter / uni > 0.5, s"local edit should preserve most fingerprints ($inter/$uni)")
     assert(rows(1) !== rows(3))
   }
+
+  test("PII redaction: emails/phones/ssns replaced with typed tags; counts match") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@ex-ample.co.uk or 555-123-4567 today"),
+      (2L, "ssn 123-45-6789 twice 123-45-6789"),
+      (3L, "clean text with numbers 12345 and 1-2-3")).toDF("id", "text")
+    val out = df.select(
+      col("id"),
+      TextAnalysis.redactPii(col("text")).as("red"),
+      TextAnalysis.piiCounts(col("text")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getStruct(2))).toSeq
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 === "contact [EMAIL] or [PHONE] today")
+    assert(byId(1L)._3.getInt(0) === 1 && byId(1L)._3.getInt(1) === 1 && byId(1L)._3.getInt(2) === 0)
+    assert(byId(2L)._2 === "ssn [SSN] twice [SSN]")
+    assert(byId(2L)._3.getInt(2) === 2)
+    assert(byId(3L)._2 === "clean text with numbers 12345 and 1-2-3")
+    assert(byId(3L)._3.getInt(0) + byId(3L)._3.getInt(1) + byId(3L)._3.getInt(2) === 0)
+  }
 }
