@@ -126,6 +126,35 @@ object DedupQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  // SimHash blocking CORRECTNESS as a gate row (the q_v3/q_v5 invariant
+  // pattern): the Charikar-blocked pair set must equal the brute-force
+  // all-pairs Hamming result exactly — pigeonhole guarantees no misses at
+  // hamming < numBlocks, and the verify filter guarantees no false
+  // positives. xxhash64 keeps the VALUES out of DuckDB's reach; the
+  // EQUALITY is a boolean DuckDB can assert.
+  private val qD4b = Q(
+    "q_d4b_simhash_complete",
+    "SELECT true AS pigeonhole_complete, true AS no_false_positives") { (s, dir) =>
+    import graft.functions.{Hashing, TextAnalysis}
+    val docs = Tables.load(s, dir, "documents")
+    val base = Tables.spread(docs).select(
+      col("doc_id"), Hashing.simHash(TextAnalysis.tokens(col("text"))).as("sim"))
+    val blocked = NearDup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 3, numBlocks = 4).select("id_a", "id_b")
+    val a = base.toDF("id_a", "__sa")
+    val b = base.toDF("id_b", "__sb")
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(Hashing.hamming(col("__sa"), col("__sb")) <= 3)
+      .select("id_a", "id_b")
+    val missing = brute.join(blocked, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__m"))
+    val extra = blocked.join(brute, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__e"))
+    missing.crossJoin(extra).select(
+      (col("__m") === 0).as("pigeonhole_complete"),
+      (col("__e") === 0).as("no_false_positives"))
+  }
+
   // End-to-end dedup application: corpus minus near-duplicates
   // (keep-smallest-id policy), oracle = anti-join against the pair set.
   private val qD5 = Q(
@@ -142,5 +171,5 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qD1, qD2, qD2b, qD3, qD4, qD5)
+  override val all: Seq[Q] = Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD5)
 }

@@ -591,6 +591,48 @@ object RelationalQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  // CUBE: the full grouping lattice (rollup's superset — every grouping
+  // combination including per-linestatus-only subtotals).
+  private val qCube = Q(
+    "q_a4b_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty")
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // Native session_window sessionization — must agree with the lag-gap
+  // twin (q_e2), so the oracle is the same gap arithmetic: sessions are
+  // maximal runs with inter-event gaps <= 30 min. (session_window merges
+  // events closer than the gap; lag counts a new session when the gap
+  // exceeds it — identical partitions of each user's timeline.)
+  private val qSessionWindow = Q(
+    "q_e2b_session_window",
+    """SELECT user_id,
+      |       CAST(sum(CASE WHEN prev_ts IS NULL
+      |                       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END) AS INT) AS n_sessions
+      |FROM (SELECT user_id, ts,
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM events) t
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("int").as("n_sessions"))
+      .orderBy("user_id")
+  }
+
   // Multi-join aggregate (TPC-H Q3 shape): 3-table join with filters on
   // every side, grouped revenue, top-10 — the plan Catalyst must get right
   // at scale (filter pushdown on all three scans, join order, partial
@@ -657,5 +699,6 @@ object RelationalQueries extends QueryGroup {
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
-    qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qPivot, qRange, qJ9)
+    qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qPivot, qRange, qJ9,
+    qCube, qSessionWindow)
 }
