@@ -53,4 +53,16 @@ class LayoutSkewSpec extends SparkSpec {
       Layout.dropTable(spark, "b_ord")
     }
   }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val li = Tables.load(spark, sf(), "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    Layout.writePartitioned(li, dir, Seq("ship_year"))
+    val read = spark.read.parquet(dir).filter(col("ship_year") === 1995)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ship_year"),
+      s"year filter must prune partitions, not scan+filter:\n$plan")
+    assert(read.count() === li.filter(col("ship_year") === 1995).count())
+  }
 }
