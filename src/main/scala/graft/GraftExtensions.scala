@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.FloatVectorDot
+import graft.expressions.{FloatVectorDot, HyperplaneSignature, MinHashSignature}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users (and the registered
@@ -27,17 +27,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
   private val functions: Seq[(
       FunctionIdentifier,
       ExpressionInfo,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq((
-    new FunctionIdentifier("vec_dot"),
-    new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
-    children => {
-      require(children.length == 2, "vec_dot(array<float>, array<float>)")
-      FloatVectorDot(children(0), children(1))
-    }))
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    (
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      children => {
+        require(children.length == 2, "vec_dot(array<float>, array<float>)")
+        FloatVectorDot(children(0), children(1))
+      }),
+    (
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      children => {
+        require(children.length == 2, "minhash_signature(array<string>, numPerm)")
+        MinHashSignature(children(0), intLit(children(1), "numPerm"))
+      }),
+    (
+      new FunctionIdentifier("hyperplane_signature"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_signature"),
+      children => {
+        require(children.length == 2 || children.length == 3,
+          "hyperplane_signature(array<float>, numPlanes[, planeOffset])")
+        HyperplaneSignature(children(0), intLit(children(1), "numPlanes"),
+          if (children.length == 3) intLit(children(2), "planeOffset") else 0)
+      }))
 
   /** Same registrations applied to an already-running session (extensions
     * are consumed only at session construction).
