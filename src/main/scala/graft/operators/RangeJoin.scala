@@ -33,6 +33,8 @@ object RangeJoin {
       rightTsCol: String,
       toleranceMicros: Long): DataFrame = {
     require(toleranceMicros > 0, "tolerance must be positive")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "__bin is reserved by binnedIntervalJoin; rename the input column")
     val lb = left.withColumn("__bin",
       floor(unix_micros(col(leftTsCol)) / toleranceMicros))
     val rb = right.withColumn("__bin",

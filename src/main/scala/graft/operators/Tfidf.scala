@@ -32,8 +32,10 @@ object Tfidf {
       col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select(col(idCol), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // tf already holds exactly one row per observed (doc, term) pair, so
+    // document frequency folds from it — no second tokenize/explode pass,
+    // no distinct shuffle
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("__n"))
     tf.join(df, "term")
       .crossJoin(broadcast(n))

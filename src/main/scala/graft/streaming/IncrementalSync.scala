@@ -36,6 +36,21 @@ object IncrementalSync {
 
   /** Apply one change-batch of customer rows. Exposed for testing and for
     * callers with their own streaming driver.
+    *
+    * Two invariants the naive "assemble the batch, delete the rest" form
+    * violates:
+    *   - ONE FINAL STATE PER KEY: several changes to one key can land in a
+    *     single micro-batch (a restart folds pending waves into one
+    *     AvailableNow batch). The batch is collapsed per key FIRST —
+    *     ordered by `versionCols` when the feed carries a version, else by
+    *     a deterministic total order — so a key that flipped into the
+    *     segment is never upserted from its new row and then deleted from
+    *     its stale one.
+    *   - CHANGE-SET-BOUND WORK: the detail tables are semi-join-pruned to
+    *     the batch's keys (orders on custkey, then lineitem on the
+    *     surviving orderkeys) BEFORE the two collect aggregations, so a
+    *     1-row change batch aggregates a handful of detail rows, not the
+    *     corpus.
     */
   def applyBatch(
       spark: SparkSession,
@@ -43,15 +58,27 @@ object IncrementalSync {
       batch: DataFrame,
       transport: Http.Transport,
       tokens: Http.TokenSource,
-      entityPath: String): BatchCounts = {
+      entityPath: String,
+      versionCols: Seq[String] = Seq.empty): BatchCounts = {
+    val collapsed = graft.operators.Dedup
+      .lastRowWinsTotal(batch, Seq("c_custkey"), versionCols)
+    val inSeg = collapsed.filter(col("c_mktsegment") === EntityAssembly.segment)
+    val keys = inSeg.select(col("c_custkey")).distinct()
+    val orders = Tables.load(spark, sfDir, "orders")
+    val ordersDelta = orders
+      .join(keys, orders("o_custkey") === keys("c_custkey"), "left_semi")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val lineitemDelta = lineitem
+      .join(ordersDelta.select("o_orderkey"),
+        lineitem("l_orderkey") === col("o_orderkey"), "left_semi")
     val entities = EntityAssembly.toJsonPayload(
       EntityAssembly.assembleFrom(
-        batch,
+        inSeg,
         Tables.load(spark, sfDir, "nation"),
-        Tables.load(spark, sfDir, "orders"),
-        Tables.load(spark, sfDir, "lineitem")))
+        ordersDelta,
+        lineitemDelta))
     val up = RestSink.upsert(entities, transport, tokens, entityPath)
-    val gone = batch
+    val gone = collapsed
       .filter(col("c_mktsegment") =!= EntityAssembly.segment)
       .select(col("c_custkey").as("studentUniqueId"))
       .distinct()

@@ -23,12 +23,11 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("SQL minhash_signature and hyperplane_signature equal the DSL forms") {
     GraftExtensions.register(spark)
-    Tables.load(spark, sf(), "documents").limit(50).createOrReplaceTempView("__docs_ext")
+    Tables.load(spark, sf(), "documents").orderBy("doc_id").limit(50).createOrReplaceTempView("__docs_ext")
     val sqlSig = spark.sql(
       """SELECT minhash_signature(split(lower(trim(text)), '\\s+'), 16) AS s
         |FROM __docs_ext ORDER BY doc_id""".stripMargin).collect().map(_.getSeq[Long](0))
-    val dslSig = Tables.load(spark, sf(), "documents").limit(50)
-      .orderBy("doc_id")
+    val dslSig = Tables.load(spark, sf(), "documents").orderBy("doc_id").limit(50)
       .select(graft.functions.Hashing.minHashSignature(
         org.apache.spark.sql.functions.split(
           org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.trim(
@@ -36,11 +35,11 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0))
     assert(sqlSig.toSeq === dslSig.toSeq)
 
-    Tables.load(spark, sf(), "embeddings").limit(50).createOrReplaceTempView("__emb_ext")
+    Tables.load(spark, sf(), "embeddings").orderBy("vec_id").limit(50).createOrReplaceTempView("__emb_ext")
     val sqlHp = spark.sql(
       "SELECT hyperplane_signature(embedding, 16, 4) AS h FROM __emb_ext ORDER BY vec_id")
       .collect().map(_.getLong(0))
-    val dslHp = Tables.load(spark, sf(), "embeddings").limit(50).orderBy("vec_id")
+    val dslHp = Tables.load(spark, sf(), "embeddings").orderBy("vec_id").limit(50)
       .select(graft.functions.Vectors.hyperplaneSignature(
         org.apache.spark.sql.functions.col("embedding"), 16, 4).as("h"))
       .collect().map(_.getLong(0))

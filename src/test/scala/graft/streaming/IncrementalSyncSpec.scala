@@ -65,4 +65,27 @@ class IncrementalSyncSpec extends SparkSpec {
     assert(counts.upserts === inSeg)
     assert(counts.deletes === outSeg) // 404s count as success (idempotent)
   }
+
+  test("a key flipping within one batch resolves to its NEWEST state") {
+    val customer = Tables.load(spark, sf(), "customer")
+    val k = customer.filter($"c_mktsegment" === "BUILDING")
+      .orderBy("c_custkey").limit(1)
+    val key = k.select("c_custkey").collect().head.getLong(0).toString
+
+    // newest change takes the key OUT of the segment → must end deleted
+    FakeServer.reset()
+    val outFlip = k.withColumn("v", lit(1))
+      .unionByName(k.withColumn("c_mktsegment", lit("OTHER")).withColumn("v", lit(2)))
+    IncrementalSync.applyBatch(spark, sf(), outFlip,
+      new FakeServer.Fake, new FakeServer.Tokens, "/entities", versionCols = Seq("v"))
+    assert(!storeKeys.contains(key), "stale BUILDING row must not resurrect the key")
+
+    // newest change brings the key INTO the segment → must end present
+    FakeServer.reset()
+    val inFlip = k.withColumn("c_mktsegment", lit("OTHER")).withColumn("v", lit(1))
+      .unionByName(k.withColumn("v", lit(2)))
+    IncrementalSync.applyBatch(spark, sf(), inFlip,
+      new FakeServer.Fake, new FakeServer.Tokens, "/entities", versionCols = Seq("v"))
+    assert(storeKeys.contains(key), "stale OTHER row must not delete the fresh upsert")
+  }
 }
