@@ -217,5 +217,27 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5, qT6, qT7)
+  // Unigram-LM quality score (CCNet-style perplexity filtering, in its
+  // oracle-checkable Laplace-smoothed form): corpus token counts, (T, V)
+  // totals, and per-doc mean log-probability replayed exactly in SQL.
+  private val qT8 = Q(
+    "q_t8_unigram_lm_score",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |terms AS (SELECT doc_id, unnest(tk) AS term FROM t),
+      |counts AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+      |totals AS (SELECT sum(c) AS tt, count(*) AS v FROM counts)
+      |SELECT doc_id,
+      |       CAST(count(*) AS INT) AS n_tokens,
+      |       avg(ln(CAST(c + 1 AS DOUBLE) / (tt + v))) AS mean_logprob
+      |FROM terms JOIN counts USING (term) CROSS JOIN totals
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.UnigramLm
+      .meanLogProb(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8)
 }
