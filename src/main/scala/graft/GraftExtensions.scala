@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVectorDot, HyperplaneSignature, MinHashSignature}
+import graft.expressions.{FloatVectorDot, HyperplaneSignature, MinHashSignature, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users (and the registered
@@ -60,6 +60,13 @@ object GraftExtensions {
           "hyperplane_signature(array<float>, numPlanes[, planeOffset])")
         HyperplaneSignature(children(0), intLit(children(1), "numPlanes"),
           if (children.length == 3) intLit(children(2), "planeOffset") else 0)
+      }),
+    (
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      children => {
+        require(children.length == 1, "simhash64(array<string>)")
+        SimHash64(children(0))
       }))
 
   /** Same registrations applied to an already-running session (extensions

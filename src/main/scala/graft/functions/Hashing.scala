@@ -97,10 +97,22 @@ object Hashing {
 
   /** 64-bit SimHash (Charikar) of a token array: each token hashes to 64
     * bits; bit j of the result is 1 iff the sum of ±1 votes over tokens is
-    * positive. Computed as a 64-slot vote vector folded with `aggregate` +
-    * `zip_with`, then packed into one BIGINT.
+    * positive.
+    *
+    * Native codegen'd kernel ([[graft.expressions.SimHash64]]);
+    * [[simHashHof]] keeps the composable HOF form for cross-verification.
     */
-  def simHash(toks: Column): Column = {
+  def simHash(toks: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.SimHash64(
+        org.apache.spark.sql.graft.bridge.expression(toks)))
+
+  /** Reference HOF implementation of [[simHash]] — identical values,
+    * interpreted evaluation (a 64-slot vote vector folded with `aggregate`
+    * + `zip_with`, then packed into one BIGINT); used by specs to
+    * cross-check the native expression.
+    */
+  def simHashHof(toks: Column): Column = {
     val bitIdx = sequence(lit(0), lit(63))
     val votes = aggregate(
       toks,

@@ -73,6 +73,33 @@ class HashingSpec extends SparkSpec {
     assert(keys(1).intersect(keys(3)).size === 3) // differs only in block 0
   }
 
+  test("native SimHash64 expression equals the HOF reference bit-exact") {
+    // real documents: full tokenize pipeline, interpreted vs codegen'd
+    val docs = graft.Tables.load(spark, sf(), "documents").limit(200)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+    val both = docs.select(
+      col("doc_id"),
+      simHash(col("tk")).as("native"),
+      simHashHof(col("tk")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+
+    // edge cases: empty array (→ 0L), duplicates (votes accumulate),
+    // single token, null array (→ SQL NULL, matching the HOF aggregate)
+    val edges = Seq(
+      (1, Some(Seq.empty[String])),
+      (2, Some(Seq("x", "x", "y"))),
+      (3, Some(Seq("only"))),
+      (4, None)).toDF("id", "tk")
+    val e = edges.select(col("id"),
+      simHash(col("tk")).as("native"), simHashHof(col("tk")).as("hof"))
+    assert(e.filter(coalesce(col("native"), lit(-1L)) =!=
+      coalesce(col("hof"), lit(-1L))).count() === 0)
+    val byId = e.collect().map(r => r.getInt(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(1) === Some(0L))
+    assert(byId(4) === None)
+  }
+
   test("native MinHashSignature expression equals the HOF reference bit-exact") {
     // real documents: the full shingle pipeline both interpreted and codegen'd
     val docs = graft.Tables.load(spark, sf(), "documents").limit(200)
