@@ -171,5 +171,58 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD5)
+  // Duplicate-CLUSTER assignment: connected components over the verified
+  // near-dup pair graph (min-label propagation), every document labeled
+  // with its component's minimum id (singletons label themselves). The
+  // oracle recomputes the transitive closure with a recursive CTE over the
+  // same exact pair set.
+  private val qD6 = Q(
+    "q_d6_dup_clusters",
+    s"""WITH RECURSIVE pairs AS ($pairsOracle),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u)
+       |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = NearDup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+    graft.operators.ConnectedComponents.assignClusters(docs, "doc_id", pairs)
+      .select("doc_id", "cluster_id")
+      .orderBy("doc_id")
+  }
+
+  // Transitively-correct dedup application: one representative (minimum
+  // id) per duplicate cluster — the policy q_d5's pairwise anti-join only
+  // approximates when matches chain (see ConnectedComponentsSpec).
+  private val qD7 = Q(
+    "q_d7_dedup_transitive",
+    s"""WITH RECURSIVE pairs AS ($pairsOracle),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u)
+       |SELECT d.doc_id, d.text
+       |FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+       |WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = NearDup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+    graft.operators.ConnectedComponents.dedupByComponents(docs, "doc_id", pairs)
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD5, qD6, qD7)
 }

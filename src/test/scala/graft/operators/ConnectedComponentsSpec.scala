@@ -1,0 +1,75 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clusters(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.minLabelPropagation(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Brute-force union-find for cross-checking. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // min id per root, then label every member with it
+    val byRoot = ids.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }
+  }
+
+  test("chain graph collapses to one component (diameter > 1 ⇒ needs iteration)") {
+    val got = clusters(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep separate min labels") {
+    val got = clusters(Seq((5L, 3L), (3L, 9L), (20L, 30L)))
+    assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 30L -> 20L))
+  }
+
+  test("transitive (a,c),(b,c) case: CC keeps one doc where pairwise policy keeps two") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val pairwise = NearDup.dropDuplicatesByPairs(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    val transitive = ConnectedComponents.dedupByComponents(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(pairwise === Set(1L, 2L, 4L)) // 2 survives: never on a pair's b-side
+    assert(transitive === Set(1L, 4L))   // {1,2,3} is one cluster → keep 1
+  }
+
+  test("random graphs agree with brute-force union-find") {
+    val rnd = new Random(7)
+    (1 to 3).foreach { _ =>
+      val pairs = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .distinct
+      assert(clusters(pairs) === unionFind(pairs))
+    }
+  }
+
+  test("assignClusters labels pair members with the component min, singletons with themselves") {
+    val docs = Seq(1L, 2L, 3L, 10L).toDF("doc_id")
+    val pairs = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.assignClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 10L -> 10L))
+  }
+}
