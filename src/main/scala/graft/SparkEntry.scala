@@ -15,7 +15,8 @@ object SparkEntry {
   /** Query groups, each a themed slice of the operator inventory. */
   private def groups: Seq[QueryGroup] = Seq(
     RelationalQueries, TextQueries, DedupQueries, SimilarityQueries,
-    PipelineQueries, StreamingQueries, MultimodalQueries, RegistryQueries)
+    PipelineQueries, StreamingQueries, MultimodalQueries, RegistryQueries,
+    CurationQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full §3.2 nested entity assembly.

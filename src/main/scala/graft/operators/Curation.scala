@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling, stratified sampling, weighted source mixing, and sequence
+  * packing. Everything here is a scan-side filter or a bounded two-level
+  * aggregation — nothing samples with `rand()` (retries/replays must not
+  * change the corpus) and nothing shuffles the full corpus.
+  *
+  * Reference scope ends at full-snapshot sync (`SisConnectorService.java`
+  * moves every row every run); curation is part of the beyond-reference
+  * surface the engine adds for LLM-scale data work.
+  */
+object Curation {
+
+  /** Uniform-in-[0,1) hash of `key` salted with `seed`: the first 32 bits
+    * of md5, which any engine can reproduce (the DuckDB oracles replay it
+    * verbatim) — unlike xxhash64, whose seed handling is Spark-private.
+    * Deterministic per (key, seed): retries, replays and backfills keep
+    * or drop the same rows.
+    */
+  def hashUnit(key: Column, seed: String): Column =
+    conv(substring(md5(concat_ws(":", key.cast("string"), lit(seed))), 1, 8), 16, 10)
+      .cast("bigint") / lit(4294967296L)
+
+  /** Keep each row with probability `rate`, decided by [[hashUnit]] of its
+    * key — a pure scan-side filter (reaches the parquet scan as a
+    * predicate on computed columns; no shuffle, no state).
+    */
+  def deterministicSample(
+      df: DataFrame, keyCol: String, rate: Double, seed: String): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(hashUnit(col(keyCol), seed) < lit(rate))
+  }
+
+  /** Per-stratum sampling rates (strata without an entry keep
+    * `defaultRate`). Still a scan-side filter: the rate lookup is a map
+    * literal in the plan, not a join.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      seed: String): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0.0 && r <= 1.0),
+      "all rates must be in [0,1]")
+    val rateCol = coalesce(
+      element_at(typedlit(rates), col(stratumCol)), lit(defaultRate))
+    df.filter(hashUnit(col(keyCol), seed) < rateCol)
+  }
+
+  /** Downsample a corpus to target stratum proportions `weights` (summing
+    * to ~1) WITHOUT upsampling: the output is the largest corpus whose
+    * stratum mix matches the weights, i.e. `scale = min_s(n_s / w_s)`
+    * rows total with `w_s * scale` rows expected from stratum s. Strata
+    * absent from `weights` (or weighted 0) are dropped.
+    *
+    * Shape at scale: one count-aggregate over the stratum column (tiny
+    * result — strata are sources/languages, not documents), the rate
+    * table derived from it stays a broadcast join, and the sampling
+    * decision is the same scan-side [[hashUnit]] filter. No corpus
+    * shuffle, no driver-side collect.
+    */
+  def mixture(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      weights: Map[String, Double],
+      seed: String): DataFrame = {
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.filter(_._2 > 0.0).toDF(stratumCol, "__wt")
+    val cnt = df.groupBy(stratumCol).agg(count(lit(1)).as("__n")).join(w, stratumCol)
+    val scale = cnt.agg(min(col("__n") / col("__wt")).as("__scale"))
+    val rates = cnt.crossJoin(broadcast(scale))
+      .select(col(stratumCol),
+        least(lit(1.0), col("__wt") * col("__scale") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashUnit(col(keyCol), seed) < col("__rate"))
+      .drop("__rate")
+  }
+
+  /** Sequence packing, concat-then-chunk style: lay all documents out in
+    * `orderCol` order as one token stream and cut it into packs of
+    * `budget` tokens. Emits each document's pack id and offset (documents
+    * may straddle a pack boundary — standard pretraining chunking).
+    *
+    * The global running token count is a two-level prefix sum keyed by
+    * `floor(orderCol / bucketWidth)`: within-bucket cumsum is an ordinary
+    * partitioned window, bucket totals are a tiny frame (corpus/`
+    * bucketWidth` rows) whose exclusive prefix runs in one partition and
+    * broadcasts back. No single-partition window ever sees corpus-sized
+    * data — the failure mode of the naive `Window.orderBy(id)` global
+    * cumsum, which drags every row into one task.
+    */
+  def packSequences(
+      df: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      budget: Int,
+      bucketWidth: Int = 4096): DataFrame = {
+    require(budget > 0 && bucketWidth > 0)
+    val inBucket = Window.partitionBy("__b").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = df
+      .withColumn("__b", floor(col(orderCol) / bucketWidth))
+      .withColumn("__cin", sum(col(tokenCol)).over(inBucket))
+    val bucketPrefix = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withIn
+      .groupBy("__b").agg(sum(col(tokenCol)).as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(bucketPrefix), lit(0L)))
+      .select("__b", "__off")
+    withIn
+      .join(broadcast(offsets), "__b")
+      .withColumn("__cum", col("__off") + col("__cin") - col(tokenCol))
+      .withColumn("pack_id", floor(col("__cum") / budget))
+      .withColumn("pack_offset", col("__cum") % budget)
+      .drop("__b", "__cin", "__off", "__cum")
+  }
+
+  /** Top-k rows per group by a score column — the curation form (keep the
+    * k best documents per source) of the bounded-heap aggregate
+    * [[graft.expressions.TopKScoreId]]: map-side O(log k) heap updates,
+    * ≤ k-entry partials shuffle, no per-group sort of the full corpus.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      k: Int): DataFrame =
+    SimilaritySearch.topKPerKey(
+      df.select(col(groupCol),
+        col(scoreCol).cast("double").as("cosine"),
+        col(idCol).as("neighbor_id")),
+      groupCol, k)
+      .select(col(groupCol), col("neighbor_id").as(idCol),
+        col("cosine").as(scoreCol), col("rank"))
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Curation
+import graft.functions.TextAnalysis
+
+/** Corpus-curation operators over the documents table: deterministic
+  * (hash-threshold) sampling, weighted source mixing, sequence packing,
+  * per-domain top-k. The sampling decision is the first 32 bits of a
+  * salted md5 — reproducible in any engine, so every query here has a
+  * value-exact DuckDB oracle replaying the identical arithmetic.
+  */
+object CurationQueries extends QueryGroup {
+
+  /** The DuckDB twin of [[Curation.hashUnit]] for key column `k`. */
+  private def hashUnitSql(k: String, seed: String): String =
+    s"(('0x' || substring(md5(CAST($k AS VARCHAR) || ':$seed'), 1, 8))::BIGINT / 4294967296.0)"
+
+  // Stratified deterministic sampling: per-language rates with a default.
+  private val qC1 = Q(
+    "q_c1_sample_stratified",
+    s"""SELECT doc_id, lang
+       |FROM documents
+       |WHERE ${hashUnitSql("doc_id", "c1")} <
+       |      (CASE lang WHEN 'en' THEN 1.0 WHEN 'fr' THEN 0.5
+       |                 WHEN 'de' THEN 0.25 ELSE 0.1 END)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.stratifiedSample(
+      Tables.load(s, dir, "documents"),
+      keyCol = "doc_id", stratumCol = "lang",
+      rates = Map("en" -> 1.0, "fr" -> 0.5, "de" -> 0.25),
+      defaultRate = 0.1, seed = "c1")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  // Weighted mixture: downsample to a 40/30/30 en/zh/de mix (no
+  // upsampling — the scarcest stratum per its weight sets the scale; es
+  // and fr carry no weight and are dropped). The oracle recomputes the
+  // stratum counts, the binding scale and the per-stratum keep rates in
+  // SQL, then applies the identical hash-threshold filter.
+  private val qC2 = Q(
+    "q_c2_mixture",
+    s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |w AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.3), ('de', 0.3)) AS t(lang, wt)),
+       |sc AS (SELECT min(n / wt) AS scale FROM cnt JOIN w USING (lang)),
+       |rates AS (
+       |  SELECT lang, least(1.0, wt * scale / n) AS rate
+       |  FROM cnt JOIN w USING (lang) CROSS JOIN sc)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN rates r USING (lang)
+       |WHERE ${hashUnitSql("d.doc_id", "mix")} < r.rate
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    Curation.mixture(
+      Tables.load(s, dir, "documents"),
+      keyCol = "doc_id", stratumCol = "lang",
+      weights = Map("en" -> 0.4, "zh" -> 0.3, "de" -> 0.3), seed = "mix")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  // Sequence packing (concat-then-chunk): documents in doc_id order form
+  // one token stream cut into 1024-token packs; each doc reports the pack
+  // it starts in and its offset there. The oracle is the naive global
+  // window cumsum; the engine computes the same prefix sums two-level
+  // (bucketed) so no single task ever holds the corpus.
+  private val qC3 = Q(
+    "q_c3_pack_sequences",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN trim(text) = '' THEN 0
+      |              ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS tc
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tc,
+      |         coalesce(sum(tc) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM t)
+      |SELECT doc_id, CAST(tc AS INT) AS token_count,
+      |       CAST(floor(cum / 1024) AS BIGINT) AS pack_id,
+      |       CAST(cum % 1024 AS BIGINT) AS pack_offset
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("token_count"))
+    Curation.packSequences(docs, "doc_id", "token_count", budget = 1024)
+      .select("doc_id", "token_count", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
+  // Per-domain top-k curation: the 3 highest-token-count docs per source
+  // via the bounded-heap aggregate (map-side O(log k)); oracle is the
+  // window-ranked form with the same (score desc, id asc) tie-break.
+  private val qC4 = Q(
+    "q_c4_domain_topk",
+    """WITH scored AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(regexp_extract_all(text,
+      |           '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS DOUBLE) AS score
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id, score,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT source, doc_id, score, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY source, rank""".stripMargin) { (s, dir) =>
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.bpeIshTokenCount(col("text")).as("score"))
+    Curation.topKPerGroup(scored, "source", "score", "doc_id", k = 3)
+      .select("source", "doc_id", "score", "rank")
+      .orderBy("source", "rank")
+  }
+
+  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4)
+}
