@@ -694,11 +694,56 @@ object RelationalQueries extends QueryGroup {
       .orderBy("err_id")
   }
 
+  // SCD2 history build over the event change feed: each user's events
+  // become validity intervals (valid_from = own ts, valid_to = next
+  // change's ts, last change current). Tie on the timestamp broken by
+  // event_id — identical window order in the oracle.
+  private val qScd2 = Q(
+    "q_e5_scd2_history",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, value, date_trunc('microseconds', ts) AS ts
+      |  FROM events)
+      |SELECT user_id, event_id, value, ts AS valid_from,
+      |       lead(ts) OVER w AS valid_to,
+      |       (lead(ts) OVER w IS NULL) AS is_current
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, dir) =>
+    graft.operators.Scd2
+      .history(t(s, dir, "events"), Seq("user_id"), "ts", "event_id")
+      .select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  // Bloom-pruned equi-join: the urgent-orders dimension slice (~20% of
+  // orders) builds a Bloom filter whose scan-side probe drops most
+  // lineitem rows before the join's exchange. No false negatives ⇒ the
+  // oracle is simply the plain join.
+  private val qJ10 = Q(
+    "q_j10_bloom_pruned_join",
+    """SELECT l.l_orderkey,
+      |       CAST(count(*) AS INT) AS n_lines,
+      |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY l.l_orderkey ORDER BY l.l_orderkey""".stripMargin) { (s, dir) =>
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    graft.operators.BloomJoin
+      .prunedEquiJoin(t(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey")
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+      .orderBy("l_orderkey")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qPivot, qRange, qJ9,
-    qCube, qSessionWindow)
+    qCube, qSessionWindow, qScd2, qJ10)
 }
