@@ -39,5 +39,26 @@ object StreamingQueries extends QueryGroup {
     EventStreams.dedupKeysAvailableNow(s, dir)
   }
 
-  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3)
+  // Stream-stream interval join (purchase ← clicks by the same user in
+  // the prior hour): watermarks on both sides + the time-bounded join
+  // condition keep the state store to one horizon per side. The oracle is
+  // the equivalent batch interval join.
+  private val qSt4 = Q(
+    "q_st4_stream_stream_join",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts FROM ev
+      |      WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts FROM ev
+      |      WHERE event_type = 'click')
+      |SELECT p.purchase_id, p.user_id, c.click_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |ORDER BY purchase_id, click_id""".stripMargin) { (s, dir) =>
+    EventStreams.clickAttributionAvailableNow(s, dir)
+  }
+
+  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4)
 }

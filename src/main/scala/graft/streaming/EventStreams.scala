@@ -123,6 +123,35 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
       .select(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: every purchase matched to every click
+    * by the same user in the preceding hour. Both sides are watermarked
+    * and the join condition bounds event-time distance, so the state
+    * store only ever holds one watermark horizon of each side — Spark
+    * drops a buffered click once no future purchase can reach back to it.
+    * That bounded buffer is what distinguishes a scalable stream-stream
+    * join from an unbounded one: without the time bound the state grows
+    * with the stream.
+    */
+  def clickAttributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Run a streaming frame to completion (AvailableNow) into a named
     * in-memory table and return it as a batch DataFrame — the bridge that
     * lets the driver's batch oracle verify streaming operators.
@@ -162,6 +191,15 @@ object EventStreams {
       s"stream_dedup_${System.nanoTime()}",
       OutputMode.Append())
       .orderBy("user_id", "event_type")
+
+  /** The interval join run to completion — batch-oracle-verifiable. */
+  def clickAttributionAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(
+      spark,
+      clickAttributionJoin(readEventStream(spark, sfDir)),
+      s"stream_attribution_${System.nanoTime()}",
+      OutputMode.Append())
+      .orderBy("purchase_id", "click_id")
 
   /** q_e2's streaming twin, run to completion. Update mode re-emits a
     * user's counters every batch it appears in; counters are monotone, so

@@ -38,6 +38,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stream-stream interval join (AvailableNow) equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.clickAttributionAvailableNow(spark, sf())
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val batch = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("sessionizer state update is incremental: splitting a group across calls is equivalent") {
     // pure-function check of the update semantics the stream relies on:
     // folding events in two chunks == folding once (monotone counters)
