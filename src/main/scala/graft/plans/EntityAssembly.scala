@@ -104,7 +104,22 @@ object EntityAssembly {
       codeCol = "nationCode", dimCode = "n_nationkey", dimValue = "n_name",
       outCol = "nationDescriptor", namespacePrefix = "uri://graft/nation#")
 
-    val addrs = customerAddresses(orders, lineitem)
+    // Semi-join-prune the detail side to the candidate slice BEFORE the
+    // collect aggregations: only ~1/5 of customers are in the segment, and
+    // Catalyst cannot push the final join below the two groupBys on its
+    // own. Without this the period/address rollups aggregate the ENTIRE
+    // fact table and the join then discards 80% of that work — the exact
+    // shape that stops scaling at 100 TB. AQE turns both semi joins into
+    // broadcasts when the slices are small; the groupBys reuse the join
+    // keys' hash partitioning, so no extra exchange appears.
+    val ordersSlice = orders.join(
+      ids.select(col("c_custkey")), orders("o_custkey") === col("c_custkey"),
+      "left_semi")
+    val lineitemSlice = lineitem.join(
+      ordersSlice.select(col("o_orderkey")),
+      lineitem("l_orderkey") === ordersSlice("o_orderkey"), "left_semi")
+
+    val addrs = customerAddresses(ordersSlice, lineitemSlice)
 
     resolved
       .join(addrs, resolved("studentUniqueId") === addrs("o_custkey"), "left")
