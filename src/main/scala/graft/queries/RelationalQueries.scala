@@ -739,11 +739,28 @@ object RelationalQueries extends QueryGroup {
       .orderBy("l_orderkey")
   }
 
+  // Fixed-width histogram (20 × 25k buckets over order totals, top bucket
+  // open): pure scan-side bucket arithmetic + one hash aggregate —
+  // the shape profiling jobs use to sketch a 100 TB column in one pass.
+  private val qA7 = Q(
+    "q_a7_histogram",
+    """SELECT CAST(least(floor(o_totalprice / 25000), 19) AS INT) AS bucket,
+      |       CAST(count(*) AS INT) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(least(floor(col("o_totalprice") / 25000), lit(19)).cast("int").as("bucket"))
+      .agg(
+        count(lit(1)).cast("int").as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+      .orderBy("bucket")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qPivot, qRange, qJ9,
-    qCube, qSessionWindow, qScd2, qJ10)
+    qCube, qSessionWindow, qScd2, qJ10, qA7)
 }

@@ -150,5 +150,30 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
-  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6)
+  // Per-label embedding centroids, emitted one row per (label,
+  // dimension): posexplode → one hash aggregate on (label, pos) with
+  // map-side partials — no array reassembly, no collect. Cross-row float
+  // sums are order-dependent in IEEE, so the mean is computed as an exact
+  // DECIMAL sum cast to double, then divided — bit-identical in any
+  // engine and under any partitioning.
+  private val qV7 = Q(
+    "q_v7_label_centroids",
+    """SELECT label, CAST(pos AS INT) AS pos,
+      |       CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS centroid_val,
+      |       CAST(count(*) AS INT) AS n_vecs
+      |FROM (SELECT label, unnest(embedding) AS val,
+      |             unnest(range(len(embedding))) AS pos
+      |      FROM embeddings) t
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy("label", "pos")
+      .agg(
+        (sum(col("val").cast("decimal(20,10)")).cast("double") / count(lit(1)))
+          .as("centroid_val"),
+        count(lit(1)).cast("int").as("n_vecs"))
+      .orderBy("label", "pos")
+  }
+
+  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7)
 }

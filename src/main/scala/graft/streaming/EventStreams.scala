@@ -141,7 +141,7 @@ object EventStreams {
     val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("p_ts"), col("value"))
+        col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
     purchases
       .join(clicks,
