@@ -125,6 +125,26 @@ object Curation {
       .drop("__b", "__cin", "__off", "__cum")
   }
 
+  /** Exactly `k` rows, chosen deterministically (the k smallest
+    * [[hashUnit]] values): a fixed-size sample whose membership is a pure
+    * function of (key, seed). No global sort — the selection is a
+    * bounded-heap top-k ([[graft.expressions.TopKScoreId]]) over the
+    * negated hash: map-side O(log k) updates, ≤ k-entry partials shuffle
+    * to one reducer, and the picked key set broadcasts back as a
+    * scan-side semi join. The naive `ORDER BY hash LIMIT k` ships and
+    * sorts the whole corpus instead.
+    */
+  def sampleExactK(df: DataFrame, keyCol: String, k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = df.select(
+      lit(0).as("__g"),
+      (-hashUnit(col(keyCol), seed)).as("cosine"),
+      col(keyCol).as("neighbor_id"))
+    val picked = SimilaritySearch.topKPerKey(scored, "__g", k)
+      .select(col("neighbor_id").as("__pick"))
+    df.join(broadcast(picked), col(keyCol) === col("__pick"), "left_semi")
+  }
+
   /** Top-k rows per group by a score column — the curation form (keep the
     * k best documents per source) of the bounded-heap aggregate
     * [[graft.expressions.TopKScoreId]]: map-side O(log k) heap updates,

@@ -114,5 +114,22 @@ object CurationQueries extends QueryGroup {
       .orderBy("source", "rank")
   }
 
-  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4)
+  // Exact-k deterministic sample: the 100 hash-smallest documents, found
+  // with the bounded-heap aggregate (map-side k-entry partials + a
+  // broadcast semi join back) — the oracle states the equivalent
+  // ORDER BY hash LIMIT form the engine avoids executing.
+  private val qC5 = Q(
+    "q_c5_sample_exact_k",
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang FROM documents
+       |  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':c5'), 1, 8))::BIGINT,
+       |           doc_id
+       |  LIMIT 100)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.sampleExactK(Tables.load(s, dir, "documents"), "doc_id", 100, "c5")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5)
 }

@@ -92,6 +92,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sampleExactK picks exactly the k hash-smallest keys, no global sort needed") {
+    val got = Curation.sampleExactK(keys, "id", 50, "s")
+      .collect().map(_.getLong(0)).toSet
+    val naive = keys
+      .orderBy(Curation.hashUnit(col("id"), "s"), col("id"))
+      .limit(50)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === naive)
+    assert(got.size === 50)
+    // deterministic across evaluations
+    val again = Curation.sampleExactK(keys, "id", 50, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(again === got)
+  }
+
   test("topKPerGroup equals the window reference") {
     val rnd = new scala.util.Random(3)
     val df = (1L to 400L).map(i => (i, s"g${i % 7}", rnd.nextDouble() * 100))
