@@ -37,6 +37,16 @@ object Hashing {
       (a, b)
     }
 
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5 parsed as
+    * an integer — non-negative, < 2^60, reproducible in any engine (the
+    * DuckDB twin is `('0x' || substring(md5(x), 1, 15))::BIGINT`). The
+    * 64-bit-hash operators (SimHash, winnowing) accept this as a drop-in
+    * token hash so their gate queries get value-exact oracles; xxhash64
+    * stays the production fast path ([[graft.expressions.SimHash64]]).
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
   /** MinHash signature (array<bigint> of length `numPerm`) of a set of
     * string shingles. One xxhash64 per shingle, then `numPerm` affine
     * permutations `(a*h + b) mod (2^31-1)` minimized per permutation.
@@ -112,15 +122,22 @@ object Hashing {
     * + `zip_with`, then packed into one BIGINT); used by specs to
     * cross-check the native expression.
     */
-  def simHashHof(toks: Column): Column = {
-    val bitIdx = sequence(lit(0), lit(63))
+  def simHashHof(toks: Column): Column = simHashHofWith(toks, 64, xxhash64(_))
+
+  /** [[simHashHof]] generalized over the token hash and bit width: bit j
+    * of the signature (j < `bits`) is 1 iff the frequency-weighted ±1
+    * votes from bit j of each token's hash sum positive.
+    */
+  def simHashHofWith(toks: Column, bits: Int, tokenHash: Column => Column): Column = {
+    require(bits > 0 && bits <= 64)
+    val bitIdx = sequence(lit(0), lit(bits - 1))
     val votes = aggregate(
       toks,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), bits),
       (acc, t) =>
-        // token hash bound once per token — inside the 64-slot zip_with it
-        // would otherwise be recomputed per BIT (64× the hashing work)
-        hof.bind(xxhash64(t)) { h =>
+        // token hash bound once per token — inside the per-bit zip_with it
+        // would otherwise be recomputed per BIT (bits× the hashing work)
+        hof.bind(tokenHash(t)) { h =>
           zip_with(acc, bitIdx, (a, i) =>
             a + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         })
@@ -129,6 +146,13 @@ object Hashing {
       lit(0L),
       (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** Engine-portable SimHash: [[md5Hash60]] token hashes over the low 60
+    * bits (top 4 stay 0 — [[hamming]] and [[simHashBlocks]] work
+    * unchanged). Interpreted HOF evaluation — the gate/oracle variant; the
+    * codegen kernel [[simHash]] is the production path.
+    */
+  def simHashPortable(toks: Column): Column = simHashHofWith(toks, 60, md5Hash60)
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

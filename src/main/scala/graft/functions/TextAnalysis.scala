@@ -161,11 +161,23 @@ object TextAnalysis {
     * lambda, which unbound is O(n²) re-evaluation (30× slower measured).
     */
   def winnowingFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
-    hof.bind(transform(charShingles(text, k), s => xxhash64(s))) { hashes =>
+    winnowingFingerprintWith(text, k, w, xxhash64(_))
+
+  /** [[winnowingFingerprint]] generalized over the k-gram hash. */
+  def winnowingFingerprintWith(
+      text: Column, k: Int, w: Int, hashFn: Column => Column): Column =
+    hof.bind(transform(charShingles(text, k), s => hashFn(s))) { hashes =>
       val mins = when(size(hashes) <= w, array(array_min(hashes)))
         .otherwise(
           transform(sequence(lit(0), size(hashes) - w), i =>
             array_min(slice(hashes, i + 1, lit(w)))))
       array_sort(array_distinct(mins))
     }
+
+  /** Engine-portable winnowing fingerprint: md5-derived 60-bit k-gram
+    * hashes ([[Hashing.md5Hash60]]) so the gate query's DuckDB oracle can
+    * replay the identical arithmetic; xxhash64 stays the production path.
+    */
+  def winnowingFingerprintPortable(text: Column, k: Int = 5, w: Int = 4): Column =
+    winnowingFingerprintWith(text, k, w, Hashing.md5Hash60)
 }

@@ -18,14 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Position-salted payload hash feeding the stub decoders. Default is
+    * xxhash64 (codegen fast path); `portable = true` derives a 60-bit hash
+    * from md5 over the hex rendering (uppercase in Spark AND DuckDB), so
+    * gate queries can replay the identical arithmetic in the oracle.
+    */
+  private def saltedHash(payload: Column, salt: Column, portable: Boolean): Column =
+    if (portable)
+      graft.functions.Hashing.md5Hash60(
+        concat_ws(":", hex(payload), salt.cast("string")))
+    else xxhash64(payload, salt)
+
   /** Canonical media-record schema: `(payload binary, meta struct)`.
     * Attach to any frame carrying a binary column.
     */
-  def withMediaMeta(df: DataFrame, payloadCol: String, mediaType: String): DataFrame =
+  def withMediaMeta(
+      df: DataFrame, payloadCol: String, mediaType: String,
+      portable: Boolean = false): DataFrame =
     df.withColumn("media_meta", struct(
       lit(mediaType).as("media_type"),
       length(col(payloadCol)).as("n_bytes"),
-      xxhash64(col(payloadCol)).as("content_hash")))
+      (if (portable) saltedHash(col(payloadCol), lit(-1), portable)
+       else xxhash64(col(payloadCol))).as("content_hash")))
 
   /** [STUB] Header decode: a real implementation parses the codec header
     * (JPEG SOF / WAV fmt / MP4 moov); this deterministic stand-in derives
@@ -34,13 +48,13 @@ object Multimodal {
     * end-to-end. Null payload → null struct, as a real decoder's failure
     * path would produce.
     */
-  def decodeImageMetaStub(payload: Column): Column =
+  def decodeImageMetaStub(payload: Column, portable: Boolean = false): Column =
     // position-salted hashes, not hash arithmetic: ANSI mode (Spark 4
     // default) faults on long overflow
     when(payload.isNull, lit(null)).otherwise(struct(
-      (pmod(xxhash64(payload, lit(0)), lit(1920L)) + 32L).cast("int").as("width"),
-      (pmod(xxhash64(payload, lit(1)), lit(1080L)) + 32L).cast("int").as("height"),
-      pmod(xxhash64(payload, lit(2)), lit(3L)).cast("int").as("channels")))
+      (pmod(saltedHash(payload, lit(0), portable), lit(1920L)) + 32L).cast("int").as("width"),
+      (pmod(saltedHash(payload, lit(1), portable), lit(1080L)) + 32L).cast("int").as("height"),
+      pmod(saltedHash(payload, lit(2), portable), lit(3L)).cast("int").as("channels")))
 
   /** [STUB] Fixed-dim feature vector from a payload: a real implementation
     * runs a vision/audio encoder over decoded pixels; this stand-in derives
@@ -48,10 +62,10 @@ object Multimodal {
     * shape and determinism match a real extractor, so the ANN operators in
     * [[SimilaritySearch]] compose with it unchanged.
     */
-  def extractFeaturesStub(payload: Column, dim: Int = 16): Column =
+  def extractFeaturesStub(payload: Column, dim: Int = 16, portable: Boolean = false): Column =
     when(payload.isNull, lit(null)).otherwise(
       transform(sequence(lit(0), lit(dim - 1)), i =>
-        ((pmod(xxhash64(payload, i), lit(2000001L)).cast("double") / 1000000.0) - 1.0)
+        ((pmod(saltedHash(payload, i, portable), lit(2000001L)).cast("double") / 1000000.0) - 1.0)
           .cast("float")))
 
   /** Frame sampling: cut `n` evenly-spaced fixed-width byte windows from

@@ -138,19 +138,25 @@ object NearDup {
     * keys (pigeonhole: hamming < numBlocks ⇒ ≥1 identical block), verify
     * with exact Hamming distance — the signature travels with the block
     * key so verification needs no join back to the corpus.
+    *
+    * @param signatureOf text column → 64-bit signature; default is the
+    *                    codegen xxhash64 kernel, `Hashing.simHashPortable`
+    *                    swaps in the md5-derived oracle-replayable variant
     */
   def simHashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      numBlocks: Int = 4): DataFrame = {
+      numBlocks: Int = 4,
+      signatureOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        t => Hashing.simHash(TextAnalysis.tokens(t))): DataFrame = {
     require(maxHamming < numBlocks,
       s"pigeonhole guarantee needs maxHamming < numBlocks (got $maxHamming >= $numBlocks): " +
         "signatures differing in every block would be missed")
     val base = graft.Tables.spread(docs).select(
       col(idCol),
-      Hashing.simHash(TextAnalysis.tokens(col(textCol))).as("__sim"))
+      signatureOf(col(textCol)).as("__sim"))
     val blocked = base.select(
       col(idCol), col("__sim"),
       explode(Hashing.simHashBlocks(col("__sim"), numBlocks)).as("__bk"))

@@ -116,13 +116,39 @@ object DedupQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
-  // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures; xxhash64
-  // isn't expressible in the oracle — spec-verified against brute-force
-  // Hamming in Spark).
-  private val qD4 = Q.rowsOnly("q_d4_simhash_pairs") { (s, dir) =>
+  // SimHash near-dup pairs, VALUE-exact oracle: the gate runs the portable
+  // signature (md5-derived 60-bit token hashes — Hashing.simHashPortable),
+  // whose vote/pack arithmetic DuckDB replays verbatim; the oracle then
+  // brute-forces all pairs at hamming ≤ 3, which equals the Charikar-
+  // blocked engine output because blocking is pigeonhole-complete at
+  // maxHamming < numBlocks (q_d4b proves that for the xxhash64 fast path).
+  private val qD4 = Q(
+    "q_d4_simhash_pairs",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |th AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks),
+      |votes AS (
+      |  SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT unnest(range(60)) AS j) bits
+      |  GROUP BY doc_id, j),
+      |sig0 AS (
+      |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS sim
+      |  FROM votes GROUP BY doc_id),
+      |sig AS (
+      |  SELECT d.doc_id, coalesce(s.sim, 0) AS sim
+      |  FROM documents d LEFT JOIN sig0 s USING (doc_id))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    import graft.functions.{Hashing, TextAnalysis}
     NearDup
       .simHashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, numBlocks = 4)
+        maxHamming = 3, numBlocks = 4,
+        signatureOf = t => Hashing.simHashPortable(TextAnalysis.tokens(t)))
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("id_a", "id_b")
   }
 

@@ -9,11 +9,28 @@ import graft.operators.Multimodal
   * encoded as UTF-8 bytes — the testdata ships no media blobs, so the
   * binary *plumbing* (lengths, hashes, slicing, metadata structs) is what
   * the oracle verifies; decode itself is the documented stub.
+  *
+  * The gate queries run the stubs' PORTABLE hash variant (md5 over the
+  * uppercase hex rendering — identical in Spark and DuckDB), so every
+  * derived value is replayed in the oracle: the xxhash64 fast path keeps
+  * its determinism/shape specs.
   */
 object MultimodalQueries extends QueryGroup {
 
   private def withPayload(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("payload", col("text").cast("binary"))
+
+  /** DuckDB twin of Multimodal.saltedHash(payload, salt, portable=true)
+    * over `hx` = hex(encode(text)).
+    */
+  private def saltedHashSql(salt: String): String =
+    s"('0x' || substring(md5(hx || ':$salt'), 1, 15))::BIGINT"
+
+  /** DuckDB twin of extractFeaturesStub(_, dim=16, portable=true). */
+  private val featureListSql: String =
+    """list_transform(range(16), i ->
+      |  CAST(CAST(('0x' || substring(md5(hx || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2000001 AS DOUBLE)
+      |       / 1000000.0 - 1.0 AS REAL))""".stripMargin.replaceAll("\n", " ")
 
   // Binary payload metadata — byte length and prefix are codec-independent
   // and oracle-checkable (DuckDB encode() produces the same UTF-8 bytes).
@@ -32,18 +49,44 @@ object MultimodalQueries extends QueryGroup {
   }
 
   // Full media-record assembly: payload + typed metadata struct + stubbed
-  // decode + features + frame samples, emitted as harness-sortable scalars
-  // (structs flattened, arrays fingerprinted). Rows-only: the stub outputs
-  // are xxhash64-derived, so no SQL oracle; shapes and determinism are
-  // spec-verified.
-  private val qM2 = Q.rowsOnly("q_m2_media_record") { (s, dir) =>
+  // decode + features + frame samples, emitted as harness-sortable
+  // scalars. The feature vector is pinned by a positionally-weighted
+  // double digest plus its first/last elements (floats widen to double
+  // exactly; STRING renderings of floats differ across engines, so the
+  // digest is numeric); frames are pinned byte-exactly via hex
+  // (substring-of-hex ≡ hex-of-byte-slice at 2× offsets).
+  private val qM2 = Q(
+    "q_m2_media_record",
+    s"""WITH base AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS INT) AS nb
+       |  FROM documents),
+       |rec AS (
+       |  SELECT doc_id, nb,
+       |         ${saltedHashSql("-1")} AS content_hash,
+       |         CAST(${saltedHashSql("0")} % 1920 + 32 AS INT) AS width,
+       |         CAST(${saltedHashSql("1")} % 1080 + 32 AS INT) AS height,
+       |         CAST(${saltedHashSql("2")} % 3 AS INT) AS channels,
+       |         $featureListSql AS fl,
+       |         md5(array_to_string(list_transform(range(4), i ->
+       |           substring(hx, 2 * CAST(floor(i * greatest(nb - 64, 0) / 3) AS INT) + 1, 128)),
+       |           ',')) AS frames_md5
+       |  FROM base)
+       |SELECT doc_id, 'text/plain' AS media_type, nb AS n_bytes, content_hash,
+       |       width, height, channels,
+       |       list_sum(list_transform(range(16), i -> CAST(fl[CAST(i AS INT) + 1] AS DOUBLE) * (i + 1))) AS features_digest,
+       |       CAST(fl[1] AS DOUBLE) AS f_first,
+       |       CAST(fl[16] AS DOUBLE) AS f_last,
+       |       4 AS n_frames, frames_md5
+       |FROM rec ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = withPayload(Tables.load(s, dir, "documents"))
     Multimodal
-      .decodeStage(Multimodal.withMediaMeta(docs, "payload", "text/plain"),
+      .decodeStage(
+        Multimodal.withMediaMeta(docs, "payload", "text/plain", portable = true),
         "payload", numPartitions = 32) { p =>
         Seq(
-          "image_meta" -> Multimodal.decodeImageMetaStub(p),
-          "features"   -> Multimodal.extractFeaturesStub(p, dim = 16),
+          "image_meta" -> Multimodal.decodeImageMetaStub(p, portable = true),
+          "features"   -> Multimodal.extractFeaturesStub(p, dim = 16, portable = true),
           "frames"     -> Multimodal.sampleFramesStub(p, n = 4, frameBytes = 64))
       }
       .select(
@@ -54,18 +97,38 @@ object MultimodalQueries extends QueryGroup {
         col("image_meta.width").as("width"),
         col("image_meta.height").as("height"),
         col("image_meta.channels").as("channels"),
-        md5(concat_ws(",", transform(col("features"), _.cast("string")))).as("features_md5"),
+        aggregate(
+          zip_with(col("features"), sequence(lit(1), lit(16)),
+            (f, i) => f.cast("double") * i),
+          lit(0.0), (acc, x) => acc + x).as("features_digest"),
+        element_at(col("features"), 1).cast("double").as("f_first"),
+        element_at(col("features"), 16).cast("double").as("f_last"),
         size(col("frames")).as("n_frames"),
         md5(concat_ws(",", transform(col("frames"), f => hex(f)))).as("frames_md5"))
       .orderBy("doc_id")
   }
 
   // Stub-decoded features feeding the ANN operator — multimodal similarity
-  // is the text pipeline with a different encoder (rows-only).
-  private val qM3 = Q.rowsOnly("q_m3_media_ann") { (s, dir) =>
+  // is the text pipeline with a different encoder. The oracle rebuilds the
+  // portable feature vectors and replays the exact brute-force cosine
+  // top-k (identical double math + tie-break, the q_v2 pattern).
+  private val qM3 = Q(
+    "q_m3_media_ann",
+    s"""WITH feat AS (
+       |  SELECT doc_id AS vec_id, $featureListSql AS embedding
+       |  FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents))
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |       ${SimilarityQueries.duckCosine("q.embedding", "c.embedding")} AS cosine,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY q.vec_id
+       |         ORDER BY ${SimilarityQueries.duckCosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS INT) AS rank
+       |FROM (SELECT * FROM feat WHERE vec_id < 4) q
+       |JOIN feat c ON c.vec_id != q.vec_id
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val feats = withPayload(Tables.spread(Tables.load(s, dir, "documents")))
       .select(col("doc_id").as("vec_id"),
-        Multimodal.extractFeaturesStub(col("payload"), dim = 16).as("embedding"))
+        Multimodal.extractFeaturesStub(col("payload"), dim = 16, portable = true).as("embedding"))
     graft.operators.SimilaritySearch
       .bruteForceTopK(feats, feats.filter(col("vec_id") < 4), "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("int").as("rank"))

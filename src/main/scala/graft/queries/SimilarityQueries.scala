@@ -15,8 +15,10 @@ import graft.operators.SimilaritySearch
   */
 object SimilarityQueries extends QueryGroup {
 
-  /** DuckDB-side cosine identical to [[Vectors.cosine]]. */
-  private def duckCosine(a: String, b: String): String =
+  /** DuckDB-side cosine identical to [[Vectors.cosine]] (also used by the
+    * multimodal ANN oracle).
+    */
+  private[queries] def duckCosine(a: String, b: String): String =
     s"""(list_sum(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE))))
        |    * sqrt(list_sum(list_transform(range(len($b)), i -> CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))))))""".stripMargin.replaceAll("\n", " ")

@@ -138,17 +138,36 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  // Winnowing fingerprint, emitted as scalars (size + md5 of the canonical
-  // comma-joined rendering): xxhash64 keeps it rows-only — no DuckDB
-  // oracle — but the output is harness-sortable and the algorithm is
-  // spec-verified for edit-robustness and vs a brute-force reference.
-  private val qT5 = Q.rowsOnly("q_t5_fingerprint") { (s, dir) =>
+  // Winnowing fingerprint, VALUE-exact oracle: the gate runs the portable
+  // k-gram hash (md5-derived 60-bit — winnowingFingerprintPortable) and
+  // the oracle replays shingling, windowed mins, dedup-sort, and the
+  // canonical comma-joined md5 verbatim. The xxhash64 production variant
+  // keeps its edit-robustness + brute-force specs.
+  private val qT5 = Q(
+    "q_t5_fingerprint",
+    """WITH n AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN length(t) < 5 THEN [t]
+      |         ELSE list_transform(range(1, length(t) - 3), i -> substring(t, CAST(i AS INT), 5)) END AS sgs
+      |  FROM n),
+      |h AS (SELECT doc_id,
+      |             list_transform(sgs, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hs
+      |      FROM sh),
+      |m AS (
+      |  SELECT doc_id, CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+      |         ELSE list_transform(range(1, len(hs) - 2),
+      |                             i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)])) END AS mins
+      |  FROM h),
+      |fp AS (SELECT doc_id, list_sort(list_distinct(mins)) AS f FROM m)
+      |SELECT doc_id, CAST(len(f) AS INT) AS fp_size,
+      |       md5(array_to_string(f, ',')) AS fp_md5
+      |FROM fp ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.spread(Tables.load(s, dir, "documents"))
       .select(
         col("doc_id"),
         // fingerprint bound once; a second bare reference would re-run the
         // whole winnowing pass for each derived column (no CSE in HOF exprs)
-        graft.functions.hof.bind(winnowingFingerprint(col("text"))) { fp =>
+        graft.functions.hof.bind(winnowingFingerprintPortable(col("text"))) { fp =>
           struct(
             size(fp).as("fp_size"),
             md5(concat_ws(",", transform(fp, _.cast("string")))).as("fp_md5"))
