@@ -30,8 +30,15 @@ object BloomJoin {
     * pre-filter on the fact side.
     *
     * @param expectedDimKeys sizing for the sketch (overestimate is safe:
-    *                        bits scale linearly); defaults to a count of
-    *                        the dimension side.
+    *                        bits scale linearly). Pass it at scale: with a
+    *                        size the dim subtree is evaluated exactly once
+    *                        before the join (the sketch build). When
+    *                        omitted, the dim slice is `localCheckpoint`ed
+    *                        and counted from the materialized blocks, so
+    *                        the sizing pass re-reads the checkpoint, not
+    *                        the source — still one source evaluation, at
+    *                        the cost of pinning the slice in executor
+    *                        storage for the join's lifetime.
     * @param fpp             false-positive probability — tune the
     *                        bits-per-key vs pruning-precision trade.
     */
@@ -42,12 +49,15 @@ object BloomJoin {
       dimKey: String,
       expectedDimKeys: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
-    val expected =
-      if (expectedDimKeys > 0) expectedDimKeys
-      else math.max(dim.count(), 1L)
-    val bf = dim.stat.bloomFilter(dimKey, expected, fpp)
+    val (dimSide, expected) =
+      if (expectedDimKeys > 0) (dim, expectedDimKeys)
+      else {
+        val pinned = dim.localCheckpoint(true)
+        (pinned, math.max(pinned.count(), 1L))
+      }
+    val bf = dimSide.stat.bloomFilter(dimKey, expected, fpp)
     val pruned = fact.filter(bridge.column(
       BloomMightContainLong(bridge.expression(col(factKey)), bf)))
-    pruned.join(dim, pruned(factKey) === dim(dimKey))
+    pruned.join(dimSide, pruned(factKey) === dimSide(dimKey))
   }
 }

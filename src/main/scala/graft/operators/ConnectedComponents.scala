@@ -15,57 +15,159 @@ import org.apache.spark.sql.functions._
   * never relates them), so this is part of the beyond-reference pipeline
   * surface.
   *
-  * Algorithm: min-label propagation (each vertex repeatedly adopts the
-  * smallest label among itself and its neighbors) — per round one
-  * equi-join + one min-aggregate, both partitioned by vertex id, no
-  * broadcast of anything corpus-sized. Rounds = graph diameter; near-dup
-  * graphs are unions of near-cliques (every member pairs with most
-  * others), so 2–3 rounds converge in practice; `maxIter` bounds the
-  * worst case and the alternating large-star/small-star scheme (Kiveris
-  * et al., "Connected Components in MapReduce and Beyond") is the
-  * documented O(log n)-round upgrade if a pathological chain graph ever
-  * shows up. Each round `localCheckpoint`s the label frame: iterative
-  * plans otherwise nest the whole history into one exponentially deep
-  * lineage that re-executes every prior round per action.
+  * Two algorithms, same output (`(id, cluster)` with cluster = component
+  * minimum):
+  *
+  *   - [[alternatingStar]] — the default. Alternating large-star /
+  *     small-star (Kiveris et al., "Connected Components in MapReduce and
+  *     Beyond", SoCC'14): each round halves long paths by re-pointing
+  *     nodes at their neighborhood minimum, so rounds grow
+  *     polylogarithmically in component size — a 100 TB dup graph with a
+  *     pathological chain component still converges. Per round: two
+  *     aggregate+join passes, all shuffles partitioned by vertex id,
+  *     nothing corpus-sized on the driver.
+  *   - [[minLabelPropagation]] — each vertex repeatedly adopts the
+  *     smallest label among itself and its neighbors; rounds = graph
+  *     diameter. Near-dup graphs are unions of near-cliques, so 2–3
+  *     rounds converge; kept as the cross-check reference (specs assert
+  *     equality with the star scheme).
+  *
+  * Both converge via an EXACT one-aggregate test instead of a join-probe:
+  * every per-round transform is per-row non-increasing in its monotone
+  * stat (edge endpoint-sum / label sum) and never grows the row count, so
+  * (count, sum) unchanged ⟺ the frame is unchanged. One tiny action per
+  * round over the just-checkpointed frame — no second join, no `isEmpty`
+  * job. Each round `localCheckpoint`s: iterative plans otherwise nest the
+  * whole history into one exponentially deep lineage that re-executes
+  * every prior round per action.
   */
 object ConnectedComponents {
 
+  /** Large-star: every node connects its LARGER neighbors to the minimum
+    * of its closed neighborhood. Input/output edges are canonical
+    * `(u, v)` with `v < u` (output m < u < the re-pointed neighbor).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u")
+      .agg(min("v").as("__minv"))
+      .select(col("u"), least(col("u"), col("__minv")).as("__m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("__m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node re-points its smaller neighbors (and itself)
+    * at the minimum of those neighbors. Keeps the canonical `v < u`
+    * orientation; drops self-loops.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("u").agg(min("v").as("__m"))
+    edges.join(m, "u")
+      .select(col("v").as("u"), col("__m").as("v"))
+      .union(m.select(col("u"), col("__m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** (count, endpoint-sum) of an edge frame — the exact convergence stat:
+    * both star ops map each edge to at most one edge of no larger
+    * endpoint-sum, so equality of both values ⟺ identical edge sets.
+    * DECIMAL sum: exact and overflow-free at any id range / edge count.
+    */
+  private def edgeStats(edges: DataFrame): (Long, java.math.BigDecimal) = {
+    val r = edges.agg(
+      count(lit(1)),
+      sum(col("u").cast("decimal(38,0)") + col("v").cast("decimal(38,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
   /** Component labels for every vertex appearing in `pairs` (columns
-    * `id_a`, `id_b`): returns `(id, cluster)` where `cluster` is the
-    * minimum vertex id in the component.
+    * `id_a`, `id_b`) via alternating large-star/small-star: returns
+    * `(id, cluster)` where `cluster` is the minimum vertex id in the
+    * component. Polylog rounds in the largest component size — the scale
+    * path for arbitrary (incl. long-chain) graphs.
+    */
+  def alternatingStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    var cur = pairs
+      .select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var stats = edgeStats(cur)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextStats = edgeStats(next)
+      converged = nextStats._1 == stats._1 && nextStats._2.compareTo(stats._2) == 0
+      // free the superseded round's checkpoint blocks NOW — waiting for
+      // driver GC holds every round's edge frame in executor storage
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(cur)
+      cur = next
+      stats = nextStats
+      iter += 1
+    }
+    if (!converged) {
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(cur)
+      throw new IllegalArgumentException(
+        s"connected components did not converge in $maxIter alternating rounds")
+    }
+    // fixpoint is a union of stars (child, root): label children by their
+    // root and every root by itself
+    cur.select(col("u").as("id"), col("v").as("cluster"))
+      .union(cur.select(col("v").as("id"), col("v").as("cluster")))
+      .distinct()
+  }
+
+  /** Component labels via min-label propagation — rounds = graph
+    * diameter; the simple reference implementation the specs cross-check
+    * [[alternatingStar]] against.
     */
   def minLabelPropagation(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
     // symmetric edge list; self-loops are harmless (min with itself)
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
     edges.cache()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels, edges("v") === labels("id"))
-        .groupBy(col("u")).agg(min(col("cluster")).as("__nbr"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("u"), "left")
-        .select(labels("id"),
-          least(col("cluster"), coalesce(col("__nbr"), col("cluster"))).as("cluster"))
+    try {
+      var labels = edges.select(col("u").as("id")).distinct()
+        .withColumn("cluster", col("id"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
-        .filter(col("cluster") =!= col("__old"))
-        .isEmpty
-      labels = next
-      iter += 1
-    }
-    require(converged,
-      s"connected components did not converge in $maxIter rounds — " +
-        "graph diameter exceeds the bound; raise maxIter or switch to the " +
-        "large-star/small-star scheme")
-    edges.unpersist()
-    labels
+      // labels are per-vertex non-increasing and the vertex set is fixed,
+      // so an unchanged label SUM (one aggregate, no join probe) is an
+      // exact convergence test
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val r = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
+        if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+      }
+      var prevSum = labelSum(labels)
+      var converged = pairs.isEmpty // no edges: nothing to propagate
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels, edges("v") === labels("id"))
+          .groupBy(col("u")).agg(min(col("cluster")).as("__nbr"))
+        val next = labels
+          .join(nbrMin, labels("id") === nbrMin("u"), "left")
+          .select(labels("id"),
+            least(col("cluster"), coalesce(col("__nbr"), col("cluster"))).as("cluster"))
+          .localCheckpoint(true)
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(labels)
+        labels = next
+        prevSum = nextSum
+        iter += 1
+      }
+      require(converged,
+        s"connected components did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the bound; raise maxIter or use alternatingStar")
+      labels
+    } finally edges.unpersist()
   }
 
   /** Cluster assignment for a whole corpus: docs that appear in `pairs`
@@ -73,7 +175,7 @@ object ConnectedComponents {
     */
   def assignClusters(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val labels = minLabelPropagation(pairs)
+    val labels = alternatingStar(pairs)
       .select(col("id"), col("cluster"))
     docs
       .join(labels, docs(idCol) === labels("id"), "left")

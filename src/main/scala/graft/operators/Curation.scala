@@ -21,10 +21,16 @@ object Curation {
     * verbatim) — unlike xxhash64, whose seed handling is Spark-private.
     * Deterministic per (key, seed): retries, replays and backfills keep
     * or drop the same rows.
+    *
+    * A null key hashes to NULL (not to a hash of the bare seed —
+    * concat_ws would silently skip the null), matching SQL `||` null
+    * propagation: null-key rows fail every `hash < rate` filter and are
+    * dropped, in the engine and the oracle alike.
     */
   def hashUnit(key: Column, seed: String): Column =
-    conv(substring(md5(concat_ws(":", key.cast("string"), lit(seed))), 1, 8), 16, 10)
-      .cast("bigint") / lit(4294967296L)
+    when(key.isNull, lit(null).cast("double")).otherwise(
+      conv(substring(md5(concat_ws(":", key.cast("string"), lit(seed))), 1, 8), 16, 10)
+        .cast("bigint") / lit(4294967296L))
 
   /** Keep each row with probability `rate`, decided by [[hashUnit]] of its
     * key — a pure scan-side filter (reaches the parquet scan as a

@@ -14,6 +14,20 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Free the executor blocks behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist()` is a no-op for checkpoints (their blocks are
+    * owned by the materialized RDD, not the cache manager, and are only
+    * dropped when the RDD object is GC'd) — iterative algorithms that
+    * supersede a checkpoint every round would otherwise hold every
+    * round's blocks until a driver GC happens to run.
+    */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a SQL function on an ALREADY-RUNNING session (extensions are
     * only consumed at session construction; the function registry itself
     * is private[sql]).

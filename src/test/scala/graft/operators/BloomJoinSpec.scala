@@ -40,6 +40,26 @@ class BloomJoinSpec extends SparkSpec {
     assert(pruned === plain)
   }
 
+  test("explicit sizing builds the sketch in exactly one job (no count pass over dim)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // construction runs only the sketch-build action; the join is lazy
+      BloomJoin.prunedEquiJoin(fact, dim, "k", "dk", expectedDimKeys = 50L)
+      // listener events post asynchronously: wait for ≥1, then settle
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(300)
+      assert(jobs.get() === 1,
+        s"expected the sketch build to be the only eager job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("probe sits in the fact-side scan stage before the join") {
     // file-backed fact side: over a LocalRelation the optimizer folds the
     // probe away at plan time (ConvertToLocalRelation), hiding it

@@ -13,6 +13,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     ConnectedComponents.minLabelPropagation(pairs.toDF("id_a", "id_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  private def starClusters(
+      pairs: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] =
+    ConnectedComponents.alternatingStar(pairs.toDF("id_a", "id_b"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   /** Brute-force union-find for cross-checking. */
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
@@ -63,6 +68,30 @@ class ConnectedComponentsSpec extends SparkSpec {
         .distinct
       assert(clusters(pairs) === unionFind(pairs))
     }
+  }
+
+  test("alternatingStar agrees with minLabelPropagation and union-find on random graphs") {
+    val rnd = new Random(11)
+    (1 to 3).foreach { _ =>
+      val pairs = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .distinct
+      assert(starClusters(pairs) === unionFind(pairs))
+    }
+  }
+
+  test("alternatingStar converges on a long chain within polylog rounds " +
+    "(diameter 63 would blow minLabelPropagation's default bound)") {
+    // path 0-1-2-…-63: diameter 63; star-halving needs ~log²(n) rounds
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = starClusters(chain, maxIter = 15)
+    assert(got === (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("alternatingStar handles duplicate/reversed pairs and empty input") {
+    assert(starClusters(Seq((2L, 1L), (1L, 2L), (2L, 1L))) === Map(1L -> 1L, 2L -> 1L))
+    assert(starClusters(Seq.empty[(Long, Long)]) === Map.empty)
   }
 
   test("assignClusters labels pair members with the component min, singletons with themselves") {
