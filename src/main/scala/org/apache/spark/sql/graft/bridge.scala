@@ -28,6 +28,14 @@ object bridge {
       case _ => ()
     }
 
+  /** Block until every queued listener-bus event has been delivered.
+    * `SparkContext.listenerBus` is `private[spark]`; specs that count
+    * query executions (e.g. "the sketch build is the only eager action")
+    * need a deterministic drain instead of sleeps.
+    */
+  def waitUntilListenerBusEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a SQL function on an ALREADY-RUNNING session (extensions are
     * only consumed at session construction; the function registry itself
     * is private[sql]).

@@ -40,24 +40,31 @@ class BloomJoinSpec extends SparkSpec {
     assert(pruned === plain)
   }
 
-  test("explicit sizing builds the sketch in exactly one job (no count pass over dim)") {
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+  test("explicit sizing evaluates the dim source exactly once (no count pass over dim)") {
+    // Job counts are not the invariant — AQE may legitimately run an
+    // aggregate as several jobs over one evaluation. What the operator
+    // promises with explicit sizing is ONE eager action (the sketch
+    // build): no `count()` sizing pass, and a lazy join.
+    val bridge = org.apache.spark.sql.graft.bridge
+    val actions = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = { actions.add(s"FAILED:$funcName"); () }
     }
-    spark.sparkContext.addSparkListener(listener)
+    bridge.waitUntilListenerBusEmpty(spark) // drain earlier tests' events
+    spark.listenerManager.register(listener)
     try {
-      // construction runs only the sketch-build action; the join is lazy
       BloomJoin.prunedEquiJoin(fact, dim, "k", "dk", expectedDimKeys = 50L)
-      // listener events post asynchronously: wait for ≥1, then settle
-      val deadline = System.currentTimeMillis() + 5000
-      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
-      Thread.sleep(300)
-      assert(jobs.get() === 1,
-        s"expected the sketch build to be the only eager job, saw ${jobs.get()}")
-    } finally spark.sparkContext.removeSparkListener(listener)
+      bridge.waitUntilListenerBusEmpty(spark)
+      assert(actions.size === 1,
+        s"expected the sketch build to be the only eager action, saw $actions")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("probe sits in the fact-side scan stage before the join") {
