@@ -133,12 +133,21 @@ object EventStreams {
     * with the stream.
     */
   def clickAttributionJoin(events: DataFrame): DataFrame = {
-    val clicks = events
+    // One shared narrowed pass: the two join branches below are separate
+    // leaves in the micro-batch physical plan (stream-stream self-joins
+    // re-scan the source per side — Spark has no streaming subtree reuse),
+    // so narrow the pass both sides share: the isin filter + 4-column
+    // projection push down into BOTH parquet scans, keeping the double
+    // read to the few relevant columns/rows instead of the whole table.
+    val narrowed = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "event_type", "ts")
+    val clicks = narrowed
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "2 hours")
-    val purchases = events
+    val purchases = narrowed
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -150,6 +159,33 @@ object EventStreams {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
+  /** Default state-store partition count for the AvailableNow runners.
+    *
+    * Stateful streaming parallelism is NOT batch parallelism: the number
+    * of state-store instances is frozen from `spark.sql.shuffle.partitions`
+    * at first query start (checkpoint-locked thereafter), AQE never
+    * coalesces stateful shuffles, and every instance pays a fixed
+    * per-micro-batch cost (store load + delta write + commit) even in the
+    * no-data finalization batch. Profiled at sf0.1/local[32]: the
+    * stream-stream join at 32 partitions spends ~4 s/batch on that fixed
+    * overhead (128 store instances) vs ~1 s at 8 — a 4× end-to-end win
+    * with identical results. Size this to state volume ÷ target
+    * per-instance state (hundreds on a real cluster with TBs of state),
+    * never blindly to core count.
+    */
+  val defaultStatePartitions: Int = 8
+
+  /** Session clone whose shuffle (= state-store) partitioning is sized for
+    * streaming state rather than inherited from the batch session. Cloning
+    * shares the SparkContext and catalog-read path; conf changes stay local
+    * to the clone.
+    */
+  def streamSession(spark: SparkSession, statePartitions: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s
   }
 
   /** Run a streaming frame to completion (AvailableNow) into a named
@@ -172,44 +208,62 @@ object EventStreams {
   }
 
   /** q_e1's streaming twin, run to completion — oracle-identical output. */
-  def windowedAggAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+  def windowedAggAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
+    val s = streamSession(spark, statePartitions)
     runToTable(
-      spark,
-      windowedAgg(readEventStream(spark, sfDir)),
+      s,
+      windowedAgg(readEventStream(s, sfDir)),
       s"stream_window_agg_${System.nanoTime()}",
       OutputMode.Complete())
       .orderBy("hour_bucket", "event_type")
+  }
 
   /** Streaming dedup run to completion: the distinct (user, event_type)
     * key set — batch-oracle-verifiable (first-arrival payloads would be
     * arrival-order-dependent; the key set is not).
     */
-  def dedupKeysAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+  def dedupKeysAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
+    val s = streamSession(spark, statePartitions)
     runToTable(
-      spark,
-      dedupKeys(readEventStream(spark, sfDir), Seq("user_id", "event_type")),
+      s,
+      dedupKeys(readEventStream(s, sfDir), Seq("user_id", "event_type")),
       s"stream_dedup_${System.nanoTime()}",
       OutputMode.Append())
       .orderBy("user_id", "event_type")
+  }
 
   /** The interval join run to completion — batch-oracle-verifiable. */
-  def clickAttributionAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+  def clickAttributionAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
+    val s = streamSession(spark, statePartitions)
     runToTable(
-      spark,
-      clickAttributionJoin(readEventStream(spark, sfDir)),
+      s,
+      clickAttributionJoin(readEventStream(s, sfDir)),
       s"stream_attribution_${System.nanoTime()}",
       OutputMode.Append())
       .orderBy("purchase_id", "click_id")
+  }
 
   /** q_e2's streaming twin, run to completion. Update mode re-emits a
     * user's counters every batch it appears in; counters are monotone, so
     * the final value per user is the row with max n_events.
     */
-  def sessionCountsAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    implicit val s: SparkSession = spark
+  def sessionCountsAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
+    implicit val s: SparkSession = streamSession(spark, statePartitions)
     val updates = runToTable(
-      spark,
-      sessionCounts(readEventStream(spark, sfDir)).toDF(),
+      s,
+      sessionCounts(readEventStream(s, sfDir)).toDF(),
       s"stream_sessions_${System.nanoTime()}",
       OutputMode.Update())
     updates
