@@ -27,9 +27,9 @@ object DataProfile {
     val one = df.agg(aggs.head, aggs.tail: _*)
     val entries = array(cols.map(c => struct(
       lit(c).as("col_name"),
-      col("__n").cast("int").as("n_rows"),
-      col(s"__null_$c").cast("int").as("n_null"),
-      col(s"__dist_$c").cast("int").as("n_distinct"))): _*)
+      col("__n").cast("bigint").as("n_rows"),
+      col(s"__null_$c").cast("bigint").as("n_null"),
+      col(s"__dist_$c").cast("bigint").as("n_distinct"))): _*)
     one
       .select(explode(entries).as("p"))
       .select(col("p.col_name"), col("p.n_rows"), col("p.n_null"),

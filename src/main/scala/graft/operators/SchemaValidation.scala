@@ -65,6 +65,6 @@ object SchemaValidation {
     */
   def coerce(df: DataFrame, types: Map[String, String]): DataFrame =
     types.foldLeft(df) { case (d, (c, t)) =>
-      d.withColumn(c, expr(s"try_cast(`$c` AS $t)"))
+      d.withColumn(c, col(c).try_cast(t))
     }
 }

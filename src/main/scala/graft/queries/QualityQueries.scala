@@ -54,25 +54,25 @@ object QualityQueries extends QueryGroup {
     """SELECT col_name, n_rows, n_null, n_distinct,
       |       CAST(n_null AS DOUBLE) / n_rows AS null_rate
       |FROM (
-      |  SELECT 'c_custkey' AS col_name, CAST(count(*) AS INT) AS n_rows,
-      |         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS INT) AS n_null,
-      |         CAST(count(DISTINCT c_custkey) AS INT) AS n_distinct FROM customer
+      |  SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct FROM customer
       |  UNION ALL
-      |  SELECT 'c_name', CAST(count(*) AS INT),
-      |         CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS INT),
-      |         CAST(count(DISTINCT c_name) AS INT) FROM customer
+      |  SELECT 'c_name', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(count(DISTINCT c_name) AS BIGINT) FROM customer
       |  UNION ALL
-      |  SELECT 'c_nationkey', CAST(count(*) AS INT),
-      |         CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS INT),
-      |         CAST(count(DISTINCT c_nationkey) AS INT) FROM customer
+      |  SELECT 'c_nationkey', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer
       |  UNION ALL
-      |  SELECT 'c_acctbal', CAST(count(*) AS INT),
-      |         CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS INT),
-      |         CAST(count(DISTINCT c_acctbal) AS INT) FROM customer
+      |  SELECT 'c_acctbal', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(count(DISTINCT c_acctbal) AS BIGINT) FROM customer
       |  UNION ALL
-      |  SELECT 'c_mktsegment', CAST(count(*) AS INT),
-      |         CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS INT),
-      |         CAST(count(DISTINCT c_mktsegment) AS INT) FROM customer)
+      |  SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer)
       |ORDER BY col_name""".stripMargin) { (s, dir) =>
     DataProfile.profile(
       Tables.load(s, dir, "customer"),

@@ -58,8 +58,8 @@ class SchemaValidationSpec extends SparkSpec {
     ).toDF("s", "x")
     val p = DataProfile.profile(df, Seq("s", "x"))
       .collect().map(r => r.getString(0) ->
-        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
-    assert(p("s") === ((3, 1, 1, 1.0 / 3)))
-    assert(p("x") === ((3, 1, 2, 1.0 / 3)))
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(p("s") === ((3L, 1L, 1L, 1.0 / 3)))
+    assert(p("x") === ((3L, 1L, 2L, 1.0 / 3)))
   }
 }
