@@ -30,7 +30,8 @@ object FileSinks {
       finishedAt: String,
       upsertCount: Long,
       deleteCount: Long,
-      errors: Seq[String]) {
+      errors: Seq[String],
+      quarantineCount: Long = 0L) {
     def render: String =
       s"""Sync run report
          |===============
@@ -38,6 +39,7 @@ object FileSinks {
          |finished: $finishedAt
          |upserts:  $upsertCount
          |deletes:  $deleteCount
+         |quarantined: $quarantineCount
          |errors:   ${if (errors.isEmpty) "none" else errors.mkString("\n  - ", "\n  - ", "")}
          |""".stripMargin
   }
