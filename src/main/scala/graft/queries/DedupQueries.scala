@@ -181,6 +181,20 @@ object DedupQueries extends QueryGroup {
       (col("__e") === 0).as("no_false_positives"))
   }
 
+  // PRODUCTION SimHash path, bench-visible: the xxhash64 codegen kernel
+  // (expressions.SimHash64) users actually run at scale. xxhash64's seed
+  // arithmetic is Spark-internal, so no DuckDB value oracle is possible —
+  // rows-only row; correctness is pinned by q_d4b's blocked≡brute gate and
+  // the kernel's bit-exact HOF-twin specs. q_d4 (portable md5 signature)
+  // stays the value-exact oracle anchor.
+  private val qD4x = Q.rowsOnly("q_d4x_simhash_prod") { (s, dir) =>
+    NearDup
+      .simHashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, numBlocks = 4)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   // End-to-end dedup application: corpus minus near-duplicates
   // (keep-smallest-id policy), oracle = anti-join against the pair set.
   private val qD5 = Q(
@@ -250,5 +264,5 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD5, qD6, qD7)
+  override val all: Seq[Q] = Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7)
 }

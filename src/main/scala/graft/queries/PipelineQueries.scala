@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.plans.EntityAssembly
 
 /** Flagship pipeline queries: the full SURVEY.md §3.2 entity assembly
@@ -77,13 +78,9 @@ object PipelineQueries extends QueryGroup {
     EntityAssembly.flattened(s, dir).orderBy("studentUniqueId")
   }
 
-  // JSON sink payload (reference: Gson serialization before POST), verified
-  // by md5 + length of the exact serialized bytes: the oracle rebuilds the
-  // byte-identical JSON text (Spark to_json field order = struct order, no
-  // whitespace, dates as yyyy-MM-dd, no nullable fields present) by string
-  // concatenation in DuckDB.
-  private val qF3 = Q(
-    "q_f3_entity_json",
+  // Shared by q_f3 (batch payload) and q_f5 (incremental-sync convergence):
+  // the byte-exact JSON payload rebuilt in DuckDB, compared as md5+length.
+  private val entityJsonOracle =
     """WITH resolved AS (
       |  SELECT c_custkey AS studentUniqueId, c_name AS fullName, c_mktsegment AS segment,
       |         coalesce('uri://graft/nation#' || n_name, CAST(c_nationkey AS VARCHAR)) AS nationDescriptor
@@ -115,7 +112,14 @@ object PipelineQueries extends QueryGroup {
       |  FROM resolved LEFT JOIN addrs ON studentUniqueId = o_custkey)
       |SELECT studentUniqueId, md5(payload) AS payload_md5,
       |       CAST(length(payload) AS INT) AS payload_len
-      |FROM payloads ORDER BY studentUniqueId""".stripMargin) { (s, dir) =>
+      |FROM payloads ORDER BY studentUniqueId""".stripMargin
+
+  // JSON sink payload (reference: Gson serialization before POST), verified
+  // by md5 + length of the exact serialized bytes: the oracle rebuilds the
+  // byte-identical JSON text (Spark to_json field order = struct order, no
+  // whitespace, dates as yyyy-MM-dd, no nullable fields present) by string
+  // concatenation in DuckDB.
+  private val qF3 = Q("q_f3_entity_json", entityJsonOracle) { (s, dir) =>
     EntityAssembly.assembleJson(s, dir)
       .select(
         col("studentUniqueId"),
@@ -134,5 +138,56 @@ object PipelineQueries extends QueryGroup {
       .orderBy("studentUniqueId")
   }
 
-  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4)
+  // INCREMENTAL sync proven convergent against the BATCH oracle: a
+  // two-wave change feed runs through streaming/IncrementalSync into a
+  // loopback server, and the server's converged contents must equal the
+  // batch assembly byte-exactly (same SQL as q_f3). Wave 1 is the full
+  // snapshot with every key ≡ 0 (mod 7) DISTORTED — in-segment rows
+  // flipped out (missing entities) and out-of-segment rows flipped in
+  // (spurious upserts). Wave 2 is the delta-sized correction for just
+  // those keys, consumed from the same checkpoint — so the gate exercises
+  // catch-up, per-key last-write-wins, upsert-over-stale, and
+  // delete-of-spurious in one row.
+  private val qF5 = Q("q_f5_incremental_sync", entityJsonOracle) { (s, dir) =>
+    import graft.sources.MemoryServer
+    import graft.streaming.IncrementalSync
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val serverName = s"incr_gate_$tmp"
+    val endpoint = new MemoryServer.Endpoint(serverName)
+    val tokens = new MemoryServer.Tokens
+    val updatesDir = s"$tmp/updates"
+    val ckpt = s"$tmp/ckpt"
+    val customer = Tables.load(s, dir, "customer")
+    val wrongSeg = when(col("c_mktsegment") === EntityAssembly.segment, lit("AUTOMOBILE"))
+      .otherwise(lit(EntityAssembly.segment))
+    customer
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, wrongSeg).otherwise(col("c_mktsegment")))
+      .write.mode("overwrite").parquet(updatesDir)
+    def drain(): Unit = IncrementalSync
+      .run(s, dir, updatesDir, endpoint, tokens, "/entities", ckpt)
+      .awaitTermination()
+    drain() // wave 1: distorted snapshot
+    customer.filter(col("c_custkey") % 7 === 0)
+      .write.mode("append").parquet(updatesDir)
+    drain() // wave 2: corrections only, same checkpoint → catch-up
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    // RestSink wraps (studentUniqueId, payload) in one more to_json layer;
+    // unwrap both fields. Server state is segment-sized — driver-safe.
+    val bodies = MemoryServer.store(serverName).values.asScala.toSeq
+    MemoryServer.drop(serverName)
+    bodies.toDF("body")
+      .select(
+        get_json_object(col("body"), "$.studentUniqueId").cast("long")
+          .as("studentUniqueId"),
+        get_json_object(col("body"), "$.payload").as("payload"))
+      .select(
+        col("studentUniqueId"),
+        md5(col("payload")).as("payload_md5"),
+        length(col("payload")).as("payload_len"))
+      .orderBy("studentUniqueId")
+  }
+
+  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5)
 }

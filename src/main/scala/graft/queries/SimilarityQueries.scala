@@ -152,6 +152,52 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  // PRODUCTION-geometry SRP gate: srpPairs at the DEFAULT (6, 24) band
+  // geometry — the subquadratic pruning regime users run for near-dup
+  // mining at threshold ≥ 0.8 — proven against planted high-cosine dups.
+  // Every vec_id % 5 == 0 row gets a planted twin (id + 1,000,000): the
+  // original vector with ±2% deterministic multiplicative hash noise →
+  // cosine ≈ 0.9995, while this corpus's background cosine tops out near
+  // 0.55, so the exact pair set at threshold 0.8 is EXACTLY the planted
+  // (source, twin) pairs — a count DuckDB verifies from the table alone.
+  // The booleans assert set equality with the exact blocked pair join in
+  // both directions. Stability: per-pair miss at c ≈ 0.9995 is ~1e-10 and
+  // the hyperplanes are deterministic plan literals, so this is a fixed
+  // outcome, not a flake; q_v6 keeps covering the low-threshold regime
+  // where geometry must go near-exhaustive.
+  private val qV8 = Q(
+    "q_v8_srp_production_geometry",
+    """SELECT CAST(count(*) AS INT) AS n_pairs,
+      |       true AS srp_complete, true AS srp_sound
+      |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 5 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) +
+            (pmod(xxhash64(col("vec_id"), i), lit(41)).cast("double") - 20.0) / lit(1000.0)))
+            .cast("float"))
+          .as("embedding"))
+    val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .union(planted)
+    val srp = SimilaritySearch.srpPairs(corpus, "vec_id", "embedding", 0.8)
+    val exact = SimilaritySearch.blockedCosinePairs(corpus, "vec_id", "embedding", 0.8,
+      numBlocks = 8)
+    val srpSet = srp.select("id_a", "id_b")
+    val exactSet = exact.select("id_a", "id_b")
+    val missing = exactSet.join(srpSet, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__m"))
+    val extra = srpSet.join(exactSet, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__e"))
+    srpSet.agg(count(lit(1)).as("__n"))
+      .crossJoin(missing).crossJoin(extra)
+      .select(
+        col("__n").cast("int").as("n_pairs"),
+        (col("__m") === 0).as("srp_complete"),
+        (col("__e") === 0).as("srp_sound"))
+  }
+
   // Per-label embedding centroids, emitted one row per (label,
   // dimension): posexplode → one hash aggregate on (label, pos) with
   // map-side partials — no array reassembly, no collect. Cross-row float
@@ -177,5 +223,5 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("label", "pos")
   }
 
-  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7)
+  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8)
 }

@@ -176,6 +176,24 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // PRODUCTION winnowing path, bench-visible: the xxhash64 k-gram hash
+  // users run at scale (codegen, no md5 round-trip). xxhash64 keeps the
+  // values out of DuckDB's reach — rows-only row; the portable q_t5 stays
+  // the value-exact oracle anchor and the edit-robustness specs cover this
+  // variant bit-exactly.
+  private val qT5x = Q.rowsOnly("q_t5x_fingerprint_prod") { (s, dir) =>
+    Tables.spread(Tables.load(s, dir, "documents"))
+      .select(
+        col("doc_id"),
+        graft.functions.hof.bind(winnowingFingerprint(col("text"))) { fp =>
+          struct(
+            size(fp).as("fp_size"),
+            md5(concat_ws(",", transform(fp, _.cast("string")))).as("fp_md5"))
+        }.as("__fp"))
+      .select(col("doc_id"), col("__fp.fp_size"), col("__fp.fp_md5"))
+      .orderBy("doc_id")
+  }
+
   // Corpus TF-IDF, top-5 terms per doc — tf/df/N aggregations and the
   // smoothed sklearn idf replayed exactly in SQL (identical double math,
   // identical tie-break on the term).
@@ -258,5 +276,5 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8)
+  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8)
 }
