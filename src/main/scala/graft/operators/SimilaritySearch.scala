@@ -191,6 +191,19 @@ object SimilaritySearch {
     *
     * @param nprobe cells probed per query — recall/latency dial
     */
+  /** Scan-side nearest-centroid assignment over plan-literal centroids:
+    * the `n` best cells for vector `v`, best first.
+    */
+  private def bestCellsOf(
+      cLits: Array[org.apache.spark.sql.Column])(
+      v: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val scoredCells = array(cLits.zipWithIndex.map { case (c, i) =>
+      struct(Vectors.cosine(v, c).as("s"), lit(i).as("cell"))
+    }: _*)
+    slice(reverse(array_sort(scoredCells)), 1, n)
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -204,12 +217,7 @@ object SimilaritySearch {
     val centroids = kmeansCentroids(corpus, idCol, vecCol, numCentroids, iters = kmeansIters)
     val cLits = centroids.map(c => typedlit(c))
     // nearest-centroid assignment, scan-side: argmax of dot over literals
-    def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
-      val scoredCells = array(cLits.zipWithIndex.map { case (c, i) =>
-        struct(Vectors.cosine(v, c).as("s"), lit(i).as("cell"))
-      }: _*)
-      slice(reverse(array_sort(scoredCells)), 1, n)
-    }
+    val bestCells = bestCellsOf(cLits) _
     val c = graft.Tables.spread(corpus).select(
       col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"),
@@ -225,6 +233,34 @@ object SimilaritySearch {
       .withColumn("cosine", Vectors.cosine(col("__qv"), col("__cv")))
       .select("query_id", "neighbor_id", "cosine")
     topKPerKey(scored, "query_id", k)
+  }
+
+  /** Cell-population histogram of a fitted IVF index: `(cell, n_rows,
+    * share)`, one row per NON-EMPTY Voronoi cell. The balance guard for
+    * [[ivfTopK]]: probe cost is the population of the `nprobe` chosen
+    * cells, so a hot cell at share s makes worst-case query cost s·|corpus|
+    * instead of nprobe/numCentroids·|corpus| — at 100 TB an unbalanced fit
+    * (bad sample, collapsed k-means cells) silently turns the index back
+    * into brute force. Emit this next to any fitted index and alert when
+    * `max(share)` crosses a few multiples of 1/numCentroids; re-fit with a
+    * larger sample / more iterations (or split the hot cell's vectors over
+    * a sub-index) before serving. One scan + one tiny aggregate.
+    */
+  def ivfCellHistogram(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      kmeansIters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, numCentroids, iters = kmeansIters)
+    val cLits = centroids.map(c => typedlit(c))
+    val assigned = graft.Tables.spread(corpus).select(
+      element_at(bestCellsOf(cLits)(col(vecCol), 1), 1).getField("cell").as("cell"))
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum("n_rows").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_rows"),
+        (col("n_rows").cast("double") / col("__total")).as("share"))
   }
 
   /** All corpus pairs with cosine ≥ threshold (embedding near-dup).
