@@ -105,6 +105,36 @@ object TextAnalysis {
     (lenOk + shapeOk + punctOk + stopOk) / 4.0
   }
 
+  // --- repetition (Gopher-style duplicate-content filters) ----------------
+
+  /** Share of tokens taken by the single most frequent token (0 for empty
+    * text) — the 1-gram form of Gopher's top-n-gram-share family:
+    * looped/templated/SEO text repeats one term far above natural-language
+    * frequencies. Per-doc O(distinct × n) HOF arithmetic, scan-side —
+    * cost is per document, never cross-document, so the filter rides the
+    * ingest scan at any corpus size.
+    */
+  def topTokenShare(text: Column): Column =
+    hof.bind(tokens(text)) { tk =>
+      when(size(tk) === 0, lit(0.0)).otherwise(
+        array_max(transform(array_distinct(tk), t =>
+          size(filter(tk, x => x === t)))).cast("double") / size(tk))
+    }
+
+  /** Fraction of token bigrams that repeat an earlier bigram (0 below two
+    * tokens) — Gopher's duplicate-n-gram fraction at n = 2, the classic
+    * "model loops" / boilerplate detector. Same scan-side shape as
+    * [[topTokenShare]].
+    */
+  def dupBigramFraction(text: Column): Column =
+    hof.bind(tokens(text)) { tk =>
+      when(size(tk) < 2, lit(0.0)).otherwise(
+        hof.bind(transform(sequence(lit(1), size(tk) - 1), i =>
+          concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))) { bg =>
+          lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg)
+        })
+    }
+
   // --- PII scrubbing ------------------------------------------------------
 
   /** Redaction patterns, deliberately RE2-compatible (no backrefs, no

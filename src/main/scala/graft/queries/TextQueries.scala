@@ -176,6 +176,36 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Gopher-style repetition metrics (top-token share + duplicate-bigram
+  // fraction): the looped/templated-text filters an LLM corpus curation
+  // pass runs next to quality scoring. Scan-side HOF arithmetic — per-doc
+  // cost, no shuffle; the oracle replays the identical double math.
+  private val qT9 = Q(
+    "q_t9_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) = 0 THEN CAST(0.0 AS DOUBLE)
+      |              ELSE CAST(list_max(list_transform(list_distinct(tk),
+      |                     t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE) / len(tk) END AS top_token_share,
+      |         CASE WHEN len(tk) < 2 THEN CAST(0.0 AS DOUBLE)
+      |              ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+      |                     i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE)
+      |                   / (len(tk) - 1) END AS dup_bigram_frac
+      |  FROM t)
+      |SELECT doc_id, top_token_share, dup_bigram_frac
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.spread(Tables.load(s, dir, "documents"))
+      .select(
+        col("doc_id"),
+        topTokenShare(col("text")).as("top_token_share"),
+        dupBigramFraction(col("text")).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   // PRODUCTION winnowing path, bench-visible: the xxhash64 k-gram hash
   // users run at scale (codegen, no md5 round-trip). xxhash64 keeps the
   // values out of DuckDB's reach — rows-only row; the portable q_t5 stays
@@ -276,5 +306,5 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8)
+  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9)
 }

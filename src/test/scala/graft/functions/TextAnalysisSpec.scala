@@ -38,6 +38,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Double](stopwordRatio(col("t")), "the dog the cat") === 0.5)
   }
 
+  test("repetition metrics known answers") {
+    // "a a a b": top token a = 3/4; bigrams [a a, a a, a b] → 1 - 2/3
+    assert(one[Double](topTokenShare(col("t")), "a a a b") === 0.75)
+    assert(math.abs(one[Double](dupBigramFraction(col("t")), "a a a b") - (1.0 - 2.0 / 3)) < 1e-12)
+    assert(one[Double](topTokenShare(col("t")), "") === 0.0)
+    assert(one[Double](dupBigramFraction(col("t")), "solo") === 0.0)
+    // 5 bigrams [x y, y x, x y, y x, x y], 2 distinct → 1 - 2/5
+    assert(one[Double](dupBigramFraction(col("t")), "x y x y x y") === 0.6)
+  }
+
   test("qualityScore stays in [0,1] and ranks clean text above junk") {
     val clean = "the quick brown fox jumps over the lazy dog and it was good to see"
     val junk = ";;;; !!! ### $$$ %%%"
