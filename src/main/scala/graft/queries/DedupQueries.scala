@@ -264,5 +264,40 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7)
+  // Benchmark decontamination: docs 0-4 act as the "eval set"; every
+  // other document is flagged by its count of distinct 5-token shingles
+  // appearing anywhere in the probe set. The planted near-dups guarantee
+  // real hits (a dup of a probe doc shares nearly all its shingles); the
+  // oracle replays the identical shingling + overlap join.
+  private val qD8 = Q(
+    "q_d8_decontaminate",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(tk) - 3),
+      |                                 i -> array_to_string(tk[i:i+4], ' '))) AS s
+      |    FROM toks WHERE len(tk) >= 5
+      |    UNION ALL
+      |    SELECT doc_id, array_to_string(tk, ' ') AS s
+      |    FROM toks WHERE len(tk) < 5)),
+      |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+      |hits AS (
+      |  SELECT sh.doc_id, count(*) AS n_hits
+      |  FROM sh JOIN probe USING (s) WHERE sh.doc_id >= 5 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+      |       coalesce(h.n_hits, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id >= 5 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    graft.operators.Decontamination
+      .flagOverlap(
+        docs.filter(col("doc_id") >= 5),
+        docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8)
 }
