@@ -21,7 +21,8 @@ object Explain {
     "q_v2_ann_bruteforce_topk", // broadcast NL join + two-phase top-k
     "q_v4_embed_dedup",       // blocked pair join — NO BroadcastNestedLoop
     "q_v6_srp_pairs",         // banded SRP mining + verify join
-    "q_e3_asof_attribution")  // union+window as-of — no join operator
+    "q_e3_asof_attribution",  // union+window as-of — no join operator
+    "q_d8_decontaminate")     // probe shingles broadcast; corpus unshuffled
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
