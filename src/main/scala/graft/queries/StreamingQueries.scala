@@ -60,5 +60,18 @@ object StreamingQueries extends QueryGroup {
     EventStreams.clickAttributionAvailableNow(s, dir)
   }
 
-  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4)
+  // Stream-static enrichment join (events stream × customer dimension)
+  // with a running per-segment aggregate — the reference-data-enrichment
+  // shape; the static side is broadcast-sized, the stream never shuffles
+  // for the join. Oracle = the batch equivalent.
+  private val qSt5 = Q(
+    "q_st5_stream_static_join",
+    """SELECT c_mktsegment, CAST(count(*) AS INT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    EventStreams.segmentTotalsAvailableNow(s, dir)
+  }
+
+  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4, qSt5)
 }

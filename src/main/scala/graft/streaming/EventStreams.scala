@@ -161,6 +161,23 @@ object EventStreams {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a warehouse
+    * dimension (a STATIC batch frame — re-planned each micro-batch, so at
+    * broadcastable size it never shuffles the stream side), aggregated
+    * per dimension attribute. The canonical "enrich the landing zone
+    * against reference data" shape: the stream carries ids, the warehouse
+    * carries attributes, and state is one row per group — no watermark
+    * needed for a keyed running aggregate in Complete/Update mode.
+    */
+  def segmentTotals(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+
   /** Default state-store partition count for the AvailableNow runners.
     *
     * Stateful streaming parallelism is NOT batch parallelism: the number
@@ -250,6 +267,22 @@ object EventStreams {
       s"stream_attribution_${System.nanoTime()}",
       OutputMode.Append())
       .orderBy("purchase_id", "click_id")
+  }
+
+  /** The stream-static enrichment aggregate run to completion. */
+  def segmentTotalsAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
+    val s = streamSession(spark, statePartitions)
+    runToTable(
+      s,
+      segmentTotals(
+        readEventStream(s, sfDir),
+        graft.Tables.load(s, sfDir, "customer")),
+      s"stream_segment_totals_${System.nanoTime()}",
+      OutputMode.Complete())
+      .orderBy("c_mktsegment")
   }
 
   /** q_e2's streaming twin, run to completion. Update mode re-emits a

@@ -56,6 +56,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stream-static enrichment join (AvailableNow) equals the batch join-aggregate") {
+    val streamed = EventStreams.segmentTotalsAvailableNow(spark, sf())
+    val batch = Tables.load(spark, sf(), "events")
+      .join(Tables.load(spark, sf(), "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("sessionizer state update is incremental: splitting a group across calls is equivalent") {
     // pure-function check of the update semantics the stream relies on:
     // folding events in two chunks == folding once (monotone counters)
