@@ -235,6 +235,128 @@ object SimilaritySearch {
     topKPerKey(scored, "query_id", k)
   }
 
+  /** Product-quantization codebooks: the embedding space split into `m`
+    * subspaces, each with its own `ksub`-codeword Lloyd (L2) k-means fit
+    * over the deterministic hash-ordered sample — a DRIVER-SIDE MODEL FIT
+    * like [[kmeansCentroids]], shipped to executors as plan literals.
+    * `codebooks(s)(c)` is codeword `c` of subspace `s` (length dim/m).
+    */
+  private[operators] def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      sampleSize: Int = 2048,
+      iters: Int = 5): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy("__h")
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m = $m")
+    val dsub = dim / m
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    (0 until m).toArray.map { s =>
+      val subs = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      var cents = subs.map(_.toSeq).distinct.take(ksub).map(_.toArray)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Int](cents.length)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+          while (c < cents.length) {
+            val d = l2(cents(c), v); if (d < bestD) { bestD = d; best = c }; c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      // exactly ksub codewords per subspace: the flat ADC lookup table is
+      // stride-indexed (s·ksub + c), so a short codebook (degenerate
+      // sample) pads with duplicates — identical scores, harmless argmax
+      if (cents.length < ksub) cents ++ Array.fill(ksub - cents.length)(cents.head.clone)
+      else cents
+    }
+  }
+
+  /** PQ-ADC approximate top-k with exact re-rank — the memory-bound scale
+    * path beside SRP-LSH and IVF: each corpus vector is encoded scan-side
+    * into `m` small codes (at 100 TB the candidate scan reads m bytes per
+    * vector instead of 4·dim — the standard billion-scale compression),
+    * each query precomputes its `m × ksub` dot-product lookup table ONCE
+    * in the query-side projection, and per (query, vector) candidate
+    * scoring is just `m` table lookups + adds (asymmetric distance). The
+    * top `rerank` ADC candidates per query are then re-ranked by exact
+    * cosine, so the output format and tie-break match the exact operators.
+    *
+    * @param rerank ADC candidates re-ranked exactly per query
+    *               (recall/latency dial; default 5k)
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 0,
+      kmeansIters: Int = 5): DataFrame = {
+    val nCand = if (rerank > 0) rerank else 5 * k
+    require(nCand >= k, "rerank must be at least k")
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters = kmeansIters)
+    val dsub = books(0)(0).length
+    def cwLit(s: Int, c: Int) = typedlit(books(s)(c).map(_.toFloat).toSeq)
+    // scan-side encoding: per subspace, argmin_c ||x_s − c||² found as
+    // argmax of (x_s · c − ||c||²/2) — the ||x_s||² term is constant in c
+    def codeFor(s: Int): org.apache.spark.sql.Column = {
+      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      val scored = array((0 until books(s).length).map { c =>
+        val bias = books(s)(c).map(x => x * x).sum / 2.0
+        struct((Vectors.dot(sub, cwLit(s, c)) - bias).as("s"), lit(c).as("code"))
+      }: _*)
+      array_max(scored).getField("code")
+    }
+    val encoded = graft.Tables.spread(corpus).select(
+      col(idCol).as("neighbor_id"),
+      array((0 until m).map(codeFor): _*).as("__codes"))
+    // per-query ADC lookup table: lut[s·ksub + c] = q_s · codeword(s, c)
+    val lut = array((0 until m).flatMap(s => books(s).indices.map(c =>
+      Vectors.dot(slice(col(vecCol), s * dsub + 1, dsub), cwLit(s, c)))): _*)
+    val q = queries.select(col(idCol).as("query_id"), lut.as("__lut"))
+    val adcScore = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        element_at(col("__lut"), s * ksub + element_at(col("__codes"), s + 1) + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val cand = topKPerKey(
+      encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), adcScore.as("cosine")),
+      "query_id", nCand)
+    // exact re-rank of the ADC candidates
+    val rescored = cand.select("query_id", "neighbor_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "neighbor_id")
+      .join(
+        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("__qv"), col("__cv")).as("cosine"))
+    topKPerKey(rescored, "query_id", k)
+  }
+
   /** Cell-population histogram of a fitted IVF index: `(cell, n_rows,
     * share)`, one row per NON-EMPTY Voronoi cell. The balance guard for
     * [[ivfTopK]]: probe cost is the population of the `nprobe` chosen

@@ -152,6 +152,26 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  // PQ-ADC approximate top-k (the memory-bound third scale path beside
+  // SRP-LSH and IVF: codes instead of floats on the candidate scan, LUT
+  // lookups instead of dot products per pair, exact re-rank on top),
+  // gated on in-Spark recall vs exact like q_v3/q_v5. Floor 0.3 is the
+  // sanity bound; measured min recall at (m=8, ksub=16, rerank=5k) is
+  // well above it across shipped scale factors.
+  private val qV9 = Q(
+    "q_v9_ann_pq_recall",
+    """SELECT vec_id AS query_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 8)
+    val exact = SimilaritySearch.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10)
+    val approx = SimilaritySearch.pqTopK(emb, qs, "vec_id", "embedding",
+      k = 10, m = 8, ksub = 16)
+    SimilaritySearch.recallAtK(exact, approx, 10)
+      .select(col("query_id"), (col("recall") >= 0.3).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   // PRODUCTION-geometry SRP gate: srpPairs at the DEFAULT (6, 24) band
   // geometry — the subquadratic pruning regime users run for near-dup
   // mining at threshold ≥ 0.8 — proven against planted high-cosine dups.
@@ -223,5 +243,5 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("label", "pos")
   }
 
-  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8)
+  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9)
 }

@@ -81,6 +81,29 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(rWide >= rNarrow)
   }
 
+  test("PQ-ADC topK achieves useful recall vs brute force; wider re-rank helps") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
+    val narrow = pairs(SimilaritySearch.pqTopK(emb, queries, "vec_id", "embedding", 10,
+      m = 8, ksub = 16, rerank = 20))
+    val wide = pairs(SimilaritySearch.pqTopK(emb, queries, "vec_id", "embedding", 10,
+      m = 8, ksub = 16, rerank = 100))
+    def recall(approx: Set[(Long, Long)]) = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall(narrow) >= 0.3, s"narrow re-rank recall ${recall(narrow)}")
+    assert(recall(wide) >= recall(narrow))
+    assert(recall(wide) >= 0.5, s"wide re-rank recall ${recall(wide)}")
+  }
+
+  test("PQ encoding is deterministic and total: every corpus row gets m codes in [0, ksub)") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val out = SimilaritySearch.pqTopK(emb, emb.filter($"vec_id" < 2), "vec_id", "embedding", 5)
+    assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) === 5))
+  }
+
   test("IVF cell histogram is balanced at sf0.1: no cell hoards the corpus") {
     // the balance guard the 100 TB story needs: a collapsed k-means fit
     // turns nprobe cells back into brute force. 16 cells → mean share
