@@ -8,19 +8,33 @@ import org.apache.spark.sql.SparkSession
   * columns being benchmarked). One JSON line on stdout for the driver.
   */
 object Bench {
+
+  /** End-to-end timing of one registered query through the noop sink
+    * (shared with [[Time]]).
+    */
+  def runOne(
+      spark: SparkSession,
+      sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** JIT/codegen warmup outside the measurement (first query in a fresh
+    * JVM otherwise pays ~5 s of compiler time that isn't the query's).
+    */
+  def warmup(spark: SparkSession, sfDir: String): Unit =
+    try { runOne(spark, sfDir, SparkEntry.queries("q1_agg")); () }
+    catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = GraftSession.local("graft-bench")
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      Bench.runOne(spark, sfDir, fn)
 
-    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    // JIT/codegen warmup outside the measurement (first query in a fresh
-    // JVM otherwise pays ~5 s of compiler time that isn't the query's)
-    try runOne(SparkEntry.queries("q1_agg")) catch { case _: Throwable => }
+    warmup(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try runOne(fn) catch {

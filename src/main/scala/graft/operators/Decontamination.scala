@@ -23,11 +23,11 @@ import graft.functions.TextAnalysis
   */
 object Decontamination {
 
-  /** Per-corpus-document overlap with the probe set: `(idCol…, n_hits,
-    * contaminated)` where `n_hits` counts the document's DISTINCT
-    * k-shingles that appear anywhere in `probes`, and `contaminated` is
-    * `n_hits > 0`. Every corpus row is kept (zero-hit docs flag false) —
-    * the caller filters or routes on the flag.
+  /** Per-corpus-document overlap with the probe set: every corpus column
+    * plus `n_hits` (the document's DISTINCT k-shingles appearing anywhere
+    * in `probes`) and `contaminated` = `n_hits > 0`. Every corpus row is
+    * kept (zero-hit docs flag false) — the caller routes on the flag
+    * without re-joining the corpus.
     */
   def flagOverlap(
       corpus: DataFrame,
@@ -36,21 +36,24 @@ object Decontamination {
       textCol: String,
       k: Int = 8): DataFrame = {
     require(k > 0, "shingle size must be positive")
-    // probes only need the text column; corpus needs (idCol, textCol)
+    // probes only need the text column; corpus needs (idCol, textCol).
+    // Per-doc shingle dedup happens SCAN-SIDE (array_distinct before the
+    // explode) — a DataFrame.distinct() here would shuffle every corpus
+    // shingle, which is exactly what this operator promises not to do.
     val probeShingles = graft.Tables.spread(probes)
-      .select(explode(TextAnalysis.tokenShingles(col(textCol), k)).as("__s"))
+      .select(explode(array_distinct(TextAnalysis.tokenShingles(col(textCol), k)))
+        .as("__s"))
       .distinct()
     val corpusShingles = graft.Tables.spread(corpus)
-      .select(col(idCol), explode(TextAnalysis.tokenShingles(col(textCol), k)).as("__s"))
-      .distinct()
+      .select(col(idCol),
+        explode(array_distinct(TextAnalysis.tokenShingles(col(textCol), k))).as("__s"))
     val hits = corpusShingles
       .join(probeShingles, "__s")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
     corpus
       .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contaminated", col("n_hits") > 0)
   }
 }

@@ -330,17 +330,25 @@ object SimilaritySearch {
       }: _*)
       array_max(scored).getField("code")
     }
+    // the vector's norm is captured at encode time (one float next to the
+    // m codes) so the ADC score below is a genuine cosine approximation —
+    // a raw inner-product sum would bias candidates toward large-norm
+    // vectors whenever the corpus is not unit-normalized
     val encoded = graft.Tables.spread(corpus).select(
       col(idCol).as("neighbor_id"),
-      array((0 until m).map(codeFor): _*).as("__codes"))
+      array((0 until m).map(codeFor): _*).as("__codes"),
+      Vectors.norm(col(vecCol)).as("__cn"))
     // per-query ADC lookup table: lut[s·ksub + c] = q_s · codeword(s, c)
     val lut = array((0 until m).flatMap(s => books(s).indices.map(c =>
       Vectors.dot(slice(col(vecCol), s * dsub + 1, dsub), cwLit(s, c)))): _*)
-    val q = queries.select(col(idCol).as("query_id"), lut.as("__lut"))
-    val adcScore = aggregate(
+    val q = queries.select(col(idCol).as("query_id"), lut.as("__lut"),
+      Vectors.norm(col(vecCol)).as("__qn"))
+    val adcDot = aggregate(
       transform(sequence(lit(0), lit(m - 1)), s =>
         element_at(col("__lut"), s * ksub + element_at(col("__codes"), s + 1) + 1)),
       lit(0.0), (acc, x) => acc + x)
+    val adcScore = when(col("__qn") * col("__cn") === 0, lit(0.0))
+      .otherwise(adcDot / (col("__qn") * col("__cn")))
     val cand = topKPerKey(
       encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), adcScore.as("cosine")),

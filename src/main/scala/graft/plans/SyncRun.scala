@@ -73,7 +73,11 @@ object SyncRun {
       graft.Tables.load(spark, sfDir, "customer"))
     val validated = SchemaValidation.validate(
       SchemaValidation.coerce(rawCustomer, customerCoercions), customerRules)
-    val (validCustomer, quarantine) = SchemaValidation.split(validated)
+    val (validCustomer, quarantine0) = SchemaValidation.split(validated)
+    // the quarantine frame is consumed three times (sink, count, delete
+    // withholding) — materialize the (small) slice once instead of
+    // re-scanning + re-validating the raw source per consumer
+    val quarantine = quarantine0.localCheckpoint(true)
     quarantineDir.foreach(d =>
       quarantine.withColumn("errors", org.apache.spark.sql.functions
         .concat_ws(",", col("errors")))
@@ -105,6 +109,9 @@ object SyncRun {
     val (del, delErr) =
       try (RestSink.delete(plan.deletes, "studentUniqueId", transport, tokens, entityPath), None)
       catch { case e: Exception => (RestSink.SinkReport(0, 0), Some(s"delete: ${e.getMessage}")) }
+
+    // every quarantine consumer has run — release the pinned blocks
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(quarantine)
 
     val finished = now()
     val report = FileSinks.RunReport(

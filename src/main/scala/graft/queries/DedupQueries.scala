@@ -296,6 +296,7 @@ object DedupQueries extends QueryGroup {
         docs.filter(col("doc_id") >= 5),
         docs.filter(col("doc_id") < 5),
         "doc_id", "text", k = 5)
+      .select("doc_id", "n_hits", "contaminated")
       .orderBy("doc_id")
   }
 

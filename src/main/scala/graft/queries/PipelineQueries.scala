@@ -177,6 +177,10 @@ object PipelineQueries extends QueryGroup {
     // unwrap both fields. Server state is segment-sized — driver-safe.
     val bodies = MemoryServer.store(serverName).values.asScala.toSeq
     MemoryServer.drop(serverName)
+    // the waves + checkpoint are customer-table-sized; re-runs would
+    // otherwise accumulate a copy per invocation in /tmp
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     bodies.toDF("body")
       .select(
         get_json_object(col("body"), "$.studentUniqueId").cast("long")

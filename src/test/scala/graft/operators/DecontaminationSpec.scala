@@ -21,6 +21,7 @@ class DecontaminationSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = Decontamination
       .flagOverlap(corpus, probes, "doc_id", "text", k = 4)
+      .select("doc_id", "n_hits", "contaminated")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(out(1L)._2 && out(1L)._1 >= 1)
     assert(out(2L) === ((0L, false)))
@@ -32,6 +33,7 @@ class DecontaminationSpec extends SparkSpec {
     val corpus = Seq((7L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val out = Decontamination
       .flagOverlap(corpus, probes, "doc_id", "text", k = 4)
+      .select("doc_id", "n_hits", "contaminated")
       .collect().head
     assert(out.getLong(1) === 6) // 9 tokens, k=4 → 6 distinct shingles
     assert(out.getBoolean(2))
@@ -42,6 +44,7 @@ class DecontaminationSpec extends SparkSpec {
     val corpus = Seq((1L, "alpha beta"), (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val out = Decontamination
       .flagOverlap(corpus, shortProbe, "doc_id", "text", k = 4)
+      .select("doc_id", "n_hits", "contaminated")
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(out(1L)) // whole-text shingle "alpha beta" matches
     assert(!out(2L)) // 5 tokens → real 4-shingles, none equal "alpha beta"
