@@ -137,8 +137,8 @@ object SimilarityQueries extends QueryGroup {
   // At this corpus's threshold regime (pairs at 0.45-0.51 over background
   // ~0.40) the geometry must be near-exhaustive for exact agreement:
   // bandBits = 2, numBands = 64 puts the per-pair miss at (1-0.648²)^64
-  // ≈ 7e-16. At production near-dup thresholds (≥ 0.8) the defaults
-  // (6, 24) prune hard; see SimilaritySearch.srpPairs scaladoc.
+  // ≈ 7e-16. The production (6, 24) pruning regime is gate-proven
+  // separately by q_v8 on planted high-cosine twins.
   private val qV6 = Q(
     "q_v6_srp_pairs",
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
