@@ -151,6 +151,60 @@ object Curation {
     df.join(broadcast(picked), col(keyCol) === col("__pick"), "left_semi")
   }
 
+  /** Deterministic weighted sample of exactly `k` rows (Efraimidis &
+    * Spirakis A-ES): each row draws `u = hashUnit(key, seed)` and scores
+    * `u^(1/w)`; the k largest scores win, so inclusion probability rises
+    * with weight while membership stays a pure function of
+    * (key, seed, weights) — retries and backfills pick the same rows.
+    * Same bounded-heap shape as [[sampleExactK]]: map-side O(log k) heap
+    * updates, ≤ k-entry partials, picked keys broadcast back as a semi
+    * join. Rows with null/non-positive weight or null key are never
+    * sampled (their score is null, which the heap excludes).
+    */
+  def weightedSampleK(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = col(weightCol).cast("double")
+    val score = when(w > 0.0, pow(hashUnit(col(keyCol), seed), lit(1.0) / w))
+    val scored = df.select(
+      lit(0).as("__g"),
+      score.as("cosine"),
+      col(keyCol).as("neighbor_id"))
+    val picked = SimilaritySearch.topKPerKey(scored, "__g", k)
+      .select(col("neighbor_id").as("__pick"))
+    df.join(broadcast(picked), col(keyCol) === col("__pick"), "left_semi")
+  }
+
+  /** Deterministic train/validation/test split assignment: adds `split`,
+    * the label of the cumulative-weight range `hashUnit(key, seed)` falls
+    * into. A pure scan-side expression — the canonical reproducible ML
+    * partitioning (a document's split never changes across runs, machines
+    * or engines; group-level splits fall out of keying by the group id).
+    * Weights are normalized; null keys get a null split (route them
+    * explicitly rather than silently training on them). Prefer weights
+    * that are exact binary fractions (0.75/0.125/0.125) when an external
+    * system must reproduce the boundaries bit-for-bit.
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      seed: String): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive split weights required")
+    val total = splits.map(_._2).sum
+    val upperBounds = splits.dropRight(1)
+      .scanLeft(0.0) { case (acc, (_, wt)) => acc + wt / total }.tail
+    val u = hashUnit(col(keyCol), seed)
+    val chain = upperBounds.zip(splits).foldRight(lit(splits.last._1)) {
+      case ((ub, (name, _)), els) => when(u < ub, name).otherwise(els)
+    }
+    df.withColumn("split", when(u.isNull, lit(null).cast("string")).otherwise(chain))
+  }
+
   /** Top-k rows per group by a score column — the curation form (keep the
     * k best documents per source) of the bounded-heap aggregate
     * [[graft.expressions.TopKScoreId]]: map-side O(log k) heap updates,

@@ -131,5 +131,44 @@ object CurationQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5)
+  // Weighted exact-k sampling (Efraimidis-Spirakis A-ES): 150 docs drawn
+  // with probability rising in n_chars, deterministically — the oracle
+  // replays u^(1/w) and the (score desc, id asc) tie-break verbatim.
+  private val qC6 = Q(
+    "q_c6_weighted_sample",
+    s"""WITH s AS (
+       |  SELECT doc_id, pow(${hashUnitSql("doc_id", "wsk")}, 1.0 / n_chars) AS score
+       |  FROM documents WHERE n_chars > 0),
+       |pick AS (SELECT doc_id FROM s ORDER BY score DESC, doc_id LIMIT 150)
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d JOIN pick USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    Curation.weightedSampleK(
+      Tables.load(s, dir, "documents"),
+      keyCol = "doc_id", weightCol = "n_chars", k = 150, seed = "wsk")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // Deterministic train/val/test split assignment. 0.75/0.125/0.125 are
+  // exact binary fractions, so the cumulative boundaries (0.75, 0.875)
+  // are bit-identical doubles in any engine — the oracle's CASE chain is
+  // the same comparison on the same hash.
+  private val qC7 = Q(
+    "q_c7_split_assign",
+    s"""SELECT doc_id,
+       |       CASE WHEN ${hashUnitSql("doc_id", "split")} < 0.75 THEN 'train'
+       |            WHEN ${hashUnitSql("doc_id", "split")} < 0.875 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.assignSplit(
+      Tables.load(s, dir, "documents"),
+      keyCol = "doc_id",
+      splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+      seed = "split")
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7)
 }

@@ -107,6 +107,34 @@ class CurationSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("weightedSampleK: deterministic, exactly k, and weight-monotone inclusion") {
+    val df = keys.withColumn("w", when(col("id") <= 1000, 1.0).otherwise(100.0))
+    val a = Curation.weightedSampleK(df, "id", "w", 200, "ws").collect().map(_.getLong(0)).toSet
+    val b = Curation.weightedSampleK(df, "id", "w", 200, "ws").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a.size === 200)
+    // heavy rows (w=100) should dominate the sample: P(pick|w=1) is tiny
+    val heavy = a.count(_ > 1000)
+    assert(heavy > 150, s"expected heavy-weight rows to dominate, got $heavy/200")
+    // null/non-positive weights are never sampled
+    val withBad = df.withColumn("w", when(col("id") === 5, -1.0).otherwise(col("w")))
+    val c = Curation.weightedSampleK(withBad, "id", "w", 2000, "ws").collect().map(_.getLong(0)).toSet
+    assert(!c.contains(5L) && c.size === 1999)
+  }
+
+  test("assignSplit: deterministic, complete, and proportional-ish") {
+    val out = Curation.assignSplit(keys, "id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "sp")
+    val counts = out.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1300 && counts("train") < 1700)
+    // same seed, same assignment; different seed reshuffles
+    val again = Curation.assignSplit(keys, "id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "sp")
+    assert(out.except(again).isEmpty)
+    val other = Curation.assignSplit(keys, "id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "sp2")
+    assert(out.except(other).count() > 0)
+  }
+
   test("topKPerGroup equals the window reference") {
     val rnd = new scala.util.Random(3)
     val df = (1L to 400L).map(i => (i, s"g${i % 7}", rnd.nextDouble() * 100))
