@@ -509,6 +509,36 @@ object RelationalQueries extends QueryGroup {
       .orderBy("event_type")
   }
 
+  // Approximate percentiles (Greenwald-Khanna sketch — the mergeable
+  // one-pass summary that replaces exact percentile's per-group value
+  // buffering at scale), gated as a within-tolerance invariant against
+  // the exact result computed in the same aggregate (the q_a5b pattern:
+  // exact values verbatim for the oracle, booleans for the sketch).
+  private val qA6b = Q(
+    "q_a6b_approx_percentiles",
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50_exact,
+      |       quantile_cont(value, 0.9) AS p90_exact,
+      |       true AS p50_ok, true AS p90_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    // tolerance: GK accuracy 1000 bounds rank error at n/1000; translate
+    // to a value-space bound via the exact p10-p99 spread (values are
+    // roughly uniform here; a rank-exact check would re-sort per group)
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.9)").as("p90_exact"),
+        expr("approx_percentile(value, 0.5, 1000)").as("__a50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("__a90"),
+        expr("percentile(value, 0.99) - percentile(value, 0.1)").as("__spread"))
+      .select(
+        col("event_type"), col("p50_exact"), col("p90_exact"),
+        (abs(col("__a50") - col("p50_exact")) <= col("__spread") * 0.05).as("p50_ok"),
+        (abs(col("__a90") - col("p90_exact")) <= col("__spread") * 0.05).as("p90_ok"))
+      .orderBy("event_type")
+  }
+
   // Pivot: per-user event counts spread into one column per type (explicit
   // value list — no driver-side distinct scan). Absent combos emitted as 0
   // on both sides.
@@ -761,6 +791,6 @@ object RelationalQueries extends QueryGroup {
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
-    qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qPivot, qRange, qJ9,
+    qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7)
 }

@@ -73,5 +73,33 @@ object StreamingQueries extends QueryGroup {
     EventStreams.segmentTotalsAvailableNow(s, dir)
   }
 
-  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4, qSt5)
+  // Streaming corpus-ingest filter: quality/repetition rules scan-side
+  // per micro-batch + cross-batch exact content dedup (no-op on this
+  // corpus — q_d1 proves zero exact dups — so the oracle is the pure
+  // filter; the state machinery still runs). Oracle replays the token
+  // arithmetic verbatim.
+  private val qSt6 = Q(
+    "q_st6_stream_corpus_filter",
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         CASE WHEN len(tk) = 0 THEN CAST(0.0 AS DOUBLE)
+      |              ELSE CAST(list_max(list_transform(list_distinct(tk),
+      |                     t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE) / len(tk) END AS tts,
+      |         CASE WHEN len(tk) < 2 THEN CAST(0.0 AS DOUBLE)
+      |              ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+      |                     i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE)
+      |                   / (len(tk) - 1) END AS dbf
+      |  FROM t)
+      |SELECT doc_id, lang, n_chars FROM m
+      |WHERE n_chars >= 50 AND tts < 0.3 AND dbf < 0.2
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.streaming.CorpusStream.filteredAvailableNow(s, dir)
+  }
+
+  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6)
 }

@@ -70,6 +70,16 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming corpus filter (AvailableNow) equals the batch quality filter") {
+    val streamed = CorpusStream.filteredAvailableNow(spark, sf())
+    val batch = CorpusStream
+      .qualityFilter(Tables.load(spark, sf(), "documents"))
+      .select("doc_id", "lang", "n_chars")
+    assert(streamed.count() > 0)
+    assert(streamed.count() < Tables.load(spark, sf(), "documents").count()) // rules bite
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("sessionizer state update is incremental: splitting a group across calls is equivalent") {
     // pure-function check of the update semantics the stream relies on:
     // folding events in two chunks == folding once (monotone counters)
