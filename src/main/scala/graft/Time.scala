@@ -8,13 +8,21 @@ import org.apache.spark.sql.SparkSession
   * [[Bench.runOne]]) and prints per-rep seconds. A warm-up runs first so
   * rep 1 isn't paying fresh-JVM codegen costs that [[Bench]] also
   * excludes. Unknown query names fail fast with the available set.
+  *
+  * Only the LAST argument is eligible to be the rep count (and only when
+  * it is a non-empty all-digit token) — an all-digit token anywhere else
+  * is treated as a query name and fails fast, rather than being silently
+  * dropped.
   */
 object Time {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rest = args.drop(1)
-    val reps = rest.lastOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
-    val names0 = rest.filterNot(_.forall(_.isDigit)).toSeq
+    val (names0, reps) = rest.lastOption match {
+      case Some(last) if last.nonEmpty && last.forall(_.isDigit) =>
+        (rest.dropRight(1).toSeq, last.toInt)
+      case _ => (rest.toSeq, 3)
+    }
     val names = if (names0.nonEmpty) names0 else Seq("q1_agg")
     names.filterNot(SparkEntry.queries.contains) match {
       case Seq() => ()

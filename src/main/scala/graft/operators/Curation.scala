@@ -160,6 +160,12 @@ object Curation {
     * updates, ≤ k-entry partials, picked keys broadcast back as a semi
     * join. Rows with null/non-positive weight or null key are never
     * sampled (their score is null, which the heap excludes).
+    *
+    * PRECONDITION: `keyCol` values must be unique. The final left-semi
+    * join keeps EVERY row sharing a picked key, and duplicate keys share
+    * one hash draw — with duplicates the "exactly k rows" contract breaks
+    * (more than k rows return) and the weighting is distorted. Dedup on
+    * the key first if it can repeat.
     */
   def weightedSampleK(
       df: DataFrame,

@@ -14,9 +14,15 @@ import graft.functions.TextAnalysis
   * suites are thousands of documents — tiny next to the corpus), the
   * corpus side is shingled scan-side, and contamination is one shingle
   * equi-join + per-doc count. With a small probe set AQE broadcasts the
-  * probe shingles, so the corpus is never shuffled at all — the flag rides
-  * the ingest scan like the quality filters. No pair enumeration, no
-  * O(corpus²) anything: cost is corpus shingles × hash probe.
+  * probe shingles, so the PROBE EQUI-JOIN never shuffles the corpus — the
+  * match rides the ingest scan like the quality filters. Downstream of
+  * that join, corpus-DERIVED rows can still shuffle: the hit-shingle
+  * `groupBy(idCol)` shuffles one row per (matched doc, matched shingle),
+  * and the final corpus left join shuffles both sides when the hit set
+  * exceeds the broadcast threshold (a heavily contaminated corpus). In
+  * the intended regime — contamination is rare — both frames are tiny.
+  * No pair enumeration, no O(corpus²) anything: cost is corpus shingles
+  * × hash probe.
   *
   * Reference scope ends at row-identity sync (SURVEY.md §2); this is part
   * of the beyond-reference training-data surface.

@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The skewed side with its `__salt` column attached — the exact frame
+    * [[saltedInnerJoin]] builds, exposed so gate queries and specs can
+    * assert the spread property (a hot key's rows landing on many distinct
+    * salts) against the same salt derivation the join uses.
+    */
+  def saltLeft(left: DataFrame, saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    left.withColumn(
+      "__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*), monotonically_increasing_id()),
+        lit(saltFactor)).cast("int"))
+  }
+
   /** Inner equi-join `left ⋈ right` on `leftKey == rightKey`, with `left`
     * the skewed side. Deterministic salt (no rand() — retries and replays
     * stay stable): hash of the whole left row MIXED WITH the row's position
@@ -28,11 +41,7 @@ object Skew {
       leftKey: String,
       rightKey: String,
       saltFactor: Int): DataFrame = {
-    require(saltFactor > 0)
-    val saltedLeft = left.withColumn(
-      "__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*), monotonically_increasing_id()),
-        lit(saltFactor)).cast("int"))
+    val saltedLeft = saltLeft(left, saltFactor)
     val replicatedRight = right.withColumn(
       "__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

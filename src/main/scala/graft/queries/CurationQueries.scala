@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -134,6 +135,17 @@ object CurationQueries extends QueryGroup {
   // Weighted exact-k sampling (Efraimidis-Spirakis A-ES): 150 docs drawn
   // with probability rising in n_chars, deterministically — the oracle
   // replays u^(1/w) and the (score desc, id asc) tie-break verbatim.
+  //
+  // pow() is not correctly rounded in either JVM libm or DuckDB's, so this
+  // gate would be fragile if the rank-150 selection boundary sat within a
+  // few ulps: a 1-ulp divergence between engines could flip membership.
+  // The query therefore asserts IN-PLAN that the 150th and 151st scores
+  // differ by more than 1e-12 — orders of magnitude above any libm
+  // divergence (~1e-16 relative on (0,1) scores) and far below genuine
+  // adjacent-rank gaps. If a reseed/data change ever lands the boundary
+  // inside the margin, the query fails loudly instead of the oracle
+  // silently flipping on another platform. The assertion lives in a
+  // Filter (not a pruned-away projection) over a broadcast one-row frame.
   private val qC6 = Q(
     "q_c6_weighted_sample",
     s"""WITH s AS (
@@ -143,10 +155,27 @@ object CurationQueries extends QueryGroup {
        |SELECT d.doc_id, d.lang, d.n_chars
        |FROM documents d JOIN pick USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-    Curation.weightedSampleK(
-      Tables.load(s, dir, "documents"),
-      keyCol = "doc_id", weightCol = "n_chars", k = 150, seed = "wsk")
+    val docs = Tables.load(s, dir, "documents")
+    val picked = Curation.weightedSampleK(
+      docs, keyCol = "doc_id", weightCol = "n_chars", k = 150, seed = "wsk")
       .select("doc_id", "lang", "n_chars")
+    val score = pow(
+      Curation.hashUnit(col("doc_id"), "wsk"),
+      lit(1.0) / col("n_chars").cast("double"))
+    val boundary = docs
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), score.as("__score"))
+      .orderBy(col("__score").desc, col("doc_id"))
+      .limit(151)
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("__score").desc, col("doc_id"))))
+      .filter(col("__rn") >= 150)                     // rows ranked 150 and 151
+      .agg((max("__score") - min("__score")).as("__margin"))
+    picked
+      .crossJoin(broadcast(boundary))
+      .filter(assert_true(col("__margin") > 1e-12,
+        lit("q_c6: rank-150 boundary within libm pow() divergence — reseed")).isNull)
+      .drop("__margin")
       .orderBy("doc_id")
   }
 

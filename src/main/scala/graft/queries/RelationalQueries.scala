@@ -769,6 +769,49 @@ object RelationalQueries extends QueryGroup {
       .orderBy("l_orderkey")
   }
 
+  // Salted skew join under an oracle gate: ~75% of lineitem lands on one
+  // derived key (the power-law shape the reference's N+1→join rewrite
+  // meets on studentUniqueId-scale data, SisConnectorService.java:147-158)
+  // and still joins correctly through Skew.saltedInnerJoin — the oracle is
+  // the PLAIN join, so salting is proven invisible to results. The query
+  // also asserts the spread property in-plan: the hot key's rows must land
+  // on at least half of the 16 salts (assert_true in a filter — can't be
+  // pruned), making the no-single-hot-partition claim gate-visible rather
+  // than spec-only.
+  private val qJ11 = Q(
+    "q_j11_skew_salted_join",
+    """WITH l AS (
+      |  SELECT CASE WHEN l_orderkey % 4 < 3 THEN 0
+      |              ELSE l_orderkey % 25 END AS k,
+      |         l_quantity
+      |  FROM lineitem)
+      |SELECT n.n_name,
+      |       CAST(count(*) AS INT) AS n_rows,
+      |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM l JOIN nation n ON l.k = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+    val saltFactor = 16
+    val skewKey = when(pmod(col("l_orderkey"), lit(4)) < 3, lit(0))
+      .otherwise(pmod(col("l_orderkey"), lit(25))).cast("int")
+    val left = t(s, dir, "lineitem").select(skewKey.as("k"), col("l_quantity"))
+    val right = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val agg = graft.operators.Skew
+      .saltedInnerJoin(left, right, "k", "n_nationkey", saltFactor)
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).cast("int").as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    val hotSpread = graft.operators.Skew.saltLeft(left, saltFactor)
+      .filter(col("k") === 0)
+      .agg(countDistinct(col("__salt")).as("__n_salts"))
+    agg
+      .crossJoin(broadcast(hotSpread))
+      .filter(assert_true(col("__n_salts") >= saltFactor / 2,
+        lit("q_j11: hot key did not spread across salts")).isNull)
+      .drop("__n_salts")
+      .orderBy("n_name")
+  }
+
   // Fixed-width histogram (20 × 25k buckets over order totals, top bucket
   // open): pure scan-side bucket arithmetic + one hash aggregate —
   // the shape profiling jobs use to sketch a 100 TB column in one pass.
@@ -792,5 +835,5 @@ object RelationalQueries extends QueryGroup {
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
-    qCube, qSessionWindow, qScd2, qJ10, qA7)
+    qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11)
 }
