@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Persistence + reuse for fitted ANN index structures (IVF, PQ): at
+  * 100 TB the index must OUTLIVE the job. Fit once, assign/encode the
+  * corpus once, persist both, then serve every subsequent query job from
+  * the artifact — no driver re-fit, no re-scan of raw vectors for
+  * candidate generation.
+  *
+  * On-disk layout under an index root `path`:
+  * {{{
+  *   path/centroids/    IVF: numCentroids rows (cell int, centroid array<float>)
+  *   path/assignments/  IVF: every corpus row + its cell, PARTITIONED BY cell
+  *   path/codebooks/    PQ:  m·ksub rows (subspace, code, codeword array<double>)
+  *   path/codes/        PQ:  corpus encoded once (neighbor_id, __codes, __cn)
+  * }}}
+  *
+  * Scale shape: the model side (centroids/codebooks) is a bounded
+  * artifact — numCentroids or m·ksub rows regardless of corpus size — so
+  * reloading it is a tiny driver read (the same class of bounded collect
+  * as the fit's sample). The data side is executor-parallel parquet. IVF
+  * assignments are `partitionBy(cell)`, so a probe of `nprobe` cells
+  * prunes to those cells' files at the scan: the broadcast equi-join on
+  * the `cell` partition column gives Spark dynamic partition pruning,
+  * and a 1000-executor query job reads nprobe/numCentroids of the index
+  * instead of the whole corpus. PQ codes are the compressed scan (m bytes
+  * + a norm per vector instead of 4·dim), paid once at build time rather
+  * than per query job.
+  *
+  * Determinism contract (spec-gated): querying a persisted index returns
+  * BIT-IDENTICAL results to the fresh-fit operators — centroids round-trip
+  * as float arrays, codebooks as double arrays, and the reload paths feed
+  * them through the exact expressions ([[SimilaritySearch.bestCellsOf]],
+  * [[SimilaritySearch.pqAdcRerank]]) the fresh fit uses.
+  *
+  * Reference scope ends at full-snapshot sync (SURVEY.md §2); index
+  * persistence is part of the beyond-reference LLM-pipeline surface.
+  */
+object AnnIndex {
+
+  private def centroidsPath(path: String) = s"$path/centroids"
+  private def assignmentsPath(path: String) = s"$path/assignments"
+  private def codebooksPath(path: String) = s"$path/codebooks"
+  private def codesPath(path: String) = s"$path/codes"
+
+  /** Fit an IVF index over `corpus` and persist it: the centroid table
+    * (tiny) plus every corpus row tagged with its nearest-centroid cell,
+    * written partitioned by cell for probe-time pruning.
+    */
+  def writeIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numCentroids: Int = 16,
+      kmeansIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = SimilaritySearch.kmeansCentroids(
+      corpus, idCol, vecCol, numCentroids, iters = kmeansIters)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1) // numCentroids rows — one tiny file
+      .write.mode("overwrite").parquet(centroidsPath(path))
+    val cLits = centroids.map(c => typedlit(c))
+    graft.Tables.spread(corpus)
+      .withColumn("cell",
+        element_at(SimilaritySearch.bestCellsOf(cLits)(col(vecCol), 1), 1)
+          .getField("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(assignmentsPath(path))
+  }
+
+  /** The persisted centroid set, cell-ordered — a bounded model-artifact
+    * read (numCentroids rows), NOT a corpus collect.
+    */
+  def loadIvfCentroids(spark: SparkSession, path: String): Array[Seq[Float]] =
+    spark.read.parquet(centroidsPath(path))
+      .select("cell", "centroid")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .sortBy(_._1)
+      .map(_._2)
+
+  /** Approximate top-k served ENTIRELY from a persisted IVF index — note
+    * the signature: no corpus frame and no fit parameters, so a re-fit is
+    * structurally impossible. Queries assign to their `nprobe` best cells
+    * via the reloaded centroid literals (scan-side arithmetic), then the
+    * broadcast equi-join on the `cell` partition column lets the
+    * assignments scan prune to the probed cells' files.
+    */
+  def ivfTopKPersisted(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cLits = loadIvfCentroids(spark, path).map(c => typedlit(c))
+    require(nprobe <= cLits.length, "nprobe exceeds persisted centroid count")
+    val assignments = spark.read.parquet(assignmentsPath(path))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      explode(transform(
+        SimilaritySearch.bestCellsOf(cLits)(col(vecCol), nprobe),
+        e => e.getField("cell"))).as("cell"))
+    val scored = assignments
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cosine", Vectors.cosine(col("__qv"), col(vecCol)))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"))
+    SimilaritySearch.topKPerKey(scored, "query_id", k)
+  }
+
+  /** Fit PQ codebooks over `corpus`, encode the corpus ONCE, persist both.
+    * Codewords are stored as doubles (the fit's exact values) so the
+    * reloaded lookup tables are bit-identical to fresh-fit ones.
+    */
+  def writePq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      kmeansIters: Int = 5): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = SimilaritySearch.pqCodebooks(
+      corpus, idCol, vecCol, m, ksub, iters = kmeansIters)
+    (for {
+      s <- books.indices
+      c <- books(s).indices
+    } yield (s, c, books(s)(c).toSeq))
+      .toDF("subspace", "code", "codeword")
+      .coalesce(1) // m·ksub rows — one tiny file
+      .write.mode("overwrite").parquet(codebooksPath(path))
+    SimilaritySearch.pqEncode(corpus, idCol, vecCol, books)
+      .write.mode("overwrite").parquet(codesPath(path))
+  }
+
+  /** The persisted codebooks, (subspace, code)-ordered — a bounded
+    * model-artifact read (m·ksub rows).
+    */
+  def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(codebooksPath(path))
+      .select("subspace", "code", "codeword")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
+  /** PQ-ADC top-k over a persisted index: candidates come from the
+    * PERSISTED codes (the corpus is never re-encoded — at 100 TB that is
+    * the point), the reloaded codebooks build the per-query lookup
+    * tables, and only the top-nCand candidates per query touch `corpus`
+    * for the exact re-rank.
+    */
+  def pqTopKPersisted(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int = 0): DataFrame = {
+    val nCand = if (rerank > 0) rerank else 5 * k
+    require(nCand >= k, "rerank must be at least k")
+    val books = loadPqCodebooks(spark, path)
+    val encoded = spark.read.parquet(codesPath(path))
+    SimilaritySearch.pqAdcRerank(
+      encoded, corpus, queries, idCol, vecCol, k, books, nCand)
+  }
+}

@@ -192,9 +192,11 @@ object SimilaritySearch {
     * @param nprobe cells probed per query — recall/latency dial
     */
   /** Scan-side nearest-centroid assignment over plan-literal centroids:
-    * the `n` best cells for vector `v`, best first.
+    * the `n` best cells for vector `v`, best first. Shared with
+    * [[AnnIndex]] so the persisted index assigns cells with the exact
+    * expression the in-memory fit uses.
     */
-  private def bestCellsOf(
+  private[operators] def bestCellsOf(
       cLits: Array[org.apache.spark.sql.Column])(
       v: org.apache.spark.sql.Column,
       n: Int): org.apache.spark.sql.Column = {
@@ -305,23 +307,24 @@ object SimilaritySearch {
     * @param rerank ADC candidates re-ranked exactly per query
     *               (recall/latency dial; default 5k)
     */
-  def pqTopK(
+  /** Scan-side PQ encoding of the corpus against fitted codebooks:
+    * `(neighbor_id, __codes array<int>, __cn norm)` — per subspace,
+    * argmin_c ||x_s − c||² found as argmax of (x_s · c − ||c||²/2), the
+    * ||x_s||² term being constant in c. The vector's norm is captured at
+    * encode time (one float next to the m codes) so ADC scoring is a
+    * genuine cosine approximation — a raw inner-product sum would bias
+    * candidates toward large-norm vectors whenever the corpus is not
+    * unit-normalized. Shared with [[AnnIndex]]: a persisted index encodes
+    * ONCE here and serves every later job from the codes.
+    */
+  private[operators] def pqEncode(
       corpus: DataFrame,
-      queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      m: Int = 8,
-      ksub: Int = 16,
-      rerank: Int = 0,
-      kmeansIters: Int = 5): DataFrame = {
-    val nCand = if (rerank > 0) rerank else 5 * k
-    require(nCand >= k, "rerank must be at least k")
-    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters = kmeansIters)
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
     val dsub = books(0)(0).length
     def cwLit(s: Int, c: Int) = typedlit(books(s)(c).map(_.toFloat).toSeq)
-    // scan-side encoding: per subspace, argmin_c ||x_s − c||² found as
-    // argmax of (x_s · c − ||c||²/2) — the ||x_s||² term is constant in c
     def codeFor(s: Int): org.apache.spark.sql.Column = {
       val sub = slice(col(vecCol), s * dsub + 1, dsub)
       val scored = array((0 until books(s).length).map { c =>
@@ -330,14 +333,33 @@ object SimilaritySearch {
       }: _*)
       array_max(scored).getField("code")
     }
-    // the vector's norm is captured at encode time (one float next to the
-    // m codes) so the ADC score below is a genuine cosine approximation —
-    // a raw inner-product sum would bias candidates toward large-norm
-    // vectors whenever the corpus is not unit-normalized
-    val encoded = graft.Tables.spread(corpus).select(
+    graft.Tables.spread(corpus).select(
       col(idCol).as("neighbor_id"),
       array((0 until m).map(codeFor): _*).as("__codes"),
       Vectors.norm(col(vecCol)).as("__cn"))
+  }
+
+  /** ADC candidate generation + exact re-rank over an already-encoded
+    * corpus: each query precomputes its `m × ksub` dot-product lookup
+    * table ONCE in the query-side projection, per (query, vector) scoring
+    * is `m` table lookups + adds, and the top `nCand` ADC candidates are
+    * re-ranked by exact cosine against `corpus` (only nCand rows per query
+    * are ever joined back to raw vectors). Shared by [[pqTopK]] (fresh
+    * fit) and [[AnnIndex.pqTopKPersisted]] (reloaded fit).
+    */
+  private[operators] def pqAdcRerank(
+      encoded: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      books: Array[Array[Array[Double]]],
+      nCand: Int): DataFrame = {
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    def cwLit(s: Int, c: Int) = typedlit(books(s)(c).map(_.toFloat).toSeq)
     // per-query ADC lookup table: lut[s·ksub + c] = q_s · codeword(s, c)
     val lut = array((0 until m).flatMap(s => books(s).indices.map(c =>
       Vectors.dot(slice(col(vecCol), s * dsub + 1, dsub), cwLit(s, c)))): _*)
@@ -363,6 +385,24 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"),
         Vectors.cosine(col("__qv"), col("__cv")).as("cosine"))
     topKPerKey(rescored, "query_id", k)
+  }
+
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 0,
+      kmeansIters: Int = 5): DataFrame = {
+    val nCand = if (rerank > 0) rerank else 5 * k
+    require(nCand >= k, "rerank must be at least k")
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters = kmeansIters)
+    pqAdcRerank(
+      pqEncode(corpus, idCol, vecCol, books),
+      corpus, queries, idCol, vecCol, k, books, nCand)
   }
 
   /** Cell-population histogram of a fitted IVF index: `(cell, n_rows,

@@ -243,5 +243,39 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("label", "pos")
   }
 
-  override val all: Seq[Q] = Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9)
+  // Persisted-index ANN: the IVF index is fit and WRITTEN to a scratch
+  // path (centroids table + cell-partitioned assignments), reloaded, and
+  // queried with no corpus frame and no fit parameters in scope — a
+  // driver re-fit is structurally impossible on the reload path. The
+  // query asserts IN-PLAN that the persisted index returns row-identical
+  // results to the fresh fit (exceptAll both ways must be empty), then
+  // emits the q_v5-style recall gate vs exact, so a stale/corrupt index
+  // read fails loudly rather than degrading silently.
+  private val qV10 = Q(
+    "q_v10_ann_ivf_persisted",
+    """SELECT vec_id AS query_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 8)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_ann_ivf_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.operators.AnnIndex.writeIvf(
+      emb, "vec_id", "embedding", idx, numCentroids = 16, kmeansIters = 3)
+    val persisted = graft.operators.AnnIndex.ivfTopKPersisted(
+      s, idx, qs, "vec_id", "embedding", k = 10, nprobe = 8)
+    val fresh = SimilaritySearch.ivfTopK(emb, qs, "vec_id", "embedding",
+      k = 10, numCentroids = 16, nprobe = 8, kmeansIters = 3)
+    val exact = SimilaritySearch.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10)
+    val nDiff = persisted.exceptAll(fresh).union(fresh.exceptAll(persisted))
+      .agg(count(lit(1)).as("__n_diff"))
+    SimilaritySearch.recallAtK(exact, persisted, 10)
+      .select(col("query_id"), (col("recall") >= 0.3).as("recall_ok"))
+      .crossJoin(broadcast(nDiff))
+      .filter(assert_true(col("__n_diff") === 0,
+        lit("q_v10: persisted IVF results diverge from the fresh fit")).isNull)
+      .drop("__n_diff")
+      .orderBy("query_id")
+  }
+
+  override val all: Seq[Q] =
+    Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10)
 }

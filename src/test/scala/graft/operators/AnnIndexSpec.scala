@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class AnnIndexSpec extends SparkSpec {
+
+  lazy val emb = Tables.load(spark, sf(), "embeddings").cache()
+  lazy val tmp = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+
+  test("persisted IVF index serves bit-identical results with no re-fit") {
+    AnnIndex.writeIvf(emb, "vec_id", "embedding", s"$tmp/ivf",
+      numCentroids = 8, kmeansIters = 3)
+    val qs = emb.filter(col("vec_id") < 6)
+    val fresh = SimilaritySearch.ivfTopK(emb, qs, "vec_id", "embedding",
+      k = 8, numCentroids = 8, nprobe = 4, kmeansIters = 3)
+    // reload path takes (spark, path, queries) only — no corpus frame, no
+    // fit parameters: a driver re-fit is structurally impossible here
+    val persisted = AnnIndex.ivfTopKPersisted(
+      spark, s"$tmp/ivf", qs, "vec_id", "embedding", k = 8, nprobe = 4)
+    assert(persisted.exceptAll(fresh).isEmpty, "persisted ⊆ fresh")
+    assert(fresh.exceptAll(persisted).isEmpty, "fresh ⊆ persisted")
+  }
+
+  test("IVF assignments are cell-partitioned on disk (probe-time pruning)") {
+    AnnIndex.writeIvf(emb, "vec_id", "embedding", s"$tmp/ivf2",
+      numCentroids = 8, kmeansIters = 3)
+    val dirs = new java.io.File(s"$tmp/ivf2/assignments")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")),
+      s"expected cell= partition dirs, got ${dirs.toSeq}")
+    // the model artifact is bounded: exactly numCentroids rows reload
+    assert(AnnIndex.loadIvfCentroids(spark, s"$tmp/ivf2").length === 8)
+  }
+
+  test("persisted PQ index matches the fresh fit without re-encoding") {
+    AnnIndex.writePq(emb, "vec_id", "embedding", s"$tmp/pq", m = 8, ksub = 16)
+    val qs = emb.filter(col("vec_id") < 6)
+    val fresh = SimilaritySearch.pqTopK(emb, qs, "vec_id", "embedding",
+      k = 8, m = 8, ksub = 16)
+    // corpus is passed ONLY for the exact re-rank of top candidates;
+    // ADC candidate generation runs over the persisted codes
+    val persisted = AnnIndex.pqTopKPersisted(
+      spark, s"$tmp/pq", emb, qs, "vec_id", "embedding", k = 8)
+    assert(persisted.exceptAll(fresh).isEmpty, "persisted ⊆ fresh")
+    assert(fresh.exceptAll(persisted).isEmpty, "fresh ⊆ persisted")
+    // codebooks round-trip exactly: m × ksub codewords
+    val books = AnnIndex.loadPqCodebooks(spark, s"$tmp/pq")
+    assert(books.length === 8 && books.forall(_.length === 16))
+  }
+}
