@@ -101,5 +101,22 @@ object StreamingQueries extends QueryGroup {
     graft.streaming.CorpusStream.filteredAvailableNow(s, dir)
   }
 
-  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6)
+  // q_st6's WATERMARK-BOUNDED-state twin (dropDuplicatesWithinWatermark):
+  // state holds only content hashes younger than the watermark — the
+  // variant an infinite landing zone must run. A deterministic synthetic
+  // ingest timestamp spreads docs over one hour inside a two-hour
+  // horizon, so the output — and therefore the oracle — is exactly
+  // q_st6's; what changes is the state contract the plan runs under.
+  private val qSt7 = Q(
+    "q_st7_stream_bounded_dedup",
+    qSt6.oracle.get) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    graft.streaming.CorpusStream.filteredBoundedStateAvailableNow(
+      s, dir,
+      ingestTs = timestamp_micros(
+        lit(1700000000000000L) + col("doc_id") % 3600 * 1000000L),
+      horizon = "2 hours")
+  }
+
+  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7)
 }

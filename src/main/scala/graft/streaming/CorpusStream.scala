@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -13,12 +13,26 @@ import graft.functions.TextAnalysis
   * form of the batch curation pass, for pipelines that ingest crawl
   * drops incrementally instead of re-scanning the corpus per run.
   *
-  * The filters are pure per-row expressions (zero state); the dedup
-  * holds one entry per distinct content hash — bounded by the corpus's
-  * distinct-content count, the right trade for an ingest feed where a
-  * re-delivered file must not re-emit its documents. (A time-bounded
-  * variant would watermark an ingest timestamp; the synthetic corpus has
-  * none.)
+  * The filters are pure per-row expressions (zero state). For the dedup,
+  * two state-bound contracts are offered — pick by what "duplicate"
+  * means for the feed:
+  *
+  *  - [[filteredAvailableNow]] (`dropDuplicates`): corpus-LIFETIME
+  *    identity. State holds one entry per distinct content hash forever;
+  *    the bound is the corpus's distinct-content count (one 16-byte md5 +
+  *    store overhead per distinct document — ~tens of GB per billion
+  *    distinct docs, spread over the state-store partitions). Right when
+  *    the corpus is finite (a crawl snapshot landing incrementally);
+  *    NOT safe over an infinite feed, where distinct content grows
+  *    without bound.
+  *  - [[filteredBoundedStateAvailableNow]]
+  *    (`dropDuplicatesWithinWatermark`): redelivery suppression within a
+  *    `horizon`. State holds only hashes younger than the watermark, so
+  *    state size is bounded by arrival rate × horizon REGARDLESS of feed
+  *    lifetime — the variant an infinite landing zone must run. The
+  *    trade: a duplicate arriving later than `horizon` after the
+  *    original re-emits (retries/re-deliveries cluster in time, so that
+  *    is the contract they need).
   */
 object CorpusStream {
 
@@ -52,6 +66,37 @@ object CorpusStream {
         .dropDuplicates("__h")
         .select("doc_id", "lang", "n_chars"),
       s"stream_corpus_filter_${System.nanoTime()}",
+      OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
+  /** Filter + content-dedup with WATERMARK-BOUNDED state, run to
+    * completion: duplicates are suppressed only within `horizon` of the
+    * first delivery (`dropDuplicatesWithinWatermark`), so the state store
+    * retains only content hashes younger than the watermark and its size
+    * is bounded by arrival rate × horizon — safe over an infinite landing
+    * zone (see the object scaladoc for the contract trade-off).
+    *
+    * `ingestTs` supplies the event-time column the watermark advances on
+    * (a real feed has a landing timestamp; the synthetic corpus derives a
+    * deterministic one in the spec).
+    */
+  def filteredBoundedStateAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      ingestTs: Column,
+      horizon: String = "1 hour",
+      statePartitions: Int = EventStreams.defaultStatePartitions): DataFrame = {
+    val s = EventStreams.streamSession(spark, statePartitions)
+    EventStreams.runToTable(
+      s,
+      qualityFilter(readDocumentStream(s, sfDir))
+        .withColumn("__ingest_ts", ingestTs)
+        .withWatermark("__ingest_ts", horizon)
+        .withColumn("__h", md5(col("text")))
+        .dropDuplicatesWithinWatermark("__h")
+        .select("doc_id", "lang", "n_chars"),
+      s"stream_corpus_filter_bounded_${System.nanoTime()}",
       OutputMode.Append())
       .orderBy("doc_id")
   }

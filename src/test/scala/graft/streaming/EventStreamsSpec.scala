@@ -80,6 +80,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("bounded-state corpus dedup equals the unbounded variant within the horizon") {
+    // deterministic synthetic ingest time (the synthetic corpus ships no
+    // landing timestamp): all docs land within one hour, so within-horizon
+    // dedup must agree exactly with corpus-lifetime dedup — while holding
+    // only watermark-young hashes in state (the contract that makes an
+    // infinite landing zone safe to run).
+    val ingestTs = timestamp_micros(lit(1700000000000000L) + col("doc_id") % 3600 * 1000000L)
+    val bounded = CorpusStream.filteredBoundedStateAvailableNow(
+      spark, sf(), ingestTs, horizon = "2 hours")
+    val unbounded = CorpusStream.filteredAvailableNow(spark, sf())
+    assert(bounded.count() > 0)
+    assert(bounded.except(unbounded).isEmpty && unbounded.except(bounded).isEmpty)
+  }
+
   test("sessionizer state update is incremental: splitting a group across calls is equivalent") {
     // pure-function check of the update semantics the stream relies on:
     // folding events in two chunks == folding once (monotone counters)
