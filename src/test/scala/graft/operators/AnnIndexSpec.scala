@@ -34,6 +34,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.loadIvfCentroids(spark, s"$tmp/ivf2").length === 8)
   }
 
+  test("persisted IVF probe is dynamically partition-pruned to the probed cells") {
+    AnnIndex.writeIvf(emb, "vec_id", "embedding", s"$tmp/ivf3",
+      numCentroids = 8, kmeansIters = 3)
+    val qs = emb.filter(col("vec_id") < 4)
+    val res = AnnIndex.ivfTopKPersisted(
+      spark, s"$tmp/ivf3", qs, "vec_id", "embedding", k = 5, nprobe = 2)
+    // the broadcast equi-join on the `cell` partition column must reach
+    // the assignments scan as a DPP filter — this is what makes a
+    // 1000-executor probe read nprobe/numCentroids of the index files
+    // instead of the whole corpus
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected a dynamic partition pruning filter on the assignments scan:\n$plan")
+  }
+
   test("persisted PQ index matches the fresh fit without re-encoding") {
     AnnIndex.writePq(emb, "vec_id", "embedding", s"$tmp/pq", m = 8, ksub = 16)
     val qs = emb.filter(col("vec_id") < 6)
