@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-duplicate pair graph — the transitive
@@ -191,4 +191,35 @@ object ConnectedComponents {
     assignClusters(docs, idCol, pairs)
       .filter(col(idCol) === col("cluster_id"))
       .drop("cluster_id")
+
+  /** One representative per duplicate cluster chosen by HIGHEST `score`
+    * (ties broken by smallest id) — the curation policy: among near-dups
+    * keep the best document (longest, highest quality score, …), not the
+    * accidental minimum id that [[dedupByComponents]] keeps. Returns the
+    * representatives' full rows plus `cluster_id`.
+    *
+    * Selection is the bounded-heap top-1 aggregate per cluster
+    * ([[SimilaritySearch.topKPerKey]]: map-side O(1) updates, one-entry
+    * partials) + a semi join back — no per-cluster sort, and the picked
+    * set is NOT broadcast (it is ~one row per cluster, corpus-sized when
+    * most documents are singletons).
+    *
+    * Rows whose score is null/NaN are unrankable: a cluster whose every
+    * member has a null score gets no representative.
+    */
+  def representativesByScore(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      score: Column): DataFrame = {
+    val clustered = assignClusters(docs, idCol, pairs)
+    val best = SimilaritySearch.topKPerKey(
+      clustered.select(
+        col("cluster_id"),
+        score.cast("double").as("cosine"),
+        col(idCol).as("neighbor_id")),
+      "cluster_id", 1)
+      .select(col("cluster_id"), col("neighbor_id").as(idCol))
+    clustered.join(best, Seq("cluster_id", idCol), "left_semi")
+  }
 }

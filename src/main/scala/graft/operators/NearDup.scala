@@ -184,4 +184,72 @@ object NearDup {
       pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol),
       "left_anti")
+
+  /** Repeated-SPAN mining — the substring-level dedup signal (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * document-level near-dup misses boilerplate/quotes repeated ACROSS
+    * otherwise-distinct documents, which memorize badly. A token
+    * k-shingle occurring in ≥ `minDf` DISTINCT documents marks its
+    * positions; maximal runs of marked positions (gap ≤ k, i.e.
+    * overlapping or adjacent k-token windows) merge into spans. Returns
+    * every document with `token_count`, `n_hot_shingles` (marked
+    * positions), `n_spans` (merged repeated regions) and `covered_tokens`
+    * (tokens inside repeated regions, clamped to the document length) —
+    * the per-doc statistics a span-removal or doc-drop policy routes on.
+    *
+    * Scale shape: shingling is scan-side; the doc-frequency aggregate is
+    * ONE shuffle over corpus shingles (O(corpus tokens) rows — no pair
+    * enumeration, unlike the inverted-index O(f²) blowup); the hot set
+    * (df ≥ minDf) is the REPEATED shingles only — small in a healthy
+    * corpus, so AQE broadcasts it back over the position scan. Span
+    * merging is a per-document window (per-doc partitions, never
+    * corpus-wide).
+    */
+  def repeatedSpanStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minDf: Long = 2L): DataFrame = {
+    require(k > 0 && minDf >= 2, "need k > 0 and minDf >= 2")
+    import org.apache.spark.sql.expressions.Window
+    // positions matter here: no array_distinct, every shingle occurrence
+    // keeps its offset
+    val sh = graft.Tables.spread(docs)
+      .select(col(idCol), posexplode(TextAnalysis.tokenShingles(col(textCol), k)))
+      .toDF(idCol, "__pos", "__s")
+    val hot = sh.groupBy("__s")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("__s")
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val run = Window.partitionBy(idCol).orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = sh.join(hot, "__s")
+      .select(col(idCol), col("__pos"))
+      .withColumn("__new",
+        when(col("__pos") - lag("__pos", 1).over(w) > k, 1)
+          .when(lag("__pos", 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("__span", sum("__new").over(run))
+      .groupBy(col(idCol), col("__span"))
+      .agg(
+        count(lit(1)).as("__n"),
+        (max("__pos") - min("__pos") + k).as("__len"))
+      .groupBy(idCol)
+      .agg(
+        sum("__n").as("__hot"),
+        count(lit(1)).as("__spans"),
+        sum("__len").as("__covered"))
+    docs
+      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("token_count"))
+      .join(spans, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("token_count"),
+        coalesce(col("__hot"), lit(0L)).cast("int").as("n_hot_shingles"),
+        coalesce(col("__spans"), lit(0L)).cast("int").as("n_spans"),
+        least(coalesce(col("__covered"), lit(0L)), col("token_count"))
+          .cast("int").as("covered_tokens"))
+  }
 }

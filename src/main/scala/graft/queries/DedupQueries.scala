@@ -300,5 +300,93 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8)
+  // Cluster REPRESENTATIVE selection — the curation policy on top of
+  // q_d6's clusters: among near-dups keep the BEST document (here: the
+  // longest, ties to the smallest id), not the accidental minimum id that
+  // q_d7 keeps. Engine picks via the bounded-heap top-1 aggregate per
+  // cluster; the oracle recomputes clusters with the recursive CTE and
+  // ranks with the identical (score desc, id asc) order.
+  private val qD9 = Q(
+    "q_d9_cluster_representatives",
+    s"""WITH RECURSIVE pairs AS ($pairsOracle),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u),
+       |clustered AS (
+       |  SELECT d.doc_id, d.n_chars, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.u = d.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, cluster_id, n_chars,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM clustered)
+       |SELECT doc_id, cluster_id, n_chars FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = NearDup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+    graft.operators.ConnectedComponents
+      .representativesByScore(docs, "doc_id", pairs, col("n_chars"))
+      .select("doc_id", "cluster_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // Repeated-SPAN mining (substring-level dedup signal): 5-token shingles
+  // in ≥ 2 distinct docs mark positions; gap ≤ k runs merge into spans.
+  // The oracle replays shingling WITH positions, the doc-frequency cut,
+  // and the identical lag-window span merge.
+  private val qD10 = Q(
+    "q_d10_repeated_spans",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+      |           i -> {'pos': i, 's': array_to_string(tk[i:i+4], ' ')})) AS ps
+      |  FROM toks WHERE len(tk) >= 5),
+      |sh AS (
+      |  SELECT doc_id, CAST(ps.pos AS INT) AS pos, ps.s AS s FROM sh0
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS pos, array_to_string(tk, ' ') AS s
+      |  FROM toks WHERE len(tk) < 5),
+      |hot AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN hot USING (s)),
+      |flag AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
+      |              THEN 1 ELSE 0 END AS nw
+      |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sp AS (
+      |  SELECT doc_id, pos,
+      |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+      |  FROM flag),
+      |spans AS (
+      |  SELECT doc_id, span, count(*) AS n, max(pos) - min(pos) + 5 AS len
+      |  FROM sp GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, sum(n) AS hot_n, count(*) AS n_spans, sum(len) AS covered
+      |  FROM spans GROUP BY 1),
+      |tc AS (
+      |  SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
+      |                      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS INT) AS token_count
+      |  FROM documents)
+      |SELECT t.doc_id, t.token_count,
+      |       CAST(coalesce(a.hot_n, 0) AS INT) AS n_hot_shingles,
+      |       CAST(coalesce(a.n_spans, 0) AS INT) AS n_spans,
+      |       CAST(least(coalesce(a.covered, 0), t.token_count) AS INT) AS covered_tokens
+      |FROM tc t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    NearDup
+      .repeatedSpanStats(Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 5, minDf = 2L)
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] =
+    Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10)
 }

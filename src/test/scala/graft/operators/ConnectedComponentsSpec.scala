@@ -101,4 +101,21 @@ class ConnectedComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 10L -> 10L))
   }
+
+  test("representativesByScore keeps the best-scored member per cluster, ties to min id") {
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3} via chained pairs: scores 5, 9, 9 → tie at 9 keeps id 2
+    // singleton 4 keeps itself; cluster {5,6} with null scores vanishes
+    val docs = Seq(
+      (1L, Some(5.0)), (2L, Some(9.0)), (3L, Some(9.0)),
+      (4L, Some(1.0)),
+      (5L, None: Option[Double]), (6L, None: Option[Double]))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents
+      .representativesByScore(docs, "doc_id", pairs, col("score"))
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 1L, 4L -> 4L))
+  }
 }

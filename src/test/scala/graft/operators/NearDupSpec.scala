@@ -50,6 +50,43 @@ class NearDupSpec extends SparkSpec {
     assert(kept === Set(1, 2))
   }
 
+  test("repeatedSpanStats: cross-doc shingles mark spans, adjacent hits merge, unique docs report zero") {
+    val d = Seq(
+      // docs 1 and 2 share the 6-token run "a b c d e f": two overlapping
+      // hot 5-shingles at positions 0,1 (doc 1) / 2,3 (doc 2) → ONE merged
+      // span each, covering 6 tokens
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f"),
+      (3L, "totally unique words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = NearDup.repeatedSpanStats(d, "doc_id", "text", k = 5, minDf = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(got(1L) === ((8, 2, 1, 6)), "doc 1: 8 tokens, 2 hot shingles, 1 span, 6 covered")
+    assert(got(2L) === ((8, 2, 1, 6)), "doc 2 mirrors doc 1 at a different offset")
+    assert(got(3L) === ((8, 0, 0, 0)), "unique doc: nothing repeated")
+  }
+
+  test("repeatedSpanStats: far-apart hot shingles stay separate spans; short docs clamp coverage") {
+    val boiler = "q w e r t"
+    val d = Seq(
+      (1L, s"$boiler 1a 1b 1c 1d 1e 1f $boiler"),   // hot at pos 0 and 11, gap > k → 2 spans
+      (2L, boiler),                                  // 5 tokens: whole-text shingle, one span
+      (3L, s"$boiler other stuff"),
+      (4L, "pad so df counts stay focused")
+    ).toDF("doc_id", "text")
+    val got = NearDup.repeatedSpanStats(d, "doc_id", "text", k = 5, minDf = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(got(1L)._3 === 2, "two disjoint repeated regions")
+    assert(got(1L)._4 === 10, "each span covers its 5 tokens")
+    // doc 2 is exactly the boilerplate: its whole-text 5-shingle matches
+    // doc 1/3's windows; coverage clamps to the 5 real tokens
+    assert(got(2L) === ((5, 1, 1, 5)))
+  }
+
   test("ngramJaccardPairs maxDocFreq cap drops hot-shingle work but keeps high-J pairs") {
     val capped = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, maxDocFreq = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
