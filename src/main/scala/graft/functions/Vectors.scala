@@ -34,6 +34,22 @@ object Vectors {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Symmetric max-abs int8 quantization: `code_i = round(x_i / max|x| ·
+    * 127)` as `array<tinyint>` — 1 byte per dimension instead of 4 on any
+    * downstream scan or shuffle. Cosine is SCALE-INVARIANT, so similarity
+    * ranking runs directly on the codes with no dequantization and no
+    * stored scale (the scale only matters for dot/L2, which an exact
+    * re-rank recomputes from raw vectors). All-zero vectors quantize to
+    * all-zero codes; null propagates.
+    */
+  def int8Codes(v: Column): Column =
+    hof.bind(array_max(transform(v, e => abs(e.cast("double"))))) { m =>
+      when(v.isNull, lit(null))
+        .when(m === 0.0, transform(v, _ => lit(0).cast("tinyint")))
+        .otherwise(transform(v, e =>
+          round(e.cast("double") / m * 127.0).cast("tinyint")))
+    }
+
   /** Cosine similarity; 0 when either vector is all-zero. */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)

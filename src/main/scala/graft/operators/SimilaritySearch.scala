@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
@@ -403,6 +403,48 @@ object SimilaritySearch {
     pqAdcRerank(
       pqEncode(corpus, idCol, vecCol, books),
       corpus, queries, idCol, vecCol, k, books, nCand)
+  }
+
+  /** Int8 scalar-quantization ANN — the simplest memory-bound scale path
+    * beside PQ: each vector compresses SCAN-SIDE to `array<tinyint>`
+    * codes ([[Vectors.int8Codes]]; symmetric max-abs), so the candidate
+    * scan reads 1 byte per dimension instead of 4. Cosine is
+    * scale-invariant, so candidates are ranked DIRECTLY on the codes —
+    * no dequantization, no stored scale; the top `rerank` candidates per
+    * query are then re-ranked by exact cosine against the raw vectors,
+    * so output format and tie-break match the exact operators. Fits
+    * between brute force (4 bytes/dim) and PQ (m bytes/VECTOR) on the
+    * compression/recall dial, with no model fit at all — nothing to
+    * train, persist, or drift.
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int = 0): DataFrame = {
+    val nCand = if (rerank > 0) rerank else 3 * k
+    require(nCand >= k, "rerank must be at least k")
+    def floats(c: Column) = transform(c, x => x.cast("float"))
+    val codes = graft.Tables.spread(corpus).select(
+      col(idCol).as("neighbor_id"), Vectors.int8Codes(col(vecCol)).as("__cc"))
+    val q = queries.select(
+      col(idCol).as("query_id"), Vectors.int8Codes(col(vecCol)).as("__qc"))
+    val cand = topKPerKey(
+      codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(floats(col("__qc")), floats(col("__cc"))).as("cosine")),
+      "query_id", nCand)
+    val rescored = cand.select("query_id", "neighbor_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "neighbor_id")
+      .join(
+        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("__qv"), col("__cv")).as("cosine"))
+    topKPerKey(rescored, "query_id", k)
   }
 
   /** Cell-population histogram of a fitted IVF index: `(cell, n_rows,

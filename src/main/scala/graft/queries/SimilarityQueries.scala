@@ -276,6 +276,25 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("query_id")
   }
 
+  // Int8 scalar-quantization ANN (no model fit — nothing to train or
+  // persist; the candidate scan reads 1 byte/dim), gated on in-Spark
+  // recall vs exact like q_v3/q_v5/q_v9. Floor 0.5 is the sanity bound —
+  // symmetric max-abs int8 loses <1% cosine precision on this corpus, so
+  // measured recall sits near 1.0; a broken quantizer or code-ranking
+  // path lands at ~0 and turns rows false.
+  private val qV11 = Q(
+    "q_v11_ann_int8_recall",
+    """SELECT vec_id AS query_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 8)
+    val exact = SimilaritySearch.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10)
+    val approx = SimilaritySearch.int8TopK(emb, qs, "vec_id", "embedding", k = 10)
+    SimilaritySearch.recallAtK(exact, approx, 10)
+      .select(col("query_id"), (col("recall") >= 0.5).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   override val all: Seq[Q] =
-    Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10)
+    Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11)
 }

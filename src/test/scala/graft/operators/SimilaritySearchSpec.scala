@@ -174,6 +174,39 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(zero.length === 4 && zero.forall(_.getDouble(1) === 0.0))
   }
 
+  test("int8 quantization: known-answer codes, zero/null safety, code range") {
+    import graft.functions.Vectors
+    val d = Seq(
+      (1L, Some(Seq(1.0f, 0.2f, -0.4f, 0.0f))),
+      (2L, Some(Seq(0.0f, 0.0f))),
+      (3L, None: Option[Seq[Float]])
+    ).toDF("id", "v")
+    val got = d.select($"id", Vectors.int8Codes($"v").as("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Byte](1)))
+      .toMap
+    // max|x| = 1.0: 0.2·127 = 25.4 → 25; -0.4·127 = -50.8 → -51
+    assert(got(1L) === Seq[Byte](127, 25, -51, 0))
+    assert(got(2L) === Seq[Byte](0, 0), "all-zero vector → all-zero codes")
+    assert(got(3L) === null, "null propagates")
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val range = emb.select(explode(Vectors.int8Codes($"embedding")).as("c"))
+      .agg(min("c"), max("c")).collect()(0)
+    assert(range.getByte(0) >= -127 && range.getByte(1) <= 127)
+  }
+
+  test("int8TopK achieves high recall vs brute force (scale-invariant code ranking)") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
+    val int8 = pairs(SimilaritySearch.int8TopK(emb, queries, "vec_id", "embedding", 10))
+    val recall = brute.intersect(int8).size.toDouble / brute.size
+    info(s"int8 recall@10: $recall")
+    assert(recall >= 0.9, s"int8 loses <1% cosine precision; recall $recall is a broken path")
+  }
+
   test("k-means refinement does not hurt IVF recall vs raw hash-sample centroids") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val queries = emb.filter($"vec_id" < 8)
