@@ -161,6 +161,24 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(piiPatterns(1)._1), lit(0))).as("n_phones"),
     size(regexp_extract_all(text, lit(piiPatterns(2)._1), lit(0))).as("n_ssns"))
 
+  // --- normalization -------------------------------------------------------
+
+  /** Ingest text normalization: lowercase, strip URLs and emails, strip
+    * control characters, collapse whitespace, trim — the standard cleanup
+    * pass before tokenization/shingling. Scan-side regexp_replace chain
+    * (no shuffle, codegen-friendly); patterns are RE2-compatible like
+    * [[piiPatterns]] so any engine replays them. Removal order matters
+    * and is part of the contract: URLs go before the whitespace collapse
+    * (a URL becomes one space, not glued neighbors).
+    */
+  def normalizeText(text: Column): Column = {
+    val lowered = lower(text)
+    val noUrl = regexp_replace(lowered, "https?://[^\\s]+", " ")
+    val noEmail = regexp_replace(noUrl, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", " ")
+    val noCtl = regexp_replace(noEmail, "[\\x00-\\x1f\\x7f]", " ")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
+
   // --- fingerprinting (winnowing over rolling hashes) ---------------------
 
   /** Character k-gram shingles of normalized text. The normalized string

@@ -211,6 +211,26 @@ object Curation {
     df.withColumn("split", when(u.isNull, lit(null).cast("string")).otherwise(chain))
   }
 
+  /** Leakage-safe train/validation/test split: [[assignSplit]] keyed by
+    * the near-dup CLUSTER id instead of the document id, so a document
+    * and all its near-duplicates land in the SAME split. Keying by doc id
+    * leaks n−1 near-copies of every test document into train — the
+    * classic eval-inflation bug dedup-aware splitting exists to prevent.
+    * `pairs` is any verified near-dup pair frame (MinHash-LSH, SimHash,
+    * embedding cosine); clustering is transitive
+    * ([[ConnectedComponents.assignClusters]]). Output keeps every input
+    * row plus `cluster_id` and `split`.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      seed: String): DataFrame =
+    assignSplit(
+      ConnectedComponents.assignClusters(docs, idCol, pairs),
+      "cluster_id", splits, seed)
+
   /** Top-k rows per group by a score column — the curation form (keep the
     * k best documents per source) of the bounded-heap aggregate
     * [[graft.expressions.TopKScoreId]]: map-side O(log k) heap updates,

@@ -199,5 +199,40 @@ object CurationQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7)
+  // Leakage-safe split: the split hash keys on the near-dup CLUSTER id,
+  // so near-duplicates can never straddle train/test (doc-id keying leaks
+  // near-copies of test docs into train). Oracle recomputes the clusters
+  // with the recursive CTE and applies the identical hash CASE to the
+  // cluster id.
+  private val qC8 = Q(
+    "q_c8_leakage_safe_split",
+    s"""WITH RECURSIVE pairs AS (${DedupQueries.pairsOracle}),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u),
+       |clustered AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.u = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN ${hashUnitSql("cluster_id", "lsplit")} < 0.75 THEN 'train'
+       |            WHEN ${hashUnitSql("cluster_id", "lsplit")} < 0.875 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM clustered ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = graft.operators.NearDup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+    Curation.leakageSafeSplit(
+      docs, "doc_id", pairs,
+      splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+      seed = "lsplit")
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8)
 }

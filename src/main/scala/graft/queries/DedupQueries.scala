@@ -18,7 +18,7 @@ object DedupQueries extends QueryGroup {
     * Jaccard, so its output equals the exact pair set whp — the spec
     * asserts equality at sf0.001).
     */
-  private val pairsOracle =
+  private[queries] val pairsOracle =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
       |sh AS (

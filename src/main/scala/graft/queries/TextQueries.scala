@@ -306,5 +306,33 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9)
+  // Ingest text normalization: lowercase → strip URLs → strip emails →
+  // strip control chars → collapse whitespace → trim, the standard
+  // cleanup pass before tokenization. The RE2-compatible patterns are
+  // replayed verbatim in DuckDB; output pins the normalized text by md5 +
+  // length so exotic characters never stress the harness compare.
+  private val qT10 = Q(
+    "q_t10_normalize",
+    """SELECT doc_id, md5(norm) AS norm_md5, CAST(len(norm) AS INT) AS n_chars_norm
+      |FROM (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(
+      |           regexp_replace(
+      |             regexp_replace(
+      |               regexp_replace(lower(text), 'https?://[^\s]+', ' ', 'g'),
+      |               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g'),
+      |             '[\x00-\x1f\x7f]', ' ', 'g'),
+      |           '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), normalizeText(col("text")).as("norm"))
+      .select(
+        col("doc_id"),
+        md5(col("norm").cast("binary")).as("norm_md5"),
+        length(col("norm")).as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10)
 }

@@ -94,4 +94,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(3L)._2 === "clean text with numbers 12345 and 1-2-3")
     assert(byId(3L)._3.getInt(0) + byId(3L)._3.getInt(1) + byId(3L)._3.getInt(2) === 0)
   }
+
+  test("normalizeText: lowercases, strips urls/emails/control chars, collapses whitespace") {
+    val df = Seq(
+      (1L, "  Visit HTTPS://Example.COM/a?b=1 or   mail Bob@Ex.io NOW  "),
+      (2L, "tabs\tand\u0000nulls\u001fand  newlines\n\nhere"),
+      (3L, ""),
+      (4L, "already clean")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "visit or mail now")
+    assert(got(2L) === "tabs and nulls and newlines here")
+    assert(got(3L) === "")
+    assert(got(4L) === "already clean")
+  }
 }

@@ -150,4 +150,28 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(heap === win)
   }
+
+  test("leakageSafeSplit: near-dup cluster members always share a split; doc-id keying would not") {
+    import graft.{Tables => T}
+    val docs = T.load(spark, sf(), "documents")
+    val pairs = NearDup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val safe = Curation.leakageSafeSplit(docs, "doc_id", pairs, splits, "lsplit")
+      .select("doc_id", "split")
+    val byId = safe.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairList = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairList.nonEmpty, "corpus plants near-dups")
+    pairList.foreach { case (a, b) =>
+      assert(byId(a) === byId(b), s"near-dups $a/$b must share a split")
+    }
+    // the bug this prevents: the plain doc-id-keyed split DOES separate
+    // at least one near-dup pair on this corpus (deterministic hash)
+    val naive = Curation.assignSplit(docs, "doc_id", splits, "lsplit")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairList.exists { case (a, b) => naive(a) != naive(b) },
+      "doc-id keying should split some near-dup pair (else the test proves nothing)")
+  }
 }
