@@ -34,6 +34,20 @@ object Tables {
       else raw
     } else spark.read.parquet(path(sfDir, name))
 
+  /** The same table as a file STREAM (micro-batch source): schema taken
+    * from a batch read, `pathGlobFilter` isolating the table's file in
+    * the shared sf directory. Events' nanosecond timestamps are not
+    * supported here — stream the other tables, or pre-convert.
+    */
+  def readStream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(name != "events", "events.ts is TIMESTAMP(NANOS); stream a converted copy instead")
+    val schema = spark.read.parquet(path(sfDir, name)).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", s"$name.parquet")
+      .parquet(sfDir)
+  }
+
   /** Register every table as a temp view so `spark.sql` text matches the
     * DuckDB oracle's table names exactly.
     */

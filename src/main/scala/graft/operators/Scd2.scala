@@ -43,6 +43,32 @@ object Scd2 {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Incrementally fold a new change batch into an existing [[history]]
+    * frame: keys untouched by the batch pass through unchanged; affected
+    * keys are rebuilt from (their prior changes ∪ the batch) with the
+    * same window pass. Work ∝ batch size + affected keys' history — never
+    * the full dimension (the incremental-sync principle applied to SCD2
+    * maintenance). Late and out-of-order changes are correct by
+    * construction: the rebuild re-sorts each affected key's complete
+    * change set, re-closing whatever intervals the late row lands inside.
+    *
+    * Invariant (oracle- and spec-gated):
+    * `applyChanges(history(A), B) == history(A ∪ B)`.
+    */
+  def applyChanges(
+      hist: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieBreak: String): DataFrame = {
+    val affected = changes.select(keyCols.map(col): _*).distinct()
+    val untouched = hist.join(affected, keyCols, "left_anti")
+    val replay = hist.join(affected, keyCols, "left_semi")
+      .drop("valid_from", "valid_to", "is_current")
+    history(replay.unionByName(changes), keyCols, tsCol, tieBreak)
+      .unionByName(untouched)
+  }
+
   /** The state of the dimension as of `at`: for each key, the latest
     * change at or before the instant (same `tieBreak` order as
     * [[history]], so a zero-length interval resolves to the later change)

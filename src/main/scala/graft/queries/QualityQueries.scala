@@ -17,7 +17,7 @@ object QualityQueries extends QueryGroup {
   // [0, 450k] (a few exceed), custkey is required (none missing — the
   // passing check is part of the contract too). Error tags and their
   // order are replayed verbatim in the oracle.
-  private val qQ1 = Q(
+  private[queries] val qQ1 = Q(
     "q_q1_validate_orders",
     """WITH v AS (
       |  SELECT o_orderkey,

@@ -728,8 +728,7 @@ object RelationalQueries extends QueryGroup {
   // become validity intervals (valid_from = own ts, valid_to = next
   // change's ts, last change current). Tie on the timestamp broken by
   // event_id — identical window order in the oracle.
-  private val qScd2 = Q(
-    "q_e5_scd2_history",
+  private val scd2Oracle =
     """WITH ev AS (
       |  SELECT event_id, user_id, value, date_trunc('microseconds', ts) AS ts
       |  FROM events)
@@ -738,9 +737,26 @@ object RelationalQueries extends QueryGroup {
       |       (lead(ts) OVER w IS NULL) AS is_current
       |FROM ev
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      |ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, dir) =>
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  private val qScd2 = Q("q_e5_scd2_history", scd2Oracle) { (s, dir) =>
     graft.operators.Scd2
       .history(t(s, dir, "events"), Seq("user_id"), "ts", "event_id")
+      .select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  // SCD2 INCREMENTAL maintenance: 3/4 of the change feed builds the
+  // initial history, the remaining quarter — including late rows landing
+  // mid-interval for existing keys — folds in via Scd2.applyChanges,
+  // which rebuilds only the affected keys. The oracle is the FULL
+  // rebuild's SQL: incremental apply must equal rebuilding from scratch.
+  private val qE6 = Q("q_e6_scd2_incremental", scd2Oracle) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val early = ev.filter(pmod(col("event_id"), lit(4)) =!= 0)
+    val late = ev.filter(pmod(col("event_id"), lit(4)) === 0)
+    val hist0 = graft.operators.Scd2.history(early, Seq("user_id"), "ts", "event_id")
+    graft.operators.Scd2.applyChanges(hist0, late, Seq("user_id"), "ts", "event_id")
       .select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
       .orderBy("user_id", "valid_from", "event_id")
   }
@@ -835,5 +851,5 @@ object RelationalQueries extends QueryGroup {
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
-    qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11)
+    qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6)
 }

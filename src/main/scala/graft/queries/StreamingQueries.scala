@@ -101,6 +101,37 @@ object StreamingQueries extends QueryGroup {
     graft.streaming.CorpusStream.filteredAvailableNow(s, dir)
   }
 
+  // Validated STREAMING ingest: the q_q1 contract rules (scan-side, zero
+  // state) applied per micro-batch to the orders file stream — the
+  // reference's whole domain is ingestion, and at scale the landing zone
+  // arrives incrementally; validation must ride the stream, not wait for
+  // a batch re-scan. Oracle = q_q1's SQL verbatim (same rows, streaming
+  // execution).
+  private val qSt8 = Q(
+    "q_st8_stream_validated_ingest",
+    QualityQueries.qQ1.oracle.get) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    import graft.operators.SchemaValidation
+    import graft.operators.SchemaValidation.FieldRule
+    val st = EventStreams.streamSession(s, EventStreams.defaultStatePartitions)
+    EventStreams.runToTable(
+      st,
+      SchemaValidation.validate(
+        graft.Tables.readStream(st, dir, "orders"),
+        Seq(
+          FieldRule("o_custkey", required = true),
+          FieldRule("o_orderstatus", allowed = Some(Seq("O", "F"))),
+          FieldRule("o_totalprice", min = Some(0.0), max = Some(450000.0))))
+        .select(
+          col("o_orderkey"),
+          col("is_valid"),
+          size(col("errors")).as("n_errors"),
+          concat_ws(",", col("errors")).as("errors_str")),
+      s"stream_validated_ingest_${System.nanoTime()}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("o_orderkey")
+  }
+
   // q_st6's WATERMARK-BOUNDED-state twin (dropDuplicatesWithinWatermark):
   // state holds only content hashes younger than the watermark — the
   // variant an infinite landing zone must run. A deterministic synthetic
@@ -118,5 +149,5 @@ object StreamingQueries extends QueryGroup {
       horizon = "2 hours")
   }
 
-  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7)
+  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8)
 }

@@ -36,13 +36,8 @@ import graft.functions.TextAnalysis
   */
 object CorpusStream {
 
-  def readDocumentStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(Tables.path(sfDir, "documents")).schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
-  }
+  def readDocumentStream(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.readStream(spark, sfDir, "documents")
 
   /** The scan-side keep rules: length floor + Gopher repetition caps. */
   def qualityFilter(docs: DataFrame): DataFrame = docs

@@ -45,6 +45,23 @@ class Scd2Spec extends SparkSpec {
     assert(snap("2024-06-01 00:00:00") === Map(1L -> "c", 2L -> "x", 3L -> "new"))
   }
 
+  test("applyChanges: incremental fold equals full rebuild; late rows re-close intervals; untouched keys unchanged") {
+    // batch 2 lands a LATE change for key 1 in the middle of its history
+    // (2024-01-02 12:00) plus a brand-new key 4; key 2 and 3 are untouched
+    val late = Seq(
+      (1L, 150L, ts("2024-01-02 12:00:00"), "b2"),
+      (4L, 400L, ts("2024-02-01 00:00:00"), "fresh"))
+      .toDF("k", "id", "t", "v")
+    val incremental = Scd2.applyChanges(
+      Scd2.history(feed, Seq("k"), "t", "id"), late, Seq("k"), "t", "id")
+    val full = Scd2.history(feed.unionByName(late), Seq("k"), "t", "id")
+    assert(incremental.exceptAll(full).isEmpty && full.exceptAll(incremental).isEmpty)
+    // the late row split key 1's (01-02 → 01-03) interval
+    val k1 = incremental.filter(col("k") === 1L && col("id") === 101L)
+      .select("valid_to").collect()(0).getTimestamp(0)
+    assert(k1 === ts("2024-01-02 12:00:00"), "late row re-closes the interval it lands in")
+  }
+
   test("exactly one current row per key; intervals cover without gaps") {
     val h = Scd2.history(feed, Seq("k"), "t", "id")
     val cur = h.filter(col("is_current")).groupBy("k").count()
