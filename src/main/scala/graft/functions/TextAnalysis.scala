@@ -163,20 +163,25 @@ object TextAnalysis {
 
   // --- normalization -------------------------------------------------------
 
-  /** Ingest text normalization: lowercase, strip URLs and emails, strip
-    * control characters, collapse whitespace, trim — the standard cleanup
+  /** Ingest text normalization: lowercase, strip control characters,
+    * strip URLs and emails, collapse spaces, trim — the standard cleanup
     * pass before tokenization/shingling. Scan-side regexp_replace chain
-    * (no shuffle, codegen-friendly); patterns are RE2-compatible like
-    * [[piiPatterns]] so any engine replays them. Removal order matters
-    * and is part of the contract: URLs go before the whitespace collapse
-    * (a URL becomes one space, not glued neighbors).
+    * (no shuffle, codegen-friendly).
+    *
+    * Engine-portability contract: NO `\s` anywhere — Java's `\s` includes
+    * vertical tab (\x0B) while RE2's does not, so a `\s`-based pattern
+    * silently diverges between Spark and an RE2 engine (DuckDB) on
+    * control-char-adjacent URLs. Instead the control strip runs FIRST
+    * (turning every ASCII control char, \x0B included, into a space), and
+    * the URL/collapse patterns then only need the literal space class,
+    * which every regex dialect agrees on. Order is part of the contract.
     */
   def normalizeText(text: Column): Column = {
     val lowered = lower(text)
-    val noUrl = regexp_replace(lowered, "https?://[^\\s]+", " ")
+    val noCtl = regexp_replace(lowered, "[\\x00-\\x1f\\x7f]", " ")
+    val noUrl = regexp_replace(noCtl, "https?://[^ ]+", " ")
     val noEmail = regexp_replace(noUrl, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", " ")
-    val noCtl = regexp_replace(noEmail, "[\\x00-\\x1f\\x7f]", " ")
-    trim(regexp_replace(noCtl, "\\s+", " "))
+    trim(regexp_replace(noEmail, " +", " "))
   }
 
   // --- fingerprinting (winnowing over rolling hashes) ---------------------

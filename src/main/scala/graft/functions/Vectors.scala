@@ -40,11 +40,14 @@ object Vectors {
     * ranking runs directly on the codes with no dequantization and no
     * stored scale (the scale only matters for dot/L2, which an exact
     * re-rank recomputes from raw vectors). All-zero vectors quantize to
-    * all-zero codes; null propagates.
+    * all-zero codes; null propagates; a vector containing NaN quantizes
+    * to NULL codes (unrankable — matching the exact path, where a NaN
+    * cosine is excluded by the top-k heap; an unguarded round(NaN) cast
+    * would THROW under ANSI mode, Spark 4's default).
     */
   def int8Codes(v: Column): Column =
     hof.bind(array_max(transform(v, e => abs(e.cast("double"))))) { m =>
-      when(v.isNull, lit(null))
+      when(v.isNull || isnan(m), lit(null))
         .when(m === 0.0, transform(v, _ => lit(0).cast("tinyint")))
         .otherwise(transform(v, e =>
           round(e.cast("double") / m * 127.0).cast("tinyint")))

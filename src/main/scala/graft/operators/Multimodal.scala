@@ -37,21 +37,30 @@ object Multimodal {
     * filtering happens before any shuffle or (stubbed) pixel decode.
     */
   def decodePngMeta(payload: Column): Column = {
-    // big-endian unsigned int of `len` bytes at 1-based offset `pos`
+    // big-endian unsigned int of `len` bytes at 1-based offset `pos` —
+    // kept as BIGINT: a corrupt 4-byte field with the high bit set is
+    // 2^31..2^32-1, which an int cast would THROW on under ANSI mode
+    // (Spark 4 default) instead of taking the null path below
     def be(pos: Int, len: Int): Column =
-      conv(hex(substring(payload, pos, len)), 16, 10).cast("int")
+      conv(hex(substring(payload, pos, len)), 16, 10).cast("bigint")
     val sigOk  = hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A")
     val ihdrOk = hex(substring(payload, 13, 4)) === lit("49484452") // "IHDR"
-    val colorType = be(26, 1)
+    val w = be(17, 4)
+    val h = be(21, 4)
+    // PNG spec: width/height are 1..2^31-1; a zero or high-bit value is a
+    // corrupt/hostile header → decode failure (null), never a crash
+    val dimsOk = w >= 1L && w <= Int.MaxValue.toLong &&
+      h >= 1L && h <= Int.MaxValue.toLong
+    val colorType = be(26, 1).cast("int") // one byte — always int-safe
     // PNG color types: 0 greyscale, 2 truecolor, 3 indexed(palette),
     // 4 grey+alpha, 6 truecolor+alpha; anything else → null channels.
     val channels = element_at(
       typedlit(Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)), colorType)
-    when(payload.isNotNull && length(payload) >= 26 && sigOk && ihdrOk,
+    when(payload.isNotNull && length(payload) >= 26 && sigOk && ihdrOk && dimsOk,
       struct(
-        be(17, 4).as("width"),
-        be(21, 4).as("height"),
-        be(25, 1).as("bit_depth"),
+        w.cast("int").as("width"),
+        h.cast("int").as("height"),
+        be(25, 1).cast("int").as("bit_depth"),
         colorType.as("color_type"),
         channels.as("channels")))
       .otherwise(lit(null))
