@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling: row count, null count, exact distinct
@@ -36,5 +37,54 @@ object DataProfile {
         col("p.n_distinct"))
       .withColumn("null_rate",
         col("n_null").cast("double") / col("n_rows"))
+  }
+
+  /** EXACT interpolated percentiles (quantile_cont semantics: linear
+    * interpolation at rank p·(n−1)) as a one-row frame, via a value
+    * histogram instead of the built-in `percentile` aggregate.
+    *
+    * The built-in buffers a value→count map per partial and merges them
+    * in ONE final task — for a near-unique column (l_extendedprice:
+    * 583k distinct of 600k rows at sf0.1) that single merge dominates
+    * the query. Here the heavy lifting is a hash aggregate over the
+    * VALUE DOMAIN (distinct values), whose size is bounded by the
+    * column's resolution (e.g. ~10^7 possible price cents) no matter how
+    * many rows — at 100 TB the histogram is the only exact-quantile
+    * shape that doesn't move row-count-sized state. The cumulative pass
+    * is a single-partition window over distinct values only; if the
+    * domain itself is huge, range-partition the cumsum or fall back to
+    * approx_percentile (gated by q_a6b).
+    *
+    * Returns one row with `n` plus one column per requested (name, p).
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "request at least one percentile")
+    val hist = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(Window.orderBy("__v")))
+    val withN = hist.crossJoin(
+      broadcast(hist.agg(sum("__c").cast("bigint").as("__n"))))
+    // rank p·(n−1) (0-based): lower = value at floor, upper at ceil,
+    // picked with conditional mins over the cumulative counts
+    val aggs = ps.flatMap { case (name, p) =>
+      val idx = lit(p) * (col("__n") - lit(1)).cast("double")
+      Seq(
+        min(when(col("__cum") >= floor(idx) + lit(1), col("__v"))).as(s"__lo_$name"),
+        min(when(col("__cum") >= ceil(idx) + lit(1), col("__v"))).as(s"__hi_$name"))
+    } :+ max(col("__n")).as("n")
+    withN
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n") +: ps.map { case (name, p) =>
+          val idx = lit(p) * (col("n") - lit(1)).cast("double")
+          val frac = idx - floor(idx).cast("double")
+          (col(s"__lo_$name") +
+            (col(s"__hi_$name") - col(s"__lo_$name")) * frac).as(name)
+        }: _*)
   }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance fuzzy self-join with a provably complete q-gram
+  * count-filter block, the standard scalable shape for entity resolution
+  * (matching the reference's student/staff identity-matching use case on
+  * free-text names, SisConnectorService.java:142-160 keyed syncs):
+  *
+  *  1. scan-side q-gram set per string (`transform(sequence(...))` — all
+  *     codegen HOFs, no UDF);
+  *  2. candidate pairs via a gram equi-join + count filter: one edit
+  *     operation rewrites at most q of a string's q-gram windows, so
+  *     `ED(a,b) <= d` implies `|G(a) ∩ G(b)| >= max(|G(a)|,|G(b)|) − d·q`
+  *     (sets: destroying ≤ d·q gram instances removes ≤ d·q distinct
+  *     grams). The filter is sound — it can only over-select — so the
+  *     exact verify step loses nothing;
+  *  3. exact `levenshtein(a, b, d)` (the thresholded form: early-exits
+  *     the DP once the band exceeds d) only on survivors.
+  *
+  * At 100 TB the gram join is the shuffle and obeys the same discipline
+  * as the n-gram near-dup path (NearDup.scala): stop-gram capping by
+  * document frequency bounds the hottest gram's bucket — wired here via
+  * `maxGramDf` with the SAME completeness trade as q_d2b (a capped gram
+  * can no longer witness a candidate pair on its own; pairs sharing only
+  * capped grams are missed — cap well above the d·q slack in practice).
+  *
+  * Precondition: strings shorter than q yield no grams and thus no
+  * candidates; route them through an exact or length-1 block instead.
+  */
+object FuzzyJoin {
+
+  /** Distinct q-gram set of column `col` (codegen HOFs, no UDF). The SQL
+    * `substr` form is used because the Column-DSL `substring` only takes
+    * literal Int offsets, not the lambda variable.
+    */
+  private[operators] def gramsExpr(col: String, q: Int): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length($col) - ${q - 1}, 0)), i -> substr($col, i, $q))"))
+
+  /** All unordered pairs (a < b) of `df`'s DISTINCT `nameCol` values with
+    * edit distance ≤ `maxDist`. Output: name_a, name_b, dist.
+    *
+    * `maxGramDf` = 0 disables stop-gram capping (exact completeness, the
+    * oracle-gate configuration); at scale set it to bound the hottest
+    * gram's candidate bucket.
+    */
+  def fuzzySelfPairs(
+      df: DataFrame,
+      nameCol: String,
+      maxDist: Int,
+      q: Int = 2,
+      maxGramDf: Long = 0L): DataFrame = {
+    val names = df
+      .select(col(nameCol).as("name"))
+      .where(col("name").isNotNull && length(col("name")) >= q)
+      .distinct()
+      .select(col("name"), gramsExpr("name", q).as("grams"))
+      .select(col("name"), col("grams"), size(col("grams")).as("ng"))
+
+    val exploded = names.select(col("name"), col("ng"), explode(col("grams")).as("gram"))
+    val surviving =
+      if (maxGramDf <= 0) exploded
+      else {
+        val df_ = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        exploded.join(
+          broadcast(df_.where(col("gram_df") <= maxGramDf).select("gram")), "gram")
+      }
+
+    val a = surviving.select(
+      col("gram"), col("name").as("name_a"), col("ng").as("ng_a"))
+    val b = surviving.select(
+      col("gram"), col("name").as("name_b"), col("ng").as("ng_b"))
+    val candidates = a
+      .join(b, Seq("gram"))
+      .where(col("name_a") < col("name_b"))
+      .groupBy("name_a", "name_b", "ng_a", "ng_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= greatest(col("ng_a"), col("ng_b")) - lit(maxDist * q))
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+
+    candidates
+      .select(
+        col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b"), maxDist).as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+}

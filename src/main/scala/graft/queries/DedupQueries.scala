@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.NearDup
+import graft.operators.{FuzzyJoin, NearDup}
 
 /** Deduplication operator suite over the documents table. The testdata
   * plants near-duplicates: ~5% of docs are an existing doc's text plus a
@@ -387,6 +387,24 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Edit-distance fuzzy self-join over distinct part names: bigram
+  // count-filter blocking (provably complete — see FuzzyJoin scaladoc)
+  // then thresholded levenshtein on survivors. The oracle is the
+  // exhaustive all-pairs scan, so the gate proves the blocking loses
+  // nothing; the Spark path never materializes the cross product.
+  private val qD11 = Q(
+    "q_d11_fuzzy_name_join",
+    """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM n a JOIN n b
+      |  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+    FuzzyJoin
+      .fuzzySelfPairs(Tables.load(s, dir, "part"), "p_name", maxDist = 2)
+      .orderBy("name_a", "name_b")
+  }
+
   override val all: Seq[Q] =
-    Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10)
+    Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11)
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.ZOrder
+import graft.sources.Layout
+
+/** Physical-layout operators under the oracle gate: results must equal the
+  * plain logical query on the raw table, while the plan proves the layout
+  * paid off (exchange elided / partitions pruned). This is the 100 TB
+  * posture made gate-visible — on a real cluster these layouts are the
+  * difference between re-shuffling 100 TB per join and reading co-located
+  * buckets, or between scanning every file and touching the covering set.
+  */
+object LayoutQueries extends QueryGroup {
+
+  private def t = Tables.load _
+
+  // Sort-merge-bucket join: both sides written bucketed+sorted on the join
+  // key (graft.sources.Layout.writeBucketed), so the forced sort-merge join
+  // reads co-located, pre-sorted buckets and elides BOTH exchanges. The
+  // require() makes the shuffle-free plan a gate, not an aspiration; the
+  // oracle proves the layout changes nothing about the answer.
+  private val qL1 = Q(
+    "q_l1_bucketed_join",
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS INT) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Layout.writeBucketed(
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      "graft_l1_lineitem", Seq("l_orderkey"), 8)
+    Layout.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      "graft_l1_orders", Seq("o_orderkey"), 8)
+    val joined = s.table("graft_l1_lineitem")
+      .hint("merge")
+      .join(s.table("graft_l1_orders"), col("l_orderkey") === col("o_orderkey"))
+    require(!Layout.hasShuffle(joined),
+      "q_l1: bucketed sort-merge join must elide the shuffle exchanges")
+    joined
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).cast("int").as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  // Z-order layout: lineitem written partitioned by a 3-bit × 2-dim Morton
+  // code over (l_partkey, l_quantity); the conjunctive box predicate reads
+  // only the covering codes (driver-enumerated IN-list → Catalyst
+  // directory pruning), then applies the exact residual filter. Gates:
+  // the covering set must actually prune (< all 64 codes) and the plan
+  // must carry the code as a PartitionFilter, not a post-scan filter.
+  private val qL2 = Q(
+    "q_l2_zorder_pruning",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 180 AND l_quantity BETWEEN 10 AND 20
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) { (s, dir) =>
+    val bits = 3
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    val b = li.agg(
+      min("l_partkey"), max("l_partkey"), min("l_quantity"), max("l_quantity")).head()
+    val (pkLo, pkHi) = (b.getLong(0).toDouble, b.getLong(1).toDouble)
+    val (qtyLo, qtyHi) = (b.getDouble(2), b.getDouble(3))
+    val zb = ZOrder.zValue(
+      Seq(
+        ZOrder.cell(col("l_partkey"), pkLo, pkHi, bits),
+        ZOrder.cell(col("l_quantity"), qtyLo, qtyHi, bits)),
+      bits)
+    val tmp = Files.createTempDirectory("graft_zorder").toString
+    li.withColumn("zb", zb).write.mode("overwrite").partitionBy("zb").parquet(tmp)
+    val covering = ZOrder.coveringZ(
+      Seq((100d, 180d), (10d, 20d)), Seq(pkLo, qtyLo), Seq(pkHi, qtyHi), bits)
+    require(covering.size < (1 << (2 * bits)),
+      s"q_l2: covering set (${covering.size}) must prune, not enumerate all codes")
+    val pruned = s.read.parquet(tmp)
+      .where(col("zb").isin(covering.map(Integer.valueOf): _*) &&
+        col("l_partkey").between(100, 180) && col("l_quantity").between(10, 20))
+    val plan = pruned.queryExecution.executedPlan.toString
+    require(plan.contains("PartitionFilters") && plan.contains("zb"),
+      s"q_l2: the Morton-code IN-list must prune partitions at the scan:\n$plan")
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+    // order by every output column so the dump is totally ordered
+    pruned
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+  }
+
+  override val all: Seq[Q] = Seq(qL1, qL2)
+}

@@ -80,5 +80,120 @@ object QualityQueries extends QueryGroup {
       .orderBy("col_name")
   }
 
-  override val all: Seq[Q] = Seq(qQ1, qQ2)
+  // Per-group Pearson correlation / covariance / stddev, computed from
+  // EXACT DECIMAL moment sums (one hash aggregate) with the double math
+  // applied once at the end. Using built-in corr() directly would hash-
+  // mismatch: its streaming-update float accumulation is order-dependent
+  // and engine-specific, while exact integer moments + one fixed IEEE
+  // expression tree are bit-stable on both engines. Same single-pass
+  // moment-sketch shape a 100 TB column profiler uses.
+  private val qA8 = Q(
+    "q_a8_corr_profile",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |       CAST(n AS INT) AS n_rows,
+      |       (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+      |       (n * sxy - sx * sy) / (n * n) AS cov_pop_qty_price,
+      |       sqrt(n * sxx - sx * sx) / n AS std_pop_qty
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val q = col("l_quantity").cast("decimal(18,2)")
+    val p = col("l_extendedprice").cast("decimal(18,2)")
+    val m = Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(q).cast("double").as("sx"),
+        sum(p).cast("double").as("sy"),
+        sum(q * q).cast("double").as("sxx"),
+        sum(p * p).cast("double").as("syy"),
+        sum(q * p).cast("double").as("sxy"))
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+    m.select(
+        col("l_returnflag"),
+        n.cast("int").as("n_rows"),
+        ((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * n)).as("cov_pop_qty_price"),
+        (sqrt(n * sxx - sx * sx) / n).as("std_pop_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // Winsorized (clipped-at-percentile) aggregate: the standard outlier
+  // treatment before training-data statistics. Thresholds are the exact
+  // interpolated p05/p95 (one tiny one-row aggregate, broadcast to the
+  // scan); at 100 TB the same shape runs on approx_percentile thresholds
+  // (gated separately by q_a6b) — the clip pass itself is unchanged.
+  private val qQ3 = Q(
+    "q_q3_winsorize",
+    """WITH b AS (
+      |  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+      |         quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |       CAST(count(*) AS INT) AS n_rows,
+      |       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS INT) AS n_low,
+      |       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS INT) AS n_high,
+      |       CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized
+      |FROM lineitem CROSS JOIN b
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    // histogram-based exact percentiles: the built-in `percentile` agg
+    // merges a row-count-sized value map in one task (6.5 s at sf0.1 on
+    // the 583k-distinct price column); the histogram shape is ~5× faster
+    // here and domain-bounded at scale — see DataProfile.exactPercentiles
+    val bounds = DataProfile
+      .exactPercentiles(li, "l_extendedprice", Seq("lo" -> 0.05, "hi" -> 0.95))
+      .select("lo", "hi")
+    val clipped = least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+    li.crossJoin(broadcast(bounds))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("int").as("n_rows"),
+        sum(when(col("l_extendedprice") < col("lo"), 1).otherwise(0)).cast("int").as("n_low"),
+        sum(when(col("l_extendedprice") > col("hi"), 1).otherwise(0)).cast("int").as("n_high"),
+        sum(clipped.cast("decimal(18,6)")).cast("double").as("sum_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
+  // Z-score feature normalization from EXACT DECIMAL moments (same
+  // bit-stability rationale as q_a8): one tiny aggregate broadcast back
+  // to the scan, one double expression per row. The per-row pass is
+  // scan-side — at 100 TB this is a map-only job after a 1-row exchange.
+  private val qQ4 = Q(
+    "q_q4_zscore_normalize",
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |       (o_totalprice - sx / n) / sqrt((n * sxx - sx * sx) / (n * n)) AS z_totalprice
+      |FROM orders CROSS JOIN m
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val p = col("o_totalprice").cast("decimal(18,2)")
+    val orders = Tables.load(s, dir, "orders")
+    val m = orders.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(p).cast("double").as("sx"),
+      sum(p * p).cast("double").as("sxx"))
+    val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
+    orders
+      .crossJoin(broadcast(m))
+      .select(
+        col("o_orderkey"),
+        ((col("o_totalprice") - sx / n) /
+          sqrt((n * sxx - sx * sx) / (n * n))).as("z_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  override val all: Seq[Q] = Seq(qQ1, qQ2, qA8, qQ3, qQ4)
 }

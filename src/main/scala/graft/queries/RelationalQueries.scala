@@ -845,11 +845,66 @@ object RelationalQueries extends QueryGroup {
       .orderBy("bucket")
   }
 
+  // Ordered-stage funnel over the event stream (view → click →
+  // purchase, each stage strictly after the user's first completion of
+  // the previous prefix). Every stage joins and aggregates on user_id,
+  // so one partitioning serves the whole cascade and the frame shrinks
+  // stage over stage — see graft.operators.Funnel.
+  private val qE7 = Q(
+    "q_e7_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT 'stage1_view' AS stage, CAST(count(*) AS INT) AS n_users FROM v
+      |  UNION ALL SELECT 'stage2_click', CAST(count(*) AS INT) FROM c
+      |  UNION ALL SELECT 'stage3_purchase', CAST(count(*) AS INT) FROM p)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    graft.operators.Funnel
+      .funnelCounts(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage")
+  }
+
+  // Time-RANGE window frame: per-user trailing-hour rolling sum/count —
+  // the time-decayed feature shape (as opposed to q_w's ROW frames).
+  // Ordering key is integer epoch-micros on BOTH sides so frame
+  // membership is exact; the rolling sum goes through DECIMAL so peer-
+  // row accumulation order can't drift the hash.
+  private val qW2 = Q(
+    "q_w2_moving_window",
+    """SELECT event_id, user_id,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+      |       CAST(count(*) OVER w AS INT) AS n_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(expr("unix_micros(ts)"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    t(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("sum_1h"),
+        count(lit(1)).over(w).cast("int").as("n_1h"))
+      .orderBy("event_id")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
-    qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6)
+    qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2)
 }

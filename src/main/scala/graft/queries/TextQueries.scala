@@ -334,5 +334,66 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10)
+  // Overlapping-window chunking (200-char windows every 150 chars) with
+  // provenance — the retrieval-ingest splitter. Chunks are pinned by md5
+  // + length like q_t10 so exotic characters never stress the compare;
+  // chunk_idx uses integer `div` on both sides (Spark `/` is double
+  // division, DuckDB `//` is the integer form).
+  private val qT12 = Q(
+    "q_t12_chunk_overlap",
+    """SELECT doc_id,
+      |       CAST((start - 1) // 150 AS INT) AS chunk_idx,
+      |       md5(substr(text, start, 200)) AS chunk_md5,
+      |       CAST(length(substr(text, start, 200)) AS INT) AS n_chars
+      |FROM (
+      |  SELECT doc_id, text,
+      |         unnest(range(1, greatest(len(text), 1) + 1, 150)) AS start
+      |  FROM documents)
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    graft.operators.Chunking
+      .chunkWithOverlap(Tables.load(s, dir, "documents"), "doc_id", "text",
+        size = 200, stride = 150)
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"),
+        length(col("chunk")).as("n_chars"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // BM25 keyword retrieval (Lucene-style positive idf, k1=1.2 b=0.75):
+  // postings carry doc length through the explode, df and corpus stats
+  // broadcast — no corpus-sized join or sort. Per-term float products
+  // sum in engine order; differences are ~1e-15 against the harness's
+  // 6dp rounding.
+  private val qT11 = Q(
+    "q_t11_bm25",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+      |  FROM t),
+      |tf AS (
+      |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM t)
+      |  WHERE term IN ('data', 'table', 'join')
+      |  GROUP BY doc_id, dl, term),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+      |SELECT tf.doc_id,
+      |       CAST(count(*) AS INT) AS n_terms_matched,
+      |       sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |           (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)))) AS bm25
+      |FROM tf JOIN df USING (term) CROSS JOIN stats
+      |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Bm25
+      .score(Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("data", "table", "join"))
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] =
+    Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12)
 }

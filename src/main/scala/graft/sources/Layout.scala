@@ -22,13 +22,23 @@ object Layout {
       df: DataFrame,
       table: String,
       keyCols: Seq[String],
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A previous JVM's warehouse directory is invisible to this session's
+    // in-memory catalog, and saveAsTable refuses a managed-table name
+    // whose location already exists — drop both the entry and the dir.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Write partitioned-by-column layout (coarse pruning; e.g. run date). */
   def writePartitioned(
