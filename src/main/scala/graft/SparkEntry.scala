@@ -16,7 +16,7 @@ object SparkEntry {
   private def groups: Seq[QueryGroup] = Seq(
     RelationalQueries, TextQueries, DedupQueries, SimilarityQueries,
     PipelineQueries, StreamingQueries, MultimodalQueries, RegistryQueries,
-    CurationQueries, QualityQueries, LayoutQueries)
+    CurationQueries, QualityQueries, LayoutQueries, GraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full §3.2 nested entity assembly.

@@ -87,4 +87,44 @@ object DataProfile {
             (col(s"__hi_$name") - col(s"__lo_$name")) * frac).as(name)
         }: _*)
   }
+
+  /** Per-group exact interpolated percentiles — the grouped form of
+    * [[exactPercentiles]]: histogram keyed by (group, value), cumulative
+    * counts per group via a window PARTITIONED BY group (distinct values
+    * per group, not rows, and partition-parallel — no single-partition
+    * bottleneck like the global form's cumsum), conditional-min picks,
+    * one interpolation per group. Output: groupCol, n, <percentile cols>.
+    */
+  def groupedExactPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "request at least one percentile")
+    val g = col(groupCol)
+    val hist = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(g.as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val perGroup = Window.partitionBy("__g")
+    val withCum = hist
+      .withColumn("__cum", sum("__c").over(perGroup.orderBy("__v")))
+      .withColumn("__n", sum("__c").over(perGroup))
+    val aggs = ps.flatMap { case (name, p) =>
+      val idx = lit(p) * (col("__n") - lit(1)).cast("double")
+      Seq(
+        min(when(col("__cum") >= floor(idx) + lit(1), col("__v"))).as(s"__lo_$name"),
+        min(when(col("__cum") >= ceil(idx) + lit(1), col("__v"))).as(s"__hi_$name"))
+    } :+ max(col("__n")).as("n")
+    withCum
+      .groupBy(col("__g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col(groupCol) +: col("n") +: ps.map { case (name, p) =>
+          val idx = lit(p) * (col("n") - lit(1)).cast("double")
+          val frac = idx - floor(idx).cast("double")
+          (col(s"__lo_$name") +
+            (col(s"__hi_$name") - col(s"__lo_$name")) * frac).as(name)
+        }: _*)
+  }
 }

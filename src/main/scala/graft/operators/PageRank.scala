@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank with uniform dangling-mass redistribution, fixed
+  * iteration count — the centrality pass over relationship graphs the
+  * engine's dup-cluster and trade-flow analyses produce.
+  *
+  * Execution shape: each iteration is one equi-join of the transition
+  * frame against the current ranks (shuffle keyed on src) plus one hash
+  * aggregate onto dst — the same alternating join/agg discipline as
+  * [[ConnectedComponents]]. The driver loop only BUILDS the plan; no
+  * action runs per iteration. Node count and dangling mass ride along as
+  * broadcast one-row frames, so there is no driver collect anywhere. At
+  * real scale, checkpoint ranks every ~10 iterations to cut lineage, and
+  * pre-partition `edges` by src so every iteration reuses one exchange.
+  */
+object PageRank {
+
+  /** `edges`: (src, dst, weight). Nodes are the union of endpoints.
+    * Output: node, rank (ranks sum to 1).
+    *
+    * `materializeEdges` (default on) local-checkpoints the edge frame
+    * before iterating: every iteration's lineage re-executes the edge
+    * derivation otherwise (a 4-way join upstream runs `iterations`
+    * times — measured 3× cost on the trade-graph gate). The aggregated
+    * edge frame is |V|²-bounded, far smaller than its inputs; turn it
+    * off only when edges are already a cheap scan.
+    */
+  def run(
+      edges: DataFrame,
+      iterations: Int,
+      damping: Double = 0.85,
+      materializeEdges: Boolean = true): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    val e = if (materializeEdges) edges.localCheckpoint(true) else edges
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val outW = e.groupBy("src").agg(sum("weight").as("out_w"))
+    // row-normalized transition probabilities
+    val trans = e
+      .join(outW, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("p"))
+
+    var rank = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val inSum = trans
+        .join(rank.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("rank")).as("in_sum"))
+      val dangling = rank
+        .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      rank = nodes
+        .crossJoin(broadcast(nn))
+        .join(inSum, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(
+          col("node"),
+          (lit(1 - damping) / col("n") +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + col("dm") / col("n")))
+            .as("rank"))
+    }
+    rank
+  }
+}

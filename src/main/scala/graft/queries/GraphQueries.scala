@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.PageRank
+
+/** Graph analytics over relationship frames the engine derives —
+  * complementing the connected-components family (q_d6/q_d7) with a
+  * weighted centrality pass. The oracle unrolls the fixed iteration
+  * count as chained CTEs, so every arithmetic step is replayed in
+  * DuckDB.
+  */
+object GraphQueries extends QueryGroup {
+
+  // 3-iteration weighted PageRank over the nation-level trade graph
+  // (supplier nation → customer nation, weight = lineitem count). At
+  // sf0.001 only 10 of 25 nations have suppliers, so the dangling-mass
+  // redistribution path is genuinely exercised, not just present.
+  private val iter3 =
+    """r1 AS (
+      |  SELECT nd.node,
+      |         (1 - 0.85) / nn.n + 0.85 * (coalesce(i.in_sum, 0) + dgl.dm / nn.n) AS rank
+      |  FROM nodes nd CROSS JOIN nn
+      |  LEFT JOIN (SELECT p.dst AS node, sum(p.p * r.rank) AS in_sum
+      |             FROM p JOIN r0 r ON p.src = r.node GROUP BY p.dst) i
+      |    ON nd.node = i.node
+      |  CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS dm
+      |              FROM r0 r LEFT JOIN ow ON r.node = ow.src
+      |              WHERE ow.src IS NULL) dgl),
+      |r2 AS (
+      |  SELECT nd.node,
+      |         (1 - 0.85) / nn.n + 0.85 * (coalesce(i.in_sum, 0) + dgl.dm / nn.n) AS rank
+      |  FROM nodes nd CROSS JOIN nn
+      |  LEFT JOIN (SELECT p.dst AS node, sum(p.p * r.rank) AS in_sum
+      |             FROM p JOIN r1 r ON p.src = r.node GROUP BY p.dst) i
+      |    ON nd.node = i.node
+      |  CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS dm
+      |              FROM r1 r LEFT JOIN ow ON r.node = ow.src
+      |              WHERE ow.src IS NULL) dgl),
+      |r3 AS (
+      |  SELECT nd.node,
+      |         (1 - 0.85) / nn.n + 0.85 * (coalesce(i.in_sum, 0) + dgl.dm / nn.n) AS rank
+      |  FROM nodes nd CROSS JOIN nn
+      |  LEFT JOIN (SELECT p.dst AS node, sum(p.p * r.rank) AS in_sum
+      |             FROM p JOIN r2 r ON p.src = r.node GROUP BY p.dst) i
+      |    ON nd.node = i.node
+      |  CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS dm
+      |              FROM r2 r LEFT JOIN ow ON r.node = ow.src
+      |              WHERE ow.src IS NULL) dgl)""".stripMargin
+
+  private val qG1 = Q(
+    "q_g1_pagerank_trade",
+    s"""WITH e AS (
+      |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+      |         CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+      |p AS (SELECT src, dst, w / out_w AS p FROM e JOIN ow USING (src)),
+      |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+      |$iter3
+      |SELECT n.n_name, CAST(r3.node AS INT) AS nationkey, r3.rank
+      |FROM r3 JOIN nation n ON r3.node = n.n_nationkey
+      |ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+    val edges = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    PageRank.run(edges, iterations = 3, damping = 0.85)
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("node").cast("int").as("nationkey"), col("rank"))
+      .orderBy("n_name")
+  }
+
+  override val all: Seq[Q] = Seq(qG1)
+}

@@ -93,5 +93,52 @@ object LayoutQueries extends QueryGroup {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
   }
 
-  override val all: Seq[Q] = Seq(qL1, qL2)
+  // CSV round-trip under the oracle: a quoting-hostile payload (embedded
+  // quotes + commas, derived deterministically so the oracle can mirror
+  // it) written through the RFC-4180 CSV sink (S12) and read back with
+  // an explicit schema. The gate proves writer and reader agree on
+  // quoting/escaping AND that values survive the text round-trip.
+  private val qS2 = Q(
+    "q_s2_csv_roundtrip",
+    """SELECT doc_id,
+      |       '"' || translate(substr(text, 1, 40), ' ', ',') || '",x' AS payload,
+      |       lang, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val slice = Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat(lit("\""), translate(substring(col("text"), 1, 40), " ", ","),
+          lit("\",x")).as("payload"),
+        col("lang"), col("n_chars"))
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    graft.sources.FileSinks.csv(slice, tmp)
+    s.read
+      .schema(slice.schema)
+      .option("header", "true")
+      .csv(tmp)
+      .orderBy("doc_id")
+  }
+
+  // Small-file compaction: fragment documents into 48 tiny files, run
+  // Layout.compact to ~256 KiB targets, and gate that the output file
+  // count matches the byte-derived target and actually shrank — while
+  // the oracle proves compaction is content-neutral.
+  private val qL3 = Q(
+    "q_l3_compaction",
+    """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""") { (s, dir) =>
+    val frag = Files.createTempDirectory("graft_frag").toString
+    val out = Files.createTempDirectory("graft_compact").toString
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars", "text")
+      .repartition(48)
+      .write.mode("overwrite").parquet(frag)
+    val target = Layout.compact(s, frag, out, targetBytes = 256L * 1024)
+    val back = s.read.parquet(out)
+    val outFiles = back.inputFiles.length
+    require(outFiles == target && outFiles < 48,
+      s"q_l3: compaction must hit the byte-derived target ($target), got $outFiles")
+    back.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3)
 }

@@ -195,5 +195,24 @@ object QualityQueries extends QueryGroup {
       .orderBy("o_orderkey")
   }
 
-  override val all: Seq[Q] = Seq(qQ1, qQ2, qA8, qQ3, qQ4)
+  // Grouped exact percentiles via the per-group histogram (window
+  // partitioned by group — distinct values per group, partition-
+  // parallel, no row-count-sized aggregation state; the grouped form of
+  // q_q3's threshold machinery).
+  private val qA9 = Q(
+    "q_a9_grouped_percentiles",
+    """SELECT l_returnflag,
+      |       CAST(count(l_extendedprice) AS BIGINT) AS n,
+      |       quantile_cont(l_extendedprice, 0.25) AS p25,
+      |       quantile_cont(l_extendedprice, 0.50) AS p50,
+      |       quantile_cont(l_extendedprice, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    DataProfile
+      .groupedExactPercentiles(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75))
+      .orderBy("l_returnflag")
+  }
+
+  override val all: Seq[Q] = Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9)
 }

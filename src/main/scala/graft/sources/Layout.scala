@@ -50,6 +50,32 @@ object Layout {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Compact a fragmented parquet directory into ~`targetBytes` files —
+    * the small-files maintenance pass every long-lived 100 TB table
+    * needs (streaming sinks and per-run dumps fragment; thousands of
+    * tiny files turn scans into listing storms and starve row-group
+    * pruning). File count is sized from the input's actual bytes via a
+    * driver-side listing (no job), then one repartition writes evenly
+    * sized outputs. Returns the target file count.
+    */
+  def compact(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(in)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** True when the physical plan of `df` contains a shuffle exchange —
     * used by specs to prove bucketed joins are exchange-free.
     */
