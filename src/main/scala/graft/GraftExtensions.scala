@@ -21,8 +21,10 @@ import graft.expressions.{FloatVectorDot, HyperplaneSignature, MinHashSignature,
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.OptimizeLevenshteinThreshold)
+  }
 }
 
 object GraftExtensions {
@@ -70,10 +72,18 @@ object GraftExtensions {
       }))
 
   /** Same registrations applied to an already-running session (extensions
-    * are consumed only at session construction).
+    * are consumed only at session construction). The optimizer rule rides
+    * `experimentalMethods.extraOptimizations`, the supported hook for
+    * post-construction rule injection; adding it twice is harmless (the
+    * rewrite is idempotent) but avoided anyway.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.bridge.registerFunction(spark, id.funcName, info, builder)
     }
+    val em = spark.experimental
+    if (!em.extraOptimizations.contains(graft.plans.OptimizeLevenshteinThreshold))
+      em.extraOptimizations =
+        em.extraOptimizations :+ graft.plans.OptimizeLevenshteinThreshold
+  }
 }

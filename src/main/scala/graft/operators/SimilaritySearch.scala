@@ -538,6 +538,50 @@ object SimilaritySearch {
         col("cosine"))
   }
 
+  /** SemDeDup-shape semantic-dedup pair mining: k-means Voronoi cells
+    * block the corpus, candidates pair only WITHIN a cell, and exact
+    * cosine verifies every candidate — so false positives never escape;
+    * recall is governed by clustering quality. Against
+    * [[blockedCosinePairs]]'s (numBlocks+1)·n shuffle of ALL rows to
+    * unordered block pairs, the shuffle here is assignProbes·n rows keyed
+    * by semantic cell and pair work collapses from n²/2 to Σ|cell|²/2 —
+    * the trade that makes embedding dedup tractable when n² isn't.
+    *
+    * `assignProbes` > 1 multi-probes the assignment (a row joins its top
+    * cells, not just the nearest), which repairs near-dup pairs whose
+    * members straddle a Voronoi boundary — the standard SemDeDup
+    * hardening; candidates found through several shared cells dedup via
+    * `distinct`. Centroids are the same deterministic driver fit as IVF
+    * ([[kmeansCentroids]]), embedded as plan literals: assignment is
+    * scan-side arithmetic, no centroid join.
+    */
+  def clusteredCosinePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCells: Int = 16,
+      assignProbes: Int = 2,
+      kmeansIters: Int = 3): DataFrame = {
+    require(numCells > 0 && assignProbes > 0)
+    val cents = kmeansCentroids(corpus, idCol, vecCol, numCells, iters = kmeansIters)
+    val cLits = cents.map(c => typedlit(c))
+    val probed = math.min(assignProbes, cents.length)
+    val assigned = graft.Tables.spread(corpus).select(
+      col(idCol).as("__id"),
+      col(vecCol).as("__v"),
+      explode(transform(
+        bestCellsOf(cLits)(col(vecCol), probed), s => s.getField("cell"))).as("__cell"))
+    val a = assigned.select(col("__cell"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = assigned.select(col("__cell"), col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("__cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** SRP-LSH banded near-dup pair mining — the embedding mirror of
     * [[graft.operators.NearDup.minHashLshPairs]]: per row, `numBands`
     * independent `bandBits`-bit hyperplane signatures (disjoint plane

@@ -41,5 +41,34 @@ object RegistryQueries extends QueryGroup {
     QueryRegistry.load(cfgDir, cfgDir).compile(s, "candidateIds")
   }
 
-  override val all: Seq[Q] = Seq(qR1)
+  // The injected optimizer rule under the oracle gate: identical SQL text
+  // runs in Spark (with graft.plans.OptimizeLevenshteinThreshold rewriting
+  // the unbounded levenshtein predicate to the early-exit banded kernel)
+  // and in DuckDB. The require() proves the rewrite actually fired in the
+  // optimized plan; the oracle proves it changed nothing semantically.
+  // Exhaustive over DISTINCT names (64²) — the blocked production path for
+  // raw corpora is q_d11.
+  private val fuzzySql =
+    """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b
+      |FROM n a JOIN n b ON a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  private val qR2 = Q("q_r2_levenshtein_rule", fuzzySql) { (s, dir) =>
+    graft.GraftExtensions.register(s)
+    Tables.load(s, dir, "part").createOrReplaceTempView("part")
+    val df = s.sql(fuzzySql)
+    val rewritten = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Levenshtein
+            if l.threshold.isDefined => l
+      })
+    }.flatten
+    require(rewritten.nonEmpty,
+      "q_r2: the optimizer must rewrite levenshtein(a,b) <= d to the thresholded kernel")
+    df
+  }
+
+  override val all: Seq[Q] = Seq(qR1, qR2)
 }

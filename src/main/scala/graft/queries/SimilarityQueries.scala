@@ -218,6 +218,49 @@ object SimilarityQueries extends QueryGroup {
         (col("__e") === 0).as("srp_sound"))
   }
 
+  // SemDeDup-style semantic dedup under the q_v8 planted-twin gate:
+  // k-means cells (the IVF fit) block the corpus, pairs verified with
+  // exact cosine within each cell only — shuffle assignProbes·n rows by
+  // cell instead of blockedCosinePairs' all-to-block-pairs, pair work
+  // Σ|cell|²/2 instead of n²/2. At threshold 0.8 the exact pair set is
+  // EXACTLY the planted twins (background cosine tops out ≈ 0.55), and a
+  // twin at cosine ≈ 0.9995 lands with its source in a shared top-2 probe
+  // cell (deterministic centroids, fixed outcome) — so the cluster-blocked
+  // set must equal the exact set in both directions.
+  private val qV12 = Q(
+    "q_v12_semantic_dedup",
+    """SELECT CAST(count(*) AS INT) AS n_pairs,
+      |       true AS sem_complete, true AS sem_sound
+      |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 5 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) +
+            (pmod(xxhash64(col("vec_id"), i), lit(41)).cast("double") - 20.0) / lit(1000.0)))
+            .cast("float"))
+          .as("embedding"))
+    val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .union(planted)
+    val sem = SimilaritySearch.clusteredCosinePairs(corpus, "vec_id", "embedding", 0.8,
+      numCells = 16, assignProbes = 2)
+    val exact = SimilaritySearch.blockedCosinePairs(corpus, "vec_id", "embedding", 0.8,
+      numBlocks = 8)
+    val semSet = sem.select("id_a", "id_b")
+    val exactSet = exact.select("id_a", "id_b")
+    val missing = exactSet.join(semSet, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__m"))
+    val extra = semSet.join(exactSet, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__e"))
+    semSet.agg(count(lit(1)).as("__n"))
+      .crossJoin(missing).crossJoin(extra)
+      .select(
+        col("__n").cast("int").as("n_pairs"),
+        (col("__m") === 0).as("sem_complete"),
+        (col("__e") === 0).as("sem_sound"))
+  }
+
   // Per-label embedding centroids, emitted one row per (label,
   // dimension): posexplode → one hash aggregate on (label, pos) with
   // map-side partials — no array reassembly, no collect. Cross-row float
@@ -296,5 +339,5 @@ object SimilarityQueries extends QueryGroup {
   }
 
   override val all: Seq[Q] =
-    Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11)
+    Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12)
 }

@@ -21,6 +21,48 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.catalog.functionExists("vec_dot"))
   }
 
+  test("levenshtein threshold rule rewrites all four orientations, exactly") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val words = Seq("abcd", "abce", "abef", "xyz", null)
+    words.map(Tuple1(_)).toDF("w").createOrReplaceTempView("__lev_words")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val present = words.filter(_ != null)
+    try {
+      for ((pred, keep) <- Seq(
+          ("levenshtein(a.w, b.w) <= 2", (d: Int) => d <= 2),
+          ("2 >= levenshtein(a.w, b.w)", (d: Int) => d <= 2),
+          ("levenshtein(a.w, b.w) < 2", (d: Int) => d < 2),
+          ("2 > levenshtein(a.w, b.w)", (d: Int) => d < 2))) {
+        val df = spark.sql(
+          s"SELECT a.w AS wa, b.w AS wb FROM __lev_words a JOIN __lev_words b ON a.w < b.w WHERE $pred")
+        val rewritten = df.queryExecution.optimizedPlan.collect {
+          case p => p.expressions.flatMap(_.collect {
+            case l: org.apache.spark.sql.catalyst.expressions.Levenshtein
+                if l.threshold.isDefined => l
+          })
+        }.flatten
+        assert(rewritten.nonEmpty, s"rule must fire for: $pred")
+        val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+        val want = (for {
+          a <- present; b <- present if a < b && keep(lev(a, b))
+        } yield (a, b)).toSet
+        assert(got === want, s"semantics must be unchanged for: $pred")
+      }
+      // shapes the rule must NOT touch: column threshold, negative literal
+      val untouched = spark.sql(
+        "SELECT a.w FROM __lev_words a JOIN __lev_words b ON a.w < b.w WHERE levenshtein(a.w, b.w) <= -1")
+      assert(untouched.collect().isEmpty, "lev <= -1 stays an always-false filter")
+    } finally spark.sql("DROP VIEW IF EXISTS __lev_words")
+  }
+
   test("SQL minhash_signature and hyperplane_signature equal the DSL forms") {
     GraftExtensions.register(spark)
     Tables.load(spark, sf(), "documents").orderBy("doc_id").limit(50).createOrReplaceTempView("__docs_ext")

@@ -223,4 +223,28 @@ class SimilaritySearchSpec extends SparkSpec {
     info(s"IVF recall@10 nprobe=4: raw centroids → $rRaw, 3 Lloyd iters → $rRef")
     assert(rRef >= rRaw - 0.1, "refinement should not materially regress recall")
   }
+
+  test("clustered pairs are sound (subset of exact) and find co-located twins") {
+    val emb = graft.Tables.load(spark, sf(), "embeddings").select("vec_id", "embedding")
+    val exact = SimilaritySearch
+      .blockedCosinePairs(emb, "vec_id", "embedding", 0.45, numBlocks = 4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustered = SimilaritySearch
+      .clusteredCosinePairs(emb, "vec_id", "embedding", 0.45,
+        numCells = 8, assignProbes = 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clustered.subsetOf(exact),
+      "exact-cosine verification must keep false positives out")
+    info(s"clustered recall at 0.45: ${clustered.size}/${exact.size}")
+
+    // multi-probe dominates single-probe (boundary pairs only ever gained)
+    val single = SimilaritySearch
+      .clusteredCosinePairs(emb, "vec_id", "embedding", 0.45,
+        numCells = 8, assignProbes = 1)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(clustered), "probe-2 candidates contain probe-1's")
+  }
 }
