@@ -86,6 +86,71 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin):
+    * each doc's shingle set is sorted by a global canonical order
+    * (ascending document frequency, ties by shingle value — rare first),
+    * and only the first `n − ⌈t·n⌉ + 1` shingles are indexed. Two sets
+    * with J ≥ t must overlap ≥ t/(1+t)·(|A|+|B|) elements, so skipping
+    * more than n − ⌈t·n⌉ of a set's canonical order cannot leave the
+    * overlap intact — prefixes of any qualifying pair MUST share a
+    * shingle, making the block provably complete and the oracle the
+    * full exact pair set.
+    *
+    * Vs [[ngramJaccardPairs]]'s full inverted index, the posting list
+    * shrinks to ≈ (1−t)·n + 1 entries per doc (5× at t = 0.8) AND is
+    * df-ascending, so the hottest shingles — the O(f²) candidate bombs
+    * the maxDocFreq cap exists for — mostly fall OUT of prefixes without
+    * giving up exactness. Candidates carry their full sorted sets, so
+    * verification is one `array_intersect` per distinct pair — no second
+    * corpus join. The length filter t·|A| ≤ |B| prunes before
+    * verification.
+    */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "prefix filtering needs t in (0, 1]")
+    val sh = explodedShingles(docs, idCol, textCol, k)
+    val byDf = sh.join(sh.groupBy("__s").agg(count(lit(1)).as("__df")), "__s")
+    val sets = byDf
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("__df"), col("__s")))).as("__sorted"))
+      .select(
+        col(idCol),
+        transform(col("__sorted"), e => e.getField("__s")).as("__set"),
+        size(col("__sorted")).as("__n"))
+    // ⌈t·n⌉ with a downward nudge: IEEE t·n can land a hair ABOVE an exact
+    // integer product (0.8·5 = 4.0000000000000002 → ceil 5, not 4), which
+    // would SHORTEN the prefix below the completeness bound. The nudge only
+    // ever lengthens the prefix (extra work, never a miss); verification
+    // stays exact.
+    val prefixLen =
+      (col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + lit(1)).cast("int")
+    val prefixed = sets.select(
+      col(idCol), col("__set"), col("__n"),
+      explode(slice(col("__set"), lit(1), prefixLen)).as("__p"))
+    val a = prefixed.select(col("__p"), col(idCol).as("id_a"),
+      col("__set").as("__seta"), col("__n").as("__na"))
+    val b = prefixed.select(col("__p"), col(idCol).as("id_b"),
+      col("__set").as("__setb"), col("__n").as("__nb"))
+    a.join(b, Seq("__p"))
+      // length filter (J ≥ t ⟹ t·|A| ≤ |B|), with the same downward nudge
+      // so an exact-boundary pair (t·na == nb) survives IEEE rounding
+      .where(col("id_a") < col("id_b") &&
+        lit(threshold) * col("__na") - lit(1e-9) <= col("__nb") &&
+        lit(threshold) * col("__nb") - lit(1e-9) <= col("__na"))
+      .select("id_a", "id_b", "__seta", "__setb", "__na", "__nb")
+      .distinct()
+      .withColumn("__i", size(array_intersect(col("__seta"), col("__setb"))))
+      .withColumn(
+        "jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash + LSH near-dup pairs: signature per doc (scan-side), band
     * keys exploded, candidates from the band-bucket self-join, then exact
     * Jaccard verification on the candidates only. With numPerm=64 and

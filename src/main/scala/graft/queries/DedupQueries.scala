@@ -405,6 +405,19 @@ object DedupQueries extends QueryGroup {
       .orderBy("name_a", "name_b")
   }
 
+  // Prefix-filtered exact Jaccard (AllPairs/PPJoin): df-ascending
+  // canonical order, only the (1−t)·n+1 rarest shingles indexed —
+  // provably complete, so the oracle is the SAME full exact pair set as
+  // q_d2. The hot shingles that force q_d2b's cap mostly fall out of
+  // prefixes here without giving up exactness.
+  private val qD12 = Q("q_d12_jaccard_prefix", pairsOracle) { (s, dir) =>
+    NearDup
+      .ngramJaccardPairsPrefix(Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   override val all: Seq[Q] =
-    Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11)
+    Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
+      qD12)
 }

@@ -900,11 +900,36 @@ object RelationalQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  // Schema-on-read JSON extraction over the events props column:
+  // from_json with an explicit schema (typed, codegen-friendly — not the
+  // stringly get_json_object) aggregated per event type. The semi-
+  // structured-payload surface every event pipeline needs.
+  private val qP12 = Q(
+    "q_p12_json_extract",
+    """SELECT event_type,
+      |       CAST(count(*) AS INT) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+      |       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))).getField("k")
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("int").as("n"),
+        sum(k).cast("bigint").as("sum_k"),
+        min(k).cast("int").as("min_k"),
+        max(k).cast("int").as("max_k"))
+      .orderBy("event_type")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
-    qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2)
+    qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12)
 }

@@ -95,4 +95,27 @@ class NearDupSpec extends SparkSpec {
     // planted dups share mostly doc-unique shingles, so the cap keeps them
     assert(capped === exact)
   }
+
+  test("prefix-filtered Jaccard equals the full inverted index on the corpus") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val exact = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = NearDup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix === exact, "prefix filtering is provably complete — sets must match")
+  }
+
+  test("prefix filter survives exact integer-boundary sizes (t·n integral)") {
+    import spark.implicits._
+    // 5-shingle vs 4-shingle docs with intersection 4: J = 4/5 = 0.8
+    // exactly, and t·na = 0.8·5 = 4 — the IEEE boundary the downward
+    // nudge protects (both the length filter and the prefix length).
+    val docs = Seq(
+      (1L, "a b c d e f"),   // shingles: abc bcd cde def (4)… build via tokens
+      (2L, "a b c d e f g")  // 5 shingles, intersection 4
+    ).toDF("doc_id", "text")
+    val got = NearDup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0.8)))
+  }
 }
