@@ -140,5 +140,51 @@ object LayoutQueries extends QueryGroup {
     back.select("doc_id", "lang", "n_chars").orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3)
+  // Zone-map (per-file min/max manifest) data skipping over a range-
+  // partitioned layout: the manifest-driven file list must be a strict
+  // subset, the residual filter still applies, and the oracle proves
+  // skipping loses nothing. This is the external-index complement to
+  // q_l2's partition pruning — predicates on NON-partition columns.
+  private val qL4 = Q(
+    "q_l4_zonemap_skipping",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, dir) =>
+    val frag = Files.createTempDirectory("graft_zonemap").toString
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .repartitionByRange(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(frag)
+    val manifest = Layout.statsManifest(s, frag, Seq("l_orderkey"))
+    val total = s.read.parquet(frag).inputFiles.length
+    val skipped = Layout.readSkipping(s, manifest, "l_orderkey", 100L, 500L)
+    require(skipped.inputFiles.length < total,
+      s"q_l4: zone maps must skip files (${skipped.inputFiles.length}/$total read)")
+    skipped
+      .where(col("l_orderkey").between(100, 500))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  // Schema-drift merge: an old-generation frame (no `source` column)
+  // unions with the new generation BY NAME, missing columns null-filled —
+  // the ingestion behavior every long-lived table needs when producers
+  // add fields. Positional union would silently misalign; the oracle
+  // pins the by-name semantics.
+  private val qS3 = Q(
+    "q_s3_schema_drift",
+    """SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars, source
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val gen1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select("doc_id", "lang", "n_chars")
+    val gen2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id", "lang", "n_chars", "source")
+    gen1.unionByName(gen2, allowMissingColumns = true).orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3, qL4, qS3)
 }

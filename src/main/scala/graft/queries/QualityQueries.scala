@@ -214,5 +214,34 @@ object QualityQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
-  override val all: Seq[Q] = Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9)
+  // Heavy hitters via the lossy-counting sketch (`stat.freqItems`,
+  // single pass, bounded state — the 100 TB shape) gated on its
+  // guarantee: every item with support ≥ s MUST appear in the sketch
+  // result (false positives allowed, never false negatives). Exact
+  // counts come from the same frame; the oracle recomputes them and
+  // pins in_sketch = true for every true heavy hitter.
+  private val qA10 = Q(
+    "q_a10_freq_items",
+    """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |t AS (SELECT sum(n) AS tot FROM c)
+      |SELECT event_type, CAST(n AS INT) AS n_exact, true AS in_sketch
+      |FROM c CROSS JOIN t
+      |WHERE n >= 0.15 * tot
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val sketch = ev.stat.freqItems(Seq("event_type"), 0.15)
+      .collect()(0).getSeq[String](0).toSet // one row — bounded driver read
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("tot"))
+    counts
+      .crossJoin(broadcast(tot))
+      .where(col("n") >= lit(0.15) * col("tot"))
+      .select(
+        col("event_type"),
+        col("n").cast("int").as("n_exact"),
+        col("event_type").isin(sketch.toSeq: _*).as("in_sketch"))
+      .orderBy("event_type")
+  }
+
+  override val all: Seq[Q] = Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10)
 }

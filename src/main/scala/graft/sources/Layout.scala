@@ -76,6 +76,49 @@ object Layout {
     nFiles
   }
 
+  /** Per-file min/max/count manifest ("zone maps") over `cols` — the
+    * external data-skipping index for predicates on columns that are NOT
+    * the partition key. Parquet footers carry the same stats per
+    * row-group, but at 100 TB reading a million footers per query is the
+    * listing storm; a manifest TABLE is one small scan, and is what
+    * table formats maintain transactionally. Build it once per
+    * write/compaction; pair with a range-partitioned or z-ordered layout
+    * so per-file ranges are tight enough to skip.
+    */
+  def statsManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "manifest needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read only the files whose [min, max] zone overlaps [lo, hi] on
+    * `rangeCol`, per `manifest`. The overlapping file list is collected
+    * driver-side — bounded by FILE COUNT (what any manifest-driven
+    * planner does), never by rows. The residual predicate must still be
+    * applied by the caller; skipping is an over-approximation exactly
+    * like partition pruning.
+    */
+  def readSkipping(
+      spark: SparkSession,
+      manifest: DataFrame,
+      rangeCol: String,
+      lo: Any,
+      hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = manifest
+      .where(col(s"max_$rangeCol") >= lit(lo) && col(s"min_$rangeCol") <= lit(hi))
+      .select("file")
+      .collect()
+      .map(_.getString(0))
+    require(files.nonEmpty, "zone-map skip selected no files — empty result short-circuit")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** True when the physical plan of `df` contains a shuffle exchange —
     * used by specs to prove bucketed joins are exchange-free.
     */

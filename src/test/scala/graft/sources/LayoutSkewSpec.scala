@@ -54,6 +54,26 @@ class LayoutSkewSpec extends SparkSpec {
     }
   }
 
+  test("zone-map manifest skipping never loses rows and strictly prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    val li = Tables.load(spark, sf(), "lineitem").select("l_orderkey", "l_quantity")
+    li.repartitionByRange(8, col("l_orderkey")).write.mode("overwrite").parquet(dir)
+    val mf = Layout.statsManifest(spark, dir, Seq("l_orderkey"))
+    // manifest stats actually bound their files
+    val bad = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .join(mf, "file")
+      .filter(col("lo") =!= col("min_l_orderkey") || col("hi") =!= col("max_l_orderkey"))
+      .count()
+    assert(bad === 0, "manifest min/max must match per-file reality")
+    val skipped = Layout.readSkipping(spark, mf, "l_orderkey", 50L, 120L)
+    assert(skipped.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
+    val got = skipped.filter(col("l_orderkey").between(50, 120)).count()
+    val want = li.filter(col("l_orderkey").between(50, 120)).count()
+    assert(got === want, "skipping must be loss-free for the covered predicate")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val li = Tables.load(spark, sf(), "lineitem")
