@@ -925,11 +925,108 @@ object RelationalQueries extends QueryGroup {
       .orderBy("event_type")
   }
 
+  // Six-way star join with a region filter and a date range (the TPC-H
+  // Q5 shape): Catalyst must reorder, push both filters to their scans,
+  // and broadcast every dimension — the depth where join planning starts
+  // to matter. Note supplier joins on BOTH lineitem and the customer's
+  // nation (the classic local-supplier constraint).
+  private val qJ12 = Q(
+    "q_j12_six_way_join",
+    """SELECT n_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |       CAST(count(*) AS INT) AS n_rows
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    t(s, dir, "region").where(col("r_name") === "ASIA")
+      .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(
+        t(s, dir, "orders").where(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(price * (lit(1) - disc)).cast("double").as("revenue"),
+        count(lit(1)).cast("int").as("n_rows"))
+      .orderBy("n_name")
+  }
+
+  // The analytic-window family beyond q_w/q_w2: lag/lead, ntile,
+  // percent_rank, cume_dist, first/last_value with an explicit full
+  // frame. All rank-family outputs are exact integer ratios, so the
+  // doubles are bit-stable across engines.
+  private val qW3 = Q(
+    "q_w3_window_family",
+    """SELECT o_orderkey, o_custkey,
+      |       lag(o_orderkey) OVER w AS prev_order,
+      |       lead(o_orderkey) OVER w AS next_order,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cdist,
+      |       first_value(o_orderkey) OVER w AS first_order,
+      |       last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        lag("o_orderkey", 1).over(w).as("prev_order"),
+        lead("o_orderkey", 1).over(w).as("next_order"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        first("o_orderkey").over(w).as("first_order"),
+        last("o_orderkey").over(full).as("last_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+  // MATCH each other instead of vanishing — the semantics dimension-key
+  // joins need when "unknown" is itself a dimension member.
+  private val qJ13 = Q(
+    "q_j13_null_safe_join",
+    """WITH l AS (SELECT nullif(o_custkey % 100, 0) AS k FROM orders),
+      |r AS (SELECT DISTINCT nullif(c_custkey % 100, 0) AS k FROM customer)
+      |SELECT coalesce(CAST(l.k AS VARCHAR), 'NULL') AS key_str,
+      |       CAST(count(*) AS INT) AS n
+      |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "orders")
+      .select(nullif(pmod(col("o_custkey"), lit(100)), lit(0)).as("lk"))
+    val r = t(s, dir, "customer")
+      .select(nullif(pmod(col("c_custkey"), lit(100)), lit(0)).as("rk"))
+      .distinct()
+    l.join(r, col("lk") <=> col("rk"))
+      .groupBy(coalesce(col("lk").cast("string"), lit("NULL")).as("key_str"))
+      .agg(count(lit(1)).cast("int").as("n"))
+      .orderBy("key_str")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
     qA1, qA3, qDistinct, qRollup, qA5,
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
-    qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12)
+    qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
+    qJ12, qW3, qJ13)
 }
