@@ -149,5 +149,39 @@ object StreamingQueries extends QueryGroup {
       horizon = "2 hours")
   }
 
-  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8)
+  // Left-outer stream-stream interval join: the inner matches of q_st4
+  // PLUS a null-extended row per purchase the watermark PROVED unmatched
+  // — i.e. purchases older than the final global watermark
+  // (min of both sides' max ts − the 2 h delay). Purchases inside that
+  // horizon never null-emit (a late click could still arrive); the
+  // oracle replays the exact horizon rule, so the streaming outer-join
+  // eviction semantics are value-pinned against batch SQL.
+  private val qSt9 = Q(
+    "q_st9_stream_outer_join",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts FROM ev
+      |      WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts FROM ev
+      |      WHERE event_type = 'click'),
+      |w AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+      |             - INTERVAL 2 HOUR AS wm)
+      |SELECT * FROM (
+      |  SELECT p.purchase_id, p.user_id, c.click_id,
+      |         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |  UNION ALL
+      |  SELECT p.purchase_id, p.user_id,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM p CROSS JOIN w
+      |  WHERE p.ts < w.wm AND NOT EXISTS (
+      |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+      |      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR))
+      |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin) { (s, dir) =>
+    EventStreams.clickAttributionLeftOuterAvailableNow(s, dir)
+  }
+
+  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9)
 }

@@ -132,7 +132,19 @@ object EventStreams {
     * join from an unbounded one: without the time bound the state grows
     * with the stream.
     */
-  def clickAttributionJoin(events: DataFrame): DataFrame = {
+  def clickAttributionJoin(events: DataFrame): DataFrame =
+    clickAttributionJoin(events, "inner")
+
+  /** `joinType` "inner" emits matches as they form; "left_outer" ALSO
+    * emits a null-extended row for a purchase once the watermark proves
+    * no click can ever match it — i.e. when the global watermark
+    * (min of both sides' max event time, minus the 2 h delay) passes the
+    * purchase's timestamp. Purchases younger than the final watermark
+    * horizon never null-emit, BY DESIGN: the stream cannot know a late
+    * click won't still arrive. The q_st9 oracle replays exactly that
+    * horizon rule in SQL, so the semantics are pinned, not hand-waved.
+    */
+  def clickAttributionJoin(events: DataFrame, joinType: String): DataFrame = {
     // One shared narrowed pass: the two join branches below are separate
     // leaves in the micro-batch physical plan (stream-stream self-joins
     // re-scan the source per side — Spark has no streaming subtree reuse),
@@ -156,7 +168,8 @@ object EventStreams {
       .join(clicks,
         col("user_id") === col("c_user") &&
           col("c_ts") <= col("p_ts") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        joinType)
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
@@ -267,6 +280,22 @@ object EventStreams {
       s"stream_attribution_${System.nanoTime()}",
       OutputMode.Append())
       .orderBy("purchase_id", "click_id")
+  }
+
+  /** The left-outer interval join run to completion: matched rows plus
+    * watermark-proven-unmatched purchases with null click columns.
+    */
+  def clickAttributionLeftOuterAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
+    val s = streamSession(spark, statePartitions)
+    runToTable(
+      s,
+      clickAttributionJoin(readEventStream(s, sfDir), "left_outer"),
+      s"stream_attribution_outer_${System.nanoTime()}",
+      OutputMode.Append())
+      .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
   }
 
   /** The stream-static enrichment aggregate run to completion. */
