@@ -22,7 +22,12 @@ object Explain {
     "q_v4_embed_dedup",       // blocked pair join — NO BroadcastNestedLoop
     "q_v6_srp_pairs",         // banded SRP mining + verify join
     "q_e3_asof_attribution",  // union+window as-of — no join operator
-    "q_d8_decontaminate")     // probe shingles broadcast; corpus unshuffled
+    "q_d8_decontaminate",     // probe shingles broadcast; corpus unshuffled
+    "q_l2_zorder_pruning",    // Morton IN-list must be a PartitionFilter
+    "q_d12_jaccard_prefix",   // prefix posting join — no cartesian
+    "q_j12_six_way_join",     // deep star join — dims all broadcast
+    "q_g1_pagerank_trade",    // per-iteration join+agg, checkpointed edges
+    "q_v12_semantic_dedup")   // cell-blocked pair join + exact verify
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
