@@ -243,5 +243,36 @@ object QualityQueries extends QueryGroup {
       .orderBy("event_type")
   }
 
-  override val all: Seq[Q] = Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10)
+  // Robust (median/MAD) z-score — the outlier score that survives the
+  // outliers themselves, unlike q_q4's mean/stddev form. Two histogram-
+  // percentile passes (median, then median of absolute deviations — each
+  // domain-bounded, see exactPercentiles) broadcast to a map-only scoring
+  // pass. Scores are emitted raw (no thresholding), so there is no
+  // boundary membership to flip — downstream filters pick their own cut.
+  private val qQ5 = Q(
+    "q_q5_robust_zscore",
+    """WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders),
+      |mad AS (SELECT quantile_cont(abs(o_totalprice - m), 0.5) AS d
+      |        FROM orders CROSS JOIN med)
+      |SELECT o_orderkey,
+      |       (o_totalprice - m) / (1.4826 * d) AS robust_z
+      |FROM orders CROSS JOIN med CROSS JOIN mad
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val med = DataProfile.exactPercentiles(orders, "o_totalprice", Seq("m" -> 0.5))
+      .select("m")
+    val deviations = orders.crossJoin(broadcast(med))
+      .select(abs(col("o_totalprice") - col("m")).as("__dev"), col("m"))
+    val mad = DataProfile.exactPercentiles(deviations, "__dev", Seq("d" -> 0.5))
+      .select("d")
+    orders
+      .crossJoin(broadcast(med))
+      .crossJoin(broadcast(mad))
+      .select(
+        col("o_orderkey"),
+        ((col("o_totalprice") - col("m")) / (lit(1.4826) * col("d"))).as("robust_z"))
+      .orderBy("o_orderkey")
+  }
+
+  override val all: Seq[Q] = Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5)
 }

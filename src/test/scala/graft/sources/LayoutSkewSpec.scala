@@ -54,6 +54,42 @@ class LayoutSkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition (runtime re-plan path)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // salting (Skew.saltedInnerJoin) is the write-side answer; this pins
+    // the RUNTIME answer the session enables: AQE's OptimizeSkewedJoin.
+    // Thresholds are lowered so the test corpus trips them.
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf
+        .get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf
+        .get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf
+        .get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf
+        .get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = ((1 to 60000).map(_ => 1L) ++ (1 to 600).map(_.toLong + 1))
+        .toDF("k").withColumn("pad", lpad(col("k").cast("string"), 32, "x"))
+      val right = (1L to 700L).toDF("rk")
+        .withColumn("rpad", lpad(col("rk").cast("string"), 32, "y"))
+      // keep the wide pad columns in the output — column pruning would
+      // otherwise shrink the hot partition below the skew threshold
+      val joined = left.join(right, $"k" === $"rk")
+      // execute THIS frame (count() would plan its own query) so the
+      // adaptive plan finalizes before inspection
+      assert(joined.collect().length === 60600)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the hot partition's join as skew-split:\n$finalPlan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("zone-map manifest skipping never loses rows and strictly prunes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zm").toString
     val li = Tables.load(spark, sf(), "lineitem").select("l_orderkey", "l_quantity")
