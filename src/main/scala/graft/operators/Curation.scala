@@ -151,6 +151,34 @@ object Curation {
     df.join(broadcast(picked), col(keyCol) === col("__pick"), "left_semi")
   }
 
+  /** Deterministic sample of exactly `k` rows PER GROUP (the stratified
+    * form of [[sampleExactK]]): within each group, the k hash-smallest
+    * keys win — fixed per-stratum quotas regardless of stratum size,
+    * where [[stratifiedSample]]'s per-group RATES cannot promise a count.
+    * Same bounded-heap shape: map-side O(log k) heap updates per group,
+    * ≤ k-entry partials shuffle on the group key, and the picked key set
+    * (k · |groups| rows) broadcasts back as a scan-side semi join.
+    *
+    * PRECONDITION: `keyCol` values must be unique corpus-wide (the semi
+    * join keeps every row sharing a picked key). Groups smaller than k
+    * return whole.
+    */
+  def sampleExactKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = df.select(
+      col(groupCol).as("__g"),
+      (-hashUnit(col(keyCol), seed)).as("cosine"),
+      col(keyCol).as("neighbor_id"))
+    val picked = SimilaritySearch.topKPerKey(scored, "__g", k)
+      .select(col("neighbor_id").as("__pick"))
+    df.join(broadcast(picked), col(keyCol) === col("__pick"), "left_semi")
+  }
+
   /** Deterministic weighted sample of exactly `k` rows (Efraimidis &
     * Spirakis A-ES): each row draws `u = hashUnit(key, seed)` and scores
     * `u^(1/w)`; the k largest scores win, so inclusion probability rises

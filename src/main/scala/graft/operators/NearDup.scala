@@ -317,4 +317,63 @@ object NearDup {
         least(coalesce(col("__covered"), lit(0L)), col("token_count"))
           .cast("int").as("covered_tokens"))
   }
+
+  /** Segment-level exact dedup (the C4 recipe, word-window form): split
+    * each document into fixed `segWords`-word segments, keep the FIRST
+    * occurrence of every distinct segment corpus-wide (first by doc id,
+    * then by position), and reassemble each document from its surviving
+    * segments in order. Catches boilerplate paragraphs repeated across
+    * otherwise-distinct documents — the signal document-level dedup
+    * cannot see and span STATS ([[repeatedSpanStats]]) only report.
+    * Documents whose every segment is claimed elsewhere disappear.
+    *
+    * Scale shape: segmentation is scan-side (`transform` over a
+    * `sequence` of offsets — no self-join); the keep/drop decision
+    * shuffles only `(id, seg_idx, md5(seg))` — a 16-byte digest instead
+    * of the segment text — through ONE window; the (typically small) drop
+    * set then anti-joins back against the re-derived segments, and
+    * reassembly is one aggregate on the doc id. Segment text therefore
+    * crosses the wire once (to its reassembly reducer), never to the
+    * dedup partition.
+    *
+    * Returns (idCol, n_segments_kept, dedup_md5) — the reassembled text
+    * pinned by digest; join back to the corpus on the id to materialize
+    * it when needed.
+    */
+  def segmentDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWords: Int): DataFrame = {
+    require(segWords > 0, "segWords must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val words = when(trim(col(textCol)) === "", array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    def segments(base: DataFrame): DataFrame = base
+      .filter(size(col("__w")) > 0)
+      .select(
+        col(idCol),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, (size(__w) + ${segWords - 1}) div $segWords - 1),
+             |  i -> array_join(slice(__w, i * $segWords + 1, $segWords), ' '))""".stripMargin)))
+      .toDF(idCol, "seg_idx", "seg")
+    val base = graft.Tables.spread(docs).select(col(idCol), words.as("__w"))
+    val byDigest = Window.partitionBy("__h").orderBy(col(idCol), col("seg_idx"))
+    val drops = segments(base)
+      .select(col(idCol), col("seg_idx"), md5(col("seg")).as("__h"))
+      .withColumn("__rn", row_number().over(byDigest))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("seg_idx"))
+    segments(base)
+      .join(drops, Seq(idCol, "seg_idx"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("int").as("n_segments_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x.getField("seg")),
+          " ")).as("dedup_md5"))
+  }
 }

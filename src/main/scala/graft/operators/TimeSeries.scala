@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: densify an irregular event stream onto a
+  * fixed grid and fill the gaps by carrying the last observation forward
+  * (LOCF) — the standard pre-step before per-entity feature windows or
+  * training-curve joins, where a missing hour must mean "same as last
+  * seen", not "absent row".
+  *
+  * Beyond-reference surface (the reference syncs snapshots and never
+  * regularizes time; `SisConnectorService.java:142-160` has no notion of
+  * a grid), added for the LLM-pipeline side where event/metric feeds are
+  * joined to corpora on aligned time buckets.
+  *
+  * Shape at scale: one hash aggregate to the (key, hour) grain, a
+  * per-key min/max span (tiny — one row per key), a scan-side
+  * `sequence()` explode bounded by each key's own span, and ONE window
+  * pass per key for the carry-forward. Nothing global: the grid is never
+  * materialized beyond each key's span, and the window partitions by the
+  * key, so a 1000-executor run sees each key's slots on one task. Carried
+  * values stay DECIMAL end-to-end (engine-order-independent sums), cast
+  * to double only at the edge.
+  */
+object TimeSeries {
+
+  /** Hourly grid per key over `[min hour, max hour]` of that key, with
+    * `n_events` (0 on gap rows) and `sv_filled` — the hourly DECIMAL sum
+    * of `valueCol`, last-observation-carried-forward across gaps, as
+    * double. The first slot of every key is observed by construction
+    * (the span starts at the key's first event), so `sv_filled` is never
+    * null.
+    */
+  def hourlyGapFillLocf(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(
+        sum(col(valueCol).cast("decimal(18,2)")).as("__sv"),
+        count(lit(1)).as("__n"))
+    val slots = hourly
+      .groupBy(col(keyCol))
+      .agg(min(col("h")).as("__h0"), max(col("h")).as("__h1"))
+      .select(
+        col(keyCol),
+        explode(sequence(col("__h0"), col("__h1"), expr("interval 1 hour"))).as("h"))
+    val carry = Window
+      .partitionBy(keyCol)
+      .orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slots
+      .join(hourly, Seq(keyCol, "h"), "left")
+      .select(
+        col(keyCol),
+        col("h"),
+        coalesce(col("__n"), lit(0L)).cast("int").as("n_events"),
+        last(col("__sv"), ignoreNulls = true).over(carry).cast("double").as("sv_filled"))
+  }
+}

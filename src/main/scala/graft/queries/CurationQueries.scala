@@ -234,5 +234,25 @@ object CurationQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8)
+  // Per-group exact-k: the 10 hash-smallest documents of EACH source —
+  // fixed per-stratum quotas (q_c1's per-group RATES can't promise a
+  // count) via the same bounded-heap + broadcast-semi-join shape as
+  // q_c5; the oracle states the per-partition row_number form the
+  // engine avoids running.
+  private val qC9 = Q(
+    "q_c9_group_exact_k",
+    s"""SELECT doc_id, source, lang FROM (
+       |  SELECT doc_id, source, lang,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':c9'), 1, 8))::BIGINT,
+       |                    doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 10 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.sampleExactKPerGroup(
+      Tables.load(s, dir, "documents"), "source", "doc_id", k = 10, seed = "c9")
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9)
 }

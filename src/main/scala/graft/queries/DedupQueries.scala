@@ -417,7 +417,33 @@ object DedupQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  // Segment-level exact dedup (C4 recipe): 20-word segments, first
+  // occurrence corpus-wide wins (doc id, then position), documents
+  // reassembled from surviving segments — pinned by digest + kept-count.
+  // The oracle replays the identical segmentation (1-based word slices)
+  // and first-wins window; the engine shuffles only 16-byte digests to
+  // the dedup partition (see NearDup.segmentDedup scaladoc).
+  private val qD13 = Q(
+    "q_d13_segment_dedup",
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wds
+      |           FROM documents WHERE trim(text) <> ''),
+      |idx AS (SELECT doc_id, wds,
+      |               unnest(range(0, CAST(ceil(len(wds) / 20.0) AS BIGINT))) AS seg_idx
+      |        FROM w),
+      |segs AS (SELECT doc_id, seg_idx,
+      |                array_to_string(wds[seg_idx * 20 + 1 : seg_idx * 20 + 20], ' ') AS seg
+      |         FROM idx),
+      |keep AS (SELECT doc_id, seg_idx, seg,
+      |                row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      |         FROM segs)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_segments_kept,
+      |       md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS dedup_md5
+      |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    NearDup.segmentDedup(Tables.load(s, dir, "documents"), "doc_id", "text", segWords = 20)
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12)
+      qD12, qD13)
 }

@@ -85,5 +85,32 @@ object GraphQueries extends QueryGroup {
       .orderBy("n_name")
   }
 
-  override val all: Seq[Q] = Seq(qG1)
+  // Market-basket co-occurrence: the 15 part pairs most often ordered
+  // together (basket = order), decorated with lift over independence.
+  // The engine cuts to k with TakeOrderedAndProject BEFORE the lift
+  // joins (Association.coOccurrenceTopK); the oracle computes lift with
+  // the identical left-to-right double expression so both engines round
+  // the same way.
+  private val qG2 = Q(
+    "q_g2_cooccurrence",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |freq AS (SELECT i, count(*) AS ci FROM items GROUP BY 1),
+      |total AS (SELECT count(DISTINCT b) AS nb FROM items),
+      |pairs AS (
+      |  SELECT a.i AS p1, b.i AS p2, count(*) AS pair_count
+      |  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+      |  GROUP BY 1, 2),
+      |top AS (SELECT * FROM pairs ORDER BY pair_count DESC, p1, p2 LIMIT 15)
+      |SELECT p1, p2, pair_count,
+      |       CAST(pair_count AS DOUBLE) * nb / f1.ci / f2.ci AS lift
+      |FROM top
+      |JOIN freq f1 ON top.p1 = f1.i
+      |JOIN freq f2 ON top.p2 = f2.i
+      |CROSS JOIN total
+      |ORDER BY pair_count DESC, p1, p2""".stripMargin) { (s, dir) =>
+    graft.operators.Association.coOccurrenceTopK(
+      Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey", k = 15)
+  }
+
+  override val all: Seq[Q] = Seq(qG1, qG2)
 }

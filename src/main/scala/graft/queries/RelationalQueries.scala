@@ -1021,6 +1021,36 @@ object RelationalQueries extends QueryGroup {
       .orderBy("key_str")
   }
 
+  // Hourly gap-fill with last-observation-carried-forward: each user's
+  // event stream densified onto its own [first hour, last hour] grid,
+  // gap rows carrying the last seen hourly DECIMAL sum. The oracle
+  // replays the grid with generate_series and the carry with
+  // last_value IGNORE NULLS; sums stay DECIMAL to the edge so the
+  // carried values are engine-order-independent.
+  private val qE8 = Q(
+    "q_e8_gap_fill_locf",
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS sv, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+      |slots AS (SELECT user_id,
+      |                 unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      |          FROM spans),
+      |j AS (SELECT s.user_id, s.h, hourly.sv, coalesce(hourly.n, 0) AS n
+      |      FROM slots s
+      |      LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h)
+      |SELECT user_id, h, CAST(n AS INT) AS n_events,
+      |       CAST(last_value(sv IGNORE NULLS) OVER (
+      |              PARTITION BY user_id ORDER BY h
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS DOUBLE) AS sv_filled
+      |FROM j ORDER BY user_id, h""".stripMargin) { (s, dir) =>
+    graft.operators.TimeSeries
+      .hourlyGapFillLocf(Tables.load(s, dir, "events"), "user_id", "ts", "value")
+      .orderBy("user_id", "h")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1028,5 +1058,5 @@ object RelationalQueries extends QueryGroup {
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
-    qJ12, qW3, qJ13)
+    qJ12, qW3, qJ13, qE8)
 }

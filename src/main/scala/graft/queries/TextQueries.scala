@@ -394,6 +394,33 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Bigram-LM quality score — one order up from q_t8 on the perplexity
+  // ladder: Laplace-smoothed p(w2|w1) with the context count taken over
+  // BIGRAM occurrences (so the conditional sums to ≤ 1 exactly) and the
+  // unigram vocabulary as the smoothing denominator. DuckDB zips the
+  // token list with its own tail via parallel unnest; the engine's
+  // zip_with is scan-side (no self-join to form pairs).
+  private val qT13 = Q(
+    "q_t13_bigram_lm",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |bg AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+      |       FROM t WHERE len(tk) >= 2),
+      |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT term) AS v
+      |          FROM (SELECT unnest(tk) AS term FROM t)),
+      |scored AS (SELECT bg.doc_id, ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) AS lp
+      |           FROM bg JOIN cnt USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams, avg(lp) AS mean_logprob
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.BigramLm
+      .meanLogProb(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
-    Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12)
+    Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13)
 }
