@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * deterministic synthetic "decoder" marked [STUB] below stands in where
   * libjpeg/ffmpeg would be called. Everything around it — schema, batch
   * shape, partitioning, null handling — is real and tested, so swapping a
-  * real codec in is a one-function change. The exception is PNG:
-  * [[decodePngMeta]] is a REAL header decoder (the PNG container format
-  * needs no codec library to read dimensions), implemented as pure
-  * codegen built-ins.
+  * real codec in is a one-function change. The exceptions are PNG, GIF
+  * and BMP: [[decodePngMeta]], [[decodeGifMeta]] and [[decodeBmpMeta]]
+  * are REAL header decoders (those container formats keep dimensions at
+  * fixed offsets, no codec library needed), implemented as pure codegen
+  * built-ins. JPEG stays an honest stub — its dimensions sit behind a
+  * variable-length marker walk, not a fixed slice.
   */
 object Multimodal {
 
@@ -63,6 +65,73 @@ object Multimodal {
         be(25, 1).cast("int").as("bit_depth"),
         colorType.as("color_type"),
         channels.as("channels")))
+      .otherwise(lit(null))
+  }
+
+  /** Little-endian unsigned integer of `len` bytes at 1-based offset
+    * `pos` — the GIF/BMP twin of the big-endian reader in
+    * [[decodePngMeta]]. Kept BIGINT for the same ANSI-overflow reason.
+    */
+  private def le(payload: Column, pos: Int, len: Int): Column =
+    (0 until len)
+      .map(i => conv(hex(substring(payload, pos + i, 1)), 16, 10).cast("bigint")
+        * lit(1L << (8 * i)))
+      .reduce(_ + _)
+
+  /** REAL GIF header decode — not a stub. Parses the 6-byte signature
+    * ("GIF87a"/"GIF89a") and the Logical Screen Descriptor that always
+    * follows it (GIF89a spec §17-18: width/height are little-endian u16
+    * at offsets 7-10; the packed byte at 11 carries the global-color-table
+    * flag and size). Returns `(width, height, version, gct_size)` — gct
+    * size is the entry count 2^(bits+1), or 0 when no global table — or
+    * NULL for absent/short/non-GIF payloads.
+    *
+    * Pure codegen built-ins like [[decodePngMeta]]: byte slices + integer
+    * arithmetic, no UDF, scan-side at any scale.
+    */
+  def decodeGifMeta(payload: Column): Column = {
+    val sig = hex(substring(payload, 1, 6))
+    val sigOk = sig === lit("474946383761") || sig === lit("474946383961")
+    val w = le(payload, 7, 2)
+    val h = le(payload, 9, 2)
+    val packed = le(payload, 11, 1).cast("int")
+    val gctSize = when(packed.bitwiseAND(lit(0x80)) =!= 0,
+      element_at(
+        typedlit(Seq(2, 4, 8, 16, 32, 64, 128, 256)),
+        packed.bitwiseAND(lit(7)) + 1)).otherwise(lit(0))
+    when(payload.isNotNull && length(payload) >= 13 && sigOk && w >= 1L && h >= 1L,
+      struct(
+        w.cast("int").as("width"),
+        h.cast("int").as("height"),
+        substring(payload, 4, 3).cast("string").as("version"),
+        gctSize.cast("int").as("gct_size")))
+      .otherwise(lit(null))
+  }
+
+  /** REAL BMP header decode — not a stub. Parses the "BM" signature and
+    * the DIB info header (BITMAPINFOHEADER and its V4/V5 extensions all
+    * share the first 40 bytes): width/height are little-endian 32-bit at
+    * offsets 19/23, bits-per-pixel u16 at 29. A negative stored height
+    * (two's complement) is the spec's top-down marker and is normalized,
+    * surfaced as `top_down`. Returns
+    * `(width, height, top_down, bits_per_pixel)` or NULL for
+    * absent/short/non-BMP payloads or a pre-Info (core) header.
+    */
+  def decodeBmpMeta(payload: Column): Column = {
+    val sigOk = hex(substring(payload, 1, 2)) === lit("424D")
+    val dibSize = le(payload, 15, 4)
+    val w = le(payload, 19, 4)
+    val hRaw = le(payload, 23, 4)
+    val hNeg = hRaw >= lit(2147483648L)
+    val h = when(hNeg, lit(4294967296L) - hRaw).otherwise(hRaw)
+    val bpp = le(payload, 29, 2).cast("int")
+    when(payload.isNotNull && length(payload) >= 30 && sigOk && dibSize >= 40L &&
+        w >= 1L && w <= Int.MaxValue.toLong && h >= 1L && h <= Int.MaxValue.toLong,
+      struct(
+        w.cast("int").as("width"),
+        h.cast("int").as("height"),
+        hNeg.as("top_down"),
+        bpp.as("bits_per_pixel")))
       .otherwise(lit(null))
   }
 

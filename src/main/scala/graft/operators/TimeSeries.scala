@@ -61,4 +61,42 @@ object TimeSeries {
         coalesce(col("__n"), lit(0L)).cast("int").as("n_events"),
         last(col("__sv"), ignoreNulls = true).over(carry).cast("double").as("sv_filled"))
   }
+
+  /** Trailing-window anomaly score over a regular per-key series (run
+    * [[hourlyGapFillLocf]] first — z-scores on an IRREGULAR grid
+    * silently weight dense hours more): for each slot, the mean and
+    * sample stddev of the previous `windowSlots` slots (inclusive), the
+    * z-score against that local baseline, and an `is_anomaly` flag at
+    * `|z| > threshold`. Flat windows (zero variance, e.g. a long LOCF
+    * carry) score null z and never flag — and "zero" is judged against
+    * `stdFloor`, not exact 0.0: sliding-window variance recurrences
+    * leave ±1-ulp residue (~1e-16) on constant frames in some engines,
+    * and dividing by that residue fabricates huge z-scores out of
+    * nothing. One window pass per key, like the fill itself; nothing
+    * global.
+    */
+  def rollingZScore(
+      series: DataFrame,
+      keyCol: String,
+      slotCol: String,
+      valueCol: String,
+      windowSlots: Int,
+      threshold: Double,
+      stdFloor: Double = 1e-9): DataFrame = {
+    require(windowSlots > 1, "need at least two slots for a sample stddev")
+    val w = Window.partitionBy(keyCol).orderBy(slotCol)
+      .rowsBetween(-(windowSlots - 1), Window.currentRow)
+    val mean = avg(col(valueCol)).over(w)
+    // guard the 1-row sample: Spark's stddev_samp yields NaN there (SQL
+    // engines yield NULL) — neither is a usable baseline
+    val sd = when(count(lit(1)).over(w) >= 2, stddev_samp(col(valueCol)).over(w))
+    series
+      .withColumn("roll_mean", mean)
+      .withColumn("roll_std", sd)
+      .withColumn("z",
+        when(col("roll_std") > stdFloor,
+          (col(valueCol) - col("roll_mean")) / col("roll_std")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+  }
 }

@@ -188,5 +188,74 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4)
+  // REAL GIF + BMP header decode (no stub): each document gets a genuine
+  // GIF Logical Screen Descriptor (little-endian u16 dims, packed
+  // global-color-table byte cycling all 8 size codes, 87a/89a versions
+  // alternating) and a genuine BMP file+info header (little-endian u32
+  // dims), built in-plan; every 7th GIF and every 5th BMP signature is
+  // corrupted. The oracle derives every expectation INDEPENDENTLY from
+  // the source columns — an endianness, offset, or packed-bit bug cannot
+  // round-trip. Ground truth against complete ImageIO-written GIF/BMP
+  // files lives in MultimodalSpec.
+  private val qM5 = Q(
+    "q_m5_gif_bmp_header_decode",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         n_chars % 60000 + 1 AS gw,
+      |         (n_chars * 3 + doc_id % 777) % 60000 + 1 AS gh,
+      |         n_chars % 29989 + 1 AS bw,
+      |         (n_chars * 11 + doc_id % 333) % 29989 + 1 AS bh,
+      |         CAST(doc_id % 8 AS INT) AS gbits,
+      |         (doc_id % 7 <> 0) AS gok,
+      |         (doc_id % 5 <> 0) AS bok
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN gok THEN CAST(gw AS INT) END AS gif_width,
+      |       CASE WHEN gok THEN CAST(gh AS INT) END AS gif_height,
+      |       CASE WHEN gok THEN CASE WHEN doc_id % 2 = 0 THEN '87a' ELSE '89a' END END AS gif_version,
+      |       CASE WHEN gok THEN CAST(2 * power(2, gbits) AS INT) END AS gif_gct_size,
+      |       gok AS valid_gif,
+      |       CASE WHEN bok THEN CAST(bw AS INT) END AS bmp_width,
+      |       CASE WHEN bok THEN CAST(bh AS INT) END AS bmp_height,
+      |       CASE WHEN bok THEN CAST(24 AS INT) END AS bmp_bpp,
+      |       bok AS valid_bmp
+      |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def leHex(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val gw = col("n_chars").cast("bigint") % 60000 + 1
+    val gh = (col("n_chars").cast("bigint") * 3 + col("doc_id") % 777) % 60000 + 1
+    val bw = col("n_chars").cast("bigint") % 29989 + 1
+    val bh = (col("n_chars").cast("bigint") * 11 + col("doc_id") % 333) % 29989 + 1
+    val gifSig = when(col("doc_id") % 7 === 0, lit("004946383961"))
+      .otherwise(when(col("doc_id") % 2 === 0, lit("474946383761"))
+        .otherwise(lit("474946383961")))
+    val packed = lpad(hex(lit(128L).bitwiseOR(col("doc_id") % 8)), 2, "0")
+    val gifHex = concat(gifSig, leHex(gw, 2), leHex(gh, 2), packed, lit("0000"))
+    val bmpSig = when(col("doc_id") % 5 === 0, lit("0000")).otherwise(lit("424D"))
+    val bmpHex = concat(
+      bmpSig, lit("00000000"), lit("00000000"), lit("36000000"), // size/resv/offset
+      lit("28000000"),                                           // DIB header size 40
+      leHex(bw, 4), leHex(bh, 4),
+      lit("0100"), lit("1800"))                                  // planes=1, bpp=24
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        unhex(gifHex).as("gif_payload"), unhex(bmpHex).as("bmp_payload"))
+      .withColumn("g", Multimodal.decodeGifMeta(col("gif_payload")))
+      .withColumn("b", Multimodal.decodeBmpMeta(col("bmp_payload")))
+      .select(
+        col("doc_id"),
+        col("g.width").as("gif_width"),
+        col("g.height").as("gif_height"),
+        col("g.version").as("gif_version"),
+        col("g.gct_size").as("gif_gct_size"),
+        col("g").isNotNull.as("valid_gif"),
+        col("b.width").as("bmp_width"),
+        col("b.height").as("bmp_height"),
+        col("b.bits_per_pixel").as("bmp_bpp"),
+        col("b").isNotNull.as("valid_bmp"))
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4, qM5)
 }

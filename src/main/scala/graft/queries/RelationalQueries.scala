@@ -1051,6 +1051,77 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id", "h")
   }
 
+  // First-order Markov transition matrix over per-user event sequences:
+  // one window pass pairs each event with its successor (ts, then
+  // event_id so the order is total), counts reduce to the |state|²
+  // matrix, and P(next|cur) is the integer ratio n / row-total — both
+  // engines divide the same two BIGINTs.
+  private val qE9 = Q(
+    "q_e9_markov_transitions",
+    """WITH seq AS (
+      |  SELECT event_type AS cur,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+      |  FROM events),
+      |trans AS (SELECT cur, next, count(*) AS n FROM seq
+      |          WHERE next IS NOT NULL GROUP BY 1, 2),
+      |ctx AS (SELECT cur, sum(n) AS c FROM trans GROUP BY 1)
+      |SELECT cur, next, n, CAST(n AS DOUBLE) / c AS p
+      |FROM trans JOIN ctx USING (cur)
+      |ORDER BY cur, next""".stripMargin) { (s, dir) =>
+    graft.operators.Markov
+      .transitionMatrix(Tables.load(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+      .orderBy("cur", "next")
+  }
+
+  // Rolling anomaly detection composed on the gap-filled series (q_e8's
+  // grid): 24-slot trailing mean/stddev per user, z-score against the
+  // local baseline, |z| > 3 flags. Flat windows (LOCF carries) score
+  // null z and never flag — via a 1e-9 std FLOOR, not a >0 test:
+  // DuckDB's sliding-variance recurrence leaves ~1e-16 residue on
+  // constant frames where Spark computes exactly 0.0, and dividing by
+  // the residue fabricates z-scores in the thousands. The count guard
+  // pins the 1-row-sample semantics (Spark NaN vs SQL NULL).
+  private val qE10 = Q(
+    "q_e10_rolling_anomaly",
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS sv, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+      |slots AS (SELECT user_id,
+      |                 unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      |          FROM spans),
+      |filled AS (
+      |  SELECT s.user_id, s.h,
+      |         CAST(last_value(hourly.sv IGNORE NULLS) OVER (
+      |                PARTITION BY s.user_id ORDER BY s.h
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS DOUBLE) AS sv_filled
+      |  FROM slots s
+      |  LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h),
+      |scored AS (
+      |  SELECT user_id, h, sv_filled,
+      |         avg(sv_filled) OVER w AS roll_mean,
+      |         CASE WHEN count(*) OVER w >= 2
+      |              THEN stddev_samp(sv_filled) OVER w END AS roll_std
+      |  FROM filled
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY h
+      |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, h, sv_filled, roll_mean, roll_std,
+      |       CASE WHEN roll_std > 1e-9 THEN (sv_filled - roll_mean) / roll_std END AS z,
+      |       coalesce(abs(CASE WHEN roll_std > 1e-9
+      |                         THEN (sv_filled - roll_mean) / roll_std END) > 3,
+      |                false) AS is_anomaly
+      |FROM scored ORDER BY user_id, h""".stripMargin) { (s, dir) =>
+    val filled = graft.operators.TimeSeries
+      .hourlyGapFillLocf(Tables.load(s, dir, "events"), "user_id", "ts", "value")
+      .select("user_id", "h", "sv_filled")
+    graft.operators.TimeSeries
+      .rollingZScore(filled, "user_id", "h", "sv_filled",
+        windowSlots = 24, threshold = 3.0)
+      .orderBy("user_id", "h")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1058,5 +1129,5 @@ object RelationalQueries extends QueryGroup {
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
-    qJ12, qW3, qJ13, qE8)
+    qJ12, qW3, qJ13, qE8, qE9, qE10)
 }

@@ -97,6 +97,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF/BMP header decode: real ImageIO-written files round-trip true dimensions") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def img(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val i = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      i.setRGB(0, 0, 0x123456)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(i, fmt, bos), s"JDK $fmt writer available")
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val gifs = Seq((1L, img("gif", 37, 23), 37, 23), (2L, img("gif", 640, 1), 640, 1))
+    val bmps = Seq((1L, img("bmp", 19, 57), 19, 57), (2L, img("bmp", 2, 300), 2, 300))
+    val junk = Seq((100L, "not an image".getBytes("UTF-8")), (101L, Array.empty[Byte]))
+
+    val gdf = (gifs.map { case (id, p, _, _) => (id, p) } ++ junk).toDF("id", "payload")
+      .withColumn("m", Multimodal.decodeGifMeta(col("payload")))
+    val gdec = gdf.filter(col("m").isNotNull)
+      .select(col("id"), col("m.width"), col("m.height"), col("m.version"), col("m.gct_size"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4))))
+      .toMap
+    assert(gdec.keySet === Set(1L, 2L), "only real GIFs decode; junk → null")
+    gifs.foreach { case (id, _, w, h) =>
+      assert((gdec(id)._1, gdec(id)._2) === ((w, h)), s"gif id=$id dimensions")
+      assert(gdec(id)._3 === "89a", "ImageIO writes GIF89a")
+      assert(gdec(id)._4 > 0, "RGB GIF carries a global color table")
+    }
+
+    val bdf = (bmps.map { case (id, p, _, _) => (id, p) } ++ junk).toDF("id", "payload")
+      .withColumn("m", Multimodal.decodeBmpMeta(col("payload")))
+    val bdec = bdf.filter(col("m").isNotNull)
+      .select(col("id"), col("m.width"), col("m.height"), col("m.top_down"), col("m.bits_per_pixel"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3), r.getInt(4))))
+      .toMap
+    assert(bdec.keySet === Set(1L, 2L), "only real BMPs decode; junk → null")
+    bmps.foreach { case (id, _, w, h) =>
+      assert((bdec(id)._1, bdec(id)._2) === ((w, h)), s"bmp id=$id dimensions")
+      assert(!bdec(id)._3, "ImageIO writes bottom-up BMPs")
+      assert(bdec(id)._4 === 24, "TYPE_INT_RGB encodes 24bpp")
+    }
+  }
+
   test("decode stage rebalances partitions by content hash") {
     val staged = Multimodal.decodeStage(docs, "payload", numPartitions = 8) { p =>
       Seq("image_meta" -> Multimodal.decodeImageMetaStub(p))

@@ -30,6 +30,25 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, "2024-01-02 10:00:00.0", 1, 7.00)))
   }
 
+  test("rolling z-score: known window stats, flat windows never flag") {
+    val series = (
+      Seq.tabulate(30)(i => (1L, ts(f"2024-01-01 $i%02d:00:00").getTime / 1000 * 1000, 10.0)) :+
+        ((1L, ts("2024-01-02 06:00:00").getTime, 99.0))
+      ).map { case (u, ms, v) => (u, new Timestamp(ms), v) }
+      .toDF("user_id", "h", "v")
+    val got = TimeSeries.rollingZScore(series, "user_id", "h", "v",
+      windowSlots = 24, threshold = 3.0)
+      .orderBy("h").collect()
+    // first 30 slots: flat value 10.0 → zero/undefined std, never anomalous
+    assert(got.take(30).forall(!_.getBoolean(got.head.fieldIndex("is_anomaly"))))
+    // the 99.0 spike against a flat-10 baseline flags
+    val spike = got.last
+    assert(spike.getDouble(spike.fieldIndex("v")) === 99.0)
+    assert(spike.getBoolean(spike.fieldIndex("is_anomaly")))
+    // single-row window (first slot) has null std, not NaN
+    assert(got.head.isNullAt(got.head.fieldIndex("roll_std")))
+  }
+
   test("first slot of every key is observed; sv_filled never null") {
     val events = graft.Tables.load(spark, sf(), "events")
     val filled = TimeSeries.hourlyGapFillLocf(events, "user_id", "ts", "value")
