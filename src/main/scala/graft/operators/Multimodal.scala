@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * deterministic synthetic "decoder" marked [STUB] below stands in where
   * libjpeg/ffmpeg would be called. Everything around it — schema, batch
   * shape, partitioning, null handling — is real and tested, so swapping a
-  * real codec in is a one-function change. The exceptions are PNG, GIF
-  * and BMP: [[decodePngMeta]], [[decodeGifMeta]] and [[decodeBmpMeta]]
-  * are REAL header decoders (those container formats keep dimensions at
-  * fixed offsets, no codec library needed), implemented as pure codegen
-  * built-ins. JPEG stays an honest stub — its dimensions sit behind a
-  * variable-length marker walk, not a fixed slice.
+  * real codec in is a one-function change. The exception is image
+  * HEADERS, which decode for REAL across the whole container family:
+  * [[decodePngMeta]], [[decodeGifMeta]] and [[decodeBmpMeta]] read
+  * fixed-offset headers, and [[decodeJpegMeta]] walks JPEG's
+  * variable-position marker chain with the `aggregate` higher-order
+  * function — all pure codegen built-ins, no codec library, no UDF.
+  * What remains stubbed is pixel/audio/video DECODE, which genuinely
+  * needs libjpeg/ffmpeg.
   */
 object Multimodal {
 
@@ -132,6 +134,59 @@ object Multimodal {
         h.cast("int").as("height"),
         hNeg.as("top_down"),
         bpp.as("bits_per_pixel")))
+      .otherwise(lit(null))
+  }
+
+  /** REAL JPEG header decode — not a stub, and not fixed-offset either:
+    * JPEG keeps its dimensions inside a Start-Of-Frame segment at a
+    * variable position, behind the APP/DQT/COM segments that precede it.
+    * This decoder WALKS the marker chain — up to `maxSegments` segments,
+    * each `FF <marker> <be16 length> <payload>` — with the `aggregate`
+    * higher-order function folding a cursor struct over a constant
+    * `sequence`: still a single scan-side codegen expression, no UDF.
+    * The walk stops at SOF0/1/2 (baseline, extended-sequential,
+    * progressive — what JFIF encoders emit) and extracts
+    * `(width, height, num_components)` from the frame header; it aborts
+    * to NULL on a broken chain, SOS/EOI before any SOF, or exhaustion.
+    * Scans after SOS are never touched, so entropy-coded data (where
+    * length-less RST markers live) cannot derail it.
+    */
+  def decodeJpegMeta(payload: Column, maxSegments: Int = 16): Column = {
+    def byteAt(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(1))), 16, 10).cast("bigint")
+    def be16(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(2))), 16, 10).cast("bigint")
+    def cursor(pos: Column, w: Column, h: Column, nc: Column): Column =
+      struct(pos.cast("int").as("pos"), w.cast("int").as("w"),
+        h.cast("int").as("h"), nc.cast("int").as("nc"))
+    val nullInt = lit(null).cast("int")
+    val init = cursor(lit(3), nullInt, nullInt, nullInt)
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      init,
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val done = acc.getField("w").isNotNull || pos.isNull
+        val m1 = byteAt(pos)
+        val m2 = byteAt(pos + 1)
+        val isSof = m1 === 255L && (m2 === 192L || m2 === 193L || m2 === 194L)
+        // SOS (scan data follows — no more headers) / EOI / not a marker
+        val isStop = m1 =!= 255L || m2 === 218L || m2 === 217L
+        val next = pos + 2 + be16(pos + 2)
+        when(done, acc)
+          .when(isSof, cursor(pos, be16(pos + 7), be16(pos + 5), byteAt(pos + 9)))
+          .when(isStop || next > length(payload), cursor(nullInt, nullInt, nullInt, nullInt))
+          .otherwise(cursor(next, nullInt, nullInt, nullInt))
+      })
+    val sigOk = hex(substring(payload, 1, 2)) === lit("FFD8")
+    val w = walked.getField("w")
+    val h = walked.getField("h")
+    when(payload.isNotNull && length(payload) >= 4 && sigOk &&
+        w.isNotNull && w >= 1 && h >= 1,
+      struct(
+        w.as("width"),
+        h.as("height"),
+        walked.getField("nc").as("num_components")))
       .otherwise(lit(null))
   }
 

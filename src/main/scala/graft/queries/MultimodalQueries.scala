@@ -257,5 +257,53 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4, qM5)
+  // REAL JPEG header decode (no stub): a genuine JFIF marker chain built
+  // in-plan — SOI, APP0 (16-byte JFIF segment), a filler DQT, then SOF0
+  // or SOF2 (progressive, every 3rd doc) carrying the real dimensions,
+  // then trailing bytes the walk must never reach. Every 7th doc gets a
+  // corrupted SOI. The decoder has to WALK the chain (the SOF offset
+  // varies with nothing here, but the walk is the same code path the
+  // variable case uses); the oracle derives expectations independently.
+  // Ground truth against complete ImageIO-written JPEGs (whose SOF sits
+  // behind encoder-chosen DQT/DHT segments at varying offsets) lives in
+  // MultimodalSpec.
+  private val qM6 = Q(
+    "q_m6_jpeg_header_decode",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         n_chars % 60000 + 1 AS w,
+      |         (n_chars * 13 + doc_id % 555) % 60000 + 1 AS h,
+      |         (doc_id % 7 <> 0) AS ok
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN CAST(w AS INT) END AS width,
+      |       CASE WHEN ok THEN CAST(h AS INT) END AS height,
+      |       CASE WHEN ok THEN CAST(3 AS INT) END AS num_components,
+      |       ok AS valid_jpeg
+      |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def beHex(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    val w = col("n_chars").cast("bigint") % 60000 + 1
+    val h = (col("n_chars").cast("bigint") * 13 + col("doc_id") % 555) % 60000 + 1
+    val soi = when(col("doc_id") % 7 === 0, lit("00D8")).otherwise(lit("FFD8"))
+    val sof = when(col("doc_id") % 3 === 0, lit("FFC2")).otherwise(lit("FFC0"))
+    val jpegHex = concat(
+      soi,
+      lit("FFE0"), lit("0010"), lit("4A46494600010100000100010000"), // APP0 JFIF
+      lit("FFDB"), lit("0004"), lit("0000"),                        // filler DQT
+      sof, lit("0011"), lit("08"), beHex(h), beHex(w),              // SOF: len, precision, dims
+      lit("03"), lit("011100021101031101"),                         // 3 components
+      lit("FFDA"), lit("0002"), lit("DEADBEEF"))                    // SOS + entropy bytes
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(jpegHex).as("payload"))
+      .withColumn("m", Multimodal.decodeJpegMeta(col("payload")))
+      .select(
+        col("doc_id"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.num_components").as("num_components"),
+        col("m").isNotNull.as("valid_jpeg"))
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4, qM5, qM6)
 }

@@ -140,6 +140,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG header decode: real ImageIO JPEGs round-trip through the marker walk") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def jpeg(w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val i = new BufferedImage(w, h, imgType)
+      i.setRGB(0, 0, 0x123456)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(i, "jpeg", bos), "JDK JPEG writer available")
+      bos.toByteArray
+    }
+    import spark.implicits._
+    // real encoder output: SOF sits behind encoder-chosen APP0/DQT (and
+    // for grayscale a different component count) at offsets we don't
+    // control — the walk has to find it
+    val rows = Seq(
+      (1L, jpeg(43, 31, BufferedImage.TYPE_INT_RGB), 43, 31, 3),
+      (2L, jpeg(512, 2, BufferedImage.TYPE_INT_RGB), 512, 2, 3),
+      (3L, jpeg(9, 77, BufferedImage.TYPE_BYTE_GRAY), 9, 77, 1))
+    val junk = Seq(
+      (100L, "FFD8 but not really".getBytes("UTF-8")),
+      (101L, Array[Byte](0xFF.toByte, 0xD8.toByte)), // bare SOI, no chain
+      (102L, Array.empty[Byte]))
+    val df = (rows.map { case (id, p, _, _, _) => (id, p) } ++ junk)
+      .toDF("id", "payload")
+      .withColumn("m", Multimodal.decodeJpegMeta(col("payload")))
+    val dec = df.filter(col("m").isNotNull)
+      .select(col("id"), col("m.width"), col("m.height"), col("m.num_components"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(dec.keySet === Set(1L, 2L, 3L), "only real JPEGs decode; junk → null")
+    rows.foreach { case (id, _, w, h, nc) =>
+      assert(dec(id) === ((w, h, nc)), s"jpeg id=$id (width, height, components)")
+    }
+  }
+
   test("decode stage rebalances partitions by content hash") {
     val staged = Multimodal.decodeStage(docs, "payload", numPartitions = 8) { p =>
       Seq("image_meta" -> Multimodal.decodeImageMetaStub(p))
