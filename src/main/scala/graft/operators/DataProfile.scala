@@ -127,4 +127,72 @@ object DataProfile {
             (col(s"__hi_$name") - col(s"__lo_$name")) * frac).as(name)
         }: _*)
   }
+
+  /** Equi-DEPTH binning: assign each row the 1-based decile-style bucket
+    * of `valueCol` among `nBins` equal-population bins, boundaries taken
+    * from [[exactPercentiles]] (interior percentiles i/nBins). The
+    * boundary row broadcasts and assignment is a scan-side
+    * `size(filter(...))` over the boundary array — a two-pass,
+    * shuffle-free alternative to `ntile()`, whose global sort is the
+    * thing that does not survive 100×. Ties sit with the LOWER bin
+    * (`boundary < value` strictly); null values get a null bin.
+    */
+  def equiDepthBins(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val ps = (1 until nBins).map(i => s"__b$i" -> i.toDouble / nBins)
+    val bounds = exactPercentiles(df, valueCol, ps)
+      .select(array((1 until nBins).map(i => col(s"__b$i")): _*).as("__bnds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(binCol,
+        when(col(valueCol).isNotNull,
+          size(filter(col("__bnds"), b => b < col(valueCol))) + 1).cast("int"))
+      .drop("__bnds")
+  }
+
+  /** Population Stability Index of `valueCol` between a baseline slice
+    * and an actual slice — THE standard drift score for feature/corpus
+    * monitoring: bin by the BASELINE's equi-depth boundaries, then
+    * PSI = Σ (pa − pe)·ln(pa/pe) over bins. Shares are clamped at
+    * `floorShare` (an empty actual bin contributes a large finite term,
+    * not ±∞ — the conventional practitioner clamp). Returns one row:
+    * (psi, n_bins, n_baseline, n_actual). Both slices reduce to nBins
+    * counts before any cross-side math, so the comparison costs two
+    * scans + two tiny aggregates at any scale.
+    */
+  def populationStabilityIndex(
+      baseline: DataFrame,
+      actual: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      floorShare: Double = 1e-6): DataFrame = {
+    val ps = (1 until nBins).map(i => s"__b$i" -> i.toDouble / nBins)
+    val bounds = exactPercentiles(baseline, valueCol, ps)
+      .select(array((1 until nBins).map(i => col(s"__b$i")): _*).as("__bnds"))
+    def binned(df: DataFrame, share: String, total: String): DataFrame = df
+      .where(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .groupBy((size(filter(col("__bnds"), b => b < col(valueCol))) + 1).as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(
+        df.where(col(valueCol).isNotNull).agg(count(lit(1)).as(total))))
+      .select(col("__bin"), col(total),
+        greatest(col("__c").cast("double") / col(total), lit(floorShare)).as(share))
+    val e = binned(baseline, "__pe", "n_baseline")
+    val a = binned(actual, "__pa", "n_actual")
+    // full outer on the bin id: a bin empty on one side keeps its clamp
+    e.join(a, Seq("__bin"), "full_outer")
+      .select(
+        coalesce(col("__pe"), lit(floorShare)).as("__pe"),
+        coalesce(col("__pa"), lit(floorShare)).as("__pa"),
+        col("n_baseline"), col("n_actual"))
+      .agg(
+        sum((col("__pa") - col("__pe")) * log(col("__pa") / col("__pe"))).as("psi"),
+        count(lit(1)).cast("int").as("n_bins"),
+        max(col("n_baseline")).as("n_baseline"),
+        max(col("n_actual")).as("n_actual"))
+  }
 }

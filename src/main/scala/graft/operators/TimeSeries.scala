@@ -99,4 +99,36 @@ object TimeSeries {
       .withColumn("is_anomaly",
         coalesce(abs(col("z")) > threshold, lit(false)))
   }
+
+  /** Cohort retention matrix: users cohorted by the week of their FIRST
+    * event; each (cohort, week-offset) cell counts the distinct users of
+    * that cohort active in that week — the standard retention triangle.
+    * Offsets are exact integer week arithmetic on week-truncated dates
+    * (day difference over 7 — no float, no calendar ambiguity).
+    *
+    * Shape at scale: first-event week is one aggregate on the user key;
+    * per-week activity dedups to (user, week) grain BEFORE the join, so
+    * the join input is bounded by users × active weeks, not events; the
+    * cell count is then a plain hash aggregate (the per-user dedup
+    * already guarantees distinctness within a cell). Both aggregates and
+    * the join share the user key — one partitioning serves all three.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val firstWeek = events
+      .groupBy(col(keyCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(keyCol), date_trunc("week", col(tsCol)).as("__w"))
+      .distinct()
+    active
+      .join(firstWeek, Seq(keyCol))
+      .groupBy(
+        col("cohort_week"),
+        (datediff(col("__w").cast("date"), col("cohort_week").cast("date")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(count(lit(1)).cast("int").as("n_users"))
+  }
 }

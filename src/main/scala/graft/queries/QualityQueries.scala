@@ -274,5 +274,67 @@ object QualityQueries extends QueryGroup {
       .orderBy("o_orderkey")
   }
 
-  override val all: Seq[Q] = Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5)
+  // Equi-depth decile binning: boundaries from the histogram-based exact
+  // percentiles (the scan-side, two-pass alternative to ntile()'s global
+  // sort), assignment as a broadcast boundary-array filter. Ties sit
+  // with the lower bin in both engines (strict <).
+  private val qQ6 = Q(
+    "q_q6_equidepth_bins",
+    """WITH b AS (
+      |  SELECT quantile_cont(l_extendedprice,
+      |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+      |  FROM lineitem),
+      |binned AS (
+      |  SELECT l_extendedprice AS v,
+      |         1 + len(list_filter(bnds, x -> x < l_extendedprice)) AS bin
+      |  FROM lineitem CROSS JOIN b)
+      |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS INT) AS n_rows,
+      |       min(v) AS min_v, max(v) AS max_v,
+      |       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM binned GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+    DataProfile.equiDepthBins(Tables.load(s, dir, "lineitem"), "l_extendedprice", nBins = 10)
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).cast("int").as("n_rows"),
+        min(col("l_extendedprice")).as("min_v"),
+        max(col("l_extendedprice")).as("max_v"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .orderBy("bin")
+  }
+
+  // Population-stability drift between the first and second half of the
+  // event month: bins from the BASELINE's deciles, shares clamped at
+  // 1e-6, PSI = Σ (pa−pe)·ln(pa/pe) — the standard feature/corpus drift
+  // monitor, value-exact across engines because every share is a ratio
+  // of the same two integers.
+  private val qQ7 = Q(
+    "q_q7_psi_drift",
+    """WITH base AS (SELECT value FROM events
+      |              WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+      |act AS (SELECT value FROM events
+      |        WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+      |b AS (SELECT quantile_cont(value,
+      |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM base),
+      |eb AS (SELECT 1 + len(list_filter(bnds, x -> x < value)) AS bin, count(*) AS c
+      |       FROM base CROSS JOIN b GROUP BY 1),
+      |ab AS (SELECT 1 + len(list_filter(bnds, x -> x < value)) AS bin, count(*) AS c
+      |       FROM act CROSS JOIN b GROUP BY 1),
+      |et AS (SELECT sum(c) AS n FROM eb),
+      |at2 AS (SELECT sum(c) AS n FROM ab),
+      |j AS (SELECT coalesce(greatest(eb.c / et.n, 1e-6), 1e-6) AS pe,
+      |             coalesce(greatest(ab.c / at2.n, 1e-6), 1e-6) AS pa,
+      |             et.n AS nb, at2.n AS na
+      |      FROM eb FULL OUTER JOIN ab USING (bin) CROSS JOIN et CROSS JOIN at2)
+      |SELECT sum((pa - pe) * ln(pa / pe)) AS psi, CAST(count(*) AS INT) AS n_bins,
+      |       CAST(max(nb) AS BIGINT) AS n_baseline, CAST(max(na) AS BIGINT) AS n_actual
+      |FROM j""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    DataProfile.populationStabilityIndex(
+      events.where(col("ts") < cut),
+      events.where(col("ts") >= cut),
+      "value", nBins = 10)
+  }
+
+  override val all: Seq[Q] = Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7)
 }

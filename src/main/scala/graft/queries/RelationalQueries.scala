@@ -1122,6 +1122,26 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id", "h")
   }
 
+  // Cohort retention triangle over the 7-year order history: customers
+  // cohorted by first-order week, cells count distinct active customers
+  // per (cohort, week offset). Offsets are integer day-diff/7 on
+  // week-truncated dates — no float, no calendar ambiguity; both
+  // engines truncate weeks to Monday.
+  private val qE11 = Q(
+    "q_e11_retention_cohorts",
+    """WITH fw AS (SELECT o_custkey, date_trunc('week', min(o_orderdate)) AS cohort_week
+      |            FROM orders GROUP BY 1),
+      |act AS (SELECT DISTINCT o_custkey, date_trunc('week', o_orderdate) AS w FROM orders)
+      |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+      |       CAST(date_diff('day', cohort_week, w) / 7 AS INT) AS week_offset,
+      |       CAST(count(*) AS INT) AS n_users
+      |FROM act JOIN fw USING (o_custkey)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+    graft.operators.TimeSeries
+      .cohortRetention(Tables.load(s, dir, "orders"), "o_custkey", "o_orderdate")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1129,5 +1149,5 @@ object RelationalQueries extends QueryGroup {
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
-    qJ12, qW3, qJ13, qE8, qE9, qE10)
+    qJ12, qW3, qJ13, qE8, qE9, qE10, qE11)
 }

@@ -183,5 +183,25 @@ object StreamingQueries extends QueryGroup {
     EventStreams.clickAttributionLeftOuterAvailableNow(s, dir)
   }
 
-  override val all: Seq[Q] = Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9)
+  // q_e9's streaming twin: per-user successor pairing via
+  // flatMapGroupsWithState (state = ONE cursor struct per user — |users|
+  // rows of state regardless of stream length), folded to the same
+  // (cur, next, n, p) matrix. Oracle = the batch lead-window SQL.
+  private val qSt10 = Q(
+    "q_st10_stream_transitions",
+    """WITH seq AS (
+      |  SELECT event_type AS cur,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+      |  FROM events),
+      |trans AS (SELECT cur, next, count(*) AS n FROM seq
+      |          WHERE next IS NOT NULL GROUP BY 1, 2),
+      |ctx AS (SELECT cur, sum(n) AS c FROM trans GROUP BY 1)
+      |SELECT cur, next, n, CAST(n AS DOUBLE) / c AS p
+      |FROM trans JOIN ctx USING (cur)
+      |ORDER BY cur, next""".stripMargin) { (s, dir) =>
+    EventStreams.markovTransitionsAvailableNow(s, dir)
+  }
+
+  override val all: Seq[Q] =
+    Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10)
 }

@@ -314,6 +314,78 @@ object EventStreams {
       .orderBy("c_mktsegment")
   }
 
+  /** Event row carrying its type, for the transition stream. */
+  final case class TypedEvent(
+      user_id: Long, event_id: Long, ts_us: Long, event_type: String)
+
+  /** Per-user cursor: the latest event seen so far (by (ts, id)). */
+  final case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
+
+  final case class Transition(cur: String, next: String)
+
+  /** Streaming successor pairing for the Markov transition model
+    * ([[graft.operators.Markov]]): per user, each arriving event pairs
+    * with the remembered previous one — state is ONE small cursor struct
+    * per user, so a year-long stream holds exactly |users| rows of state
+    * no matter how many events flow through. Within a batch the group's
+    * events sort by (ts, event_id) — the same total order as the batch
+    * twin q_e9; across batches the cursor carries the chain over the
+    * boundary.
+    */
+  private def updateTransitions(
+      userId: Long,
+      events: Iterator[TypedEvent],
+      state: GroupState[LastEvent]): Iterator[Transition] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var prev = state.getOption
+    val out = Seq.newBuilder[Transition]
+    sorted.foreach { e =>
+      prev.foreach(p => out += Transition(p.event_type, e.event_type))
+      prev = Some(LastEvent(e.ts_us, e.event_id, e.event_type))
+    }
+    prev.foreach(state.update)
+    out.result().iterator
+  }
+
+  def eventTransitions(events: DataFrame)(implicit spark: SparkSession): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .select(
+        col("user_id").cast("long"),
+        col("event_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateTransitions _)
+  }
+
+  /** q_e9's streaming twin, run to completion: the transition stream is
+    * folded into the (cur, next, n, p) matrix by the same reduced-matrix
+    * tail the batch operator uses.
+    */
+  def markovTransitionsAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
+    implicit val s: SparkSession = streamSession(spark, statePartitions)
+    val trans = runToTable(
+      s,
+      eventTransitions(readEventStream(s, sfDir)).toDF(),
+      s"stream_transitions_${System.nanoTime()}",
+      OutputMode.Append())
+    val counts = trans.groupBy("cur", "next").agg(count(lit(1)).as("n"))
+    // both branches read the same memory-sink table, whose attributes have
+    // fixed ids — rename the ctx side so the self-join resolves
+    val ctx = counts.groupBy("cur").agg(sum(col("n")).as("__c")).toDF("__cur2", "__c")
+    counts
+      .join(broadcast(ctx), col("cur") === col("__cur2"))
+      .select(col("cur"), col("next"), col("n"),
+        (col("n").cast("double") / col("__c")).as("p"))
+      .orderBy("cur", "next")
+  }
+
   /** q_e2's streaming twin, run to completion. Update mode re-emits a
     * user's counters every batch it appears in; counters are monotone, so
     * the final value per user is the row with max n_events.

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class TimeSeriesSpec extends SparkSpec {
@@ -47,6 +49,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(spike.getBoolean(spike.fieldIndex("is_anomaly")))
     // single-row window (first slot) has null std, not NaN
     assert(got.head.isNullAt(got.head.fieldIndex("roll_std")))
+  }
+
+  test("cohort retention: known triangle, offsets in whole weeks") {
+    val orders = Seq(
+      // user 1 first active week of Jan 1 (Mon), returns weeks +1, +3
+      (1L, "2024-01-03"), (1L, "2024-01-09"), (1L, "2024-01-24"),
+      // user 2 same cohort, active only week 0 (two orders, one cell row)
+      (2L, "2024-01-02"), (2L, "2024-01-05"),
+      // user 3 cohort of Jan 8, returns week +1
+      (3L, "2024-01-10"), (3L, "2024-01-18")
+    ).toDF("u", "d").select(col("u"), col("d").cast("date").as("d"))
+    val got = TimeSeries.cohortRetention(orders, "u", "d")
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getInt(2)))
+    assert(got === Array(
+      ("2024-01-01", 0, 2),
+      ("2024-01-01", 1, 1),
+      ("2024-01-01", 3, 1),
+      ("2024-01-08", 0, 1),
+      ("2024-01-08", 1, 1)))
   }
 
   test("first slot of every key is observed; sv_filled never null") {

@@ -94,6 +94,17 @@ class EventStreamsSpec extends SparkSpec {
     assert(bounded.except(unbounded).isEmpty && unbounded.except(bounded).isEmpty)
   }
 
+  test("streaming Markov transitions (AvailableNow) equal the batch operator") {
+    val batch = graft.operators.Markov
+      .transitionMatrix(graft.Tables.load(spark, sf(), "events"),
+        "user_id", "ts", "event_type", "event_id")
+      .orderBy("cur", "next")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val streamed = EventStreams.markovTransitionsAvailableNow(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(streamed === batch)
+  }
+
   test("sessionizer state update is incremental: splitting a group across calls is equivalent") {
     // pure-function check of the update semantics the stream relies on:
     // folding events in two chunks == folding once (monotone counters)
