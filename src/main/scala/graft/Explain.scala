@@ -27,7 +27,10 @@ object Explain {
     "q_d12_jaccard_prefix",   // prefix posting join — no cartesian
     "q_j12_six_way_join",     // deep star join — dims all broadcast
     "q_g1_pagerank_trade",    // per-iteration join+agg, checkpointed edges
-    "q_v12_semantic_dedup")   // cell-blocked pair join + exact verify
+    "q_v12_semantic_dedup",   // cell-blocked pair join + exact verify
+    "q_d13_segment_dedup",    // digest-only dedup shuffle; text moves once
+    "q_g2_cooccurrence",      // basket-key self-join, k-cut before lift joins
+    "q_e10_rolling_anomaly")  // per-key windows only — no global sort except output
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -186,5 +186,23 @@ object LayoutQueries extends QueryGroup {
     gen1.unionByName(gen2, allowMissingColumns = true).orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3, qL4, qS3)
+  // ORC round-trip: the second columnar format (built into Spark; the
+  // common interchange with Hive-era warehouses). Mixed types — int
+  // keys, char(1) status, double money, DATE — must survive the write
+  // and read back bit-exactly; the oracle reads the same rows from the
+  // original parquet, so any ORC type coercion breaks the hash.
+  // Pushdown note: ORC carries its own min/max stripe statistics, so
+  // the q_l4 zone-map pattern comes free inside the format.
+  private val qS4 = Q(
+    "q_s4_orc_roundtrip",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val out = Files.createTempDirectory("graft_orc").toString
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("o_orderkey")
+  }
+
+  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3, qL4, qS3, qS4)
 }
