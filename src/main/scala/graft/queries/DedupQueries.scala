@@ -443,7 +443,27 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Incremental dedup against a PERSISTED MinHash index: docs < 400 are
+  // indexed once; the 400+ batch is probed without re-hashing the
+  // corpus (work ∝ batch + candidates). Every exact near-dup pair
+  // involving a batch doc must surface — since id_a < id_b, "involves a
+  // batch doc" is exactly id_b >= 400. Band recall matches q_d3 (the
+  // full-corpus LSH gate): the oracle is the EXACT pair set, so a
+  // recall miss fails the row.
+  private val qD14 = Q(
+    "q_d14_incremental_dedup",
+    pairsOracle.replace("WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8",
+      "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8 AND id_b >= 400")) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    graft.operators.DedupIndex.write(
+      docs.where(col("doc_id") < 400), "doc_id", "text", idx)
+    graft.operators.DedupIndex.probe(
+      s, idx, docs.where(col("doc_id") >= 400), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12, qD13)
+      qD12, qD13, qD14)
 }
