@@ -45,4 +45,30 @@ object Markov {
         col("cur"), col("next"), col("n"),
         (col("n").cast("double") / col("__c")).as("p"))
   }
+
+  /** Top-k order-3 event paths: each key's ordered event sequence yields
+    * its consecutive (e1, e2, e3) trigrams (two `lead`s over the SAME
+    * per-key window — one window pass, no self-join), counted corpus-wide
+    * and cut with a total tie-break. The path-mining step above the
+    * transition matrix: which whole journeys recur, not just which edges.
+    */
+  def topPaths(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      evCol: String,
+      tieCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(evCol).as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
 }

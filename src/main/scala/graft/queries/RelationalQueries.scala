@@ -1142,6 +1142,53 @@ object RelationalQueries extends QueryGroup {
       .orderBy("cohort_week", "week_offset")
   }
 
+  // Multi-touch attribution: clicks within the hour before each
+  // purchase split credit three ways (first/last/linear) in one pass —
+  // the as-of join (q_e3) is the last-touch special case; linear credit
+  // needs the full touch set per conversion, counted by one window.
+  private val qE12 = Q(
+    "q_e12_attribution",
+    """WITH t AS (SELECT user_id, event_id AS touch_id, ts AS ct
+      |           FROM events WHERE event_type = 'click'),
+      |c AS (SELECT user_id, event_id AS conv, ts AS pt
+      |      FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT t.touch_id, c.conv, t.ct,
+      |         count(*) OVER (PARTITION BY c.conv) AS n,
+      |         row_number() OVER (PARTITION BY c.conv ORDER BY t.ct, t.touch_id) AS rf,
+      |         row_number() OVER (PARTITION BY c.conv ORDER BY t.ct DESC, t.touch_id DESC) AS rl
+      |  FROM c JOIN t ON c.user_id = t.user_id
+      |    AND t.ct <= c.pt AND t.ct >= c.pt - INTERVAL 1 HOUR)
+      |SELECT touch_id, CAST(count(*) AS INT) AS n_conversions,
+      |       sum(1.0 / n) AS linear_credit,
+      |       CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS INT) AS n_first,
+      |       CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS INT) AS n_last
+      |FROM pairs GROUP BY touch_id ORDER BY touch_id""".stripMargin) { (s, dir) =>
+    graft.operators.Attribution
+      .multiTouch(Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", touchType = "click", convType = "purchase", lookbackSec = 3600L)
+      .orderBy("touch_id")
+  }
+
+  // Top-20 order-3 event paths: two leads over one per-user window, a
+  // count, and a totally-tie-broken cut — journey mining one level above
+  // the q_e9 transition matrix.
+  private val qE13 = Q(
+    "q_e13_frequent_paths",
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1, e2, e3, count(*) AS n FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.operators.Markov
+      .topPaths(Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+        "event_id", k = 20)
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1149,5 +1196,5 @@ object RelationalQueries extends QueryGroup {
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
-    qJ12, qW3, qJ13, qE8, qE9, qE10, qE11)
+    qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13)
 }

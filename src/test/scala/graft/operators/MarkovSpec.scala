@@ -26,6 +26,21 @@ class MarkovSpec extends SparkSpec {
       ("b", "a", 2L, 1.0)))
   }
 
+  test("topPaths: consecutive trigrams only, total tie-break at the cut") {
+    val events = Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(1), 1L, "b"), (3L, ts(2), 1L, "c"),
+      (4L, ts(3), 1L, "a"), (5L, ts(4), 1L, "b"), (6L, ts(5), 1L, "c"),
+      (7L, ts(0), 2L, "x"), (8L, ts(1), 2L, "y"), (9L, ts(2), 2L, "z")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Markov.topPaths(events, "user_id", "ts", "event_type", "event_id", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // user 1 trigrams: abc, bca, cab, abc → abc×2; user 2: xyz×1
+    assert(got === Array(
+      ("a", "b", "c", 2L),
+      ("b", "c", "a", 1L),
+      ("c", "a", "b", 1L)))
+  }
+
   test("ties on timestamp break by the tie column; p sums to 1 per row") {
     val t0 = ts(0)
     val events = Seq(
