@@ -135,6 +135,28 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("query_id", "rank")
   }
 
+  /** In-plan synthetic PNG (signature + IHDR) per document row — dims
+    * from the source columns, all five legal color types cycled, every
+    * 7th signature corrupted. Shared by the q_m4 decode gate and the
+    * q_m7 binary-file ingest gate.
+    */
+  private def pngPayloadHex: org.apache.spark.sql.Column = {
+    val w = col("n_chars").cast("bigint") % 70000 + 16
+    val h = (col("n_chars").cast("bigint") * 7 + col("doc_id").cast("bigint") % 1000) % 70000 + 16
+    val colorType = element_at(
+      array(lit(0), lit(2), lit(3), lit(4), lit(6)),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val sigHex = when(col("doc_id") % 7 === 0, lit("00504E470D0A1A0A"))
+      .otherwise(lit("89504E470D0A1A0A"))
+    concat(
+      sigHex,
+      lit("0000000D"), lit("49484452"),             // IHDR length + type
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),   // width, height (BE)
+      lit("08"), lpad(hex(colorType), 2, "0"),      // bit depth, color type
+      lit("000000"),                                 // compression/filter/interlace
+      lit("DEADBEEF"))                               // CRC (not read by header decode)
+  }
+
   // REAL PNG header decode (no stub): each document gets a genuine PNG
   // signature + IHDR chunk constructed in-plan (widths/heights span past
   // 2^16 to exercise all four big-endian bytes; color types cycle through
@@ -161,22 +183,8 @@ object MultimodalQueries extends QueryGroup {
       |            WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 4 END AS INT) END AS channels,
       |       ok AS valid_png
       |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val w = col("n_chars").cast("bigint") % 70000 + 16
-    val h = (col("n_chars").cast("bigint") * 7 + col("doc_id").cast("bigint") % 1000) % 70000 + 16
-    val colorType = element_at(
-      array(lit(0), lit(2), lit(3), lit(4), lit(6)),
-      (col("doc_id") % 5 + 1).cast("int"))
-    val sigHex = when(col("doc_id") % 7 === 0, lit("00504E470D0A1A0A"))
-      .otherwise(lit("89504E470D0A1A0A"))
-    val payloadHex = concat(
-      sigHex,
-      lit("0000000D"), lit("49484452"),             // IHDR length + type
-      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),   // width, height (BE)
-      lit("08"), lpad(hex(colorType), 2, "0"),      // bit depth, color type
-      lit("000000"),                                 // compression/filter/interlace
-      lit("DEADBEEF"))                               // CRC (not read by header decode)
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+      .select(col("doc_id"), unhex(pngPayloadHex).as("payload"))
       .withColumn("m", Multimodal.decodePngMeta(col("payload")))
       .select(
         col("doc_id"),
@@ -305,5 +313,55 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4, qM5, qM6)
+  // Binary-FILE ingest: how a 100 TB image corpus actually lands — one
+  // object per image in a zone, read with the `binaryFile` source
+  // (path + content rows), ids recovered from filenames, headers
+  // decoded scan-side. Executors write the fixture files (no driver
+  // collect); the oracle derives every expectation from the source
+  // columns, so the whole write→list→read→decode loop must round-trip.
+  private val qM7 = Q(
+    "q_m7_binaryfile_ingest",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 2
+      |              WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 6 END AS ct,
+      |         n_chars % 70000 + 16 AS w,
+      |         (n_chars * 7 + doc_id % 1000) % 70000 + 16 AS h,
+      |         (doc_id % 7 <> 0) AS ok
+      |  FROM documents WHERE doc_id < 120)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN CAST(w AS INT) END AS width,
+      |       CASE WHEN ok THEN CAST(h AS INT) END AS height,
+      |       CASE WHEN ok THEN CAST(CASE ct WHEN 0 THEN 1 WHEN 2 THEN 3
+      |            WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 4 END AS INT) END AS channels,
+      |       ok AS valid_png,
+      |       CAST(33 AS BIGINT) AS n_bytes
+      |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val zone = java.nio.file.Files.createTempDirectory("graft_binzone").toString
+    Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 120)
+      .select(col("doc_id"), unhex(pngPayloadHex).as("payload"))
+      .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        rows.forEachRemaining { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(zone, s"${r.getLong(0)}.png"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(zone)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+        col("content"), col("length"))
+      .withColumn("m", Multimodal.decodePngMeta(col("content")))
+      .select(
+        col("doc_id"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.channels").as("channels"),
+        col("m").isNotNull.as("valid_png"),
+        col("length").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7)
 }

@@ -421,6 +421,38 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Jelinek-Mercer interpolated LM (λ = 0.7): the production smoothing —
+  // ML bigram term + Laplace unigram backoff, every term a ratio of the
+  // same integers in both engines (the identical left-to-right double
+  // expression is replayed verbatim).
+  private val qT14 = Q(
+    "q_t14_interpolated_lm",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |bg AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+      |       FROM t WHERE len(tk) >= 2),
+      |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1),
+      |terms AS (SELECT unnest(tk) AS term FROM t),
+      |uni AS (SELECT term AS w2, count(*) AS cu FROM terms GROUP BY 1),
+      |tot AS (SELECT count(*) AS tt, count(DISTINCT term) AS v FROM terms),
+      |scored AS (
+      |  SELECT bg.doc_id,
+      |         ln(0.7 * (CAST(c12 AS DOUBLE) / c1) +
+      |            0.3 * (CAST(cu + 1 AS DOUBLE) / (tt + v))) AS lp
+      |  FROM bg JOIN cnt USING (w1, w2) JOIN ctx USING (w1)
+      |  JOIN uni USING (w2) CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams, avg(lp) AS mean_logprob
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.BigramLm
+      .interpolatedMeanLogProb(Tables.load(s, dir, "documents"), "doc_id", "text",
+        lambda = 0.7)
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
-    Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13)
+    Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
+      qT14)
 }

@@ -25,6 +25,24 @@ class BigramLmSpec extends SparkSpec {
     assert(!got.contains(4L), "empty doc has no bigram")
   }
 
+  test("interpolated LM: hand-computed JM mixture; λ=0 equals unigram backoff") {
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    // bigrams: (a,b)×2 (b,a)×1 (b,c)×1; ctx a=2 b=2; uni a=2 b=3 c=1, T=6 V=3
+    def term(c12: Long, c1: Long, cu: Long) =
+      math.log(0.7 * (c12.toDouble / c1) + 0.3 * ((cu + 1).toDouble / (6 + 3)))
+    val got = BigramLm.interpolatedMeanLogProb(docs, "doc_id", "text", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // doc 1: (a,b)[c12=2,c1=2,cu(b)=3], (b,a)[1,2,2], (a,b)[2,2,3]
+    val expected1 = (term(2, 2, 3) + term(1, 2, 2) + term(2, 2, 3)) / 3
+    assert(got(1L)._1 === 3)
+    assert(math.abs(got(1L)._2 - expected1) < 1e-12)
+    // λ=0 degenerates to the Laplace unigram of the SECOND token
+    val uni = BigramLm.interpolatedMeanLogProb(docs, "doc_id", "text", lambda = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def puni(cu: Long) = math.log((cu + 1).toDouble / 9)
+    assert(math.abs(uni(2L) - puni(1)) < 1e-12, "doc 2's (b,c): unigram of c")
+  }
+
   test("scrambled word order scores lower than natural order") {
     // 20 docs establish "x y" as the dominant bigram; a doc in that order
     // beats the same words reversed.
