@@ -153,6 +153,30 @@ object DataProfile {
       .drop("__bnds")
   }
 
+  /** Percentile-rank (cume_dist) normalization WITHOUT a global sort:
+    * rank(v) = (# rows ≤ v) / n from the cumulative VALUE histogram —
+    * the same domain-bounded machinery as [[exactPercentiles]] — joined
+    * back on the value. `ntile`/`cume_dist` windows ship every row to a
+    * single ordering; here the only ordered structure is the distinct-
+    * value cumsum, and the join back is a plain equi-join (broadcast
+    * when the domain is small). Ranks are exact integer ratios. Null
+    * values get a null rank.
+    */
+  def percentileRank(
+      df: DataFrame,
+      valueCol: String,
+      rankCol: String = "pct_rank"): DataFrame = {
+    val hist = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(Window.orderBy("__v")))
+    val ranked = hist.crossJoin(
+      broadcast(hist.agg(sum(col("__c")).cast("bigint").as("__n"))))
+      .select(col("__v"), (col("__cum").cast("double") / col("__n")).as(rankCol))
+    df.join(ranked, col(valueCol) === col("__v"), "left").drop("__v")
+  }
+
   /** Population Stability Index of `valueCol` between a baseline slice
     * and an actual slice — THE standard drift score for feature/corpus
     * monitoring: bin by the BASELINE's equi-depth boundaries, then

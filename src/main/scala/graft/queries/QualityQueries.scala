@@ -336,5 +336,20 @@ object QualityQueries extends QueryGroup {
       "value", nBins = 10)
   }
 
-  override val all: Seq[Q] = Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7)
+  // Percentile-rank normalization from the cumulative value histogram —
+  // exactly cume_dist's (# rows ≤ v)/n semantics, with the global sort
+  // replaced by a distinct-value cumsum + equi-join back. The oracle IS
+  // the window form, so the histogram path must match it row-for-row.
+  private val qQ8 = Q(
+    "q_q8_percentile_rank",
+    """SELECT o_orderkey,
+      |       cume_dist() OVER (ORDER BY o_totalprice) AS pct_rank
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    DataProfile.percentileRank(Tables.load(s, dir, "orders"), "o_totalprice")
+      .select("o_orderkey", "pct_rank")
+      .orderBy("o_orderkey")
+  }
+
+  override val all: Seq[Q] =
+    Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8)
 }

@@ -162,7 +162,8 @@ class MultimodalSpec extends SparkSpec {
     val junk = Seq(
       (100L, "FFD8 but not really".getBytes("UTF-8")),
       (101L, Array[Byte](0xFF.toByte, 0xD8.toByte)), // bare SOI, no chain
-      (102L, Array.empty[Byte]))
+      (102L, Array.empty[Byte]),
+      (103L, jpeg(50, 50, BufferedImage.TYPE_INT_RGB).take(10))) // truncated mid-chain
     val df = (rows.map { case (id, p, _, _, _) => (id, p) } ++ junk)
       .toDF("id", "payload")
       .withColumn("m", Multimodal.decodeJpegMeta(col("payload")))
