@@ -45,4 +45,48 @@ object RangeJoin {
         <= toleranceMicros)
       .drop("__bin")
   }
+
+  /** Nearest-neighbor-in-time join: for each left row, the single right
+    * row of the same key minimizing |leftTs − rightTs| within the
+    * tolerance — BIDIRECTIONAL, unlike the as-of join's backward-only
+    * match ([[AsOfJoin.leftAsOf]] is the "latest prior" special case).
+    * Ties break earlier-then-smaller-id, so the pick is total. Left rows
+    * with no right row in range are absent (inner semantics).
+    *
+    * Same binning trick as [[binnedIntervalJoin]], with the key in the
+    * join: tolerance-wide time bins keyed by (key, bin), right side
+    * exploded to its ±1 bins, so the pure range predicate rides an
+    * equi-join — co-partitioned by key, no nested loop. The pick is one
+    * `min_by` hash aggregate on the left id (struct ordering carries
+    * the tie-break), never a per-key sort.
+    */
+  def nearestWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      leftIdCol: String,
+      rightIdCol: String,
+      toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros > 0, "tolerance must be positive")
+    val lb = left.withColumn("__bin",
+      floor(unix_micros(col(leftTsCol)) / toleranceMicros))
+    val rb = right.withColumn("__bin",
+      explode(array((-1 to 1).map(d =>
+        floor(unix_micros(col(rightTsCol)) / toleranceMicros) + d): _*)))
+    val pairs = lb.join(rb, Seq(keyCol, "__bin"))
+      .withColumn("__d",
+        abs(unix_micros(col(leftTsCol)) - unix_micros(col(rightTsCol))))
+      .filter(col("__d") <= toleranceMicros)
+    pairs
+      .groupBy(col(leftIdCol))
+      .agg(min_by(
+        struct(col(rightIdCol), col("__d")),
+        struct(col("__d"), col(rightTsCol), col(rightIdCol))).as("__pick"))
+      .select(
+        col(leftIdCol),
+        col(s"__pick.$rightIdCol").as(rightIdCol),
+        col("__pick.__d").as("abs_diff_us"))
+  }
 }

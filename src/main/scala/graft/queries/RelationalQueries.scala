@@ -1189,6 +1189,38 @@ object RelationalQueries extends QueryGroup {
         "event_id", k = 20)
   }
 
+  // Nearest-event join: each purchase matched to the temporally CLOSEST
+  // click of the same user within ±30 min — bidirectional, where the
+  // as-of join (q_e3) only looks backward. Binned (key, bin) equi-join
+  // + one min_by aggregate; ties earlier-then-smaller-id.
+  private lazy val qE14 = Q(
+    "q_e14_nearest_event",
+    """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pt
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS ct
+      |      FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT p.purchase_id, c.click_id, c.ct,
+      |         abs(epoch_us(c.ct) - epoch_us(p.pt)) AS d
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.ct BETWEEN p.pt - INTERVAL 30 MINUTE AND p.pt + INTERVAL 30 MINUTE),
+      |r AS (SELECT purchase_id, click_id, d,
+      |             row_number() OVER (PARTITION BY purchase_id
+      |                                ORDER BY d, ct, click_id) AS rn
+      |      FROM pairs)
+      |SELECT purchase_id, click_id, CAST(d AS BIGINT) AS abs_diff_us
+      |FROM r WHERE rn = 1 ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("__pt"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("__ct"))
+    graft.operators.RangeJoin
+      .nearestWithin(purchases, clicks, "user_id", "__pt", "__ct",
+        "purchase_id", "click_id", toleranceMicros = 30L * 60 * 1000000)
+      .orderBy("purchase_id")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1196,5 +1228,5 @@ object RelationalQueries extends QueryGroup {
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
-    qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13)
+    qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14)
 }

@@ -5,6 +5,30 @@ import org.apache.spark.sql.functions._
 import graft.{SparkSpec, Tables}
 
 class RangeJoinSpec extends SparkSpec {
+
+  test("nearestWithin: bidirectional pick, ties to earlier, out-of-range absent") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (10L, 1L, ts("2024-01-01 12:00:00")), // clicks at ±10min and +5min → +5min wins
+      (11L, 1L, ts("2024-01-01 18:00:00")), // nothing within 30min → absent
+      (12L, 2L, ts("2024-01-01 12:00:00"))  // equidistant ±5min → earlier wins
+    ).toDF("purchase_id", "u", "pt")
+    val right = Seq(
+      (100L, 1L, ts("2024-01-01 11:50:00")),
+      (101L, 1L, ts("2024-01-01 12:05:00")),
+      (102L, 2L, ts("2024-01-01 11:55:00")),
+      (103L, 2L, ts("2024-01-01 12:05:00"))
+    ).toDF("click_id", "u", "ct")
+    val got = RangeJoin.nearestWithin(left, right, "u", "pt", "ct",
+      "purchase_id", "click_id", toleranceMicros = 30L * 60 * 1000000)
+      .orderBy("purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(
+      (10L, 101L, 300000000L),
+      (12L, 102L, 300000000L)))
+  }
   import spark.implicits._
 
   test("known answers: boundary inclusive, outside excluded, bin edges covered") {
