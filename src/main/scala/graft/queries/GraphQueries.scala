@@ -112,5 +112,36 @@ object GraphQueries extends QueryGroup {
       Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey", k = 15)
   }
 
-  override val all: Seq[Q] = Seq(qG1, qG2)
+  // Degree-ordered triangle count + global clustering over the co-order
+  // graph. The oracle counts triangles the canonical way (a<b<c 3-way
+  // self-join); the engine's degree orientation must land on the SAME
+  // count while bounding wedge blowup by O(E^1.5) — the hub-safety
+  // property the id-ordered form lacks on skewed degree distributions.
+  private val qG3 = Q(
+    "q_g3_triangle_count",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS a, b.p AS b
+      |      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT n, count(*) AS d FROM
+      |          (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |tri AS (SELECT count(*) AS t FROM e e1
+      |        JOIN e e2 ON e1.b = e2.a
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |base AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |                CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+      |                CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      |         FROM deg)
+      |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+      |       3.0 * t / n_wedges AS clustering
+      |FROM base CROSS JOIN tri""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val edges = items.select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    graft.operators.Triangles.globalStats(edges, "a", "b")
+  }
+
+  override val all: Seq[Q] = Seq(qG1, qG2, qG3)
 }
