@@ -153,6 +153,32 @@ object DataProfile {
       .drop("__bnds")
   }
 
+  /** Per-GROUP equi-depth binning: each row's bucket among `nBins`
+    * equal-population bins of ITS OWN group — per-stratum normalization
+    * (a "long doc" for src0 may be bin 1 for src1). Boundaries from
+    * [[groupedExactPercentiles]] (partition-parallel — no global
+    * anything), one broadcast join back on the group key, scan-side
+    * assignment. Ties to the lower bin, null values null bin, like
+    * [[equiDepthBins]].
+    */
+  def groupedEquiDepthBins(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      nBins: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val ps = (1 until nBins).map(i => s"__b$i" -> i.toDouble / nBins)
+    val bounds = groupedExactPercentiles(df, groupCol, valueCol, ps)
+      .select(col(groupCol),
+        array((1 until nBins).map(i => col(s"__b$i")): _*).as("__bnds"))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn(binCol,
+        when(col(valueCol).isNotNull,
+          size(filter(col("__bnds"), b => b < col(valueCol))) + 1).cast("int"))
+      .drop("__bnds")
+  }
+
   /** Percentile-rank (cume_dist) normalization WITHOUT a global sort:
     * rank(v) = (# rows ≤ v) / n from the cumulative VALUE histogram —
     * the same domain-bounded machinery as [[exactPercentiles]] — joined

@@ -350,6 +350,68 @@ object QualityQueries extends QueryGroup {
       .orderBy("o_orderkey")
   }
 
+  // HLL sketch MERGE — the re-aggregation property approx_count_distinct
+  // (q_a5b) lacks: per-priority customer sketches union into a global
+  // estimate WITHOUT touching raw data again. Customers ordering under
+  // several priorities make Σ per-group exact > global exact, so a
+  // union that failed to dedup across groups would blow the 5% gate.
+  // Oracle pattern follows q_a5b: exact counts verbatim + invariant
+  // booleans that must be true.
+  private val qA11 = Q(
+    "q_a11_hll_merge",
+    """WITH per AS (SELECT o_orderpriority AS grp,
+      |                    count(DISTINCT o_custkey) AS exact_n
+      |             FROM orders GROUP BY 1),
+      |gl AS (SELECT count(DISTINCT o_custkey) AS exact_n FROM orders)
+      |SELECT grp, CAST(exact_n AS BIGINT) AS exact_n, true AS est_ok FROM per
+      |UNION ALL
+      |SELECT '_ALL_' AS grp, CAST(exact_n AS BIGINT) AS exact_n, true AS est_ok
+      |FROM gl
+      |ORDER BY grp""".stripMargin) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val sketches = orders
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(
+        hll_sketch_agg(col("o_custkey")).as("__sk"),
+        count_distinct(col("o_custkey")).as("exact_n"))
+    val per = sketches.select(
+      col("grp"), col("exact_n"),
+      (abs(hll_sketch_estimate(col("__sk")) - col("exact_n"))
+        <= col("exact_n") * 0.05).as("est_ok"))
+    val globalExact = orders.agg(count_distinct(col("o_custkey")).as("exact_n"))
+    val merged = sketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+      .crossJoin(broadcast(globalExact))
+      .select(
+        lit("_ALL_").as("grp"), col("exact_n"),
+        (abs(col("__est") - col("exact_n")) <= col("exact_n") * 0.05).as("est_ok"))
+    per.unionByName(merged).orderBy("grp")
+  }
+
+  // Per-group equi-depth bins: quartiles of n_chars WITHIN each source —
+  // per-stratum normalization on the partition-parallel grouped
+  // percentile machinery (q_a9 gates the boundary math itself).
+  private val qQ9 = Q(
+    "q_q9_grouped_bins",
+    """WITH b AS (SELECT source, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bnds
+      |           FROM documents GROUP BY source),
+      |binned AS (
+      |  SELECT d.source, n_chars,
+      |         1 + len(list_filter(bnds, x -> x < n_chars)) AS bin
+      |  FROM documents d JOIN b USING (source))
+      |SELECT source, CAST(bin AS INT) AS bin, CAST(count(*) AS INT) AS n_rows,
+      |       min(n_chars) AS min_v, max(n_chars) AS max_v
+      |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    DataProfile
+      .groupedEquiDepthBins(Tables.load(s, dir, "documents"), "source", "n_chars", nBins = 4)
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).cast("int").as("n_rows"),
+        min(col("n_chars")).as("min_v"),
+        max(col("n_chars")).as("max_v"))
+      .orderBy("source", "bin")
+  }
+
   override val all: Seq[Q] =
-    Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8)
+    Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9)
 }

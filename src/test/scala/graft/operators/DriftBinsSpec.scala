@@ -29,6 +29,20 @@ class DriftBinsSpec extends SparkSpec {
       s"each decile within 2% of n/10: $counts")
   }
 
+  test("grouped equi-depth bins: each group normalized against itself") {
+    // group g1 values 1..8, group g2 values 101..108: the same RELATIVE
+    // position must land in the same bin despite disjoint ranges
+    val df = ((1 to 8).map(v => ("g1", v.toDouble)) ++
+      (101 to 108).map(v => ("g2", v.toDouble))).toDF("g", "v")
+    val got = DataProfile.groupedEquiDepthBins(df, "g", "v", nBins = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getInt(2)).toMap
+    (1 to 8).foreach { i =>
+      assert(got(("g1", i.toDouble)) === got(("g2", (100 + i).toDouble)),
+        s"relative position $i must bin identically in both groups")
+    }
+    assert(got(("g1", 1.0)) === 1 && got(("g1", 8.0)) === 4)
+  }
+
   test("PSI: identical slices score ~0, shifted slice scores large") {
     val base = (1 to 1000).map(_.toDouble).toDF("v")
     val same = DataProfile.populationStabilityIndex(base, base, "v", nBins = 10)
