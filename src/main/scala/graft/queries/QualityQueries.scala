@@ -412,6 +412,35 @@ object QualityQueries extends QueryGroup {
       .orderBy("source", "bin")
   }
 
+  // Incremental MV maintenance: per-customer order count/total built on
+  // a base slice, then a signed delta (inserts: orderkey % 5 = 0;
+  // retractions: base rows with orderkey % 11 = 0) folded in with work
+  // ∝ delta keys. The oracle recomputes the final state DIRECTLY from
+  // the surviving row set, so any maintenance drift (a lingering
+  // zero-count group, a float-smeared retraction) breaks the hash.
+  private val qA12 = Q(
+    "q_a12_mv_incremental",
+    """SELECT o_custkey,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM orders
+      |WHERE o_orderkey % 5 = 0 OR o_orderkey % 11 <> 0
+      |GROUP BY 1 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    import graft.operators.MvMaintain
+    val orders = Tables.load(s, dir, "orders")
+    val base = orders.where(col("o_orderkey") % 5 =!= 0)
+    val mv0 = MvMaintain.buildMv(base, "o_custkey", "o_totalprice")
+    val delta = orders.where(col("o_orderkey") % 5 === 0)
+      .select(col("o_custkey"), lit(1).as("sign"), col("o_totalprice"))
+      .unionByName(
+        base.where(col("o_orderkey") % 11 === 0)
+          .select(col("o_custkey"), lit(-1).as("sign"), col("o_totalprice")))
+    MvMaintain.applyDelta(mv0, delta, "o_custkey", "sign", "o_totalprice")
+      .select(col("o_custkey"), col("n_rows"),
+        col("sum_v").cast("double").as("sum_v"))
+      .orderBy("o_custkey")
+  }
+
   override val all: Seq[Q] =
-    Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9)
+    Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12)
 }
