@@ -441,6 +441,68 @@ object QualityQueries extends QueryGroup {
       .orderBy("o_custkey")
   }
 
+  // Benford first-digit audit of order totals: observed vs log10(1+1/d)
+  // with per-digit chi-square contributions — the distributional
+  // plausibility check under the row-level contracts. Identical
+  // left-to-right double expressions on both engines.
+  private val qQ10 = Q(
+    "q_q10_benford",
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders
+      |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+      |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+      |t AS (SELECT sum(n_obs) AS n FROM c)
+      |SELECT digit, n_obs,
+      |       CAST(n_obs AS DOUBLE) / n AS obs_share,
+      |       log10(1.0 + 1.0 / digit) AS exp_share,
+      |       pow(CAST(n_obs AS DOUBLE) - n * log10(1.0 + 1.0 / digit), 2)
+      |         / (n * log10(1.0 + 1.0 / digit)) AS chi2_term
+      |FROM c CROSS JOIN t ORDER BY digit""".stripMargin) { (s, dir) =>
+    graft.operators.Audits
+      .benfordFirstDigit(Tables.load(s, dir, "orders"), "o_totalprice")
+      .orderBy("digit")
+  }
+
+  // Referential-integrity audit across the star schema plus the
+  // DELIBERATELY broken events.user_id → customer edge (user ids start
+  // at 0, custkeys at 1, so orphans exist and the check is proven to
+  // actually count).
+  private val qQ11 = Q(
+    "q_q11_ref_integrity",
+    """WITH li_o AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_child,
+      |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |o_c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_child,
+      |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+      |e_c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_child,
+      |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+      |SELECT 'events.user_id->customer' AS fk, * FROM e_c
+      |UNION ALL SELECT 'lineitem.l_orderkey->orders', * FROM li_o
+      |UNION ALL SELECT 'orders.o_custkey->customer', * FROM o_c
+      |ORDER BY fk""".stripMargin) { (s, dir) =>
+    import graft.operators.Audits.fkOrphans
+    val li = Tables.load(s, dir, "lineitem")
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val events = Tables.load(s, dir, "events")
+    fkOrphans(events, "user_id", customer, "c_custkey")
+      .select(lit("events.user_id->customer").as("fk"), col("n_child"), col("n_orphans"))
+      .unionByName(
+        fkOrphans(li, "l_orderkey", orders, "o_orderkey")
+          .select(lit("lineitem.l_orderkey->orders").as("fk"), col("n_child"), col("n_orphans")))
+      .unionByName(
+        fkOrphans(orders, "o_custkey", customer, "c_custkey")
+          .select(lit("orders.o_custkey->customer").as("fk"), col("n_child"), col("n_orphans")))
+      .orderBy("fk")
+  }
+
   override val all: Seq[Q] =
-    Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12)
+    Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
+      qQ10, qQ11)
 }

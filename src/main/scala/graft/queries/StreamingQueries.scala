@@ -202,6 +202,21 @@ object StreamingQueries extends QueryGroup {
     EventStreams.markovTransitionsAvailableNow(s, dir)
   }
 
+  // q_a12's streaming twin: the MV starts from the base build and the
+  // signed change stream folds in per micro-batch via the SAME batch
+  // fold operator — the oracle recomputes the final state directly, so
+  // any cross-batch drift breaks the hash.
+  private val qSt11 = Q(
+    "q_st11_stream_mv",
+    """SELECT o_custkey,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM orders
+      |WHERE o_orderkey % 5 = 0 OR o_orderkey % 11 <> 0
+      |GROUP BY 1 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    EventStreams.mvMaintainAvailableNow(s, dir)
+  }
+
   override val all: Seq[Q] =
-    Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10)
+    Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11)
 }

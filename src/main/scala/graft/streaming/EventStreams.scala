@@ -386,6 +386,45 @@ object EventStreams {
       .orderBy("cur", "next")
   }
 
+  /** Streaming materialized-view maintenance: the per-customer order
+    * count/total view starts from a base build, then a CHANGE STREAM of
+    * signed delta rows folds in via [[graft.operators.MvMaintain]] per
+    * micro-batch — each batch costs work ∝ its own key set, and the view
+    * version on disk is always the exact aggregate of all rows seen.
+    * Same foreachBatch posture as [[IncrementalSync]]: the stream drives
+    * WHICH keys change; the fold itself is the batch operator, so batch
+    * and streaming can never drift apart semantically.
+    */
+  def mvMaintainAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.MvMaintain
+    val mvDir = java.nio.file.Files.createTempDirectory("graft_stream_mv").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+    MvMaintain.buildMv(orders.where(col("o_orderkey") % 5 =!= 0), "o_custkey", "o_totalprice")
+      .write.parquet(s"$mvDir/v0")
+    var version = 0
+    // the change stream: inserts are the %5==0 rows, retractions the
+    // base rows divisible by 11 — derived per-row, arriving as a stream
+    val deltas = Tables.readStream(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("sign",
+        when(col("o_orderkey") % 5 === 0, 1)
+          .when(col("o_orderkey") % 11 === 0, -1))
+      .where(col("sign").isNotNull)
+    val q = deltas.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur = spark.read.parquet(s"$mvDir/v$version")
+        MvMaintain.applyDelta(cur, batch, "o_custkey", "sign", "o_totalprice")
+          .write.parquet(s"$mvDir/v${version + 1}")
+        version += 1
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$mvDir/v$version")
+      .select(col("o_custkey"), col("n_rows"), col("sum_v").cast("double").as("sum_v"))
+      .orderBy("o_custkey")
+  }
+
   /** q_e2's streaming twin, run to completion. Update mode re-emits a
     * user's counters every batch it appears in; counters are monotone, so
     * the final value per user is the row with max n_events.
