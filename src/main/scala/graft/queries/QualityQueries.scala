@@ -502,7 +502,46 @@ object QualityQueries extends QueryGroup {
       .orderBy("fk")
   }
 
+  // Rolling 7-day distinct users: ONE sketch per day, then
+  // hll_union_agg over a 7-row window frame — the production shape for
+  // rolling uniques (the exact form re-joins a week of raw events per
+  // day; the sketch form touches each event once, ever). The exact
+  // rolling count rides along for the gate via the day×day range join
+  // both engines replay; the estimate must sit within 5% of it.
+  private val qA13 = Q(
+    "q_a13_rolling_distinct",
+    """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+      |exact AS (
+      |  SELECT d.day, count(DISTINCT e.user_id) AS exact_rolling
+      |  FROM days d JOIN events e
+      |    ON date_trunc('day', e.ts) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      |  GROUP BY d.day)
+      |SELECT day, CAST(exact_rolling AS BIGINT) AS exact_rolling, true AS est_ok
+      |FROM exact ORDER BY day""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("__sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    val est = daily
+      .withColumn("__est", hll_sketch_estimate(hll_union_agg(col("__sk")).over(w)))
+      .select("day", "__est")
+    val exact = events
+      .select(date_trunc("day", col("ts")).as("__ed"), col("user_id"))
+      .join(daily.select(col("day")),
+        col("__ed") >= col("day") - expr("INTERVAL 6 DAYS") && col("__ed") <= col("day"))
+      .groupBy("day")
+      .agg(count_distinct(col("user_id")).as("exact_rolling"))
+    exact.join(est, Seq("day"))
+      .select(
+        col("day"), col("exact_rolling"),
+        (abs(col("__est") - col("exact_rolling"))
+          <= col("exact_rolling") * 0.05).as("est_ok"))
+      .orderBy("day")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11)
+      qQ10, qQ11, qA13)
 }
