@@ -1221,6 +1221,41 @@ object RelationalQueries extends QueryGroup {
       .orderBy("purchase_id")
   }
 
+  // The NATIVE as-of join — custom LogicalPlan + SparkStrategy +
+  // physical merge exec (plans.AsOfJoinNative), run against the SAME
+  // DuckDB ASOF LEFT JOIN oracle as q_e3's union+window composition.
+  // The require pins that the custom exec (not a rewrite into built-in
+  // operators) actually planned.
+  private val qE15 = Q(
+    "q_e15_asof_native",
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value
+      |  FROM events),
+      |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, max(event_id) AS event_id
+      |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.value,
+      |       c.event_id AS click_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max("event_id").as("click_id"))
+    val joined = graft.plans.AsOfJoinNative
+      .leftAsOf(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+    require(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "q_e15: the custom exec must plan")
+    joined.select(
+        col("event_id"), col("user_id"), col("value"),
+        col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("wait_us"))
+      .orderBy("event_id")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1228,5 +1263,5 @@ object RelationalQueries extends QueryGroup {
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
-    qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14)
+    qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15)
 }
