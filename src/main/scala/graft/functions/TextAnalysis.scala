@@ -184,6 +184,38 @@ object TextAnalysis {
     trim(regexp_replace(noEmail, " +", " "))
   }
 
+  /** Canonical form of an http(s) URL — the first-pass dedup key of a
+    * web corpus (near-identical pages re-crawled under tracking-decorated
+    * or case-varied URLs dominate raw crawl duplicates, and collapsing
+    * them is pure string math, no content hashing):
+    *
+    *   1. fragment dropped (`#…` never reaches the server);
+    *   2. scheme+host lowercased (case-insensitive per RFC 3986) and a
+    *      default `:443` port dropped — the PATH keeps its case, which
+    *      IS significant;
+    *   3. a trailing `/` on the path dropped;
+    *   4. tracking query parameters (`utm_*`, `gclid`, `fbclid`)
+    *      removed; surviving parameters keep their original order.
+    *
+    * Scan-side regexp/HOF chain — no UDF, codegen-friendly, and every
+    * step is expressible verbatim in ANSI-ish SQL (the q_t15 oracle
+    * replays it). Deliberately NOT done: param re-sorting (changes
+    * semantics for order-sensitive endpoints) and percent-decoding
+    * (decoding can change which bytes are delimiters).
+    */
+  def canonicalizeUrl(url: Column): Column = hof.bind(
+    regexp_replace(url, "#.*$", "")) { u =>
+    val schemeHost = lower(regexp_extract(u, "(?i)^(https?://[^/?]*)", 1))
+    val noPort = regexp_replace(schemeHost, ":443$", "")
+    val path = regexp_replace(
+      regexp_extract(u, "(?i)^https?://[^/?]*([^?]*)", 1), "/$", "")
+    val query = regexp_extract(u, "\\?(.*)$", 1)
+    val kept = array_join(
+      filter(split(query, "&"), p => !p.rlike("^(utm_[a-z]+|gclid|fbclid)=")),
+      "&")
+    concat(noPort, path, when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
   // --- fingerprinting (winnowing over rolling hashes) ---------------------
 
   /** Character k-gram shingles of normalized text. The normalized string

@@ -131,4 +131,70 @@ object TimeSeries {
           .cast("int").as("week_offset"))
       .agg(count(lit(1)).cast("int").as("n_users"))
   }
+
+  /** Gaps-and-islands interval merge: collapse per-key intervals that
+    * overlap or touch into maximal "islands". A row opens a new island
+    * exactly when its start exceeds the running max end of every earlier
+    * interval of its key (ties on start are harmless: equal starts imply
+    * the second row starts inside — or exactly at the edge of — the
+    * first's interval). Two window passes over ONE (key, start, tie)
+    * ordering plus a hash aggregate; nothing global, and a key's rows
+    * land on a single task — the same per-key posture as the gap fill.
+    *
+    * `tieCol` must totalize the (key, start) order (a unique id): the
+    * running-max frame ends at `1 PRECEDING`, so an engine-dependent
+    * tie order would otherwise change which rows a frame sees.
+    *
+    * Output: key, island_start, island_end (the merged bounds) and
+    * n_rows, one row per island.
+    */
+  def mergeIntervals(
+      intervals: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String,
+      tieCol: String): DataFrame = {
+    val order = Window.partitionBy(keyCol).orderBy(col(startCol), col(tieCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(order.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L)
+      .otherwise(0L)
+    intervals
+      .withColumn("__island",
+        sum(opens).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(
+        min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).cast("int").as("n_rows"))
+      .drop("__island")
+  }
+
+  /** EWMA with α = 1/2 over the trailing `windowRows` observations of a
+    * per-key ordered series: the classic recursive smoother
+    * `y = (x + y_prev) / 2`, folded left-to-right over the frame with
+    * the oldest frame row as the seed. Dyadic weights are the point —
+    * every intermediate is an IEEE add plus an EXACT exponent decrement
+    * (division by 2 never rounds outside subnormals), so the score is
+    * bit-reproducible across engines and across reruns, where a general
+    * α's `pow()` chain is libm-dependent (the q_c6 lesson).
+    *
+    * The frame is materialized per row as a ≤ `windowRows` array inside
+    * the window state (bounded, scan-side); the fold is a codegen HOF.
+    * One window pass per key.
+    */
+  def dyadicEwma(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      windowRows: Int): DataFrame = {
+    require(windowRows >= 1, "windowRows must be >= 1")
+    val frame = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(windowRows - 1L), Window.currentRow)
+    val arr = collect_list(col(valueCol).cast("double")).over(frame)
+    series.withColumn("ewma",
+      aggregate(arr, lit(null).cast("double"), (acc, x) =>
+        when(acc.isNull, x).otherwise((acc + x) / lit(2d))))
+  }
 }

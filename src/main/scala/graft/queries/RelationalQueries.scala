@@ -1256,6 +1256,138 @@ object RelationalQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  // UNPIVOT (melt) — the dual of q_p11's pivot: wide per-priority metric
+  // columns stacked back to (priority, metric, value) rows. The oracle
+  // replays it as the UNION ALL stack UNPIVOT desugars to (portable SQL;
+  // DuckDB's native UNPIVOT would work too). All melted metrics share one
+  // DOUBLE type — unpivot requires it, and the DECIMAL sum keeps the
+  // total engine-order-independent before the edge cast.
+  private val qP13 = Q(
+    "q_p13_unpivot",
+    """WITH w AS (
+      |  SELECT o_orderpriority,
+      |         CAST(count(*) AS DOUBLE) AS n_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |         max(o_totalprice) AS max_price
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+      |UNION ALL SELECT o_orderpriority, 'total_price', total_price FROM w
+      |UNION ALL SELECT o_orderpriority, 'max_price', max_price FROM w
+      |ORDER BY o_orderpriority, metric""".stripMargin) { (s, dir) =>
+    val wide = t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+        max(col("o_totalprice")).as("max_price"))
+    wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("total_price"), col("max_price")),
+        "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+  }
+
+  // Arbitrary GROUPING SETS — a skip-level lattice ((status, priority),
+  // (priority), ()) that neither ROLLUP (q_a4) nor CUBE (q_a4b) can
+  // express: the (status) marginal is deliberately absent. grouping()
+  // flags disambiguate real NULLs from subtotal rows, as in the rollup
+  // gate.
+  private val qA14 = Q(
+    "q_a14_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) AS INT) AS g_st,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(
+          Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")),
+          Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_st"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pr"),
+        count(lit(1)).cast("bigint").as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .select("o_orderstatus", "o_orderpriority", "g_st", "g_pr", "n_orders", "total_price")
+      .orderBy(col("g_st"), col("g_pr"), col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  // Gaps-and-islands interval merge (TimeSeries.mergeIntervals): each
+  // event opens a 30-minute activity interval; overlapping/touching
+  // intervals per user collapse into maximal islands. Epoch-micros
+  // BIGINT bounds keep the arithmetic engine-portable; event_id
+  // totalizes the (user, start) order so the 1-PRECEDING running-max
+  // frame sees the same rows in both engines.
+  private val qE16 = Q(
+    "q_e16_interval_merge",
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(date_trunc('microseconds', ts)) AS s,
+      |         epoch_us(date_trunc('microseconds', ts)) + 1800000000 AS e
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, s, e,
+      |         CASE WHEN s > coalesce(max(e) OVER (
+      |                PARTITION BY user_id ORDER BY s, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                -9223372036854775808)
+      |              THEN 1 ELSE 0 END AS opens
+      |  FROM iv),
+      |g AS (
+      |  SELECT user_id, s, e,
+      |         sum(opens) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM f)
+      |SELECT user_id, min(s) AS island_start_us, max(e) AS island_end_us,
+      |       CAST(count(*) AS INT) AS n_events
+      |FROM g GROUP BY user_id, island
+      |ORDER BY user_id, island_start_us""".stripMargin) { (s, dir) =>
+    val iv = t(s, dir, "events").select(
+      col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + 1800000000L).as("e"),
+      col("event_id"))
+    graft.operators.TimeSeries.mergeIntervals(iv, "user_id", "s", "e", "event_id")
+      .select(
+        col("user_id"),
+        col("island_start").as("island_start_us"),
+        col("island_end").as("island_end_us"),
+        col("n_rows").as("n_events"))
+      .orderBy("user_id", "island_start_us")
+  }
+
+  // Dyadic-weight EWMA (TimeSeries.dyadicEwma): α = 1/2 smoothing of the
+  // per-user daily value series, folded left-to-right over a 16-row
+  // trailing frame. Halving is an exact IEEE operation, so the identical
+  // fold order makes both engines' doubles BIT-equal — a general α's
+  // pow() chain would be libm-dependent (the q_c6 lesson).
+  private val qE17 = Q(
+    "q_e17_dyadic_ewma",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT user_id, day, daily_value,
+      |         list(daily_value) OVER (PARTITION BY user_id ORDER BY day
+      |           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS frame
+      |  FROM d)
+      |SELECT user_id, day, daily_value,
+      |       list_reduce(frame, (acc, x) -> (acc + x) / 2) AS ewma
+      |FROM w ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("daily_value"))
+    graft.operators.TimeSeries.dyadicEwma(daily, "user_id", "day", "daily_value", 16)
+      .orderBy("user_id", "day")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1263,5 +1395,6 @@ object RelationalQueries extends QueryGroup {
     qO1, qO2, qO3, qUnion, qIntersect, qWindow,
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
-    qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15)
+    qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
+    qP13, qA14, qE16, qE17)
 }

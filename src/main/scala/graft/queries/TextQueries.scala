@@ -452,7 +452,69 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // URL canonicalization + canonical-URL dedup — the FIRST-pass dedup of
+  // a web corpus (tracking-decorated and case-varied re-crawls dominate
+  // raw duplicates; collapsing them is pure string math, before any
+  // content hashing). URLs are built deterministically from (doc_id,
+  // source) so DuckDB mirrors the corpus: mixed-case scheme/host, a
+  // default :443 port, a mixed-case PATH (which canonicalization must
+  // PRESERVE), trailing slashes, utm_*/gclid tracking params around a
+  // genuine id param (whose order survives), and fragments. The oracle
+  // replays construction AND the full canonicalization chain; keep_id =
+  // min doc_id per canonical URL is the dedup pick.
+  private val qT15 = Q(
+    "q_t15_url_canonical",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+      |         || source || '.Example.COM'
+      |         || (CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END)
+      |         || '/Articles/' || CAST(doc_id % 13 AS VARCHAR)
+      |         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+      |         || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR) || '&utm_campaign=x'
+      |                  WHEN doc_id % 7 = 0 THEN '?id=' || CAST(doc_id % 13 AS VARCHAR) || '&gclid=abc'
+      |                  ELSE '' END)
+      |         || (CASE WHEN doc_id % 2 = 0 THEN '#section-2' ELSE '' END) AS url
+      |  FROM documents),
+      |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+      |parts AS (
+      |  SELECT doc_id,
+      |         regexp_replace(lower(regexp_extract(u, '(?i)^(https?://[^/?]*)', 1)), ':443$', '') AS sh,
+      |         regexp_replace(regexp_extract(u, '(?i)^https?://[^/?]*([^?]*)', 1), '/$', '') AS pth,
+      |         regexp_extract(u, '\?(.*)$', 1) AS q
+      |  FROM nf),
+      |canon AS (
+      |  SELECT doc_id,
+      |         sh || pth || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+      |  FROM (SELECT doc_id, sh, pth,
+      |               array_to_string(list_filter(string_split(q, '&'),
+      |                 p -> NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid)=')), '&') AS kept
+      |        FROM parts))
+      |SELECT canon_url, min(doc_id) AS keep_id, CAST(count(*) AS INT) AS n_variants
+      |FROM canon GROUP BY canon_url ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    val n = (col("doc_id") % 13).cast("string")
+    val url = concat(
+      when(col("doc_id") % 4 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://www.")),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 6 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Articles/"), n,
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&id="), n, lit("&utm_campaign=x")))
+        .when(col("doc_id") % 7 === 0,
+          concat(lit("?id="), n, lit("&gclid=abc")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("#section-2")).otherwise(lit("")))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), canonicalizeUrl(url).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).cast("int").as("n_variants"))
+      .orderBy("keep_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14)
+      qT14, qT15)
 }

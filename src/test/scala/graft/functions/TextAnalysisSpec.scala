@@ -108,4 +108,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) === "")
     assert(got(4L) === "already clean")
   }
+
+  test("canonicalizeUrl: case, port, slash, fragment, tracking params") {
+    def canon(u: String): String =
+      one[String](TextAnalysis.canonicalizeUrl(col("t")), u)
+    // scheme+host lowercased; PATH case preserved
+    assert(canon("HTTPS://WWW.Ex.COM/Articles/3") === "https://www.ex.com/Articles/3")
+    // default port, trailing slash, fragment all dropped
+    assert(canon("https://ex.com:443/a/") === "https://ex.com/a")
+    assert(canon("https://ex.com/a#frag") === "https://ex.com/a")
+    // tracking params stripped wherever they sit; genuine params keep order
+    assert(canon("https://ex.com/a?utm_source=f&id=3&utm_campaign=x&b=2") ===
+      "https://ex.com/a?id=3&b=2")
+    assert(canon("https://ex.com/a?gclid=z") === "https://ex.com/a")
+    assert(canon("https://ex.com/a?fbclid=z&q=1") === "https://ex.com/a?q=1")
+    // all four collapse to one canonical form
+    assert(
+      Seq("HTTPS://Ex.com:443/p/?utm_source=x", "https://ex.com/p#f",
+        "https://ex.com/p/", "https://ex.com/p")
+        .map(canon).distinct === Seq("https://ex.com/p"))
+    // query-only URL (no path), bare host with trailing slash
+    assert(canon("https://ex.com?id=1") === "https://ex.com?id=1")
+    assert(canon("https://ex.com/") === "https://ex.com")
+  }
 }

@@ -71,6 +71,50 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-08", 1, 1)))
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, keys isolated") {
+    val iv = Seq(
+      // user 1: [0,10) overlaps [5,15); [15,20) TOUCHES (start == max end)
+      // and merges; [30,35) opens a new island
+      (1L, 0L, 10L, 100L),
+      (1L, 5L, 15L, 101L),
+      (1L, 15L, 20L, 102L),
+      (1L, 30L, 35L, 103L),
+      // an earlier LONG interval swallows a later short one: [0,50) ⊃ [10,12)
+      // and [20,25) — running MAX end (not previous end) keeps one island
+      (2L, 0L, 50L, 200L),
+      (2L, 10L, 12L, 201L),
+      (2L, 20L, 25L, 202L),
+      // user 3: same start twice → one island
+      (3L, 7L, 9L, 300L),
+      (3L, 7L, 8L, 301L)
+    ).toDF("u", "s", "e", "id")
+    val got = TimeSeries.mergeIntervals(iv, "u", "s", "e", "id")
+      .orderBy("u", "island_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got === Array(
+      (1L, 0L, 20L, 3),
+      (1L, 30L, 35L, 1),
+      (2L, 0L, 50L, 3),
+      (3L, 7L, 9L, 2)))
+  }
+
+  test("dyadicEwma: exact halving fold, frame bound, single row = value") {
+    val series = Seq(
+      (1L, 1L, 8.0), (1L, 2L, 4.0), (1L, 3L, 2.0),
+      (2L, 1L, 5.0)
+    ).toDF("u", "d", "v")
+    val got = TimeSeries.dyadicEwma(series, "u", "d", "v", windowRows = 16)
+      .orderBy("u", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // fold: 8 → (8+4)/2 = 6 → (6+2)/2 = 4 — exact dyadic arithmetic
+    assert(got === Array((1L, 1L, 8.0), (1L, 2L, 6.0), (1L, 3L, 4.0), (2L, 1L, 5.0)))
+    // frame bound: with windowRows = 2 the oldest row falls out
+    val bounded = TimeSeries.dyadicEwma(series, "u", "d", "v", windowRows = 2)
+      .orderBy("u", "d").collect().map(_.getDouble(3))
+    assert(bounded === Array(8.0, 6.0, 3.0, 5.0)) // row 3: (4+2)/2
+  }
+
   test("first slot of every key is observed; sv_filled never null") {
     val events = graft.Tables.load(spark, sf(), "events")
     val filled = TimeSeries.hourlyGapFillLocf(events, "user_id", "ts", "value")
