@@ -67,4 +67,45 @@ object Association {
           .as("lift"))
       .orderBy(col("pair_count").desc, col("p1"), col("p2"))
   }
+
+  /** Top-k item pairs by COSINE similarity over the binary basket-item
+    * incidence: cos(i,j) = c_ij / √(c_i · c_j) — the item-item
+    * collaborative-filtering score, which normalizes away item
+    * popularity where raw pair support (and to a lesser degree lift)
+    * rewards it. `minCount` drops noise pairs before the frequency
+    * joins. Unlike [[coOccurrenceTopK]] the cut runs AFTER the cosine is
+    * known (the rank key needs both frequencies), but the frequency
+    * frame is vocabulary-sized — it broadcasts, the pair frame never
+    * reshuffles, and the cut is still TakeOrderedAndProject. √ is
+    * IEEE-correctly-rounded (unlike pow/exp), so equal-cosine ties are
+    * bit-equal in any engine and the (cosine DESC, p1, p2) order is
+    * total.
+    */
+  def itemCosineTopK(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      k: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .repartition(col("__b"))
+      .distinct()
+    val freq = items.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val pairs = items.select(col("__b"), col("__i").as("p1"))
+      .join(items.select(col("__b"), col("__i").as("p2")), Seq("__b"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    pairs
+      .join(broadcast(freq.select(col("__i").as("p1"), col("__ci").as("__c1"))), Seq("p1"))
+      .join(broadcast(freq.select(col("__i").as("p2"), col("__ci").as("__c2"))), Seq("p2"))
+      .select(
+        col("p1"), col("p2"), col("pair_count"),
+        (col("pair_count").cast("double") /
+          sqrt(col("__c1").cast("double") * col("__c2"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
 }

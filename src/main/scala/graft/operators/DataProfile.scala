@@ -203,6 +203,44 @@ object DataProfile {
     df.join(ranked, col(valueCol) === col("__v"), "left").drop("__v")
   }
 
+  /** Contingency-table dependence statistics between two categorical
+    * columns: per (x, y) cell the observed count, the
+    * independence-expected count `nx·ny/n`, the chi-square term
+    * `(obs − e)²/e`, and the mutual-information term
+    * `p(x,y)·ln(p(x,y)/(p(x)p(y)))` — the standard first look at whether
+    * two labelings (language × source, event type × value band) are
+    * independent before using one to stratify the other. Σ chi2_term is
+    * the χ² statistic; Σ mi_term the MI in nats.
+    *
+    * Shape at scale: one hash aggregate reduces the corpus to |X|·|Y|
+    * cells; the marginals are windows over THAT tiny frame and the grand
+    * total a broadcast one-row aggregate — after the first aggregate,
+    * nothing scales with row count. Marginal products go through
+    * DECIMAL(38,0) (exact at any count; a BIGINT product overflows past
+    * ~3e9 rows per margin) and every downstream term is a fixed
+    * left-to-right IEEE expression on exactly-known integers, so results
+    * are engine-reproducible (ln follows the q_t8 precedent).
+    */
+  def contingencyStats(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("obs"))
+    val withMargins = cells
+      .withColumn("nx", sum("obs").over(Window.partitionBy("x")))
+      .withColumn("ny", sum("obs").over(Window.partitionBy("y")))
+      .crossJoin(broadcast(cells.agg(sum("obs").cast("bigint").as("n"))))
+    val expected =
+      (col("nx").cast("decimal(38,0)") * col("ny")).cast("double") / col("n")
+    val pxy = col("obs").cast("double") / col("n")
+    withMargins.select(
+      col("x"), col("y"), col("obs"),
+      expected.as("expected"),
+      ((col("obs") - expected) * (col("obs") - expected) / expected).as("chi2_term"),
+      (pxy * log(
+        col("obs").cast("double") * col("n") /
+          (col("nx").cast("double") * col("ny")))).as("mi_term"))
+  }
+
   /** Population Stability Index of `valueCol` between a baseline slice
     * and an actual slice — THE standard drift score for feature/corpus
     * monitoring: bin by the BASELINE's equi-depth boundaries, then

@@ -27,4 +27,30 @@ object SyncDiff {
   /** Invariant (property-tested): delete keys ∪ source keys ⊇ target keys,
     * and delete keys ∩ source keys = ∅.
     */
+
+  /** Apply a CDC change batch to a snapshot — the MERGE INTO shape:
+    * rows of `changes` with `opCol` = "D" delete their key from the
+    * target; any other op is an upsert (replace-or-insert of the whole
+    * row). `changes` must carry exactly the target's columns plus
+    * `opCol`, and at most one change per key (dedup upstream with
+    * [[graft.operators.Dedup.lastRowWins]] — two changes to one key in
+    * one batch have no defined winner here).
+    *
+    * One anti-join (target minus touched keys) + one union: the anti
+    * side broadcasts when the batch is small — work ∝ target scan +
+    * change batch, never a full-outer of the two.
+    */
+  def applyCdc(
+      target: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    val untouched = target.join(
+      changes.select(keyCols.head, keyCols.tail: _*), keyCols, "left_anti")
+    val upserts = changes
+      .filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
+      .drop(opCol)
+      .select(target.columns.head, target.columns.tail: _*)
+    untouched.unionByName(upserts)
+  }
 }

@@ -143,5 +143,31 @@ object GraphQueries extends QueryGroup {
     graft.operators.Triangles.globalStats(edges, "a", "b")
   }
 
-  override val all: Seq[Q] = Seq(qG1, qG2, qG3)
+  // Item-item cosine similarity (Association.itemCosineTopK): parts
+  // ranked by c12/√(c1·c2) over the co-order incidence — the
+  // collaborative-filtering score, popularity-normalized where q_g2's
+  // raw support rewards hubs. √ is IEEE-correctly-rounded, so the
+  // (cosine DESC, p1, p2) order is total in both engines; min support 2
+  // drops the singleton-pair noise floor.
+  private val qG4 = Q(
+    "q_g4_item_cosine",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |freq AS (SELECT i, count(*) AS ci FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.i AS p1, b.i AS p2, count(*) AS pair_count
+      |  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 2)
+      |SELECT p1, p2, pair_count,
+      |       CAST(pair_count AS DOUBLE) / sqrt(CAST(f1.ci AS DOUBLE) * f2.ci) AS cosine
+      |FROM pairs
+      |JOIN freq f1 ON pairs.p1 = f1.i
+      |JOIN freq f2 ON pairs.p2 = f2.i
+      |ORDER BY cosine DESC, p1, p2 LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.operators.Association.itemCosineTopK(
+      Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      k = 20, minCount = 2L)
+  }
+
+  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4)
 }

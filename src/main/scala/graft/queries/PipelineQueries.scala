@@ -193,5 +193,59 @@ object PipelineQueries extends QueryGroup {
       .orderBy("studentUniqueId")
   }
 
-  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5)
+  // CDC MERGE apply (SyncDiff.applyCdc): a deterministic change batch —
+  // updates (name/balance rewritten) on custkey % 10 = 0, deletes on
+  // custkey % 7 = 3 (delete wins where both fire), inserts at offset
+  // keys — folded into the customer snapshot as one anti-join + union.
+  // The oracle replays the batch construction and the MERGE semantics
+  // with NOT EXISTS + UNION ALL.
+  private val qF6 = Q(
+    "q_f6_merge_cdc",
+    """WITH changes AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 7 = 3 THEN c_name ELSE c_name || ' (updated)' END AS c_name,
+      |         c_nationkey,
+      |         CASE WHEN c_custkey % 7 = 3 THEN c_acctbal ELSE c_acctbal + 100 END AS c_acctbal,
+      |         c_mktsegment,
+      |         CASE WHEN c_custkey % 7 = 3 THEN 'D' ELSE 'U' END AS op
+      |  FROM customer WHERE c_custkey % 7 = 3 OR c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'New Customer ' || CAST(c_custkey AS VARCHAR),
+      |         c_nationkey, 0.0, 'BUILDING', 'U'
+      |  FROM customer WHERE c_custkey % 97 = 0)
+      |SELECT * FROM (
+      |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+      |  FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = c.c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM changes WHERE op <> 'D')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+    val isDel = col("c_custkey") % 7 === 3
+    val mods = cust
+      .filter(isDel || col("c_custkey") % 10 === 0)
+      .select(
+        col("c_custkey"),
+        when(isDel, col("c_name"))
+          .otherwise(concat(col("c_name"), lit(" (updated)"))).as("c_name"),
+        col("c_nationkey"),
+        when(isDel, col("c_acctbal")).otherwise(col("c_acctbal") + 100).as("c_acctbal"),
+        col("c_mktsegment"),
+        when(isDel, lit("D")).otherwise(lit("U")).as("op"))
+    val inserts = cust
+      .filter(col("c_custkey") % 97 === 0)
+      .select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("New Customer "), col("c_custkey").cast("string")).as("c_name"),
+        col("c_nationkey"),
+        lit(0.0).as("c_acctbal"),
+        lit("BUILDING").as("c_mktsegment"),
+        lit("U").as("op"))
+    graft.operators.SyncDiff
+      .applyCdc(cust, mods.unionByName(inserts), Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6)
 }

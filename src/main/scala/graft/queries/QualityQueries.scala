@@ -541,7 +541,42 @@ object QualityQueries extends QueryGroup {
       .orderBy("day")
   }
 
+  // Contingency-table dependence audit (DataProfile.contingencyStats):
+  // event_type × value band, per cell the observed count, the
+  // independence-expected count, the chi-square term, and the
+  // mutual-information term — Σ over the respective column is the χ²
+  // statistic / the MI in nats. Marginal products go through
+  // DECIMAL(38,0) (BIGINT would overflow past ~3e9 rows per margin);
+  // every term is the identical left-to-right IEEE expression in both
+  // engines.
+  private val qQ12 = Q(
+    "q_q12_contingency",
+    """WITH b AS (
+      |  SELECT event_type AS x,
+      |         CASE WHEN value < 50 THEN 'v0' WHEN value < 100 THEN 'v1'
+      |              WHEN value < 200 THEN 'v2' ELSE 'v3' END AS y
+      |  FROM events),
+      |c AS (SELECT x, y, count(*) AS obs FROM b GROUP BY 1, 2),
+      |m AS (SELECT x, y, obs,
+      |             sum(obs) OVER (PARTITION BY x) AS nx,
+      |             sum(obs) OVER (PARTITION BY y) AS ny,
+      |             sum(obs) OVER () AS n
+      |      FROM c)
+      |SELECT x, y, CAST(obs AS BIGINT) AS obs,
+      |       CAST(nx * ny AS DOUBLE) / n AS expected,
+      |       (obs - CAST(nx * ny AS DOUBLE) / n) * (obs - CAST(nx * ny AS DOUBLE) / n)
+      |         / (CAST(nx * ny AS DOUBLE) / n) AS chi2_term,
+      |       (CAST(obs AS DOUBLE) / n) *
+      |         ln(CAST(obs AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)) AS mi_term
+      |FROM m ORDER BY x, y""".stripMargin) { (s, dir) =>
+    val banded = Tables.load(s, dir, "events").select(
+      col("event_type").as("x"),
+      when(col("value") < 50, "v0").when(col("value") < 100, "v1")
+        .when(col("value") < 200, "v2").otherwise("v3").as("y"))
+    DataProfile.contingencyStats(banded, "x", "y").orderBy("x", "y")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11, qA13)
+      qQ10, qQ11, qA13, qQ12)
 }

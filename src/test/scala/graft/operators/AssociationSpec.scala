@@ -34,4 +34,31 @@ class AssociationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got === Array((1L, 2L), (1L, 3L)))
   }
+
+  test("itemCosineTopK: popularity-normalized ranking, minCount cut") {
+    import spark.implicits._
+    // items 1,2 co-occur twice but each appears 3 times → cos = 2/3;
+    // items 3,4 co-occur twice and each appears EXACTLY twice → cos = 1.
+    // Raw support ties the two pairs; cosine must rank (3,4) first.
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 9L), // 3rd appearance of item 1 away from item 2
+      (6L, 2L), (6L, 9L), // 3rd appearance of item 2 away from item 1
+      (4L, 3L), (4L, 4L),
+      (5L, 3L), (5L, 4L)
+    ).toDF("b", "i")
+    val got = Association.itemCosineTopK(baskets, "b", "i", k = 10, minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.head === ((3L, 4L, 2L, 1.0)))
+    val pair12 = got.find(t => t._1 == 1L && t._2 == 2L).get
+    assert(pair12._3 === 2L)
+    assert(math.abs(pair12._4 - 2.0 / 3.0) < 1e-12)
+    // singleton pairs (1,9), (2,9) fell to the minCount cut
+    assert(got.length === 2)
+    // minCount filters singleton pairs entirely
+    val single = Seq((1L, 7L), (1L, 8L)).toDF("b", "i")
+    assert(Association.itemCosineTopK(single, "b", "i", k = 5, minCount = 2L)
+      .count() === 0L)
+  }
 }

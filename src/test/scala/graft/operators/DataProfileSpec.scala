@@ -32,4 +32,30 @@ class DataProfileSpec extends SparkSpec {
     assert(got.getLong(0) === 4L)
     assert(got.getDouble(1) === 2.5)
   }
+
+  test("contingencyStats: hand-computed 2x2 chi-square and MI terms") {
+    import spark.implicits._
+    // counts: (a,p)=30 (a,q)=10 (b,p)=10 (b,q)=50; n=100
+    val rows =
+      Seq.fill(30)(("a", "p")) ++ Seq.fill(10)(("a", "q")) ++
+        Seq.fill(10)(("b", "p")) ++ Seq.fill(50)(("b", "q"))
+    val got = DataProfile.contingencyStats(rows.toDF("x", "y"), "x", "y")
+      .orderBy("x", "y").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // margins: na=40 nb=60 np=40 nq=60
+    val (obsAp, eAp, chiAp, miAp) = got(("a", "p"))
+    assert(obsAp === 30L)
+    assert(eAp === 16.0) // 40*40/100
+    assert(math.abs(chiAp - (30.0 - 16.0) * (30.0 - 16.0) / 16.0) < 1e-12)
+    assert(math.abs(miAp - 0.30 * math.log(30.0 * 100 / (40.0 * 40))) < 1e-12)
+    // chi2 terms sum to the full statistic; independent table → all ~0
+    val chi2 = got.values.map(_._3).sum
+    assert(math.abs(chi2 - (196.0 / 16 + 196.0 / 24 + 196.0 / 24 + 196.0 / 36)) < 1e-9)
+    val indep = Seq.fill(20)(("a", "p")) ++ Seq.fill(20)(("a", "q")) ++
+      Seq.fill(30)(("b", "p")) ++ Seq.fill(30)(("b", "q"))
+    val flat = DataProfile.contingencyStats(indep.toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getDouble(4), r.getDouble(5)))
+    assert(flat.forall { case (c, m) => math.abs(c) < 1e-12 && math.abs(m) < 1e-12 })
+  }
 }

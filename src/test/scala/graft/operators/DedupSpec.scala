@@ -66,4 +66,24 @@ class SyncDiffSpec extends SparkSpec {
       assert(tgt.subsetOf(src ++ del), s"case $i")
     }
   }
+
+  test("applyCdc: update replaces, delete removes, insert appends, rest untouched") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0)).toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "two v2", 22.0, "U"), // update
+      (3L, "ignored", 0.0, "D"), // delete (payload irrelevant)
+      (9L, "nine", 90.0, "U")    // insert
+    ).toDF("k", "name", "v", "op")
+    val got = SyncDiff.applyCdc(target, changes, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got === Array((1L, "one", 10.0), (2L, "two v2", 22.0), (9L, "nine", 90.0)))
+    // column order of the changes frame must not matter (select by name)
+    val shuffled = changes.select("op", "v", "name", "k")
+    val got2 = SyncDiff.applyCdc(target, shuffled, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got2 === got)
+  }
 }
