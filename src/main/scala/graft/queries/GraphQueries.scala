@@ -169,5 +169,38 @@ object GraphQueries extends QueryGroup {
       k = 20, minCount = 2L)
   }
 
-  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4)
+  // Single-source BFS hop distances (Bfs.hops) from part 1 over the
+  // co-order graph, capped at 6 hops — the k-hop-neighborhood
+  // primitive. The oracle walks the same graph with a recursive CTE
+  // (UNION-deduped (node, hop) pairs under the same cap) and takes the
+  // min hop per node; the engine's frontier expansion must land on the
+  // identical distance map.
+  private val qG5 = Q(
+    "q_g5_bfs_hops",
+    """WITH RECURSIVE
+      |items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ce AS (SELECT DISTINCT a.p AS a, b.p AS b
+      |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      |e AS (SELECT a AS s, b AS d FROM ce UNION ALL SELECT b, a FROM ce),
+      |walk(node, hop) AS (
+      |  SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+      |  UNION
+      |  SELECT e.d, walk.hop + 1 FROM walk JOIN e ON walk.node = e.s
+      |  WHERE walk.hop < 6)
+      |SELECT node, CAST(min(hop) AS INT) AS hops
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items.select(col("o"), col("p").as("a"))
+      .join(items.select(col("o"), col("p").as("b")), Seq("o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    graft.operators.Bfs.hops(edges, "a", "b", source = 1L, maxHops = 6)
+      .select(col("node"), col("hops").cast("int").as("hops"))
+      .orderBy("node")
+  }
+
+  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5)
 }

@@ -514,7 +514,36 @@ object TextQueries extends QueryGroup {
       .orderBy("keep_id")
   }
 
+  // Per-doc token-distribution entropy (TokenStats.tokenEntropy):
+  // Shannon H in nats over the within-doc unigram distribution — the
+  // lexical-diversity signal complementing q_t9's top-token share
+  // (which only sees the hottest token). Same tokenization contract as
+  // q_t1; empty docs keep a zero row.
+  private val qT16 = Q(
+    "q_t16_token_entropy",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, unnest(tk) AS term FROM t),
+      |c AS (SELECT doc_id, term, count(*) AS c FROM cnt GROUP BY 1, 2),
+      |n AS (SELECT doc_id, sum(c) AS n, count(*) AS v FROM c GROUP BY 1),
+      |h AS (SELECT c.doc_id,
+      |             sum((CAST(c.c AS DOUBLE) / n.n) * ln(CAST(n.n AS DOUBLE) / c.c)) AS h
+      |      FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY 1)
+      |SELECT t.doc_id,
+      |       CAST(coalesce(n.n, 0) AS INT) AS n_tokens,
+      |       CAST(coalesce(n.v, 0) AS INT) AS n_distinct,
+      |       coalesce(h.h, 0.0) AS token_entropy
+      |FROM t LEFT JOIN n ON t.doc_id = n.doc_id
+      |LEFT JOIN h ON t.doc_id = h.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TokenStats
+      .tokenEntropy(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15)
+      qT14, qT15, qT16)
 }
