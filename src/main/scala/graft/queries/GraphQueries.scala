@@ -192,11 +192,12 @@ object GraphQueries extends QueryGroup {
     val items = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+    // no pair-level distinct: Bfs tolerates duplicate edges (same pair
+    // co-ordered in many orders), so the 1.8M-row dedup shuffle is skipped
     val edges = items.select(col("o"), col("p").as("a"))
       .join(items.select(col("o"), col("p").as("b")), Seq("o"))
       .filter(col("a") < col("b"))
       .select("a", "b")
-      .distinct()
     graft.operators.Bfs.hops(edges, "a", "b", source = 1L, maxHops = 6)
       .select(col("node"), col("hops").cast("int").as("hops"))
       .orderBy("node")

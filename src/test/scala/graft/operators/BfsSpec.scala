@@ -26,4 +26,9 @@ class BfsSpec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
     assert(run(Seq((5L, 6L)), src = 1L) === Map(1L -> 0))
   }
+
+  test("duplicate edge rows (either orientation) leave distances unchanged") {
+    val got = run(Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L)), src = 1L)
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
 }
