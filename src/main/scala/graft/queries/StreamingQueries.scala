@@ -217,6 +217,36 @@ object StreamingQueries extends QueryGroup {
     EventStreams.mvMaintainAvailableNow(s, dir)
   }
 
+  // q_f6's streaming twin: the CDC change batch arrives as a stream and
+  // folds into the on-disk snapshot per micro-batch through the SAME
+  // batch MERGE operator (SyncDiff.applyCdc); the oracle recomputes the
+  // converged snapshot directly (q_f6's SQL verbatim), so any cross-batch
+  // drift breaks the hash.
+  private val qSt12 = Q(
+    "q_st12_stream_cdc_merge",
+    """WITH changes AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 7 = 3 THEN c_name ELSE c_name || ' (updated)' END AS c_name,
+      |         c_nationkey,
+      |         CASE WHEN c_custkey % 7 = 3 THEN c_acctbal ELSE c_acctbal + 100 END AS c_acctbal,
+      |         c_mktsegment,
+      |         CASE WHEN c_custkey % 7 = 3 THEN 'D' ELSE 'U' END AS op
+      |  FROM customer WHERE c_custkey % 7 = 3 OR c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'New Customer ' || CAST(c_custkey AS VARCHAR),
+      |         c_nationkey, 0.0, 'BUILDING', 'U'
+      |  FROM customer WHERE c_custkey % 97 = 0)
+      |SELECT * FROM (
+      |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+      |  FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = c.c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM changes WHERE op <> 'D')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    EventStreams.cdcMergeAvailableNow(s, dir)
+  }
+
   override val all: Seq[Q] =
-    Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11)
+    Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12)
 }

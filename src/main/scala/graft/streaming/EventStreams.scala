@@ -425,6 +425,58 @@ object EventStreams {
       .orderBy("o_custkey")
   }
 
+  /** Streaming CDC merge: the customer snapshot starts on disk, then a
+    * change stream (updates, deletes, inserts — q_f6's deterministic
+    * batch, derived scan-side in ONE pass via an exploded struct array,
+    * no stream self-union) folds in per micro-batch through
+    * [[graft.operators.SyncDiff.applyCdc]] — the batch MERGE operator,
+    * so batch and streaming cannot drift semantically (the q_st11
+    * posture). Each key is changed by at most one stream row, so the
+    * sequential per-batch application converges to the one-shot batch
+    * merge regardless of how the source splits into micro-batches.
+    */
+  def cdcMergeAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.SyncDiff
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+    Tables.load(spark, sfDir, "customer").write.parquet(s"$snapDir/v0")
+    var version = 0
+    val cust = Tables.readStream(spark, sfDir, "customer")
+    val isDel = col("c_custkey") % 7 === 3
+    val isMod = isDel || col("c_custkey") % 10 === 0
+    val isIns = col("c_custkey") % 97 === 0
+    val changeStruct = struct(
+      col("c_custkey"),
+      when(isDel, col("c_name"))
+        .otherwise(concat(col("c_name"), lit(" (updated)"))).as("c_name"),
+      col("c_nationkey"),
+      when(isDel, col("c_acctbal")).otherwise(col("c_acctbal") + 100).as("c_acctbal"),
+      col("c_mktsegment"),
+      when(isDel, lit("D")).otherwise(lit("U")).as("op"))
+    val insertStruct = struct(
+      (col("c_custkey") + 1000000L).as("c_custkey"),
+      concat(lit("New Customer "), col("c_custkey").cast("string")).as("c_name"),
+      col("c_nationkey"),
+      lit(0.0).as("c_acctbal"),
+      lit("BUILDING").as("c_mktsegment"),
+      lit("U").as("op"))
+    val changes = cust
+      .select(explode(filter(
+        array(when(isMod, changeStruct), when(isIns, insertStruct)),
+        c => c.isNotNull)).as("c"))
+      .select("c.*")
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur = spark.read.parquet(s"$snapDir/v$version")
+        SyncDiff.applyCdc(cur, batch, Seq("c_custkey"))
+          .write.parquet(s"$snapDir/v${version + 1}")
+        version += 1
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$snapDir/v$version").orderBy("c_custkey")
+  }
+
   /** q_e2's streaming twin, run to completion. Update mode re-emits a
     * user's counters every batch it appears in; counters are monotone, so
     * the final value per user is the row with max n_events.

@@ -105,6 +105,56 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming CDC merge (AvailableNow) equals the one-shot batch MERGE") {
+    val streamed = EventStreams.cdcMergeAvailableNow(spark, sf())
+    val cust = Tables.load(spark, sf(), "customer")
+    val isDel = col("c_custkey") % 7 === 3
+    val mods = cust
+      .filter(isDel || col("c_custkey") % 10 === 0)
+      .select(
+        col("c_custkey"),
+        when(isDel, col("c_name"))
+          .otherwise(concat(col("c_name"), lit(" (updated)"))).as("c_name"),
+        col("c_nationkey"),
+        when(isDel, col("c_acctbal")).otherwise(col("c_acctbal") + 100).as("c_acctbal"),
+        col("c_mktsegment"),
+        when(isDel, lit("D")).otherwise(lit("U")).as("op"))
+    val inserts = cust
+      .filter(col("c_custkey") % 97 === 0)
+      .select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("New Customer "), col("c_custkey").cast("string")).as("c_name"),
+        col("c_nationkey"),
+        lit(0.0).as("c_acctbal"),
+        lit("BUILDING").as("c_mktsegment"),
+        lit("U").as("op"))
+    val batch = graft.operators.SyncDiff
+      .applyCdc(cust, mods.unionByName(inserts), Seq("c_custkey"))
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("sequential per-batch CDC application converges to the one-shot merge") {
+    // the property the streaming path relies on: with at most one change
+    // per key, folding the change set in arbitrary micro-batch splits
+    // through applyCdc equals applying it once
+    import graft.operators.SyncDiff
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "U"), (3L, "c", "D"), (9L, "i", "U"), (1L, "a2", "U"))
+      .toDF("k", "v", "op")
+    val oneShot = SyncDiff.applyCdc(target, changes, Seq("k"))
+    Seq(col("k") % 2 === 0, col("k") < 3).foreach { split =>
+      val seq2 = SyncDiff.applyCdc(
+        SyncDiff.applyCdc(target, changes.filter(split), Seq("k")),
+        changes.filter(!split), Seq("k"))
+      assert(seq2.except(oneShot).isEmpty && oneShot.except(seq2).isEmpty)
+    }
+  }
+
   test("sessionizer state update is incremental: splitting a group across calls is equivalent") {
     // pure-function check of the update semantics the stream relies on:
     // folding events in two chunks == folding once (monotone counters)
