@@ -204,5 +204,40 @@ object LayoutQueries extends QueryGroup {
     s.read.orc(out).orderBy("o_orderkey")
   }
 
-  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3, qL4, qS3, qS4)
+  // JSONL round-trip: the landing format for API exports and log shippers,
+  // and the one format whose value-add is NESTING — so the gate routes an
+  // array-of-struct payload (per-order line list), a millisecond
+  // timestamp, and a nullable field through the text encoding. Spark's
+  // JSON writer omits null fields entirely (ignoreNullFields default);
+  // the schema'd read must restore them as NULL, and the oracle — plain
+  // SQL over the original parquet — proves nothing was bent by the
+  // collect/serialize/parse/explode round trip.
+  private val qS5 = Q(
+    "q_s5_jsonl_roundtrip",
+    """SELECT l_orderkey,
+      |       CAST(count(*) OVER (PARTITION BY l_orderkey) AS INT) AS n_lines,
+      |       l_linenumber, l_quantity, l_shipdate,
+      |       nullif(l_returnflag, 'N') AS flag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_shipdate"), nullif(col("l_returnflag"), lit("N")).as("flag"))
+    val nested = li.groupBy("l_orderkey").agg(
+      sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"), col("l_shipdate"),
+        col("flag")))).as("lines"),
+      count(lit(1)).cast("int").as("n_lines"))
+    val tmp = Files.createTempDirectory("graft_jsonl").toString
+    nested.write.mode("overwrite").json(tmp)
+    val back = s.read.schema(nested.schema).json(tmp)
+    back
+      .select(col("l_orderkey"), col("n_lines"), explode(col("lines")).as("ln"))
+      .select(
+        col("l_orderkey"), col("n_lines"), col("ln.l_linenumber"),
+        col("ln.l_quantity"), col("ln.l_shipdate"), col("ln.flag"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+  }
+
+  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3, qL4, qS3, qS4, qS5)
 }
