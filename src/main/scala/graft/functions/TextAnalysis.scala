@@ -34,6 +34,41 @@ object TextAnalysis {
 
   def bpeIshTokenCount(text: Column): Column = size(bpeIshTokens(text))
 
+  /** Sentence-count heuristic: runs of sentence terminators `[.!?]+`,
+    * floored at 1 so per-sentence ratios stay defined on terminator-free
+    * text (a headline is one sentence, not zero).
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1), size(regexp_extract_all(text, lit("[.!?]+"), lit(0))))
+
+  /** Syllable total under the classic vowel-group heuristic: per token,
+    * the number of `[aeiouy]+` runs floored at 1 (an all-consonant or
+    * numeric token still costs one syllable to say). One `aggregate`
+    * HOF over the q_t1 tokenization — scan-side, no UDF.
+    */
+  def syllableCount(text: Column): Column =
+    aggregate(
+      tokens(text), lit(0),
+      (acc, t) => acc + greatest(lit(1), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))))
+
+  /** Flesch reading ease: `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)` over the q_t1 token contract and the
+    * heuristics above — the classic prose-difficulty score (higher =
+    * easier), a standard quality-filter feature next to [[qualityScore]].
+    * Empty text (zero tokens) → NULL: the score is undefined, and 0
+    * would be a (very hard) valid value. The arithmetic is a fixed
+    * left-to-right IEEE expression, so any engine reproduces it
+    * bit-exactly.
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val nW = tokenCount(text)
+    when(
+      nW === 0, lit(null).cast("double")).otherwise(
+      lit(206.835)
+        - lit(1.015) * (nW.cast("double") / sentenceCount(text).cast("double"))
+        - lit(84.6) * (syllableCount(text).cast("double") / nW.cast("double")))
+  }
+
   // --- language identification (stopword-hit heuristic + CJK script) -----
 
   private val stopwords: Map[String, Seq[String]] = Map(

@@ -197,4 +197,43 @@ object TimeSeries {
       aggregate(arr, lit(null).cast("double"), (acc, x) =>
         when(acc.isNull, x).otherwise((acc + x) / lit(2d))))
   }
+
+  /** Per-key lag-k autocorrelation (Pearson r between the series and its
+    * k-step-lagged self, k = 1..maxLag): the seasonality/persistence
+    * fingerprint of a metric series. One lag window pass per key emits
+    * all maxLag shifted copies, an explode fans them to (key, lag) pairs,
+    * and one hash aggregate computes `corr` — the series is assumed
+    * PRE-AGGREGATED to its grain (daily/hourly), so at 100 TB the heavy
+    * reduction happened upstream in a grouped agg and this operator only
+    * touches the small series frame. Zero-variance slices (either side
+    * constant) emit NULL rather than engine-dependent NaN — `corr` is
+    * guarded by explicit `var_samp > 0` checks, which is what makes the
+    * result portable across engines.
+    */
+  def autocorrelation(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val x = col(valueCol).cast("double")
+    val lagged = series.select(
+      col(keyCol) +: x.as("__x") +:
+        (1 to maxLag).map(k => lag(x, k).over(w).as(s"__lag$k")): _*)
+    val pairs = lagged
+      .select(
+        col(keyCol),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag_k"), col("__x").as("x"), col(s"__lag$k").as("y"))): _*)).as("__p"))
+      .select(col(keyCol), col("__p.lag_k").as("lag_k"), col("__p.x").as("x"), col("__p.y").as("y"))
+      .where(col("y").isNotNull)
+    pairs
+      .groupBy(col(keyCol), col("lag_k"))
+      .agg(
+        count(lit(1)).cast("int").as("n_pairs"),
+        when(var_samp(col("x")) > 0 && var_samp(col("y")) > 0, corr(col("x"), col("y")))
+          .as("autocorr"))
+  }
 }

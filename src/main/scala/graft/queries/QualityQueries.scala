@@ -576,7 +576,48 @@ object QualityQueries extends QueryGroup {
     DataProfile.contingencyStats(banded, "x", "y").orderBy("x", "y")
   }
 
+  // Count-min sketch: the fixed-memory frequency structure — depth×width
+  // salted-md5 counter matrix, point estimate = min over depth cells,
+  // never below the true count. 1500 distinct custkeys into width 256
+  // means real collisions, and that's the point: the hashes are
+  // engine-reproducible, so the oracle replays the EXACT counter matrix
+  // (collisions included) and the gate is value-exact, not epsilon. The
+  // in-query assert pins the sketch's one-sided error contract.
+  private val qA15 = Q(
+    "q_a15_countmin",
+    """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      |cells AS (
+      |  SELECT j,
+      |         ('0x' || substring(md5(CAST(o_custkey AS VARCHAR) || ':cm' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket,
+      |         count(*) AS cnt
+      |  FROM orders CROSS JOIN js GROUP BY 1, 2),
+      |truth AS (SELECT o_custkey AS key, count(*) AS true_cnt FROM orders GROUP BY 1),
+      |probes AS (SELECT key, true_cnt FROM truth
+      |           ORDER BY true_cnt DESC, key LIMIT 20),
+      |pc AS (SELECT p.key, p.true_cnt, js.j,
+      |              ('0x' || substring(md5(CAST(p.key AS VARCHAR) || ':cm' || CAST(js.j AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+      |       FROM probes p CROSS JOIN js),
+      |est AS (SELECT pc.key, pc.true_cnt, min(cells.cnt) AS est_cnt
+      |        FROM pc JOIN cells USING (j, bucket) GROUP BY 1, 2)
+      |SELECT key, CAST(true_cnt AS BIGINT) AS true_cnt,
+      |       CAST(est_cnt AS BIGINT) AS est_cnt
+      |FROM est ORDER BY key""".stripMargin) { (s, dir) =>
+    import graft.operators.CountMin
+    val keys = Tables.load(s, dir, "orders").select(col("o_custkey").as("key"))
+    val sk = CountMin.sketch(keys, "key", depth = 4, width = 256)
+    val truth = keys.groupBy("key").agg(count(lit(1)).as("true_cnt"))
+    val probes = truth.orderBy(col("true_cnt").desc, col("key")).limit(20)
+    probes
+      .join(CountMin.estimate(probes.select("key"), "key", sk, depth = 4, width = 256), Seq("key"))
+      .select(
+        col("key"), col("true_cnt").cast("bigint").as("true_cnt"),
+        col("est_cnt").cast("bigint").as("est_cnt"))
+      .filter(assert_true(col("est_cnt") >= col("true_cnt"),
+        lit("q_a15: count-min estimate below true count — one-sided bound broken")).isNull)
+      .orderBy("key")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11, qA13, qQ12)
+      qQ10, qQ11, qA13, qQ12, qA15)
 }

@@ -1388,6 +1388,44 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id", "day")
   }
 
+  // Per-user lag-k autocorrelation (TimeSeries.autocorrelation) of the
+  // q_e17 daily-value series: the persistence/seasonality fingerprint.
+  // Pearson r via the built-in `corr` on explicitly paired (x, lag_k(x))
+  // rows — identical pairing SQL in the oracle. Zero-variance and
+  // single-pair slices emit NULL in BOTH engines (corr is guarded by
+  // var_samp > 0, and var_samp itself is NULL at n=1), which is what
+  // keeps the row portable: Spark's bare corr would say NaN where
+  // DuckDB says NULL.
+  private val qE18 = Q(
+    "q_e18_autocorrelation",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT user_id, daily_value AS x,
+      |         lag(daily_value, 1) OVER (PARTITION BY user_id ORDER BY day) AS y1,
+      |         lag(daily_value, 2) OVER (PARTITION BY user_id ORDER BY day) AS y2,
+      |         lag(daily_value, 3) OVER (PARTITION BY user_id ORDER BY day) AS y3
+      |  FROM d),
+      |p AS (
+      |  SELECT user_id, 1 AS lag_k, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 2 AS lag_k, x, y2 AS y FROM l WHERE y2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 3 AS lag_k, x, y3 AS y FROM l WHERE y3 IS NOT NULL)
+      |SELECT user_id, CAST(lag_k AS INT) AS lag_k,
+      |       CAST(count(*) AS INT) AS n_pairs,
+      |       CASE WHEN var_samp(x) > 0 AND var_samp(y) > 0 THEN corr(x, y) END AS autocorr
+      |FROM p GROUP BY 1, 2 ORDER BY user_id, lag_k""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("daily_value"))
+    graft.operators.TimeSeries
+      .autocorrelation(daily, "user_id", "day", "daily_value", maxLag = 3)
+      .orderBy("user_id", "lag_k")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1396,5 +1434,5 @@ object RelationalQueries extends QueryGroup {
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
-    qP13, qA14, qE16, qE17)
+    qP13, qA14, qE16, qE17, qE18)
 }

@@ -247,6 +247,27 @@ object StreamingQueries extends QueryGroup {
     EventStreams.cdcMergeAvailableNow(s, dir)
   }
 
+  // NATIVE streaming session windows: the built-in session_window
+  // aggregation (state-store window merging) vs q_st2's hand-rolled
+  // mapGroupsWithState sessionizer. Session identity is the BATCH
+  // session_window contract (merge while gap < 30 min), so the oracle is
+  // q_e2b's lag SQL — note `>=` where q_st2's custom gap rule is `>`:
+  // the two sessionizers legitimately differ on exactly-30-min gaps and
+  // each is pinned to its own oracle.
+  private val qSt13 = Q(
+    "q_st13_stream_session_window",
+    """SELECT user_id,
+      |       CAST(count(*) AS INT) AS n_events,
+      |       CAST(sum(CASE WHEN prev_ts IS NULL
+      |                       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END) AS INT) AS n_sessions
+      |FROM (SELECT user_id, ts,
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM events) t
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    EventStreams.sessionWindowAvailableNow(s, dir)
+  }
+
   override val all: Seq[Q] =
-    Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12)
+    Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
+      qSt13)
 }

@@ -543,7 +543,47 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Flesch reading ease — the classic prose-difficulty score as a
+  // quality-filter feature. Words are the q_t1 tokenization; sentences
+  // are [.!?]+ runs floored at 1; syllables are per-token [aeiouy]+
+  // vowel-group runs floored at 1. The score is a fixed left-to-right
+  // IEEE expression over three integers, so the oracle replays it
+  // bit-exactly; empty docs carry a NULL score (undefined ≠ hard).
+  private val qT17 = Q(
+    "q_t17_readability",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         len(tk) AS n_words,
+      |         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents,
+      |         coalesce(list_sum(list_transform(tk,
+      |           x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0) AS n_syll
+      |  FROM t)
+      |SELECT doc_id,
+      |       CAST(n_words AS INT) AS n_words,
+      |       CAST(n_sents AS INT) AS n_sents,
+      |       CAST(n_syll AS INT) AS n_syll,
+      |       CASE WHEN n_words = 0 THEN NULL
+      |            ELSE 206.835
+      |                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+      |                 - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |       END AS flesch
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_words"),
+        sentenceCount(col("text")).as("n_sents"),
+        syllableCount(col("text")).as("n_syll"),
+        fleschReadingEase(col("text")).as("flesch"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16)
+      qT14, qT15, qT16, qT17)
 }

@@ -251,6 +251,38 @@ object EventStreams {
       .orderBy("hour_bucket", "event_type")
   }
 
+  /** NATIVE streaming session windows (q_e2b's streaming twin): the
+    * built-in `session_window` aggregation — Spark's state store does the
+    * window-merging that [[sessionCounts]] hand-rolls in
+    * `mapGroupsWithState` — then one batch rollup to per-user
+    * (n_events, n_sessions). Complete mode: an AvailableNow run is
+    * bounded, so holding every open session in state is the same
+    * retention [[sessionCounts]] already accepts (NoTimeout); an
+    * unbounded deployment switches to watermark + append and emits each
+    * session once it is watermark-closed. Session identity follows the
+    * batch operator exactly — events merge while gaps are < 30 min — so
+    * the q_e2b lag-SQL oracle transfers verbatim.
+    */
+  def sessionWindowAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
+    val s = streamSession(spark, statePartitions)
+    val perSession = readEventStream(s, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("__n"))
+    runToTable(
+      s,
+      perSession,
+      s"stream_session_window_${System.nanoTime()}",
+      OutputMode.Complete())
+      .groupBy("user_id")
+      .agg(
+        sum(col("__n")).cast("int").as("n_events"),
+        count(lit(1)).cast("int").as("n_sessions"))
+      .orderBy("user_id")
+  }
+
   /** Streaming dedup run to completion: the distinct (user, event_type)
     * key set — batch-oracle-verifiable (first-arrival payloads would be
     * arrival-order-dependent; the key set is not).

@@ -31,6 +31,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[String](langId(col("t")), "zzz qqq xyzzy") === "und")
   }
 
+  test("sentence / syllable heuristics: known answers and floors") {
+    assert(one[Int](sentenceCount(col("t")), "One. Two! Three?") === 3)
+    // a run of terminators is one boundary; terminator-free text floors at 1
+    assert(one[Int](sentenceCount(col("t")), "Wait... what?!") === 2)
+    assert(one[Int](sentenceCount(col("t")), "no terminators here") === 1)
+    // beau-ti-ful = 3 vowel groups; "rhythm"/"123" floor at 1 each
+    assert(one[Int](syllableCount(col("t")), "beautiful") === 3)
+    assert(one[Int](syllableCount(col("t")), "rhythm 123") === 2)
+    assert(one[Int](syllableCount(col("t")), "") === 0)
+  }
+
+  test("fleschReadingEase: hand-computed score; empty text is NULL") {
+    // "the cat sat." → 3 words, 1 sentence, 3 syllables:
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    val s = one[Double](fleschReadingEase(col("t")), "the cat sat.")
+    assert(math.abs(s - (206.835 - 1.015 * 3 - 84.6)) < 1e-12)
+    val r = Seq("").toDF("t").select(fleschReadingEase(col("t")).as("r")).collect().head
+    assert(r.isNullAt(0))
+    // monotonicity: polysyllabic prose scores harder (lower)
+    val hard = one[Double](fleschReadingEase(col("t")),
+      "interdisciplinary considerations necessitate comprehensive evaluation.")
+    assert(hard < s)
+  }
+
   test("punctRatio / meanTokenLen / stopwordRatio known answers") {
     assert(one[Double](punctRatio(col("t")), "a,b.") === 0.5)
     assert(one[Double](punctRatio(col("t")), "") === 0.0)

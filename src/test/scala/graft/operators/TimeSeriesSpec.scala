@@ -115,6 +115,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(bounded === Array(8.0, 6.0, 3.0, 5.0)) // row 3: (4+2)/2
   }
 
+  test("autocorrelation: alternating series is -1 at lag 1, +1 at lag 2") {
+    val series = (1 to 10).map(i =>
+      (1L, i, if (i % 2 == 0) 1.0 else -1.0)).toDF("k", "t", "v")
+    val got = TimeSeries.autocorrelation(series, "k", "t", "v", maxLag = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    // lag 1: 9 pairs of opposite signs; lag 2: 8 pairs of equal signs
+    assert(got.map { case (l, n, r) => (l, n, math.rint(r * 1e9) / 1e9) } ===
+      Set((1, 9, -1.0), (2, 8, 1.0)))
+  }
+
+  test("autocorrelation: constant and single-pair slices emit NULL, not NaN") {
+    val series = Seq(
+      (1L, 1, 5.0), (1L, 2, 5.0), (1L, 3, 5.0), // constant → zero variance
+      (2L, 1, 1.0), (2L, 2, 2.0) // one lag-1 pair → var_samp undefined
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.autocorrelation(series, "k", "t", "v", maxLag = 1)
+      .collect().map(r => (r.getLong(0), r.isNullAt(3))).toMap
+    assert(got === Map(1L -> true, 2L -> true))
+  }
+
   test("first slot of every key is observed; sv_filled never null") {
     val events = graft.Tables.load(spark, sf(), "events")
     val filled = TimeSeries.hourlyGapFillLocf(events, "user_id", "ts", "value")
