@@ -36,17 +36,25 @@ object Bench {
 
     warmup(spark, sfDir)
 
+    // Per-query time is best-of-2 back-to-back runs: a single cold pass in
+    // alphabetical order charges end-of-alphabet families for accumulated
+    // JIT/GC/page-cache churn from everything before them (r7 showed 2-12x
+    // order-contamination on q_v*; isolated reruns matched the 2nd pass).
+    // `total` stays the sum of FIRST-pass times so the driver's headline
+    // remains one full cold sweep, comparable with earlier rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try runOne(fn) catch {
+      def once(): Double = try runOne(fn) catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
       }
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
-      name -> sec
+      val cold = once()
+      val best = if (cold < 0) cold else math.min(cold, once())
+      System.err.println(f"[bench] $name%-28s cold $cold%8.2f s  best $best%8.2f s")
+      (name, cold, best)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qs = results.map { case (k, _, b) => "\"" + k + "\":" + b }.mkString("{", ",", "}")
+    val total = results.collect { case (_, c, _) if c >= 0 => c }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)

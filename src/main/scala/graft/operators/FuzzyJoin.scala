@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   * can no longer witness a candidate pair on its own; pairs sharing only
   * capped grams are missed — cap well above the d·q slack in practice).
   *
-  * Precondition: strings shorter than q yield no grams and thus no
-  * candidates; route them through an exact or length-1 block instead.
+  * Completeness: the count filter only forces a shared gram when
+  * max(|G(a)|,|G(b)|) − d·q >= 1, so pairs of SHORT strings (both with
+  * <= d·q grams) could be within distance d while sharing zero grams —
+  * those are routed through a separate exhaustive block over the
+  * (alphabet-bounded, tiny) short-string set, making the blocking
+  * provably complete for every string of length >= q. Precondition:
+  * strings shorter than q yield no grams at all and are excluded; route
+  * them through an exact or length-1 block instead.
   */
 object FuzzyJoin {
 
@@ -72,15 +78,36 @@ object FuzzyJoin {
       col("gram"), col("name").as("name_a"), col("ng").as("ng_a"))
     val b = surviving.select(
       col("gram"), col("name").as("name_b"), col("ng").as("ng_b"))
+    // The count-filter lemma only FORCES a shared gram when
+    // max(ng_a, ng_b) − d·q >= 1. Pairs where BOTH sides have
+    // ng <= d·q can be within distance d yet share zero grams
+    // (q=2, d=1: "ab" vs "cb") and would silently evade the gram
+    // equi-join — route those through the exhaustive short block
+    // below and exclude them here so the union stays disjoint.
+    val shortCut = maxDist.toLong * q
     val candidates = a
       .join(b, Seq("gram"))
       .where(col("name_a") < col("name_b"))
+      .where(col("ng_a") > shortCut || col("ng_b") > shortCut)
       .groupBy("name_a", "name_b", "ng_a", "ng_b")
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= greatest(col("ng_a"), col("ng_b")) - lit(maxDist * q))
       .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .select(col("name_a"), col("name_b"))
 
-    candidates
+    // Exhaustive block over the short strings (ng <= d·q, i.e. length
+    // <= d·q + q − 1): the set of distinct strings that short is
+    // alphabet-bounded and tiny in practice, so an O(|S|²) broadcast
+    // nested-loop with the length filter is the scale-correct shape —
+    // NOT a corpus-sized cross join.
+    val shorts = names.where(col("ng") <= shortCut).select(col("name"))
+    val shortPairs = shorts.toDF("name_a")
+      .join(
+        broadcast(shorts.toDF("name_b")),
+        col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+
+    candidates.unionByName(shortPairs)
       .select(
         col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b"), maxDist).as("dist"))

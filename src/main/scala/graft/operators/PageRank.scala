@@ -45,9 +45,11 @@ object PageRank {
       .join(outW, "src")
       .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("p"))
 
+    import org.apache.spark.sql.graft.bridge
     var rank = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iterations) {
+    var rankCkpt: DataFrame = null
+    for (it <- 1 to iterations) {
       val inSum = trans
         .join(rank.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
@@ -64,7 +66,25 @@ object PageRank {
           (lit(1 - damping) / col("n") +
             lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + col("dm") / col("n")))
             .as("rank"))
+      // cut lineage every 10 rounds (the per-iteration plan nests two
+      // joins + an agg; 50 iterations of that is an analyzer stall) and
+      // free the superseded checkpoint so executor blocks don't pile up
+      if (it % 10 == 0) {
+        val next = rank.localCheckpoint(true)
+        if (rankCkpt != null) bridge.freeLocalCheckpoint(rankCkpt)
+        rankCkpt = next
+        rank = next
+      }
     }
-    rank
+    if (materializeEdges) {
+      // The returned plan must not depend on the freed blocks: pin the
+      // final ranks, then release the edge frame and any superseded
+      // intermediate (Bfs.scala discipline — blocks otherwise live until
+      // a driver GC happens to run, ADVICE r7).
+      val out = rank.localCheckpoint(true)
+      bridge.freeLocalCheckpoint(e)
+      if (rankCkpt != null && (rankCkpt ne out)) bridge.freeLocalCheckpoint(rankCkpt)
+      out
+    } else rank
   }
 }

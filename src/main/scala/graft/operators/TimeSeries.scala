@@ -206,9 +206,15 @@ object TimeSeries {
     * PRE-AGGREGATED to its grain (daily/hourly), so at 100 TB the heavy
     * reduction happened upstream in a grouped agg and this operator only
     * touches the small series frame. Zero-variance slices (either side
-    * constant) emit NULL rather than engine-dependent NaN — `corr` is
-    * guarded by explicit `var_samp > 0` checks, which is what makes the
-    * result portable across engines.
+    * constant) emit NULL rather than engine-dependent NaN: the aggregate
+    * computes only the moments (`covar_samp`, `var_samp`) — which are
+    * well-defined (0 or NULL) on constant slices — and Pearson r is
+    * formed in the PROJECTION under a `when(var > 0)` guard, where the
+    * guard actually short-circuits the division. Putting a guarded
+    * `corr` inside the aggregate would not work: all aggregate
+    * expressions of one hash aggregate evaluate unconditionally, so
+    * `corr`'s own final division throws DIVIDE_BY_ZERO under ANSI mode
+    * before any `when` projection runs.
     */
   def autocorrelation(
       series: DataFrame,
@@ -233,7 +239,14 @@ object TimeSeries {
       .groupBy(col(keyCol), col("lag_k"))
       .agg(
         count(lit(1)).cast("int").as("n_pairs"),
-        when(var_samp(col("x")) > 0 && var_samp(col("y")) > 0, corr(col("x"), col("y")))
-          .as("autocorr"))
+        covar_samp(col("x"), col("y")).as("__cov"),
+        var_samp(col("x")).as("__vx"),
+        var_samp(col("y")).as("__vy"))
+      .select(
+        col(keyCol),
+        col("lag_k"),
+        col("n_pairs"),
+        when(col("__vx") > 0 && col("__vy") > 0,
+          col("__cov") / sqrt(col("__vx") * col("__vy"))).as("autocorr"))
   }
 }

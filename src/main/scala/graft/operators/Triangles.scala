@@ -71,9 +71,15 @@ object Triangles {
       count(lit(1)).as("n_nodes"),
       (sum(col("d")) / 2).cast("bigint").as("n_edges"),
       sum(col("d") * (col("d") - 1) / 2).cast("bigint").as("n_wedges"))
-    base.crossJoin(broadcast(triangles))
+    val out = base.crossJoin(broadcast(triangles))
       .select(
         col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+      // pin the one-row result, then release the canon/oriented blocks —
+      // they otherwise live until a driver GC happens to run (ADVICE r7)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(canon)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(oriented)
+    out
   }
 }

@@ -111,9 +111,14 @@ case class AsOfJoinExec(
               continue = rBuf.hasNext
             } else if (cKey == 0 && tsOrd.compare(rt.eval(head), ltv) <= 0) {
               // a newer still-prior right row for this key: it supersedes
-              // the held one (copy — unsafe rows are reused by the child)
+              // the held one (copy — unsafe rows are reused by the child).
+              // heldKey must be evaluated against the COPIED row: lkv may
+              // point into the left child's reused row buffer (string/
+              // binary keys under a buffer-reusing scan), and would mutate
+              // when lIter advances, letting a stale held row match a
+              // different key.
               heldRow = rBuf.next().copy()
-              heldKey = lkv
+              heldKey = rk.eval(heldRow)
               continue = rBuf.hasNext
             } else {
               continue = false

@@ -239,5 +239,76 @@ object LayoutQueries extends QueryGroup {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
   }
 
-  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3, qL4, qS3, qS4, qS5)
+  // XML round-trip: the config/interchange format the reference's runtime
+  // actually consumes (its SQL/column-map registry lives in an XML-adjacent
+  // properties dir contract, SisConnectorService.java:710-721), and the
+  // last text format in the family (CSV q_s2, JSON q_s5). Spark 4 ships a
+  // native XML datasource (spark-xml merged upstream), so the same NESTED
+  // payload as q_s5 — array-of-struct line list, DATE, nullable field —
+  // goes through rowTag-framed XML. The writer omits null fields (like
+  // JSON); the schema'd read must restore them as NULL, and the oracle
+  // reads the same rows straight from the original parquet, so any
+  // serialize/parse coercion breaks the hash.
+  private val qS6 = Q(
+    "q_s6_xml_roundtrip",
+    """SELECT l_orderkey,
+      |       CAST(count(*) OVER (PARTITION BY l_orderkey) AS INT) AS n_lines,
+      |       l_linenumber, l_quantity, l_shipdate,
+      |       nullif(l_returnflag, 'N') AS flag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_shipdate"), nullif(col("l_returnflag"), lit("N")).as("flag"))
+    val nested = li.groupBy("l_orderkey").agg(
+      sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"), col("l_shipdate"),
+        col("flag")))).as("lines"),
+      count(lit(1)).cast("int").as("n_lines"))
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    nested.write.mode("overwrite").option("rowTag", "order").xml(tmp)
+    val back = s.read.schema(nested.schema).option("rowTag", "order").xml(tmp)
+    back
+      .select(col("l_orderkey"), col("n_lines"), explode(col("lines")).as("ln"))
+      .select(
+        col("l_orderkey"), col("n_lines"), col("ln.l_linenumber"),
+        col("ln.l_quantity"), col("ln.l_shipdate"), col("ln.flag"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+  }
+
+  // Avro round-trip: the row-oriented interchange format (Kafka payloads,
+  // schema-registry pipelines) — also built into Spark 4's sql module.
+  // Unlike the text formats, Avro is BINARY with logical types, so the
+  // gate routes exactly the type mix that trips naive encoders: DATE
+  // (logical date-days), a nested array-of-struct, and a nullable string
+  // (Avro nullable = union[null, T]). Oracle = same rows from the
+  // original parquet.
+  private val qS7 = Q(
+    "q_s7_avro_roundtrip",
+    """SELECT l_orderkey,
+      |       CAST(count(*) OVER (PARTITION BY l_orderkey) AS INT) AS n_lines,
+      |       l_linenumber, l_quantity, l_shipdate,
+      |       nullif(l_returnflag, 'N') AS flag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_shipdate"), nullif(col("l_returnflag"), lit("N")).as("flag"))
+    val nested = li.groupBy("l_orderkey").agg(
+      sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"), col("l_shipdate"),
+        col("flag")))).as("lines"),
+      count(lit(1)).cast("int").as("n_lines"))
+    val tmp = Files.createTempDirectory("graft_avro").toString
+    nested.write.mode("overwrite").format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+    val back = s.read.schema(nested.schema).format("org.apache.spark.sql.avro.AvroFileFormat").load(tmp)
+    back
+      .select(col("l_orderkey"), col("n_lines"), explode(col("lines")).as("ln"))
+      .select(
+        col("l_orderkey"), col("n_lines"), col("ln.l_linenumber"),
+        col("ln.l_quantity"), col("ln.l_shipdate"), col("ln.flag"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+  }
+
+  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3, qL4, qS3, qS4, qS5, qS6, qS7)
 }

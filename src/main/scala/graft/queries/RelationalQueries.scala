@@ -1390,18 +1390,32 @@ object RelationalQueries extends QueryGroup {
 
   // Per-user lag-k autocorrelation (TimeSeries.autocorrelation) of the
   // q_e17 daily-value series: the persistence/seasonality fingerprint.
-  // Pearson r via the built-in `corr` on explicitly paired (x, lag_k(x))
-  // rows — identical pairing SQL in the oracle. Zero-variance and
-  // single-pair slices emit NULL in BOTH engines (corr is guarded by
-  // var_samp > 0, and var_samp itself is NULL at n=1), which is what
-  // keeps the row portable: Spark's bare corr would say NaN where
-  // DuckDB says NULL.
+  // Pearson r is formed from the aggregated moments (covar_samp /
+  // sqrt(var_samp * var_samp)) in the projection — identical pairing +
+  // moment SQL in the oracle. Zero-variance and single-pair slices emit
+  // NULL in BOTH engines (the division is guarded by var_samp > 0 in
+  // the projection, and var_samp itself is NULL at n=1). The corpus is
+  // deliberately hardened with two degenerate synthetic users unioned
+  // in-query (as q_q11 deliberately breaks an FK edge): user -1 is a
+  // 10-day CONSTANT series (zero variance at every lag — the exact
+  // shape that made a guarded in-aggregate `corr` throw DIVIDE_BY_ZERO
+  // under ANSI, VERDICT r7 #1) and user -2 is a 2-day series (single
+  // pair at lag 1, var_samp NULL). The gate now fails if either engine
+  // stops emitting NULL on those slices.
   private val qE18 = Q(
     "q_e18_autocorrelation",
     """WITH d AS (
       |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(i + 1 AS DOUBLE)
+      |  FROM range(2) t(i)),
       |l AS (
       |  SELECT user_id, daily_value AS x,
       |         lag(daily_value, 1) OVER (PARTITION BY user_id ORDER BY day) AS y1,
@@ -1416,11 +1430,23 @@ object RelationalQueries extends QueryGroup {
       |  SELECT user_id, 3 AS lag_k, x, y3 AS y FROM l WHERE y3 IS NOT NULL)
       |SELECT user_id, CAST(lag_k AS INT) AS lag_k,
       |       CAST(count(*) AS INT) AS n_pairs,
-      |       CASE WHEN var_samp(x) > 0 AND var_samp(y) > 0 THEN corr(x, y) END AS autocorr
+      |       CASE WHEN var_samp(x) > 0 AND var_samp(y) > 0
+      |            THEN covar_samp(x, y) / sqrt(var_samp(x) * var_samp(y)) END AS autocorr
       |FROM p GROUP BY 1, 2 ORDER BY user_id, lag_k""".stripMargin) { (s, dir) =>
-    val daily = t(s, dir, "events")
+    val base = t(s, dir, "events")
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("daily_value"))
+    val constant = s.range(10).select(
+      lit(-1L).as("user_id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("day"),
+      lit(5.0).as("daily_value"))
+    val singlePair = s.range(2).select(
+      lit(-2L).as("user_id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("day"),
+      (col("id") + 1).cast("double").as("daily_value"))
+    val daily = base.unionByName(constant).unionByName(singlePair)
     graft.operators.TimeSeries
       .autocorrelation(daily, "user_id", "day", "daily_value", maxLag = 3)
       .orderBy("user_id", "lag_k")

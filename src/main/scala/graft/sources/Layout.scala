@@ -24,14 +24,25 @@ object Layout {
       keyCols: Seq[String],
       numBuckets: Int): Unit = {
     val spark = df.sparkSession
-    // A previous JVM's warehouse directory is invisible to this session's
-    // in-memory catalog, and saveAsTable refuses a managed-table name
-    // whose location already exists — drop both the entry and the dir.
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    // If the catalog knows the table, DROP TABLE is the whole cleanup:
+    // for a MANAGED table it deletes the data directory too, and for an
+    // EXTERNAL table the data dir is NOT ours to delete.
+    val existed = catalog.tableExists(ident)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (!existed) {
+      // A previous JVM's warehouse directory is invisible to this
+      // session's in-memory catalog, and saveAsTable refuses a managed
+      // table whose location already exists. Clear ONLY the catalog's
+      // own default managed location for this exact identifier (never a
+      // string-concatenated guess — custom locations and name collisions
+      // must not be swept up), and only when no live table claims the
+      // name.
+      val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)

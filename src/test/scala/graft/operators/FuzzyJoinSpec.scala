@@ -54,6 +54,21 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(capped.subsetOf(exact), "capping may drop pairs, never invent them")
   }
 
+  test("short strings sharing zero grams are still found (exhaustive short block)") {
+    import spark.implicits._
+    // q=2, d=1: "ab" vs "cb" is distance 1 with ZERO shared bigrams —
+    // the count-filter threshold is non-positive so the gram equi-join
+    // alone can never witness the pair (ADVICE r7). The short block must.
+    val names = Seq("ab", "cb", "ax", "abcd", "abce", "xy")
+    val got = FuzzyJoin.fuzzySelfPairs(names.toDF("name"), "name", maxDist = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    val exact = exhaustive(names, 1)
+    assert(got === exact)
+    assert(exact.contains(("ab", "cb", 1)), "sanity: the evading pair is in the oracle")
+  }
+
   test("duplicate and null rows collapse; short strings are skipped") {
     import spark.implicits._
     val df = Seq("abcd", "abcd", "abce", null, "a").toDF("name")
