@@ -249,4 +249,99 @@ object TimeSeries {
         when(col("__vx") > 0 && col("__vy") > 0,
           col("__cov") / sqrt(col("__vx") * col("__vy"))).as("autocorr"))
   }
+
+  /** Dominant (seasonal) lag per key: the lag in `1..maxLag` whose
+    * autocorrelation is highest — the cheap seasonality-period pick over
+    * [[autocorrelation]]'s per-lag output. Keys whose every lag is NULL
+    * (constant or too-short series) drop out: they HAVE no dominant lag.
+    *
+    * Portability: the argmax compares autocorrelations ROUNDED to 6
+    * decimals (the correctness harness's own float tolerance) with ties
+    * broken toward the SMALLER lag, so two engines whose r values differ
+    * in the 15th bit still pick the same lag — comparing raw doubles
+    * would make the winner depend on libm rounding. One extra hash
+    * aggregate over the (key, lag) frame, which is maxLag rows per key —
+    * nothing at corpus scale.
+    */
+  def dominantSeasonalLag(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    val ac = autocorrelation(series, keyCol, orderCol, valueCol, maxLag)
+    ac.where(col("autocorr").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        max_by(
+          struct(col("lag_k"), col("n_pairs"), col("autocorr")),
+          struct(round(col("autocorr"), 6).as("r6"), (-col("lag_k")).as("neg_lag")))
+          .as("__best"))
+      .select(
+        col(keyCol),
+        col("__best.lag_k").as("best_lag"),
+        col("__best.n_pairs").as("n_pairs"),
+        col("__best.autocorr").as("autocorr"))
+  }
+
+  /** CUSUM changepoint pick per key: the position where the cumulative
+    * sum of mean-deviations attains its maximum absolute value — the
+    * classic single-changepoint estimator for a level shift (Page's
+    * cumulative-sum statistic at its extremum). Returns one row per key:
+    * the changepoint's order value, the |CUSUM| there (normalized by
+    * sd·√n so it's comparable across keys), and n.
+    *
+    * Shape: one window pass computes the running sum; the per-key mean/
+    * sd/count ride along as window aggregates over the SAME partition
+    * (no second shuffle — every aggregate here partitions by the key),
+    * and one `max_by` hash aggregate picks the extremum. Keys with zero
+    * variance or a single point drop out (no changepoint is detectable).
+    * The argmax compares the statistic rounded to 6 decimals, ties
+    * broken toward the EARLIER position — same portability discipline
+    * as [[dominantSeasonalLag]].
+    */
+  def cusumChangepoint(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val part = Window.partitionBy(keyCol)
+    val run = part.orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(valueCol).cast("double")
+    val scored = series.select(
+      col(keyCol),
+      col(orderCol),
+      sum(x).over(run).as("__cum"),
+      count(lit(1)).over(run).as("__i"),
+      avg(x).over(part).as("__mean"),
+      stddev_samp(x).over(part).as("__sd"),
+      count(lit(1)).over(part).as("__n"))
+    scored
+      .where(col("__sd").isNotNull && col("__sd") > 0)
+      .select(
+        col(keyCol),
+        col(orderCol),
+        col("__n"),
+        (abs(col("__cum") - col("__i") * col("__mean")) /
+          (col("__sd") * sqrt(col("__n").cast("double")))).as("__stat"))
+      .groupBy(col(keyCol))
+      .agg(
+        max_by(
+          struct(col(orderCol), col("__stat"), col("__n")),
+          struct(round(col("__stat"), 6).as("s6"), monotonic_desc(col(orderCol))))
+          .as("__best"))
+      .select(
+        col(keyCol),
+        col(s"__best.$orderCol").as("changepoint_at"),
+        col("__best.__stat").as("cusum_stat"),
+        col("__best.__n").cast("int").as("n_points"))
+  }
+
+  /** Order-inverting key for earliest-wins ties inside `max_by`: works
+    * for any orderable numeric/timestamp column by negating its epoch/
+    * numeric form.
+    */
+  private def monotonic_desc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    -(c.cast("double"))
 }

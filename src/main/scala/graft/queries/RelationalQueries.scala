@@ -1452,6 +1452,123 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id", "lag_k")
   }
 
+  // Dominant seasonal lag (TimeSeries.dominantSeasonalLag): the argmax
+  // over q_e18's per-lag autocorrelations — which period a metric repeats
+  // on. The argmax compares r ROUNDED to 6 decimals with ties to the
+  // smaller lag (raw-double comparison would let the winner flip on the
+  // engines' last-bit differences); keys with no non-NULL lag (the
+  // synthetic constant/single-pair users) drop out, which is itself on
+  // the gate.
+  private val qE19 = Q(
+    "q_e19_dominant_lag",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(i + 1 AS DOUBLE)
+      |  FROM range(2) t(i)),
+      |l AS (
+      |  SELECT user_id, daily_value AS x,
+      |         lag(daily_value, 1) OVER (PARTITION BY user_id ORDER BY day) AS y1,
+      |         lag(daily_value, 2) OVER (PARTITION BY user_id ORDER BY day) AS y2,
+      |         lag(daily_value, 3) OVER (PARTITION BY user_id ORDER BY day) AS y3
+      |  FROM d),
+      |p AS (
+      |  SELECT user_id, 1 AS lag_k, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 2 AS lag_k, x, y2 AS y FROM l WHERE y2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 3 AS lag_k, x, y3 AS y FROM l WHERE y3 IS NOT NULL),
+      |a AS (
+      |  SELECT user_id, lag_k, count(*) AS n_pairs,
+      |         CASE WHEN var_samp(x) > 0 AND var_samp(y) > 0
+      |              THEN covar_samp(x, y) / sqrt(var_samp(x) * var_samp(y)) END AS autocorr
+      |  FROM p GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, lag_k, n_pairs, autocorr,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY round(autocorr, 6) DESC, lag_k ASC) AS rn
+      |  FROM a WHERE autocorr IS NOT NULL)
+      |SELECT user_id, CAST(lag_k AS INT) AS best_lag,
+      |       CAST(n_pairs AS INT) AS n_pairs, autocorr
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("daily_value"))
+    val constant = s.range(10).select(
+      lit(-1L).as("user_id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("day"),
+      lit(5.0).as("daily_value"))
+    val singlePair = s.range(2).select(
+      lit(-2L).as("user_id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("day"),
+      (col("id") + 1).cast("double").as("daily_value"))
+    graft.operators.TimeSeries
+      .dominantSeasonalLag(
+        base.unionByName(constant).unionByName(singlePair),
+        "user_id", "day", "daily_value", maxLag = 3)
+      .orderBy("user_id")
+  }
+
+  // CUSUM changepoint pick (TimeSeries.cusumChangepoint): where each
+  // user's daily series most likely shifted level — Page's cumulative-sum
+  // statistic at its extremum, normalized by sd·√n. Everything windows
+  // over ONE per-key partition (running sum, mean, sd, n all ride the
+  // same exchange); the argmax rounds to 6 decimals with ties to the
+  // earliest day. Zero-variance and single-point keys drop out (the
+  // synthetic constant user is the planted probe for that).
+  private val qE20 = Q(
+    "q_e20_cusum_changepoint",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)),
+      |s AS (
+      |  SELECT user_id, day,
+      |         sum(daily_value) OVER (PARTITION BY user_id ORDER BY day) AS cum,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS DOUBLE) AS i,
+      |         avg(daily_value) OVER (PARTITION BY user_id) AS m,
+      |         stddev_samp(daily_value) OVER (PARTITION BY user_id) AS sd,
+      |         count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM d),
+      |t AS (
+      |  SELECT user_id, day, n,
+      |         abs(cum - i * m) / (sd * sqrt(CAST(n AS DOUBLE))) AS stat
+      |  FROM s WHERE sd IS NOT NULL AND sd > 0),
+      |r AS (
+      |  SELECT user_id, day, n, stat,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY round(stat, 6) DESC, day ASC) AS rn
+      |  FROM t)
+      |SELECT user_id, day AS changepoint_at, stat AS cusum_stat,
+      |       CAST(n AS INT) AS n_points
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("daily_value"))
+    val constant = s.range(10).select(
+      lit(-1L).as("user_id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("day"),
+      lit(5.0).as("daily_value"))
+    graft.operators.TimeSeries
+      .cusumChangepoint(
+        base.unionByName(constant), "user_id", "day", "daily_value")
+      .orderBy("user_id")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1460,5 +1577,5 @@ object RelationalQueries extends QueryGroup {
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
-    qP13, qA14, qE16, qE17, qE18)
+    qP13, qA14, qE16, qE17, qE18, qE19, qE20)
 }

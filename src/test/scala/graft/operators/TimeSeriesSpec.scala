@@ -125,6 +125,37 @@ class TimeSeriesSpec extends SparkSpec {
       Set((1, 9, -1.0), (2, 8, 1.0)))
   }
 
+  test("dominantSeasonalLag: period wins; linear ties break to the smaller lag; degenerate keys drop") {
+    // key 1: alternating → lag 2 (r = +1) beats lag 1 (r = -1)
+    // key 2: linear → every lag has r = 1 after 6-decimal rounding → lag 1
+    // key 3: constant → all lags NULL → no row
+    val series =
+      (1 to 10).map(i => (1L, i, if (i % 2 == 0) 1.0 else -1.0)) ++
+        (1 to 10).map(i => (2L, i, i.toDouble)) ++
+        (1 to 10).map(i => (3L, i, 7.0))
+    val got = TimeSeries.dominantSeasonalLag(series.toDF("k", "t", "v"), "k", "t", "v", maxLag = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got === Map(1L -> 2, 2L -> 1))
+  }
+
+  test("cusumChangepoint: level shift found at the step; ties earliest; flat keys drop") {
+    // key 1: 0,0,0,10,10,10 — |cum − i·mean| peaks at i=3 (|0−15| = 15)
+    // key 2: constant → sd = 0 → no row;  key 3: single point → sd NULL → no row
+    val series =
+      Seq((1L, 1, 0.0), (1L, 2, 0.0), (1L, 3, 0.0), (1L, 4, 10.0), (1L, 5, 10.0), (1L, 6, 10.0)) ++
+        Seq((2L, 1, 4.0), (2L, 2, 4.0)) ++
+        Seq((3L, 1, 9.0))
+    val out = TimeSeries.cusumChangepoint(series.toDF("k", "t", "v"), "k", "t", "v")
+      .collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L))
+    val r = out.head
+    assert(r.getInt(1) === 3, "changepoint at the last pre-shift row")
+    assert(r.getInt(3) === 6)
+    // stat = 15 / (sd * sqrt(6)), sd = stddev_samp of the six values
+    val sd = math.sqrt(Seq(0d, 0, 0, 10, 10, 10).map(v => (v - 5) * (v - 5)).sum / 5)
+    assert(math.abs(r.getDouble(2) - 15 / (sd * math.sqrt(6))) < 1e-12)
+  }
+
   test("autocorrelation: constant and single-pair slices emit NULL, not NaN") {
     val series = Seq(
       (1L, 1, 5.0), (1L, 2, 5.0), (1L, 3, 5.0), // constant → zero variance
