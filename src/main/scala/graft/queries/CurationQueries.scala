@@ -254,5 +254,46 @@ object CurationQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9)
+  // DSIR importance resampling (Xie et al. 2023): keep the 50 raw docs
+  // whose hashed-unigram features are most target-like, target = src1.
+  // Both corpus histograms reduce to 256 broadcastable rows fit on the
+  // FULL corpora (no driver sample); each bucket's log-ratio is ONE ln
+  // over an exact-integer-ratio argument so both engines hand the same
+  // double to libm; the cut ranks round(log_w, 6) with doc_id ties —
+  // the q_e19 argmax discipline.
+  private val qC10 = Q(
+    "q_c10_dsir_select",
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(lower(trim(text)), '\s+') END) AS tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, source,
+      |         ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS bucket
+      |  FROM tok),
+      |dc AS (SELECT doc_id, bucket, count(*) AS c FROM b WHERE source <> 'src1' GROUP BY 1, 2),
+      |th AS (SELECT bucket, count(*) AS ct FROM b WHERE source = 'src1' GROUP BY 1),
+      |rh AS (SELECT bucket, sum(c) AS cr FROM dc GROUP BY 1),
+      |nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM th),
+      |nr AS (SELECT coalesce(sum(cr), 0) AS nr FROM rh),
+      |rat AS (
+      |  SELECT coalesce(rh.bucket, th.bucket) AS bucket,
+      |         ln((CAST(coalesce(th.ct, 0) + 1 AS DOUBLE) * (nr.nr + 256)) /
+      |            (CAST(coalesce(rh.cr, 0) + 1 AS DOUBLE) * (nt.nt + 256))) AS log_ratio
+      |  FROM rh FULL OUTER JOIN th ON rh.bucket = th.bucket, nt, nr),
+      |w AS (
+      |  SELECT dc.doc_id, CAST(sum(dc.c) AS INT) AS n_tokens,
+      |         sum(dc.c * rat.log_ratio) AS log_w
+      |  FROM dc JOIN rat USING (bucket) GROUP BY 1)
+      |SELECT doc_id, n_tokens, log_w
+      |FROM w ORDER BY round(log_w, 6) DESC, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    graft.operators.Dsir.selectTopK(
+      raw = docs.where(col("source") =!= "src1"),
+      target = docs.where(col("source") === "src1"),
+      docIdCol = "doc_id", textCol = "text", numBuckets = 256, k = 50)
+  }
+
+  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10)
 }
