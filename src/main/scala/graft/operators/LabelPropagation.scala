@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (LPA, Raghavan et al. 2007): community
+  * detection by iterated majority vote — every node adopts the label
+  * most frequent among its neighbors, ties to the SMALLEST label, for a
+  * FIXED number of rounds. Fixed-round synchronous update is the
+  * deterministic variant: the async/random-order forms converge faster
+  * but their output depends on visit order, which would make a
+  * cross-engine gate impossible. Complements the graph family: CC gives
+  * reachability components, LPA gives density communities inside them.
+  *
+  * Scale shape: one round = one equi-join of the undirected edge list
+  * against the current (node, label) frame (shuffle keyed on the
+  * neighbor id) + two hash aggregates ((node, label) counts, then the
+  * per-node argmax) — the alternating join/agg discipline of
+  * [[ConnectedComponents]] and [[PageRank]]. The driver loop only
+  * builds the plan. The edge frame is localCheckpoint'ed once and freed
+  * after the result is pinned; labels checkpoint every 10 rounds with
+  * the superseded block freed ([[Bfs]] discipline).
+  *
+  * Determinism across engines: the argmax compares (count, label) with
+  * count descending and label ascending — all-integer comparisons, no
+  * floats anywhere, so the DuckDB oracle replays rounds exactly.
+  */
+object LabelPropagation {
+
+  /** `edges`: any (src, dst) frame with numeric node ids; direction,
+    * duplicates, and self-loops canonicalized away. Labels start as the
+    * node's own id. Output: (node, community) — `community` is the
+    * surviving label after `iterations` rounds.
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      materializeEdges: Boolean = true): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    import org.apache.spark.sql.graft.bridge
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val und0 = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
+    val und = if (materializeEdges) und0.localCheckpoint(true) else und0
+
+    var labels = und.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var labelsCkpt: DataFrame = null
+    for (it <- 1 to iterations) {
+      labels = und
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(max_by(col("label"), struct(col("__c"), (-col("label")).as("__neg"))).as("label"))
+      if (it % 10 == 0) {
+        val next = labels.localCheckpoint(true)
+        if (labelsCkpt != null) bridge.freeLocalCheckpoint(labelsCkpt)
+        labelsCkpt = next
+        labels = next
+      }
+    }
+    val out0 = labels.select(col("node"), col("label").as("community"))
+    if (materializeEdges) {
+      val out = out0.localCheckpoint(true)
+      bridge.freeLocalCheckpoint(und)
+      if (labelsCkpt != null) bridge.freeLocalCheckpoint(labelsCkpt)
+      out
+    } else out0
+  }
+}

@@ -203,5 +203,48 @@ object GraphQueries extends QueryGroup {
       .orderBy("node")
   }
 
-  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5)
+  // Synchronous label-propagation communities (3 fixed rounds) over the
+  // co-order part graph — density communities inside the components
+  // CC (q_d6) finds. Every round is all-integer majority voting (count
+  // DESC, label ASC), so the oracle replays the rounds as unrolled CTEs
+  // with zero float drift; fixed-round sync update is what makes LPA
+  // gateable at all (async/random-order variants are visit-order-
+  // dependent).
+  private val qG6 = Q(
+    "q_g6_label_propagation",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ce AS (SELECT DISTINCT a.p AS a, b.p AS b
+      |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      |und AS (SELECT a AS node, b AS nbr FROM ce UNION ALL SELECT b, a FROM ce),
+      |l0 AS (SELECT DISTINCT node, node AS label FROM und),
+      |c1 AS (SELECT u.node, l.label, count(*) AS c
+      |       FROM und u JOIN l0 l ON u.nbr = l.node GROUP BY 1, 2),
+      |l1 AS (SELECT node, label FROM (
+      |         SELECT node, label,
+      |                row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+      |         FROM c1) WHERE rn = 1),
+      |c2 AS (SELECT u.node, l.label, count(*) AS c
+      |       FROM und u JOIN l1 l ON u.nbr = l.node GROUP BY 1, 2),
+      |l2 AS (SELECT node, label FROM (
+      |         SELECT node, label,
+      |                row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+      |         FROM c2) WHERE rn = 1),
+      |c3 AS (SELECT u.node, l.label, count(*) AS c
+      |       FROM und u JOIN l2 l ON u.nbr = l.node GROUP BY 1, 2),
+      |l3 AS (SELECT node, label FROM (
+      |         SELECT node, label,
+      |                row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+      |         FROM c3) WHERE rn = 1)
+      |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val edges = items.select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
+      .orderBy("node")
+  }
+
+  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5, qG6)
 }
