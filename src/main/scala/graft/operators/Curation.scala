@@ -179,6 +179,61 @@ object Curation {
     df.join(broadcast(picked), col(keyCol) === col("__pick"), "left_semi")
   }
 
+  /** Temperature-scaled source mixture (the multilingual-pretraining
+    * recipe: sampling weight ∝ n_s^α, α < 1 up-weights small strata —
+    * α = 0.5 is the common "temperature 2" setting): integer per-stratum
+    * QUOTAS `floor(total · n_s^α / Σ_t n_t^α)` (capped at the stratum
+    * size), filled with each stratum's hash-smallest keys. Unlike
+    * [[mixture]] (caller-provided weights, rate-based keep) the weights
+    * derive from the observed sizes and the result is an exact count per
+    * stratum.
+    *
+    * Scale/portability shape: stratum sizes are one hash aggregate to a
+    * |strata|-row frame; the normalizer Σ n^α is ROUNDED to 6 decimals
+    * before use so the quota integers cannot flip on summation order;
+    * the per-stratum cut is the [[sampleExactKPerGroup]] bounded heap
+    * with k = max quota (one bounded driver read of the |strata|-row
+    * quota frame — the IVF-fit precedent), trimmed per stratum by rank.
+    * α = 0.5 (default) computes n^α as `sqrt` — IEEE-correctly-rounded,
+    * so quotas are engine-exact; other α go through `pow`, whose last
+    * bit is libm-dependent (fine in-engine, avoid on a cross-engine
+    * gate).
+    *
+    * PRECONDITION: `keyCol` unique corpus-wide (semi-join contract of
+    * [[sampleExactKPerGroup]]).
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      totalTarget: Long,
+      seed: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(totalTarget > 0, "totalTarget must be positive")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    def w(n: Column): Column =
+      if (alpha == 0.5) sqrt(n.cast("double")) else pow(n.cast("double"), lit(alpha))
+    val sizes = df.groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("__n"))
+    val z = sizes.agg(round(sum(w(col("__n"))), 6).as("__z"))
+    val quotas = sizes.crossJoin(broadcast(z))
+      .select(
+        col("__g"),
+        least(col("__n"),
+          floor(lit(totalTarget.toDouble) * w(col("__n")) / col("__z")).cast("bigint"))
+          .as("__quota"))
+    val maxQuota = quotas.agg(coalesce(max("__quota"), lit(0L))).head().getLong(0).toInt
+    if (maxQuota <= 0) return df.limit(0)
+    val scored = df.select(
+      col(groupCol).as("__g"),
+      (-hashUnit(col(keyCol), seed)).as("cosine"),
+      col(keyCol).as("neighbor_id"))
+    val picked = SimilaritySearch.topKPerKey(scored, "__g", maxQuota)
+      .join(broadcast(quotas), "__g")
+      .where(col("rank") <= col("__quota"))
+      .select(col("neighbor_id").as("__pick"))
+    df.join(broadcast(picked), col(keyCol) === col("__pick"), "left_semi")
+  }
+
   /** Deterministic weighted sample of exactly `k` rows (Efraimidis &
     * Spirakis A-ES): each row draws `u = hashUnit(key, seed)` and scores
     * `u^(1/w)`; the k largest scores win, so inclusion probability rises

@@ -137,6 +137,61 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** REAL WAV (RIFF/PCM) header decode — not a stub, and the first AUDIO
+    * container with a real parse (pixel/sample decode stays stubbed; the
+    * header doesn't need a codec). Parses the canonical PCM layout
+    * (RIFF spec: "RIFF" + size + "WAVE", then a 16-byte "fmt " chunk —
+    * audio format u16, channels u16, sample rate u32, byte rate u32,
+    * block align u16, bits per sample u16, all little-endian): returns
+    * `(channels, sample_rate, bits_per_sample, n_samples, duration_us)`
+    * or NULL for absent/short/non-RIFF/non-canonical-PCM payloads
+    * (compressed formats, extensible fmt). `n_samples`/`duration_us`
+    * additionally require the "data" chunk at the canonical offset 37
+    * and derive by INTEGER arithmetic (`data_size / block_align`,
+    * `n_samples · 1e6 / sample_rate` floored) so the value is engine-
+    * portable; they are NULL (inside a non-null struct) when the data
+    * chunk is elsewhere. Internal consistency is enforced the way a real
+    * demuxer would: byte rate and block align must agree with
+    * channels·bits/8, else the header is corrupt → NULL.
+    *
+    * Pure codegen built-ins like the image decoders: byte slices +
+    * integer arithmetic, no UDF, scan-side at any scale — audio corpus
+    * filtering (sample-rate/channel/duration cuts) happens before any
+    * shuffle or (stubbed) sample decode.
+    */
+  def decodeWavMeta(payload: Column): Column = {
+    val riffOk = hex(substring(payload, 1, 4)) === lit("52494646") // "RIFF"
+    val waveOk = hex(substring(payload, 9, 4)) === lit("57415645") // "WAVE"
+    val fmtOk  = hex(substring(payload, 13, 4)) === lit("666D7420") // "fmt "
+    val fmtSize = le(payload, 17, 4)
+    val audioFormat = le(payload, 21, 2)
+    val channels = le(payload, 23, 2)
+    val sampleRate = le(payload, 25, 4)
+    val byteRate = le(payload, 29, 4)
+    val blockAlign = le(payload, 33, 2)
+    val bits = le(payload, 35, 2)
+    val consistent = blockAlign === channels * (bits / 8L) &&
+      byteRate === sampleRate * blockAlign
+    val dataOk = length(payload) >= 44 &&
+      hex(substring(payload, 37, 4)) === lit("64617461") // "data"
+    val dataSize = le(payload, 41, 4)
+    // Column `/` is double division — floor back to exact integers (all
+    // operands < 2^32, so the double path is value-exact)
+    val nSamples = floor(dataSize / blockAlign).cast("bigint")
+    when(payload.isNotNull && length(payload) >= 36 && riffOk && waveOk &&
+        fmtOk && fmtSize === 16L && audioFormat === 1L &&
+        channels >= 1L && sampleRate >= 1L && bits.isin(8L, 16L, 24L, 32L) &&
+        consistent,
+      struct(
+        channels.cast("int").as("channels"),
+        sampleRate.cast("int").as("sample_rate"),
+        bits.cast("int").as("bits_per_sample"),
+        when(dataOk, nSamples).as("n_samples"),
+        when(dataOk, floor(nSamples * 1000000L / sampleRate).cast("bigint"))
+          .as("duration_us")))
+      .otherwise(lit(null))
+  }
+
   /** REAL JPEG header decode — not a stub, and not fixed-offset either:
     * JPEG keeps its dimensions inside a Start-Of-Frame segment at a
     * variable position, behind the APP/DQT/COM segments that precede it.

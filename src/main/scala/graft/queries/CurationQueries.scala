@@ -295,5 +295,30 @@ object CurationQueries extends QueryGroup {
       docIdCol = "doc_id", textCol = "text", numBuckets = 256, k = 50)
   }
 
-  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10)
+  // Temperature-scaled mixture (α = 0.5): per-source integer quotas
+  // floor(300·√n_s / Σ√n_t) filled with each source's hash-smallest
+  // docs. √ is IEEE-correctly-rounded and the normalizer is rounded to
+  // 6 decimals before use, so the quota INTEGERS are engine-exact; the
+  // oracle replays quota arithmetic + the rank cut verbatim.
+  private val qC11 = Q(
+    "q_c11_temperature_mixture",
+    s"""WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |z AS (SELECT round(sum(sqrt(CAST(n AS DOUBLE))), 6) AS z FROM sizes),
+       |q AS (SELECT source,
+       |             least(n, CAST(floor(300 * sqrt(CAST(n AS DOUBLE)) / z.z) AS BIGINT)) AS quota
+       |      FROM sizes, z),
+       |r AS (SELECT doc_id, source,
+       |             row_number() OVER (PARTITION BY source
+       |               ORDER BY ${hashUnitSql("doc_id", "c11")}, doc_id) AS rn
+       |      FROM documents)
+       |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+       |WHERE rn <= q.quota ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.temperatureMixture(
+      Tables.load(s, dir, "documents"), "source", "doc_id",
+      totalTarget = 300L, seed = "c11")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11)
 }

@@ -363,5 +363,73 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7)
+  // REAL WAV (RIFF/PCM) header decode: each document gets a genuine
+  // canonical 44-byte PCM header constructed in-plan (channels, rate,
+  // bit depth, and frame count all derived from source columns; every
+  // 9th row gets a corrupted RIFF signature), and Multimodal.
+  // decodeWavMeta parses the bytes back. The oracle derives the expected
+  // format INDEPENDENTLY from the source columns — an offset,
+  // endianness, or consistency-check bug cannot round-trip. Ground truth
+  // against complete AudioSystem-written WAVs lives in MultimodalSpec.
+  private val qM8 = Q(
+    "q_m8_wav_header_decode",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 2 + 1 AS INT) AS ch,
+      |         CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+      |         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 16
+      |              WHEN 2 THEN 24 ELSE 32 END AS bits,
+      |         n_chars % 50000 + 1 AS frames,
+      |         (doc_id % 9 <> 0) AS ok
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN CAST(ch AS INT) END AS channels,
+      |       CASE WHEN ok THEN CAST(rate AS INT) END AS sample_rate,
+      |       CASE WHEN ok THEN CAST(bits AS INT) END AS bits_per_sample,
+      |       CASE WHEN ok THEN CAST(frames AS BIGINT) END AS n_samples,
+      |       CASE WHEN ok THEN CAST(floor(frames * 1000000 / CAST(rate AS DOUBLE)) AS BIGINT)
+      |            END AS duration_us
+      |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def le16(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val ch = (col("doc_id") % 2 + 1).cast("bigint")
+    val rate = element_at(
+      typedlit(Seq(8000L, 16000L, 22050L, 44100L, 48000L)),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val bits = element_at(
+      typedlit(Seq(8L, 16L, 24L, 32L)),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val frames = col("n_chars") % 50000 + 1
+    val blockAlign = floor(ch * bits / 8).cast("bigint")
+    val byteRate = rate * blockAlign
+    val dataSize = frames * blockAlign
+    val sigHex = when(col("doc_id") % 9 === 0, lit("52494658")) // "RIFX"
+      .otherwise(lit("52494646")) //                               "RIFF"
+    val payloadHex = concat(
+      sigHex, le32(dataSize + 36), lit("57415645"), //  RIFF size, "WAVE"
+      lit("666D7420"), le32(lit(16L)), //               "fmt ", canonical 16
+      le16(lit(1L)), le16(ch), //                       PCM, channels
+      le32(rate), le32(byteRate),
+      le16(blockAlign), le16(bits),
+      lit("64617461"), le32(dataSize)) //               "data" header
+    Tables.load(s, dir, "documents")
+      .withColumn("m", Multimodal.decodeWavMeta(unhex(payloadHex)))
+      .select(
+        col("doc_id"),
+        col("m.channels").as("channels"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bits_per_sample").as("bits_per_sample"),
+        col("m.n_samples").as("n_samples"),
+        col("m.duration_us").as("duration_us"))
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8)
 }

@@ -174,4 +174,27 @@ class CurationSpec extends SparkSpec {
     assert(pairList.exists { case (a, b) => naive(a) != naive(b) },
       "doc-id keying should split some near-dup pair (else the test proves nothing)")
   }
+
+  test("temperatureMixture: exact sqrt-scaled quotas, small strata up-weighted, deterministic") {
+    // strata of 400 / 100 / 4 rows; α = 0.5 weights 20 : 10 : 2
+    val rows = (1L to 400L).map((_, "big")) ++
+      (401L to 500L).map((_, "mid")) ++ (501L to 504L).map((_, "tiny"))
+    val df = rows.toDF("id", "src")
+    val total = 64L
+    val got = Curation.temperatureMixture(df, "src", "id", total, seed = "tm")
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = math.sqrt(400) + math.sqrt(100) + math.sqrt(4) // 32, exactly
+    val expect = Map(
+      "big" -> math.floor(total * math.sqrt(400) / z).toLong, //  40
+      "mid" -> math.floor(total * math.sqrt(100) / z).toLong, //  20
+      "tiny" -> math.min(4, math.floor(total * math.sqrt(4) / z).toLong)) // 4
+    assert(bySrc === expect)
+    // sampling share of tiny (100%) far exceeds its population share (0.8%)
+    // while big is cut to 10% — the α < 1 up-weighting contract
+    assert(bySrc("tiny") === 4L && bySrc("big") === 40L)
+    val again = Curation.temperatureMixture(df, "src", "id", total, seed = "tm")
+      .collect().map(_.getLong(0)).sorted
+    assert(again === got.collect().map(_.getLong(0)).sorted, "replay keeps the same rows")
+  }
 }

@@ -97,6 +97,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV header decode: real AudioSystem-written PCM WAVs round-trip true format") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def wav(rate: Float, bits: Int, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, channels, bits > 8, false) // PCM LE
+      val frameBytes = channels * bits / 8
+      val data = Array.fill[Byte](nFrames * frameBytes)(0x11)
+      val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // genuine, complete WAV files from the JDK writer — if our RIFF
+    // offsets/endianness/consistency checks disagreed with the spec,
+    // these would expose it
+    val rows = Seq(
+      (1L, wav(8000f, 8, 1, 120), 1, 8000, 8, 120L),
+      (2L, wav(44100f, 16, 2, 441), 2, 44100, 16, 441L),
+      (3L, wav(16000f, 16, 1, 16000), 1, 16000, 16, 16000L))
+    val junk = Seq(
+      (100L, "RIFFnot really a wave file at all....".getBytes("UTF-8")),
+      (101L, Array.empty[Byte]))
+    import spark.implicits._
+    val decoded = (rows.map { case (id, p, _, _, _, _) => (id, p) } ++ junk)
+      .toDF("id", "payload")
+      .withColumn("m", Multimodal.decodeWavMeta(col("payload")))
+      .filter(col("m").isNotNull)
+      .select(col("id"), col("m.channels"), col("m.sample_rate"),
+        col("m.bits_per_sample"), col("m.n_samples"), col("m.duration_us"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(decoded.keySet === Set(1L, 2L, 3L), "only real PCM WAVs decode; junk → null")
+    rows.foreach { case (id, _, ch, rate, bits, frames) =>
+      val (dch, drate, dbits, dn, dus) = decoded(id)
+      assert((dch, drate, dbits) === ((ch, rate, bits)), s"id=$id format")
+      assert(dn === frames, s"id=$id sample count")
+      assert(dus === frames * 1000000L / rate, s"id=$id duration")
+    }
+  }
+
   test("GIF/BMP header decode: real ImageIO-written files round-trip true dimensions") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
