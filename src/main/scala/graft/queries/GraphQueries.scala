@@ -246,5 +246,39 @@ object GraphQueries extends QueryGroup {
       .orderBy("node")
   }
 
-  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5, qG6)
+  // Degree assortativity (Newman 2002) over the co-order graph: Pearson
+  // correlation of endpoint degrees across both edge orientations — the
+  // hub-attachment fingerprint that decides whether wedge-based
+  // algorithms need degree-ordering protection. Moments aggregate, r in
+  // the projection (the q_e18 ANSI discipline: a star graph has zero
+  // variance on one side and bare corr would throw).
+  private val qG7 = Q(
+    "q_g7_degree_assortativity",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ce AS (SELECT DISTINCT a.p AS a, b.p AS b
+      |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT n, count(*) AS d FROM
+      |          (SELECT a AS n FROM ce UNION ALL SELECT b FROM ce) GROUP BY 1),
+      |dec AS (SELECT da.d AS da, db.d AS db FROM ce
+      |        JOIN deg da ON ce.a = da.n JOIN deg db ON ce.b = db.n),
+      |pairs AS (SELECT CAST(da AS DOUBLE) AS x, CAST(db AS DOUBLE) AS y FROM dec
+      |          UNION ALL
+      |          SELECT CAST(db AS DOUBLE), CAST(da AS DOUBLE) FROM dec),
+      |m AS (SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+      |             covar_samp(x, y) AS cov, var_samp(x) AS vx, var_samp(y) AS vy
+      |      FROM pairs),
+      |nn AS (SELECT count(*) AS n_nodes FROM deg)
+      |SELECT n_nodes, n_edges,
+      |       CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END AS assortativity
+      |FROM m CROSS JOIN nn""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val edges = items.select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    graft.operators.GraphStats.degreeAssortativity(edges, "a", "b")
+  }
+
+  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7)
 }

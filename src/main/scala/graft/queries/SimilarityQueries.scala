@@ -338,6 +338,56 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("query_id")
   }
 
+  // MMR diversified top-k (Carbonell & Goldstein 1998) for the vec_id=0
+  // query: greedy λ·rel − (1−λ)·max-sim-to-selected over a bounded
+  // 15-candidate pool. Greedy selection is inherently sequential, so the
+  // oracle unrolls the 6 picks as chained CTEs (the q_g1 iter3 pattern),
+  // each re-ranking the remaining pool by round(score, 6) with id ties —
+  // exactly the engine's driver-side loop over its bounded pool. Note
+  // `(1 - 0.7)`, NOT a 0.3 literal: the engine computes the complement,
+  // and IEEE 1-0.7 ≠ 0.3 in the last bit.
+  private val qV13 = {
+    val lam = "0.7"
+    val cos = duckCosine("p.v", "s.v")
+    def step(n: Int): String = {
+      val prev = if (n == 1) "" else s"sel${n - 1}"
+      if (n == 1)
+        s"""s1 AS (SELECT id, v, rel, $lam * rel AS score FROM cand
+           |       ORDER BY round($lam * rel, 6) DESC, id LIMIT 1),
+           |sel1 AS (SELECT id, v FROM s1)""".stripMargin
+      else
+        s"""s$n AS (SELECT p.id, p.v, p.rel,
+           |         $lam * p.rel - (1 - $lam) * (SELECT max($cos) FROM $prev s) AS score
+           |       FROM cand p WHERE p.id NOT IN (SELECT id FROM $prev)
+           |       ORDER BY round($lam * p.rel - (1 - $lam) * (SELECT max($cos) FROM $prev s), 6) DESC, p.id
+           |       LIMIT 1),
+           |sel$n AS (SELECT id, v FROM $prev UNION ALL SELECT id, v FROM s$n)""".stripMargin
+    }
+    val steps = (1 to 6).map(step).mkString(",\n")
+    val picks = (1 to 6)
+      .map(n => s"SELECT $n AS pick_order, id AS vec_id, rel AS relevance, score AS mmr_score FROM s$n")
+      .mkString("\nUNION ALL\n")
+    Q(
+      "q_v13_mmr_diversified",
+      s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id AS id, embedding AS v,
+         |         ${duckCosine("embedding", "q")} AS rel
+         |  FROM embeddings, qv WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 15),
+         |$steps
+         |$picks
+         |ORDER BY pick_order""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val qVec = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.operators.Mmr.diversifiedTopK(
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        qVec, k = 6, poolSize = 15, lambda = 0.7)
+        .orderBy("pick_order")
+    }
+  }
+
   override val all: Seq[Q] =
-    Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12)
+    Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13)
 }
