@@ -583,7 +583,75 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Hybrid retrieval: BM25 lexical ranks (q_t11's scorer) fused with
+  // vector-cosine ranks (query = embedding of vec_id 0; doc_id and
+  // vec_id share the 0..N id space by construction of the testdata)
+  // via Reciprocal Rank Fusion, k0 = 60. RRF fuses INTEGER ranks —
+  // 1/(60+rank) is the same double in any engine, and with two systems
+  // the sum is order-independent (IEEE addition is commutative) — so
+  // the gate is value-exact with zero float-drift risk; both rank
+  // lists use the round-6/id-tie discipline before the cut. Note the
+  // oracle's CAST(1.0 AS DOUBLE): DuckDB's bare 1.0 is DECIMAL and
+  // would fuse in decimal arithmetic.
+  private val qT18 = {
+    val cos = SimilarityQueries.duckCosine("embedding", "q")
+    Q(
+      "q_t18_rrf_hybrid",
+      s"""WITH t AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |                      ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM t),
+         |tf AS (
+         |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM t)
+         |  WHERE term IN ('data', 'table', 'join')
+         |  GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |             (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)))) AS bm25
+         |  FROM tf JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |lexr AS (SELECT doc_id,
+         |                row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS rank
+         |         FROM bm),
+         |lex AS (SELECT doc_id, rank FROM lexr WHERE rank <= 20),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS doc_id, $cos AS c FROM embeddings, qv),
+         |vr AS (SELECT doc_id,
+         |              row_number() OVER (ORDER BY round(c, 6) DESC, doc_id) AS rank
+         |       FROM vs),
+         |vec AS (SELECT doc_id, rank FROM vr WHERE rank <= 20),
+         |u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM vec)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_systems,
+         |       sum(CAST(1.0 AS DOUBLE) / (60 + rank)) AS rrf
+         |FROM u GROUP BY doc_id
+         |ORDER BY round(sum(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) DESC, doc_id
+         |LIMIT 15""".stripMargin) { (s, dir) =>
+      import graft.operators.{Bm25, HybridRetrieval}
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lex = HybridRetrieval.rankTopN(
+        Bm25.score(docs, "doc_id", "text", Seq("data", "table", "join")),
+        "doc_id", "bm25", topN = 20)
+      val qVec = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val scored = emb.select(
+        col("vec_id").as("doc_id"),
+        graft.functions.Vectors.cosine(col("embedding"), typedlit(qVec)).as("cosine"))
+      val vec = HybridRetrieval.rankTopN(scored, "doc_id", "cosine", topN = 20)
+      HybridRetrieval.rrfFuse(Seq(lex, vec), "doc_id", k0 = 60)
+        .orderBy(round(col("rrf"), 6).desc, col("doc_id"))
+        .limit(15)
+    }
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16, qT17)
+      qT14, qT15, qT16, qT17, qT18)
 }
