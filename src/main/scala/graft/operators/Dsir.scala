@@ -54,22 +54,26 @@ object Dsir {
     * raw). Output: (docIdCol, n_tokens, log_w) for every raw doc with at
     * least one token. Higher = more target-like.
     */
-  def importanceWeights(
+  /** The B-row log-ratio MODEL ARTIFACT: per bucket,
+    * `ln(((ct+1)·(Nr+B)) / ((cr+1)·(Nt+B)))`. Buckets absent from one
+    * corpus smooth to count 0; this is the entire "model" — broadcast
+    * material that can also collect to a plan literal for stateless
+    * (streaming) scoring.
+    */
+  def bucketLogRatios(
       raw: DataFrame,
       target: DataFrame,
       docIdCol: String,
       textCol: String,
       numBuckets: Int): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
-    val rawCounts = docBucketCounts(raw, docIdCol, textCol, numBuckets)
-    // corpus-level histograms: B rows each after one hash aggregate
     val targetHist = docBucketCounts(target, docIdCol, textCol, numBuckets)
       .groupBy("bucket").agg(sum("c").as("ct"))
-    val rawHist = rawCounts.groupBy("bucket").agg(sum("c").as("cr"))
+    val rawHist = docBucketCounts(raw, docIdCol, textCol, numBuckets)
+      .groupBy("bucket").agg(sum("c").as("cr"))
     val nt = targetHist.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
     val nr = rawHist.agg(coalesce(sum("cr"), lit(0L)).as("nr"))
-    // B-row ratio table; buckets absent from one corpus smooth to count 0
-    val ratios = rawHist
+    rawHist
       .join(targetHist, Seq("bucket"), "full_outer")
       .crossJoin(broadcast(nt))
       .crossJoin(broadcast(nr))
@@ -79,12 +83,62 @@ object Dsir {
           ((coalesce(col("ct"), lit(0L)) + 1).cast("double") * (col("nr") + numBuckets)) /
             ((coalesce(col("cr"), lit(0L)) + 1).cast("double") * (col("nt") + numBuckets)))
           .as("log_ratio"))
+  }
+
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val rawCounts = docBucketCounts(raw, docIdCol, textCol, numBuckets)
+    val ratios = bucketLogRatios(raw, target, docIdCol, textCol, numBuckets)
     rawCounts
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(col(docIdCol))
       .agg(
         sum("c").cast("int").as("n_tokens"),
         sum(col("c") * col("log_ratio")).as("log_w"))
+  }
+
+  /** STATELESS per-row scoring against a FITTED ratio map (bucket →
+    * log_ratio, collected from [[bucketLogRatios]] — B entries, a plan
+    * literal like the IVF centroids): `log_w` is a scan-side
+    * `aggregate` fold over the row's own tokens, no shuffle, no state —
+    * which is exactly what lets the same scorer run inside a streaming
+    * micro-batch (q_st14) or a per-row ingest filter. Buckets outside
+    * the map (never seen in either fit corpus) fall back to
+    * `defaultLogRatio` = ln((Nr+B)/(Nt+B)), the both-counts-zero
+    * smoothing value. Rows with zero tokens score NULL.
+    *
+    * Token-order note: the fold adds per-token log-ratios left-to-right
+    * in document order, while [[importanceWeights]] sums per-bucket
+    * subtotals — same terms, different association, equal only to IEEE
+    * noise (the 6-decimal harness tolerance), which is why the oracle
+    * replays THIS fold's grouping, not bit-identity with the batch agg.
+    */
+  def scoreWithRatios(
+      docs: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      ratioMap: Map[Long, Double],
+      defaultLogRatio: Double,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val m = typedlit(ratioMap)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val buckets = transform(toks, t => pmod(Hashing.md5Hash60(t), lit(numBuckets)))
+    docs.select(
+      col(docIdCol),
+      size(toks).cast("int").as("n_tokens"),
+      when(size(toks) > 0,
+        aggregate(
+          buckets,
+          lit(0.0),
+          (acc, b) => acc + coalesce(element_at(m, b), lit(defaultLogRatio))))
+        .as("log_w"))
+      .where(col("n_tokens") > 0)
   }
 
   /** The importance-resampling CUT: the `k` most target-like raw docs.

@@ -86,6 +86,50 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** ASYMMETRIC containment pairs via the same inverted index:
+    * `max(C(A,B), C(B,A)) = |A∩B| / min(|A|,|B|) >= threshold`, where
+    * `C(A,B) = |A∩B| / |A|`. Containment is what Jaccard structurally
+    * misses: a document EMBEDDED in a much larger one (quotes,
+    * boilerplate wrappers, page-of-site extractions) has near-1.0
+    * containment of the smaller side but arbitrarily low Jaccard —
+    * `J >= C·min/max` shrinks with the size ratio — so a Jaccard
+    * threshold can never find subset dups without drowning in false
+    * positives. The standard companion pass in crawl dedup.
+    *
+    * Same scale posture as [[ngramJaccardPairs]]: the threshold filter
+    * compares `shared >= ceil(t·min(n))` in EXACT INTEGER arithmetic
+    * (containment itself is emitted as the integer ratio, exact in both
+    * engines); `maxDocFreq` caps hot shingles with the q_d2b trade.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Long = 0L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sh0 = explodedShingles(docs, idCol, textCol, k)
+    val sh =
+      if (maxDocFreq <= 0) sh0
+      else {
+        val hot = sh0.groupBy("__s").count().filter(col("count") > maxDocFreq).select("__s")
+        sh0.join(hot, Seq("__s"), "left_anti")
+      }
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col(idCol).as("id_a"), col("__s").as("__sa"))
+    val b = sh.select(col(idCol).as("id_b"), col("__s").as("__sb"))
+    a.join(b, col("__sa") === col("__sb") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("n_b")), "id_b")
+      .filter(col("shared") >= ceil(lit(threshold) * least(col("n_a"), col("n_b"))))
+      .select(
+        col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"),
+        (col("shared").cast("double") / least(col("n_a"), col("n_b"))).as("containment"))
+  }
+
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin):
     * each doc's shingle set is sorted by a global canonical order
     * (ascending document frequency, ties by shingle value — rare first),

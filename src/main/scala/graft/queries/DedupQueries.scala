@@ -463,7 +463,44 @@ object DedupQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  // Asymmetric shingle-set CONTAINMENT pairs — the subset-dup detector
+  // Jaccard structurally misses (a doc embedded in a much larger one has
+  // containment ≈ 1 but arbitrarily low Jaccard). Threshold compares
+  // shared >= ceil(t·min(n)) in integer arithmetic; the emitted
+  // containment is an exact integer ratio. Same inverted index as q_d2;
+  // at 0.5 on this corpus the pair set strictly contains the q_d2
+  // near-dup pairs plus the size-skewed overlaps Jaccard 0.8 drops.
+  private val qD15 = Q(
+    "q_d15_containment_pairs",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(tk) - 1),
+      |                                 i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(tk) >= 3
+      |    UNION ALL
+      |    SELECT doc_id, array_to_string(tk, ' ') AS s
+      |    FROM toks WHERE len(tk) < 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+      |       CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE shared >= ceil(0.5 * least(sa.n, sb.n))
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    NearDup.containmentPairs(
+      Tables.load(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12, qD13, qD14)
+      qD12, qD13, qD14, qD15)
 }

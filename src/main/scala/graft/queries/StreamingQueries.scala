@@ -267,7 +267,41 @@ object StreamingQueries extends QueryGroup {
     EventStreams.sessionWindowAvailableNow(s, dir)
   }
 
+  // STREAMING DSIR scoring: the q_c10 model (B-row bucket log-ratio
+  // table, target = src1) fitted batch-side, collected to a plan
+  // literal, and applied STATELESSLY to every streamed document — a
+  // scan-side token fold, no state store, Append mode: the landing-zone
+  // quality-gate shape. The oracle replays the per-doc fold (per-token
+  // lookups summed per doc; grouping-order noise is inside the harness's
+  // 6-decimal tolerance, see Dsir.scoreWithRatios scaladoc).
+  private val qSt14 = Q(
+    "q_st14_stream_dsir_score",
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(lower(trim(text)), '\s+') END) AS tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, source,
+      |         ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS bucket
+      |  FROM tok),
+      |th AS (SELECT bucket, count(*) AS ct FROM b WHERE source = 'src1' GROUP BY 1),
+      |rh AS (SELECT bucket, count(*) AS cr FROM b WHERE source <> 'src1' GROUP BY 1),
+      |nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM th),
+      |nr AS (SELECT coalesce(sum(cr), 0) AS nr FROM rh),
+      |rat AS (
+      |  SELECT coalesce(rh.bucket, th.bucket) AS bucket,
+      |         ln((CAST(coalesce(th.ct, 0) + 1 AS DOUBLE) * (nr.nr + 256)) /
+      |            (CAST(coalesce(rh.cr, 0) + 1 AS DOUBLE) * (nt.nt + 256))) AS log_ratio
+      |  FROM rh FULL OUTER JOIN th ON rh.bucket = th.bucket, nt, nr)
+      |SELECT b.doc_id, CAST(count(*) AS INT) AS n_tokens,
+      |       sum(rat.log_ratio) AS log_w
+      |FROM b JOIN rat USING (bucket)
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    graft.streaming.CorpusStream.dsirScoredAvailableNow(s, dir)
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13)
+      qSt13, qSt14)
 }

@@ -65,6 +65,44 @@ object CorpusStream {
       .orderBy("doc_id")
   }
 
+  /** DSIR-scored STREAMING ingest: fit the B-row bucket-log-ratio model
+    * on the static corpora (target = src1), collect it to a plan-literal
+    * map (bounded, the IVF-centroid discipline), and score every
+    * streamed document STATELESSLY inside the micro-batch via
+    * [[graft.operators.Dsir.scoreWithRatios]] — a scan-side fold over
+    * the row's own tokens, no state store, Append mode. This is the 100
+    * TB ingest shape: the model is a broadcast artifact, scoring rides
+    * the stream, and a threshold filter (not applied here — the gate
+    * compares VALUES) would make it a quality gate at the landing zone.
+    */
+  def dsirScoredAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = EventStreams.defaultStatePartitions): DataFrame = {
+    import graft.operators.Dsir
+    val numBuckets = 256
+    val docs = Tables.load(spark, sfDir, "documents")
+    val raw = docs.where(col("source") =!= "src1")
+    val target = docs.where(col("source") === "src1")
+    val ratios = Dsir
+      .bucketLogRatios(raw, target, "doc_id", "text", numBuckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def totalTokens(df: DataFrame): Long =
+      df.agg(coalesce(sum(size(TextAnalysis.tokens(col("text")))), lit(0L)))
+        .head().getLong(0)
+    val defaultLogRatio =
+      math.log((totalTokens(raw) + numBuckets.toDouble) / (totalTokens(target) + numBuckets))
+    val s = EventStreams.streamSession(spark, statePartitions)
+    EventStreams.runToTable(
+      s,
+      Dsir.scoreWithRatios(
+        readDocumentStream(s, sfDir), "doc_id", "text",
+        ratios, defaultLogRatio, numBuckets),
+      s"stream_dsir_score_${System.nanoTime()}",
+      OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Filter + content-dedup with WATERMARK-BOUNDED state, run to
     * completion: duplicates are suppressed only within `horizon` of the
     * first delivery (`dropDuplicatesWithinWatermark`), so the state store

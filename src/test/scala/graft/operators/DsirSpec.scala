@@ -61,6 +61,27 @@ class DsirSpec extends SparkSpec {
       "target-vocabulary doc must outrank mixed, mixed must outrank disjoint")
   }
 
+  test("stateless scoreWithRatios agrees with the batch aggregate to IEEE noise") {
+    val target = Seq("alpha beta gamma", "alpha beta")
+    val raw = Seq((1L, "alpha beta alpha gamma"), (2L, "zeta omega nu"), (3L, "  "))
+    val rawDf = raw.toDF("doc_id", "text")
+    val tgtDf = target.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val ratios = Dsir.bucketLogRatios(rawDf, tgtDf, "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nt = target.flatMap(toks).size; val nr = raw.flatMap(r => toks(r._2)).size
+    val dflt = math.log((nr + B.toDouble) / (nt + B))
+    val streamed = Dsir.scoreWithRatios(rawDf, "doc_id", "text", ratios, dflt, B)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val batch = Dsir.importanceWeights(rawDf, tgtDf, "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet === batch.keySet, "empty doc drops in both paths")
+    for ((id, (n, w)) <- batch) {
+      assert(streamed(id)._1 === n)
+      assert(math.abs(streamed(id)._2 - w) < 1e-9,
+        s"fold vs aggregate for doc $id: ${streamed(id)._2} vs $w")
+    }
+  }
+
   test("selectTopK is the rounded-weight descending cut with doc_id ties") {
     val target = Seq("alpha beta")
     val raw = Seq(

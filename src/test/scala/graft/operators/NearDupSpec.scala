@@ -105,6 +105,24 @@ class NearDupSpec extends SparkSpec {
     assert(prefix === exact, "prefix filtering is provably complete — sets must match")
   }
 
+  test("containmentPairs finds the embedded doc Jaccard misses") {
+    import spark.implicits._
+    // small is a verbatim prefix of big (every small-shingle ∈ big):
+    // containment of the smaller side = 1.0, while Jaccard ≈ n_small/n_big
+    // stays far under any useful threshold
+    val small = "one two three four five six"
+    val big = small + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = "totally different words entirely here now"
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val got = NearDup.containmentPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) === 1.0, "full embedding → containment exactly 1")
+    val jacc = NearDup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect()
+    assert(jacc.isEmpty, "the same pair is invisible to Jaccard at 0.5 — the operator's point")
+  }
+
   test("prefix filter survives exact integer-boundary sizes (t·n integral)") {
     import spark.implicits._
     // 5-shingle vs 4-shingle docs with intersection 4: J = 4/5 = 0.8
