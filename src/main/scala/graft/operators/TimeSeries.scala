@@ -344,4 +344,80 @@ object TimeSeries {
     */
   private def monotonic_desc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     -(c.cast("double"))
+
+  /** Per-key OLS trend line y = slope·x + intercept over (xCol, valueCol)
+    * — the is-this-metric-drifting primitive. ONE hash aggregate of the
+    * moments; slope = cov/var(x), intercept = ȳ − slope·x̄, and r² =
+    * cov²/(vx·vy) all form in the PROJECTION under variance guards (the
+    * autocorrelation ANSI discipline). Keys with a single row or a
+    * constant x emit NULLs; a constant y emits slope 0 exactly (cov is
+    * exactly 0), r² NULL. `xCol` should be an exact numeric (epoch days,
+    * row index) so x-moments are integer-derived.
+    */
+  def trendSlope(
+      series: DataFrame,
+      keyCol: String,
+      xCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(valueCol).cast("double")
+    series
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_points"),
+        covar_samp(x, y).as("__cov"),
+        var_samp(x).as("__vx"),
+        var_samp(y).as("__vy"),
+        avg(x).as("__mx"),
+        avg(y).as("__my"))
+      .select(
+        col(keyCol),
+        col("n_points"),
+        when(col("__vx") > 0, col("__cov") / col("__vx")).as("slope"),
+        when(col("__vx") > 0, col("__my") - col("__cov") / col("__vx") * col("__mx"))
+          .as("intercept"),
+        when(col("__vx") > 0 && col("__vy") > 0,
+          col("__cov") * col("__cov") / (col("__vx") * col("__vy"))).as("r2"))
+  }
+
+  /** Seasonal-naive forecast backtest per key: predict `y_t = y_{t−m}`
+    * (m = `seasonLag` ROWS — the series is assumed gridded/pre-
+    * aggregated, the [[autocorrelation]] contract) and report MAE
+    * against it plus MASE = MAE_seasonal / MAE_naive1 (the scale-free
+    * Hyndman & Koehler 2006 error, naive1 = y_{t−1}). One lag window
+    * pass per key, one hash aggregate; the MASE ratio forms in the
+    * projection guarded on a nonzero denominator — a constant series
+    * has MAE_naive1 = 0 exactly and emits NULL, not Inf. Keys with
+    * ≤ seasonLag rows have no seasonal error rows and drop out.
+    */
+  def seasonalNaiveBacktest(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      seasonLag: Int): DataFrame = {
+    require(seasonLag >= 2, "seasonLag must be >= 2 (1 would equal naive1)")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val y = col(valueCol).cast("double")
+    val lagged = series.select(
+      col(keyCol),
+      y.as("__y"),
+      lag(y, 1).over(w).as("__y1"),
+      lag(y, seasonLag).over(w).as("__ym"))
+    lagged
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_points"),
+        count(col("__ym")).cast("int").as("n_forecast"),
+        avg(when(col("__ym").isNotNull, abs(col("__y") - col("__ym")))).as("mae_seasonal"),
+        avg(when(col("__y1").isNotNull, abs(col("__y") - col("__y1")))).as("mae_naive1"))
+      .where(col("n_forecast") > 0)
+      .select(
+        col(keyCol),
+        col("n_points"),
+        col("n_forecast"),
+        col("mae_seasonal"),
+        col("mae_naive1"),
+        when(col("mae_naive1") > 0, col("mae_seasonal") / col("mae_naive1")).as("mase"))
+  }
 }

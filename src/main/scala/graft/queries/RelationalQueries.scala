@@ -1569,6 +1569,112 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  // Per-user OLS trend line over the daily series (x = days since
+  // 2020-01-01, an exact integer): slope/intercept/r² all form in the
+  // projection from ONE moments aggregate under variance guards — the
+  // q_e18 ANSI discipline. The synthetic users are the degenerate
+  // probes: constant y → slope exactly 0 (every cov term is exactly
+  // zero) with r² NULL; a 2-point series fits exactly (r² = 1).
+  private val qE21 = Q(
+    "q_e21_trend_slope",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(i + 1 AS DOUBLE)
+      |  FROM range(2) t(i)),
+      |x AS (
+      |  SELECT user_id,
+      |         CAST(date_diff('day', DATE '2020-01-01', day) AS DOUBLE) AS x,
+      |         daily_value AS y
+      |  FROM d),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS INT) AS n_points,
+      |         covar_samp(x, y) AS cov, var_samp(x) AS vx, var_samp(y) AS vy,
+      |         avg(x) AS mx, avg(y) AS my
+      |  FROM x GROUP BY 1)
+      |SELECT user_id, n_points,
+      |       CASE WHEN vx > 0 THEN cov / vx END AS slope,
+      |       CASE WHEN vx > 0 THEN my - cov / vx * mx END AS intercept,
+      |       CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END AS r2
+      |FROM m ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val daily = dailyWithProbes(s, dir, includeSinglePair = true)
+      .withColumn("x",
+        datediff(col("day").cast("date"), lit(java.sql.Date.valueOf("2020-01-01"))))
+    graft.operators.TimeSeries.trendSlope(daily, "user_id", "x", "daily_value")
+      .orderBy("user_id")
+  }
+
+  // Seasonal-naive backtest (forecast y_t = y_{t-7 rows}; MASE = MAE
+  // ratio vs the 1-step naive, Hyndman & Koehler 2006). The constant
+  // user's naive MAE is exactly 0 → MASE NULL (not Inf); the 2-day user
+  // has no 7-back rows and drops out — both probes on the gate.
+  private val qE22 = Q(
+    "q_e22_seasonal_backtest",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(i + 1 AS DOUBLE)
+      |  FROM range(2) t(i)),
+      |l AS (
+      |  SELECT user_id, daily_value AS y,
+      |         lag(daily_value, 1) OVER (PARTITION BY user_id ORDER BY day) AS y1,
+      |         lag(daily_value, 7) OVER (PARTITION BY user_id ORDER BY day) AS ym
+      |  FROM d),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS INT) AS n_points,
+      |         CAST(count(ym) AS INT) AS n_forecast,
+      |         avg(CASE WHEN ym IS NOT NULL THEN abs(y - ym) END) AS mae_seasonal,
+      |         avg(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) END) AS mae_naive1
+      |  FROM l GROUP BY 1)
+      |SELECT user_id, n_points, n_forecast, mae_seasonal, mae_naive1,
+      |       CASE WHEN mae_naive1 > 0 THEN mae_seasonal / mae_naive1 END AS mase
+      |FROM m WHERE n_forecast > 0 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.operators.TimeSeries
+      .seasonalNaiveBacktest(
+        dailyWithProbes(s, dir, includeSinglePair = true),
+        "user_id", "day", "daily_value", seasonLag = 7)
+      .orderBy("user_id")
+  }
+
+  /** The per-user daily series with the degenerate synthetic probe users
+    * unioned in (q_e18's hardening corpus): user -1 = 10-day constant,
+    * user -2 = 2-day (1.0, 2.0).
+    */
+  private def dailyWithProbes(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      includeSinglePair: Boolean): org.apache.spark.sql.DataFrame = {
+    val base = t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("daily_value"))
+    val constant = s.range(10).select(
+      lit(-1L).as("user_id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("day"),
+      lit(5.0).as("daily_value"))
+    val singlePair = s.range(2).select(
+      lit(-2L).as("user_id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("day"),
+      (col("id") + 1).cast("double").as("daily_value"))
+    val out = base.unionByName(constant)
+    if (includeSinglePair) out.unionByName(singlePair) else out
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1577,5 +1683,5 @@ object RelationalQueries extends QueryGroup {
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
-    qP13, qA14, qE16, qE17, qE18, qE19, qE20)
+    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22)
 }

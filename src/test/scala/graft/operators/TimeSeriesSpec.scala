@@ -156,6 +156,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 15 / (sd * math.sqrt(6))) < 1e-12)
   }
 
+  test("trendSlope: exact line recovered; constant y → slope 0; single point → NULLs") {
+    val series =
+      (0 to 4).map(x => (1L, x, 2.0 * x + 3)) ++ //  y = 2x+3 exactly
+        (0 to 4).map(x => (2L, x, 7.0)) ++ //        constant
+        Seq((3L, 0, 9.0)) //                         single point
+    val got = TimeSeries.trendSlope(series.toDF("k", "x", "v"), "k", "x", "v")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    assert(got(1L).getDouble(2) === 2.0)
+    assert(got(1L).getDouble(3) === 3.0)
+    assert(got(1L).getDouble(4) === 1.0)
+    assert(got(2L).getDouble(2) === 0.0, "constant y: every cov term is exactly 0")
+    assert(got(2L).getDouble(3) === 7.0)
+    assert(got(2L).isNullAt(4), "r2 undefined at zero y-variance")
+    assert(got(3L).isNullAt(2) && got(3L).isNullAt(3) && got(3L).isNullAt(4))
+  }
+
+  test("seasonalNaiveBacktest: period-m series scores MASE 0; constant → NULL; short keys drop") {
+    val series =
+      (1 to 6).map(i => (1L, i, if (i % 2 == 1) 1.0 else 5.0)) ++ // period 2
+        (1 to 6).map(i => (2L, i, 4.0)) ++ //                        constant
+        Seq((3L, 1, 1.0), (3L, 2, 2.0)) //                           too short for m=2
+    val got = TimeSeries
+      .seasonalNaiveBacktest(series.toDF("k", "t", "v"), "k", "t", "v", seasonLag = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(1L, 2L), "key 3 has no m-back rows")
+    assert(got(1L).getDouble(3) === 0.0, "perfect period-2 forecast")
+    assert(got(1L).getDouble(4) === 4.0)
+    assert(got(1L).getDouble(5) === 0.0)
+    assert(got(2L).getDouble(3) === 0.0)
+    assert(got(2L).isNullAt(5), "constant series: naive MAE 0 → NULL, not Inf")
+  }
+
   test("autocorrelation: constant and single-pair slices emit NULL, not NaN") {
     val series = Seq(
       (1L, 1, 5.0), (1L, 2, 5.0), (1L, 3, 5.0), // constant → zero variance
