@@ -43,8 +43,21 @@ object Hashing {
     * 64-bit-hash operators (SimHash, winnowing) accept this as a drop-in
     * token hash so their gate queries get value-exact oracles; xxhash64
     * stays the production fast path ([[graft.expressions.SimHash64]]).
+    *
+    * Native codegen kernel ([[graft.expressions.Md5Hash60]]): digests
+    * the raw bytes and assembles the long with shifts — no hex string,
+    * no substring slice, no base-16 parse. [[md5Hash60Builtin]] keeps
+    * the built-in-chain form; a spec asserts bit-exact equality.
     */
   def md5Hash60(c: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.Md5Hash60(org.apache.spark.sql.graft.bridge.expression(c)))
+
+  /** The built-in-chain twin of [[md5Hash60]] (hex render + substring +
+    * conv parse) — the reference form the native kernel is verified
+    * against, and the exact shape the DuckDB oracles replay.
+    */
+  def md5Hash60Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
   /** MinHash signature (array<bigint> of length `numPerm`) of a set of

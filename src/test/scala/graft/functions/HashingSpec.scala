@@ -100,6 +100,32 @@ class HashingSpec extends SparkSpec {
     assert(byId(4) === None)
   }
 
+  test("native Md5Hash60 expression equals the built-in chain bit-exact") {
+    // real documents AND every token of them — the hash runs per token in
+    // the portable kernels, so the equality must hold on token-shaped input
+    val docs = graft.Tables.load(spark, sf(), "documents").limit(200)
+    val onDocs = docs.select(
+      Hashing.md5Hash60(col("text")).as("native"),
+      Hashing.md5Hash60Builtin(col("text")).as("chain"))
+    assert(onDocs.filter(col("native") =!= col("chain")).count() === 0)
+    val onTokens = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(
+        Hashing.md5Hash60(col("t")).as("native"),
+        Hashing.md5Hash60Builtin(col("t")).as("chain"))
+    assert(onTokens.filter(col("native") =!= col("chain")).count() === 0)
+
+    // edge cases: empty string, unicode, null → null
+    val edges = Seq(Some(""), Some("héllo wörld ✓"), Some("a"), None).toDF("s")
+      .select(
+        Hashing.md5Hash60(col("s")).as("native"),
+        Hashing.md5Hash60Builtin(col("s")).as("chain"))
+    assert(edges.filter(
+      coalesce(col("native"), lit(-1L)) =!= coalesce(col("chain"), lit(-1L))).count() === 0)
+    val rows = edges.collect()
+    assert(rows.count(r => r.isNullAt(0)) === 1, "null in → null out on the native path")
+  }
+
   test("native MinHashSignature expression equals the HOF reference bit-exact") {
     // real documents: the full shingle pipeline both interpreted and codegen'd
     val docs = graft.Tables.load(spark, sf(), "documents").limit(200)
