@@ -57,27 +57,58 @@ object FuzzyJoin {
       nameCol: String,
       maxDist: Int,
       q: Int = 2,
+      maxGramDf: Long = 0L): DataFrame =
+    fuzzySelfPairsBlocked(
+      df.select(col(nameCol), lit(0).as("__all")), nameCol, "__all",
+      maxDist, q, maxGramDf)
+      .drop("__all")
+
+  /** [[fuzzySelfPairs]] with an EQUI-BLOCKING key: only pairs sharing
+    * `blockCol` are candidates — the standard entity-resolution move
+    * when a hard predicate (same district, same nation, same birth
+    * year) is known to hold for every true match. The gram join and the
+    * short-string block both carry the key, so candidate volume scales
+    * with Σ|block|-local work instead of the corpus-wide gram buckets
+    * (sequentially-numbered record names, which share long prefixes
+    * corpus-wide, are the motivating blowup: the count filter alone
+    * cannot prune them, q_f7 at sf0.1). Completeness holds WITHIN each
+    * block; cross-block pairs are deliberately out of scope — callers
+    * must ensure they cannot be matches (EntityResolution asserts this
+    * from the score weights).
+    *
+    * Output: (blockCol, name_a, name_b, dist).
+    */
+  def fuzzySelfPairsBlocked(
+      df: DataFrame,
+      nameCol: String,
+      blockCol: String,
+      maxDist: Int,
+      q: Int = 2,
       maxGramDf: Long = 0L): DataFrame = {
     val names = df
-      .select(col(nameCol).as("name"))
-      .where(col("name").isNotNull && length(col("name")) >= q)
+      .select(col(blockCol).as("__blk"), col(nameCol).as("name"))
+      .where(col("name").isNotNull && length(col("name")) >= q && col("__blk").isNotNull)
       .distinct()
-      .select(col("name"), gramsExpr("name", q).as("grams"))
-      .select(col("name"), col("grams"), size(col("grams")).as("ng"))
+      .select(col("__blk"), col("name"), gramsExpr("name", q).as("grams"))
+      .select(col("__blk"), col("name"), col("grams"), size(col("grams")).as("ng"))
 
-    val exploded = names.select(col("name"), col("ng"), explode(col("grams")).as("gram"))
+    val exploded =
+      names.select(col("__blk"), col("name"), col("ng"), explode(col("grams")).as("gram"))
     val surviving =
       if (maxGramDf <= 0) exploded
       else {
-        val df_ = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        // df counted per (block, gram): a gram hot in one block may be
+        // rare in another
+        val df_ = exploded.groupBy("__blk", "gram").agg(count(lit(1)).as("gram_df"))
         exploded.join(
-          broadcast(df_.where(col("gram_df") <= maxGramDf).select("gram")), "gram")
+          broadcast(df_.where(col("gram_df") <= maxGramDf).select("__blk", "gram")),
+          Seq("__blk", "gram"))
       }
 
     val a = surviving.select(
-      col("gram"), col("name").as("name_a"), col("ng").as("ng_a"))
+      col("__blk"), col("gram"), col("name").as("name_a"), col("ng").as("ng_a"))
     val b = surviving.select(
-      col("gram"), col("name").as("name_b"), col("ng").as("ng_b"))
+      col("__blk"), col("gram"), col("name").as("name_b"), col("ng").as("ng_b"))
     // The count-filter lemma only FORCES a shared gram when
     // max(ng_a, ng_b) − d·q >= 1. Pairs where BOTH sides have
     // ng <= d·q can be within distance d yet share zero grams
@@ -86,30 +117,32 @@ object FuzzyJoin {
     // below and exclude them here so the union stays disjoint.
     val shortCut = maxDist.toLong * q
     val candidates = a
-      .join(b, Seq("gram"))
+      .join(b, Seq("__blk", "gram"))
       .where(col("name_a") < col("name_b"))
       .where(col("ng_a") > shortCut || col("ng_b") > shortCut)
-      .groupBy("name_a", "name_b", "ng_a", "ng_b")
+      .groupBy("__blk", "name_a", "name_b", "ng_a", "ng_b")
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= greatest(col("ng_a"), col("ng_b")) - lit(maxDist * q))
       .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .select(col("name_a"), col("name_b"))
+      .select(col("__blk"), col("name_a"), col("name_b"))
 
     // Exhaustive block over the short strings (ng <= d·q, i.e. length
     // <= d·q + q − 1): the set of distinct strings that short is
     // alphabet-bounded and tiny in practice, so an O(|S|²) broadcast
     // nested-loop with the length filter is the scale-correct shape —
     // NOT a corpus-sized cross join.
-    val shorts = names.where(col("ng") <= shortCut).select(col("name"))
-    val shortPairs = shorts.toDF("name_a")
+    val shorts = names.where(col("ng") <= shortCut).select(col("__blk"), col("name"))
+    val shortPairs = shorts.toDF("__blk", "name_a")
       .join(
-        broadcast(shorts.toDF("name_b")),
-        col("name_a") < col("name_b") &&
+        broadcast(shorts.toDF("__blk_b", "name_b")),
+        col("__blk") === col("__blk_b") &&
+          col("name_a") < col("name_b") &&
           abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .drop("__blk_b")
 
     candidates.unionByName(shortPairs)
       .select(
-        col("name_a"), col("name_b"),
+        col("__blk").as(blockCol), col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b"), maxDist).as("dist"))
       .where(col("dist") >= 0 && col("dist") <= maxDist)
   }

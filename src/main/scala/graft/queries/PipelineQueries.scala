@@ -247,5 +247,83 @@ object PipelineQueries extends QueryGroup {
       .orderBy("c_custkey")
   }
 
-  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6)
+  // End-to-end entity resolution — the reference's identity-matching
+  // problem (SisConnectorService.java:142-160 keyed record syncs)
+  // composed from engine parts: provably-complete fuzzy name blocking →
+  // fixed-weight Fellegi–Sunter scoring (sums of plan LITERALS in fixed
+  // order — the threshold cannot flip between engines) → alternating-
+  // star transitive closure, equi-BLOCKED on nationkey (provably
+  // lossless: the weights cap every cross-nation pair at 4.0 < 5.0,
+  // which resolve() asserts from the weights themselves). The corpus is
+  // the standard ER-benchmark construction (Febrl-style): per-customer
+  // hash-derived names — TPC-H's sequential `Customer#000000042` names
+  // make EVERY same-nation pair edit-distance ≤ 2, a degenerate dense
+  // match graph no blocking can save (the r8 lesson: 163 s at sf0.1) —
+  // plus deterministically planted typo duplicates: every 7th customer
+  // gains a dist-1 copy (matches at 6.5), every 11th a dist-2 copy
+  // (4.5 < 5.0, stays a singleton — the threshold is ON the gate), and
+  // keys divisible by 77 produce BOTH, whose variants sit at dist 1 of
+  // each other, so base↔typo1↔typo2 is a genuine transitive chain the
+  // closure must collapse even though base↔typo2 itself scores below
+  // threshold. The oracle scores the exhaustive O(n²) levenshtein pair
+  // set and walks the closure with a recursive CTE; the engine must
+  // land on the identical per-record entity map while never
+  // materializing all pairs.
+  private val qF7 = Q(
+    "q_f7_entity_resolution",
+    """WITH RECURSIVE
+      |base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+      |                substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS name,
+      |                c_nationkey AS nat, c_mktsegment AS seg
+      |         FROM customer),
+      |typo1 AS (SELECT id + 10000000 AS id, substr(name, 1, 9) || 'z' AS name,
+      |                 nat, seg FROM base WHERE id % 7 = 0),
+      |typo2 AS (SELECT id + 20000000 AS id, substr(name, 1, 8) || 'zz' AS name,
+      |                 nat, seg FROM base WHERE id % 11 = 0),
+      |r AS (SELECT * FROM base UNION ALL SELECT * FROM typo1
+      |      UNION ALL SELECT * FROM typo2),
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         levenshtein(a.name, b.name) AS dist,
+      |         a.nat AS nat_a, b.nat AS nat_b, a.seg AS seg_a, b.seg AS seg_b
+      |  FROM r a JOIN r b ON a.id < b.id
+      |  WHERE levenshtein(a.name, b.name) <= 2),
+      |m AS (
+      |  SELECT id_a, id_b FROM cand
+      |  WHERE (CASE dist WHEN 0 THEN 6.0 WHEN 1 THEN 4.0 ELSE 2.0 END)
+      |        + (CASE WHEN nat_a = nat_b THEN 1.5 ELSE -3.0 END)
+      |        + (CASE WHEN seg_a = seg_b THEN 1.0 ELSE -0.5 END) >= 5.0),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM m UNION SELECT id_b, id_a FROM m),
+      |reach(u, lbl) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, w.lbl FROM edges e JOIN reach w ON e.v = w.u),
+      |comp AS (SELECT u, min(lbl) AS entity_id FROM reach GROUP BY u)
+      |SELECT r.id AS rec_id, coalesce(c.entity_id, r.id) AS entity_id
+      |FROM r LEFT JOIN comp c ON c.u = r.id
+      |ORDER BY rec_id""".stripMargin) { (s, dir) =>
+    val base = graft.Tables.load(s, dir, "customer")
+      .select(
+        col("c_custkey").cast("long").as("rec_id"),
+        substring(md5(col("c_custkey").cast("string")), 1, 10).as("name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+    val typo1 = base.where(col("rec_id") % 7 === 0)
+      .select((col("rec_id") + 10000000L).as("rec_id"),
+        concat(substring(col("name"), 1, 9), lit("z")).as("name"),
+        col("nat"), col("seg"))
+    val typo2 = base.where(col("rec_id") % 11 === 0)
+      .select((col("rec_id") + 20000000L).as("rec_id"),
+        concat(substring(col("name"), 1, 8), lit("zz")).as("name"),
+        col("nat"), col("seg"))
+    graft.operators.EntityResolution.resolve(
+      base.unionByName(typo1).unionByName(typo2),
+      idCol = "rec_id", nameCol = "name",
+      nameWeights = Seq(6.0, 4.0, 2.0),
+      fieldWeights = Seq(("nat", 1.5, -3.0), ("seg", 1.0, -0.5)),
+      maxNameDist = 2, minScore = 5.0, blockCol = Some("nat"))
+      .select("rec_id", "entity_id")
+      .orderBy("rec_id")
+  }
+
+  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7)
 }
