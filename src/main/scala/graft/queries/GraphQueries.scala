@@ -280,5 +280,46 @@ object GraphQueries extends QueryGroup {
     graft.operators.GraphStats.degreeAssortativity(edges, "a", "b")
   }
 
-  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7)
+  // k-core decomposition (KCore.coreNodes) at k = 6 over the SPARSE
+  // co-order graph (orders with <= 3 distinct parts — the full co-order
+  // graph's min degree is 42 at sf0.01, so nothing would peel and the
+  // gate would not exercise the operator; the sparse cut cascades
+  // through 3 shrinking rounds, removing 241 of 2000 nodes). The oracle
+  // unrolls 5 peel rounds as chained CTEs — peeling is idempotent at
+  // the fixpoint, so an unroll depth >= convergence replays the engine's
+  // run-to-fixpoint result exactly, and the engine's maxRounds=6 +
+  // requireConvergence contract throws (rather than hash-mismatching)
+  // if the corpus ever needs more rounds than the oracle replays.
+  private val kcoreRounds = (1 to 5).map { r =>
+    s"""k$r AS (SELECT s FROM e${r - 1} GROUP BY s HAVING count(*) >= 6),
+       |e$r AS (SELECT e.s, e.d FROM e${r - 1} e
+       |        JOIN k$r a ON e.s = a.s JOIN k$r b ON e.d = b.s)""".stripMargin
+  }.mkString(",\n")
+
+  private val qG8 = Q(
+    "q_g8_kcore",
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |small_o AS (SELECT o FROM items GROUP BY o HAVING count(*) <= 3),
+      |ce AS (SELECT DISTINCT a.p AS a, b.p AS b
+      |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |       WHERE a.o IN (SELECT o FROM small_o)),
+      |e0 AS (SELECT a AS s, b AS d FROM ce UNION ALL SELECT b, a FROM ce),
+      |$kcoreRounds
+      |SELECT s AS node, CAST(count(*) AS INT) AS core_degree
+      |FROM e5 GROUP BY s ORDER BY node""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val smallO = items.groupBy(col("__o")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= 3).select(col("__o"))
+    val edges = items.join(smallO, Seq("__o"), "left_semi")
+      .select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    graft.operators.KCore.coreNodes(edges, "a", "b", k = 6, maxRounds = 6)
+      .orderBy("node")
+  }
+
+  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8)
 }
