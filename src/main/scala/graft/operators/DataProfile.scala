@@ -283,4 +283,63 @@ object DataProfile {
         max(col("n_baseline")).as("n_baseline"),
         max(col("n_actual")).as("n_actual"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the
+    * `valueCol` distributions of two row populations of one frame
+    * (tagged by `groupCol`): `D = sup_x |F_a(x) − F_b(x)|`, the
+    * distribution-free drift measure that complements
+    * [[populationStabilityIndex]] — PSI quantizes into bins and scores
+    * mass shift, KS is binless and catches shape drift PSI's bins can
+    * hide. Emits one row: sample sizes, `d_stat`, and `d_at_value`, the
+    * smallest value attaining the supremum (where the CDFs diverge
+    * most — the natural "where did it drift" pointer).
+    *
+    * Exactness: both empirical CDFs are ratios of EXACT integer
+    * cumulative counts to exact totals — per distinct value one
+    * division each, one subtraction, `abs` — so `D` is bit-identical in
+    * any IEEE engine and needs no tolerance; the argmax ties on the
+    * SMALLER value over the raw doubles (already total because exact).
+    *
+    * Shape at scale: one scan-side hash aggregate reduces the input to
+    * the DISTINCT-value frame (cnt_a, cnt_b per value); the cumulative
+    * window and the final max run over THAT frame. The unpartitioned
+    * cumulative window is a single-task sort — fine for metric/feature
+    * columns whose value cardinality is bounded (prices, scores,
+    * rounded measurements), the audit's intended target. For
+    * continuous unbounded-cardinality columns quantize first (the PSI
+    * path) or accept the one-task sort of the distinct frame.
+    */
+  def ksTwoSample(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val perValue = df
+      .where(col(groupCol).isin(groupA, groupB) && v.isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = perValue
+      .select(
+        col("__v"),
+        sum(col("__ca")).over(w).as("__cuma"),
+        sum(col("__cb")).over(w).as("__cumb"))
+      .crossJoin(broadcast(perValue.agg(
+        sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))))
+      .select(
+        col("__v"), col("__na"), col("__nb"),
+        abs(col("__cuma").cast("double") / col("__na") -
+          col("__cumb").cast("double") / col("__nb")).as("__d"))
+    cdf.agg(
+      max(col("__na")).as("n_a"),
+      max(col("__nb")).as("n_b"),
+      max(col("__d")).as("d_stat"),
+      min_by(col("__v"), struct((-col("__d")).as("d"), col("__v").as("v")))
+        .as("d_at_value"))
+  }
 }

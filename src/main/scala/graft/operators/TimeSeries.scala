@@ -420,4 +420,65 @@ object TimeSeries {
         col("mae_naive1"),
         when(col("mae_naive1") > 0, col("mae_seasonal") / col("mae_naive1")).as("mase"))
   }
+
+  /** Hampel outlier filter per key: flag points whose deviation from the
+    * trailing-window EXACT median exceeds `nSigmas` robust standard
+    * deviations (MAD · 1.4826) — the standard despiking pass for metric
+    * feeds, robust where a mean/stddev z-score is itself dragged by the
+    * spike it should flag (Hampel 1974; Pearson 2002 survey).
+    *
+    * Exactness discipline: `windowSize` must be ODD and full windows are
+    * required, so BOTH medians (window values, absolute deviations) are
+    * single ELEMENTS of a sorted array — never an average of two middles
+    * — selected by `array_sort` + `element_at` over a `collect_list`
+    * frame. Every emitted number is therefore either an input value, an
+    * IEEE subtraction of two inputs, or one multiplication by the single
+    * plan-literal `nSigmas · 1.4826` (pre-multiplied so there is exactly
+    * ONE rounding, not an ordering-sensitive chain) — bit-identical in
+    * any engine. A zero MAD (majority of the window equal) flags ANY
+    * deviation from the median, the standard Hampel degenerate case, and
+    * falls out of the same comparison with no special case.
+    *
+    * Shape at scale: ONE window pass per key ordered by `orderCol` with
+    * a `windowSize`-row trailing frame; the collected array is bounded
+    * by `windowSize` (a plan constant), so state per row is O(w) and the
+    * only exchange is the per-key hash partition — the [[dyadicEwma]]
+    * shape. Rows before the window fills emit no verdict (NULL medians,
+    * `is_outlier` NULL): a half-filled window's median is a different,
+    * noisier statistic, and silently mixing the two poisons the flag's
+    * precision at the series head.
+    */
+  def hampelOutliers(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      windowSize: Int = 7,
+      nSigmas: Double = 3.0): DataFrame = {
+    require(windowSize >= 3 && windowSize % 2 == 1, "windowSize must be odd and >= 3")
+    require(nSigmas > 0, "nSigmas must be > 0")
+    val mid = (windowSize + 1) / 2 // 1-based rank of the median element
+    val scale = nSigmas * 1.4826 // one literal, one rounding
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(windowSize - 1), Window.currentRow)
+    val x = col(valueCol).cast("double")
+    series
+      .select(col(keyCol), col(orderCol), x.as("x"))
+      .withColumn("__win", collect_list(col("x")).over(w))
+      .withColumn("__med",
+        when(size(col("__win")) === windowSize,
+          element_at(array_sort(col("__win")), mid)))
+      .withColumn("__mad",
+        when(col("__med").isNotNull,
+          element_at(
+            array_sort(transform(col("__win"), v => abs(v - col("__med")))), mid)))
+      .select(
+        col(keyCol),
+        col(orderCol),
+        col("x").as("value"),
+        col("__med").as("med"),
+        col("__mad").as("mad"),
+        when(col("__med").isNotNull,
+          abs(col("x") - col("__med")) > lit(scale) * col("__mad")).as("is_outlier"))
+  }
 }

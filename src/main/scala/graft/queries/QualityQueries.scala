@@ -617,7 +617,40 @@ object QualityQueries extends QueryGroup {
       .orderBy("key")
   }
 
+  // Exact two-sample Kolmogorov–Smirnov drift (DataProfile.ksTwoSample):
+  // D = sup |F_click − F_purchase| over the value column, plus the
+  // smallest value attaining it — the binless shape-drift audit next to
+  // the PSI's binned mass-shift (q_q7 family). Both CDFs are exact
+  // integer-cumulative-count ratios (one division each, one subtraction,
+  // abs), so D is bit-identical across engines with NO tolerance; the
+  // argmax tie rule (smaller value) is total for the same reason. The
+  // input reduces scan-side to the distinct-value frame before the one
+  // cumulative window.
+  private val qQ13 = Q(
+    "q_q13_ks_drift",
+    """WITH pv AS (
+      |  SELECT CAST(value AS DOUBLE) AS v,
+      |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+      |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv),
+      |cdf AS (
+      |  SELECT v, na, nb,
+      |         abs(CAST(sum(ca) OVER w AS DOUBLE) / na -
+      |             CAST(sum(cb) OVER w AS DOUBLE) / nb) AS d
+      |  FROM pv CROSS JOIN tot
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |sup AS (SELECT max(d) AS md FROM cdf)
+      |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, max(d) AS d_stat,
+      |       min(CASE WHEN d = (SELECT md FROM sup) THEN v END) AS d_at_value
+      |FROM cdf""".stripMargin) { (s, dir) =>
+    DataProfile.ksTwoSample(
+      Tables.load(s, dir, "events"), "value", "event_type", "click", "purchase")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11, qA13, qQ12, qA15)
+      qQ10, qQ11, qA13, qQ12, qA15, qQ13)
 }

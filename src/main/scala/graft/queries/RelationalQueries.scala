@@ -1650,6 +1650,65 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  // Hampel outlier filter (TimeSeries.hampelOutliers) over the daily
+  // series, trailing window 7, 3 robust sigmas. Both medians (window
+  // values, absolute deviations) are single ELEMENTS of a sorted
+  // 7-element array — windowSize is odd and only full windows emit a
+  // verdict — so every number either IS an input, or is one IEEE
+  // subtraction / one multiplication by the single prefolded literal
+  // 3.0·1.4826 (both engines form it as ONE double product of the two
+  // parsed doubles; writing 4.4478 would round differently than the
+  // product, and DuckDB's bare decimals are DECIMAL, hence the explicit
+  // DOUBLE casts). Probe user -3 plants a 200-spike in a flat 10-day
+  // series: the gate carries a TRUE (spike, MAD 0) and FALSEs (flat
+  // full windows) simultaneously; the series-head NULL-verdict rows are
+  // cut at the gate (NULL booleans normalize differently across the two
+  // engines' pandas paths) and are spec-covered instead.
+  private val qE23 = Q(
+    "q_e23_hampel",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-3 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CASE WHEN i = 6 THEN CAST(200.0 AS DOUBLE) ELSE CAST(10.0 AS DOUBLE) END
+      |  FROM range(10) t(i)),
+      |w AS (
+      |  SELECT user_id, day, daily_value AS x,
+      |         list(daily_value) OVER (PARTITION BY user_id ORDER BY day
+      |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+      |  FROM d),
+      |m AS (
+      |  SELECT user_id, day, x, win,
+      |         CASE WHEN len(win) = 7 THEN list_sort(win)[4] END AS med
+      |  FROM w),
+      |mm AS (
+      |  SELECT user_id, day, x, med,
+      |         CASE WHEN med IS NOT NULL
+      |              THEN list_sort(list_transform(win, v -> abs(v - med)))[4] END AS mad
+      |  FROM m)
+      |SELECT user_id, day, x AS value, med, mad,
+      |       abs(x - med) > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad AS is_outlier
+      |FROM mm WHERE med IS NOT NULL ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("daily_value"))
+    val spike = s.range(10).select(
+      lit(-3L).as("user_id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("day"),
+      when(col("id") === 6, lit(200.0)).otherwise(lit(10.0)).as("daily_value"))
+    // gate cut: only full-window verdict rows — a NULL boolean column
+    // normalizes differently across the two engines' pandas paths (the
+    // operator's NULL-head contract is spec-covered instead)
+    graft.operators.TimeSeries
+      .hampelOutliers(base.unionByName(spike), "user_id", "day", "daily_value",
+        windowSize = 7, nSigmas = 3.0)
+      .where(col("med").isNotNull)
+      .orderBy("user_id", "day")
+  }
+
   /** The per-user daily series with the degenerate synthetic probe users
     * unioned in (q_e18's hardening corpus): user -1 = 10-day constant,
     * user -2 = 2-day (1.0, 2.0).
@@ -1683,5 +1742,5 @@ object RelationalQueries extends QueryGroup {
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
-    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22)
+    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23)
 }

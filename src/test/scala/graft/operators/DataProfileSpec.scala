@@ -58,4 +58,31 @@ class DataProfileSpec extends SparkSpec {
       .collect().map(r => (r.getDouble(4), r.getDouble(5)))
     assert(flat.forall { case (c, m) => math.abs(c) < 1e-12 && math.abs(m) < 1e-12 })
   }
+
+  test("ksTwoSample: hand-computed D and location; exact fractions") {
+    import spark.implicits._
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 3.0), ("b", 4.0))
+    val got = DataProfile.ksTwoSample(rows.toDF("g", "v"), "v", "g", "a", "b").collect()(0)
+    // CDFs at 1,2,3,4: a = 1/3,2/3,1,1; b = 0,0,1/2,1 → D = 2/3 at v=2
+    assert(got.getLong(0) === 3L && got.getLong(1) === 2L)
+    assert(got.getDouble(2) === 2.0 / 3.0, "exact integer-ratio arithmetic, no tolerance")
+    assert(got.getDouble(3) === 2.0)
+  }
+
+  test("ksTwoSample: supremum ties resolve to the smallest value") {
+    import spark.implicits._
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+    val got = DataProfile.ksTwoSample(rows.toDF("g", "v"), "v", "g", "a", "b").collect()(0)
+    // d = 1/2 at v=1 AND v=2; tie → 1
+    assert(got.getDouble(2) === 0.5 && got.getDouble(3) === 1.0)
+  }
+
+  test("ksTwoSample: identical samples give D = 0; other groups ignored") {
+    import spark.implicits._
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0),
+      ("z", 99.0), ("z", -99.0))
+    val got = DataProfile.ksTwoSample(rows.toDF("g", "v"), "v", "g", "a", "b").collect()(0)
+    assert(got.getDouble(2) === 0.0)
+    assert(got.getLong(0) === 2L && got.getLong(1) === 2L, "group z never enters")
+  }
 }

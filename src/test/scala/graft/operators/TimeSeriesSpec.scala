@@ -213,4 +213,45 @@ class TimeSeriesSpec extends SparkSpec {
       .filter("slots <> span")
     assert(bad.count() === 0)
   }
+
+  test("hampel: hand-computed medians/MADs at window 3; spike flagged, rest not") {
+    val series = Seq((1L, 1, 1.0), (1L, 2, 2.0), (1L, 3, 3.0), (1L, 4, 100.0), (1L, 5, 5.0))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.hampelOutliers(series, "k", "t", "v", windowSize = 3)
+      .orderBy("t").collect()
+    // t=1,2: window not full → no verdict
+    assert(got(0).isNullAt(3) && got(0).isNullAt(5))
+    assert(got(1).isNullAt(3) && got(1).isNullAt(5))
+    // [1,2,3]: med 2, mad 1, |3-2| = 1 <= 4.4478
+    assert(got(2).getDouble(3) === 2.0 && got(2).getDouble(4) === 1.0)
+    assert(!got(2).getBoolean(5))
+    // [2,3,100]: med 3, mad 1, |100-3| = 97 > 4.4478
+    assert(got(3).getDouble(3) === 3.0 && got(3).getDouble(4) === 1.0)
+    assert(got(3).getBoolean(5))
+    // [3,100,5]: med 5, mad 2, |5-5| = 0
+    assert(got(4).getDouble(3) === 5.0 && got(4).getDouble(4) === 2.0)
+    assert(!got(4).getBoolean(5))
+  }
+
+  test("hampel: zero MAD flags any deviation; exact-median run stays quiet") {
+    val series = (1 to 7).map(t => (1L, t, 1.0)) :+ ((1L, 8, 1.000001))
+    val got = TimeSeries.hampelOutliers(series.toDF("k", "t", "v"), "k", "t", "v")
+      .orderBy("t").collect()
+    assert(got(5).isNullAt(5), "6 of 7 rows: window not full, no verdict")
+    assert(!got(6).getBoolean(5), "all-equal full window: deviation 0 is not > 0")
+    assert(got(7).getDouble(4) === 0.0, "majority equal → MAD exactly 0")
+    assert(got(7).getBoolean(5), "any nonzero deviation at MAD 0 is an outlier")
+  }
+
+  test("hampel: keys are independent and windowSize must be odd") {
+    val series = Seq((1L, 1, 1.0), (1L, 2, 1.0), (2L, 1, 50.0), (2L, 2, 50.0), (2L, 3, 50.0))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.hampelOutliers(series, "k", "t", "v", windowSize = 3)
+      .orderBy("k", "t").collect()
+    assert(got(0).isNullAt(3) && got(1).isNullAt(3), "key 1 never fills a 3-window")
+    assert(got(4).getDouble(3) === 50.0, "key 2's window sees only key 2")
+    intercept[IllegalArgumentException] {
+      TimeSeries.hampelOutliers(series, "k", "t", "v", windowSize = 4)
+    }
+  }
 }
