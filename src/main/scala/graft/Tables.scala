@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Catalog over the harness parquet tables (TESTDATA.md).
   *
@@ -23,29 +23,46 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and convert losslessly to
-      // a microsecond TimestampType (integer `div`, not double division —
-      // nanos since epoch exceed double's 53-bit mantissa).
+      // events.ts has shipped under several parquet encodings; normalize all
+      // of them to a session-zone TimestampType so downstream event-time code
+      // (`unix_micros`, watermarks, range predicates) sees ONE type:
+      //  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; the legacy
+      //    flag surfaces raw int64 nanos, converted with integer `div` (nanos
+      //    since epoch exceed double's 53-bit mantissa).
+      //  - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to
+      //    TimestampType. Lossless under the session's fixed UTC zone
+      //    (GraftSession sets spark.sql.session.timeZone=UTC): the wall-clock
+      //    fields are reinterpreted as UTC instants, byte-identical
+      //    epoch-micros to what DuckDB reads from the same file.
+      //  - timestamp[us] UTC-adjusted → already TimestampType: passthrough.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path(sfDir, name))
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      normalizeEventTs(spark.read.parquet(path(sfDir, name)))
     } else spark.read.parquet(path(sfDir, name))
+
+  /** Normalize whatever encoding `ts` arrived in (int64 nanos, NTZ, or
+    * session-zone timestamp) to TimestampType. See [[load]].
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
 
   /** The same table as a file STREAM (micro-batch source): schema taken
     * from a batch read, `pathGlobFilter` isolating the table's file in
-    * the shared sf directory. Events' nanosecond timestamps are not
-    * supported here — stream the other tables, or pre-convert.
+    * the shared sf directory. For events, the stream is read with the
+    * file's native schema and `ts` normalized per-batch exactly as in
+    * [[load]] (the µs encodings stream fine; only the legacy NANOS files
+    * could not, and those are gone from the harness data).
     */
   def readStream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    require(name != "events", "events.ts is TIMESTAMP(NANOS); stream a converted copy instead")
-    val schema = spark.read.parquet(path(sfDir, name)).schema
-    spark.readStream
+    val schema: StructType = spark.read.parquet(path(sfDir, name)).schema
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", s"$name.parquet")
       .parquet(sfDir)
+    if (name == "events") normalizeEventTs(raw) else raw
   }
 
   /** Register every table as a temp view so `spark.sql` text matches the

@@ -36,9 +36,10 @@ object EventStreams {
   /** 30-minute session gap, as microseconds. */
   val sessionGapUs: Long = 1800L * 1000 * 1000
 
-  /** Streaming read of the events parquet directory. The testdata file has
-    * parquet TIMESTAMP(NANOS) (see [[Tables.load]]): the stream reads the
-    * raw int64 and converts to a microsecond timestamp losslessly.
+  /** Streaming read of the events parquet directory. `ts` has shipped as
+    * int64 NANOS, TIMESTAMP_NTZ, and plain timestamp across testdata
+    * generations; [[Tables.normalizeEventTs]] folds all three to a
+    * session-zone TimestampType so watermarks/`unix_micros` analyze.
     */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,9 +51,7 @@ object EventStreams {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    if (batchSchema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    Tables.normalizeEventTs(raw)
   }
 
   /** Streaming twin of q_e1: tumbling 1-hour windows per event type with a
