@@ -42,10 +42,16 @@ object Bench {
     // order-contamination on q_v*; isolated reruns matched the 2nd pass).
     // `total` stays the sum of FIRST-pass times so the driver's headline
     // remains one full cold sweep, comparable with earlier rounds.
+    // A failing query records -1.0 AND its exception message in the
+    // artifact's "errors" map — a -1.0 row must be diagnosable from the
+    // JSON alone, without hunting driver stderr.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = try runOne(fn) catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+          System.err.println(s"[bench] $name failed: $msg")
+          errors(name) = msg
           -1.0
       }
       val cold = once()
@@ -53,10 +59,18 @@ object Bench {
       System.err.println(f"[bench] $name%-28s cold $cold%8.2f s  best $best%8.2f s")
       (name, cold, best)
     }
-    val qs = results.map { case (k, _, b) => "\"" + k + "\":" + b }.mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, _, b) => jstr(k) + ":" + b }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, c, _) if c >= 0 => c }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, which has truncated
     // the per-query map in past rounds — persist the complete artifact too.
