@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
 
 import graft.Tables
 import graft.operators.ZOrder
@@ -310,5 +311,41 @@ object LayoutQueries extends QueryGroup {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
   }
 
-  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3, qL4, qS3, qS4, qS5, qS6, qS7)
+  // TIMESTAMP_NTZ round-trip hardening gate. A real lake has NTZ columns
+  // (parquet timestamp[us] with isAdjustedToUTC=false — exactly what the
+  // round-9 testdata regeneration shipped for events.ts, which broke 12
+  // event-time queries at analysis until Tables.normalizeEventTs). The gate
+  // recreates that hazard ON DATA THE ENGINE WROTE ITSELF: write events.ts
+  // as NTZ, read it back, REQUIRE it arrived as NTZ (so the gate can't
+  // silently degrade into a plain-timestamp no-op if write/read defaults
+  // change), normalize, and push it through unix_micros arithmetic. The
+  // oracle reads the ORIGINAL parquet in DuckDB — under the session's fixed
+  // UTC zone the NTZ reinterpretation is epoch-lossless, so min/max/sum of
+  // epoch micros must match to the last digit.
+  private val qS8 = Q(
+    "q_s8_ntz_roundtrip",
+    """SELECT event_type,
+      |       CAST(count(*) AS INT) AS n,
+      |       min(epoch_us(ts)) AS min_us,
+      |       max(epoch_us(ts)) AS max_us,
+      |       CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_tod_us
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val tmp = Files.createTempDirectory("graft_ntz").toString
+    t(s, dir, "events")
+      .select(col("event_type"), col("ts").cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(tmp)
+    val back = s.read.parquet(tmp)
+    require(back.schema("ts").dataType == TimestampNTZType,
+      "q_s8: self-written parquet must read back as TIMESTAMP_NTZ for the gate to exercise the NTZ path")
+    Tables.normalizeEventTs(back)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("int").as("n"),
+        min(unix_micros(col("ts"))).as("min_us"),
+        max(unix_micros(col("ts"))).as("max_us"),
+        sum(unix_micros(col("ts")) % 86400000000L).as("sum_tod_us"))
+      .orderBy("event_type")
+  }
+
+  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3, qL4, qS3, qS4, qS5, qS6, qS7, qS8)
 }
