@@ -5,7 +5,7 @@ import java.time.Instant
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{SchemaValidation, SyncDiff}
+import graft.operators.{ConnectedComponents, EntityResolution, SchemaValidation, SyncDiff}
 import graft.sources.{FileSinks, Http, RestSink}
 
 /** The reference's top-level sync lifecycle (SisConnectorApp →
@@ -57,6 +57,50 @@ object SyncRun {
       quarantined: Long,
       report: FileSinks.RunReport)
 
+  /** Optional pre-sync entity resolution (the reference's identity problem:
+    * the same student arriving under variant spellings across extracts,
+    * SisConnectorService.java:142-160, would upsert as two records there).
+    * Fixed Fellegi–Sunter weights over (name fuzzy, nation, segment) —
+    * see [[EntityResolution.resolve]]; defaults tuned so the nation block
+    * is provably lossless (asserted from the weights at plan time).
+    */
+  final case class ResolutionConfig(
+      nameCol: String = "c_name",
+      nameWeights: Seq[Double] = Seq(6.0, 4.0),
+      fieldWeights: Seq[(String, Double, Double)] =
+        Seq(("c_nationkey", 1.5, -3.0), ("c_mktsegment", 1.0, -0.5)),
+      maxNameDist: Int = 1,
+      minScore: Double = 5.0,
+      blockCol: Option[String] = Some("c_nationkey"))
+
+  /** Collapse variant records of one real-world entity to ONE canonical
+    * row before assembly:
+    *
+    *   - entity id = the cluster's MINIMUM record key (stable across runs
+    *     and across which variant happens to arrive first);
+    *   - attributes = the cluster's best row by `c_acctbal` (the
+    *     richest-record heuristic), picked distributed via
+    *     [[ConnectedComponents.representativesByScore]];
+    *   - the representative's key is REWRITTEN to the entity id, so the
+    *     downstream diff-sync keys on entities: variant spellings upsert
+    *     one record, and merged-away duplicate keys fall into the target's
+    *     delete set (dedup-sync), which is the point.
+    *
+    * Scale shape: candidates come from the gram-blocked fuzzy join (never
+    * O(n²)); the closure is the alternating-star; the representative pick
+    * is a bounded top-1 heap per cluster — no driver-side state.
+    */
+  def resolveRepresentatives(customer: DataFrame, cfg: ResolutionConfig): DataFrame = {
+    val pairs = EntityResolution.matchedPairs(
+      customer, "c_custkey", cfg.nameCol, cfg.nameWeights, cfg.fieldWeights,
+      cfg.maxNameDist, cfg.minScore, cfg.blockCol)
+      .select(col("id_a"), col("id_b"))
+    ConnectedComponents
+      .representativesByScore(customer, "c_custkey", pairs, col("c_acctbal"))
+      .withColumn("c_custkey", col("cluster_id"))
+      .drop("cluster_id")
+  }
+
   def run(
       spark: SparkSession,
       sfDir: String,
@@ -66,6 +110,7 @@ object SyncRun {
       reportDir: Option[String] = None,
       quarantineDir: Option[String] = None,
       customerOverride: Option[DataFrame] = None,
+      resolution: Option[ResolutionConfig] = None,
       now: () => Instant = () => Instant.now()): Result = {
     val started = now()
 
@@ -73,7 +118,15 @@ object SyncRun {
       graft.Tables.load(spark, sfDir, "customer"))
     val validated = SchemaValidation.validate(
       SchemaValidation.coerce(rawCustomer, customerCoercions), customerRules)
-    val (validCustomer, quarantine0) = SchemaValidation.split(validated)
+    val (validRows, quarantine0) = SchemaValidation.split(validated)
+    // optional identity resolution BETWEEN validation and assembly: only
+    // clean rows vote on entity identity, and everything downstream
+    // (assembly, diff, sinks, report) is unchanged — it just sees one
+    // canonical row per entity under the entity key
+    val validCustomer = resolution match {
+      case Some(cfg) => resolveRepresentatives(validRows, cfg)
+      case None      => validRows
+    }
     // the quarantine frame is consumed three times (sink, count, delete
     // withholding) — materialize the (small) slice once instead of
     // re-scanning + re-validating the raw source per consumer

@@ -325,5 +325,84 @@ object PipelineQueries extends QueryGroup {
       .orderBy("rec_id")
   }
 
-  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7)
+  // Resolved-key diff-sync: q_f7's entity resolution composed INTO the
+  // sync lifecycle (SyncRun.resolveRepresentatives wires the same path
+  // behind RestSink; this gate is its oracle-checkable core). The target
+  // snapshot holds the RAW records — base customers plus their planted
+  // typo variants, i.e. the state of a system that synced before
+  // resolution existed. The source is the resolved entity key set (one
+  // key per cluster, the cluster MINIMUM id). Diff semantics are the
+  // J4 contract (SyncDiff.plan): upserts = every entity key
+  // (POST-as-upsert), deletes = target keys merged away by resolution.
+  // The oracle rebuilds the same entity map with the exhaustive O(n²)
+  // levenshtein pair set + recursive-CTE closure, then takes the same
+  // set difference — so a wrong cluster anywhere flips a 'D' row.
+  private val qF8 = Q(
+    "q_f8_resolved_sync_diff",
+    """WITH RECURSIVE
+      |base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+      |                substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS name,
+      |                c_nationkey AS nat, c_mktsegment AS seg
+      |         FROM customer),
+      |typo1 AS (SELECT id + 10000000 AS id, substr(name, 1, 9) || 'z' AS name,
+      |                 nat, seg FROM base WHERE id % 7 = 0),
+      |typo2 AS (SELECT id + 20000000 AS id, substr(name, 1, 8) || 'zz' AS name,
+      |                 nat, seg FROM base WHERE id % 11 = 0),
+      |r AS (SELECT * FROM base UNION ALL SELECT * FROM typo1
+      |      UNION ALL SELECT * FROM typo2),
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         levenshtein(a.name, b.name) AS dist,
+      |         a.nat AS nat_a, b.nat AS nat_b, a.seg AS seg_a, b.seg AS seg_b
+      |  FROM r a JOIN r b ON a.id < b.id
+      |  WHERE levenshtein(a.name, b.name) <= 2),
+      |m AS (
+      |  SELECT id_a, id_b FROM cand
+      |  WHERE (CASE dist WHEN 0 THEN 6.0 WHEN 1 THEN 4.0 ELSE 2.0 END)
+      |        + (CASE WHEN nat_a = nat_b THEN 1.5 ELSE -3.0 END)
+      |        + (CASE WHEN seg_a = seg_b THEN 1.0 ELSE -0.5 END) >= 5.0),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM m UNION SELECT id_b, id_a FROM m),
+      |reach(u, lbl) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, w.lbl FROM edges e JOIN reach w ON e.v = w.u),
+      |comp AS (SELECT u, min(lbl) AS entity_id FROM reach GROUP BY u),
+      |emap AS (SELECT r.id, coalesce(c.entity_id, r.id) AS entity_id
+      |         FROM r LEFT JOIN comp c ON c.u = r.id)
+      |SELECT entity_id AS key, 'U' AS op
+      |FROM (SELECT DISTINCT entity_id FROM emap)
+      |UNION ALL
+      |SELECT id AS key, 'D' AS op FROM emap
+      |WHERE id NOT IN (SELECT entity_id FROM emap)
+      |ORDER BY op, key""".stripMargin) { (s, dir) =>
+    val base = graft.Tables.load(s, dir, "customer")
+      .select(
+        col("c_custkey").cast("long").as("rec_id"),
+        substring(md5(col("c_custkey").cast("string")), 1, 10).as("name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+    val typo1 = base.where(col("rec_id") % 7 === 0)
+      .select((col("rec_id") + 10000000L).as("rec_id"),
+        concat(substring(col("name"), 1, 9), lit("z")).as("name"),
+        col("nat"), col("seg"))
+    val typo2 = base.where(col("rec_id") % 11 === 0)
+      .select((col("rec_id") + 20000000L).as("rec_id"),
+        concat(substring(col("name"), 1, 8), lit("zz")).as("name"),
+        col("nat"), col("seg"))
+    val raw = base.unionByName(typo1).unionByName(typo2)
+    val resolved = graft.operators.EntityResolution.resolve(
+      raw,
+      idCol = "rec_id", nameCol = "name",
+      nameWeights = Seq(6.0, 4.0, 2.0),
+      fieldWeights = Seq(("nat", 1.5, -3.0), ("seg", 1.0, -0.5)),
+      maxNameDist = 2, minScore = 5.0, blockCol = Some("nat"))
+    val plan = graft.operators.SyncDiff.plan(
+      source = resolved.select(col("entity_id").as("key")).distinct(),
+      target = raw.select(col("rec_id").as("key")),
+      keyCols = Seq("key"))
+    plan.upserts.withColumn("op", lit("U"))
+      .unionByName(plan.deletes.withColumn("op", lit("D")))
+      .orderBy("op", "key")
+  }
+
+  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8)
 }

@@ -81,6 +81,38 @@ class SyncRunSpec extends SparkSpec {
     assert(reasons.exists(_.contains("c_name:required_null")))
   }
 
+  test("entity resolution pre-step: two variant spellings upsert ONE entity") {
+    import spark.implicits._
+    FakeServer.reset()
+    // alicesmith/alicesmyth are edit-distance 1 in the same nation+segment
+    // (score 4.0 + 1.5 + 1.0 = 6.5 >= 5.0 → same entity); every other name
+    // is far from everything. Key 2 is the richer record (acctbal 500) so
+    // its attributes win, but the ENTITY key is the cluster min (1).
+    val wave = Seq(
+      (1L, "alicesmith", 1L, 100.0, EntityAssembly.segment),
+      (2L, "alicesmyth", 1L, 500.0, EntityAssembly.segment),
+      (3L, "bobjones", 1L, 50.0, EntityAssembly.segment),
+      (4L, "carolwhite", 2L, 10.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+    val result = SyncRun.run(
+      spark, sf(), new FakeServer.Fake, new FakeServer.Tokens, "/entities",
+      customerOverride = Some(wave),
+      resolution = Some(SyncRun.ResolutionConfig()))
+
+    // 3 in-segment rows collapse to 2 entities; carol is out of segment
+    assert(result.upserts === 2)
+    // entity key = cluster min (1); the variant's own key (2) never POSTs
+    assert(FakeServer.store.containsKey("1"))
+    assert(!FakeServer.store.containsKey("2"))
+    // representative attributes come from the richest cluster row
+    assert(FakeServer.store.get("1").contains("alicesmyth"))
+    // target keys 1 and 3 survive the delete wave; everything else goes
+    val targetN = graft.Tables.load(spark, sf(), "customer").count()
+    assert(result.deletes === targetN - 2)
+    assert(FakeServer.store.size() === 2)
+  }
+
   test("re-run converges (idempotent): same counts, same server state") {
     FakeServer.reset()
     def once() = SyncRun.run(spark, sf(), new FakeServer.Fake, new FakeServer.Tokens, "/entities")
