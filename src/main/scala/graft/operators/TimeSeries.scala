@@ -481,4 +481,77 @@ object TimeSeries {
         when(col("__med").isNotNull,
           abs(col("x") - col("__med")) > lit(scale) * col("__mad")).as("is_outlier"))
   }
+
+  /** Per-key partial autocorrelation (PACF) at lags 1..3 — the AR-order
+    * fingerprint that [[autocorrelation]] alone cannot give: ACF at lag k
+    * conflates direct dependence with dependence routed through shorter
+    * lags, PACF removes the shorter lags' contribution (the statistic
+    * behind "is this AR(1) or AR(2)?").
+    *
+    * Uses the STANDARD ACF estimator (global mean, shared sum-of-squares
+    * denominator — not per-slice Pearson): r_k = Σ d_t·d_{t−k} / Σ d_t²
+    * with d = x − x̄, which is what the Durbin–Levinson recursion is
+    * defined over. The recursion is UNROLLED to closed forms (the reason
+    * for the lag-3 cap — deterministic scan-side arithmetic, no
+    * per-key iteration):
+    *
+    *   φ11 = r1
+    *   φ22 = (r2 − r1²) / (1 − r1²)
+    *   φ21 = r1·(1 − φ22)
+    *   φ33 = (r3 − φ21·r2 − φ22·r1) / (1 − φ21·r1 − φ22·r2)
+    *
+    * Degenerate slices emit NULL, never NaN/throw: constant series
+    * (Σd² = 0) null every r_k; |r1| = 1 nulls φ22 (and φ33 through the
+    * NULL-propagating arithmetic); a zero φ33 denominator nulls φ33. All
+    * divisions sit in the projection under `when` guards (the q_e18 ANSI
+    * lesson: aggregate-internal guarded divisions still evaluate).
+    *
+    * Scale shape: one window-family pass per key (mean + k lags on the
+    * same partitioning) then one hash aggregate — the series is assumed
+    * pre-aggregated to its grain upstream, so this touches only the
+    * small series frame.
+    */
+  def pacf(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val wKey = Window.partitionBy(keyCol)
+    val wOrd = Window.partitionBy(keyCol).orderBy(orderCol)
+    val x = col(valueCol).cast("double")
+    val centered = series.select(
+      col(keyCol),
+      col(orderCol),
+      (x - avg(x).over(wKey)).as("__d"))
+    val lagged = centered.select(
+      col(keyCol) +: col("__d") +:
+        (1 to 3).map(k => lag(col("__d"), k).over(wOrd).as(s"__d$k")): _*)
+    val moments = lagged
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_obs"),
+        sum(col("__d") * col("__d")).as("__ss"),
+        sum(col("__d") * col("__d1")).as("__s1"),
+        sum(col("__d") * col("__d2")).as("__s2"),
+        sum(col("__d") * col("__d3")).as("__s3"))
+    val acf = moments.select(
+      col(keyCol),
+      col("n_obs"),
+      when(col("__ss") > 0, col("__s1") / col("__ss")).as("r1"),
+      when(col("__ss") > 0, col("__s2") / col("__ss")).as("r2"),
+      when(col("__ss") > 0, col("__s3") / col("__ss")).as("r3"))
+    val p2 = acf.withColumn("__p2",
+      when(lit(1) - col("r1") * col("r1") =!= 0,
+        (col("r2") - col("r1") * col("r1")) / (lit(1) - col("r1") * col("r1"))))
+    val p21 = col("r1") * (lit(1) - col("__p2"))
+    p2.select(
+      col(keyCol),
+      col("n_obs"),
+      col("r1"), col("r2"), col("r3"),
+      col("r1").as("pacf1"),
+      col("__p2").as("pacf2"),
+      when(lit(1) - p21 * col("r1") - col("__p2") * col("r2") =!= 0,
+        (col("r3") - p21 * col("r2") - col("__p2") * col("r1")) /
+          (lit(1) - p21 * col("r1") - col("__p2") * col("r2"))).as("pacf3"))
+  }
 }

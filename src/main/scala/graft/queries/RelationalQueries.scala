@@ -1709,6 +1709,70 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id", "day")
   }
 
+  // Partial autocorrelation (TimeSeries.pacf): the AR-order fingerprint
+  // ACF alone can't give — lag-k ACF conflates direct dependence with
+  // dependence routed through shorter lags; PACF removes it via the
+  // Durbin–Levinson recursion UNROLLED to closed forms over the standard
+  // ACF estimator (global mean, shared Σd² denominator — deliberately a
+  // DIFFERENT estimator from q_e18's per-slice Pearson, which is why both
+  // gates exist). Both engines compute the identical expression tree over
+  // the identical moments, so every r_k and φ_kk agrees to the harness's
+  // 1e-6. Degenerate probes ride the gate: user -1 (constant, Σd² = 0)
+  // must emit all-NULL, user -2 (single pair, r1 = -0.5 exactly, no
+  // lag-2/3 pairs) must emit NULL r2/r3/pacf2/pacf3 — NULL propagation
+  // through the recursion is itself on the gate.
+  private val qE24 = Q(
+    "q_e24_pacf",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(i + 1 AS DOUBLE)
+      |  FROM range(2) t(i)),
+      |c AS (
+      |  SELECT user_id, day,
+      |         daily_value - avg(daily_value) OVER (PARTITION BY user_id) AS d
+      |  FROM d),
+      |l AS (
+      |  SELECT user_id, d,
+      |         lag(d, 1) OVER (PARTITION BY user_id ORDER BY day) AS d1,
+      |         lag(d, 2) OVER (PARTITION BY user_id ORDER BY day) AS d2,
+      |         lag(d, 3) OVER (PARTITION BY user_id ORDER BY day) AS d3
+      |  FROM c),
+      |a AS (
+      |  SELECT user_id, CAST(count(*) AS INT) AS n_obs,
+      |         sum(d * d) AS ss, sum(d * d1) AS s1,
+      |         sum(d * d2) AS s2, sum(d * d3) AS s3
+      |  FROM l GROUP BY 1),
+      |r AS (
+      |  SELECT user_id, n_obs,
+      |         CASE WHEN ss > 0 THEN s1 / ss END AS r1,
+      |         CASE WHEN ss > 0 THEN s2 / ss END AS r2,
+      |         CASE WHEN ss > 0 THEN s3 / ss END AS r3
+      |  FROM a),
+      |p AS (
+      |  SELECT user_id, n_obs, r1, r2, r3,
+      |         CASE WHEN 1 - r1 * r1 <> 0
+      |              THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS p2
+      |  FROM r)
+      |SELECT user_id, n_obs, r1, r2, r3,
+      |       r1 AS pacf1, p2 AS pacf2,
+      |       CASE WHEN 1 - (r1 * (1 - p2)) * r1 - p2 * r2 <> 0
+      |            THEN (r3 - (r1 * (1 - p2)) * r2 - p2 * r1)
+      |                 / (1 - (r1 * (1 - p2)) * r1 - p2 * r2) END AS pacf3
+      |FROM p ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.operators.TimeSeries
+      .pacf(dailyWithProbes(s, dir, includeSinglePair = true),
+        "user_id", "day", "daily_value")
+      .orderBy("user_id")
+  }
+
   /** The per-user daily series with the degenerate synthetic probe users
     * unioned in (q_e18's hardening corpus): user -1 = 10-day constant,
     * user -2 = 2-day (1.0, 2.0).
@@ -1742,5 +1806,5 @@ object RelationalQueries extends QueryGroup {
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
-    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23)
+    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24)
 }
