@@ -58,4 +58,67 @@ object GraphStats {
         when(col("__vx") > 0 && col("__vy") > 0,
           col("__cov") / sqrt(col("__vx") * col("__vy"))).as("assortativity"))
   }
+
+  /** Newman modularity of a node partition (Newman & Girvan 2004): the
+    * community-QUALITY score the detection algorithms themselves don't
+    * give — how much denser the communities are than a degree-preserving
+    * random rewiring. Q = Σ_c [ e_c/m − (d_c/2m)² ] with e_c the
+    * intra-community edge count, d_c the community degree sum, m the
+    * undirected edge count.
+    *
+    * Everything up to the final expression is INTEGER arithmetic
+    * (Σe_c, Σd_c², m — no per-community float sums whose addition order
+    * could drift between engines); modularity forms once, in the
+    * projection, from three integers — bit-identical across engines.
+    * Output one row:
+    * `(n_nodes, n_edges, n_communities, intra_edges, sum_deg_sq,
+    * modularity)`.
+    *
+    * Shape: canonicalize + distinct (one shuffle), two broadcastable
+    * equi-joins against the |V|-row label frame to decorate edge
+    * endpoints, one degree hash-agg, one per-community hash-agg, then
+    * two single-row aggregates crossed with the broadcast-scalar idiom.
+    * PRECONDITION: `labels` covers every node in `edges` (detection
+    * output always does; an uncovered node would null its edges out of
+    * both numerators).
+    */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    val decorated = canon
+      .join(lab.select(col("__n").as("a"), col("__l").as("__la")), Seq("a"))
+      .join(lab.select(col("__n").as("b"), col("__l").as("__lb")), Seq("b"))
+    val edgeAgg = decorated.agg(
+      count(lit(1)).cast("bigint").as("n_edges"),
+      sum(when(col("__la") === col("__lb"), 1L).otherwise(0L))
+        .cast("bigint").as("intra_edges"))
+    val deg = canon.select(col("a").as("__n")).unionAll(canon.select(col("b").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__d"))
+    val commAgg = deg.join(lab, Seq("__n"))
+      .groupBy(col("__l"))
+      .agg(sum(col("__d")).as("__dc"), count(lit(1)).as("__nc"))
+      .agg(
+        sum(col("__nc")).cast("bigint").as("n_nodes"),
+        count(lit(1)).cast("bigint").as("n_communities"),
+        sum(col("__dc") * col("__dc")).cast("bigint").as("sum_deg_sq"))
+    edgeAgg
+      .crossJoin(broadcast(commAgg))
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_communities"),
+        col("intra_edges"), col("sum_deg_sq"),
+        (col("intra_edges").cast("double") / col("n_edges") -
+          col("sum_deg_sq").cast("double") /
+            (lit(4.0) * col("n_edges") * col("n_edges"))).as("modularity"))
+  }
 }

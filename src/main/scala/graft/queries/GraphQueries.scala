@@ -321,5 +321,68 @@ object GraphQueries extends QueryGroup {
       .orderBy("node")
   }
 
-  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8)
+  // Newman modularity of the q_g6 LPA communities (GraphStats.modularity)
+  // — grades community QUALITY, which the detection gate alone doesn't:
+  // q_g6 proves the engine lands on the same partition, this proves the
+  // partition is meaningfully denser than a degree-preserving random
+  // rewiring (and that both engines agree on HOW much). The oracle
+  // replays the full 3-round LPA unroll, then rebuilds Q from pure
+  // INTEGER aggregates (intra-edge count, Σ per-community degree², m);
+  // the one double expression forms from those three integers at the
+  // end, so the score is bit-identical — no per-community float sums
+  // whose addition order could drift.
+  private val qG9 = Q(
+    "q_g9_modularity",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ce AS (SELECT DISTINCT a.p AS a, b.p AS b
+      |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      |und AS (SELECT a AS node, b AS nbr FROM ce UNION ALL SELECT b, a FROM ce),
+      |l0 AS (SELECT DISTINCT node, node AS label FROM und),
+      |c1 AS (SELECT u.node, l.label, count(*) AS c
+      |       FROM und u JOIN l0 l ON u.nbr = l.node GROUP BY 1, 2),
+      |l1 AS (SELECT node, label FROM (
+      |         SELECT node, label,
+      |                row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+      |         FROM c1) WHERE rn = 1),
+      |c2 AS (SELECT u.node, l.label, count(*) AS c
+      |       FROM und u JOIN l1 l ON u.nbr = l.node GROUP BY 1, 2),
+      |l2 AS (SELECT node, label FROM (
+      |         SELECT node, label,
+      |                row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+      |         FROM c2) WHERE rn = 1),
+      |c3 AS (SELECT u.node, l.label, count(*) AS c
+      |       FROM und u JOIN l2 l ON u.nbr = l.node GROUP BY 1, 2),
+      |l3 AS (SELECT node, label FROM (
+      |         SELECT node, label,
+      |                row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+      |         FROM c3) WHERE rn = 1),
+      |e2 AS (SELECT la.label AS la, lb.label AS lb FROM ce
+      |       JOIN l3 la ON ce.a = la.node JOIN l3 lb ON ce.b = lb.node),
+      |ea AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |              CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+      |       FROM e2),
+      |deg AS (SELECT n, count(*) AS d FROM
+      |          (SELECT a AS n FROM ce UNION ALL SELECT b FROM ce) GROUP BY 1),
+      |cd AS (SELECT l.label, sum(d) AS dc, count(*) AS nc
+      |       FROM deg JOIN l3 l ON deg.n = l.node GROUP BY 1),
+      |ca AS (SELECT CAST(sum(nc) AS BIGINT) AS n_nodes,
+      |              CAST(count(*) AS BIGINT) AS n_communities,
+      |              CAST(sum(dc * dc) AS BIGINT) AS sum_deg_sq
+      |       FROM cd)
+      |SELECT n_nodes, n_edges, n_communities, intra_edges, sum_deg_sq,
+      |       CAST(intra_edges AS DOUBLE) / n_edges
+      |       - CAST(sum_deg_sq AS DOUBLE) / (4.0 * n_edges * n_edges) AS modularity
+      |FROM ea CROSS JOIN ca""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val edges = items.select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
+    graft.operators.GraphStats.modularity(
+      edges, "a", "b", communities, "node", "community")
+  }
+
+  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9)
 }
