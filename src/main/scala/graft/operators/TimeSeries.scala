@@ -511,6 +511,66 @@ object TimeSeries {
     * pre-aggregated to its grain upstream, so this touches only the
     * small series frame.
     */
+  /** Classical additive seasonal decomposition (the moving-average
+    * ancestor of STL): x = trend + seasonal + residual at a fixed odd
+    * `period` (default 7 = weekly at daily grain).
+    *
+    *   - trend = CENTERED period-width moving average, emitted only for
+    *     FULL windows (edges are NULL by contract — a shrinking-window
+    *     average would bend the trend toward the series ends);
+    *   - seasonal = per-(key, position-in-period) mean of the detrended
+    *     series, then CENTERED per key (Σ over positions = 0) so level
+    *     lives in the trend, not the seasonal;
+    *   - residual = x − trend − seasonal (NULL wherever trend is NULL).
+    *
+    * Position-in-period is `(days since epoch) mod period` — explicitly,
+    * because the engines disagree on day-of-week numbering (Spark
+    * Sunday=1, DuckDB Sunday=0).
+    *
+    * Scale shape: one centered window + one (key, pos) hash agg + one
+    * per-key centering window over the ≤period-row seasonal frame + one
+    * broadcastable join back. Degenerate keys behave by construction: a
+    * constant series decomposes to (x, 0, 0); a series shorter than
+    * `period` has all-NULL trend, hence all-NULL seasonal/residual.
+    */
+  def decomposeAdditive(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1, "period must be odd and >= 3")
+    val half = (period - 1) / 2
+    val wTrend = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-half, half)
+    val x = col(valueCol).cast("double")
+    val epoch = java.sql.Date.valueOf("1970-01-01")
+    val based = series.select(
+      col(keyCol),
+      col(orderCol),
+      x.as("value"),
+      pmod(datediff(col(orderCol), lit(epoch)), lit(period)).as("pos"))
+    val trended = based
+      .withColumn("trend",
+        when(count(lit(1)).over(wTrend) === period, avg(col("value")).over(wTrend)))
+      .withColumn("__detr", col("value") - col("trend"))
+    val wKey = Window.partitionBy(keyCol)
+    val seasonal = trended
+      .groupBy(col(keyCol), col("pos"))
+      .agg(avg(col("__detr")).as("__s"))
+      .withColumn("seasonal", col("__s") - avg(col("__s")).over(wKey))
+      .select(col(keyCol), col("pos"), col("seasonal"))
+    trended
+      .join(seasonal, Seq(keyCol, "pos"))
+      .select(
+        col(keyCol),
+        col(orderCol),
+        col("value"),
+        col("trend"),
+        col("seasonal"),
+        (col("value") - col("trend") - col("seasonal")).as("residual"))
+  }
+
   def pacf(
       series: DataFrame,
       keyCol: String,

@@ -1773,6 +1773,55 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  // Classical additive seasonal decomposition (TimeSeries.decomposeAdditive)
+  // at period 7: x = trend + seasonal + residual — trend is the CENTERED
+  // 7-row moving average (full windows only, NULL edges by contract),
+  // seasonal the per-(key, pos) mean of the detrended series centered per
+  // key to Σ=0, residual the remainder. Position-in-period is
+  // (days-since-epoch) mod 7, explicit in BOTH engines because their
+  // day-of-week numberings disagree (Spark Sunday=1, DuckDB Sunday=0).
+  // Probes on the gate: constant user -1 decomposes to exactly (5, 0, 0)
+  // over its full-window interior; 2-day user -2 has all-NULL trend so
+  // NULL must propagate through seasonal and residual identically.
+  private val qE25 = Q(
+    "q_e25_seasonal_decompose",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(i + 1 AS DOUBLE)
+      |  FROM range(2) t(i)),
+      |b AS (
+      |  SELECT user_id, day, daily_value AS value,
+      |         CAST((CAST(day AS DATE) - DATE '1970-01-01') % 7 AS INT) AS pos
+      |  FROM d),
+      |t AS (
+      |  SELECT user_id, day, value, pos,
+      |         CASE WHEN count(*) OVER w = 7 THEN avg(value) OVER w END AS trend
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |t2 AS (SELECT user_id, day, value, pos, trend, value - trend AS detr FROM t),
+      |s0 AS (SELECT user_id, pos, avg(detr) AS s FROM t2 GROUP BY 1, 2),
+      |s AS (SELECT user_id, pos,
+      |             s - avg(s) OVER (PARTITION BY user_id) AS seasonal
+      |      FROM s0)
+      |SELECT t2.user_id, t2.day, t2.value, t2.trend, s.seasonal,
+      |       t2.value - t2.trend - s.seasonal AS residual
+      |FROM t2 JOIN s ON t2.user_id = s.user_id AND t2.pos = s.pos
+      |ORDER BY t2.user_id, t2.day""".stripMargin) { (s, dir) =>
+    graft.operators.TimeSeries
+      .decomposeAdditive(dailyWithProbes(s, dir, includeSinglePair = true),
+        "user_id", "day", "daily_value", period = 7)
+      .orderBy("user_id", "day")
+  }
+
   /** The per-user daily series with the degenerate synthetic probe users
     * unioned in (q_e18's hardening corpus): user -1 = 10-day constant,
     * user -2 = 2-day (1.0, 2.0).
@@ -1806,5 +1855,5 @@ object RelationalQueries extends QueryGroup {
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
-    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24)
+    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25)
 }

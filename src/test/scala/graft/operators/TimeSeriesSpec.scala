@@ -254,4 +254,69 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.hampelOutliers(series, "k", "t", "v", windowSize = 4)
     }
   }
+
+  test("pacf: hand-computed Durbin-Levinson on [1,2,3,4]") {
+    val series = (1 to 4).map(t => (1L, t, t.toDouble)).toDF("k", "t", "v")
+    val got = TimeSeries.pacf(series, "k", "t", "v").collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getInt(1) === 4)
+    // d = [-1.5,-0.5,0.5,1.5], ss = 5, s1 = 1.25, s2 = -1.5, s3 = -2.25
+    assert(math.abs(r.getDouble(2) - 0.25) < 1e-12) // r1
+    assert(math.abs(r.getDouble(3) + 0.30) < 1e-12) // r2
+    assert(math.abs(r.getDouble(4) + 0.45) < 1e-12) // r3
+    assert(math.abs(r.getDouble(5) - 0.25) < 1e-12) // pacf1 = r1
+    val p2 = (-0.30 - 0.0625) / (1 - 0.0625)
+    assert(math.abs(r.getDouble(6) - p2) < 1e-12)
+    val p21 = 0.25 * (1 - p2)
+    val p3 = (-0.45 - p21 * -0.30 - p2 * 0.25) / (1 - p21 * 0.25 - p2 * -0.30)
+    assert(math.abs(r.getDouble(7) - p3) < 1e-12)
+  }
+
+  test("pacf: zero r1 routes pacf2 = r2; constant series is all NULL") {
+    // x = [1,2,3]: d = [-1,0,1], ss = 2, s1 = 0 → r1 = 0, pacf2 = r2 = -0.5
+    val lin = (1 to 3).map(t => (1L, t, t.toDouble)).toDF("k", "t", "v")
+    val g1 = TimeSeries.pacf(lin, "k", "t", "v").collect()(0)
+    assert(g1.getDouble(2) === 0.0)
+    assert(math.abs(g1.getDouble(6) + 0.5) < 1e-12)
+    val const = (1 to 5).map(t => (1L, t, 3.0)).toDF("k", "t", "v")
+    val g2 = TimeSeries.pacf(const, "k", "t", "v").collect()(0)
+    (2 to 7).foreach(i => assert(g2.isNullAt(i), s"col $i must be NULL on a constant series"))
+  }
+
+  test("decompose: linear series has zero seasonal and residual on the interior") {
+    val days = (1 to 14).map(i => (1L, ts(f"2024-01-$i%02d 00:00:00"), i.toDouble))
+    val got = TimeSeries.decomposeAdditive(days.toDF("k", "day", "v"), "k", "day", "v")
+      .orderBy("day").collect()
+    assert(got.length === 14)
+    // edges: first and last 3 rows have NULL trend → NULL residual
+    (0 to 2).foreach(i => assert(got(i).isNullAt(3) && got(i).isNullAt(5)))
+    (11 to 13).foreach(i => assert(got(i).isNullAt(3) && got(i).isNullAt(5)))
+    // interior: centered MA of a linear series is the value itself
+    (3 to 10).foreach { i =>
+      assert(math.abs(got(i).getDouble(3) - got(i).getDouble(2)) < 1e-9, s"trend@$i")
+      assert(math.abs(got(i).getDouble(4)) < 1e-9, s"seasonal@$i")
+      assert(math.abs(got(i).getDouble(5)) < 1e-9, s"residual@$i")
+    }
+  }
+
+  test("decompose: constant series → (x, 0, 0); short series stays NULL; period validated") {
+    val const = (1 to 10).map(i => (1L, ts(f"2024-02-$i%02d 00:00:00"), 5.0))
+    val short = (1 to 2).map(i => (2L, ts(f"2024-02-$i%02d 00:00:00"), i.toDouble))
+    val got = TimeSeries.decomposeAdditive((const ++ short).toDF("k", "day", "v"), "k", "day", "v")
+      .orderBy("k", "day").collect()
+    val interior = got.filter(r => r.getLong(0) == 1L && !r.isNullAt(3))
+    assert(interior.length === 4)
+    interior.foreach { r =>
+      assert(r.getDouble(3) === 5.0 && math.abs(r.getDouble(4)) < 1e-12 &&
+        math.abs(r.getDouble(5)) < 1e-12)
+    }
+    got.filter(_.getLong(0) == 2L).foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+        "a series shorter than the period has no trend, seasonal, or residual")
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.decomposeAdditive(const.toDF("k", "day", "v"), "k", "day", "v", period = 6)
+    }
+  }
 }
