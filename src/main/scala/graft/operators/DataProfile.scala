@@ -241,6 +241,45 @@ object DataProfile {
           (col("nx").cast("double") * col("ny")))).as("mi_term"))
   }
 
+  /** Cramér's V — the [0,1]-normalized effect size over
+    * [[contingencyStats]]'s χ²: V = √(χ² / (n·min(r−1, c−1))), the
+    * scale-free "how dependent are these two categoricals" number that
+    * raw χ² (which grows with n) can't give. One summary row:
+    * `(n, x_cats, y_cats, dof, chi2, cramers_v)` with
+    * dof = (r−1)(c−1).
+    *
+    * EMPTY cells matter: [[contingencyStats]] emits only observed cells,
+    * but an (x, y) combination with obs = 0 still contributes
+    * (0 − e)²/e = e to χ² — a perfectly-associated 2×2 table is HALF
+    * empty and would otherwise score V = 1/√2, not 1. Rather than
+    * materializing the full cross product, the correction uses the
+    * identity Σ_all-cells e = n: χ² = Σ_observed term + (n − Σ_observed
+    * e). V is NULL for a degenerate table (either dimension constant:
+    * min(r−1, c−1) = 0 — division guarded in the projection, the q_e18
+    * ANSI discipline). Cost after the first aggregate is O(cells),
+    * nothing scales with row count.
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val minSide = least(col("x_cats"), col("y_cats")) - 1
+    contingencyStats(df, xCol, yCol)
+      .agg(
+        sum("obs").cast("bigint").as("n"),
+        count_distinct(col("x")).cast("bigint").as("x_cats"),
+        count_distinct(col("y")).cast("bigint").as("y_cats"),
+        sum("chi2_term").as("__chi2_obs"),
+        sum("expected").as("__e_obs"))
+      .select(
+        col("n"), col("x_cats"), col("y_cats"),
+        ((col("x_cats") - 1) * (col("y_cats") - 1)).cast("bigint").as("dof"),
+        (col("__chi2_obs") + (col("n").cast("double") - col("__e_obs"))).as("chi2"),
+        // greatest(0, ·): a fully-covered table's correction is n − Σe ≈ 0
+        // and can land at −1e-13 in floats — sqrt must never see it
+        when(minSide > 0,
+          sqrt(greatest(lit(0.0),
+            col("__chi2_obs") + (col("n").cast("double") - col("__e_obs"))) /
+            (col("n").cast("double") * minSide))).as("cramers_v"))
+  }
+
   /** Population Stability Index of `valueCol` between a baseline slice
     * and an actual slice — THE standard drift score for feature/corpus
     * monitoring: bin by the BASELINE's equi-depth boundaries, then

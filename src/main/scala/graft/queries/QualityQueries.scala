@@ -576,6 +576,51 @@ object QualityQueries extends QueryGroup {
     DataProfile.contingencyStats(banded, "x", "y").orderBy("x", "y")
   }
 
+  // Cramér's V (DataProfile.cramersV): the [0,1] effect size over
+  // q_q12's χ² — raw χ² grows with n, V normalizes by n·min(r−1,c−1)
+  // so drift monitors can threshold it. Summed from the identical
+  // per-cell chi2_term expressions both engines already hash-match on
+  // q_q12; the degenerate-table NULL (either dimension constant) is
+  // spec-covered.
+  private val qQ14 = Q(
+    "q_q14_cramers_v",
+    """WITH b AS (
+      |  SELECT event_type AS x,
+      |         CASE WHEN value < 50 THEN 'v0' WHEN value < 100 THEN 'v1'
+      |              WHEN value < 200 THEN 'v2' ELSE 'v3' END AS y
+      |  FROM events),
+      |c AS (SELECT x, y, count(*) AS obs FROM b GROUP BY 1, 2),
+      |m AS (SELECT x, y, obs,
+      |             sum(obs) OVER (PARTITION BY x) AS nx,
+      |             sum(obs) OVER (PARTITION BY y) AS ny,
+      |             sum(obs) OVER () AS n
+      |      FROM c),
+      |t AS (SELECT x, y, obs,
+      |             CAST(nx * ny AS DOUBLE) / n AS expected,
+      |             (obs - CAST(nx * ny AS DOUBLE) / n) * (obs - CAST(nx * ny AS DOUBLE) / n)
+      |               / (CAST(nx * ny AS DOUBLE) / n) AS chi2_term
+      |      FROM m),
+      |a AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+      |             CAST(count(DISTINCT x) AS BIGINT) AS x_cats,
+      |             CAST(count(DISTINCT y) AS BIGINT) AS y_cats,
+      |             sum(chi2_term) AS chi2_obs,
+      |             sum(expected) AS e_obs
+      |      FROM t)
+      |SELECT n, x_cats, y_cats,
+      |       CAST((x_cats - 1) * (y_cats - 1) AS BIGINT) AS dof,
+      |       chi2_obs + (CAST(n AS DOUBLE) - e_obs) AS chi2,
+      |       CASE WHEN least(x_cats, y_cats) - 1 > 0
+      |            THEN sqrt(greatest(0.0, chi2_obs + (CAST(n AS DOUBLE) - e_obs))
+      |                      / (CAST(n AS DOUBLE) * (least(x_cats, y_cats) - 1))) END
+      |         AS cramers_v
+      |FROM a""".stripMargin) { (s, dir) =>
+    val banded = Tables.load(s, dir, "events").select(
+      col("event_type").as("x"),
+      when(col("value") < 50, "v0").when(col("value") < 100, "v1")
+        .when(col("value") < 200, "v2").otherwise("v3").as("y"))
+    DataProfile.cramersV(banded, "x", "y")
+  }
+
   // Count-min sketch: the fixed-memory frequency structure — depth×width
   // salted-md5 counter matrix, point estimate = min over depth cells,
   // never below the true count. 1500 distinct custkeys into width 256
@@ -652,5 +697,5 @@ object QualityQueries extends QueryGroup {
 
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11, qA13, qQ12, qA15, qQ13)
+      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14)
 }

@@ -77,6 +77,24 @@ class DataProfileSpec extends SparkSpec {
     assert(got.getDouble(2) === 0.5 && got.getDouble(3) === 1.0)
   }
 
+  test("cramersV: perfect association = 1; independence = 0; degenerate table NULL") {
+    import spark.implicits._
+    // perfect 2x2 association: chi2 = n·min(r-1,c-1) → V = 1
+    val perfect = (Seq.fill(5)(("a", "1")) ++ Seq.fill(5)(("b", "2"))).toDF("x", "y")
+    val p = DataProfile.cramersV(perfect, "x", "y").collect()(0)
+    assert(p.getLong(0) === 10 && p.getLong(3) === 1)
+    assert(math.abs(p.getDouble(5) - 1.0) < 1e-12)
+    // exact independence: every (x, y) cell equally filled → chi2 = 0 → V = 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("1", "2"); _ <- 1 to 3 }
+      yield (x, y)).toDF("x", "y")
+    val i = DataProfile.cramersV(indep, "x", "y").collect()(0)
+    assert(math.abs(i.getDouble(4)) < 1e-12 && math.abs(i.getDouble(5)) < 1e-12)
+    // one-category dimension: min(r-1, c-1) = 0 → V undefined, never ±inf
+    val degen = Seq(("a", "1"), ("b", "1"), ("a", "1")).toDF("x", "y")
+    val d = DataProfile.cramersV(degen, "x", "y").collect()(0)
+    assert(d.getLong(3) === 0 && d.isNullAt(5))
+  }
+
   test("ksTwoSample: identical samples give D = 0; other groups ignored") {
     import spark.implicits._
     val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0),
