@@ -49,4 +49,41 @@ object TokenStats {
         coalesce(col("__nd"), lit(0)).as("n_distinct"),
         coalesce(col("__h"), lit(0.0)).as("token_entropy"))
   }
+
+  /** Zipf power-law fit of the corpus term-frequency distribution: OLS of
+    * ln(freq) on ln(rank) over the `topN` most frequent terms — the
+    * corpus-health fingerprint (natural language sits near slope −1;
+    * template/boilerplate corpora flatten, spam steepens). Rank is
+    * `row_number` on (freq DESC, term ASC) — the deterministic tie-break
+    * every ranked gate here uses. One summary row:
+    * `(n_terms, slope, intercept, r2)` via [[TimeSeries.trendSlope]]'s
+    * guarded-projection moments (fewer than 2 usable terms → NULLs).
+    *
+    * Scale shape: explode → one term hash-agg; the rank window is
+    * GLOBAL, but over the already-reduced VOCABULARY frame (token types,
+    * not tokens — bounded far below row count), and only topN rows
+    * survive into the O(topN) moment aggregate.
+    */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      topN: Int = 200): DataFrame = {
+    require(topN >= 2, "topN must be >= 2")
+    val freq = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__f"))
+    val ranked = freq
+      .select(col("__f"),
+        row_number().over(Window.orderBy(col("__f").desc, col("__t"))).as("__r"))
+      .where(col("__r") <= topN)
+    val pts = ranked.select(
+      lit(1).as("__k"),
+      log(col("__r").cast("double")).as("__x"),
+      log(col("__f").cast("double")).as("__y"))
+    TimeSeries.trendSlope(pts, "__k", "__x", "__y")
+      .select(
+        col("n_points").as("n_terms"),
+        col("slope"), col("intercept"), col("r2"))
+  }
 }

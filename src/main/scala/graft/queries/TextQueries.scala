@@ -651,7 +651,37 @@ object TextQueries extends QueryGroup {
     }
   }
 
+  // Zipf power-law fit (TokenStats.zipfFit): OLS of ln(freq) on ln(rank)
+  // over the top-200 corpus terms — the corpus-health fingerprint
+  // (natural language ≈ slope −1; boilerplate flattens, spam steepens).
+  // Rank ties break on (freq DESC, term ASC) in both engines; the OLS
+  // moments replay q_e21's guarded-projection discipline in SQL.
+  private val qT19 = Q(
+    "q_t19_zipf_fit",
+    """WITH t AS (
+      |  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |terms AS (SELECT unnest(tk) AS term FROM t),
+      |f AS (SELECT term, count(*) AS freq FROM terms GROUP BY 1),
+      |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+      |      FROM f),
+      |p AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+      |      FROM r WHERE rank <= 200),
+      |m AS (SELECT CAST(count(*) AS INT) AS n_terms,
+      |             covar_samp(x, y) AS cov, var_samp(x) AS vx, var_samp(y) AS vy,
+      |             avg(x) AS mx, avg(y) AS my
+      |      FROM p)
+      |SELECT n_terms,
+      |       CASE WHEN vx > 0 THEN cov / vx END AS slope,
+      |       CASE WHEN vx > 0 THEN my - cov / vx * mx END AS intercept,
+      |       CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END AS r2
+      |FROM m""".stripMargin) { (s, dir) =>
+    graft.operators.TokenStats.zipfFit(
+      Tables.load(s, dir, "documents"), "text", topN = 200)
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16, qT17, qT18)
+      qT14, qT15, qT16, qT17, qT18, qT19)
 }
