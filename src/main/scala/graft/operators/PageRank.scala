@@ -87,4 +87,66 @@ object PageRank {
       out
     } else rank
   }
+
+  /** Personalized PageRank: teleport (and dangling) mass returns to the
+    * `seeds` uniformly instead of to all nodes — relevance RELATIVE TO a
+    * seed set (the graph-feature primitive behind "similar entities to
+    * these" retrieval), where global PageRank is seed-blind. Same fixed-
+    * iteration, plan-only loop as [[run]]; the teleport vector is a
+    * scan-side `isin` expression on the literal seed list (no extra join,
+    * seeds are a query parameter, not data). Ranks sum to 1; nodes
+    * unreachable from the seeds converge to 0.
+    */
+  def personalized(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      iterations: Int,
+      damping: Double = 0.85,
+      materializeEdges: Boolean = true): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    require(seeds.nonEmpty, "need at least one seed node")
+    val e = if (materializeEdges) edges.localCheckpoint(true) else edges
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    def tele = when(col("node").isin(seeds: _*), lit(1.0 / seeds.size))
+      .otherwise(lit(0.0))
+    val outW = e.groupBy("src").agg(sum("weight").as("out_w"))
+    val trans = e
+      .join(outW, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("p"))
+
+    import org.apache.spark.sql.graft.bridge
+    var rank = nodes.select(col("node"), tele.as("rank"))
+    var rankCkpt: DataFrame = null
+    for (it <- 1 to iterations) {
+      val inSum = trans
+        .join(rank.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("rank")).as("in_sum"))
+      val dangling = rank
+        .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      rank = nodes
+        .join(inSum, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(
+          col("node"),
+          (lit(1 - damping) * tele +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + col("dm") * tele))
+            .as("rank"))
+      if (it % 10 == 0) {
+        val next = rank.localCheckpoint(true)
+        if (rankCkpt != null) bridge.freeLocalCheckpoint(rankCkpt)
+        rankCkpt = next
+        rank = next
+      }
+    }
+    if (materializeEdges) {
+      val out = rank.localCheckpoint(true)
+      bridge.freeLocalCheckpoint(e)
+      if (rankCkpt != null && (rankCkpt ne out)) bridge.freeLocalCheckpoint(rankCkpt)
+      out
+    } else rank
+  }
 }

@@ -85,6 +85,65 @@ object GraphQueries extends QueryGroup {
       .orderBy("n_name")
   }
 
+  // Personalized PageRank (PageRank.personalized) over the same trade
+  // graph, seeded on nations {7, 19}: teleport AND dangling mass return
+  // to the seed set uniformly, so ranks measure relevance RELATIVE TO
+  // the seeds — the "entities similar to these" graph feature global
+  // PageRank (q_g1) cannot express. The teleport vector is a scan-side
+  // literal-IN expression in both engines (a query parameter, not a
+  // join); the oracle unrolls the same 3 iterations with the identical
+  // update expression, dangling redistribution multiplied by the
+  // teleport instead of divided by n.
+  private val pprIter = Seq(1, 2, 3).map { i =>
+    s"""r$i AS (
+       |  SELECT nd.node,
+       |         (1 - 0.85) * t.t + 0.85 * (coalesce(i.in_sum, 0) + dgl.dm * t.t) AS rank
+       |  FROM nodes nd JOIN tele t ON nd.node = t.node
+       |  LEFT JOIN (SELECT p.dst AS node, sum(p.p * r.rank) AS in_sum
+       |             FROM p JOIN r${i - 1} r ON p.src = r.node GROUP BY p.dst) i
+       |    ON nd.node = i.node
+       |  CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS dm
+       |              FROM r${i - 1} r LEFT JOIN ow ON r.node = ow.src
+       |              WHERE ow.src IS NULL) dgl)""".stripMargin
+  }.mkString(",\n")
+
+  private val qG10 = Q(
+    "q_g10_personalized_pagerank",
+    s"""WITH e AS (
+      |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+      |         CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+      |p AS (SELECT src, dst, w / out_w AS p FROM e JOIN ow USING (src)),
+      |tele AS (SELECT node, CASE WHEN node IN (7, 19) THEN 0.5 ELSE 0.0 END AS t
+      |         FROM nodes),
+      |r0 AS (SELECT node, t AS rank FROM tele),
+      |$pprIter
+      |SELECT n.n_name, CAST(r3.node AS INT) AS nationkey, r3.rank
+      |FROM r3 JOIN nation n ON r3.node = n.n_nationkey
+      |ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+    val edges = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    PageRank.personalized(edges, seeds = Seq(7L, 19L), iterations = 3, damping = 0.85)
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("node").cast("int").as("nationkey"), col("rank"))
+      .orderBy("n_name")
+  }
+
   // Market-basket co-occurrence: the 15 part pairs most often ordered
   // together (basket = order), decorated with lift over independence.
   // The engine cuts to k with TakeOrderedAndProject BEFORE the lift
@@ -384,5 +443,5 @@ object GraphQueries extends QueryGroup {
       edges, "a", "b", communities, "node", "community")
   }
 
-  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9)
+  override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10)
 }
