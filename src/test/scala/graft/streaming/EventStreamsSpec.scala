@@ -20,6 +20,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("Tables.readStream serves events directly (normalized ts, batch-equal counts)") {
+    // the NANOS-era refusal is gone: the catalog's own file stream must
+    // yield the same per-type counts and epoch-micros bounds as the
+    // batch read, with ts arriving as a proper TimestampType
+    val s = EventStreams.streamSession(spark, 8)
+    val streamed = EventStreams.runToTable(
+      s,
+      Tables.readStream(s, sf(), "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          min(unix_micros(col("ts"))).as("min_us"),
+          max(unix_micros(col("ts"))).as("max_us")),
+      s"stream_events_direct_${System.nanoTime()}",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val batch = Tables.load(spark, sf(), "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        min(unix_micros(col("ts"))).as("min_us"),
+        max(unix_micros(col("ts"))).as("max_us"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("streaming sessionizer (AvailableNow) equals the batch lag-window twin") {
     val streamed = EventStreams.sessionCountsAvailableNow(spark, sf())
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
