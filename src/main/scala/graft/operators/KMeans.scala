@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-iteration Lloyd k-means over an embedding column —
+  * the corpus-structuring primitive behind cluster-based curation
+  * (SemDeDup-style semantic dedup, cluster-balanced sampling, diversity
+  * quotas). Spark's MLlib KMeans is k-means||-seeded (randomized) and
+  * cannot be oracle-gated; this variant pins every source of
+  * nondeterminism:
+  *
+  *   - seeds = the embeddings of the k SMALLEST ids (arrival-order-free);
+  *   - assignment = argmin of squared L2 distance with the distance
+  *     ROUNDED to 6 decimals and ties broken on the smaller cluster
+  *     index (raw-double argmin would let last-bit summation noise flip
+  *     a near-tie between engines — the q_e19 discipline);
+  *   - means = per-dimension EXACT-DECIMAL sums divided by counts (the
+  *     q_v7 centroid idiom: cross-row float sums are order-dependent in
+  *     IEEE; a DECIMAL sum is exact under any partitioning, so the new
+  *     centroids are bit-identical in any engine).
+  *
+  * Scale shape per iteration: one crossJoin against the BROADCAST k-row
+  * centroid frame with a codegen'd zip_with/aggregate distance (no UDF),
+  * one min_by hash agg for assignment, one posexplode + (cluster, dim)
+  * hash agg for the new means — work is O(n·k·dim) scan-side compute,
+  * shuffles only the (cluster, dim) frame. The driver loop only builds
+  * the plan; k and `iterations` are fixed query parameters.
+  */
+object KMeans {
+
+  /** Final assignment after `iterations` Lloyd rounds:
+    * `(idCol, cluster, dist2)` — `dist2` the squared L2 distance to the
+    * final centroid set. `iterations` counts ASSIGNMENT passes: means
+    * recompute between passes, not after the last.
+    */
+  def assign(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iterations >= 1, "iterations must be >= 1")
+    val v = vecs.select(
+      col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    var centroids = v.orderBy("__id").limit(k)
+      .select(
+        (row_number().over(Window.orderBy("__id")) - 1).as("__c"),
+        col("__v").as("__cv"))
+    var assigned: DataFrame = null
+    for (it <- 1 to iterations) {
+      val dists = v.crossJoin(broadcast(centroids))
+        .withColumn("__d",
+          aggregate(
+            zip_with(col("__v"), col("__cv"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+      assigned = dists
+        .groupBy(col("__id"))
+        .agg(min_by(
+          struct(col("__c"), col("__v"), col("__d")),
+          struct(round(col("__d"), 6).as("d6"), col("__c"))).as("__best"))
+        .select(
+          col("__id"),
+          col("__best.__c").as("__c"),
+          col("__best.__v").as("__v"),
+          col("__best.__d").as("__d"))
+      if (it < iterations) {
+        centroids = assigned
+          .select(col("__c"), posexplode(col("__v")).as(Seq("__p", "__x")))
+          .groupBy(col("__c"), col("__p"))
+          .agg((sum(col("__x").cast("decimal(20,10)")).cast("double") /
+            count(lit(1))).as("__m"))
+          .groupBy(col("__c"))
+          .agg(sort_array(collect_list(struct(col("__p"), col("__m")))).as("__pm"))
+          .select(
+            col("__c"),
+            transform(col("__pm"), s => s.getField("__m")).as("__cv"))
+      }
+    }
+    assigned.select(
+      col("__id").as(idCol),
+      col("__c").cast("int").as("cluster"),
+      col("__d").as("dist2"))
+  }
+
+  /** Per-cluster summary of [[assign]]: `(cluster, n_vecs, inertia)` —
+    * the convergence/quality scoreboard (inertia = Σ dist2).
+    */
+  def clusterSummary(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): DataFrame =
+    assign(vecs, idCol, vecCol, k, iterations)
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).cast("int").as("n_vecs"),
+        sum(col("dist2")).as("inertia"))
+      .orderBy("cluster")
+}

@@ -286,6 +286,47 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("label", "pos")
   }
 
+  // Deterministic fixed-iteration Lloyd k-means (KMeans.clusterSummary):
+  // the corpus-structuring primitive behind cluster-based curation that
+  // MLlib's k-means|| (randomized seeding) can't oracle-gate. Every
+  // nondeterminism source is pinned: seeds = embeddings of the k
+  // smallest ids; argmin on distance ROUNDED to 6 decimals with ties to
+  // the smaller cluster (q_e19 discipline — raw-double argmin lets
+  // last-bit summation noise flip near-ties between engines); new means
+  // via the q_v7 exact-DECIMAL sum. The oracle unrolls both Lloyd
+  // rounds as CTEs over the per-dimension exploded frame.
+  private val qV14 = Q(
+    "q_v14_kmeans",
+    """WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+      |seeds AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, emb
+      |          FROM (SELECT id, emb FROM v ORDER BY id LIMIT 8)),
+      |c0 AS (SELECT c, i AS p, CAST(emb[i] AS DOUBLE) AS m
+      |       FROM seeds, range(1, 65) t(i)),
+      |vd AS (SELECT id, i AS p, CAST(emb[i] AS DOUBLE) AS x
+      |       FROM v, range(1, 65) t(i)),
+      |d1 AS (SELECT vd.id, c0.c, sum((vd.x - c0.m) * (vd.x - c0.m)) AS d
+      |       FROM vd JOIN c0 ON vd.p = c0.p GROUP BY 1, 2),
+      |a1 AS (SELECT id, c FROM (
+      |         SELECT id, c, row_number() OVER (
+      |           PARTITION BY id ORDER BY round(d, 6), c) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.c, vd.p,
+      |              CAST(sum(CAST(vd.x AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS m
+      |       FROM a1 JOIN vd ON a1.id = vd.id GROUP BY 1, 2),
+      |d2 AS (SELECT vd.id, c1.c, sum((vd.x - c1.m) * (vd.x - c1.m)) AS d
+      |       FROM vd JOIN c1 ON vd.p = c1.p GROUP BY 1, 2),
+      |a2 AS (SELECT id, c, d FROM (
+      |         SELECT id, c, d, row_number() OVER (
+      |           PARTITION BY id ORDER BY round(d, 6), c) AS rn
+      |         FROM d2) WHERE rn = 1)
+      |SELECT CAST(c AS INT) AS cluster, CAST(count(*) AS INT) AS n_vecs,
+      |       sum(d) AS inertia
+      |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.KMeans.clusterSummary(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iterations = 2)
+  }
+
   // Persisted-index ANN: the IVF index is fit and WRITTEN to a scratch
   // path (centroids table + cell-partitioned assignments), reloaded, and
   // queried with no corpus frame and no fit parameters in scope — a
@@ -389,5 +430,6 @@ object SimilarityQueries extends QueryGroup {
   }
 
   override val all: Seq[Q] =
-    Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13)
+    Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13,
+      qV14)
 }
