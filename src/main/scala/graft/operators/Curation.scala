@@ -332,4 +332,32 @@ object Curation {
       groupCol, k)
       .select(col(groupCol), col("neighbor_id").as(idCol),
         col("cosine").as(scoreCol), col("rank"))
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus unigram LM ([[UnigramLm.meanLogProb]]) and split into
+    * `nBuckets` equal-count quality tiers by rank — bucket 1 = most
+    * fluent (highest mean log-prob ≈ lowest perplexity), the head/
+    * middle/tail cut CCNet trains on. Ranking compares the score ROUNDED
+    * to 6 decimals with id ties (the q_e19 argmax discipline: raw-double
+    * ordering lets last-bit noise flip a boundary doc between engines).
+    *
+    * Output: `(idCol, n_tokens, mean_logprob, bucket)`.
+    *
+    * Scale note: `ntile` is a GLOBAL window — a single-task sort over
+    * the one-row-per-document score frame. That is CCNet's own shape (it
+    * sorts the corpus by perplexity once), fine up to ~10⁸ docs; beyond
+    * that, cut at score thresholds from approx percentiles instead and
+    * accept the approximate tier boundary.
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    UnigramLm.meanLogProb(docs, idCol, textCol)
+      .withColumn("bucket",
+        ntile(nBuckets).over(
+          Window.orderBy(round(col("mean_logprob"), 6).desc, col(idCol))))
+  }
 }

@@ -254,6 +254,38 @@ object CurationQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // CCNet-style perplexity bucketing (Curation.perplexityBuckets):
+  // every doc scored by the corpus unigram LM (q_t8's exact Laplace
+  // form), then cut into 3 equal-count quality tiers by rank — bucket 1
+  // = most fluent, the head/middle/tail split CCNet trains on. The rank
+  // compares round(score, 6) with doc_id ties so a boundary doc cannot
+  // flip buckets on last-bit float noise; every doc's tier is on the
+  // gate, not just the counts.
+  private val qC12 = Q(
+    "q_c12_perplexity_buckets",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |terms AS (SELECT doc_id, unnest(tk) AS term FROM t),
+      |counts AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+      |totals AS (SELECT sum(c) AS tt, count(*) AS v FROM counts),
+      |s AS (SELECT doc_id,
+      |             CAST(count(*) AS INT) AS n_tokens,
+      |             avg(ln(CAST(c + 1 AS DOUBLE) / (tt + v))) AS mean_logprob
+      |      FROM terms JOIN counts USING (term) CROSS JOIN totals
+      |      GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, mean_logprob,
+      |       CAST(ntile(3) OVER (
+      |         ORDER BY round(mean_logprob, 6) DESC, doc_id) AS INT) AS bucket
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.perplexityBuckets(
+      Tables.load(s, dir, "documents"), "doc_id", "text", nBuckets = 3)
+      .select(col("doc_id"), col("n_tokens"), col("mean_logprob"),
+        col("bucket").cast("int").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   // DSIR importance resampling (Xie et al. 2023): keep the 50 raw docs
   // whose hashed-unigram features are most target-like, target = src1.
   // Both corpus histograms reduce to 256 broadcastable rows fit on the
@@ -320,5 +352,6 @@ object CurationQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11)
+  override val all: Seq[Q] =
+    Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12)
 }
