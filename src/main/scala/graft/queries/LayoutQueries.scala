@@ -311,6 +311,37 @@ object LayoutQueries extends QueryGroup {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
   }
 
+  // Hive-layout partition pruning: lineitem written `partitionBy` the
+  // filter column, re-read with an equality predicate. The require()
+  // gates on the PLAN carrying the predicate as a PartitionFilters entry
+  // (directory elimination — a predicate on a non-partition column never
+  // appears there), so at 100 TB the scan lists/reads ONE partition's
+  // files instead of filtering the whole table post-scan; the oracle
+  // proves the layout changed nothing about the answer. Complements
+  // q_l2 (z-order code pruning) and q_l4 (zone-map file skipping): this
+  // is the third and most common pruning tier, the catalog-native one.
+  private val qL5 = Q(
+    "q_l5_hive_partition_pruning",
+    """SELECT l_returnflag,
+      |       CAST(count(*) AS INT) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val tmp = Files.createTempDirectory("graft_hive").toString
+    Layout.writePartitioned(
+      t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+      tmp, Seq("l_returnflag"))
+    val pruned = s.read.parquet(tmp).where(col("l_returnflag") === "R")
+    require(Layout.hasPartitionFilter(pruned, "l_returnflag"),
+      "q_l5: the equality predicate must reach the scan as a PartitionFilter")
+    pruned
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("int").as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // TIMESTAMP_NTZ round-trip hardening gate. A real lake has NTZ columns
   // (parquet timestamp[us] with isAdjustedToUTC=false — exactly what the
   // round-9 testdata regeneration shipped for events.ts, which broke 12
@@ -347,5 +378,6 @@ object LayoutQueries extends QueryGroup {
       .orderBy("event_type")
   }
 
-  override val all: Seq[Q] = Seq(qL1, qL2, qS2, qL3, qL4, qS3, qS4, qS5, qS6, qS7, qS8)
+  override val all: Seq[Q] =
+    Seq(qL1, qL2, qS2, qL3, qL4, qL5, qS3, qS4, qS5, qS6, qS7, qS8)
 }

@@ -136,6 +136,25 @@ object Layout {
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
 
+  /** True when some file scan in `df`'s plan carries a PartitionFilters
+    * entry mentioning `colName` — the plan-level proof that a predicate
+    * reached DIRECTORY pruning (hive-layout partition elimination)
+    * instead of running as a post-scan filter. A predicate on a
+    * non-partition column never appears there, so this cannot pass by
+    * accident.
+    */
+  def hasPartitionFilter(df: DataFrame, colName: String): Boolean = {
+    val s = df.queryExecution.executedPlan.toString
+    val tag = "PartitionFilters: ["
+    Iterator
+      .iterate(s.indexOf(tag))(i => s.indexOf(tag, i + 1))
+      .takeWhile(_ >= 0)
+      .exists { i =>
+        val end = s.indexOf(']', i)
+        end > i && s.substring(i + tag.length, end).contains(colName)
+      }
+  }
+
   def dropTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
 }
