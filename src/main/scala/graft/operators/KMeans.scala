@@ -40,7 +40,33 @@ object KMeans {
       idCol: String,
       vecCol: String,
       k: Int,
-      iterations: Int): DataFrame = {
+      iterations: Int): DataFrame =
+    fit(vecs, idCol, vecCol, k, iterations)._1.select(
+      col("__id").as(idCol),
+      col("__c").cast("int").as("cluster"),
+      col("__d").as("dist2"))
+
+  /** The centroid set the FINAL assignment pass used (means after
+    * `iterations − 1` recomputes): `(cluster, centroid)` — the model to
+    * ship to a scoring path (e.g. a stateless stream scorer) so online
+    * assignments agree with the batch clustering exactly.
+    */
+  def centroidsUsed(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): DataFrame =
+    fit(vecs, idCol, vecCol, k, iterations)._2.select(
+      col("__c").cast("int").as("cluster"),
+      col("__cv").as("centroid"))
+
+  private def fit(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): (DataFrame, DataFrame) = {
     require(k >= 1, "k must be >= 1")
     require(iterations >= 1, "iterations must be >= 1")
     val v = vecs.select(
@@ -80,10 +106,7 @@ object KMeans {
             transform(col("__pm"), s => s.getField("__m")).as("__cv"))
       }
     }
-    assigned.select(
-      col("__id").as(idCol),
-      col("__c").cast("int").as("cluster"),
-      col("__d").as("dist2"))
+    (assigned, centroids)
   }
 
   /** Per-cluster summary of [[assign]]: `(cluster, n_vecs, inertia)` —

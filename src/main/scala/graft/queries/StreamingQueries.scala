@@ -301,7 +301,45 @@ object StreamingQueries extends QueryGroup {
     graft.streaming.CorpusStream.dsirScoredAvailableNow(s, dir)
   }
 
+  // Streaming k-means scoring (VectorStream.kmeansScoredAvailableNow):
+  // q_v14's online twin — the deterministic batch-fitted centroids ship
+  // into the stream as k×dim plan literals (the DSIR bounded-model
+  // discipline) and every arriving embedding is assigned scan-side:
+  // stateless, no state store, no watermark. The fold keeps the
+  // incumbent unless a STRICTLY smaller round(d, 6) appears, matching
+  // KMeans.assign's tie-break, so the oracle is the SAME two-round
+  // Lloyd unroll as q_v14 at the per-vector grain: online and batch
+  // assignments must agree on every vector.
+  private val qSt15 = Q(
+    "q_st15_stream_kmeans_score",
+    """WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+      |seeds AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, emb
+      |          FROM (SELECT id, emb FROM v ORDER BY id LIMIT 8)),
+      |c0 AS (SELECT c, i AS p, CAST(emb[i] AS DOUBLE) AS m
+      |       FROM seeds, range(1, 65) t(i)),
+      |vd AS (SELECT id, i AS p, CAST(emb[i] AS DOUBLE) AS x
+      |       FROM v, range(1, 65) t(i)),
+      |d1 AS (SELECT vd.id, c0.c, sum((vd.x - c0.m) * (vd.x - c0.m)) AS d
+      |       FROM vd JOIN c0 ON vd.p = c0.p GROUP BY 1, 2),
+      |a1 AS (SELECT id, c FROM (
+      |         SELECT id, c, row_number() OVER (
+      |           PARTITION BY id ORDER BY round(d, 6), c) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.c, vd.p,
+      |              CAST(sum(CAST(vd.x AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS m
+      |       FROM a1 JOIN vd ON a1.id = vd.id GROUP BY 1, 2),
+      |d2 AS (SELECT vd.id, c1.c, sum((vd.x - c1.m) * (vd.x - c1.m)) AS d
+      |       FROM vd JOIN c1 ON vd.p = c1.p GROUP BY 1, 2),
+      |a2 AS (SELECT id, c, d FROM (
+      |         SELECT id, c, d, row_number() OVER (
+      |           PARTITION BY id ORDER BY round(d, 6), c) AS rn
+      |         FROM d2) WHERE rn = 1)
+      |SELECT id AS vec_id, CAST(c AS INT) AS cluster, d AS dist2
+      |FROM a2 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    graft.streaming.VectorStream.kmeansScoredAvailableNow(s, dir)
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13, qSt14)
+      qSt13, qSt14, qSt15)
 }
