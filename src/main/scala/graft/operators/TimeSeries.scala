@@ -482,6 +482,69 @@ object TimeSeries {
           abs(col("x") - col("__med")) > lit(scale) * col("__mad")).as("is_outlier"))
   }
 
+  /** Per-key robust trend: Mann–Kendall S statistic + Theil–Sen slope —
+    * the outlier-immune companions to [[trendSlope]]'s OLS (one spike
+    * drags an OLS slope arbitrarily; it moves the pairwise-median slope
+    * by one rank at most).
+    *
+    *   - S = Σ_{i<j} sign(y_j − y_i): pure INTEGER arithmetic,
+    *     bit-identical cross-engine by construction;
+    *   - Theil–Sen = the EXACT median of all pairwise slopes
+    *     (y_j − y_i)/(x_j − x_i): single ELEMENTS of the sorted slope
+    *     array (or one IEEE average of the two middles) — the Hampel
+    *     exact-median discipline, no interpolated percentile.
+    *
+    * Pairs are O(m²) PER KEY — by the family's standing contract the
+    * series is pre-aggregated to its grain upstream (daily/hourly), so m
+    * is bounded (~10²–10³) and the per-key pair frame stays in one
+    * task's memory; the join is key-local, one partitioning family.
+    * `xCol` must be numeric with distinct values per key (epoch days —
+    * grouped grain guarantees distinctness; keys with < 2 points emit
+    * NULL stats).
+    */
+  def robustTrend(
+      series: DataFrame,
+      keyCol: String,
+      xCol: String,
+      valueCol: String): DataFrame = {
+    val base = series.select(
+      col(keyCol),
+      col(xCol).cast("double").as("__x"),
+      col(valueCol).cast("double").as("__y"))
+    val a = base.select(col(keyCol), col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = base.select(col(keyCol), col("__x").as("__xb"), col("__y").as("__yb"))
+    val pairs = a.join(b, Seq(keyCol.toString))
+      .where(col("__xa") < col("__xb"))
+      .select(
+        col(keyCol),
+        signum(col("__yb") - col("__ya")).cast("long").as("__sgn"),
+        ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa"))).as("__slope"))
+    val stats = pairs
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_pairs"),
+        sum(col("__sgn")).cast("bigint").as("s_stat"),
+        sort_array(collect_list(col("__slope"))).as("__sl"))
+      .select(
+        col(keyCol),
+        col("n_pairs"),
+        col("s_stat"),
+        when(col("n_pairs") % 2 === 1,
+          element_at(col("__sl"), ((col("n_pairs") + 1) / 2).cast("int")))
+          .otherwise(
+            (element_at(col("__sl"), (col("n_pairs") / 2).cast("int")) +
+              element_at(col("__sl"), (col("n_pairs") / 2 + 1).cast("int"))) / 2)
+          .as("theil_sen"))
+    base.groupBy(col(keyCol)).agg(count(lit(1)).cast("int").as("n_points"))
+      .join(stats, Seq(keyCol.toString), "left")
+      .select(
+        col(keyCol),
+        col("n_points"),
+        coalesce(col("n_pairs"), lit(0)).as("n_pairs"),
+        col("s_stat"),
+        col("theil_sen"))
+  }
+
   /** Per-key partial autocorrelation (PACF) at lags 1..3 — the AR-order
     * fingerprint that [[autocorrelation]] alone cannot give: ACF at lag k
     * conflates direct dependence with dependence routed through shorter

@@ -1822,6 +1822,66 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id", "day")
   }
 
+  // Robust trend (TimeSeries.robustTrend): Mann–Kendall S + Theil–Sen
+  // slope — the outlier-immune companions to q_e21's OLS (a single spike
+  // drags OLS arbitrarily; it moves the pairwise-median slope one rank).
+  // S is pure INTEGER arithmetic; Theil–Sen is the EXACT median of the
+  // sorted pairwise-slope list (single elements / one IEEE mid-average —
+  // the Hampel discipline, no interpolation). Probes on the gate:
+  // constant user -1 → S = 0, slope 0 over 45 pairs; 2-day user -2 →
+  // the single pair exactly (S = 1, slope 1); spike user -3 (flat 10
+  // with one 200) → S = +3 but theil_sen EXACTLY 0 — the
+  // outlier-immunity claim itself, oracle-checked.
+  private val qE26 = Q(
+    "q_e26_robust_trend",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(i + 1 AS DOUBLE)
+      |  FROM range(2) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-3 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CASE WHEN i = 6 THEN CAST(200.0 AS DOUBLE) ELSE CAST(10.0 AS DOUBLE) END
+      |  FROM range(10) t(i)),
+      |b AS (SELECT user_id,
+      |             CAST((CAST(day AS DATE) - DATE '1970-01-01') AS DOUBLE) AS x,
+      |             daily_value AS y
+      |      FROM d),
+      |p AS (SELECT s1.user_id,
+      |             CAST(sign(s2.y - s1.y) AS BIGINT) AS sgn,
+      |             (s2.y - s1.y) / (s2.x - s1.x) AS slope
+      |      FROM b s1 JOIN b s2 ON s1.user_id = s2.user_id AND s1.x < s2.x),
+      |st AS (SELECT user_id, CAST(count(*) AS INT) AS n_pairs,
+      |              CAST(sum(sgn) AS BIGINT) AS s_stat,
+      |              list_sort(list(slope)) AS sl
+      |       FROM p GROUP BY 1),
+      |np AS (SELECT user_id, CAST(count(*) AS INT) AS n_points FROM b GROUP BY 1)
+      |SELECT np.user_id, np.n_points,
+      |       coalesce(st.n_pairs, 0) AS n_pairs, st.s_stat,
+      |       CASE WHEN st.n_pairs % 2 = 1 THEN sl[(st.n_pairs + 1) // 2]
+      |            ELSE (sl[st.n_pairs // 2] + sl[st.n_pairs // 2 + 1]) / 2 END AS theil_sen
+      |FROM np LEFT JOIN st USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val spike = s.range(10).select(
+      lit(-3L).as("user_id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("day"),
+      when(col("id") === 6, lit(200.0)).otherwise(lit(10.0)).as("daily_value"))
+    val corpus = dailyWithProbes(s, dir, includeSinglePair = true).unionByName(spike)
+      .withColumn("__days",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+    graft.operators.TimeSeries
+      .robustTrend(corpus, "user_id", "__days", "daily_value")
+      .orderBy("user_id")
+  }
+
   /** The per-user daily series with the degenerate synthetic probe users
     * unioned in (q_e18's hardening corpus): user -1 = 10-day constant,
     * user -2 = 2-day (1.0, 2.0).
@@ -1855,5 +1915,5 @@ object RelationalQueries extends QueryGroup {
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
-    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25)
+    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25, qE26)
 }

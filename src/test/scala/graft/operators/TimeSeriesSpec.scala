@@ -255,6 +255,36 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("robustTrend: hand-computed S and exact even/odd slope medians") {
+    import org.apache.spark.sql.Row
+    // odd pair count: y = [1,2,3] → all slopes 1, S = 3
+    val lin = Seq((1L, 0, 1.0), (1L, 1, 2.0), (1L, 2, 3.0))
+    // even pair count: y = [0,1,3,2] → sorted slopes [-1,.5,2/3,1,1.5,2],
+    // median (2/3+1)/2, S = 4
+    val mix = Seq((2L, 0, 0.0), (2L, 1, 1.0), (2L, 2, 3.0), (2L, 3, 2.0))
+    // single point: no pairs, NULL stats
+    val one = Seq((3L, 0, 9.0))
+    val got = TimeSeries.robustTrend(
+      (lin ++ mix ++ one).toDF("k", "x", "v"), "k", "x", "v")
+      .orderBy("k").collect()
+    assert(got(0) match {
+      case Row(1L, 3, 3, 3L, ts: Double) => math.abs(ts - 1.0) < 1e-12
+      case _ => false
+    })
+    assert(got(1).getLong(3) === 4L)
+    assert(math.abs(got(1).getDouble(4) - (2.0 / 3 + 1.0) / 2) < 1e-12)
+    assert(got(2).getInt(1) === 1 && got(2).getInt(2) === 0)
+    assert(got(2).isNullAt(3) && got(2).isNullAt(4))
+  }
+
+  test("robustTrend: a spike tilts S but not the Theil-Sen slope") {
+    val flat = (0 to 9).map(i => (1L, i, if (i == 6) 200.0 else 10.0))
+    val got = TimeSeries.robustTrend(flat.toDF("k", "x", "v"), "k", "x", "v")
+      .collect()(0)
+    assert(got.getLong(3) === 3L, "6 rising + 3 falling spike pairs → S = 3")
+    assert(got.getDouble(4) === 0.0, "the pairwise median ignores the spike entirely")
+  }
+
   test("pacf: hand-computed Durbin-Levinson on [1,2,3,4]") {
     val series = (1 to 4).map(t => (1L, t, t.toDouble)).toDF("k", "t", "v")
     val got = TimeSeries.pacf(series, "k", "t", "v").collect()
