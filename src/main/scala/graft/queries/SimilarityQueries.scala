@@ -327,6 +327,38 @@ object SimilarityQueries extends QueryGroup {
       k = 8, iterations = 2)
   }
 
+  // Distributed top-component PCA (Pca.topComponent): Gram matrix as a
+  // (i, j, g) frame — n·d² exploded rows reduced to d² — then 3 FIXED
+  // power steps, each a d²⋈d join + agg. MLlib's randomized SVD can't
+  // be oracle-gated; this unrolls every step in SQL. Init 1/√d is
+  // all-positive and G is PSD, so both engines converge to the same
+  // SIGNED direction; the eigenvalue is ‖G v‖ of the last step.
+  private val qV15 = Q(
+    "q_v15_pca_power",
+    """WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+      |vd AS (SELECT id, i AS p, CAST(emb[i] AS DOUBLE) AS x
+      |       FROM v, range(1, 65) t(i)),
+      |gram AS (SELECT a.p AS i, b.p AS j, sum(a.x * b.x) AS g
+      |         FROM vd a JOIN vd b ON a.id = b.id GROUP BY 1, 2),
+      |v0 AS (SELECT i AS p, 1.0 / sqrt(64.0) AS vv FROM range(1, 65) t(i)),
+      |w1 AS (SELECT g.i AS p, sum(g.g * v0.vv) AS w
+      |       FROM gram g JOIN v0 ON g.j = v0.p GROUP BY 1),
+      |n1 AS (SELECT sqrt(sum(w * w)) AS n FROM w1),
+      |v1 AS (SELECT p, w / n AS vv FROM w1, n1),
+      |w2 AS (SELECT g.i AS p, sum(g.g * v1.vv) AS w
+      |       FROM gram g JOIN v1 ON g.j = v1.p GROUP BY 1),
+      |n2 AS (SELECT sqrt(sum(w * w)) AS n FROM w2),
+      |v2 AS (SELECT p, w / n AS vv FROM w2, n2),
+      |w3 AS (SELECT g.i AS p, sum(g.g * v2.vv) AS w
+      |       FROM gram g JOIN v2 ON g.j = v2.p GROUP BY 1),
+      |n3 AS (SELECT sqrt(sum(w * w)) AS n FROM w3),
+      |v3 AS (SELECT p, w / n AS vv FROM w3, n3)
+      |SELECT CAST(v3.p - 1 AS INT) AS dim, v3.vv AS loading, n3.n AS eigenvalue
+      |FROM v3, n3 ORDER BY dim""".stripMargin) { (s, dir) =>
+    graft.operators.Pca.topComponent(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", iterations = 3)
+  }
+
   // Persisted-index ANN: the IVF index is fit and WRITTEN to a scratch
   // path (centroids table + cell-partitioned assignments), reloaded, and
   // queried with no corpus frame and no fit parameters in scope — a
@@ -431,5 +463,5 @@ object SimilarityQueries extends QueryGroup {
 
   override val all: Seq[Q] =
     Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13,
-      qV14)
+      qV14, qV15)
 }
