@@ -651,6 +651,57 @@ object TextQueries extends QueryGroup {
     }
   }
 
+  // Persisted BM25 index (TextIndex): the retrieval twin of the
+  // persisted dedup/ANN indexes — postings written ONCE partitioned by
+  // the portable md5-bucket of the term, stats alongside; the query maps
+  // its literal terms to buckets DRIVER-SIDE and the require() gates on
+  // the bucket list reaching the scan as a PartitionFilter (directory
+  // elimination: a 100 TB index serves a 3-term query from 3 buckets).
+  // A second in-plan require pins index-vs-fresh parity at 1e-9 on every
+  // doc, so a stale or mis-bucketed index fails loudly; the oracle is
+  // q_t11's corpus-scan SQL — the index must reproduce the no-index
+  // answer exactly.
+  private val qT20 = Q(
+    "q_t20_bm25_persisted",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+      |  FROM t),
+      |tf AS (
+      |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM t)
+      |  WHERE term IN ('data', 'table', 'join')
+      |  GROUP BY doc_id, dl, term),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+      |SELECT tf.doc_id,
+      |       CAST(count(*) AS INT) AS n_terms_matched,
+      |       sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |           (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)))) AS bm25
+      |FROM tf JOIN df USING (term) CROSS JOIN stats
+      |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val terms = Seq("data", "table", "join")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    graft.operators.TextIndex.build(docs, "doc_id", "text", idx)
+    val served = graft.operators.TextIndex.scoreFromIndex(s, idx, terms)
+    require(graft.sources.Layout.hasPartitionFilter(served, "bucket"),
+      "q_t20: the query's bucket list must reach the postings scan as a PartitionFilter")
+    val fresh = graft.operators.Bm25.score(docs, "doc_id", "text", terms)
+      .select(col("doc_id"), col("n_terms_matched").as("__nf"), col("bm25").as("__bf"))
+    val disagree = served.join(fresh, Seq("doc_id"), "full_outer")
+      .where(
+        col("__nf").isNull || col("n_terms_matched").isNull ||
+          col("__nf") =!= col("n_terms_matched") ||
+          abs(col("__bf") - col("bm25")) > 1e-9)
+    require(disagree.isEmpty,
+      "q_t20: index-served scores must equal the fresh corpus-scan scores")
+    served.orderBy("doc_id")
+  }
+
   // Zipf power-law fit (TokenStats.zipfFit): OLS of ln(freq) on ln(rank)
   // over the top-200 corpus terms — the corpus-health fingerprint
   // (natural language ≈ slope −1; boilerplate flattens, spam steepens).
@@ -683,5 +734,5 @@ object TextQueries extends QueryGroup {
 
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16, qT17, qT18, qT19)
+      qT14, qT15, qT16, qT17, qT18, qT19, qT20)
 }
