@@ -106,8 +106,15 @@ object PageRank {
     require(iterations >= 0, "iterations must be non-negative")
     require(seeds.nonEmpty, "need at least one seed node")
     val e = if (materializeEdges) edges.localCheckpoint(true) else edges
+    // Union the seeds into the node frame: a seed with no incident edges
+    // would otherwise vanish from `nodes`, silently dropping its
+    // 1/|seeds| teleport share and breaking the ranks-sum-to-1 contract.
+    val __sp = edges.sparkSession
+    import __sp.implicits._
+    val seedNodes = seeds.toDF("node")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
+      .union(seedNodes)
       .distinct()
     def tele = when(col("node").isin(seeds: _*), lit(1.0 / seeds.size))
       .otherwise(lit(0.0))

@@ -46,7 +46,14 @@ object Pca {
       .agg(sum(col("__xi") * col("__xj")).as("__g"))
       .localCheckpoint(true)
 
-    val d = vecs.select(size(col(vecCol))).head().getInt(0)
+    // Dimensionality from the first row — bounded driver read (one int).
+    // PRECONDITION: every vector shares this dimensionality; mixed-width
+    // rows would silently truncate/extend the Gram matrix.
+    val d = vecs.select(size(col(vecCol))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        "Pca.topComponent: input frame is empty — need at least one vector")
+    }
     var v = gram.sparkSession.range(d)
       .select(col("id").cast("int").as("__p"), lit(1.0 / math.sqrt(d.toDouble)).as("__v"))
     var lastNorm: DataFrame = null

@@ -43,22 +43,94 @@ object TextIndex {
       path: String,
       numBuckets: Int = 64): Unit = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
+    // The postings and stats writes both consume the tokenized frame;
+    // persist the per-doc (doc_id, dl) + token arrays across the two
+    // jobs so the corpus really is tokenized ONCE (stats can't come from
+    // postings: an empty doc has no postings rows but still counts
+    // toward n_docs/avgdl). MEMORY_AND_DISK so a 100 TB build spills
+    // rather than OOMs; freed before return.
     val toks = docs.select(
       col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
-    toks
-      .select(
-        col("doc_id"), size(col("__tk")).cast("double").as("dl"),
-        explode(col("__tk")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("bucket", pmod(Hashing.md5Hash60(col("term")), lit(numBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    toks
-      .select(size(col("__tk")).cast("double").as("dl"))
-      .agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        (sum("dl") / count(lit(1))).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      toks
+        .select(
+          col("doc_id"), size(col("__tk")).cast("double").as("dl"),
+          explode(col("__tk")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .withColumn("bucket", pmod(Hashing.md5Hash60(col("term")), lit(numBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      // sum_dl rides along for exact incremental folds ([[appendBatch]]):
+      // dl is an integer-valued double, so sums are exact in IEEE double
+      // and fold associatively; reconstructing the sum from n·avgdl
+      // would NOT be bit-exact (division roundtrip).
+      toks
+        .select(size(col("__tk")).cast("double").as("dl"))
+        .agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum("dl") / count(lit(1))).as("avgdl"),
+          coalesce(sum("dl"), lit(0.0)).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    } finally toks.unpersist(blocking = false)
+  }
+
+  /** Fold a document batch into an existing index WITHOUT a corpus
+    * rescan — the [[DedupIndex.appendBatch]] discipline brought to
+    * retrieval: postings for the batch append into their term-hash
+    * bucket directories (existing files untouched), and the one-row
+    * stats fold by the exact sufficient statistics
+    * (n_docs' = n_docs + Δn; sum_dl' = sum_dl + Δdl; avgdl' formed by
+    * ONE division from the folded sums), so appended-then-scored ≡
+    * rebuilt-from-scratch bit-for-bit: df is complete because a term's
+    * postings still live wholly in its bucket, and sum_dl folds exactly
+    * because doc lengths are integer-valued doubles (exact, associative
+    * IEEE addition below 2^53).
+    *
+    * Batch doc ids must be disjoint from indexed ids (the same
+    * probe-before-append contract as the dedup index). The old stats row
+    * is a bounded driver read (one row, two doubles); the new stats row
+    * overwrites AFTER the old one is already in driver memory, so the
+    * read-then-overwrite race of lazy plans cannot occur.
+    */
+  def appendBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    val spark = docs.sparkSession
+    val old = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").cast("double"), col("sum_dl").cast("double"))
+      .collect() match {
+      case Array(r) => (r.getDouble(0), r.getDouble(1))
+      case other => throw new IllegalStateException(
+        s"TextIndex.appendBatch: stats at $path/stats must be one row, got ${other.length}")
+    }
+    val toks = docs.select(
+      col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      toks
+        .select(
+          col("doc_id"), size(col("__tk")).cast("double").as("dl"),
+          explode(col("__tk")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .withColumn("bucket", pmod(Hashing.md5Hash60(col("term")), lit(numBuckets.toLong)))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      val delta = toks
+        .select(size(col("__tk")).cast("double").as("dl"))
+        .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0)))
+        .collect() match { case Array(r) => (r.getDouble(0), r.getDouble(1)) }
+      val nDocs = old._1 + delta._1
+      val sumDl = old._2 + delta._2
+      val __sp = spark
+      import __sp.implicits._
+      Seq((nDocs, sumDl / nDocs, sumDl)).toDF("n_docs", "avgdl", "sum_dl")
+        .write.mode("overwrite").parquet(s"$path/stats")
+    } finally toks.unpersist(blocking = false)
   }
 
   /** BM25 scores for `queryTerms` served from the index at `path` —

@@ -522,15 +522,19 @@ object TimeSeries {
     val stats = pairs
       .groupBy(col(keyCol))
       .agg(
-        count(lit(1)).cast("int").as("n_pairs"),
+        // count NON-NULL slopes, not pair rows: collect_list drops NULL
+        // slopes (a NULL value in either endpoint), so a raw row count
+        // would push the median index past the sorted-slope array.
+        count(col("__slope")).cast("int").as("n_pairs"),
         sum(col("__sgn")).cast("bigint").as("s_stat"),
         sort_array(collect_list(col("__slope"))).as("__sl"))
       .select(
         col(keyCol),
         col("n_pairs"),
         col("s_stat"),
-        when(col("n_pairs") % 2 === 1,
-          element_at(col("__sl"), ((col("n_pairs") + 1) / 2).cast("int")))
+        when(col("n_pairs") === 0, lit(null).cast("double"))
+          .when(col("n_pairs") % 2 === 1,
+            element_at(col("__sl"), ((col("n_pairs") + 1) / 2).cast("int")))
           .otherwise(
             (element_at(col("__sl"), (col("n_pairs") / 2).cast("int")) +
               element_at(col("__sl"), (col("n_pairs") / 2 + 1).cast("int"))) / 2)
@@ -545,35 +549,6 @@ object TimeSeries {
         col("theil_sen"))
   }
 
-  /** Per-key partial autocorrelation (PACF) at lags 1..3 — the AR-order
-    * fingerprint that [[autocorrelation]] alone cannot give: ACF at lag k
-    * conflates direct dependence with dependence routed through shorter
-    * lags, PACF removes the shorter lags' contribution (the statistic
-    * behind "is this AR(1) or AR(2)?").
-    *
-    * Uses the STANDARD ACF estimator (global mean, shared sum-of-squares
-    * denominator — not per-slice Pearson): r_k = Σ d_t·d_{t−k} / Σ d_t²
-    * with d = x − x̄, which is what the Durbin–Levinson recursion is
-    * defined over. The recursion is UNROLLED to closed forms (the reason
-    * for the lag-3 cap — deterministic scan-side arithmetic, no
-    * per-key iteration):
-    *
-    *   φ11 = r1
-    *   φ22 = (r2 − r1²) / (1 − r1²)
-    *   φ21 = r1·(1 − φ22)
-    *   φ33 = (r3 − φ21·r2 − φ22·r1) / (1 − φ21·r1 − φ22·r2)
-    *
-    * Degenerate slices emit NULL, never NaN/throw: constant series
-    * (Σd² = 0) null every r_k; |r1| = 1 nulls φ22 (and φ33 through the
-    * NULL-propagating arithmetic); a zero φ33 denominator nulls φ33. All
-    * divisions sit in the projection under `when` guards (the q_e18 ANSI
-    * lesson: aggregate-internal guarded divisions still evaluate).
-    *
-    * Scale shape: one window-family pass per key (mean + k lags on the
-    * same partitioning) then one hash aggregate — the series is assumed
-    * pre-aggregated to its grain upstream, so this touches only the
-    * small series frame.
-    */
   /** Classical additive seasonal decomposition (the moving-average
     * ancestor of STL): x = trend + seasonal + residual at a fixed odd
     * `period` (default 7 = weekly at daily grain).
@@ -634,6 +609,35 @@ object TimeSeries {
         (col("value") - col("trend") - col("seasonal")).as("residual"))
   }
 
+  /** Per-key partial autocorrelation (PACF) at lags 1..3 — the AR-order
+    * fingerprint that [[autocorrelation]] alone cannot give: ACF at lag k
+    * conflates direct dependence with dependence routed through shorter
+    * lags, PACF removes the shorter lags' contribution (the statistic
+    * behind "is this AR(1) or AR(2)?").
+    *
+    * Uses the STANDARD ACF estimator (global mean, shared sum-of-squares
+    * denominator — not per-slice Pearson): r_k = Σ d_t·d_{t−k} / Σ d_t²
+    * with d = x − x̄, which is what the Durbin–Levinson recursion is
+    * defined over. The recursion is UNROLLED to closed forms (the reason
+    * for the lag-3 cap — deterministic scan-side arithmetic, no
+    * per-key iteration):
+    *
+    *   φ11 = r1
+    *   φ22 = (r2 − r1²) / (1 − r1²)
+    *   φ21 = r1·(1 − φ22)
+    *   φ33 = (r3 − φ21·r2 − φ22·r1) / (1 − φ21·r1 − φ22·r2)
+    *
+    * Degenerate slices emit NULL, never NaN/throw: constant series
+    * (Σd² = 0) null every r_k; |r1| = 1 nulls φ22 (and φ33 through the
+    * NULL-propagating arithmetic); a zero φ33 denominator nulls φ33. All
+    * divisions sit in the projection under `when` guards (the q_e18 ANSI
+    * lesson: aggregate-internal guarded divisions still evaluate).
+    *
+    * Scale shape: one window-family pass per key (mean + k lags on the
+    * same partitioning) then one hash aggregate — the series is assumed
+    * pre-aggregated to its grain upstream, so this touches only the
+    * small series frame.
+    */
   def pacf(
       series: DataFrame,
       keyCol: String,

@@ -434,13 +434,23 @@ object GraphQueries extends QueryGroup {
       |FROM ea CROSS JOIN ca""".stripMargin) { (s, dir) =>
     val items = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    // The co-order self-join is the dominant subtree; materialize it ONCE
+    // (already canonical: a < b + distinct) and feed the SAME frame to
+    // both LPA and the modularity score — both operators pin their own
+    // one-row/|V|-row outputs, so the shared frame is freed here after
+    // the final result exists.
     val edges = items.select(col("__o"), col("__p").as("a"))
       .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
       .filter(col("a") < col("b"))
       .select("a", "b")
+      .distinct()
+      .localCheckpoint(true)
     val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
-    graft.operators.GraphStats.modularity(
+    val out = graft.operators.GraphStats.modularity(
       edges, "a", "b", communities, "node", "community")
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(communities)
+    out
   }
 
   override val all: Seq[Q] = Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10)

@@ -702,6 +702,48 @@ object TextQueries extends QueryGroup {
     served.orderBy("doc_id")
   }
 
+  // Incremental BM25 index maintenance (TextIndex.appendBatch): docs
+  // < 400 are indexed once; the 400+ batch folds in WITHOUT a corpus
+  // rescan — postings append into their term-hash bucket directories and
+  // the one-row stats fold by exact sufficient statistics (counts and
+  // integer-valued length sums, one division at the end). The oracle is
+  // the full-corpus BM25 scan (q_t20's), so appended-then-served must
+  // reproduce the from-scratch answer bit-for-bit; the in-plan require
+  // keeps the q_t20 directory-pruning guarantee on the appended index.
+  private val qT21 = Q(
+    "q_t21_bm25_append",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+      |  FROM t),
+      |tf AS (
+      |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM t)
+      |  WHERE term IN ('data', 'table', 'join')
+      |  GROUP BY doc_id, dl, term),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+      |SELECT tf.doc_id,
+      |       CAST(count(*) AS INT) AS n_terms_matched,
+      |       sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |           (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)))) AS bm25
+      |FROM tf JOIN df USING (term) CROSS JOIN stats
+      |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val terms = Seq("data", "table", "join")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25app").toString
+    graft.operators.TextIndex.build(docs.where(col("doc_id") < 400), "doc_id", "text", idx)
+    graft.operators.TextIndex.appendBatch(
+      docs.where(col("doc_id") >= 400), "doc_id", "text", idx)
+    val served = graft.operators.TextIndex.scoreFromIndex(s, idx, terms)
+    require(graft.sources.Layout.hasPartitionFilter(served, "bucket"),
+      "q_t21: the appended index must still prune to the query's bucket directories")
+    served.orderBy("doc_id")
+  }
+
   // Zipf power-law fit (TokenStats.zipfFit): OLS of ln(freq) on ln(rank)
   // over the top-200 corpus terms — the corpus-health fingerprint
   // (natural language ≈ slope −1; boilerplate flattens, spam steepens).
@@ -734,5 +776,5 @@ object TextQueries extends QueryGroup {
 
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16, qT17, qT18, qT19, qT20)
+      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21)
 }
