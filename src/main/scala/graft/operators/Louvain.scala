@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.bridge
+
+/** Louvain-style modularity-greedy refinement (the local-move phase of
+  * Blondel et al. 2008) over an existing community assignment — grades
+  * and improves detection QUALITY where [[LabelPropagation]] only
+  * grades agreement: LPA converges on majority labels, not on maximal
+  * modularity, so a positive-gain local move almost always exists, and
+  * applying the single globally best one strictly increases Q.
+  *
+  * Determinism is the whole design: parallel Louvain accepts many
+  * simultaneous moves whose interactions can DECREASE Q and whose
+  * outcome depends on visit order — ungateable. Here the candidate
+  * gains are pure INTEGER arithmetic, the one applied move is the
+  * global argmax under a total order (gain DESC, node ASC, target
+  * ASC), and the refined score is RECOMPUTED from the updated
+  * assignment — not derived from the gain — so the oracle independently
+  * confirms ΔQ (the gain formula and the recompute must agree, and the
+  * gate REQUIREs the strict increase).
+  *
+  * The exact-integer gain for moving node i from community A to B:
+  *   ΔQ · 4m² = 4m·(k_iB − k_iA) − 2·d_i·(D_B − D_A + d_i)
+  * with k_iC = edges from i into C, d_i = degree of i, D_C = degree sum
+  * of C (i counted in D_A), m = edge count. All integers — engine and
+  * oracle cannot drift; Q itself forms from integers in the projection,
+  * the [[GraphStats.modularity]] discipline.
+  *
+  * Shape at scale: one (node, community) hash-agg over the symmetrized
+  * edge frame builds every k_iC (the candidate set is every node ×
+  * its NEIGHBORING communities — degree-bounded, never |V|×|C|);
+  * degree and community-degree frames are |V|- and |C|-row aggregates;
+  * the argmax is a TakeOrderedAndProject(1); the applied move is a
+  * 1-row broadcast folded into the label frame scan-side. The
+  * canonical edge frame is checkpointed ONCE and feeds every consumer
+  * (the [[GraphStats]] lesson — its absence was round 9's top bench
+  * defect).
+  */
+object Louvain {
+
+  /** Integer modularity sufficient statistics of `lab` over `canon`
+    * (already-canonical a < b distinct edges): one row
+    * `(m, intra, sds)` = edge count, intra-community edges,
+    * Σ per-community degree².
+    */
+  private def qInts(canon: DataFrame, lab: DataFrame): DataFrame = {
+    val edgeAgg = canon
+      .join(lab.select(col("__n").as("a"), col("__l").as("__la")), Seq("a"))
+      .join(lab.select(col("__n").as("b"), col("__l").as("__lb")), Seq("b"))
+      .agg(
+        count(lit(1)).cast("bigint").as("m"),
+        sum(when(col("__la") === col("__lb"), 1L).otherwise(0L))
+          .cast("bigint").as("intra"))
+    val sds = canon.select(col("a").as("__n")).unionAll(canon.select(col("b").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__d"))
+      .join(lab, Seq("__n"))
+      .groupBy(col("__l")).agg(sum(col("__d")).as("__dc"))
+      .agg(sum(col("__dc") * col("__dc")).cast("bigint").as("sds"))
+    edgeAgg.crossJoin(broadcast(sds))
+  }
+
+  /** Apply the single globally best positive-gain move and report the
+    * before/after evidence as ONE row: `(moved_node, from_label,
+    * to_label, gain_x4m2, n_edges, intra_before, sum_deg_sq_before,
+    * modularity_before, intra_after, sum_deg_sq_after,
+    * modularity_after)`. Empty when no node has a neighboring
+    * community with strictly positive gain (the assignment is
+    * local-move optimal). PRECONDITION: `labels` covers every node in
+    * `edges` (detection output always does).
+    */
+  def bestMoveRefinement(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+      .localCheckpoint(true)
+    val und = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val cd = deg.join(lab, deg("node") === lab("__n"))
+      .groupBy(col("__l")).agg(sum(col("d")).as("dc"))
+    // k_iC: i's edge count into each community it touches
+    val kic = und.join(lab, und("nbr") === lab("__n"))
+      .groupBy(col("node"), col("__l").as("c")).agg(count(lit(1)).as("k"))
+    val mRow = canon.agg(count(lit(1)).cast("bigint").as("m"))
+    val own = lab.select(col("__n").as("node"), col("__l").as("a_label"))
+    val kOwn = kic.join(own, Seq("node"))
+      .where(col("c") === col("a_label"))
+      .select(col("node"), col("k").as("ka"))
+    // the |C|-row community-degree frame joins un-hinted: AQE broadcasts
+    // it when detection output keeps |C| small, and degrades to a
+    // shuffled join for singleton-heavy assignments instead of OOMing
+    val cand = kic.join(own, Seq("node")).where(col("c") =!= col("a_label"))
+      .join(kOwn, Seq("node"), "left_outer")
+      .join(deg.select(col("node"), col("d")), Seq("node"))
+      .join(cd.select(col("__l").as("a_label"), col("dc").as("dca")), Seq("a_label"))
+      .join(cd.select(col("__l").as("c"), col("dc").as("dcb")), Seq("c"))
+      .crossJoin(broadcast(mRow))
+      .select(
+        col("node"), col("a_label"), col("c"),
+        (lit(4L) * col("m") * (col("k") - coalesce(col("ka"), lit(0L))) -
+          lit(2L) * col("d") * (col("dcb") - (col("dca") - col("d"))))
+          .cast("bigint").as("gain"))
+    val best = cand.where(col("gain") > 0)
+      .orderBy(col("gain").desc, col("node").asc, col("c").asc)
+      .limit(1)
+      .localCheckpoint(true)
+    val moved = lab
+      .crossJoin(broadcast(best.select(
+        col("node").as("__mv"), col("c").as("__to"))))
+      .select(
+        col("__n"),
+        when(col("__n") === col("__mv"), col("__to")).otherwise(col("__l")).as("__l"))
+    def q(ints: DataFrame, suffix: String): DataFrame =
+      ints.select(
+        col("m"),
+        col("intra").as(s"intra_$suffix"),
+        col("sds").as(s"sum_deg_sq_$suffix"),
+        (col("intra").cast("double") / col("m") -
+          col("sds").cast("double") / (lit(4.0) * col("m") * col("m")))
+          .as(s"modularity_$suffix"))
+    val before = q(qInts(canon, lab), "before")
+    val after = q(qInts(canon, moved), "after").drop("m")
+    val out = best
+      .select(
+        col("node").as("moved_node"), col("a_label").as("from_label"),
+        col("c").as("to_label"), col("gain").as("gain_x4m2"))
+      .crossJoin(broadcast(before.withColumnRenamed("m", "n_edges")))
+      .crossJoin(broadcast(after))
+      .localCheckpoint(true)
+    bridge.freeLocalCheckpoint(best)
+    bridge.freeLocalCheckpoint(lab)
+    bridge.freeLocalCheckpoint(canon)
+    out
+  }
+}

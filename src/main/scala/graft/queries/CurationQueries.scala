@@ -352,6 +352,82 @@ object CurationQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Trained model-based quality filtering (QualityClassifier): 3
+  // full-batch gradient-descent steps of logistic regression from the
+  // zero model — label "is English", features = 8 md5-bucket hashed-
+  // unigram ratios + ln(1 + token count) — then scan-side scoring with
+  // the weights as plan literals. The oracle replays TRAINING, not just
+  // scoring: each step's gradient sums are exact DECIMAL(38,9) folds of
+  // 9-decimal-rounded per-doc terms (addition-order-independent, so
+  // shuffle order can't drift the update) and each new weight rounds to
+  // 10 decimals before entering the next step's CTE — the q_v14 Lloyd
+  // unroll brought to gradient descent.
+  private val qcB = 8
+  private def qcZ(w: String): String =
+    s"$w.b + " + (0 until qcB).map(j => s"$w.w$j * x$j").mkString(" + ") +
+      s" + $w.wl * xl"
+  private val qcSteps = (1 to 3).map { s =>
+    val gsums = (0 until qcB).map(j =>
+      s"sum(CAST(round(x$j * (y - p), 9) AS DECIMAL(38,9))) AS g$j").mkString(",\n       |       ")
+    val wupds = (0 until qcB).map(j =>
+      s"round(w.w$j + 0.5 * (CAST(g.g$j AS DOUBLE) / g.n), 10) AS w$j").mkString(",\n       |       ")
+    s"""p$s AS (SELECT f.*, 1.0 / (1.0 + exp(-(${qcZ(s"wt${s - 1}")}))) AS p
+       |        FROM f CROSS JOIN wt${s - 1}),
+       |g$s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |       $gsums,
+       |       sum(CAST(round(xl * (y - p), 9) AS DECIMAL(38,9))) AS gl,
+       |       sum(CAST(round(y - p, 9) AS DECIMAL(38,9))) AS gb
+       |       FROM p$s),
+       |wt$s AS (SELECT
+       |       $wupds,
+       |       round(w.wl + 0.5 * (CAST(g.gl AS DOUBLE) / g.n), 10) AS wl,
+       |       round(w.b + 0.5 * (CAST(g.gb AS DOUBLE) / g.n), 10) AS b
+       |       FROM wt${s - 1} w CROSS JOIN g$s g)""".stripMargin
+  }.mkString(",\n")
+
+  private val qC13 = Q(
+    "q_c13_quality_classifier",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
+       |  FROM documents),
+       |n AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |             CAST(len(tk) AS DOUBLE) AS nt
+       |      FROM t),
+       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+       |bc AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % $qcB AS b,
+       |              count(*) AS c
+       |       FROM tok GROUP BY 1, 2),
+       |f AS (SELECT n.doc_id, n.y,
+       |        ${(0 until qcB).map(j =>
+                  s"CAST(coalesce(sum(CASE WHEN b = $j THEN c END), 0) AS DOUBLE) / greatest(n.nt, 1.0) AS x$j")
+                  .mkString(",\n       |        ")},
+       |        ln(1.0 + n.nt) AS xl
+       |      FROM n LEFT JOIN bc ON n.doc_id = bc.doc_id
+       |      GROUP BY n.doc_id, n.y, n.nt),
+       |wt0 AS (SELECT ${(0 until qcB).map(j => s"0.0 AS w$j").mkString(", ")},
+       |               0.0 AS wl, 0.0 AS b),
+       |$qcSteps
+       |SELECT doc_id, score,
+       |       CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS pred
+       |FROM (SELECT f.doc_id,
+       |             round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
+       |      FROM f CROSS JOIN wt3)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val feats = graft.operators.QualityClassifier.features(
+      docs, "doc_id", "text", col("lang") === "en", numBuckets = qcB)
+      .localCheckpoint(true) // scanned once per GD step + once to score
+    val model = graft.operators.QualityClassifier.fit(
+      feats, numBuckets = qcB, steps = 3, learningRate = 0.5)
+    val out = graft.operators.QualityClassifier.score(feats, "doc_id", model)
+      .orderBy("doc_id")
+    val pinned = out.localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(feats)
+    pinned
+  }
+
   override val all: Seq[Q] =
-    Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12)
+    Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13)
 }
