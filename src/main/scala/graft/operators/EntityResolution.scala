@@ -43,9 +43,11 @@ object EntityResolution {
       fieldWeights: Seq[(String, Double, Double)],
       maxNameDist: Int,
       minScore: Double,
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None,
+      segmentBlocking: Boolean = true): DataFrame = {
     val pairs = matchedPairs(
-      records, idCol, nameCol, nameWeights, fieldWeights, maxNameDist, minScore, blockCol)
+      records, idCol, nameCol, nameWeights, fieldWeights, maxNameDist, minScore, blockCol,
+      segmentBlocking)
       .select(col("id_a"), col("id_b"))
     ConnectedComponents.assignClusters(records, idCol, pairs)
       .withColumnRenamed("cluster_id", "entity_id")
@@ -53,6 +55,15 @@ object EntityResolution {
 
   /** The scored pair frame (id_a < id_b, score) at or above `minScore` —
     * exposed separately so callers can audit the match evidence.
+    */
+  /** @param segmentBlocking candidate generation via the PassJoin
+    *   segment scheme ([[FuzzyJoin.segmentSelfPairsBlocked]], the
+    *   default) instead of the q-gram count filter — identical output
+    *   by construction (both are complete blockings over the same
+    *   verify), but segment keys stay selective on low-entropy name
+    *   alphabets (hex ids, digit runs) where the gram equi-join
+    *   degenerates toward a within-block cross join (q_f7's 37x
+    *   blowup at 10x scale).
     */
   def matchedPairs(
       records: DataFrame,
@@ -62,7 +73,8 @@ object EntityResolution {
       fieldWeights: Seq[(String, Double, Double)],
       maxNameDist: Int,
       minScore: Double,
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None,
+      segmentBlocking: Boolean = true): DataFrame = {
     require(nameWeights.length == maxNameDist + 1,
       s"need one name weight per distance 0..$maxNameDist")
     // Blocking is only legal when NO cross-block pair can reach
@@ -88,15 +100,22 @@ object EntityResolution {
     // cannot emit
     val namePairs = blockCol match {
       case Some(bf) =>
-        FuzzyJoin
-          .fuzzySelfPairsBlocked(
-            records.select(col(nameCol), col(bf)), nameCol, bf, maxNameDist)
-          .select(col(bf).as("__fblk"),
-            col("name_a").as("__fn_a"), col("name_b").as("__fn_b"), col("dist"))
+        val p =
+          if (segmentBlocking)
+            FuzzyJoin.segmentSelfPairsBlocked(
+              records.select(col(nameCol), col(bf)), nameCol, bf, maxNameDist)
+          else
+            FuzzyJoin.fuzzySelfPairsBlocked(
+              records.select(col(nameCol), col(bf)), nameCol, bf, maxNameDist)
+        p.select(col(bf).as("__fblk"),
+          col("name_a").as("__fn_a"), col("name_b").as("__fn_b"), col("dist"))
       case None =>
-        FuzzyJoin
-          .fuzzySelfPairs(records.select(col(nameCol)), nameCol, maxNameDist)
-          .select(col("name_a").as("__fn_a"), col("name_b").as("__fn_b"), col("dist"))
+        val p =
+          if (segmentBlocking)
+            FuzzyJoin.segmentSelfPairs(records.select(col(nameCol)), nameCol, maxNameDist)
+          else
+            FuzzyJoin.fuzzySelfPairs(records.select(col(nameCol)), nameCol, maxNameDist)
+        p.select(col("name_a").as("__fn_a"), col("name_b").as("__fn_b"), col("dist"))
     }
     val crossName = blockCol match {
       case Some(bf) =>

@@ -92,25 +92,35 @@ object GraphStats {
     * output always does; an uncovered node would null its edges out of
     * both numerators).
     */
+  /** @param assumeCanonical the caller vouches `edges` is ALREADY the
+    *   canonical frame (a < b, distinct, no self-loops) AND materialized
+    *   (checkpointed/cached): skip the re-canonicalize + second
+    *   checkpoint, which would otherwise hold a redundant |E|-row copy
+    *   and pay a redundant distinct shuffle — at 10× scale that double
+    *   residency is what tips a shared-JVM heap.
+    */
   def modularity(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       labels: DataFrame,
       nodeCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String,
+      assumeCanonical: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.bridge
     // Same consumer fan-out as [[degreeAssortativity]]: the canonical
     // edge frame feeds the decorate joins, the degree union (×2), and
     // the edge aggregate — checkpoint once, free after the one-row
     // result is pinned.
-    val canon = edges
-      .filter(col(srcCol) =!= col(dstCol))
-      .select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
-      .localCheckpoint(true)
+    val canon =
+      if (assumeCanonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges
+        .filter(col(srcCol) =!= col(dstCol))
+        .select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .distinct()
+        .localCheckpoint(true)
     val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
     val decorated = canon
       .join(lab.select(col("__n").as("a"), col("__l").as("__la")), Seq("a"))
@@ -137,7 +147,7 @@ object GraphStats {
           col("sum_deg_sq").cast("double") /
             (lit(4.0) * col("n_edges") * col("n_edges"))).as("modularity"))
       .localCheckpoint(true)
-    bridge.freeLocalCheckpoint(canon)
+    if (!assumeCanonical) bridge.freeLocalCheckpoint(canon)
     out
   }
 }

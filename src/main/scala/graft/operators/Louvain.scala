@@ -77,14 +77,20 @@ object Louvain {
       dstCol: String,
       labels: DataFrame,
       nodeCol: String,
-      labelCol: String): DataFrame = {
-    val canon = edges
-      .filter(col(srcCol) =!= col(dstCol))
-      .select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
-      .localCheckpoint(true)
+      labelCol: String,
+      assumeCanonical: Boolean = false): DataFrame = {
+    // assumeCanonical: the [[GraphStats.modularity]] contract — caller
+    // vouches the frame is canonical AND materialized, skipping the
+    // redundant |E|-row second residency + distinct shuffle.
+    val canon =
+      if (assumeCanonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges
+        .filter(col(srcCol) =!= col(dstCol))
+        .select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .distinct()
+        .localCheckpoint(true)
     val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
       .localCheckpoint(true)
     val und = canon.select(col("a").as("node"), col("b").as("nbr"))
@@ -143,7 +149,7 @@ object Louvain {
       .localCheckpoint(true)
     bridge.freeLocalCheckpoint(best)
     bridge.freeLocalCheckpoint(lab)
-    bridge.freeLocalCheckpoint(canon)
+    if (!assumeCanonical) bridge.freeLocalCheckpoint(canon)
     out
   }
 }

@@ -447,7 +447,7 @@ object GraphQueries extends QueryGroup {
       .localCheckpoint(true)
     val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
     val out = graft.operators.GraphStats.modularity(
-      edges, "a", "b", communities, "node", "community")
+      edges, "a", "b", communities, "node", "community", assumeCanonical = true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(communities)
     out
@@ -598,7 +598,7 @@ object GraphQueries extends QueryGroup {
       .localCheckpoint(true)
     val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
     val out = graft.operators.Louvain.bestMoveRefinement(
-      edges, "a", "b", communities, "node", "community")
+      edges, "a", "b", communities, "node", "community", assumeCanonical = true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(communities)
     // Empty when the assignment is already local-move optimal (true at

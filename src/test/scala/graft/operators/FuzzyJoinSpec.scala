@@ -69,6 +69,52 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(exact.contains(("ab", "cb", 1)), "sanity: the evading pair is in the oracle")
   }
 
+  test("segment blocking equals the exhaustive pair set (indels shift segments)") {
+    import spark.implicits._
+    // deletions/insertions shift every later segment — the ±d probe
+    // window must still find the surviving segment; fixed-position
+    // segment equality alone would lose "abcdefgh" vs "bcdefgh"
+    val names = Seq(
+      "abcdefgh", "bcdefgh", "abcdefghx", "xbcdefgh", "abxdefgh",
+      "red bolt", "rad belt", "red boat", "blue bolt",
+      "aa11bb22", "aa11bb2z", "a11bb22", "aa1bb22z",
+      "widget", "gadget", "midget", "unrelated thing")
+    val got = FuzzyJoin.segmentSelfPairs(names.toDF("name"), "name", maxDist = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got === exhaustive(names, 2))
+  }
+
+  test("segment blocking: short strings (length <= d) and short-vs-long pairs") {
+    import spark.implicits._
+    // both-short pairs go through the exhaustive block; a short string
+    // against a longer one must come out of the main path
+    val names = Seq("a", "b", "ab", "abc", "abcd", "xyz")
+    val got = FuzzyJoin.segmentSelfPairs(names.toDF("name"), "name", maxDist = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got === exhaustive(names, 2))
+  }
+
+  test("segment blocking agrees with gram blocking on a randomized hex corpus") {
+    import spark.implicits._
+    // the motivating low-entropy case: md5-prefix names; both complete
+    // blockings must produce the identical verified pair set
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 120).map(_ => rnd.alphanumeric.filter(c => "0123456789abcdef".contains(c)).take(8).mkString)
+    val mutated = base.take(30).map(s => s.dropRight(1) + "z") ++
+      base.slice(30, 50).map(s => s.tail)
+    val names = (base ++ mutated).distinct
+    val seg = FuzzyJoin.segmentSelfPairs(names.toDF("name"), "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val gram = FuzzyJoin.fuzzySelfPairs(names.toDF("name"), "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(seg === gram)
+    assert(seg === exhaustive(names, 2))
+  }
+
   test("duplicate and null rows collapse; short strings are skipped") {
     import spark.implicits._
     val df = Seq("abcd", "abcd", "abce", null, "a").toDF("name")
