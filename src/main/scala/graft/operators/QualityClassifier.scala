@@ -92,6 +92,35 @@ object QualityClassifier {
           log(lit(1.0) + col("__nt")).as("xl"): _*)
   }
 
+  /** STATELESS scan-side twin of [[features]] (no label column): the
+    * bucket counts fold over each row's own token array via HOF
+    * `filter`+`size` instead of explode + groupBy — zero shuffles, zero
+    * state, so the SAME feature vector (integer counts, identical
+    * division and ln) is computable inside a streaming micro-batch in
+    * Append mode. Batch keeps the explode + hash-agg form (map-side
+    * partials beat B array passes at corpus scale); this is the
+    * landing-zone scoring form.
+    */
+  def featuresScanSide(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    docs
+      .select(
+        col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .withColumn("__nt", size(col("__tk")).cast("double"))
+      .select(
+        col(idCol) +:
+          (0 until numBuckets).map { j =>
+            (size(filter(col("__tk"), t =>
+              pmod(Hashing.md5Hash60(t), lit(numBuckets.toLong)) === j))
+              .cast("double") / greatest(col("__nt"), lit(1.0))).as(s"x$j")
+          } :+
+          log(lit(1.0) + col("__nt")).as("xl"): _*)
+  }
+
   /** The linear term `b + Σ w_j·x_j + w_l·xl`, built strictly left to
     * right so the float addition order matches the oracle's SQL
     * expression token for token.

@@ -385,7 +385,7 @@ object CurationQueries extends QueryGroup {
        |       FROM wt${s - 1} w CROSS JOIN g$s g)""".stripMargin
   }.mkString(",\n")
 
-  private val qC13 = Q(
+  private[queries] val qC13 = Q(
     "q_c13_quality_classifier",
     s"""WITH t AS (
        |  SELECT doc_id, lang,

@@ -339,7 +339,20 @@ object StreamingQueries extends QueryGroup {
     graft.streaming.VectorStream.kmeansScoredAvailableNow(s, dir)
   }
 
+  // Streaming trained-classifier scoring
+  // (CorpusStream.qualityScoredAvailableNow): q_c13's online twin — the
+  // batch-fitted logistic weights ship into the stream as plan literals
+  // and every arriving document is scored statelessly, features folded
+  // over the row's own token array (integer counts exactly equal to the
+  // batch explode+groupBy form). Oracle = q_c13's full train-and-score
+  // SQL verbatim: online scores must equal the batch pass on every doc.
+  private val qSt16 = Q(
+    "q_st16_stream_quality_score",
+    CurationQueries.qC13.oracle.get) { (s, dir) =>
+    graft.streaming.CorpusStream.qualityScoredAvailableNow(s, dir)
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13, qSt14, qSt15)
+      qSt13, qSt14, qSt15, qSt16)
 }

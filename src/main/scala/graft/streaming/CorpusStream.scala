@@ -103,6 +103,44 @@ object CorpusStream {
       .orderBy("doc_id")
   }
 
+  /** TRAINED-classifier-scored STREAMING ingest: the online half of
+    * model-based quality filtering. The logistic model is batch-fitted
+    * on the static corpus ([[graft.operators.QualityClassifier.fit]] —
+    * 3 deterministic GD steps, the q_c13 gate's exact arithmetic) and
+    * its B+2 weights ship into the stream as plan literals; every
+    * arriving document is scored STATELESSLY inside the micro-batch —
+    * features fold over the row's own token array (HOF filter+size, the
+    * [[graft.operators.QualityClassifier.featuresScanSide]] twin whose
+    * integer counts equal the batch explode+groupBy form exactly), so
+    * there is no state store, no watermark, and no shuffle. This is the
+    * landing-zone quality gate production curation runs: model offline,
+    * scoring on the stream, online scores provably equal to the batch
+    * pass (the q_st15 centroid discipline brought to a TRAINED model).
+    */
+  def qualityScoredAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = EventStreams.defaultStatePartitions): DataFrame = {
+    import graft.operators.QualityClassifier
+    val numBuckets = 8
+    val docs = Tables.load(spark, sfDir, "documents")
+    val feats = QualityClassifier.features(
+      docs, "doc_id", "text", col("lang") === "en", numBuckets)
+      .localCheckpoint(true) // scanned once per GD step
+    val model = QualityClassifier.fit(feats, numBuckets, steps = 3, learningRate = 0.5)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(feats)
+    val s = EventStreams.streamSession(spark, statePartitions)
+    EventStreams.runToTable(
+      s,
+      QualityClassifier.score(
+        QualityClassifier.featuresScanSide(
+          readDocumentStream(s, sfDir), "doc_id", "text", numBuckets),
+        "doc_id", model),
+      s"stream_quality_score_${System.nanoTime()}",
+      OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Filter + content-dedup with WATERMARK-BOUNDED state, run to
     * completion: duplicates are suppressed only within `horizon` of the
     * first delivery (`dropDuplicatesWithinWatermark`), so the state store

@@ -55,6 +55,22 @@ class QualityClassifierSpec extends SparkSpec {
     assert(m1.bucketWeights(3) < 0.0)
   }
 
+  test("scan-side feature twin equals the explode+groupBy form on every row") {
+    val df = Seq(
+      (1L, "good good spam here", 1), (2L, "", 0), (3L, "   ", 1),
+      (4L, "one two three four five six", 0)).toDF("doc_id", "text", "label")
+    val a = feats(df).drop("y").orderBy("doc_id").collect()
+    val b = QualityClassifier.featuresScanSide(df, "doc_id", "text", numBuckets = 8)
+      .orderBy("doc_id").collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (ra, rb) =>
+      assert(ra.getAs[Long]("doc_id") === rb.getAs[Long]("doc_id"))
+      ((0 until 8).map(j => s"x$j") :+ "xl").foreach { c =>
+        assert(ra.getAs[Double](c) === rb.getAs[Double](c), s"col $c")
+      }
+    }
+  }
+
   test("zero-token documents get all-zero features and the bias-only score") {
     val df = Seq((1L, "good good", 1), (2L, "   ", 0)).toDF("doc_id", "text", "label")
     val f = feats(df)
