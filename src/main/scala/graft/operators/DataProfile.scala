@@ -280,6 +280,56 @@ object DataProfile {
             (col("n").cast("double") * minSide))).as("cramers_v"))
   }
 
+  /** Entropy / mutual-information summary between two categorical
+    * columns — the information-theoretic companion to [[cramersV]]:
+    * one row `(n, x_cats, y_cats, h_x, h_y, h_xy, mi, h_y_given_x,
+    * nmi)`, all entropies in nats.
+    *
+    * Identities used (all from ONE aggregate over the contingency
+    * cells, so the corpus is scanned once):
+    *   - H(X)   = −Σ_cells p(x,y)·ln(nx/n)   (= −Σ_x p(x)·ln p(x):
+    *     summing the marginal log-share weighted by the cell share
+    *     avoids a second marginal aggregate);
+    *   - H(Y)   symmetric; H(X,Y) = −Σ p(x,y)·ln p(x,y);
+    *   - I(X;Y) = H(X) + H(Y) − H(X,Y)  (≥ 0 up to float dust);
+    *   - H(Y|X) = H(X,Y) − H(X) — what's left to learn about Y after
+    *     seeing X, the number a stratified-split designer reads;
+    *   - NMI    = I / √(H(X)·H(Y)) ∈ [0,1], NULL when either column is
+    *     constant (its entropy is 0 — the q_q14 degenerate-table
+    *     discipline).
+    *
+    * Shape at scale: identical to [[contingencyStats]] — one hash
+    * aggregate reduces the corpus to |X|·|Y| cells, marginals are
+    * windows over that tiny frame, and the summary is a one-row
+    * aggregate over it. Observed cells suffice exactly (a zero cell's
+    * p·ln p term is 0 by limit), unlike χ²'s empty-cell correction.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("obs"))
+    val m = cells
+      .withColumn("nx", sum("obs").over(Window.partitionBy("x")))
+      .withColumn("ny", sum("obs").over(Window.partitionBy("y")))
+      .crossJoin(broadcast(cells.agg(sum("obs").cast("bigint").as("n"))))
+    val pxy = col("obs").cast("double") / col("n")
+    val one = m.agg(
+      max(col("n")).as("n"),
+      count_distinct(col("x")).cast("bigint").as("x_cats"),
+      count_distinct(col("y")).cast("bigint").as("y_cats"),
+      (-sum(pxy * log(col("nx").cast("double") / col("n")))).as("h_x"),
+      (-sum(pxy * log(col("ny").cast("double") / col("n")))).as("h_y"),
+      (-sum(pxy * log(pxy))).as("h_xy"))
+    val mi = col("h_x") + col("h_y") - col("h_xy")
+    one.select(
+      col("n"), col("x_cats"), col("y_cats"),
+      col("h_x"), col("h_y"), col("h_xy"),
+      mi.as("mi"),
+      (col("h_xy") - col("h_x")).as("h_y_given_x"),
+      when(col("h_x") > 0 && col("h_y") > 0,
+        mi / sqrt(col("h_x") * col("h_y"))).as("nmi"))
+  }
+
   /** Population Stability Index of `valueCol` between a baseline slice
     * and an actual slice — THE standard drift score for feature/corpus
     * monitoring: bin by the BASELINE's equi-depth boundaries, then

@@ -538,6 +538,86 @@ object SimilaritySearch {
         col("cosine"))
   }
 
+  /** Batch-hard triplet mining over a labeled embedding corpus (Hermans
+    * et al., "In Defense of the Triplet Loss"): for every anchor, the
+    * HARDEST POSITIVE (same-label vector with MINIMUM cosine — the
+    * furthest example the model must still pull in) and the HARDEST
+    * NEGATIVE (different-label vector with MAXIMUM cosine — the impostor
+    * it must push out). One row per anchor:
+    * `(anchor_id, label, pos_id, pos_cos, neg_id, neg_cos, margin,
+    * violates)` with margin = pos_cos − neg_cos and violates =
+    * (neg_cos ≥ pos_cos) — the triplet-constraint breaches a contrastive
+    * fine-tune (or a label-quality audit) trains on first. Anchors whose
+    * label has no second member, or with no other label present, have no
+    * complete triplet and are absent.
+    *
+    * Plan shape: the [[blockedCosinePairs]] block-pair scheme carries the
+    * label through the join (no second pass to re-attach it), each scored
+    * unordered pair fans out to its two orientations scan-side, and ONE
+    * hash aggregate holds two [[TopKScoreId]] k=1 heaps per anchor —
+    * positives ranked on −cosine (max of −cos = min cos), null-score
+    * routing sending each orientation to exactly one heap. Map-side
+    * partials are ≤ 1 entry per heap, so the only O(n²) cost is the dot
+    * products themselves, inherent to exact batch-hard semantics; at
+    * corpus scale, mine within [[ivfTopK]]'s k-means cells (per-cell
+    * batch-hard is the production form) by pre-filtering to a cell and
+    * calling this per cell.
+    *
+    * Tie-breaks (equal cosine → smaller id) match the oracle's window
+    * form exactly on both heaps.
+    */
+  def hardTriplets(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      numBlocks: Int = 16): DataFrame = {
+    require(numBlocks > 0)
+    val base = graft.Tables.spread(vecs).select(
+      col(idCol).as("__id"),
+      col(vecCol).as("__v"),
+      col(labelCol).as("__l"),
+      pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("__g"))
+    val aSide = base.select(
+      col("__g").as("__lo"),
+      explode(sequence(col("__g"), lit(numBlocks - 1))).as("__hi"),
+      col("__id").as("__ida"), col("__v").as("__va"), col("__l").as("__la"))
+    val bSide = base.select(
+      explode(sequence(lit(0), col("__g"))).as("__lo2"),
+      col("__g").as("__hi2"),
+      col("__id").as("__idb"), col("__v").as("__vb"), col("__l").as("__lb"))
+    val oriented = aSide
+      .join(bSide,
+        col("__lo") === col("__lo2") && col("__hi") === col("__hi2") &&
+          (col("__lo") =!= col("__hi") || col("__ida") < col("__idb")))
+      .withColumn("__cos", Vectors.cosine(col("__va"), col("__vb")))
+      .select(explode(array(
+        struct(col("__ida").as("anchor_id"), col("__la").as("label"),
+          col("__idb").as("other_id"), col("__lb").as("other_label"),
+          col("__cos").as("cos")),
+        struct(col("__idb").as("anchor_id"), col("__lb").as("label"),
+          col("__ida").as("other_id"), col("__la").as("other_label"),
+          col("__cos").as("cos")))).as("o"))
+      .select(col("o.*"))
+    def heap(score: Column) = bridge.column(
+      TopKScoreId(bridge.expression(score),
+        bridge.expression(col("other_id")), 1).toAggregateExpression())
+    oriented
+      .groupBy(col("anchor_id"), col("label"))
+      .agg(
+        heap(when(col("other_label") === col("label"), -col("cos"))).as("__p"),
+        heap(when(col("other_label") =!= col("label"), col("cos"))).as("__n"))
+      .filter(size(col("__p")) > 0 && size(col("__n")) > 0)
+      .select(
+        col("anchor_id"), col("label"),
+        col("__p")(0).getField("id").as("pos_id"),
+        (-col("__p")(0).getField("score")).as("pos_cos"),
+        col("__n")(0).getField("id").as("neg_id"),
+        col("__n")(0).getField("score").as("neg_cos"))
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+      .withColumn("violates", col("neg_cos") >= col("pos_cos"))
+  }
+
   /** SemDeDup-shape semantic-dedup pair mining: k-means Voronoi cells
     * block the corpus, candidates pair only WITHIN a cell, and exact
     * cosine verifies every candidate — so false positives never escape;

@@ -695,7 +695,40 @@ object QualityQueries extends QueryGroup {
       Tables.load(s, dir, "events"), "value", "event_type", "click", "purchase")
   }
 
+  // Entropy / mutual information between the documents corpus's two
+  // labelings (language × source) — the information-theoretic companion
+  // to q_q14's Cramér's V: how much knowing the source tells you about
+  // the language (H(lang|source)), and the [0,1] NMI a mixture designer
+  // thresholds before stratifying one by the other. Both engines compute
+  // the identical −Σ p·ln(marginal/n) cell terms over the same exact
+  // integer counts (the q_q12 discipline); I = H(X)+H(Y)−H(X,Y).
+  private val qQ15 = Q(
+    "q_q15_mutual_information",
+    """WITH c AS (SELECT lang AS x, source AS y, count(*) AS obs
+      |           FROM documents GROUP BY 1, 2),
+      |m AS (SELECT x, y, obs,
+      |             sum(obs) OVER (PARTITION BY x) AS nx,
+      |             sum(obs) OVER (PARTITION BY y) AS ny,
+      |             sum(obs) OVER () AS n
+      |      FROM c),
+      |a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+      |             CAST(count(DISTINCT x) AS BIGINT) AS x_cats,
+      |             CAST(count(DISTINCT y) AS BIGINT) AS y_cats,
+      |             -sum((CAST(obs AS DOUBLE) / n) * ln(CAST(nx AS DOUBLE) / n)) AS h_x,
+      |             -sum((CAST(obs AS DOUBLE) / n) * ln(CAST(ny AS DOUBLE) / n)) AS h_y,
+      |             -sum((CAST(obs AS DOUBLE) / n) * ln(CAST(obs AS DOUBLE) / n)) AS h_xy
+      |      FROM m)
+      |SELECT n, x_cats, y_cats, h_x, h_y, h_xy,
+      |       h_x + h_y - h_xy AS mi,
+      |       h_xy - h_x AS h_y_given_x,
+      |       CASE WHEN h_x > 0 AND h_y > 0
+      |            THEN (h_x + h_y - h_xy) / sqrt(h_x * h_y) END AS nmi
+      |FROM a""".stripMargin) { (s, dir) =>
+    DataProfile.mutualInformation(
+      Tables.load(s, dir, "documents"), "lang", "source")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14)
+      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15)
 }

@@ -461,7 +461,43 @@ object SimilarityQueries extends QueryGroup {
     }
   }
 
+  // Batch-hard triplet mining (SimilaritySearch.hardTriplets): per
+  // anchor, the furthest same-label vector (hardest positive) and the
+  // closest different-label vector (hardest negative) — the triplets a
+  // contrastive fine-tune trains on and a label-quality audit reads
+  // (violates = the impostor is closer than the in-class straggler).
+  // The oracle replays the exact all-pairs form with the identical
+  // (cos, id) tie-breaks; the Spark plan never broadcasts or windows the
+  // pair set — block-pair shuffle plus one two-heap hash aggregate.
+  private val qV16 = Q(
+    "q_v16_hard_triplets",
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS aid, a.label AS al, b.vec_id AS bid, b.label AS bl,
+       |         ${duckCosine("a.embedding", "b.embedding")} AS c
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |pos AS (
+       |  SELECT aid, bid, c,
+       |         row_number() OVER (PARTITION BY aid ORDER BY c ASC, bid ASC) AS rn
+       |  FROM p WHERE al = bl),
+       |neg AS (
+       |  SELECT aid, bid, c,
+       |         row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn
+       |  FROM p WHERE al <> bl)
+       |SELECT e.vec_id AS anchor_id, e.label AS label,
+       |       pos.bid AS pos_id, pos.c AS pos_cos,
+       |       neg.bid AS neg_id, neg.c AS neg_cos,
+       |       pos.c - neg.c AS margin,
+       |       neg.c >= pos.c AS violates
+       |FROM embeddings e
+       |JOIN pos ON pos.aid = e.vec_id AND pos.rn = 1
+       |JOIN neg ON neg.aid = e.vec_id AND neg.rn = 1
+       |ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+    SimilaritySearch
+      .hardTriplets(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      .orderBy("anchor_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13,
-      qV14, qV15)
+      qV14, qV15, qV16)
 }

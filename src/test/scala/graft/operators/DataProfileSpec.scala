@@ -59,6 +59,37 @@ class DataProfileSpec extends SparkSpec {
     assert(flat.forall { case (c, m) => math.abs(c) < 1e-12 && math.abs(m) < 1e-12 })
   }
 
+  test("mutualInformation: hand-computed 2x2 entropies, MI, NMI") {
+    import spark.implicits._
+    // counts: (a,p)=30 (a,q)=10 (b,p)=10 (b,q)=50; n=100
+    val rows =
+      Seq.fill(30)(("a", "p")) ++ Seq.fill(10)(("a", "q")) ++
+        Seq.fill(10)(("b", "p")) ++ Seq.fill(50)(("b", "q"))
+    val r = DataProfile.mutualInformation(rows.toDF("x", "y"), "x", "y").head()
+    def h(ps: Double*): Double = -ps.map(p => p * math.log(p)).sum
+    val hx = h(0.4, 0.6); val hy = h(0.4, 0.6)
+    val hxy = h(0.3, 0.1, 0.1, 0.5)
+    assert(r.getLong(0) === 100L && r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(math.abs(r.getDouble(3) - hx) < 1e-12)
+    assert(math.abs(r.getDouble(4) - hy) < 1e-12)
+    assert(math.abs(r.getDouble(5) - hxy) < 1e-12)
+    assert(math.abs(r.getDouble(6) - (hx + hy - hxy)) < 1e-12)
+    assert(math.abs(r.getDouble(7) - (hxy - hx)) < 1e-12)
+    assert(math.abs(r.getDouble(8) - (hx + hy - hxy) / math.sqrt(hx * hy)) < 1e-12)
+    // independent table → MI ~ 0, H(Y|X) = H(Y)
+    val indep = Seq.fill(20)(("a", "p")) ++ Seq.fill(20)(("a", "q")) ++
+      Seq.fill(30)(("b", "p")) ++ Seq.fill(30)(("b", "q"))
+    val ri = DataProfile.mutualInformation(indep.toDF("x", "y"), "x", "y").head()
+    assert(math.abs(ri.getDouble(6)) < 1e-12)
+    assert(math.abs(ri.getDouble(7) - h(0.5, 0.5)) < 1e-12)
+    // degenerate: constant X → H(X)=0, NMI NULL, MI 0
+    val const = Seq.fill(7)(("only", "p")) ++ Seq.fill(3)(("only", "q"))
+    val rc = DataProfile.mutualInformation(const.toDF("x", "y"), "x", "y").head()
+    assert(math.abs(rc.getDouble(3)) < 1e-12)
+    assert(math.abs(rc.getDouble(6)) < 1e-12)
+    assert(rc.isNullAt(8))
+  }
+
   test("ksTwoSample: hand-computed D and location; exact fractions") {
     import spark.implicits._
     val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 3.0), ("b", 4.0))

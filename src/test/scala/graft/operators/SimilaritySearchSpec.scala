@@ -247,4 +247,64 @@ class SimilaritySearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(single.subsetOf(clustered), "probe-2 candidates contain probe-1's")
   }
+
+  test("hardTriplets: hand-computed hardest positive/negative and violations") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 0, Seq(0.9f, 0.1f)),
+      (3L, 0, Seq(0.0f, 1.0f)),
+      (4L, 1, Seq(0.95f, 0.05f)),
+      (5L, 1, Seq(-1.0f, 0.0f)),
+      (6L, 2, Seq(0.5f, 0.5f))) // singleton label: no positive, no triplet
+      .toDF("vec_id", "label", "embedding")
+    val got = SimilaritySearch
+      .hardTriplets(vecs, "vec_id", "embedding", "label", numBlocks = 3)
+      .orderBy("anchor_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5), r.getBoolean(7))))
+      .toMap
+    assert(!got.contains(6L), "singleton-label anchor has no complete triplet")
+    // anchor 1: hardest positive = 3 (cos 0), hardest negative = 4
+    // (cos ≈ 0.9986) → violated
+    val (p1, pc1, n1, nc1, v1) = got(1L)
+    assert(p1 === 3L && math.abs(pc1) < 1e-12)
+    assert(n1 === 4L && math.abs(nc1 - 0.95 / math.sqrt(0.905)) < 1e-9 && v1)
+    // anchor 5: only positive is 4 (cos ≈ −0.9986); hardest negative = 3
+    // (cos 0, beats −0.99…) → violated
+    val (p5, pc5, n5, nc5, v5) = got(5L)
+    assert(p5 === 4L && math.abs(pc5 - -0.95 / math.sqrt(0.905)) < 1e-9)
+    assert(n5 === 3L && math.abs(nc5) < 1e-12 && v5)
+  }
+
+  test("hardTriplets matches a window-function reference on real embeddings") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+      .select("vec_id", "embedding", "label")
+    val got = SimilaritySearch
+      .hardTriplets(emb, "vec_id", "embedding", "label")
+      .orderBy("anchor_id").collect()
+    val a = emb.select(col("vec_id").as("aid"), col("embedding").as("av"),
+      col("label").as("al"))
+    val b = emb.select(col("vec_id").as("bid"), col("embedding").as("bv"),
+      col("label").as("bl"))
+    val pairs = a.join(b, col("aid") =!= col("bid"))
+      .withColumn("c", graft.functions.Vectors.cosine(col("av"), col("bv")))
+    val posW = Window.partitionBy("aid").orderBy(col("c").asc, col("bid").asc)
+    val negW = Window.partitionBy("aid").orderBy(col("c").desc, col("bid").asc)
+    val pos = pairs.filter(col("al") === col("bl"))
+      .withColumn("rn", row_number().over(posW)).filter(col("rn") === 1)
+      .select(col("aid"), col("bid").as("pid"), col("c").as("pc"))
+    val neg = pairs.filter(col("al") =!= col("bl"))
+      .withColumn("rn", row_number().over(negW)).filter(col("rn") === 1)
+      .select(col("aid"), col("bid").as("nid"), col("c").as("nc"))
+    val want = pos.join(neg, "aid").orderBy("aid").collect()
+    assert(got.length === want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) === w.getLong(0))
+      assert(g.getLong(2) === w.getLong(1), s"pos_id for anchor ${g.getLong(0)}")
+      assert(g.getLong(4) === w.getLong(3), s"neg_id for anchor ${g.getLong(0)}")
+      assert(g.getDouble(3) === w.getDouble(2) && g.getDouble(5) === w.getDouble(4))
+    }
+  }
 }
