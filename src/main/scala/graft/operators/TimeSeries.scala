@@ -198,6 +198,68 @@ object TimeSeries {
         when(acc.isNull, x).otherwise((acc + x) / lit(2d))))
   }
 
+  /** Holt double-exponential smoothing (level + linear trend) with
+    * α = β = 1/2 over the FULL per-key history — the forecasting step up
+    * from [[dyadicEwma]]'s level-only smoother: per row the recursion
+    *
+    *   fit_t = l_{t−1} + b_{t−1}             (1-step-ahead forecast)
+    *   l_t   = (x_t + fit_t) / 2             (α = 1/2)
+    *   b_t   = ((l_t − l_{t−1}) + b_{t−1})/2 (β = 1/2)
+    *
+    * seeded l_1 = x_1, b_1 = 0, fit_1 = NULL. Dyadic coefficients for
+    * the same reason as [[dyadicEwma]]: every step is IEEE adds plus
+    * exact halvings, so the whole recursion is bit-reproducible across
+    * engines and reruns. Output adds `level`, `trend`, `fitted`,
+    * `residual` (x − fitted, the backtest error stream) and
+    * `forecast_next` (= l_t + b_t, the forecast this row issues for the
+    * next step) at the input grain.
+    *
+    * Shape: ONE hash aggregate collects each key's series, sort_array
+    * orders it (orderCol must be unique per key — the pre-aggregated
+    * daily/hourly grain contract of this family), and a single
+    * left-to-right HOF fold emits the full smoothed array, exploded
+    * back to rows. Per-key state is the series itself — bounded by the
+    * grain, like [[pacf]] — and nothing shuffles except the one
+    * key-partitioned aggregate.
+    */
+  def holtLinear(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val g = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("o"),
+        col(valueCol).cast("double").as("x")))).as("__s"))
+    def seed(e: org.apache.spark.sql.Column) = struct(
+      e.getField("o").as("o"), e.getField("x").as("x"),
+      e.getField("x").as("level"), lit(0.0).as("trend"),
+      lit(null).cast("double").as("fitted"))
+    // zero-length, correctly-typed accumulator derived from the input
+    val accInit = slice(transform(col("__s"), e => seed(e)), 1, 0)
+    val folded = aggregate(col("__s"), accInit, (acc, e) => {
+      val last = element_at(acc, -1)
+      val fit = last.getField("level") + last.getField("trend")
+      val lNew = (e.getField("x") + fit) / lit(2.0)
+      val bNew = ((lNew - last.getField("level")) + last.getField("trend")) / lit(2.0)
+      when(size(acc) === 0, array(seed(e)))
+        .otherwise(concat(acc, array(struct(
+          e.getField("o").as("o"), e.getField("x").as("x"),
+          lNew.as("level"), bNew.as("trend"), fit.as("fitted")))))
+    })
+    g.select(col(keyCol), explode(folded).as("__r"))
+      .select(
+        col(keyCol),
+        col("__r.o").as(orderCol),
+        col("__r.x").as(valueCol),
+        col("__r.level").as("level"),
+        col("__r.trend").as("trend"),
+        col("__r.fitted").as("fitted"),
+        (col("__r.x") - col("__r.fitted")).as("residual"),
+        (col("__r.level") + col("__r.trend")).as("forecast_next"))
+  }
+
   /** Per-key lag-k autocorrelation (Pearson r between the series and its
     * k-step-lagged self, k = 1..maxLag): the seasonality/persistence
     * fingerprint of a metric series. One lag window pass per key emits

@@ -1886,6 +1886,51 @@ object RelationalQueries extends QueryGroup {
     * unioned in (q_e18's hardening corpus): user -1 = 10-day constant,
     * user -2 = 2-day (1.0, 2.0).
     */
+  // Holt double-exponential smoothing (TimeSeries.holtLinear): level +
+  // linear trend with dyadic α = β = 1/2, so the whole recursion is
+  // bit-reproducible IEEE adds and halvings — the oracle replays it as
+  // a recursive CTE stepping rn → rn+1 per key. Probes ON the gate: the
+  // constant user's level stays 5 / trend 0 / residuals 0; the 2-point
+  // user exercises the seed row (fitted NULL) and one full update.
+  private val qE27 = Q(
+    "q_e27_holt_smoothing",
+    """WITH RECURSIVE d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(i + 1 AS DOUBLE)
+      |  FROM range(2) t(i)),
+      |s AS (
+      |  SELECT user_id, day, daily_value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM d),
+      |h AS (
+      |  SELECT user_id, rn, day, daily_value,
+      |         daily_value AS level, CAST(0 AS DOUBLE) AS trend,
+      |         CAST(NULL AS DOUBLE) AS fitted
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.rn, s.day, s.daily_value,
+      |         (s.daily_value + (h.level + h.trend)) / 2,
+      |         (((s.daily_value + (h.level + h.trend)) / 2 - h.level) + h.trend) / 2,
+      |         h.level + h.trend
+      |  FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1)
+      |SELECT user_id, day, daily_value, level, trend, fitted,
+      |       daily_value - fitted AS residual,
+      |       level + trend AS forecast_next
+      |FROM h ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    graft.operators.TimeSeries
+      .holtLinear(dailyWithProbes(s, dir, includeSinglePair = true),
+        "user_id", "day", "daily_value")
+      .orderBy("user_id", "day")
+  }
+
   private def dailyWithProbes(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -1915,5 +1960,6 @@ object RelationalQueries extends QueryGroup {
     qAgg, qEvents, qSessions, qAsOf, qA5b, qA6, qA6b, qPivot, qRange, qJ9,
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
-    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25, qE26)
+    qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25, qE26,
+    qE27)
 }

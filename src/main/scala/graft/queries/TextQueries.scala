@@ -774,7 +774,67 @@ object TextQueries extends QueryGroup {
       Tables.load(s, dir, "documents"), "text", topN = 200)
   }
 
+  /** One BPE training round as oracle CTEs (the q_v14 unroll discipline
+    * brought to tokenizer training): pair-count over s{k−1} → total-order
+    * argmax → leftmost-greedy application (islands of consecutive match
+    * positions keep even in-run offsets) → re-packed s{k}. The Scala
+    * operator runs the identical recurrence ([[graft.operators.Bpe]]).
+    */
+  private def bpeRound(k: Int): String = {
+    val (s, n, cnt, top, sel, s2) =
+      (s"s${k - 1}", s"n$k", s"cnt$k", s"top$k", s"sel$k", s"s$k")
+    s"""$n AS (SELECT w, wc, pos, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $s),
+       |$cnt AS (SELECT sym AS a, nxt AS b, sum(wc) AS c FROM $n WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |$top AS (SELECT a, b, c FROM $cnt ORDER BY c DESC, a, b LIMIT 1),
+       |$sel AS (
+       |  SELECT mw, mp FROM (
+       |    SELECT mw, mp, row_number() OVER (PARTITION BY mw, mp - rn ORDER BY mp) - 1 AS idx
+       |    FROM (SELECT x.w AS mw, x.pos AS mp,
+       |                 row_number() OVER (PARTITION BY x.w ORDER BY x.pos) AS rn
+       |          FROM $n x JOIN $top t ON x.sym = t.a AND x.nxt = t.b))
+       |  WHERE idx % 2 = 0),
+       |$s2 AS (
+       |  SELECT w, wc, CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INT) AS pos, sym FROM (
+       |    SELECT s.w, s.wc, s.pos,
+       |           CASE WHEN st.mp IS NOT NULL THEN (SELECT a || b FROM $top) ELSE s.sym END AS sym
+       |    FROM $s s
+       |    LEFT JOIN $sel st ON st.mw = s.w AND st.mp = s.pos
+       |    LEFT JOIN $sel dr ON dr.mw = s.w AND dr.mp + 1 = s.pos
+       |    WHERE dr.mp IS NULL))""".stripMargin
+  }
+
+  // BPE tokenizer training (operators.Bpe.learnMerges): 3 merge rounds
+  // over the corpus vocabulary, each round's argmax pair adopted under
+  // the total order (count DESC, left, right) and applied leftmost-greedy
+  // before the next count — so rounds 2–3 gate the APPLICATION logic
+  // (islands/parity), not just pair counting. The oracle unrolls all
+  // three rounds as CTE stages over the identical char-level symbol
+  // frame; exact integer pair counts make the argmax engine-stable.
+  private val qT22 = Q(
+    "q_t22_bpe_merges",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents WHERE trim(text) <> ''),
+       |words AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+       |s0 AS (
+       |  SELECT w, wc, CAST(ps.pos AS INT) AS pos, ps.sym AS sym
+       |  FROM (SELECT w, wc, unnest(list_transform(range(len(w)),
+       |               i -> {'pos': i + 1, 'sym': w[i+1:i+1]})) AS ps
+       |        FROM words)),
+       |${bpeRound(1)},
+       |${bpeRound(2)},
+       |${bpeRound(3)}
+       |SELECT CAST(1 AS INT) AS round, a AS merge_left, b AS merge_right,
+       |       CAST(c AS BIGINT) AS pair_count FROM top1
+       |UNION ALL SELECT 2, a, b, CAST(c AS BIGINT) FROM top2
+       |UNION ALL SELECT 3, a, b, CAST(c AS BIGINT) FROM top3
+       |ORDER BY round""".stripMargin) { (s, dir) =>
+    graft.operators.Bpe
+      .learnMerges(Tables.load(s, dir, "documents"), "text", rounds = 3)
+      .orderBy("round")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21)
+      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22)
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges: hand-computed 3 rounds incl. greedy overlap and tie-break") {
+    // vocabulary: aaaa×2, aab×1, banana×3
+    // round 1 pairs: (a,a)=7 (a,n)=6 (n,a)=6 (b,a)=3 (a,b)=1 → (a,a)
+    // round 2 (after aaaa→[aa,aa], aab→[aa,b]): (a,n)=6 ties (n,a)=6 →
+    //   lexicographic left wins → (a,n)
+    // round 3 (banana→[b,an,an,a]): (an,a)=(an,an)=(b,an)=3 → (an,a)
+    val docs = Seq("aaaa AAAA", "aab banana", "banana  banana").toDF("text")
+    val got = Bpe.learnMerges(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "a", 7L), (2, "a", "n", 6L), (3, "an", "a", 3L)))
+  }
+
+  test("learnMerges: overlap parity — aaaa merges to [aa,aa], aaa to [aa,a]") {
+    // after round 1 on a's-only vocabulary, the only round-2 pair counts
+    // are over the greedily-merged symbols: aaaa→(aa,aa), aaa→(aa,a),
+    // aaaaa→(aa,aa),(aa,a)
+    val docs = Seq("aaaa aaa aaaaa").toDF("text")
+    val got = Bpe.learnMerges(docs, "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) appears 3+2+4 = 9 times
+    assert(got(0) === ((1, "a", "a", 9L)))
+    // round 2 pairs: (aa,aa)=2 [from aaaa, aaaaa], (aa,a)=2 [aaa, aaaaa]
+    // → tie on count, (aa,a) < (aa,aa) lexicographically
+    assert(got(1) === ((2, "aa", "a", 2L)))
+  }
+
+  test("learnMerges stops early when the corpus runs out of pairs") {
+    val docs = Seq("ab ab cd").toDF("text")
+    val got = Bpe.learnMerges(docs, "text", rounds = 10)
+      .orderBy("round").collect()
+    // round 1 merges (a,b); round 2 merges (c,d); then no pairs remain
+    assert(got.length === 2)
+    assert(got(0).getString(1) === "a" && got(0).getString(2) === "b")
+    assert(got(1).getString(1) === "c" && got(1).getString(2) === "d")
+  }
+}

@@ -349,4 +349,30 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.decomposeAdditive(const.toDF("k", "day", "v"), "k", "day", "v", period = 6)
     }
   }
+
+  test("holtLinear: hand-computed recursion, constant series, key isolation") {
+    import spark.implicits._
+    // out-of-order input proves the sort; x = [4, 8, 2] at t = 1, 2, 3
+    val series = Seq(("a", 3, 2.0), ("a", 1, 4.0), ("a", 2, 8.0),
+      ("c", 1, 5.0), ("c", 2, 5.0), ("c", 3, 5.0), ("c", 4, 5.0))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.holtLinear(series, "k", "t", "v")
+      .orderBy("k", "t").collect()
+    val a = got.filter(_.getString(0) == "a")
+    // t=1 seed: level 4, trend 0, fitted NULL
+    assert(a(0).getDouble(3) === 4.0 && a(0).getDouble(4) === 0.0 && a(0).isNullAt(5))
+    assert(a(0).getDouble(7) === 4.0) // forecast_next = 4 + 0
+    // t=2: fit 4 → level 6, trend 1, residual 4, forecast_next 7
+    assert(a(1).getDouble(3) === 6.0 && a(1).getDouble(4) === 1.0)
+    assert(a(1).getDouble(5) === 4.0 && a(1).getDouble(6) === 4.0 &&
+      a(1).getDouble(7) === 7.0)
+    // t=3: fit 7 → level 4.5, trend −0.25, residual −5, forecast_next 4.25
+    assert(a(2).getDouble(3) === 4.5 && a(2).getDouble(4) === -0.25)
+    assert(a(2).getDouble(5) === 7.0 && a(2).getDouble(6) === -5.0 &&
+      a(2).getDouble(7) === 4.25)
+    // constant series: level pinned at 5, trend 0, residuals 0 after seed
+    val c = got.filter(_.getString(0) == "c")
+    assert(c.forall(r => r.getDouble(3) === 5.0 && r.getDouble(4) === 0.0))
+    assert(c.drop(1).forall(r => r.getDouble(5) === 5.0 && r.getDouble(6) === 0.0))
+  }
 }
