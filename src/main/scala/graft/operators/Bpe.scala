@@ -39,9 +39,47 @@ object Bpe {
     *         than `rounds` only when the corpus runs out of pairs.
     */
   def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, "learn at least one merge")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, syms) = train(docs, textCol, rounds)
+    bridge.freeLocalCheckpoint(syms)
+    merges.toDF("round", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** Corpus tokenization summary AFTER the learned merges — the
+    * "how well does this tokenizer compress" number a vocabulary sweep
+    * reads: one row (n_merges, total_words, total_chars, total_tokens,
+    * vocab_symbols, chars_per_token, tokens_per_word). Everything is
+    * exact integer sums over the vocabulary frame until the two final
+    * divisions.
+    */
+  def compressionStats(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, syms) = train(docs, textCol, rounds)
+    val perWord = syms.groupBy("w")
+      .agg(max("wc").as("wc"), count(lit(1)).as("n_syms"))
+    val row = perWord
+      .agg(
+        sum(col("wc")).cast("long").as("total_words"),
+        sum(col("wc") * length(col("w"))).cast("long").as("total_chars"),
+        sum(col("wc") * col("n_syms")).cast("long").as("total_tokens"))
+      .crossJoin(broadcast(
+        syms.agg(count_distinct(col("sym")).cast("long").as("vocab_symbols"))))
+      .head() // bounded: the one-row summary — frees the checkpoint below
+    bridge.freeLocalCheckpoint(syms)
+    Seq((merges.size, row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+      .toDF("n_merges", "total_words", "total_chars", "total_tokens", "vocab_symbols")
+      .select(col("*"),
+        (col("total_chars").cast("double") / col("total_tokens")).as("chars_per_token"),
+        (col("total_tokens").cast("double") / col("total_words")).as("tokens_per_word"))
+  }
+
+  private def train(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, "learn at least one merge")
 
     val words = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
@@ -98,7 +136,6 @@ object Bpe {
       }
       r += 1
     }
-    bridge.freeLocalCheckpoint(syms)
-    merges.result().toDF("round", "merge_left", "merge_right", "pair_count")
+    (merges.result(), syms)
   }
 }

@@ -834,7 +834,41 @@ object TextQueries extends QueryGroup {
       .orderBy("round")
   }
 
+  // Tokenizer APPLICATION (operators.Bpe.compressionStats): the corpus
+  // re-tokenized under the 3 learned merges, summarized as the
+  // compression numbers a vocabulary sweep reads. The oracle reuses the
+  // full q_t22 training unroll and reads the FINAL symbol frame s3 — so
+  // this gates the applied segmentation itself, word by word, not just
+  // the merge table. Integer sums throughout; two divisions at the end.
+  private val qT23 = Q(
+    "q_t23_bpe_compression",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents WHERE trim(text) <> ''),
+       |words AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+       |s0 AS (
+       |  SELECT w, wc, CAST(ps.pos AS INT) AS pos, ps.sym AS sym
+       |  FROM (SELECT w, wc, unnest(list_transform(range(len(w)),
+       |               i -> {'pos': i + 1, 'sym': w[i+1:i+1]})) AS ps
+       |        FROM words)),
+       |${bpeRound(1)},
+       |${bpeRound(2)},
+       |${bpeRound(3)},
+       |pw AS (SELECT w, any_value(wc) AS wc, count(*) AS n_syms FROM s3 GROUP BY w),
+       |one AS (SELECT CAST(sum(wc) AS BIGINT) AS total_words,
+       |               CAST(sum(wc * len(w)) AS BIGINT) AS total_chars,
+       |               CAST(sum(wc * n_syms) AS BIGINT) AS total_tokens FROM pw),
+       |v AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab_symbols FROM s3)
+       |SELECT CAST(3 AS INT) AS n_merges, total_words, total_chars, total_tokens,
+       |       vocab_symbols,
+       |       CAST(total_chars AS DOUBLE) / total_tokens AS chars_per_token,
+       |       CAST(total_tokens AS DOUBLE) / total_words AS tokens_per_word
+       |FROM one, v""".stripMargin) { (s, dir) =>
+    graft.operators.Bpe
+      .compressionStats(Tables.load(s, dir, "documents"), "text", rounds = 3)
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22)
+      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23)
 }

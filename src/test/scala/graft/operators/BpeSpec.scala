@@ -33,6 +33,17 @@ class BpeSpec extends SparkSpec {
     assert(got(1) === ((2, "aa", "a", 2L)))
   }
 
+  test("compressionStats: hand-computed totals on the toy corpus") {
+    // after 3 merges: aaaa=[aa,aa] aab=[aa,b] banana=[b,an,ana]
+    // words 6, chars 2·4+3+3·6=29, tokens 2·2+2+3·3=15, vocab {aa,b,an,ana}
+    val docs = Seq("aaaa AAAA", "aab banana", "banana  banana").toDF("text")
+    val r = Bpe.compressionStats(docs, "text", rounds = 3).head()
+    assert(r.getInt(0) === 3)
+    assert(r.getLong(1) === 6L && r.getLong(2) === 29L && r.getLong(3) === 15L)
+    assert(r.getLong(4) === 4L)
+    assert(r.getDouble(5) === 29.0 / 15.0 && r.getDouble(6) === 2.5)
+  }
+
   test("learnMerges stops early when the corpus runs out of pairs") {
     val docs = Seq("ab ab cd").toDF("text")
     val got = Bpe.learnMerges(docs, "text", rounds = 10)
