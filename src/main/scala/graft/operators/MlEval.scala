@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary-classifier evaluation over a scored frame — the model-quality
+  * readout that closes the train (QualityClassifier.fit) → score →
+  * EVALUATE loop of a production corpus-quality gate.
+  *
+  * AUC is computed EXACTLY via the Mann–Whitney pair-count identity in
+  * pure integers — no average-rank doubles, no pair join:
+  *
+  *   2U = Σ_v pc(v)·(2·negBelow(v) + nc(v)),  AUC = 2U / (2·P·N)
+  *
+  * where v ranges over DISTINCT scores, pc/nc are the positive/negative
+  * counts at v and negBelow the negatives strictly below — ties
+  * contribute their conventional half credit through the nc(v) term.
+  * Every quantity up to the single final division is an exact integer,
+  * so the statistic is engine-reproducible to the bit.
+  *
+  * Shape at scale: ONE hash aggregate reduces the corpus to its distinct
+  * scores (bounded — scores arrive rounded, e.g. 10⁶+1 values from
+  * QualityClassifier's round(·, 6)), one single-partition window over
+  * that tiny frame, one closing aggregate. Thresholded counts (tp/fp/
+  * fn/tn → accuracy, precision, recall, F1) and the Brier score come out
+  * of the same per-score frame; divisions are guarded (no positives →
+  * precision NULL, one class absent → AUC NULL).
+  */
+object MlEval {
+
+  /** @param scored  frame with a 0/1 label column and a numeric score
+    * @return one row: (n, n_pos, n_neg, auc, tp, fp, fn, tn, accuracy,
+    *         precision, recall, f1, brier)
+    */
+  def binaryMetrics(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val perScore = scored
+      .groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(
+        sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L)).as("pc"),
+        sum(when(col(labelCol).cast("double") === 1.0, 0L).otherwise(1L)).as("nc"))
+    // single-partition window over the DISTINCT-SCORE frame only
+    val below = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perScore.withColumn(
+      "neg_below", coalesce(sum(col("nc")).over(below), lit(0L)))
+    val one = cum.agg(
+      sum(col("pc")).as("__p"),
+      sum(col("nc")).as("__n"),
+      sum(col("pc") * (lit(2L) * col("neg_below") + col("nc"))).as("__u2"),
+      sum(when(col("s") >= threshold, col("pc")).otherwise(0L)).as("tp"),
+      sum(when(col("s") >= threshold, col("nc")).otherwise(0L)).as("fp"),
+      sum(when(col("s") < threshold, col("pc")).otherwise(0L)).as("fn"),
+      sum(when(col("s") < threshold, col("nc")).otherwise(0L)).as("tn"),
+      sum(col("pc") * (col("s") - 1) * (col("s") - 1) +
+        col("nc") * col("s") * col("s")).as("__sqerr"))
+    one.select(
+      (col("__p") + col("__n")).cast("bigint").as("n"),
+      col("__p").cast("bigint").as("n_pos"),
+      col("__n").cast("bigint").as("n_neg"),
+      when(col("__p") > 0 && col("__n") > 0,
+        col("__u2").cast("double") / (lit(2.0) * col("__p") * col("__n"))).as("auc"),
+      col("tp").cast("bigint").as("tp"), col("fp").cast("bigint").as("fp"),
+      col("fn").cast("bigint").as("fn"), col("tn").cast("bigint").as("tn"),
+      ((col("tp") + col("tn")).cast("double") / (col("__p") + col("__n")))
+        .as("accuracy"),
+      when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+      when(col("__p") > 0, col("tp").cast("double") / col("__p")).as("recall"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        lit(2.0) * col("tp") / (lit(2L) * col("tp") + col("fp") + col("fn")))
+        .as("f1"),
+      (col("__sqerr") / (col("__p") + col("__n"))).as("brier"))
+  }
+}

@@ -428,6 +428,83 @@ object CurationQueries extends QueryGroup {
     pinned
   }
 
+  // Classifier EVALUATION (operators.MlEval.binaryMetrics) over q_c13's
+  // trained model: exact Mann–Whitney AUC via the integer pair-count
+  // identity 2U = Σ pc·(2·negBelow + nc) — no rank doubles, no pair
+  // join — plus thresholded tp/fp/fn/tn → accuracy/precision/recall/F1
+  // and the Brier score. The oracle replays the FULL training unroll
+  // (the q_c13 CTEs verbatim) and then the identical integer identity,
+  // so train → score → evaluate is gated end to end.
+  private val qC14 = Q(
+    "q_c14_classifier_eval",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
+       |  FROM documents),
+       |n AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |             CAST(len(tk) AS DOUBLE) AS nt
+       |      FROM t),
+       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+       |bc AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % $qcB AS b,
+       |              count(*) AS c
+       |       FROM tok GROUP BY 1, 2),
+       |f AS (SELECT n.doc_id, n.y,
+       |        ${(0 until qcB).map(j =>
+                  s"CAST(coalesce(sum(CASE WHEN b = $j THEN c END), 0) AS DOUBLE) / greatest(n.nt, 1.0) AS x$j")
+                  .mkString(",\n       |        ")},
+       |        ln(1.0 + n.nt) AS xl
+       |      FROM n LEFT JOIN bc ON n.doc_id = bc.doc_id
+       |      GROUP BY n.doc_id, n.y, n.nt),
+       |wt0 AS (SELECT ${(0 until qcB).map(j => s"0.0 AS w$j").mkString(", ")},
+       |               0.0 AS wl, 0.0 AS b),
+       |$qcSteps,
+       |sc AS (SELECT f.doc_id, f.y,
+       |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
+       |       FROM f CROSS JOIN wt3),
+       |ps AS (SELECT score AS s,
+       |              sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pc,
+       |              sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nc
+       |       FROM sc GROUP BY 1),
+       |cum AS (SELECT s, pc, nc,
+       |               coalesce(sum(nc) OVER (ORDER BY s
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+       |        FROM ps),
+       |a AS (SELECT sum(pc) AS p, sum(nc) AS nn,
+       |             sum(pc * (2 * neg_below + nc)) AS u2,
+       |             sum(CASE WHEN s >= 0.5 THEN pc ELSE 0 END) AS tp,
+       |             sum(CASE WHEN s >= 0.5 THEN nc ELSE 0 END) AS fp,
+       |             sum(CASE WHEN s < 0.5 THEN pc ELSE 0 END) AS fn,
+       |             sum(CASE WHEN s < 0.5 THEN nc ELSE 0 END) AS tn,
+       |             sum(pc * (s - 1) * (s - 1) + nc * s * s) AS sqerr
+       |      FROM cum)
+       |SELECT CAST(p + nn AS BIGINT) AS n, CAST(p AS BIGINT) AS n_pos,
+       |       CAST(nn AS BIGINT) AS n_neg,
+       |       CASE WHEN p > 0 AND nn > 0
+       |            THEN CAST(u2 AS DOUBLE) / (2.0 * p * nn) END AS auc,
+       |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       |       CAST(tp + tn AS DOUBLE) / (p + nn) AS accuracy,
+       |       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+       |       CASE WHEN p > 0 THEN CAST(tp AS DOUBLE) / p END AS recall,
+       |       CASE WHEN 2 * tp + fp + fn > 0
+       |            THEN 2.0 * tp / (2 * tp + fp + fn) END AS f1,
+       |       sqerr / (p + nn) AS brier
+       |FROM a""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val feats = graft.operators.QualityClassifier.features(
+      docs, "doc_id", "text", col("lang") === "en", numBuckets = qcB)
+      .localCheckpoint(true) // scanned per GD step + once to score
+    val model = graft.operators.QualityClassifier.fit(
+      feats, numBuckets = qcB, steps = 3, learningRate = 0.5)
+    val scored = graft.operators.QualityClassifier.score(feats, "doc_id", model)
+      .join(feats.select(col("doc_id"), col("y")), "doc_id")
+    val out = graft.operators.MlEval.binaryMetrics(scored, "y", "score")
+    val pinned = out.localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(feats)
+    pinned
+  }
+
   override val all: Seq[Q] =
-    Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13)
+    Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14)
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MlEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binaryMetrics: hand-computed AUC with ties, threshold counts, Brier") {
+    // P = {0.9, 0.7, 0.3}, N = {0.8, 0.7, 0.1, 0.1}
+    // U = 4 (0.9) + 2.5 (0.7: beats both 0.1s, half for the tie) + 2 (0.3)
+    //   = 8.5 → AUC = 8.5/12
+    val rows = Seq((0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.7, 0.0),
+      (0.3, 1.0), (0.1, 0.0), (0.1, 0.0)).toDF("score", "y")
+    val r = MlEval.binaryMetrics(rows, "y", "score").head()
+    assert(r.getLong(0) === 7L && r.getLong(1) === 3L && r.getLong(2) === 4L)
+    assert(math.abs(r.getDouble(3) - 8.5 / 12.0) < 1e-15)
+    // threshold 0.5: tp=2 (0.9, 0.7), fp=2 (0.8, 0.7), fn=1 (0.3), tn=2
+    assert(r.getLong(4) === 2L && r.getLong(5) === 2L)
+    assert(r.getLong(6) === 1L && r.getLong(7) === 2L)
+    assert(r.getDouble(8) === 4.0 / 7.0)   // accuracy
+    assert(r.getDouble(9) === 0.5)         // precision
+    assert(math.abs(r.getDouble(10) - 2.0 / 3.0) < 1e-15) // recall
+    assert(r.getDouble(11) === 4.0 / 7.0)  // f1 = 2·2/(4+2+1)
+    val brier = (math.pow(0.1, 2) + math.pow(0.8, 2) + math.pow(0.3, 2) +
+      math.pow(0.7, 2) + math.pow(0.7, 2) + 2 * math.pow(0.1, 2)) / 7.0
+    assert(math.abs(r.getDouble(12) - brier) < 1e-12)
+  }
+
+  test("binaryMetrics: perfect separation → AUC 1, one-class input → AUC NULL") {
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
+      .toDF("score", "y")
+    val rp = MlEval.binaryMetrics(perfect, "y", "score").head()
+    assert(rp.getDouble(3) === 1.0 && rp.getDouble(8) === 1.0 &&
+      rp.getDouble(11) === 1.0)
+    val onlyPos = Seq((0.9, 1.0), (0.1, 1.0)).toDF("score", "y")
+    val ro = MlEval.binaryMetrics(onlyPos, "y", "score").head()
+    assert(ro.isNullAt(3)) // no negatives → AUC undefined
+    assert(ro.getDouble(10) === 0.5) // recall = 1/2: the 0.1 positive missed
+    // reversed scorer → AUC 0
+    val reversed = Seq((0.1, 1.0), (0.9, 0.0)).toDF("score", "y")
+    assert(MlEval.binaryMetrics(reversed, "y", "score").head().getDouble(3) === 0.0)
+  }
+}
