@@ -173,6 +173,57 @@ object ConnectedComponents {
   /** Cluster assignment for a whole corpus: docs that appear in `pairs`
     * get their component's minimum id, all others are their own cluster.
     */
+  /** Fold a batch of NEW pairs into an existing component labeling
+    * WITHOUT re-running the closure over the corpus pair set — the
+    * [[graft.operators.DedupIndex]] `appendBatch` discipline brought to
+    * the transitive layer: a growing corpus appends documents (and the
+    * near-dup pairs they induce), and the component labels must fold
+    * forward, not rebuild.
+    *
+    * Exactness: `labeling` clusters are min-member ids (the
+    * [[alternatingStar]] contract), so contracting each batch endpoint
+    * to its current cluster (itself when unseen) and closing over the
+    * CONTRACTED edges yields per merged component min(cluster ids) =
+    * min(member ids) — appended ≡ rebuilt, bit for bit, which the gate
+    * asserts against the fresh full closure.
+    *
+    * Shape at scale: the closure runs on the contracted batch graph
+    * (≤ 2·|batch| nodes) — polylog rounds in BATCH size, never corpus
+    * size; the corpus-sized labeling is touched by exactly ONE pass (the
+    * relabel join against the tiny cluster map, AQE-broadcast). Probe
+    * work ∝ batch, the persisted-index property.
+    *
+    * @param labeling (`id`, `cluster`) — existing labels, clusters =
+    *                 min member id
+    * @param newPairs (`id_a`, `id_b`) — batch pairs; endpoints may be
+    *                 unseen nodes
+    * @return (`id`, `cluster`) covering labeled ∪ batch nodes
+    */
+  def appendEdges(labeling: DataFrame, newPairs: DataFrame): DataFrame = {
+    val lab = labeling.select(col("id"), col("cluster"))
+    val ends = newPairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val endComp = ends.join(lab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("comp"))
+      // batch-sized; read three times below. NOT freed here: the
+      // returned plan still reads it (same lifetime as alternatingStar's
+      // own fixpoint frame — the caller's action consumes both).
+      .localCheckpoint(true)
+    val contracted = newPairs
+      .join(endComp.select(col("id").as("id_a"), col("comp").as("__ca")), Seq("id_a"))
+      .join(endComp.select(col("id").as("id_b"), col("comp").as("__cb")), Seq("id_b"))
+      .select(col("__ca").as("id_a"), col("__cb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val clusterMap = alternatingStar(contracted)
+      .select(col("id").as("cluster"), col("cluster").as("__new"))
+    val newNodes = endComp.join(lab, Seq("id"), "left_anti")
+      .select(col("id"), col("comp").as("cluster"))
+    lab.unionByName(newNodes)
+      .join(clusterMap, Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("__new"), col("cluster")).as("cluster"))
+  }
+
   def assignClusters(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val labels = alternatingStar(pairs)

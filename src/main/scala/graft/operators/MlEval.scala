@@ -76,4 +76,44 @@ object MlEval {
         .as("f1"),
       (col("__sqerr") / (col("__p") + col("__n"))).as("brier"))
   }
+
+  /** Reliability diagram + Expected Calibration Error over fixed-width
+    * score bins — does a score of 0.8 mean 80% positives? Per bin:
+    * count, mean score (confidence), empirical positive rate, |gap|;
+    * every row also carries the single ECE = Σ n_b/n · |gap_b|.
+    *
+    * FIXED-WIDTH bins (bin = min(⌊s·nBins⌋, nBins−1)), not ntile —
+    * deterministic under ties by construction. Mean scores stay
+    * engine-exact: scores arrive rounded (round(·,6)), so the per-bin
+    * sum goes through DECIMAL(38,6) — exact and order-independent — with
+    * one division at the end; positive rates are integer ratios. One
+    * hash aggregate reduces the corpus to ≤ nBins rows; the ECE window
+    * runs over that tiny frame only.
+    */
+  def calibration(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "need at least one bin")
+    val bin = least(
+      floor(col(scoreCol).cast("double") * nBins).cast("int"), lit(nBins - 1))
+    val bins = scored
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(scoreCol).cast("decimal(38,6)")).as("__ss"),
+        sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L))
+          .as("__pos"))
+      .select(
+        col("bin"), col("n_docs").cast("bigint").as("n_docs"),
+        (col("__ss").cast("double") / col("n_docs")).as("mean_score"),
+        (col("__pos").cast("double") / col("n_docs")).as("pos_rate"))
+      .withColumn("abs_gap", abs(col("pos_rate") - col("mean_score")))
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    bins.withColumn("ece",
+      sum(col("abs_gap") * col("n_docs")).over(all) /
+        sum(col("n_docs")).over(all))
+  }
 }

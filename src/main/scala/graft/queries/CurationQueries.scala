@@ -505,6 +505,67 @@ object CurationQueries extends QueryGroup {
     pinned
   }
 
+  // Reliability diagram + ECE (operators.MlEval.calibration) over the
+  // q_c13 model: fixed-width score bins (deterministic under ties,
+  // unlike ntile), per-bin confidence vs empirical positive rate, and
+  // the single ECE on every row. Mean scores sum through DECIMAL(38,6)
+  // — exact on the round(·,6) scores — so both engines bin and average
+  // identically; the oracle replays the full training unroll first.
+  private val qC15 = Q(
+    "q_c15_calibration",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
+       |  FROM documents),
+       |n AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |             CAST(len(tk) AS DOUBLE) AS nt
+       |      FROM t),
+       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+       |bc AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % $qcB AS b,
+       |              count(*) AS c
+       |       FROM tok GROUP BY 1, 2),
+       |f AS (SELECT n.doc_id, n.y,
+       |        ${(0 until qcB).map(j =>
+                  s"CAST(coalesce(sum(CASE WHEN b = $j THEN c END), 0) AS DOUBLE) / greatest(n.nt, 1.0) AS x$j")
+                  .mkString(",\n       |        ")},
+       |        ln(1.0 + n.nt) AS xl
+       |      FROM n LEFT JOIN bc ON n.doc_id = bc.doc_id
+       |      GROUP BY n.doc_id, n.y, n.nt),
+       |wt0 AS (SELECT ${(0 until qcB).map(j => s"0.0 AS w$j").mkString(", ")},
+       |               0.0 AS wl, 0.0 AS b),
+       |$qcSteps,
+       |sc AS (SELECT f.doc_id, f.y,
+       |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
+       |       FROM f CROSS JOIN wt3),
+       |bins AS (
+       |  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_score,
+       |         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pos_rate
+       |  FROM sc GROUP BY 1),
+       |g AS (SELECT bin, n_docs, mean_score, pos_rate,
+       |             abs(pos_rate - mean_score) AS abs_gap
+       |      FROM bins)
+       |SELECT bin, n_docs, mean_score, pos_rate, abs_gap,
+       |       sum(abs_gap * n_docs) OVER () / sum(n_docs) OVER () AS ece
+       |FROM g ORDER BY bin""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val feats = graft.operators.QualityClassifier.features(
+      docs, "doc_id", "text", col("lang") === "en", numBuckets = qcB)
+      .localCheckpoint(true)
+    val model = graft.operators.QualityClassifier.fit(
+      feats, numBuckets = qcB, steps = 3, learningRate = 0.5)
+    val scored = graft.operators.QualityClassifier.score(feats, "doc_id", model)
+      .join(feats.select(col("doc_id"), col("y")), "doc_id")
+    val out = graft.operators.MlEval.calibration(scored, "y", "score", nBins = 10)
+      .orderBy("bin")
+    val pinned = out.localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(feats)
+    pinned
+  }
+
   override val all: Seq[Q] =
-    Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14)
+    Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
+      qC15)
 }

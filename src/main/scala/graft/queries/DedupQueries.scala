@@ -500,7 +500,52 @@ object DedupQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  // Incremental component maintenance (ConnectedComponents.appendEdges):
+  // the corpus is split 80/20 by doc_id, components are built on the old
+  // slice's pairs only, and the remaining pairs fold in WITHOUT re-closing
+  // over the corpus pair set — the closure runs on the CONTRACTED batch
+  // graph, and the corpus labeling is touched by one relabel join. The
+  // oracle is the FRESH full-corpus closure, so the gate is exactly
+  // appended ≡ rebuilt (the q_d14/q_t21 persisted-index discipline at the
+  // transitive layer).
+  private val qD16 = Q(
+    "q_d16_incremental_components",
+    s"""WITH RECURSIVE pairs AS ($pairsOracle),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u)
+       |SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+       |FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.ConnectedComponents
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = NearDup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b")
+      .localCheckpoint(true) // split consumed twice (old slice + batch)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = (maxId * 4) / 5
+    val labeling0 = ConnectedComponents.alternatingStar(
+      pairs.filter(col("id_a") < cut && col("id_b") < cut))
+    val appended = ConnectedComponents.appendEdges(
+      labeling0,
+      pairs.filter(col("id_a") >= cut || col("id_b") >= cut))
+    val out = docs
+      .join(appended.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+    val pinned = out.localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pairs)
+    pinned
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12, qD13, qD14, qD15)
+      qD12, qD13, qD14, qD15, qD16)
 }

@@ -102,6 +102,45 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 10L -> 10L))
   }
 
+  test("appendEdges: batch folds in ≡ full rebuild (merge, new nodes, no-op)") {
+    import spark.implicits._
+    val old = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val base = ConnectedComponents.alternatingStar(old)
+    // batch merges {1,2} with {3,4} via (2,3), adds fresh nodes {5,6},
+    // and attaches 8 to the merged component via an OLD member
+    val batch = Seq((2L, 3L), (5L, 6L), (8L, 1L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.appendEdges(base, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ConnectedComponents
+      .alternatingStar(old.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got(8L) === 1L && got(4L) === 1L && got(6L) === 5L)
+    // empty batch → labeling unchanged
+    val none = ConnectedComponents
+      .appendEdges(base, Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("appendEdges ≡ rebuild on a pseudo-random growing graph") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val oldPairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val batchPairs = Seq.fill(30)(
+      (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+      .filter(p => p._1 != p._2)
+    val base = ConnectedComponents.alternatingStar(oldPairs.toDF("id_a", "id_b"))
+    val got = ConnectedComponents
+      .appendEdges(base, batchPairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ConnectedComponents
+      .alternatingStar((oldPairs ++ batchPairs).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("representativesByScore keeps the best-scored member per cluster, ties to min id") {
     import org.apache.spark.sql.functions.col
     // cluster {1,2,3} via chained pairs: scores 5, 9, 9 → tie at 9 keeps id 2

@@ -26,6 +26,25 @@ class MlEvalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(12) - brier) < 1e-12)
   }
 
+  test("calibration: hand-computed bins, clamp at 1.0, ECE") {
+    // bin 1 (0.1–0.2): scores 0.10, 0.15, labels 0,1 → conf 0.125, rate 0.5
+    // bin 9: scores 0.95, 1.0 (clamped into 9), labels 1,1 → conf 0.975, rate 1
+    val rows = Seq((0.10, 0.0), (0.15, 1.0), (0.95, 1.0), (1.0, 1.0))
+      .toDF("score", "y")
+    val got = MlEval.calibration(rows, "y", "score", nBins = 10)
+      .orderBy("bin").collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(1, 9))
+    val b1 = got(0); val b9 = got(1)
+    assert(b1.getLong(1) === 2L && b1.getDouble(2) === 0.125 &&
+      b1.getDouble(3) === 0.5)
+    assert(math.abs(b1.getDouble(4) - 0.375) < 1e-12)
+    assert(b9.getLong(1) === 2L && b9.getDouble(2) === 0.975 &&
+      b9.getDouble(3) === 1.0)
+    assert(math.abs(b9.getDouble(4) - 0.025) < 1e-12)
+    val ece = (0.375 * 2 + 0.025 * 2) / 4
+    got.foreach(r => assert(math.abs(r.getDouble(5) - ece) < 1e-12))
+  }
+
   test("binaryMetrics: perfect separation → AUC 1, one-class input → AUC NULL") {
     val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
       .toDF("score", "y")
