@@ -599,6 +599,54 @@ object SimilaritySearch {
           col("__ida").as("other_id"), col("__la").as("other_label"),
           col("__cos").as("cos")))).as("o"))
       .select(col("o.*"))
+    mineTriplets(oriented)
+  }
+
+  /** The production-scale form of [[hardTriplets]]: mine within k-means
+    * Voronoi cells (the [[clusteredCosinePairs]] SemDeDup blocking, the
+    * per-batch mining training pipelines actually run) — pair work
+    * collapses from n²/2 to Σ|cell|²/2 and the shuffle keys by semantic
+    * cell. APPROXIMATE by construction with one-sided error: the in-cell
+    * positive set is a subset of the global one, so `pos_cos` can only
+    * move UP (an easier positive) and `neg_cos` only DOWN (a softer
+    * negative) versus the exact miner — spec-pinned bounds; anchors
+    * whose cell lacks a second label drop out. Centroids are the
+    * deterministic driver fit shipped as plan literals ([[ivfTopK]]'s
+    * discipline); each vector is assigned to exactly ONE cell, so no
+    * cross-cell dedup is needed.
+    */
+  def hardTripletsInCells(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      numCells: Int = 16,
+      kmeansIters: Int = 3): DataFrame = {
+    require(numCells > 0)
+    val cents = kmeansCentroids(vecs, idCol, vecCol, numCells, iters = kmeansIters)
+    val cLits = cents.map(c => typedlit(c))
+    val assigned = graft.Tables.spread(vecs).select(
+      col(idCol).as("__id"), col(vecCol).as("__v"), col(labelCol).as("__l"),
+      transform(bestCellsOf(cLits)(col(vecCol), 1),
+        s => s.getField("cell"))(0).as("__cell"))
+    val a = assigned.select(col("__cell"), col("__id").as("anchor_id"),
+      col("__v").as("__av"), col("__l").as("label"))
+    val b = assigned.select(col("__cell"), col("__id").as("other_id"),
+      col("__v").as("__bv"), col("__l").as("other_label"))
+    val oriented = a
+      .join(b, Seq("__cell"))
+      .where(col("anchor_id") =!= col("other_id"))
+      .select(col("anchor_id"), col("label"), col("other_id"),
+        col("other_label"), Vectors.cosine(col("__av"), col("__bv")).as("cos"))
+    mineTriplets(oriented)
+  }
+
+  /** Two k=1 [[TopKScoreId]] heaps per anchor over an oriented
+    * (anchor, other, cosine) pair frame — null-score routing sends each
+    * row to exactly one heap; positives rank on −cos (max −cos = min
+    * cos). Shared by the exact and in-cell miners.
+    */
+  private def mineTriplets(oriented: DataFrame): DataFrame = {
     def heap(score: Column) = bridge.column(
       TopKScoreId(bridge.expression(score),
         bridge.expression(col("other_id")), 1).toAggregateExpression())

@@ -497,7 +497,34 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("anchor_id")
   }
 
+  // In-cell batch-hard mining (SimilaritySearch.hardTripletsInCells) —
+  // the production scale path for q_v16 (Σ|cell|² pair work instead of
+  // n²) gated on its ONE-SIDED error contract, the q_v3 recall-gate
+  // pattern: every in-cell triplet's positive can only be EASIER
+  // (pos_cos ≥ exact) and its negative only SOFTER (neg_cos ≤ exact),
+  // and in-cell anchors are a subset of exact anchors. Every label has
+  // ≥ 2 members and ≥ 2 labels exist corpus-wide, so the exact anchor
+  // set is every vector — which is what the oracle pins.
+  private val qV17 = Q(
+    "q_v17_hard_triplets_cells",
+    """SELECT vec_id AS anchor_id, true AS bounds_ok
+      |FROM embeddings ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val exact = SimilaritySearch
+      .hardTriplets(emb, "vec_id", "embedding", "label")
+      .select(col("anchor_id"), col("pos_cos").as("__pe"), col("neg_cos").as("__ne"))
+    val cells = SimilaritySearch
+      .hardTripletsInCells(emb, "vec_id", "embedding", "label", numCells = 8)
+      .select(col("anchor_id"), col("pos_cos").as("__pc"), col("neg_cos").as("__nc"),
+        lit(true).as("__in_cells"))
+    exact.join(cells, Seq("anchor_id"), "left")
+      .select(col("anchor_id"),
+        (col("__in_cells").isNull ||
+          (col("__pc") >= col("__pe") && col("__nc") <= col("__ne"))).as("bounds_ok"))
+      .orderBy("anchor_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13,
-      qV14, qV15, qV16)
+      qV14, qV15, qV16, qV17)
 }

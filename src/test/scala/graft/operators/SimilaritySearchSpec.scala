@@ -277,6 +277,27 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(n5 === 3L && math.abs(nc5) < 1e-12 && v5)
   }
 
+  test("hardTripletsInCells: one cell ≡ exact; multi-cell errors are one-sided") {
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+      .select("vec_id", "embedding", "label")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val exact = keyed(SimilaritySearch.hardTriplets(emb, "vec_id", "embedding", "label"))
+    val oneCell = keyed(SimilaritySearch.hardTripletsInCells(
+      emb, "vec_id", "embedding", "label", numCells = 1))
+    assert(oneCell === exact, "a single cell must reproduce the exact miner")
+    val cells = keyed(SimilaritySearch.hardTripletsInCells(
+      emb, "vec_id", "embedding", "label", numCells = 8))
+    assert(cells.nonEmpty && cells.keySet.subsetOf(exact.keySet),
+      "in-cell anchors need both labels in-cell → subset of exact anchors")
+    cells.foreach { case (aid, (_, pc, _, nc)) =>
+      val (_, pcE, _, ncE) = exact(aid)
+      assert(pc >= pcE, s"anchor $aid: in-cell positive can only be easier")
+      assert(nc <= ncE, s"anchor $aid: in-cell negative can only be softer")
+    }
+  }
+
   test("hardTriplets matches a window-function reference on real embeddings") {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.Tables.load(spark, sf(), "embeddings")

@@ -59,6 +59,28 @@ def replicate(name, key_cols, text_col=None, token_prefix=False):
     print(f"{name}: {src.num_rows} -> {merged.num_rows} rows")
 
 
+def replicate_embeddings():
+    """vec_id shifts by stride; each replica's vectors are ROLLED by the
+    replica index (norm- and distribution-preserving, decorrelates the
+    replicas) so the similarity families don't see 10 exact twins of
+    every vector."""
+    import numpy as np
+    src = pq.read_table(f"{SRC}/embeddings.parquet")
+    emb = np.array(src.column("embedding").to_pylist(), dtype=np.float32)
+    parts = []
+    for i in range(K):
+        t = shift(src, "vec_id", i)
+        if i > 0:
+            rolled = np.roll(emb, i, axis=1)
+            idx = t.schema.get_field_index("embedding")
+            t = t.set_column(idx, t.schema.field("embedding"),
+                             pa.array(list(rolled), type=t.schema.field("embedding").type))
+        parts.append(t)
+    merged = pa.concat_tables(parts)
+    pq.write_table(merged, f"{OUT}/embeddings.parquet", compression="snappy")
+    print(f"embeddings: {src.num_rows} -> {merged.num_rows} rows")
+
+
 def main():
     import os
     os.makedirs(OUT, exist_ok=True)
@@ -66,6 +88,7 @@ def main():
     replicate("customer", ["c_custkey"], text_col="c_name")
     replicate("documents", ["doc_id"], text_col="text", token_prefix=True)
     replicate("events", ["event_id", "user_id"])
+    replicate_embeddings()
 
 
 if __name__ == "__main__":
