@@ -77,6 +77,53 @@ object MlEval {
       (col("__sqerr") / (col("__p") + col("__n"))).as("brier"))
   }
 
+  /** Per-slice [[binaryMetrics]] — the model-monitoring view: one row
+    * PER VALUE of `sliceCol` (a language, a source, a time bucket), so a
+    * score that works globally but fails on one slice is visible. Same
+    * exact integer Mann–Whitney identity, with the per-score aggregate
+    * keyed by (slice, score) and the cumulative window partitioned by
+    * slice — still one corpus pass + tiny-frame windows; a slice with
+    * one class gets AUC NULL, not an error.
+    */
+  def binaryMetricsBy(
+      scored: DataFrame,
+      sliceCol: String,
+      labelCol: String,
+      scoreCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val perScore = scored
+      .groupBy(col(sliceCol).as("slice"), col(scoreCol).cast("double").as("s"))
+      .agg(
+        sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L)).as("pc"),
+        sum(when(col(labelCol).cast("double") === 1.0, 0L).otherwise(1L)).as("nc"))
+    val below = Window.partitionBy("slice").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perScore.withColumn(
+      "neg_below", coalesce(sum(col("nc")).over(below), lit(0L)))
+    cum.groupBy(col("slice"))
+      .agg(
+        sum(col("pc")).as("__p"),
+        sum(col("nc")).as("__n"),
+        sum(col("pc") * (lit(2L) * col("neg_below") + col("nc"))).as("__u2"),
+        sum(when(col("s") >= threshold, col("pc")).otherwise(0L)).as("tp"),
+        sum(when(col("s") >= threshold, col("nc")).otherwise(0L)).as("fp"),
+        sum(when(col("s") < threshold, col("pc")).otherwise(0L)).as("fn"),
+        sum(when(col("s") < threshold, col("nc")).otherwise(0L)).as("tn"))
+      .select(
+        col("slice"),
+        (col("__p") + col("__n")).cast("bigint").as("n"),
+        col("__p").cast("bigint").as("n_pos"),
+        col("__n").cast("bigint").as("n_neg"),
+        when(col("__p") > 0 && col("__n") > 0,
+          col("__u2").cast("double") / (lit(2.0) * col("__p") * col("__n")))
+          .as("auc"),
+        ((col("tp") + col("tn")).cast("double") / (col("__p") + col("__n")))
+          .as("accuracy"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          lit(2.0) * col("tp") / (lit(2L) * col("tp") + col("fp") + col("fn")))
+          .as("f1"))
+  }
+
   /** Reliability diagram + Expected Calibration Error over fixed-width
     * score bins — does a score of 0.8 mean 80% positives? Per bin:
     * count, mean score (confidence), empirical positive rate, |gap|;

@@ -565,7 +565,80 @@ object CurationQueries extends QueryGroup {
     pinned
   }
 
+  // Per-slice model monitoring (operators.MlEval.binaryMetricsBy): the
+  // q_c14 metrics PARTITIONED BY document source — a score that works
+  // globally but fails on one slice is the classic silent model defect.
+  // Same exact integer Mann–Whitney identity, per-score aggregate keyed
+  // by (slice, score), cumulative window partitioned by slice.
+  private val qC16 = Q(
+    "q_c16_sliced_eval",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
+       |  FROM documents),
+       |n AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |             CAST(len(tk) AS DOUBLE) AS nt
+       |      FROM t),
+       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+       |bc AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % $qcB AS b,
+       |              count(*) AS c
+       |       FROM tok GROUP BY 1, 2),
+       |f AS (SELECT n.doc_id, n.y,
+       |        ${(0 until qcB).map(j =>
+                  s"CAST(coalesce(sum(CASE WHEN b = $j THEN c END), 0) AS DOUBLE) / greatest(n.nt, 1.0) AS x$j")
+                  .mkString(",\n       |        ")},
+       |        ln(1.0 + n.nt) AS xl
+       |      FROM n LEFT JOIN bc ON n.doc_id = bc.doc_id
+       |      GROUP BY n.doc_id, n.y, n.nt),
+       |wt0 AS (SELECT ${(0 until qcB).map(j => s"0.0 AS w$j").mkString(", ")},
+       |               0.0 AS wl, 0.0 AS b),
+       |$qcSteps,
+       |sc AS (SELECT f.doc_id, f.y, d.source,
+       |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
+       |       FROM f CROSS JOIN wt3 JOIN documents d ON d.doc_id = f.doc_id),
+       |ps AS (SELECT source AS slice, score AS s,
+       |              sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pc,
+       |              sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nc
+       |       FROM sc GROUP BY 1, 2),
+       |cum AS (SELECT slice, s, pc, nc,
+       |               coalesce(sum(nc) OVER (PARTITION BY slice ORDER BY s
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+       |        FROM ps),
+       |a AS (SELECT slice, sum(pc) AS p, sum(nc) AS nn,
+       |             sum(pc * (2 * neg_below + nc)) AS u2,
+       |             sum(CASE WHEN s >= 0.5 THEN pc ELSE 0 END) AS tp,
+       |             sum(CASE WHEN s >= 0.5 THEN nc ELSE 0 END) AS fp,
+       |             sum(CASE WHEN s < 0.5 THEN pc ELSE 0 END) AS fn,
+       |             sum(CASE WHEN s < 0.5 THEN nc ELSE 0 END) AS tn
+       |      FROM cum GROUP BY slice)
+       |SELECT slice, CAST(p + nn AS BIGINT) AS n, CAST(p AS BIGINT) AS n_pos,
+       |       CAST(nn AS BIGINT) AS n_neg,
+       |       CASE WHEN p > 0 AND nn > 0
+       |            THEN CAST(u2 AS DOUBLE) / (2.0 * p * nn) END AS auc,
+       |       CAST(tp + tn AS DOUBLE) / (p + nn) AS accuracy,
+       |       CASE WHEN 2 * tp + fp + fn > 0
+       |            THEN 2.0 * tp / (2 * tp + fp + fn) END AS f1
+       |FROM a ORDER BY slice""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val feats = graft.operators.QualityClassifier.features(
+      docs, "doc_id", "text", col("lang") === "en", numBuckets = qcB)
+      .localCheckpoint(true)
+    val model = graft.operators.QualityClassifier.fit(
+      feats, numBuckets = qcB, steps = 3, learningRate = 0.5)
+    val scored = graft.operators.QualityClassifier.score(feats, "doc_id", model)
+      .join(feats.select(col("doc_id"), col("y")), "doc_id")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val out = graft.operators.MlEval
+      .binaryMetricsBy(scored, "source", "y", "score")
+      .withColumnRenamed("slice", "slice")
+      .orderBy("slice")
+    val pinned = out.localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(feats)
+    pinned
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15)
+      qC15, qC16)
 }

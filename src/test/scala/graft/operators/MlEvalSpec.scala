@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class MlEvalSpec extends SparkSpec {
@@ -24,6 +26,28 @@ class MlEvalSpec extends SparkSpec {
     val brier = (math.pow(0.1, 2) + math.pow(0.8, 2) + math.pow(0.3, 2) +
       math.pow(0.7, 2) + math.pow(0.7, 2) + 2 * math.pow(0.1, 2)) / 7.0
     assert(math.abs(r.getDouble(12) - brier) < 1e-12)
+  }
+
+  test("binaryMetricsBy: slices isolated; grouped ≡ global per slice") {
+    val rows = Seq(
+      ("a", 0.9, 1.0), ("a", 0.8, 0.0), ("a", 0.7, 1.0), ("a", 0.7, 0.0),
+      ("a", 0.3, 1.0), ("a", 0.1, 0.0), ("a", 0.1, 0.0),
+      ("b", 0.9, 1.0), ("b", 0.1, 0.0), // perfect slice
+      ("c", 0.6, 1.0), ("c", 0.7, 1.0)) // one-class slice
+      .toDF("src", "score", "y")
+    val got = MlEval.binaryMetricsBy(rows, "src", "y", "score")
+      .orderBy("slice").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    // slice a is the binaryMetrics hand case: AUC 8.5/12
+    assert(math.abs(got(0).getDouble(4) - 8.5 / 12.0) < 1e-15)
+    assert(got(1).getDouble(4) === 1.0 && got(1).getDouble(5) === 1.0)
+    assert(got(2).isNullAt(4)) // no negatives in slice c
+    // grouped result equals the global metrics run on each slice alone
+    val solo = MlEval.binaryMetrics(rows.filter(col("src") === "a"), "y", "score")
+      .head()
+    assert(got(0).getLong(1) === solo.getLong(0) &&
+      got(0).getDouble(4) === solo.getDouble(3) &&
+      got(0).getDouble(5) === solo.getDouble(8))
   }
 
   test("calibration: hand-computed bins, clamp at 1.0, ECE") {
