@@ -352,7 +352,33 @@ object StreamingQueries extends QueryGroup {
     graft.streaming.CorpusStream.qualityScoredAvailableNow(s, dir)
   }
 
+  // The full incremental dedup pipeline ON THE STREAM
+  // (CorpusStream.componentsAvailableNow): crawl drops arrive as
+  // micro-batches, each probes the persisted MinHash index for its pairs
+  // (work ∝ batch), folds them into the running component labeling via
+  // ConnectedComponents.appendEdges (closure over the contracted batch
+  // graph only), and appends itself to the index. The oracle is the
+  // from-scratch full-corpus closure — streamed-incremental ≡ batch
+  // rebuild on every document, and min-id labels make the result
+  // independent of landing-zone file order.
+  private val qSt17 = Q(
+    "q_st17_stream_components",
+    s"""WITH RECURSIVE pairs AS (${DedupQueries.pairsOracle}),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u)
+       |SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+       |FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    graft.streaming.CorpusStream.componentsAvailableNow(s, dir, shards = 3)
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13, qSt14, qSt15, qSt16)
+      qSt13, qSt14, qSt15, qSt16, qSt17)
 }

@@ -171,4 +171,78 @@ object CorpusStream {
       OutputMode.Append())
       .orderBy("doc_id")
   }
+
+  /** STREAMING transitive near-dup components: the full incremental
+    * pipeline composed — crawl drops land as files, each micro-batch
+    * probes the persisted MinHash index for its pairs
+    * ([[graft.operators.DedupIndex.probe]], work ∝ batch), folds them
+    * into the running component labeling
+    * ([[graft.operators.ConnectedComponents.appendEdges]], closure over
+    * the CONTRACTED batch graph only), and appends itself to the index —
+    * so after N drops the labels are exactly what a from-scratch corpus
+    * closure would produce, which is precisely what the gate's oracle
+    * (the full recursive closure) asserts. No step ever re-scans the
+    * corpus: this is the 100 TB landing-zone dedup shape.
+    *
+    * Batch-ORDER independence is inherited from the algebra: min-id
+    * component labels are associative/commutative over edge arrival, so
+    * the file listing order of the landing zone cannot change the
+    * result.
+    *
+    * The corpus is sharded by `pmod(doc_id, shards)` into one file per
+    * shard; `maxFilesPerTrigger = 1` + AvailableNow delivers them as
+    * separate micro-batches through `foreachBatch` (the
+    * [[IncrementalSync]] posture — per-batch work is a BATCH plan, not a
+    * chained streaming aggregation).
+    */
+  def componentsAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      shards: Int = 3): DataFrame = {
+    import graft.operators.{ConnectedComponents, DedupIndex}
+    import org.apache.spark.sql.graft.bridge
+    require(shards >= 1)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_cc").toString
+    (0 until shards).foreach { i =>
+      docs.where(pmod(col("doc_id"), lit(shards)) === i)
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft_stream_cc_idx").toString
+    var indexed = false
+    var labeling: DataFrame = null
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val pairs =
+          if (!indexed)
+            graft.operators.NearDup.minHashLshPairs(b, "doc_id", "text",
+              k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+          else
+            DedupIndex.probe(spark, idx, b, "doc_id", "text")
+        val folded =
+          if (labeling == null)
+            ConnectedComponents.alternatingStar(pairs.select("id_a", "id_b"))
+          else
+            ConnectedComponents.appendEdges(labeling, pairs.select("id_a", "id_b"))
+        val pinned = folded.localCheckpoint(true)
+        if (labeling != null) bridge.freeLocalCheckpoint(labeling)
+        labeling = pinned
+        if (!indexed) { DedupIndex.write(b, "doc_id", "text", idx); indexed = true }
+        else DedupIndex.appendBatch(b, "doc_id", "text", idx)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    docs
+      .join(labeling.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
 }

@@ -200,4 +200,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(fold(Seq(evs)) === ((4, 2)))
     assert(fold(Seq(evs.take(2), evs.drop(2))) === ((4, 2)))
   }
+
+  test("streaming incremental components equal the batch corpus closure") {
+    val streamed = graft.streaming.CorpusStream
+      .componentsAvailableNow(spark, sf(), shards = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.load(spark, sf(), "documents")
+    val pairs = graft.operators.NearDup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+    val batch = graft.operators.ConnectedComponents
+      .assignClusters(docs, "doc_id", pairs)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.exists { case (id, c) => id != c },
+      "the corpus's planted near-dups must form at least one real cluster")
+  }
 }
