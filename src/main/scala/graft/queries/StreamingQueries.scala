@@ -378,7 +378,24 @@ object StreamingQueries extends QueryGroup {
     graft.streaming.CorpusStream.componentsAvailableNow(s, dir, shards = 3)
   }
 
+  // Streaming cardinality (EventStreams.hllDistinctUsersAvailableNow):
+  // per-hour distinct users via the DataSketches HLL aggregate — exact
+  // count_distinct is unsupported on streams (unbounded per-group value
+  // state); the sketch is the production answer with fixed register
+  // state and merge-associative micro-batch folds. Sketches are
+  // deterministic on the value SET, so the in-plan gate asserts
+  // streamed estimate ≡ batch estimate EXACTLY, plus the q_a11 ±5%
+  // bound against the exact count the oracle pins.
+  private val qSt18 = Q(
+    "q_st18_stream_hll_distinct",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
+      |       true AS est_eq, true AS est_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    EventStreams.hllDistinctUsersAvailableNow(s, dir)
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13, qSt14, qSt15, qSt16, qSt17)
+      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18)
 }

@@ -250,6 +250,51 @@ object EventStreams {
       .orderBy("hour_bucket", "event_type")
   }
 
+  /** Streaming per-hour distinct users via the built-in DataSketches HLL
+    * aggregate — the cardinality question ("unique users this hour")
+    * asked ON the stream, where exact `count_distinct` is unsupported
+    * (unbounded per-group value state) and the sketch is the production
+    * answer: fixed-size register state per window, merge-associative
+    * across micro-batches. HLL sketches are DETERMINISTIC on the value
+    * SET (order-independent merges), so the streamed estimate must equal
+    * the batch twin's estimate exactly — which this gate asserts,
+    * alongside the q_a11 ±5% accuracy bound against the batch exact
+    * count. Complete mode under AvailableNow, the [[windowedAggAvailableNow]]
+    * posture; an unbounded deployment adds a watermark and Append.
+    *
+    * @return (hour_bucket, exact_n, est_eq, est_ok)
+    */
+  def hllDistinctUsersAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
+    val s = streamSession(spark, statePartitions)
+    val hourOf = (c: org.apache.spark.sql.Column) =>
+      date_format(date_trunc("hour", c), "yyyy-MM-dd HH:mm:ss")
+    val streamed = runToTable(
+      s,
+      readEventStream(s, sfDir)
+        .groupBy(hourOf(col("ts")).as("hour_bucket"))
+        .agg(hll_sketch_agg(col("user_id")).as("__sk")),
+      s"stream_hll_${System.nanoTime()}",
+      OutputMode.Complete())
+      .select(col("hour_bucket"),
+        hll_sketch_estimate(col("__sk")).as("__est_stream"))
+    val batch = graft.Tables.load(spark, sfDir, "events")
+      .groupBy(hourOf(col("ts")).as("hour_bucket"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("__est_batch"),
+        count_distinct(col("user_id")).as("exact_n"))
+    streamed.join(batch, Seq("hour_bucket"))
+      .select(
+        col("hour_bucket"),
+        col("exact_n").cast("bigint").as("exact_n"),
+        (col("__est_stream") === col("__est_batch")).as("est_eq"),
+        (abs(col("__est_batch") - col("exact_n")) <= col("exact_n") * 0.05)
+          .as("est_ok"))
+      .orderBy("hour_bucket")
+  }
+
   /** NATIVE streaming session windows (q_e2b's streaming twin): the
     * built-in `session_window` aggregation — Spark's state store does the
     * window-merging that [[sessionCounts]] hand-rolls in
