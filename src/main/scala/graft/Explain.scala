@@ -30,7 +30,10 @@ object Explain {
     "q_v12_semantic_dedup",   // cell-blocked pair join + exact verify
     "q_d13_segment_dedup",    // digest-only dedup shuffle; text moves once
     "q_g2_cooccurrence",      // basket-key self-join, k-cut before lift joins
-    "q_e10_rolling_anomaly")  // per-key windows only — no global sort except output
+    "q_e10_rolling_anomaly",  // per-key windows only — no global sort except output
+    "q_v16_hard_triplets",    // block-pair shuffle + one two-heap hash agg
+    "q_q15_mutual_information", // one contingency aggregate; windows on cells only
+    "q_c14_classifier_eval")  // distinct-score reduction before any window
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
