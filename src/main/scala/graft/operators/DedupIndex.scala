@@ -74,7 +74,15 @@ object DedupIndex {
       threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val newSh = shingled(newDocs, idCol, textCol, k)
-    val newBands = banded(newSh, numPerm, bands)
+    probeFrom(spark, path, newSh, banded(newSh, numPerm, bands), threshold)
+  }
+
+  private def probeFrom(
+      spark: SparkSession,
+      path: String,
+      newSh: DataFrame,
+      newBands: DataFrame,
+      threshold: Double): DataFrame = {
     // select by NAME: partitionBy("band") reorders the read-back schema
     // (partition column last), so a positional rename would mislabel
     val idxBands = spark.read.parquet(bandsPath(path))
@@ -117,5 +125,35 @@ object DedupIndex {
     sh.write.mode("append").parquet(shinglesPath(path))
     banded(sh, numPerm, bands)
       .write.mode("append").partitionBy("band").parquet(bandsPath(path))
+  }
+
+  /** [[probe]] + [[appendBatch]] fused: the batch is shingled/hashed
+    * ONCE (checkpointed), the probe pairs are materialized from it, and
+    * the same frames append into the index — the per-micro-batch shape
+    * of the streaming dedup pipeline, where calling probe and append
+    * separately would tokenize and MinHash every batch twice. Returns
+    * the PINNED pair frame (valid after this call's internal frames are
+    * freed).
+    */
+  def probeAndAppend(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 3,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val newSh = shingled(newDocs, idCol, textCol, k).localCheckpoint(true)
+    val newBands = banded(newSh, numPerm, bands).localCheckpoint(true)
+    val pairs = probeFrom(spark, path, newSh, newBands, threshold)
+      .localCheckpoint(true)
+    newSh.write.mode("append").parquet(shinglesPath(path))
+    newBands.write.mode("append").partitionBy("band").parquet(bandsPath(path))
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(newSh)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(newBands)
+    pairs
   }
 }

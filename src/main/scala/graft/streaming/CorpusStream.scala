@@ -220,11 +220,16 @@ object CorpusStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
         val pairs =
-          if (!indexed)
-            graft.operators.NearDup.minHashLshPairs(b, "doc_id", "text",
+          if (!indexed) {
+            // first drop: no index to probe yet — in-batch pairs, then seed
+            val p = graft.operators.NearDup.minHashLshPairs(b, "doc_id", "text",
               k = 3, numPerm = 64, bands = 16, threshold = 0.8)
-          else
-            DedupIndex.probe(spark, idx, b, "doc_id", "text")
+            DedupIndex.write(b, "doc_id", "text", idx)
+            indexed = true
+            p
+          } else
+            // fused probe+append: the batch is shingled/hashed ONCE
+            DedupIndex.probeAndAppend(spark, b, "doc_id", "text", idx)
         val folded =
           if (labeling == null)
             ConnectedComponents.alternatingStar(pairs.select("id_a", "id_b"))
@@ -233,8 +238,6 @@ object CorpusStream {
         val pinned = folded.localCheckpoint(true)
         if (labeling != null) bridge.freeLocalCheckpoint(labeling)
         labeling = pinned
-        if (!indexed) { DedupIndex.write(b, "doc_id", "text", idx); indexed = true }
-        else DedupIndex.appendBatch(b, "doc_id", "text", idx)
         ()
       }
       .start()
