@@ -10,6 +10,57 @@ import org.apache.spark.sql.functions._
   */
 object Audits {
 
+  /** Sketch-based distinct-set OVERLAP between two slices — "how many
+    * distinct customers do these two segments share" answered from
+    * MERGEABLE state: per-slice HLL sketches (the q_a11 fixed-register
+    * structure) combine by inclusion–exclusion,
+    * est(A∩B) = est(A) + est(B) − est(A∪B), where est(A∪B) is the
+    * UNION of the two sketches — never a re-scan, so pre-aggregated
+    * per-slice sketches answer any pairwise overlap after the fact.
+    * One corpus pass builds both sketches and both exact counts; the
+    * exact intersection (for the audit bound) is one distinct-key
+    * aggregate with per-slice presence flags — also a single pass.
+    * Returns one row: exact counts plus `est_ok` (inclusion–exclusion
+    * error is bounded relative to the UNION cardinality — each of the
+    * three estimates carries the sketch's relative error on its own
+    * magnitude, so the bound is `tol · exact_union`, not
+    * `tol · exact_intersection`).
+    */
+  def hllIntersection(
+      df: DataFrame,
+      sliceCol: String,
+      valueCol: String,
+      sliceA: String,
+      sliceB: String,
+      tol: Double = 0.05): DataFrame = {
+    val in = df.filter(col(sliceCol).isin(sliceA, sliceB))
+    val flags = in
+      .groupBy(col(valueCol).as("__v"))
+      .agg(
+        max(when(col(sliceCol) === sliceA, 1).otherwise(0)).as("__ina"),
+        max(when(col(sliceCol) === sliceB, 1).otherwise(0)).as("__inb"))
+      .agg(
+        sum(col("__ina")).cast("bigint").as("exact_a"),
+        sum(col("__inb")).cast("bigint").as("exact_b"),
+        count(lit(1)).cast("bigint").as("exact_union"),
+        sum(col("__ina") * col("__inb")).cast("bigint").as("exact_intersection"))
+    val sketches = in.agg(
+      hll_sketch_agg(when(col(sliceCol) === sliceA, col(valueCol))).as("__ska"),
+      hll_sketch_agg(when(col(sliceCol) === sliceB, col(valueCol))).as("__skb"))
+    val est = sketches.select(
+      hll_sketch_estimate(col("__ska")).as("__ea"),
+      hll_sketch_estimate(col("__skb")).as("__eb"),
+      hll_sketch_estimate(
+        hll_union(col("__ska"), col("__skb"))).as("__eu"))
+    flags.crossJoin(broadcast(est))
+      .select(
+        lit(sliceA).as("slice_a"), lit(sliceB).as("slice_b"),
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_intersection"),
+        (abs((col("__ea") + col("__eb") - col("__eu")) -
+          col("exact_intersection")) <= col("exact_union") * tol).as("est_ok"))
+  }
+
   /** Benford first-digit audit: observed vs expected leading-digit
     * distribution of a positive numeric column, with each digit's
     * chi-square contribution `(obs − n·p)² / (n·p)`. Fabricated or

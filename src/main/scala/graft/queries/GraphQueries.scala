@@ -613,6 +613,52 @@ object GraphQueries extends QueryGroup {
     out
   }
 
+  // Link prediction (LinkPrediction.topCandidates): common-neighbor,
+  // Adamic–Adar, and neighborhood-Jaccard scores for NON-edges of the
+  // co-order graph — the classic missing-edge ranker. The top-100 cut
+  // and output order use the INTEGER common-neighbor count under a total
+  // order, never the float AA (engine-stable cut); AA/Jaccard ride as
+  // value columns. The 2-path join is the wedge (Σ deg²) shape q_g3
+  // already carries.
+  private val qG13 = Q(
+    "q_g13_link_prediction",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS a, b.p AS b
+      |      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      |und AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT node, count(*) AS d FROM und GROUP BY 1),
+      |cand AS (
+      |  SELECT p1.node AS u, p2.node AS v,
+      |         CAST(count(*) AS BIGINT) AS common_neighbors,
+      |         sum(1.0 / ln(dw.d)) AS aa_score
+      |  FROM und p1 JOIN und p2 ON p1.nbr = p2.nbr AND p1.node < p2.node
+      |  JOIN deg dw ON dw.node = p1.nbr
+      |  GROUP BY 1, 2),
+      |ne AS (SELECT c.* FROM cand c
+      |       LEFT JOIN e ON e.a = c.u AND e.b = c.v
+      |       WHERE e.a IS NULL)
+      |SELECT u, v, common_neighbors, aa_score,
+      |       CAST(common_neighbors AS DOUBLE) / (du.d + dv.d - common_neighbors) AS jaccard
+      |FROM ne
+      |JOIN deg du ON du.node = ne.u
+      |JOIN deg dv ON dv.node = ne.v
+      |ORDER BY common_neighbors DESC, u, v
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val edges = items.select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+      .localCheckpoint(true)
+    val out = graft.operators.LinkPrediction
+      .topCandidates(edges, "a", "b", k = 100, assumeCanonical = true)
+    val pinned = out.localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+    pinned
+  }
+
   override val all: Seq[Q] =
-    Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12)
+    Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13)
 }

@@ -728,7 +728,34 @@ object QualityQueries extends QueryGroup {
       Tables.load(s, dir, "documents"), "lang", "source")
   }
 
+  // Sketch-based distinct-set overlap (Audits.hllIntersection): how many
+  // distinct customers the URGENT and HIGH order segments share,
+  // answered by inclusion–exclusion over MERGEABLE per-slice HLL
+  // sketches — est(A∩B) = est(A) + est(B) − est(A∪B) with the union as
+  // a sketch merge, never a re-scan. The oracle pins the exact counts
+  // and the accuracy flag (bounded vs the UNION cardinality, whose
+  // magnitude the three estimates' errors actually track).
+  private val qA16 = Q(
+    "q_a16_hll_intersection",
+    """WITH f AS (SELECT o_custkey,
+      |                  max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ina,
+      |                  max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS inb
+      |           FROM orders
+      |           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           GROUP BY 1)
+      |SELECT '1-URGENT' AS slice_a, '2-HIGH' AS slice_b,
+      |       CAST(sum(ina) AS BIGINT) AS exact_a,
+      |       CAST(sum(inb) AS BIGINT) AS exact_b,
+      |       CAST(count(*) AS BIGINT) AS exact_union,
+      |       CAST(sum(ina * inb) AS BIGINT) AS exact_intersection,
+      |       true AS est_ok
+      |FROM f""".stripMargin) { (s, dir) =>
+    graft.operators.Audits.hllIntersection(
+      Tables.load(s, dir, "orders"), "o_orderpriority", "o_custkey",
+      "1-URGENT", "2-HIGH")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15)
+      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16)
 }
