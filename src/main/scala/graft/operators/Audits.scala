@@ -33,8 +33,11 @@ object Audits {
       sliceA: String,
       sliceB: String,
       tol: Double = 0.05): DataFrame = {
-    val in = df.filter(col(sliceCol).isin(sliceA, sliceB))
-    val flags = in
+    // ONE corpus pass: the distinct-value presence frame feeds exact
+    // counts AND the per-slice sketches in the same closing aggregate
+    // (HLL depends only on the distinct value set, so sketching the
+    // vocabulary frame is bit-identical to sketching the raw rows)
+    val one = df.filter(col(sliceCol).isin(sliceA, sliceB))
       .groupBy(col(valueCol).as("__v"))
       .agg(
         max(when(col(sliceCol) === sliceA, 1).otherwise(0)).as("__ina"),
@@ -43,22 +46,17 @@ object Audits {
         sum(col("__ina")).cast("bigint").as("exact_a"),
         sum(col("__inb")).cast("bigint").as("exact_b"),
         count(lit(1)).cast("bigint").as("exact_union"),
-        sum(col("__ina") * col("__inb")).cast("bigint").as("exact_intersection"))
-    val sketches = in.agg(
-      hll_sketch_agg(when(col(sliceCol) === sliceA, col(valueCol))).as("__ska"),
-      hll_sketch_agg(when(col(sliceCol) === sliceB, col(valueCol))).as("__skb"))
-    val est = sketches.select(
-      hll_sketch_estimate(col("__ska")).as("__ea"),
-      hll_sketch_estimate(col("__skb")).as("__eb"),
-      hll_sketch_estimate(
-        hll_union(col("__ska"), col("__skb"))).as("__eu"))
-    flags.crossJoin(broadcast(est))
-      .select(
-        lit(sliceA).as("slice_a"), lit(sliceB).as("slice_b"),
-        col("exact_a"), col("exact_b"), col("exact_union"),
-        col("exact_intersection"),
-        (abs((col("__ea") + col("__eb") - col("__eu")) -
-          col("exact_intersection")) <= col("exact_union") * tol).as("est_ok"))
+        sum(col("__ina") * col("__inb")).cast("bigint").as("exact_intersection"),
+        hll_sketch_agg(when(col("__ina") === 1, col("__v"))).as("__ska"),
+        hll_sketch_agg(when(col("__inb") === 1, col("__v"))).as("__skb"))
+    one.select(
+      lit(sliceA).as("slice_a"), lit(sliceB).as("slice_b"),
+      col("exact_a"), col("exact_b"), col("exact_union"),
+      col("exact_intersection"),
+      (abs((hll_sketch_estimate(col("__ska")) +
+        hll_sketch_estimate(col("__skb")) -
+        hll_sketch_estimate(hll_union(col("__ska"), col("__skb")))) -
+        col("exact_intersection")) <= col("exact_union") * tol).as("est_ok"))
   }
 
   /** Benford first-digit audit: observed vs expected leading-digit

@@ -38,7 +38,14 @@ object MlEval {
       labelCol: String,
       scoreCol: String,
       threshold: Double = 0.5): DataFrame = {
+    // unscorable/unlabeled rows are excluded, not silently counted as
+    // negatives (a partially-labeled holdout would otherwise drag every
+    // metric); the 2U accumulator goes through DECIMAL(38,0) — a LongType
+    // sum of 2·P·N wraps past ~4.6e18 positive·negative pairs, squarely
+    // inside the 100 TB regime (the edgeStats discipline)
     val perScore = scored
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
+        col(labelCol).isNotNull)
       .groupBy(col(scoreCol).cast("double").as("s"))
       .agg(
         sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L)).as("pc"),
@@ -51,7 +58,8 @@ object MlEval {
     val one = cum.agg(
       sum(col("pc")).as("__p"),
       sum(col("nc")).as("__n"),
-      sum(col("pc") * (lit(2L) * col("neg_below") + col("nc"))).as("__u2"),
+      sum(col("pc").cast("decimal(38,0)") *
+        (lit(2L) * col("neg_below") + col("nc"))).as("__u2"),
       sum(when(col("s") >= threshold, col("pc")).otherwise(0L)).as("tp"),
       sum(when(col("s") >= threshold, col("nc")).otherwise(0L)).as("fp"),
       sum(when(col("s") < threshold, col("pc")).otherwise(0L)).as("fn"),
@@ -92,6 +100,8 @@ object MlEval {
       scoreCol: String,
       threshold: Double = 0.5): DataFrame = {
     val perScore = scored
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
+        col(labelCol).isNotNull)
       .groupBy(col(sliceCol).as("slice"), col(scoreCol).cast("double").as("s"))
       .agg(
         sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L)).as("pc"),
@@ -104,7 +114,8 @@ object MlEval {
       .agg(
         sum(col("pc")).as("__p"),
         sum(col("nc")).as("__n"),
-        sum(col("pc") * (lit(2L) * col("neg_below") + col("nc"))).as("__u2"),
+        sum(col("pc").cast("decimal(38,0)") *
+          (lit(2L) * col("neg_below") + col("nc"))).as("__u2"),
         sum(when(col("s") >= threshold, col("pc")).otherwise(0L)).as("tp"),
         sum(when(col("s") >= threshold, col("nc")).otherwise(0L)).as("fp"),
         sum(when(col("s") < threshold, col("pc")).otherwise(0L)).as("fn"),
@@ -145,7 +156,11 @@ object MlEval {
     require(nBins >= 1, "need at least one bin")
     val bin = least(
       floor(col(scoreCol).cast("double") * nBins).cast("int"), lit(nBins - 1))
+    // a NULL score would otherwise land in the top bin (least() skips
+    // nulls) and corrupt its confidence — unscorable rows are excluded
     val bins = scored
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
+        col(labelCol).isNotNull)
       .groupBy(bin.as("bin"))
       .agg(
         count(lit(1)).as("n_docs"),

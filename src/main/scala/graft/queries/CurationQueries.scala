@@ -385,9 +385,15 @@ object CurationQueries extends QueryGroup {
        |       FROM wt${s - 1} w CROSS JOIN g$s g)""".stripMargin
   }.mkString(",\n")
 
-  private[queries] val qC13 = Q(
-    "q_c13_quality_classifier",
-    s"""WITH t AS (
+  /** The shared training unroll: feature CTEs (t/n/tok/bc/f/wt0) + the
+    * three GD steps. Every classifier gate (q_c13 train+score, q_c14
+    * eval, q_c15 calibration, q_c16 slices, q_st16's oracle) prefixes
+    * this SAME string, so a tokenizer/bucket/label change edits ONE
+    * place — a divergent copy would silently train a different model
+    * per gate.
+    */
+  private[queries] val qcTrainCtes: String =
+    s"""t AS (
        |  SELECT doc_id, lang,
        |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
        |              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
@@ -408,24 +414,37 @@ object CurationQueries extends QueryGroup {
        |      GROUP BY n.doc_id, n.y, n.nt),
        |wt0 AS (SELECT ${(0 until qcB).map(j => s"0.0 AS w$j").mkString(", ")},
        |               0.0 AS wl, 0.0 AS b),
-       |$qcSteps
-       |SELECT doc_id, score,
-       |       CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS pred
-       |FROM (SELECT f.doc_id,
-       |             round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
-       |      FROM f CROSS JOIN wt3)
-       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |$qcSteps""".stripMargin
+
+  /** Scala twin of [[qcTrainCtes]]: train on the corpus and return the
+    * PINNED scored frame (doc_id, y, score, pred) — the feature
+    * checkpoint is freed before returning.
+    */
+  private def qcScoredPinned(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val feats = graft.operators.QualityClassifier.features(
       docs, "doc_id", "text", col("lang") === "en", numBuckets = qcB)
       .localCheckpoint(true) // scanned once per GD step + once to score
     val model = graft.operators.QualityClassifier.fit(
       feats, numBuckets = qcB, steps = 3, learningRate = 0.5)
-    val out = graft.operators.QualityClassifier.score(feats, "doc_id", model)
-      .orderBy("doc_id")
-    val pinned = out.localCheckpoint(true)
+    val scored = graft.operators.QualityClassifier.score(feats, "doc_id", model)
+      .join(feats.select(col("doc_id"), col("y")), "doc_id")
+    val pinned = scored.localCheckpoint(true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(feats)
     pinned
+  }
+
+  private[queries] val qC13 = Q(
+    "q_c13_quality_classifier",
+    s"""WITH $qcTrainCtes
+       |SELECT doc_id, score,
+       |       CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS pred
+       |FROM (SELECT f.doc_id,
+       |             round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
+       |      FROM f CROSS JOIN wt3)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    qcScoredPinned(s, dir).select("doc_id", "score", "pred").orderBy("doc_id")
   }
 
   // Classifier EVALUATION (operators.MlEval.binaryMetrics) over q_c13's
@@ -437,28 +456,7 @@ object CurationQueries extends QueryGroup {
   // so train → score → evaluate is gated end to end.
   private val qC14 = Q(
     "q_c14_classifier_eval",
-    s"""WITH t AS (
-       |  SELECT doc_id, lang,
-       |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-       |              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
-       |  FROM documents),
-       |n AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-       |             CAST(len(tk) AS DOUBLE) AS nt
-       |      FROM t),
-       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
-       |bc AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % $qcB AS b,
-       |              count(*) AS c
-       |       FROM tok GROUP BY 1, 2),
-       |f AS (SELECT n.doc_id, n.y,
-       |        ${(0 until qcB).map(j =>
-                  s"CAST(coalesce(sum(CASE WHEN b = $j THEN c END), 0) AS DOUBLE) / greatest(n.nt, 1.0) AS x$j")
-                  .mkString(",\n       |        ")},
-       |        ln(1.0 + n.nt) AS xl
-       |      FROM n LEFT JOIN bc ON n.doc_id = bc.doc_id
-       |      GROUP BY n.doc_id, n.y, n.nt),
-       |wt0 AS (SELECT ${(0 until qcB).map(j => s"0.0 AS w$j").mkString(", ")},
-       |               0.0 AS wl, 0.0 AS b),
-       |$qcSteps,
+    s"""WITH $qcTrainCtes,
        |sc AS (SELECT f.doc_id, f.y,
        |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
        |       FROM f CROSS JOIN wt3),
@@ -491,18 +489,7 @@ object CurationQueries extends QueryGroup {
        |            THEN 2.0 * tp / (2 * tp + fp + fn) END AS f1,
        |       sqerr / (p + nn) AS brier
        |FROM a""".stripMargin) { (s, dir) =>
-    val docs = Tables.load(s, dir, "documents")
-    val feats = graft.operators.QualityClassifier.features(
-      docs, "doc_id", "text", col("lang") === "en", numBuckets = qcB)
-      .localCheckpoint(true) // scanned per GD step + once to score
-    val model = graft.operators.QualityClassifier.fit(
-      feats, numBuckets = qcB, steps = 3, learningRate = 0.5)
-    val scored = graft.operators.QualityClassifier.score(feats, "doc_id", model)
-      .join(feats.select(col("doc_id"), col("y")), "doc_id")
-    val out = graft.operators.MlEval.binaryMetrics(scored, "y", "score")
-    val pinned = out.localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(feats)
-    pinned
+    graft.operators.MlEval.binaryMetrics(qcScoredPinned(s, dir), "y", "score")
   }
 
   // Reliability diagram + ECE (operators.MlEval.calibration) over the
@@ -513,28 +500,7 @@ object CurationQueries extends QueryGroup {
   // identically; the oracle replays the full training unroll first.
   private val qC15 = Q(
     "q_c15_calibration",
-    s"""WITH t AS (
-       |  SELECT doc_id, lang,
-       |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-       |              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
-       |  FROM documents),
-       |n AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-       |             CAST(len(tk) AS DOUBLE) AS nt
-       |      FROM t),
-       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
-       |bc AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % $qcB AS b,
-       |              count(*) AS c
-       |       FROM tok GROUP BY 1, 2),
-       |f AS (SELECT n.doc_id, n.y,
-       |        ${(0 until qcB).map(j =>
-                  s"CAST(coalesce(sum(CASE WHEN b = $j THEN c END), 0) AS DOUBLE) / greatest(n.nt, 1.0) AS x$j")
-                  .mkString(",\n       |        ")},
-       |        ln(1.0 + n.nt) AS xl
-       |      FROM n LEFT JOIN bc ON n.doc_id = bc.doc_id
-       |      GROUP BY n.doc_id, n.y, n.nt),
-       |wt0 AS (SELECT ${(0 until qcB).map(j => s"0.0 AS w$j").mkString(", ")},
-       |               0.0 AS wl, 0.0 AS b),
-       |$qcSteps,
+    s"""WITH $qcTrainCtes,
        |sc AS (SELECT f.doc_id, f.y,
        |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
        |       FROM f CROSS JOIN wt3),
@@ -550,19 +516,8 @@ object CurationQueries extends QueryGroup {
        |SELECT bin, n_docs, mean_score, pos_rate, abs_gap,
        |       sum(abs_gap * n_docs) OVER () / sum(n_docs) OVER () AS ece
        |FROM g ORDER BY bin""".stripMargin) { (s, dir) =>
-    val docs = Tables.load(s, dir, "documents")
-    val feats = graft.operators.QualityClassifier.features(
-      docs, "doc_id", "text", col("lang") === "en", numBuckets = qcB)
-      .localCheckpoint(true)
-    val model = graft.operators.QualityClassifier.fit(
-      feats, numBuckets = qcB, steps = 3, learningRate = 0.5)
-    val scored = graft.operators.QualityClassifier.score(feats, "doc_id", model)
-      .join(feats.select(col("doc_id"), col("y")), "doc_id")
-    val out = graft.operators.MlEval.calibration(scored, "y", "score", nBins = 10)
-      .orderBy("bin")
-    val pinned = out.localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(feats)
-    pinned
+    graft.operators.MlEval.calibration(qcScoredPinned(s, dir), "y", "score",
+      nBins = 10).orderBy("bin")
   }
 
   // Per-slice model monitoring (operators.MlEval.binaryMetricsBy): the
@@ -572,28 +527,7 @@ object CurationQueries extends QueryGroup {
   // by (slice, score), cumulative window partitioned by slice.
   private val qC16 = Q(
     "q_c16_sliced_eval",
-    s"""WITH t AS (
-       |  SELECT doc_id, lang,
-       |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-       |              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
-       |  FROM documents),
-       |n AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-       |             CAST(len(tk) AS DOUBLE) AS nt
-       |      FROM t),
-       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
-       |bc AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % $qcB AS b,
-       |              count(*) AS c
-       |       FROM tok GROUP BY 1, 2),
-       |f AS (SELECT n.doc_id, n.y,
-       |        ${(0 until qcB).map(j =>
-                  s"CAST(coalesce(sum(CASE WHEN b = $j THEN c END), 0) AS DOUBLE) / greatest(n.nt, 1.0) AS x$j")
-                  .mkString(",\n       |        ")},
-       |        ln(1.0 + n.nt) AS xl
-       |      FROM n LEFT JOIN bc ON n.doc_id = bc.doc_id
-       |      GROUP BY n.doc_id, n.y, n.nt),
-       |wt0 AS (SELECT ${(0 until qcB).map(j => s"0.0 AS w$j").mkString(", ")},
-       |               0.0 AS wl, 0.0 AS b),
-       |$qcSteps,
+    s"""WITH $qcTrainCtes,
        |sc AS (SELECT f.doc_id, f.y, d.source,
        |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
        |       FROM f CROSS JOIN wt3 JOIN documents d ON d.doc_id = f.doc_id),
@@ -620,22 +554,11 @@ object CurationQueries extends QueryGroup {
        |       CASE WHEN 2 * tp + fp + fn > 0
        |            THEN 2.0 * tp / (2 * tp + fp + fn) END AS f1
        |FROM a ORDER BY slice""".stripMargin) { (s, dir) =>
-    val docs = Tables.load(s, dir, "documents")
-    val feats = graft.operators.QualityClassifier.features(
-      docs, "doc_id", "text", col("lang") === "en", numBuckets = qcB)
-      .localCheckpoint(true)
-    val model = graft.operators.QualityClassifier.fit(
-      feats, numBuckets = qcB, steps = 3, learningRate = 0.5)
-    val scored = graft.operators.QualityClassifier.score(feats, "doc_id", model)
-      .join(feats.select(col("doc_id"), col("y")), "doc_id")
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-    val out = graft.operators.MlEval
-      .binaryMetricsBy(scored, "source", "y", "score")
-      .withColumnRenamed("slice", "slice")
+    val scored = qcScoredPinned(s, dir).join(
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+      "doc_id")
+    graft.operators.MlEval.binaryMetricsBy(scored, "source", "y", "score")
       .orderBy("slice")
-    val pinned = out.localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(feats)
-    pinned
   }
 
   override val all: Seq[Q] =

@@ -1882,10 +1882,6 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
-  /** The per-user daily series with the degenerate synthetic probe users
-    * unioned in (q_e18's hardening corpus): user -1 = 10-day constant,
-    * user -2 = 2-day (1.0, 2.0).
-    */
   // Holt double-exponential smoothing (TimeSeries.holtLinear): level +
   // linear trend with dyadic α = β = 1/2, so the whole recursion is
   // bit-reproducible IEEE adds and halvings — the oracle replays it as
@@ -1931,6 +1927,10 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id", "day")
   }
 
+  /** The per-user daily series with the degenerate synthetic probe users
+    * unioned in (q_e18's hardening corpus): user -1 = 10-day constant,
+    * user -2 = 2-day (1.0, 2.0).
+    */
   private def dailyWithProbes(
       s: org.apache.spark.sql.SparkSession,
       dir: String,

@@ -238,6 +238,11 @@ object CorpusStream {
         val pinned = folded.localCheckpoint(true)
         if (labeling != null) bridge.freeLocalCheckpoint(labeling)
         labeling = pinned
+        // the probeAndAppend branch returns a PINNED pair frame; free it
+        // now that the fold is materialized (no-op for the lazy
+        // first-batch pairs) — holding one per micro-batch would leak
+        // executor storage across a long-running landing zone
+        bridge.freeLocalCheckpoint(pairs)
         ()
       }
       .start()
