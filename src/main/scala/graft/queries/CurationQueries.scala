@@ -16,7 +16,7 @@ import graft.functions.TextAnalysis
 object CurationQueries extends QueryGroup {
 
   /** The DuckDB twin of [[Curation.hashUnit]] for key column `k`. */
-  private def hashUnitSql(k: String, seed: String): String =
+  private[queries] def hashUnitSql(k: String, seed: String): String =
     s"(('0x' || substring(md5(CAST($k AS VARCHAR) || ':$seed'), 1, 8))::BIGINT / 4294967296.0)"
 
   // Stratified deterministic sampling: per-language rates with a default.
@@ -363,7 +363,7 @@ object CurationQueries extends QueryGroup {
   // 10 decimals before entering the next step's CTE — the q_v14 Lloyd
   // unroll brought to gradient descent.
   private val qcB = 8
-  private def qcZ(w: String): String =
+  private[queries] def qcZ(w: String): String =
     s"$w.b + " + (0 until qcB).map(j => s"$w.w$j * x$j").mkString(" + ") +
       s" + $w.wl * xl"
   private val qcSteps = (1 to 3).map { s =>
@@ -420,7 +420,7 @@ object CurationQueries extends QueryGroup {
     * PINNED scored frame (doc_id, y, score, pred) — the feature
     * checkpoint is freed before returning.
     */
-  private def qcScoredPinned(
+  private[queries] def qcScoredPinned(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val feats = graft.operators.QualityClassifier.features(

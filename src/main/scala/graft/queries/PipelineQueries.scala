@@ -404,5 +404,91 @@ object PipelineQueries extends QueryGroup {
       .orderBy("op", "key")
   }
 
-  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8)
+  // The END-TO-END training-corpus curation pipeline in ONE call —
+  // what a user of this library actually runs before a pretraining job,
+  // composed entirely from gated operators: transitive near-dup dedup
+  // (keep min-id per cluster) → benchmark decontamination vs the probe
+  // docs 0–4 (probes themselves excluded: eval data never trains) →
+  // TRAINED quality-classifier filter (score ≥ 0.5, the full q_c13
+  // model) → deterministic stratified sampling (en 1.0 / rest 0.5) →
+  // 512-token sequence packing over the survivors. The oracle chains
+  // every stage's own oracle fragment into one WITH, so a regression in
+  // ANY stage flips this row.
+  private val qF9 = Q(
+    "q_f9_corpus_pipeline",
+    s"""WITH RECURSIVE pairs AS (${DedupQueries.pairsOracle}),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u),
+       |dedup AS (
+       |  SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+       |  WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id),
+       |dtoks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |dsh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(tk) - 3),
+       |                                 i -> array_to_string(tk[i:i+4], ' '))) AS s
+       |    FROM dtoks WHERE len(tk) >= 5
+       |    UNION ALL
+       |    SELECT doc_id, array_to_string(tk, ' ') AS s
+       |    FROM dtoks WHERE len(tk) < 5)),
+       |contaminated AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM dsh a JOIN (SELECT DISTINCT s FROM dsh WHERE doc_id < 5) p USING (s)
+       |  WHERE a.doc_id >= 5),
+       |${CurationQueries.qcTrainCtes},
+       |qscore AS (SELECT f.doc_id,
+       |                  round(1.0 / (1.0 + exp(-(${CurationQueries.qcZ("wt3")}))), 6) AS score
+       |           FROM f CROSS JOIN wt3),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang,
+       |         CASE WHEN trim(d.text) = '' THEN 0
+       |              ELSE len(string_split_regex(lower(trim(d.text)), '\\s+')) END AS token_count
+       |  FROM documents d
+       |  JOIN dedup USING (doc_id)
+       |  JOIN qscore USING (doc_id)
+       |  LEFT JOIN contaminated c USING (doc_id)
+       |  WHERE d.doc_id >= 5 AND c.doc_id IS NULL AND qscore.score >= 0.5
+       |    AND ${CurationQueries.hashUnitSql("d.doc_id", "f9")} <
+       |        (CASE d.lang WHEN 'en' THEN 1.0 ELSE 0.5 END)),
+       |packed AS (
+       |  SELECT doc_id, lang, token_count,
+       |         coalesce(sum(token_count) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM kept)
+       |SELECT doc_id, lang, CAST(token_count AS INT) AS token_count,
+       |       CAST(floor(cum / 512) AS BIGINT) AS pack_id,
+       |       CAST(cum % 512 AS BIGINT) AS pack_offset
+       |FROM packed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.{ConnectedComponents, Curation, Decontamination, NearDup}
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = NearDup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+    val deduped = ConnectedComponents.dedupByComponents(docs, "doc_id", pairs)
+    val clean = Decontamination
+      .flagOverlap(deduped.filter(col("doc_id") >= 5),
+        docs.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+      .filter(!col("contaminated"))
+    val qual = clean
+      .join(CurationQueries.qcScoredPinned(s, dir).select("doc_id", "score"), "doc_id")
+      .filter(col("score") >= 0.5)
+    val sampled = Curation.stratifiedSample(
+      qual, keyCol = "doc_id", stratumCol = "lang",
+      rates = Map("en" -> 1.0), defaultRate = 0.5, seed = "f9")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("token_count"))
+    Curation.packSequences(sampled, "doc_id", "token_count", budget = 512)
+      .select("doc_id", "lang", "token_count", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9)
 }
