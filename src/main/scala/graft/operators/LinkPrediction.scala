@@ -47,18 +47,25 @@ object LinkPrediction {
     val und = canon.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
     val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val degW = deg.select(col("node").as("w"), col("d").as("__dw"))
     val p1 = und.select(col("node").as("u"), col("nbr").as("w"))
+    // the middle node's 1/ln(deg) weight attaches to the 2|E|-row side
+    // BEFORE the wedge join (AQE broadcasts the |V|-row degree frame) —
+    // joined after, it would ride every one of the Σ deg² wedge rows
     val p2 = und.select(col("node").as("v"), col("nbr").as("w"))
+      .join(deg.select(col("node").as("w"), col("d").as("__dw")), Seq("w"))
     val cand = p1.join(p2, Seq("w")).where(col("u") < col("v"))
-      .join(degW, Seq("w"))
       .groupBy(col("u"), col("v"))
       .agg(
         count(lit(1)).cast("bigint").as("common_neighbors"),
         sum(lit(1.0) / log(col("__dw").cast("double"))).as("aa_score"))
-    val out = cand
+    // k-cut straight after the anti-join: the endpoint-degree joins for
+    // Jaccard touch k rows, not the (possibly ~|V|²-scale) candidate set
+    val cut = cand
       .join(canon, cand("u") === canon("a") && cand("v") === canon("b"),
         "left_anti")
+      .orderBy(col("common_neighbors").desc, col("u"), col("v"))
+      .limit(k)
+    cut
       .join(deg.select(col("node").as("u"), col("d").as("__du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("d").as("__dv")), Seq("v"))
       .select(
@@ -66,7 +73,5 @@ object LinkPrediction {
         (col("common_neighbors").cast("double") /
           (col("__du") + col("__dv") - col("common_neighbors"))).as("jaccard"))
       .orderBy(col("common_neighbors").desc, col("u"), col("v"))
-      .limit(k)
-    out
   }
 }

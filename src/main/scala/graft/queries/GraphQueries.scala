@@ -615,14 +615,20 @@ object GraphQueries extends QueryGroup {
 
   // Link prediction (LinkPrediction.topCandidates): common-neighbor,
   // Adamic–Adar, and neighborhood-Jaccard scores for NON-edges of the
-  // co-order graph — the classic missing-edge ranker. The top-100 cut
-  // and output order use the INTEGER common-neighbor count under a total
-  // order, never the float AA (engine-stable cut); AA/Jaccard ride as
-  // value columns. The 2-path join is the wedge (Σ deg²) shape q_g3
-  // already carries.
+  // high-volume co-order graph — the classic missing-edge ranker. The
+  // top-100 cut and output order use the INTEGER common-neighbor count
+  // under a total order, never the float AA (engine-stable cut);
+  // AA/Jaccard ride as value columns. Wedge economics drive the gate's
+  // graph choice: candidate work is Σ deg(w)² (the q_g3 shape but over
+  // BOTH orientations and aggregated per pair), so the gate mines the
+  // l_quantity ≥ 40 slice — the full co-order graph's ~180-average
+  // degree puts ~half a billion wedges behind a 100-row answer, which is
+  // precisely the hub-pruning/capping call the operator's scaladoc
+  // prescribes at scale.
   private val qG13 = Q(
     "q_g13_link_prediction",
-    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |               FROM lineitem WHERE l_quantity >= 40),
       |e AS (SELECT DISTINCT a.p AS a, b.p AS b
       |      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
       |und AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
@@ -645,6 +651,7 @@ object GraphQueries extends QueryGroup {
       |ORDER BY common_neighbors DESC, u, v
       |LIMIT 100""".stripMargin) { (s, dir) =>
     val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 40)
       .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
     val edges = items.select(col("__o"), col("__p").as("a"))
       .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
