@@ -44,6 +44,60 @@ class BpeSpec extends SparkSpec {
     assert(r.getDouble(5) === 29.0 / 15.0 && r.getDouble(6) === 2.5)
   }
 
+  test("property: learnMerges matches a sequential reference BPE on random corpora") {
+    // reference: plain sequential Scala BPE — count weighted adjacent
+    // pairs, argmax under (count desc, left, right), leftmost-greedy
+    // rewrite, repeat
+    def referenceMerges(
+        words: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var syms: Map[Vector[String], Long] =
+        words.groupMapReduce(w => w._1.split("").toVector)(_._2)(_ + _)
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = syms.toSeq.flatMap { case (s, wc) =>
+          s.zip(s.tail).map(p => p -> wc)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((r, a, b, c))
+          def rewrite(s: Vector[String]): Vector[String] = {
+            val buf = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                buf += (a + b); i += 2
+              } else { buf += s(i); i += 1 }
+            }
+            buf.result()
+          }
+          syms = syms.toSeq.map { case (s, wc) => rewrite(s) -> wc }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+        }
+        r += 1
+      }
+      out.result()
+    }
+    val wordGen = org.scalacheck.Gen.nonEmptyListOf(
+      org.scalacheck.Gen.oneOf("a", "b", "ab", "ba", "aab", "abab", "aaaa",
+        "bbb", "aba", "baab")).map(_.take(12))
+    val seed = org.scalacheck.rng.Seed(42L)
+    var s = seed
+    (1 to 8).foreach { _ =>
+      val words = wordGen.pureApply(org.scalacheck.Gen.Parameters.default, s)
+      s = s.next
+      val corpus = Seq(words.mkString(" ")).toDF("text")
+      val got = Bpe.learnMerges(corpus, "text", rounds = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val wc = words.groupMapReduce(identity)(_ => 1L)(_ + _)
+      assert(got === referenceMerges(wc, 4), s"corpus: ${words.mkString(" ")}")
+    }
+  }
+
   test("learnMerges stops early when the corpus runs out of pairs") {
     val docs = Seq("ab ab cd").toDF("text")
     val got = Bpe.learnMerges(docs, "text", rounds = 10)
