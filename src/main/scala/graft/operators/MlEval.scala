@@ -135,6 +135,66 @@ object MlEval {
           .as("f1"))
   }
 
+  /** Post-hoc TEMPERATURE SCALING (Guo et al. 2017) — the fix companion
+    * to [[calibration]]'s measurement: fit the single scalar T that
+    * recalibrates scores as σ(logit(s)/T) by fixed-count gradient
+    * descent on the NLL, with the [[QualityClassifier.fit]] determinism
+    * discipline so the TRAINING itself is oracle-replayable — per-step
+    * gradient terms (p − y)·z round to 9 decimals and sum as
+    * DECIMAL(38,9) (addition-order-independent), the updated T rounds to
+    * 10 decimals engine-side before becoming the next step's literal,
+    * and each step is ONE all-reduce row (the bounded driver-artifact
+    * discipline). Logits clamp scores into [1e-6, 1−1e-6] first — a
+    * round(·,6) score of exactly 0 or 1 would blow up ln(s/(1−s)).
+    *
+    * Returns one row `(t_fitted, n, nll_before, nll_after, improved)` —
+    * NLLs at T = 1 and at the fitted T, `improved` reported (not
+    * asserted: fixed-step GD may overshoot on an already-calibrated
+    * model; both engines compute the identical recursion either way).
+    */
+  def temperatureScale(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      steps: Int = 3,
+      learningRate: Double = 0.5): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val sc = least(greatest(col(scoreCol).cast("double"), lit(1e-6)),
+      lit(1.0 - 1e-6))
+    val zf = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("double").as("y"),
+        log(sc / (lit(1.0) - sc)).as("z"))
+      .localCheckpoint(true) // scanned once per GD step + once for NLLs
+    var t = 1.0
+    (1 to steps).foreach { _ =>
+      val p = lit(1.0) / (lit(1.0) + exp(-(col("z") / lit(t))))
+      t = zf
+        .agg(
+          sum(round((p - col("y")) * col("z"), 9)
+            .cast("decimal(38,9)")).as("__g"),
+          count(lit(1)).cast("double").as("__n"))
+        .select(round(
+          lit(t) + lit(learningRate) *
+            (col("__g").cast("double") / col("__n")) / lit(t * t), 10))
+        .head().getDouble(0) // one all-reduce row per step
+    }
+    def nll(tv: Double) = {
+      val p = lit(1.0) / (lit(1.0) + exp(-(col("z") / lit(tv))))
+      -sum(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p))
+    }
+    val out = zf.agg(
+      count(lit(1)).cast("bigint").as("n"),
+      nll(1.0).as("nll_before"),
+      nll(t).as("nll_after"))
+      .select(
+        lit(t).as("t_fitted"), col("n"), col("nll_before"), col("nll_after"),
+        (col("nll_after") <= col("nll_before")).as("improved"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(zf)
+    out
+  }
+
   /** Reliability diagram + Expected Calibration Error over fixed-width
     * score bins — does a score of 0.8 mean 80% positives? Per bin:
     * count, mean score (confidence), empirical positive rate, |gap|;

@@ -561,7 +561,47 @@ object CurationQueries extends QueryGroup {
       .orderBy("slice")
   }
 
+  // Post-hoc temperature scaling (MlEval.temperatureScale): the fix
+  // companion to q_c15's calibration measurement — fit the scalar T
+  // recalibrating scores as σ(logit(s)/T) by 3 GD steps on the NLL,
+  // with the q_c13 training-determinism discipline (9-decimal rounded
+  // gradient terms summed as DECIMAL(38,9), T rounded to 10 decimals
+  // engine-side per step). The oracle replays model training AND the
+  // temperature fit as chained CTEs; `improved` is reported, not
+  // asserted (fixed-step GD may overshoot on a calibrated model).
+  private val qC17 = Q(
+    "q_c17_temperature_scaling",
+    s"""WITH $qcTrainCtes,
+       |sc AS (SELECT f.doc_id, f.y,
+       |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
+       |       FROM f CROSS JOIN wt3),
+       |zz AS (SELECT y, ln(scc / (1 - scc)) AS z
+       |       FROM (SELECT y, least(greatest(score, 1e-6), 1 - 1e-6) AS scc
+       |             FROM sc)),
+       |ts0 AS (SELECT 1.0 AS t),
+       |${(1 to 3).map { k =>
+           s"""tp$k AS (SELECT y, z, 1.0 / (1.0 + exp(-(z / t))) AS p
+              |        FROM zz CROSS JOIN ts${k - 1}),
+              |tg$k AS (SELECT sum(CAST(round((p - y) * z, 9) AS DECIMAL(38,9))) AS g,
+              |               CAST(count(*) AS DOUBLE) AS n
+              |        FROM tp$k),
+              |ts$k AS (SELECT round(t + 0.5 * (CAST(g AS DOUBLE) / n) / (t * t), 10) AS t
+              |        FROM ts${k - 1} CROSS JOIN tg$k)""".stripMargin
+         }.mkString(",\n")},
+       |nb AS (SELECT -sum(y * ln(p) + (1 - y) * ln(1 - p)) AS nll
+       |       FROM (SELECT y, 1.0 / (1.0 + exp(-(z / 1.0))) AS p FROM zz)),
+       |na AS (SELECT -sum(y * ln(p) + (1 - y) * ln(1 - p)) AS nll
+       |       FROM (SELECT y, 1.0 / (1.0 + exp(-(z / t))) AS p
+       |             FROM zz CROSS JOIN ts3))
+       |SELECT ts3.t AS t_fitted,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM zz) AS n,
+       |       nb.nll AS nll_before, na.nll AS nll_after,
+       |       na.nll <= nb.nll AS improved
+       |FROM ts3 CROSS JOIN nb CROSS JOIN na""".stripMargin) { (s, dir) =>
+    graft.operators.MlEval.temperatureScale(qcScoredPinned(s, dir), "y", "score")
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16)
+      qC15, qC16, qC17)
 }

@@ -50,6 +50,22 @@ class MlEvalSpec extends SparkSpec {
       got(0).getDouble(5) === solo.getDouble(8))
   }
 
+  test("temperatureScale: overconfident scores fit T > 1 and improve NLL") {
+    // scores say 90/10 but the truth is 70/30 → softening (T > 1) helps
+    val rows = (Seq.fill(70)((0.9, 1.0)) ++ Seq.fill(30)((0.9, 0.0)) ++
+      Seq.fill(70)((0.1, 0.0)) ++ Seq.fill(30)((0.1, 1.0))).toDF("score", "y")
+    val r = MlEval.temperatureScale(rows, "y", "score").head()
+    assert(r.getLong(1) === 200L)
+    assert(r.getDouble(0) > 1.0, s"expected softening, got T=${r.getDouble(0)}")
+    assert(r.getDouble(3) < r.getDouble(2), "NLL must drop on this corpus")
+    assert(r.getBoolean(4))
+    // perfectly calibrated scores: gradient ~0, T stays ~1
+    val calib = (Seq.fill(9)((0.9, 1.0)) ++ Seq.fill(1)((0.9, 0.0)) ++
+      Seq.fill(9)((0.1, 0.0)) ++ Seq.fill(1)((0.1, 1.0))).toDF("score", "y")
+    val rc = MlEval.temperatureScale(calib, "y", "score").head()
+    assert(math.abs(rc.getDouble(0) - 1.0) < 0.05)
+  }
+
   test("calibration: hand-computed bins, clamp at 1.0, ECE") {
     // bin 1 (0.1–0.2): scores 0.10, 0.15, labels 0,1 → conf 0.125, rate 0.5
     // bin 9: scores 0.95, 1.0 (clamped into 9), labels 1,1 → conf 0.975, rate 1
