@@ -118,10 +118,17 @@ object ConnectedComponents {
         s"connected components did not converge in $maxIter alternating rounds")
     }
     // fixpoint is a union of stars (child, root): label children by their
-    // root and every root by itself
-    cur.select(col("u").as("id"), col("v").as("cluster"))
+    // root and every root by itself. The labels MATERIALIZE here (pinned
+    // via localCheckpoint) so the fixpoint edge frame can be freed NOW
+    // instead of leaking executor storage until driver GC — the returned
+    // frame is pinned; long-running callers (streaming landing zones)
+    // free it with bridge.freeLocalCheckpoint once superseded.
+    val labels = cur.select(col("u").as("id"), col("v").as("cluster"))
       .union(cur.select(col("v").as("id"), col("v").as("cluster")))
       .distinct()
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(cur)
+    labels
   }
 
   /** Component labels via min-label propagation — rounds = graph
@@ -206,22 +213,32 @@ object ConnectedComponents {
       .distinct()
     val endComp = ends.join(lab, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("comp"))
-      // batch-sized; read three times below. NOT freed here: the
-      // returned plan still reads it (same lifetime as alternatingStar's
-      // own fixpoint frame — the caller's action consumes both).
-      .localCheckpoint(true)
+      .localCheckpoint(true) // batch-sized; read three times, freed below
     val contracted = newPairs
       .join(endComp.select(col("id").as("id_a"), col("comp").as("__ca")), Seq("id_a"))
       .join(endComp.select(col("id").as("id_b"), col("comp").as("__cb")), Seq("id_b"))
       .select(col("__ca").as("id_a"), col("__cb").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-    val clusterMap = alternatingStar(contracted)
+    val stars = alternatingStar(contracted) // pinned (see alternatingStar)
+    val clusterMap = stars
       .select(col("id").as("cluster"), col("cluster").as("__new"))
     val newNodes = endComp.join(lab, Seq("id"), "left_anti")
       .select(col("id"), col("comp").as("cluster"))
-    lab.unionByName(newNodes)
+    // materialize the folded labeling INSIDE the operator so every
+    // internal checkpoint (endComp, the contracted-closure stars) frees
+    // deterministically before return — a long-running landing zone calls
+    // this once per micro-batch, and un-freed batch-sized frames would
+    // accumulate in executor storage for the feed's lifetime. The caller
+    // was materializing the fold anyway (it becomes the next round's
+    // input), so this moves that residency, it does not add one; the
+    // returned frame is pinned and the caller frees it when superseded.
+    val folded = lab.unionByName(newNodes)
       .join(clusterMap, Seq("cluster"), "left")
       .select(col("id"), coalesce(col("__new"), col("cluster")).as("cluster"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(endComp)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(stars)
+    folded
   }
 
   def assignClusters(

@@ -65,7 +65,7 @@ object LinkPrediction {
         "left_anti")
       .orderBy(col("common_neighbors").desc, col("u"), col("v"))
       .limit(k)
-    cut
+    val out = cut
       .join(deg.select(col("node").as("u"), col("d").as("__du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("d").as("__dv")), Seq("v"))
       .select(
@@ -73,5 +73,13 @@ object LinkPrediction {
         (col("common_neighbors").cast("double") /
           (col("__du") + col("__dv") - col("common_neighbors"))).as("jaccard"))
       .orderBy(col("common_neighbors").desc, col("u"), col("v"))
+    if (assumeCanonical) out
+    else {
+      // the k-row result pins (trivial) so the internal canonical-edge
+      // checkpoint frees NOW instead of leaking until driver GC
+      val pinned = out.localCheckpoint(true)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(canon)
+      pinned
+    }
   }
 }

@@ -20,14 +20,23 @@ import org.apache.spark.sql.functions._
   * so the statistic is engine-reproducible to the bit.
   *
   * Shape at scale: ONE hash aggregate reduces the corpus to its distinct
-  * scores (bounded — scores arrive rounded, e.g. 10⁶+1 values from
-  * QualityClassifier's round(·, 6)), one single-partition window over
+  * scores — bounded at ≤10⁶+1 values because every entry point QUANTIZES
+  * the score to 6 decimals itself (idempotent for QualityClassifier's
+  * pre-rounded output) — one single-partition window over
   * that tiny frame, one closing aggregate. Thresholded counts (tp/fp/
   * fn/tn → accuracy, precision, recall, F1) and the Brier score come out
   * of the same per-score frame; divisions are guarded (no positives →
   * precision NULL, one class absent → AUC NULL).
   */
 object MlEval {
+
+  /** Rows whose label is not exactly 0.0 or 1.0 (NULL, NaN, multiclass)
+    * are EXCLUDED, never silently counted as negatives — a malformed
+    * label column shrinks `n`, it does not distort AUC.
+    */
+  private def wellFormed(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    df.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
+      col(labelCol).cast("double").isin(0.0, 1.0))
 
   /** @param scored  frame with a 0/1 label column and a numeric score
     * @return one row: (n, n_pos, n_neg, auc, tp, fp, fn, tn, accuracy,
@@ -38,15 +47,16 @@ object MlEval {
       labelCol: String,
       scoreCol: String,
       threshold: Double = 0.5): DataFrame = {
-    // unscorable/unlabeled rows are excluded, not silently counted as
-    // negatives (a partially-labeled holdout would otherwise drag every
-    // metric); the 2U accumulator goes through DECIMAL(38,0) — a LongType
-    // sum of 2·P·N wraps past ~4.6e18 positive·negative pairs, squarely
-    // inside the 100 TB regime (the edgeStats discipline)
-    val perScore = scored
-      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
-        col(labelCol).isNotNull)
-      .groupBy(col(scoreCol).cast("double").as("s"))
+    // unscorable/malformed rows are excluded via [[wellFormed]]; the 2U
+    // accumulator goes through DECIMAL(38,0) — a LongType sum of 2·P·N
+    // wraps past ~4.6e18 positive·negative pairs, squarely inside the
+    // 100 TB regime (the edgeStats discipline). The score QUANTIZES to 6
+    // decimals INSIDE the operator (idempotent for QualityClassifier
+    // output, which arrives pre-rounded), so the single-partition window
+    // below is bounded at ≤10⁶+1 rows by construction — a caller passing
+    // raw sigmoids no longer gets a corpus-sized window.
+    val perScore = wellFormed(scored, labelCol, scoreCol)
+      .groupBy(round(col(scoreCol).cast("double"), 6).as("s"))
       .agg(
         sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L)).as("pc"),
         sum(when(col(labelCol).cast("double") === 1.0, 0L).otherwise(1L)).as("nc"))
@@ -99,10 +109,8 @@ object MlEval {
       labelCol: String,
       scoreCol: String,
       threshold: Double = 0.5): DataFrame = {
-    val perScore = scored
-      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
-        col(labelCol).isNotNull)
-      .groupBy(col(sliceCol).as("slice"), col(scoreCol).cast("double").as("s"))
+    val perScore = wellFormed(scored, labelCol, scoreCol)
+      .groupBy(col(sliceCol).as("slice"), round(col(scoreCol).cast("double"), 6).as("s"))
       .agg(
         sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L)).as("pc"),
         sum(when(col(labelCol).cast("double") === 1.0, 0L).otherwise(1L)).as("nc"))
@@ -161,8 +169,12 @@ object MlEval {
     require(steps >= 1, "steps must be >= 1")
     val sc = least(greatest(col(scoreCol).cast("double"), lit(1e-6)),
       lit(1.0 - 1e-6))
-    val zf = scored
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    // NaN scores must be excluded BEFORE the clamp: least/greatest treat
+    // NaN as the largest double, so an unfiltered NaN would silently
+    // clamp to 1-1e-6 (logit ≈ 13.8) and pollute the fitted T and both
+    // NLLs; malformed labels are excluded for the same reason as in
+    // [[wellFormed]] (they would enter the gradient as arbitrary y).
+    val zf = wellFormed(scored, labelCol, scoreCol)
       .select(col(labelCol).cast("double").as("y"),
         log(sc / (lit(1.0) - sc)).as("z"))
       .localCheckpoint(true) // scanned once per GD step + once for NLLs
@@ -214,17 +226,19 @@ object MlEval {
       scoreCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 1, "need at least one bin")
-    val bin = least(
-      floor(col(scoreCol).cast("double") * nBins).cast("int"), lit(nBins - 1))
+    // the 6-decimal quantization makes the DECIMAL(38,6) confidence sum
+    // exact BY CONSTRUCTION (not by caller convention), and binning on
+    // the quantized score keeps bin membership consistent with the other
+    // metrics' distinct-score frame
+    val s6 = round(col(scoreCol).cast("double"), 6)
+    val bin = least(floor(s6 * nBins).cast("int"), lit(nBins - 1))
     // a NULL score would otherwise land in the top bin (least() skips
     // nulls) and corrupt its confidence — unscorable rows are excluded
-    val bins = scored
-      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
-        col(labelCol).isNotNull)
+    val bins = wellFormed(scored, labelCol, scoreCol)
       .groupBy(bin.as("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col(scoreCol).cast("decimal(38,6)")).as("__ss"),
+        sum(s6.cast("decimal(38,6)")).as("__ss"),
         sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L))
           .as("__pos"))
       .select(

@@ -409,11 +409,18 @@ object PipelineQueries extends QueryGroup {
   // composed entirely from gated operators: transitive near-dup dedup
   // (keep min-id per cluster) → benchmark decontamination vs the probe
   // docs 0–4 (probes themselves excluded: eval data never trains) →
-  // TRAINED quality-classifier filter (score ≥ 0.5, the full q_c13
-  // model) → deterministic stratified sampling (en 1.0 / rest 0.5) →
-  // 512-token sequence packing over the survivors. The oracle chains
-  // every stage's own oracle fragment into one WITH, so a regression in
-  // ANY stage flips this row.
+  // TRAINED quality-classifier filter at the SELF-CALIBRATING corpus-mean
+  // cutoff (score ≥ mean score — the full q_c13 model; a fixed absolute
+  // threshold made the gate VACUOUS, 0 survivors on both engines, because
+  // the synthetic corpus's score range shifts with scale factor; the mean
+  // keeps ~half at every SF, so each composed stage provably processes
+  // rows. The mean is one exact DECIMAL(38,6)-sum aggregate → a broadcast
+  // scalar — both engines cast the identical exact decimal to double, so
+  // the >= comparison cannot drift) → deterministic stratified sampling
+  // (en 1.0 / rest 0.5) → 512-token sequence packing over the survivors.
+  // The oracle chains every stage's own oracle fragment into one WITH, so
+  // a regression in ANY stage flips this row; non-emptiness is REQUIREd
+  // in-query so the gate can never silently degrade to ∅ = ∅ again.
   private val qF9 = Q(
     "q_f9_corpus_pipeline",
     s"""WITH RECURSIVE pairs AS (${DedupQueries.pairsOracle}),
@@ -448,6 +455,8 @@ object PipelineQueries extends QueryGroup {
        |qscore AS (SELECT f.doc_id,
        |                  round(1.0 / (1.0 + exp(-(${CurationQueries.qcZ("wt3")}))), 6) AS score
        |           FROM f CROSS JOIN wt3),
+       |qthr AS (SELECT CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS t
+       |         FROM qscore),
        |kept AS (
        |  SELECT d.doc_id, d.lang,
        |         CASE WHEN trim(d.text) = '' THEN 0
@@ -456,7 +465,8 @@ object PipelineQueries extends QueryGroup {
        |  JOIN dedup USING (doc_id)
        |  JOIN qscore USING (doc_id)
        |  LEFT JOIN contaminated c USING (doc_id)
-       |  WHERE d.doc_id >= 5 AND c.doc_id IS NULL AND qscore.score >= 0.5
+       |  WHERE d.doc_id >= 5 AND c.doc_id IS NULL
+       |    AND qscore.score >= (SELECT t FROM qthr)
        |    AND ${CurationQueries.hashUnitSql("d.doc_id", "f9")} <
        |        (CASE d.lang WHEN 'en' THEN 1.0 ELSE 0.5 END)),
        |packed AS (
@@ -477,17 +487,28 @@ object PipelineQueries extends QueryGroup {
       .flagOverlap(deduped.filter(col("doc_id") >= 5),
         docs.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
       .filter(!col("contaminated"))
-    val qual = clean
-      .join(CurationQueries.qcScoredPinned(s, dir).select("doc_id", "score"), "doc_id")
-      .filter(col("score") >= 0.5)
+    val scored = CurationQueries.qcScoredPinned(s, dir).select("doc_id", "score")
+    // self-calibrating cutoff: the corpus-mean score as an exact
+    // DECIMAL(38,6) sum over the (pre-rounded) scores, one bounded
+    // 1-row driver artifact shipped back as a literal
+    val mr = scored.agg(
+      sum(col("score").cast("decimal(38,6)")).as("__ss"),
+      count(lit(1)).as("__n")).head()
+    val thr = mr.getDecimal(0).doubleValue() / mr.getLong(1)
+    val qual = clean.join(scored, "doc_id").filter(col("score") >= thr)
     val sampled = Curation.stratifiedSample(
       qual, keyCol = "doc_id", stratumCol = "lang",
       rates = Map("en" -> 1.0), defaultRate = 0.5, seed = "f9")
       .select(col("doc_id"), col("lang"),
         graft.functions.TextAnalysis.tokenCount(col("text")).as("token_count"))
-    Curation.packSequences(sampled, "doc_id", "token_count", budget = 512)
+    val out = Curation.packSequences(sampled, "doc_id", "token_count", budget = 512)
       .select("doc_id", "lang", "token_count", "pack_id", "pack_offset")
       .orderBy("doc_id")
+    // the non-vacuity floor: a pipeline change that nets zero survivors
+    // must FAIL the gate, not pass it as ∅ = ∅ (the round-10 defect)
+    require(!out.isEmpty,
+      "q_f9: the curation pipeline must keep at least one document")
+    out
   }
 
   override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9)

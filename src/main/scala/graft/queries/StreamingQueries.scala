@@ -375,7 +375,11 @@ object StreamingQueries extends QueryGroup {
        |SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
        |FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-    graft.streaming.CorpusStream.componentsAvailableNow(s, dir, shards = 3)
+    // shards = 2: per-micro-batch FIXED overhead dominates this gate
+    // (PERF.md: 1.7× at 10× data), so two drops — one seeding the index,
+    // one exercising the fused probe+append+fold path — buy the same
+    // coverage as three at ~2/3 the cost
+    graft.streaming.CorpusStream.componentsAvailableNow(s, dir, shards = 2)
   }
 
   // Streaming cardinality (EventStreams.hllDistinctUsersAvailableNow):

@@ -230,14 +230,16 @@ object CorpusStream {
           } else
             // fused probe+append: the batch is shingled/hashed ONCE
             DedupIndex.probeAndAppend(spark, b, "doc_id", "text", idx)
+        // both branches return a frame ALREADY pinned by the operator
+        // (alternatingStar/appendEdges materialize internally so their
+        // own checkpoints free deterministically) — no second residency
         val folded =
           if (labeling == null)
             ConnectedComponents.alternatingStar(pairs.select("id_a", "id_b"))
           else
             ConnectedComponents.appendEdges(labeling, pairs.select("id_a", "id_b"))
-        val pinned = folded.localCheckpoint(true)
         if (labeling != null) bridge.freeLocalCheckpoint(labeling)
-        labeling = pinned
+        labeling = folded
         // the probeAndAppend branch returns a PINNED pair frame; free it
         // now that the fold is materialized (no-op for the lazy
         // first-batch pairs) — holding one per micro-batch would leak

@@ -99,4 +99,44 @@ class MlEvalSpec extends SparkSpec {
     val reversed = Seq((0.1, 1.0), (0.9, 0.0)).toDF("score", "y")
     assert(MlEval.binaryMetrics(reversed, "y", "score").head().getDouble(3) === 0.0)
   }
+
+  test("raw unrounded sigmoids: quantized inside, bounded distinct-score frame") {
+    // feed raw (unrounded) sigmoids whose 6-decimal quantizations COLLIDE:
+    // the operator must quantize internally, so the distinct-score frame
+    // is 2 rows (not 4) and the metrics equal the pre-rounded run exactly
+    val raw = Seq(
+      (0.90000012345, 1.0), (0.90000023456, 1.0),
+      (0.10000034567, 0.0), (0.10000045678, 0.0)).toDF("score", "y")
+    val pre = raw.select(
+      org.apache.spark.sql.functions.round(col("score"), 6).as("score"), col("y"))
+    val rRaw = MlEval.binaryMetrics(raw, "y", "score").head()
+    val rPre = MlEval.binaryMetrics(pre, "y", "score").head()
+    assert(rRaw === rPre)
+    assert(rRaw.getDouble(3) === 1.0)
+    val calRaw = MlEval.calibration(raw, "y", "score", nBins = 10).collect()
+    val calPre = MlEval.calibration(pre, "y", "score", nBins = 10).collect()
+    assert(calRaw.toSeq === calPre.toSeq)
+  }
+
+  test("malformed rows: NaN scores and non-{0,1} labels are excluded everywhere") {
+    val clean = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
+    val dirty = clean ++ Seq(
+      (Double.NaN, 1.0),  // NaN score — would clamp to ~1 in temperatureScale
+      (0.7, 2.0),         // multiclass label — would count as negative
+      (0.6, Double.NaN))  // NaN label — would count as negative
+    val cleanDf = clean.toDF("score", "y")
+    val dirtyDf = dirty.toDF("score", "y")
+    val rc = MlEval.binaryMetrics(cleanDf, "y", "score").head()
+    val rd = MlEval.binaryMetrics(dirtyDf, "y", "score").head()
+    assert(rd === rc, "malformed rows must not shift any metric")
+    assert(rd.getLong(0) === 4L)
+    val tc = MlEval.temperatureScale(cleanDf, "y", "score").head()
+    val td = MlEval.temperatureScale(dirtyDf, "y", "score").head()
+    assert(td.getDouble(0) === tc.getDouble(0) && td.getLong(1) === 4L)
+    assert(MlEval.calibration(dirtyDf, "y", "score").collect().toSeq ===
+      MlEval.calibration(cleanDf, "y", "score").collect().toSeq)
+    assert(MlEval.binaryMetricsBy(
+        dirtyDf.withColumn("src", org.apache.spark.sql.functions.lit("a")),
+        "src", "y", "score").head().getLong(1) === 4L)
+  }
 }
