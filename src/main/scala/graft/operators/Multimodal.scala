@@ -10,18 +10,27 @@ import org.apache.spark.sql.functions._
   * cluster concern is partition *balance*, handled by hash repartitioning
   * on the id before heavy decode stages).
   *
-  * The container has no media codecs, so MOST decode steps are STUBS: a
-  * deterministic synthetic "decoder" marked [STUB] below stands in where
-  * libjpeg/ffmpeg would be called. Everything around it — schema, batch
-  * shape, partitioning, null handling — is real and tested, so swapping a
-  * real codec in is a one-function change. The exception is image
-  * HEADERS, which decode for REAL across the whole container family:
-  * [[decodePngMeta]], [[decodeGifMeta]] and [[decodeBmpMeta]] read
-  * fixed-offset headers, and [[decodeJpegMeta]] walks JPEG's
-  * variable-position marker chain with the `aggregate` higher-order
-  * function — all pure codegen built-ins, no codec library, no UDF.
-  * What remains stubbed is pixel/audio/video DECODE, which genuinely
-  * needs libjpeg/ffmpeg.
+  * The container has no media codecs, so COMPRESSED decode steps are
+  * STUBS: a deterministic synthetic "decoder" marked [STUB] below stands
+  * in where libjpeg/ffmpeg would be called. Everything around it —
+  * schema, batch shape, partitioning, null handling — is real and
+  * tested, so swapping a real codec in is a one-function change. Two
+  * layers decode for REAL, no codec library, no UDF, pure codegen
+  * built-ins:
+  *
+  *  - HEADERS across the whole container family: [[decodePngMeta]],
+  *    [[decodeGifMeta]], [[decodeBmpMeta]] and [[decodeWavMeta]] read
+  *    fixed-offset headers, and [[decodeJpegMeta]] walks JPEG's
+  *    variable-position marker chain with the `aggregate` HOF.
+  *  - CONTENT of the uncompressed containers: [[wavSampleStats]] reads
+  *    the actual PCM frames (per-channel RMS/peak/clipping — the
+  *    silent/clipped-clip cut) and [[bmpPixelStats]] the actual 24-bpp
+  *    pixel rows (per-channel means/extremes and the blank-image cut) —
+  *    fixed-layout byte-slice integer arithmetic, the same discipline
+  *    as the header parsers.
+  *
+  * What remains stubbed is decode of COMPRESSED payloads (JPEG pixels,
+  * MP3/OGG audio, video), which genuinely needs libjpeg/ffmpeg.
   */
 object Multimodal {
 
@@ -242,6 +251,195 @@ object Multimodal {
         w.as("width"),
         h.as("height"),
         walked.getField("nc").as("num_components")))
+      .otherwise(lit(null))
+  }
+
+  /** Little-endian unsigned integer of `len` bytes at COLUMN (1-based)
+    * offset `pos` — the data-plane twin of [[le]] for payload regions
+    * whose position depends on the row (PCM frames, pixel rows).
+    */
+  private def leAt(payload: Column, pos: Column, len: Int): Column =
+    (0 until len)
+      .map(i => conv(hex(substring(payload, pos + i, lit(1))), 16, 10).cast("bigint")
+        * lit(1L << (8 * i)))
+      .reduce(_ + _)
+
+  /** REAL WAV PCM SAMPLE decode — the payload is no longer opaque: this
+    * reads the actual frames of the canonical-layout PCM file that
+    * [[decodeWavMeta]] validates and emits the per-channel content
+    * statistics an audio curation pass filters on (silent / clipped
+    * clips): `array<struct(channel, n_frames, rms, peak, n_clipped,
+    * clipping_rate)>`, one entry per channel, or NULL when the header is
+    * invalid or the data chunk is not at the canonical offset.
+    *
+    * Sample semantics follow the WAV spec: 8-bit PCM is UNSIGNED with a
+    * 128 center (v = byte − 128); 16/24/32-bit are SIGNED little-endian
+    * two's complement. A sample clips at the exact rail values
+    * 2^(bits−1)−1 / −2^(bits−1) (8-bit: byte 255 / 0). Everything up to
+    * the final divisions is exact integer arithmetic — Σv² folds through
+    * DECIMAL(38,0) (a 32-bit rail squared is 2^62; a long accumulator
+    * would wrap two samples in), peak is max|v|, clip count an integer —
+    * so `rms = sqrt(Σv²/n)` and `clipping_rate = clips/n` are
+    * engine-replayable to the bit, the q_m8 oracle discipline extended
+    * from headers to CONTENT.
+    *
+    * Scale contract: cost is O(frames·channels) per row with the frame
+    * loop as one codegen `aggregate` fold per channel — embarrassingly
+    * parallel, zero shuffle, zero UDF. The fold materializes a
+    * `sequence` of frame indices per row, so payloads must be bounded
+    * clips (the landing-zone shape — long recordings arrive pre-chunked);
+    * `maxFrames` caps the scan defensively (stats cover the first
+    * `maxFrames` frames, reported in `n_frames`) so one rogue
+    * hour-long file cannot allocate a 100M-slot array in an executor.
+    */
+  def wavSampleStats(payload: Column, maxFrames: Int = 1 << 20): Column = {
+    val channels = le(payload, 23, 2)
+    val bits = le(payload, 35, 2)
+    val blockAlign = le(payload, 33, 2)
+    val byteRate = le(payload, 29, 4)
+    val sampleRate = le(payload, 25, 4)
+    val consistent = blockAlign === channels * (bits / 8L) &&
+      byteRate === sampleRate * blockAlign
+    val headerOk = length(payload) >= 44 &&
+      hex(substring(payload, 1, 4)) === lit("52494646") &&
+      hex(substring(payload, 9, 4)) === lit("57415645") &&
+      hex(substring(payload, 13, 4)) === lit("666D7420") &&
+      le(payload, 17, 4) === 16L && le(payload, 21, 2) === 1L &&
+      channels >= 1L && sampleRate >= 1L && bits.isin(8L, 16L, 24L, 32L) &&
+      consistent &&
+      hex(substring(payload, 37, 4)) === lit("64617461")
+    val dataSize = least(le(payload, 41, 4), length(payload).cast("bigint") - 44L)
+    // guarded division: `used` feeds the outer WHEN's PREDICATE, which
+    // evaluates even for malformed headers — an unguarded 0 blockAlign
+    // would make floor(x/0)=floor(Inf) fault the ANSI bigint cast
+    val nFrames = when(blockAlign >= 1L,
+      floor(dataSize / blockAlign).cast("bigint")).otherwise(lit(0L))
+    val used = least(nFrames, lit(maxFrames.toLong))
+    val bytesPer = (bits / 8L).cast("int")
+    val half = element_at(
+      typedlit(Map(8 -> 128L, 16 -> 32768L, 24 -> 8388608L, 32 -> 2147483648L)),
+      bits.cast("int"))
+    def sampleAt(frame: Column, ch: Column): Column = {
+      val off = lit(45L) + frame * blockAlign + ch.cast("bigint") * bytesPer
+      val raw = when(bits === 8L, leAt(payload, off, 1))
+        .when(bits === 16L, leAt(payload, off, 2))
+        .when(bits === 24L, leAt(payload, off, 3))
+        .otherwise(leAt(payload, off, 4))
+      when(bits === 8L, raw - 128L)
+        .otherwise(when(raw >= half, raw - half * 2L).otherwise(raw))
+    }
+    val zero = struct(
+      lit(new java.math.BigDecimal(0)).cast("decimal(38,0)").as("sq"),
+      lit(0L).as("peak"), lit(0L).as("clips"))
+    val perChannel = transform(sequence(lit(0), (channels - 1L).cast("int")), c => {
+      val folded = aggregate(
+        sequence(lit(0L), used - 1L),
+        zero,
+        (acc, f) => {
+          val v = sampleAt(f, c)
+          struct(
+            (acc.getField("sq") + (v * v).cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("sq"),
+            greatest(acc.getField("peak"), abs(v)).as("peak"),
+            (acc.getField("clips") +
+              when(v === half - 1L || v === -half, 1L).otherwise(0L)).as("clips"))
+        })
+      struct(
+        c.cast("int").as("channel"),
+        used.as("n_frames"),
+        sqrt(folded.getField("sq").cast("double") / used.cast("double")).as("rms"),
+        folded.getField("peak").as("peak"),
+        folded.getField("clips").as("n_clipped"),
+        (folded.getField("clips").cast("double") / used.cast("double"))
+          .as("clipping_rate"))
+    })
+    when(payload.isNotNull && headerOk && used >= 1L, perChannel)
+      .otherwise(lit(null))
+  }
+
+  /** REAL BMP PIXEL decode — per-channel content statistics over the
+    * actual pixel rows of a 24-bpp uncompressed BMP: one struct
+    * `(n_pixels, b_mean, b_min, b_max, g_mean, g_min, g_max, r_mean,
+    * r_min, r_max, is_blank)` or NULL for invalid/non-24bpp payloads.
+    * `is_blank` (every channel constant) is the image-side twin of the
+    * silent-clip filter — the thing an LLM image pipeline actually cuts.
+    *
+    * The walk honors the REAL layout: pixel data starts at the header's
+    * own data-offset field (bytes 11-14 — not a hardcoded 54, so files
+    * with gap bytes decode correctly), rows are padded to 4-byte
+    * boundaries (stride = ⌊(3w+3)/4⌋·4 — the padding bytes must be
+    * SKIPPED or every stat drifts), pixels are stored B,G,R. A negative
+    * stored height (top-down marker) is normalized exactly as in
+    * [[decodeBmpMeta]]; channel statistics are orientation-independent
+    * so both orientations fold identically. Sums are exact integers
+    * (≤255·n_pixels), means one final division — engine-replayable.
+    *
+    * Scale contract: one codegen `aggregate` fold over a per-row pixel
+    * `sequence` (single pass, all three channels in one accumulator) —
+    * zero shuffle, zero UDF; `maxPixels` caps the per-row scan (stats
+    * then cover the first `maxPixels` pixels in row-major storage
+    * order, reported in `n_pixels`).
+    */
+  def bmpPixelStats(payload: Column, maxPixels: Int = 1 << 22): Column = {
+    val sigOk = hex(substring(payload, 1, 2)) === lit("424D")
+    val dataOffset = le(payload, 11, 4)
+    val dibSize = le(payload, 15, 4)
+    val w = le(payload, 19, 4)
+    val hRaw = le(payload, 23, 4)
+    val hNeg = hRaw >= lit(2147483648L)
+    val h = when(hNeg, lit(4294967296L) - hRaw).otherwise(hRaw)
+    val bpp = le(payload, 29, 2)
+    val stride = floor((w * 3L + 3L) / 4L).cast("bigint") * 4L
+    val headerOk = length(payload) >= 30 && sigOk && dibSize >= 40L &&
+      w >= 1L && w <= Int.MaxValue.toLong && h >= 1L && h <= Int.MaxValue.toLong &&
+      bpp === 24L &&
+      // DOUBLE comparison: h·stride for an absurd-but-in-range corrupt
+      // header (w=h=2^31−1) overflows ANSI bigint multiply; the double
+      // form is overflow-free and exact for every real file size
+      length(payload).cast("double") >=
+        dataOffset.cast("double") + h.cast("double") * stride.cast("double")
+    val nPix = least(w * h, lit(maxPixels.toLong))
+    val zero = struct(
+      lit(0L).as("bs"), lit(255L).as("bmin"), lit(0L).as("bmax"),
+      lit(0L).as("gs"), lit(255L).as("gmin"), lit(0L).as("gmax"),
+      lit(0L).as("rs"), lit(255L).as("rmin"), lit(0L).as("rmax"))
+    val folded = aggregate(
+      sequence(lit(0L), nPix - 1L),
+      zero,
+      (acc, i) => {
+        val row = floor(i / w).cast("bigint")
+        val xcol = i - row * w
+        val base = dataOffset + row * stride + xcol * 3L + 1L
+        val b = leAt(payload, base, 1)
+        val g = leAt(payload, base + 1L, 1)
+        val r = leAt(payload, base + 2L, 1)
+        struct(
+          (acc.getField("bs") + b).as("bs"),
+          least(acc.getField("bmin"), b).as("bmin"),
+          greatest(acc.getField("bmax"), b).as("bmax"),
+          (acc.getField("gs") + g).as("gs"),
+          least(acc.getField("gmin"), g).as("gmin"),
+          greatest(acc.getField("gmax"), g).as("gmax"),
+          (acc.getField("rs") + r).as("rs"),
+          least(acc.getField("rmin"), r).as("rmin"),
+          greatest(acc.getField("rmax"), r).as("rmax"))
+      })
+    def mean(s: Column): Column = s.cast("double") / nPix.cast("double")
+    when(payload.isNotNull && headerOk,
+      struct(
+        nPix.as("n_pixels"),
+        mean(folded.getField("bs")).as("b_mean"),
+        folded.getField("bmin").cast("int").as("b_min"),
+        folded.getField("bmax").cast("int").as("b_max"),
+        mean(folded.getField("gs")).as("g_mean"),
+        folded.getField("gmin").cast("int").as("g_min"),
+        folded.getField("gmax").cast("int").as("g_max"),
+        mean(folded.getField("rs")).as("r_mean"),
+        folded.getField("rmin").cast("int").as("r_min"),
+        folded.getField("rmax").cast("int").as("r_max"),
+        (folded.getField("bmin") === folded.getField("bmax") &&
+          folded.getField("gmin") === folded.getField("gmax") &&
+          folded.getField("rmin") === folded.getField("rmax")).as("is_blank")))
       .otherwise(lit(null))
   }
 

@@ -431,5 +431,246 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8)
+  // REAL WAV PCM SAMPLE decode (Multimodal.wavSampleStats) — the round
+  // that makes the audio payload non-opaque: each document gets a
+  // complete PCM file (canonical 44-byte header + REAL interleaved
+  // frames) constructed in-plan, samples generated by an integer formula
+  // over (doc_id, sample index) with forced rail hits (k%10==0 → +full
+  // scale, k%10==5 → −full scale) so clipping is exercised
+  // deterministically across all four bit depths (8-bit unsigned-center,
+  // 16/24/32-bit signed LE). The ENGINE decodes the bytes back; the
+  // oracle derives per-channel RMS/peak/clip counts INDEPENDENTLY from
+  // the generating formula — an interleave, endianness, sign, or center
+  // bug cannot round-trip. Every 9th doc gets a corrupted RIFF
+  // signature → NULL stats row. Ground truth against real
+  // AudioSystem-written WAVs lives in MultimodalSpec.
+  private val qM9 = Q(
+    "q_m9_wav_sample_stats",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+      |         CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 16
+      |              WHEN 2 THEN 24 ELSE 32 END AS BIGINT) AS bits,
+      |         CAST(n_chars % 40 + 2 AS BIGINT) AS frames,
+      |         (doc_id % 9 <> 0) AS ok
+      |  FROM documents),
+      |samp AS (
+      |  SELECT doc_id, ch, frames, k % ch AS c,
+      |         CASE WHEN k % 10 = 0 THEN hf - 1
+      |              WHEN k % 10 = 5 THEN -hf
+      |              WHEN bits = 8 THEN vraw - 128
+      |              WHEN vraw < hf THEN vraw
+      |              ELSE vraw - sp END AS v,
+      |         hf
+      |  FROM (
+      |    SELECT s.*, u.k,
+      |           CASE bits WHEN 8 THEN 256 WHEN 16 THEN 65536
+      |                WHEN 24 THEN 16777216 ELSE 4294967296 END AS sp,
+      |           CASE bits WHEN 8 THEN 128 WHEN 16 THEN 32768
+      |                WHEN 24 THEN 8388608 ELSE 2147483648 END AS hf,
+      |           (s.doc_id * 31 + u.k * 17 + 7) %
+      |             (CASE bits WHEN 8 THEN 256 WHEN 16 THEN 65536
+      |                   WHEN 24 THEN 16777216 ELSE 4294967296 END) AS vraw
+      |    FROM src s, unnest(range(s.frames * s.ch)) AS u(k)
+      |    WHERE s.ok)),
+      |ag AS (
+      |  SELECT doc_id, c,
+      |         sum(v * v) AS sq,
+      |         max(abs(v)) AS peak,
+      |         sum(CASE WHEN v = hf - 1 OR v = -hf THEN 1 ELSE 0 END) AS clips
+      |  FROM samp GROUP BY 1, 2)
+      |SELECT s.doc_id,
+      |       CAST(ag.c AS INT) AS channel,
+      |       s.frames AS n_frames,
+      |       -- via VARCHAR: DuckDB's hugeint→double cast is off by an ulp
+      |       -- for some values; its string parse (like Spark's
+      |       -- decimal→double) is correctly rounded
+      |       sqrt(CAST(CAST(ag.sq AS VARCHAR) AS DOUBLE) / s.frames) AS rms,
+      |       CAST(ag.peak AS BIGINT) AS peak,
+      |       CAST(ag.clips AS BIGINT) AS n_clipped,
+      |       CAST(ag.clips AS DOUBLE) / s.frames AS clipping_rate
+      |FROM src s JOIN ag ON ag.doc_id = s.doc_id
+      |UNION ALL
+      |SELECT doc_id, CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+      |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+      |FROM src WHERE NOT ok
+      |ORDER BY doc_id, channel""".stripMargin) { (s, dir) =>
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val ch = (col("doc_id") % 2 + 1).cast("bigint")
+    val bits = element_at(
+      typedlit(Seq(8L, 16L, 24L, 32L)), (col("doc_id") % 4 + 1).cast("int"))
+    val span = element_at(
+      typedlit(Seq(256L, 65536L, 16777216L, 4294967296L)),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val half = element_at(
+      typedlit(Seq(128L, 32768L, 8388608L, 2147483648L)),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val frames = (col("n_chars") % 40 + 2).cast("bigint")
+    val rate = lit(16000L)
+    val blockAlign = ch * (bits / lit(8L)).cast("bigint")
+    val dataSize = frames * blockAlign
+    val sigHex = when(col("doc_id") % 9 === 0, lit("52494658"))
+      .otherwise(lit("52494646"))
+    val n = frames * ch
+    val dataHex = array_join(
+      transform(sequence(lit(0L), n - 1L), k => {
+        val vraw = (col("doc_id") * 31 + k * 17 + 7) % span
+        val v = when(k % 10 === 0, half - 1)
+          .when(k % 10 === 5, -half)
+          .when(bits === 8L, vraw - 128L)
+          .when(vraw < half, vraw)
+          .otherwise(vraw - span)
+        val u = when(bits === 8L, v + 128L)
+          .otherwise(when(v < 0, v + span).otherwise(v))
+        when(bits === 8L, leHexN(u, 1))
+          .when(bits === 16L, leHexN(u, 2))
+          .when(bits === 24L, leHexN(u, 3))
+          .otherwise(leHexN(u, 4))
+      }), "")
+    def le16(c: org.apache.spark.sql.Column) = leHexN(c, 2)
+    def le32(c: org.apache.spark.sql.Column) = leHexN(c, 4)
+    val payloadHex = concat(
+      sigHex, le32(dataSize + 36), lit("57415645"),
+      lit("666D7420"), le32(lit(16L)),
+      le16(lit(1L)), le16(ch),
+      le32(rate), le32(rate * blockAlign),
+      le16(blockAlign), le16(bits),
+      lit("64617461"), le32(dataSize),
+      dataHex)
+    // MATERIALIZE the constructed payloads before decoding: the stats
+    // expression references the payload many times, and inlining the
+    // whole in-plan construction tree at every reference blows codegen
+    // up (the driver OOMs compiling it); decoding a bound binary column
+    // is the real-world shape anyway (bytes come from storage)
+    val withPayload = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+      .localCheckpoint(true) // ≤500 rows × ≤400 B — trivial residency
+    withPayload
+      .withColumn("st", Multimodal.wavSampleStats(col("payload")))
+      .select(col("doc_id"), explode_outer(col("st")).as("e"))
+      .select(
+        col("doc_id"),
+        col("e.channel").as("channel"),
+        col("e.n_frames").as("n_frames"),
+        col("e.rms").as("rms"),
+        col("e.peak").as("peak"),
+        col("e.n_clipped").as("n_clipped"),
+        col("e.clipping_rate").as("clipping_rate"))
+      .orderBy("doc_id", "channel")
+  }
+
+  // REAL BMP PIXEL decode (Multimodal.bmpPixelStats) — per-channel
+  // means/extremes plus the is_blank cut over genuine 24-bpp pixel
+  // arrays built in-plan: widths 1–4 exercise every row-padding case
+  // (stride = ⌊(3w+3)/4⌋·4, pad bytes set to 0xAB so a stride bug
+  // shifts the stats), every 3rd doc stores a NEGATIVE height
+  // (top-down) the decoder must normalize, every 6th doc is a constant
+  // (blank) image, every 7th moves the pixel array behind 4 gap bytes
+  // (data offset 58 — honoring the header field, not a hardcoded 54),
+  // and every 5th corrupts the signature → NULL. The oracle derives
+  // every statistic INDEPENDENTLY from the pixel formula. Ground truth
+  // against real ImageIO-written BMPs lives in MultimodalSpec.
+  private val qM10 = Q(
+    "q_m10_bmp_pixel_stats",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 4 + 1 AS BIGINT) AS w,
+      |         CAST(doc_id % 3 + 1 AS BIGINT) AS h,
+      |         (doc_id % 6 = 0) AS blank,
+      |         (doc_id % 5 <> 0) AS ok
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |         CASE WHEN blank THEN doc_id % 256
+      |              ELSE (doc_id * 7 + u.i * 13 + 0 * 29) % 256 END AS b,
+      |         CASE WHEN blank THEN doc_id % 256
+      |              ELSE (doc_id * 7 + u.i * 13 + 1 * 29) % 256 END AS g,
+      |         CASE WHEN blank THEN doc_id % 256
+      |              ELSE (doc_id * 7 + u.i * 13 + 2 * 29) % 256 END AS r
+      |  FROM src, unnest(range(w * h)) AS u(i)
+      |  WHERE ok),
+      |ag AS (
+      |  SELECT doc_id,
+      |         sum(b) AS bs, min(b) AS bmin, max(b) AS bmax,
+      |         sum(g) AS gs, min(g) AS gmin, max(g) AS gmax,
+      |         sum(r) AS rs, min(r) AS rmin, max(r) AS rmax
+      |  FROM px GROUP BY 1)
+      |SELECT s.doc_id,
+      |       CASE WHEN s.ok THEN s.w * s.h END AS n_pixels,
+      |       CASE WHEN s.ok THEN CAST(ag.bs AS DOUBLE) / (s.w * s.h) END AS b_mean,
+      |       CASE WHEN s.ok THEN CAST(ag.bmin AS INT) END AS b_min,
+      |       CASE WHEN s.ok THEN CAST(ag.bmax AS INT) END AS b_max,
+      |       CASE WHEN s.ok THEN CAST(ag.gs AS DOUBLE) / (s.w * s.h) END AS g_mean,
+      |       CASE WHEN s.ok THEN CAST(ag.gmin AS INT) END AS g_min,
+      |       CASE WHEN s.ok THEN CAST(ag.gmax AS INT) END AS g_max,
+      |       CASE WHEN s.ok THEN CAST(ag.rs AS DOUBLE) / (s.w * s.h) END AS r_mean,
+      |       CASE WHEN s.ok THEN CAST(ag.rmin AS INT) END AS r_min,
+      |       CASE WHEN s.ok THEN CAST(ag.rmax AS INT) END AS r_max,
+      |       CASE WHEN s.ok THEN CAST(ag.bmin = ag.bmax AND ag.gmin = ag.gmax
+      |                            AND ag.rmin = ag.rmax AS INT) END AS is_blank,
+      |       s.ok AS valid_bmp
+      |FROM src s LEFT JOIN ag ON ag.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val w = (col("doc_id") % 4 + 1).cast("bigint")
+    val h = (col("doc_id") % 3 + 1).cast("bigint")
+    val blank = col("doc_id") % 6 === 0
+    val topDown = col("doc_id") % 3 === 0
+    val gap = col("doc_id") % 7 === 0
+    val stride = floor((w * 3 + 3) / 4).cast("bigint") * 4
+    val dataOffset = when(gap, lit(58L)).otherwise(lit(54L))
+    val hStored = when(topDown, lit(4294967296L) - h).otherwise(h)
+    val bmpSig = when(col("doc_id") % 5 === 0, lit("0000")).otherwise(lit("424D"))
+    def pix(i: org.apache.spark.sql.Column, chn: Int) =
+      when(blank, col("doc_id") % 256)
+        .otherwise((col("doc_id") * 7 + i * 13 + chn * 29) % 256)
+    val rowsHex = array_join(
+      transform(sequence(lit(0L), h - 1L), r =>
+        concat(
+          array_join(
+            transform(sequence(lit(0L), w - 1L), x => {
+              val i = r * w + x
+              concat(leHexN(pix(i, 0), 1), leHexN(pix(i, 1), 1), leHexN(pix(i, 2), 1))
+            }), ""),
+          // stride padding: 0xAB so misread pads shift min/max visibly
+          repeat(lit("AB"), ((lit(4L) - (w * 3) % 4) % 4).cast("int")))), "")
+    val payloadHex = concat(
+      bmpSig, leHexN(dataOffset + h * stride, 4), lit("00000000"),
+      leHexN(dataOffset, 4),
+      lit("28000000"),
+      leHexN(w, 4), leHexN(hStored, 4),
+      lit("0100"), lit("1800"),
+      // remaining 24 BITMAPINFOHEADER bytes (compression BI_RGB=0,
+      // image size, resolutions, palette counts — all zero) so the
+      // pixel array genuinely starts at the declared offset 54
+      lit("00" * 24),
+      when(gap, lit("DEADBEEF")).otherwise(lit("")),
+      rowsHex)
+    // materialized for the same codegen-inlining reason as q_m9
+    val withPayload = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+      .localCheckpoint(true)
+    withPayload
+      .withColumn("m", Multimodal.bmpPixelStats(col("payload")))
+      .select(
+        col("doc_id"),
+        col("m.n_pixels").as("n_pixels"),
+        col("m.b_mean").as("b_mean"), col("m.b_min").as("b_min"),
+        col("m.b_max").as("b_max"),
+        col("m.g_mean").as("g_mean"), col("m.g_min").as("g_min"),
+        col("m.g_max").as("g_max"),
+        col("m.r_mean").as("r_mean"), col("m.r_min").as("r_min"),
+        col("m.r_max").as("r_max"),
+        // INT, not BOOLEAN: a nullable boolean renders None vs NaN
+        // across the two engines' pandas bridges — ints normalize
+        col("m.is_blank").cast("int").as("is_blank"),
+        col("m").isNotNull.as("valid_bmp"))
+      .orderBy("doc_id")
+  }
+
+  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10)
 }

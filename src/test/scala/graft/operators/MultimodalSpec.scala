@@ -218,6 +218,97 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV sample stats: real AudioSystem PCM files yield exact per-channel content stats") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def wav(rate: Float, bits: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, channels, bits > 8, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, data.length / (channels * bits / 8))
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def le16(vs: Int*): Array[Byte] =
+      vs.flatMap(v => Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+    // mono 16-bit with both rails hit: samples 1000, -1000, 32767, -32768, 0
+    val mono = wav(8000f, 16, 1, le16(1000, -1000, 32767, -32768, 0))
+    // stereo 8-bit UNSIGNED (128-centered): frames (138,118),(255,0),(138,118)
+    val stereo = wav(8000f, 8, 2,
+      Array(138, 118, 255, 0, 138, 118).map(_.toByte))
+    import spark.implicits._
+    val rows = Seq((1L, mono), (2L, stereo), (3L, "RIFFjunk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .withColumn("st", Multimodal.wavSampleStats(col("payload")))
+    val got = rows.select(col("id"), explode(col("st")).as("e"))
+      .select(col("id"), col("e.channel"), col("e.n_frames"), col("e.rms"),
+        col("e.peak"), col("e.n_clipped"), col("e.clipping_rate"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet === Set((1L, 0), (2L, 0), (2L, 1)), "junk decodes to null")
+    val (mn, mrms, mpeak, mclip, mrate) = got((1L, 0))
+    assert(mn === 5L && mpeak === 32768L && mclip === 2L && mrate === 0.4)
+    val msq = 1000.0 * 1000 * 2 + 32767.0 * 32767 + 32768.0 * 32768
+    assert(math.abs(mrms - math.sqrt(msq / 5)) < 1e-9)
+    val (s0n, s0rms, s0peak, s0clip, _) = got((2L, 0)) // v = 10, 127, 10
+    assert(s0n === 3L && s0peak === 127L && s0clip === 1L)
+    assert(math.abs(s0rms - math.sqrt((100.0 + 127 * 127 + 100) / 3)) < 1e-12)
+    val (_, s1rms, s1peak, s1clip, _) = got((2L, 1)) // v = -10, -128, -10
+    assert(s1peak === 128L && s1clip === 1L)
+    assert(math.abs(s1rms - math.sqrt((100.0 + 128 * 128 + 100) / 3)) < 1e-12)
+    // maxFrames cap: stats cover the first cap frames, n_frames reports it
+    val capped = Seq((1L, mono)).toDF("id", "payload")
+      .select(explode(Multimodal.wavSampleStats(col("payload"), maxFrames = 3)).as("e"))
+      .select(col("e.n_frames"), col("e.peak"), col("e.n_clipped")).head()
+    assert(capped.getLong(0) === 3L && capped.getLong(1) === 32767L &&
+      capped.getLong(2) === 1L)
+  }
+
+  test("BMP pixel stats: real ImageIO 24-bpp files yield exact channel stats; blank cut") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def bmp(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val i = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) i.setRGB(x, y, rgb(x, y))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(i, "bmp", bos), "JDK BMP writer available")
+      bos.toByteArray
+    }
+    // 3×2 (stride padding: 9 data + 3 pad bytes/row) with distinct channels
+    def rgbAt(x: Int, y: Int): (Int, Int, Int) = (10 * x + 1, 20 * y + 2, x + y)
+    val patterned = bmp(3, 2) { (x, y) =>
+      val (r, g, b) = rgbAt(x, y); (r << 16) | (g << 8) | b
+    }
+    val blank = bmp(4, 3)((_, _) => (7 << 16) | (7 << 8) | 7)
+    import spark.implicits._
+    val got = Seq((1L, patterned), (2L, blank), (3L, Array[Byte]('B', 'M')))
+      .toDF("id", "payload")
+      .withColumn("m", Multimodal.bmpPixelStats(col("payload")))
+    val dec = got.filter(col("m").isNotNull)
+      .select(col("id"), col("m.n_pixels"), col("m.r_mean"), col("m.r_min"),
+        col("m.r_max"), col("m.g_mean"), col("m.b_mean"), col("m.is_blank"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(dec.keySet === Set(1L, 2L), "truncated payload → null")
+    val px = for (y <- 0 until 2; x <- 0 until 3) yield rgbAt(x, y)
+    val p = dec(1L)
+    assert(p.getLong(1) === 6L)
+    assert(p.getDouble(2) === px.map(_._1).sum.toDouble / 6) // r_mean
+    assert(p.getInt(3) === px.map(_._1).min && p.getInt(4) === px.map(_._1).max)
+    assert(p.getDouble(5) === px.map(_._2).sum.toDouble / 6) // g_mean
+    assert(p.getDouble(6) === px.map(_._3).sum.toDouble / 6) // b_mean
+    assert(!p.getBoolean(7))
+    val b = dec(2L)
+    assert(b.getLong(1) === 12L && b.getBoolean(7) && b.getDouble(2) === 7.0)
+    // maxPixels cap: n_pixels reports the cap, constant image stays blank
+    val capped = Seq((2L, blank)).toDF("id", "payload")
+      .select(Multimodal.bmpPixelStats(col("payload"), maxPixels = 5).as("m"))
+      .select(col("m.n_pixels"), col("m.is_blank")).head()
+    assert(capped.getLong(0) === 5L && capped.getBoolean(1))
+  }
+
   test("decode stage rebalances partitions by content hash") {
     val staged = Multimodal.decodeStage(docs, "payload", numPartitions = 8) { p =>
       Seq("image_meta" -> Multimodal.decodeImageMetaStub(p))
