@@ -62,6 +62,44 @@ object Louvain {
     edgeAgg.crossJoin(broadcast(sds))
   }
 
+  /** Candidate local moves with their exact-integer gains over a
+    * canonical edge frame and a label frame: one row per (node,
+    * NEIGHBORING community ≠ own) with every sufficient statistic the
+    * move algebra needs — `(node, a_label, c, k, ka, d, dca, dcb,
+    * gain)`. Shared by [[bestMoveRefinement]] and [[sweepRefinement]];
+    * `m` arrives as a plan literal (the caller holds it as a bounded
+    * driver artifact anyway).
+    */
+  private def candidateGains(canon: DataFrame, lab: DataFrame, m: Long): DataFrame = {
+    val und = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val cd = deg.join(lab, deg("node") === lab("__n"))
+      .groupBy(col("__l")).agg(sum(col("d")).as("dc"))
+    // k_iC: i's edge count into each community it touches
+    val kic = und.join(lab, und("nbr") === lab("__n"))
+      .groupBy(col("node"), col("__l").as("c")).agg(count(lit(1)).as("k"))
+    val own = lab.select(col("__n").as("node"), col("__l").as("a_label"))
+    val kOwn = kic.join(own, Seq("node"))
+      .where(col("c") === col("a_label"))
+      .select(col("node"), col("k").as("ka"))
+    // the |C|-row community-degree frame joins un-hinted: AQE broadcasts
+    // it when detection output keeps |C| small, and degrades to a
+    // shuffled join for singleton-heavy assignments instead of OOMing
+    kic.join(own, Seq("node")).where(col("c") =!= col("a_label"))
+      .join(kOwn, Seq("node"), "left_outer")
+      .join(deg.select(col("node"), col("d")), Seq("node"))
+      .join(cd.select(col("__l").as("a_label"), col("dc").as("dca")), Seq("a_label"))
+      .join(cd.select(col("__l").as("c"), col("dc").as("dcb")), Seq("c"))
+      .select(
+        col("node"), col("a_label"), col("c"),
+        col("k"), coalesce(col("ka"), lit(0L)).as("ka"), col("d"),
+        col("dca"), col("dcb"),
+        (lit(4L) * m * (col("k") - coalesce(col("ka"), lit(0L))) -
+          lit(2L) * col("d") * (col("dcb") - (col("dca") - col("d"))))
+          .cast("bigint").as("gain"))
+  }
+
   /** Apply the single globally best positive-gain move and report the
     * before/after evidence as ONE row: `(moved_node, from_label,
     * to_label, gain_x4m2, n_edges, intra_before, sum_deg_sq_before,
@@ -93,33 +131,9 @@ object Louvain {
         .localCheckpoint(true)
     val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
       .localCheckpoint(true)
-    val und = canon.select(col("a").as("node"), col("b").as("nbr"))
-      .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
-    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val cd = deg.join(lab, deg("node") === lab("__n"))
-      .groupBy(col("__l")).agg(sum(col("d")).as("dc"))
-    // k_iC: i's edge count into each community it touches
-    val kic = und.join(lab, und("nbr") === lab("__n"))
-      .groupBy(col("node"), col("__l").as("c")).agg(count(lit(1)).as("k"))
-    val mRow = canon.agg(count(lit(1)).cast("bigint").as("m"))
-    val own = lab.select(col("__n").as("node"), col("__l").as("a_label"))
-    val kOwn = kic.join(own, Seq("node"))
-      .where(col("c") === col("a_label"))
-      .select(col("node"), col("k").as("ka"))
-    // the |C|-row community-degree frame joins un-hinted: AQE broadcasts
-    // it when detection output keeps |C| small, and degrades to a
-    // shuffled join for singleton-heavy assignments instead of OOMing
-    val cand = kic.join(own, Seq("node")).where(col("c") =!= col("a_label"))
-      .join(kOwn, Seq("node"), "left_outer")
-      .join(deg.select(col("node"), col("d")), Seq("node"))
-      .join(cd.select(col("__l").as("a_label"), col("dc").as("dca")), Seq("a_label"))
-      .join(cd.select(col("__l").as("c"), col("dc").as("dcb")), Seq("c"))
-      .crossJoin(broadcast(mRow))
-      .select(
-        col("node"), col("a_label"), col("c"),
-        (lit(4L) * col("m") * (col("k") - coalesce(col("ka"), lit(0L))) -
-          lit(2L) * col("d") * (col("dcb") - (col("dca") - col("d"))))
-          .cast("bigint").as("gain"))
+    // edge count as a bounded 1-value driver artifact → plan literal
+    val mVal = canon.agg(count(lit(1)).cast("bigint")).head().getLong(0)
+    val cand = candidateGains(canon, lab, mVal)
     val best = cand.where(col("gain") > 0)
       .orderBy(col("gain").desc, col("node").asc, col("c").asc)
       .limit(1)
@@ -151,5 +165,108 @@ object Louvain {
     bridge.freeLocalCheckpoint(lab)
     if (!assumeCanonical) bridge.freeLocalCheckpoint(canon)
     out
+  }
+
+  /** Louvain PHASE-1 SWEEP: apply the globally best positive-gain move
+    * repeatedly — up to `maxMoves` times or until the assignment is
+    * local-move optimal — and report one row PER APPLIED MOVE:
+    * `(move_no, moved_node, from_label, to_label, gain_x4m2, n_edges,
+    * intra_before, sum_deg_sq_before, modularity_before, intra_after,
+    * sum_deg_sq_after, modularity_after)`, modularity STRICTLY
+    * increasing down the rows (each applied gain is positive and exact).
+    * Empty when the input is already local-move optimal. This is
+    * [[bestMoveRefinement]] iterated to Blondel et al.'s phase-1 local
+    * optimum (bounded by `maxMoves` — determinism and gateability keep
+    * the one-move-at-a-time argmax; parallel multi-move acceptance is
+    * visit-order-dependent and can decrease Q).
+    *
+    * Shape at scale, per move: the [[candidateGains]] join family
+    * (degree-bounded candidate set, AQE-adaptive community-degree
+    * joins) + a 1-row argmax collect; the label update is a scan-side
+    * literal comparison, checkpointed and freed per move (the PageRank
+    * iterative discipline). Modularity is NOT recomputed per move —
+    * the applied move's own sufficient statistics update (m, intra,
+    * Σ D_C²) EXACTLY on the driver:
+    *
+    *   intra' = intra + (k_iB − k_iA)
+    *   ΣD²'   = ΣD² − D_A² − D_B² + (D_A−d_i)² + (D_B+d_i)²
+    *
+    * all integers, and the final (intra, ΣD²) is REQUIREd to equal an
+    * independent from-scratch recompute over the final labels — one
+    * self-check pass instead of one per move, with the oracle
+    * recomputing every intermediate state independently anyway.
+    */
+  def sweepRefinement(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      maxMoves: Int,
+      assumeCanonical: Boolean = false): DataFrame = {
+    require(maxMoves >= 1, "apply at least one move")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon =
+      if (assumeCanonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges
+        .filter(col(srcCol) =!= col(dstCol))
+        .select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+    var lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+      .localCheckpoint(true)
+    val q0 = qInts(canon, lab).head()
+    val m = q0.getLong(0)
+    var intra = q0.getLong(1)
+    var sds = q0.getLong(2)
+    def q(i: Long, s: Long): Double = i.toDouble / m - s.toDouble / (4.0 * m * m)
+    val moves = Seq.newBuilder[(Int, Long, Long, Long, Long, Long, Long, Long,
+      Double, Long, Long, Double)]
+    var moveNo = 1
+    var done = false
+    while (moveNo <= maxMoves && !done) {
+      val best = candidateGains(canon, lab, m)
+        .where(col("gain") > 0)
+        .orderBy(col("gain").desc, col("node").asc, col("c").asc)
+        .limit(1)
+        .collect() // bounded: one row per move — the move ships as literals
+      if (best.isEmpty) done = true
+      else {
+        val r = best(0)
+        val (node, aLab, bLab) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val (k, ka, d) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        val (dca, dcb, gain) = (r.getLong(6), r.getLong(7), r.getLong(8))
+        val intraAfter = intra + (k - ka)
+        val sdsAfter = sds - dca * dca - dcb * dcb +
+          (dca - d) * (dca - d) + (dcb + d) * (dcb + d)
+        moves += ((moveNo, node, aLab, bLab, gain, m,
+          intra, sds, q(intra, sds), intraAfter, sdsAfter, q(intraAfter, sdsAfter)))
+        intra = intraAfter
+        sds = sdsAfter
+        val next = lab.select(
+          col("__n"),
+          when(col("__n") === node, lit(bLab)).otherwise(col("__l")).as("__l"))
+          .localCheckpoint(true)
+        bridge.freeLocalCheckpoint(lab)
+        lab = next
+      }
+      moveNo += 1
+    }
+    // the one self-check recompute: derived running stats must equal the
+    // from-scratch integers over the final assignment
+    val fin = qInts(canon, lab).head()
+    require(fin.getLong(1) == intra && fin.getLong(2) == sds,
+      s"sweepRefinement drift: derived (intra=$intra, sds=$sds) != " +
+        s"recomputed (${fin.getLong(1)}, ${fin.getLong(2)})")
+    bridge.freeLocalCheckpoint(lab)
+    if (!assumeCanonical) bridge.freeLocalCheckpoint(canon)
+    moves.result().toDF(
+      "move_no", "moved_node", "from_label", "to_label", "gain_x4m2", "n_edges",
+      "intra_before", "sum_deg_sq_before", "modularity_before",
+      "intra_after", "sum_deg_sq_after", "modularity_after")
   }
 }

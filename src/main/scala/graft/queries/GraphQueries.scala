@@ -666,6 +666,116 @@ object GraphQueries extends QueryGroup {
     pinned
   }
 
+  // Louvain PHASE-1 SWEEP (Louvain.sweepRefinement): the q_g12 single
+  // move iterated to a bounded local optimum — up to 3 globally-best
+  // positive-gain moves over the co-order graph, starting from a
+  // deliberately COARSE 2-community assignment (node % 2) so improving
+  // moves provably exist at every scale factor (LPA output is already
+  // local-move optimal at small SFs — the q_g12 empty case — which
+  // would make a sweep gate vacuous). The oracle unrolls ALL THREE
+  // moves as generated CTE stages — candidate integer gains → argmax
+  // LIMIT 1 → LEFT-JOIN relabel → independent integer recompute of
+  // (intra, ΣD²) per state — so the engine's driver-side incremental
+  // stats update (intra' = intra + k_iB − k_iA, ΣD²' via the moved
+  // node's degree) is cross-checked against a from-scratch recompute
+  // at EVERY move, not just the endpoint; the in-query REQUIRE pins
+  // the strict Q increase per move.
+  private val qG14: Q = {
+    val header =
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+        |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ce UNION ALL SELECT b, a FROM ce),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
+        |deg AS MATERIALIZED (SELECT n, count(*) AS d FROM
+        |        (SELECT a AS n FROM ce UNION ALL SELECT b FROM ce) GROUP BY 1),
+        |l0 AS MATERIALIZED (SELECT DISTINCT node, node % 2 AS label FROM und),
+        |e0 AS (SELECT CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT) AS intra
+        |       FROM ce JOIN l0 la ON ce.a = la.node JOIN l0 lb ON ce.b = lb.node),
+        |s0 AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sds FROM
+        |       (SELECT l.label, sum(d) AS dc FROM deg JOIN l0 l ON deg.n = l.node GROUP BY 1))""".stripMargin
+    val moveCtes = (1 to 3).map { r =>
+      val p = r - 1
+      s"""cd$r AS MATERIALIZED (SELECT l.label, sum(d) AS dc
+         |       FROM deg JOIN l$p l ON deg.n = l.node GROUP BY 1),
+         |kic$r AS MATERIALIZED (SELECT u.node, l.label AS c, count(*) AS k
+         |        FROM und u JOIN l$p l ON u.nbr = l.node GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT kic$r.node, o.label AS a_label, kic$r.c,
+         |           CAST(4 * m.m * (kic$r.k - coalesce(ka.k, 0))
+         |                - 2 * deg.d * (cdb.dc - (cda.dc - deg.d)) AS BIGINT) AS gain
+         |    FROM kic$r
+         |    JOIN l$p o ON kic$r.node = o.node AND kic$r.c <> o.label
+         |    LEFT JOIN kic$r ka ON ka.node = kic$r.node AND ka.c = o.label
+         |    JOIN deg ON deg.n = kic$r.node
+         |    JOIN cd$r cda ON cda.label = o.label
+         |    JOIN cd$r cdb ON cdb.label = kic$r.c
+         |    CROSS JOIN m)
+         |  WHERE gain > 0
+         |  ORDER BY gain DESC, node ASC, c ASC LIMIT 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT l.node, CASE WHEN b.node IS NOT NULL THEN b.c ELSE l.label END AS label
+         |  FROM l$p l LEFT JOIN best$r b ON l.node = b.node),
+         |e$r AS (SELECT CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT) AS intra
+         |       FROM ce JOIN l$r la ON ce.a = la.node JOIN l$r lb ON ce.b = lb.node),
+         |s$r AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sds FROM
+         |       (SELECT l.label, sum(d) AS dc FROM deg JOIN l$r l ON deg.n = l.node GROUP BY 1))""".stripMargin
+    }.mkString(",\n")
+    val moveRows = (1 to 3).map { r =>
+      val p = r - 1
+      s"""SELECT CAST($r AS INT) AS move_no, b.node AS moved_node,
+         |       b.a_label AS from_label, b.c AS to_label, b.gain AS gain_x4m2,
+         |       m.m AS n_edges,
+         |       e$p.intra AS intra_before, s$p.sds AS sum_deg_sq_before,
+         |       CAST(e$p.intra AS DOUBLE) / m.m
+         |       - CAST(s$p.sds AS DOUBLE) / (4.0 * m.m * m.m) AS modularity_before,
+         |       e$r.intra AS intra_after, s$r.sds AS sum_deg_sq_after,
+         |       CAST(e$r.intra AS DOUBLE) / m.m
+         |       - CAST(s$r.sds AS DOUBLE) / (4.0 * m.m * m.m) AS modularity_after
+         |FROM best$r b CROSS JOIN m CROSS JOIN e$p CROSS JOIN s$p
+         |CROSS JOIN e$r CROSS JOIN s$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Q(
+      "q_g14_louvain_sweep",
+      s"$header,\n$moveCtes\n$moveRows\nORDER BY move_no") { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+      val edges = items.select(col("__o"), col("__p").as("a"))
+        .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(true)
+      val labels = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .distinct()
+        .select(col("node"), (col("node") % 2).as("community"))
+      val out = graft.operators.Louvain.sweepRefinement(
+        edges, "a", "b", labels, "node", "community",
+        maxMoves = 3, assumeCanonical = true)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+      // every applied move must strictly increase Q, and the chain must
+      // be consistent (each move starts where the previous ended)
+      val rows = out.orderBy("move_no").collect()
+      require(rows.nonEmpty,
+        "q_g14: the coarse node%2 assignment must admit at least one move")
+      rows.foreach { r =>
+        require(
+          r.getAs[Double]("modularity_after") > r.getAs[Double]("modularity_before"),
+          "q_g14: every applied move must strictly increase modularity")
+      }
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          require(b.getAs[Long]("intra_before") == a.getAs[Long]("intra_after") &&
+            b.getAs[Long]("sum_deg_sq_before") == a.getAs[Long]("sum_deg_sq_after"),
+            "q_g14: move chain must be consistent")
+        case _ => ()
+      }
+      out.orderBy("move_no")
+    }
+  }
+
   override val all: Seq[Q] =
-    Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13)
+    Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14)
 }

@@ -58,4 +58,45 @@ class LouvainSpec extends SparkSpec {
     assert(out.head.getAs[Double]("modularity_before") === -0.5)
     assert(out.head.getAs[Double]("modularity_after") === 0.0)
   }
+
+  test("sweep: two misassigned nodes fixed in two moves, Q strictly increasing, then optimal") {
+    val assign = Seq(1L -> 10L, 2L -> 20L, 3L -> 10L, 4L -> 20L, 5L -> 10L, 6L -> 20L)
+    val rows = Louvain.sweepRefinement(
+      edges, "a", "b", assign.toDF("node", "community"), "node", "community",
+      maxMoves = 5).orderBy("move_no").collect()
+    assert(rows.length === 2, s"expected exactly two moves, got ${rows.length}")
+    assert(rows.map(_.getAs[Int]("move_no")).toSeq === Seq(1, 2))
+    assert(rows.map(_.getAs[Long]("moved_node")).toSet === Set(2L, 5L))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("modularity_after") >
+        r.getAs[Double]("modularity_before"), "each move strictly improves Q")
+      assert(r.getAs[Long]("gain_x4m2") > 0L)
+    }
+    // the chain is consistent: move 2 starts where move 1 ended
+    assert(rows(1).getAs[Long]("intra_before") === rows(0).getAs[Long]("intra_after"))
+    assert(rows(1).getAs[Long]("sum_deg_sq_before") ===
+      rows(0).getAs[Long]("sum_deg_sq_after"))
+    // end state is the two clean triangles: intra 6, ΣD² = 2·(3+3+4)² ... per community
+    assert(rows(1).getAs[Long]("intra_after") === 6L)
+    // local optimum reached before the cap — a 3rd call finds nothing
+    val after = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
+    assert(Louvain.sweepRefinement(
+      edges, "a", "b", after.toDF("node", "community"), "node", "community",
+      maxMoves = 5).collect().isEmpty)
+  }
+
+  test("sweep: maxMoves=1 equals bestMoveRefinement's single move") {
+    val assign = Seq(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
+    val sweep = Louvain.sweepRefinement(
+      edges, "a", "b", assign.toDF("node", "community"), "node", "community",
+      maxMoves = 1).collect()
+    val single = refine(assign).collect()
+    assert(sweep.length === 1 && single.length === 1)
+    val (s, b) = (sweep.head, single.head)
+    assert(s.getAs[Long]("moved_node") === b.getAs[Long]("moved_node"))
+    assert(s.getAs[Long]("gain_x4m2") === b.getAs[Long]("gain_x4m2"))
+    assert(s.getAs[Long]("intra_after") === b.getAs[Long]("intra_after"))
+    assert(s.getAs[Long]("sum_deg_sq_after") === b.getAs[Long]("sum_deg_sq_after"))
+    assert(s.getAs[Double]("modularity_after") === b.getAs[Double]("modularity_after"))
+  }
 }
