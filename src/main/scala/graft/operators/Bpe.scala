@@ -24,12 +24,15 @@ import graft.functions.TextAnalysis
   * Shape at scale: the working frame is the DISTINCT-WORD vocabulary with
   * counts — bounded by Heaps' law, not corpus size — so after the one
   * corpus-wide word count every round touches only vocabulary rows: one
-  * lead() window per word, one hash aggregate for pair counts, a 1-row
-  * TakeOrderedAndProject for the argmax (the bounded driver-artifact
-  * discipline — the merge ships back as plan LITERALS, never a join), and
-  * two (word, pos) equi-joins to apply it. The symbol frame is
+  * lead() window per word, one hash aggregate for pair counts, a bounded
+  * TakeOrderedAndProject for the argmax prefix (the driver-artifact
+  * discipline — merges ship back as plan LITERALS, never a join), and
+  * two (word, pos) equi-joins to apply them. The symbol frame is
   * localCheckpoint'ed (and freed) each round — the PageRank/CC iterative
   * discipline — so lineage stays flat across rounds.
+  * [[learnMergesBatched]] amortizes the driver round-trip over up to
+  * `batchSize` provably-non-interacting merges per round — the path a
+  * 32k–100k-merge production vocabulary needs.
   */
 object Bpe {
 
@@ -44,6 +47,49 @@ object Bpe {
     val (merges, syms) = train(docs, textCol, rounds)
     bridge.freeLocalCheckpoint(syms)
     merges.toDF("round", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** BATCHED merge learning — the production-vocabulary path: the
+    * sequential algorithm costs one driver round-trip PER MERGE (10⁵
+    * Spark jobs for a 100k vocabulary); this applies up to `batchSize`
+    * merges per round-trip while remaining BIT-IDENTICAL to the
+    * sequential result, because the batch is restricted to a prefix of
+    * the total order that provably cannot interact:
+    *
+    *  1. Walk the count order (c DESC, a, b); select pairs greedily,
+    *     STOPPING at the first pair sharing a symbol with any selected
+    *     pair (so every sharing pair ranks at/below the stop point).
+    *  2. A self-pair (a,a) closes the batch as its final member — its
+    *     application creates pairs containing the merged symbol whose
+    *     counts are bounded only by ⌊c/2⌋, which could outrank a later
+    *     batch member.
+    *  3. Truncate members after the first to counts STRICTLY above the
+    *     stop pair's: merging (a,b) only creates pairs like (x,ab)
+    *     whose occurrences embed an original sharing pair (x,a), so
+    *     created counts are ≤ the stop count and can only tie — and a
+    *     tie could win the lexicographic tie-break against an
+    *     equal-count batch member, so ties are excluded.
+    *
+    *     Under 1–3, at each intermediate sequential step the next batch
+    *     member is still the global argmax: its count is unchanged
+    *     (symbol-disjointness), original competitors rank below it by
+    *     the total order, and created competitors rank strictly below
+    *     by the truncation bound. Degenerate corpora fall back to batch
+    *     size 1 — the sequential step itself — so progress is always
+    *     ≥ 1 merge per round-trip.
+    *
+    * @return (round, batch_round, merge_left, merge_right, pair_count):
+    *         `round` is the SEQUENTIAL merge index (the rows equal
+    *         [[learnMerges]]'s bit for bit), `batch_round` the driver
+    *         round-trip that produced it.
+    */
+  def learnMergesBatched(
+      docs: DataFrame, textCol: String, totalMerges: Int, batchSize: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, syms) = trainBatched(docs, textCol, totalMerges, batchSize)
+    bridge.freeLocalCheckpoint(syms)
+    merges.toDF("round", "batch_round", "merge_left", "merge_right", "pair_count")
   }
 
   /** Corpus tokenization summary AFTER the learned merges — the
@@ -75,11 +121,25 @@ object Bpe {
         (col("total_tokens").cast("double") / col("total_words")).as("tokens_per_word"))
   }
 
+  /** Sequential training = the batched core with batch size 1 (the
+    * selection rule degenerates to the plain argmax), keeping ONE code
+    * path for both gates.
+    */
   private def train(
       docs: DataFrame,
       textCol: String,
       rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
-    require(rounds >= 1, "learn at least one merge")
+    val (m, syms) = trainBatched(docs, textCol, rounds, batchSize = 1)
+    (m.map { case (r, _, a, b, c) => (r, a, b, c) }, syms)
+  }
+
+  private def trainBatched(
+      docs: DataFrame,
+      textCol: String,
+      totalMerges: Int,
+      batchSize: Int): (Seq[(Int, Int, String, String, Long)], DataFrame) = {
+    require(totalMerges >= 1, "learn at least one merge")
+    require(batchSize >= 1, "batch at least one merge per round")
 
     val words = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
@@ -93,25 +153,68 @@ object Bpe {
       .localCheckpoint(true)
 
     val byPos = Window.partitionBy("w").orderBy("pos")
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var r = 1
+    val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
+    var seqRound = 1
+    var batchRound = 1
     var exhausted = false
-    while (r <= rounds && !exhausted) {
+    while (seqRound <= totalMerges && !exhausted) {
       val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
+      val budget = math.min(batchSize, totalMerges - seqRound + 1)
+      // enough rows to always see past the budget cap (the stop count
+      // needs the first NON-selected pair) — still a bounded collect
+      val lookahead = 3 * budget + 2
       val top = withNext.filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum(col("wc")).as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1)
-        .collect() // bounded: exactly one row — the merge becomes literals
+        .limit(lookahead)
+        .collect() // bounded: ≤ 3·batchSize+2 rows — merges become literals
       if (top.isEmpty) { exhausted = true }
       else {
-        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, a, b, c))
+        // greedy prefix selection under the non-interaction rules
+        var selected = Vector.empty[(String, String, Long)]
+        var stopCount = -1L // -1 = no excluded pair exists
+        var i = 0
+        var open = true
+        while (open && i < top.length) {
+          val (a, b, c) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (selected.size == budget) { stopCount = c; open = false }
+          else if (selected.exists(s =>
+              s._1 == a || s._2 == a || s._1 == b || s._2 == b)) {
+            stopCount = c; open = false
+          } else {
+            selected :+= ((a, b, c))
+            if (a == b) { // self-pair closes the batch (rule 2)
+              stopCount =
+                if (i + 1 < top.length) top(i + 1).getLong(2)
+                else if (top.length == lookahead) c // unknown tail: conservative
+                else -1L
+              open = false
+            }
+          }
+          i += 1
+        }
+        // `open` here ⟺ the collect returned every existing pair and all
+        // were disjoint (the budget cap always closes within lookahead)
+        // → no sharing pairs exist at all → stopCount stays -1
+        val kept =
+          if (stopCount < 0) selected
+          else selected.head +: selected.tail.takeWhile(_._3 > stopCount)
+        kept.zipWithIndex.foreach { case ((a, b, c), j) =>
+          merges += ((seqRound + j, batchRound, a, b, c))
+        }
+        val matchPred = kept
+          .map(p => col("sym") === lit(p._1) && col("nxt") === lit(p._2))
+          .reduce(_ || _)
         // leftmost-greedy application: among match positions, islands of
-        // consecutive positions keep every second match (even in-run offset)
+        // consecutive positions keep every second match (even in-run
+        // offset). Runs of consecutive matches can only be the SAME
+        // self-pair (a run across two pairs would need b_i = a_j —
+        // excluded by symbol-disjointness), so the per-word island/parity
+        // machinery is unchanged with many pairs in flight.
         val sel = withNext
-          .filter(col("sym") === lit(a) && col("nxt") === lit(b))
+          .filter(matchPred)
           .select(col("w").as("mw"), col("pos").as("mp"))
           .withColumn("__rn",
             row_number().over(Window.partitionBy("mw").orderBy("mp")))
@@ -120,21 +223,24 @@ object Bpe {
             row_number().over(Window.partitionBy("mw", "__island").orderBy("mp")) - 1)
           .filter(col("__idx") % 2 === 0)
           .select(col("mw"), col("mp"))
-        val applied = syms
+        val applied = withNext
           .join(sel.select(col("mw").as("w"), col("mp").as("pos"),
             lit(true).as("__st")), Seq("w", "pos"), "left")
           .join(sel.select(col("mw").as("w"), (col("mp") + 1).as("pos"),
             lit(true).as("__dr")), Seq("w", "pos"), "left")
           .filter(col("__dr").isNull)
           .select(col("w"), col("wc"), col("pos"),
-            when(col("__st"), lit(a + b)).otherwise(col("sym")).as("sym"))
+            // a kept match's merged symbol is its own (sym, nxt) pair
+            when(col("__st"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
           .withColumn("__np", row_number().over(byPos))
           .select(col("w"), col("wc"), col("__np").as("pos"), col("sym"))
         val next = applied.localCheckpoint(true)
         bridge.freeLocalCheckpoint(syms)
         syms = next
+        seqRound += kept.size
+        batchRound += 1
       }
-      r += 1
     }
     (merges.result(), syms)
   }

@@ -783,17 +783,21 @@ object TextQueries extends QueryGroup {
   private def bpeRound(k: Int): String = {
     val (s, n, cnt, top, sel, s2) =
       (s"s${k - 1}", s"n$k", s"cnt$k", s"top$k", s"sel$k", s"s$k")
-    s"""$n AS (SELECT w, wc, pos, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $s),
+    // every stage MATERIALIZED: the chain references each previous frame
+    // several times, and DuckDB's default CTE inlining makes an unrolled
+    // k-round oracle exponential in k (3 rounds ran, 6 rounds ran for
+    // half an hour before materialization was added)
+    s"""$n AS MATERIALIZED (SELECT w, wc, pos, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $s),
        |$cnt AS (SELECT sym AS a, nxt AS b, sum(wc) AS c FROM $n WHERE nxt IS NOT NULL GROUP BY 1, 2),
-       |$top AS (SELECT a, b, c FROM $cnt ORDER BY c DESC, a, b LIMIT 1),
-       |$sel AS (
+       |$top AS MATERIALIZED (SELECT a, b, c FROM $cnt ORDER BY c DESC, a, b LIMIT 1),
+       |$sel AS MATERIALIZED (
        |  SELECT mw, mp FROM (
        |    SELECT mw, mp, row_number() OVER (PARTITION BY mw, mp - rn ORDER BY mp) - 1 AS idx
        |    FROM (SELECT x.w AS mw, x.pos AS mp,
        |                 row_number() OVER (PARTITION BY x.w ORDER BY x.pos) AS rn
        |          FROM $n x JOIN $top t ON x.sym = t.a AND x.nxt = t.b))
        |  WHERE idx % 2 = 0),
-       |$s2 AS (
+       |$s2 AS MATERIALIZED (
        |  SELECT w, wc, CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INT) AS pos, sym FROM (
        |    SELECT s.w, s.wc, s.pos,
        |           CASE WHEN st.mp IS NOT NULL THEN (SELECT a || b FROM $top) ELSE s.sym END AS sym
@@ -868,7 +872,41 @@ object TextQueries extends QueryGroup {
       .compressionStats(Tables.load(s, dir, "documents"), "text", rounds = 3)
   }
 
+  // BATCHED BPE merge learning (operators.Bpe.learnMergesBatched): up
+  // to 3 provably-non-interacting merges per driver round-trip — the
+  // production-vocabulary path (sequential = one Spark job per merge;
+  // batching divides the round-trips by the achieved batch width). The
+  // oracle is the SEQUENTIAL algorithm, six rounds unrolled with the
+  // exact q_t22 CTE stages — so the gate asserts the batched result is
+  // BIT-IDENTICAL to sequential on the real corpus, which is precisely
+  // the operator's correctness claim (the prefix-selection rules make
+  // equality a theorem, not a hope; the interacting/self-pair fallback
+  // cases are spec-gated on adversarial corpora).
+  private val qT24 = Q(
+    "q_t24_bpe_batched",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents WHERE trim(text) <> ''),
+       |words AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+       |s0 AS (
+       |  SELECT w, wc, CAST(ps.pos AS INT) AS pos, ps.sym AS sym
+       |  FROM (SELECT w, wc, unnest(list_transform(range(len(w)),
+       |               i -> {'pos': i + 1, 'sym': w[i+1:i+1]})) AS ps
+       |        FROM words)),
+       |${(1 to 6).map(bpeRound).mkString(",\n")}
+       |${(1 to 6).map(k =>
+            s"SELECT CAST($k AS INT) AS round, a AS merge_left, b AS merge_right, " +
+              s"CAST(c AS BIGINT) AS pair_count FROM top$k")
+            .mkString("\nUNION ALL ")}
+       |ORDER BY round""".stripMargin) { (s, dir) =>
+    graft.operators.Bpe
+      .learnMergesBatched(Tables.load(s, dir, "documents"), "text",
+        totalMerges = 6, batchSize = 3)
+      .select("round", "merge_left", "merge_right", "pair_count")
+      .orderBy("round")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23)
+      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24)
 }

@@ -98,6 +98,105 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched: disjoint top pairs merge in ONE driver round, bit-equal to sequential") {
+    // (a,b)=5 (c,d)=4 (e,f)=3 — pairwise symbol-disjoint, distinct counts
+    val docs = Seq(Seq.fill(5)("ab") ++ Seq.fill(4)("cd") ++ Seq.fill(3)("ef"))
+      .map(_.mkString(" ")).toDF("text")
+    val got = Bpe.learnMergesBatched(docs, "text", totalMerges = 3, batchSize = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1, 1, "a", "b", 5L), (2, 1, "c", "d", 4L), (3, 1, "e", "f", 3L)),
+      "all three merges in batch_round 1")
+    val seqR = Bpe.learnMerges(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._3, t._4, t._5)).toSeq === seqR.toSeq)
+  }
+
+  test("batched: interacting pairs truncate the batch; self-pairs close it") {
+    // (a,b)=5 and (b,c)=4 share b → batch 1 = {(a,b)} only
+    val inter = Seq((Seq.fill(5)("ab") ++ Seq.fill(4)("bc")).mkString(" ")).toDF("text")
+    val gi = Bpe.learnMergesBatched(inter, "text", totalMerges = 2, batchSize = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(gi.toSeq === Seq((1, 1, "a", "b"), (2, 2, "b", "c")),
+      "sharing pair must wait for the next driver round")
+    // tie at the stop count: (a,b)=4, (a,e)=4 (shares a, stop), (c,d)=4
+    // — (c,d) ties the stop count so it must NOT ride in batch 1
+    val tie = Seq((Seq.fill(4)("ab") ++ Seq.fill(4)("ae") ++ Seq.fill(4)("cd"))
+      .mkString(" ")).toDF("text")
+    val gt = Bpe.learnMergesBatched(tie, "text", totalMerges = 3, batchSize = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(gt.map(t => (t._3, t._4)).toSeq === Seq(("a", "b"), ("a", "e"), ("c", "d")))
+    // (c,d) TIES the stop count in round-trip 1, so it must be excluded
+    // from batch 1 (a created pair could beat it lexicographically); in
+    // round-trip 2 it legitimately batches with the now-unblocked (a,e)
+    assert(gt.map(_._2).toSeq === Seq(1, 2, 2), "tie truncation splits batch 1")
+    // self-pair closes its batch: (a,a)=5 then disjoint (b,c)=4 must wait
+    val self = Seq((Seq.fill(5)("aa") ++ Seq.fill(4)("bc")).mkString(" ")).toDF("text")
+    val gs = Bpe.learnMergesBatched(self, "text", totalMerges = 2, batchSize = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(gs.toSeq === Seq((1, 1, "a", "a"), (2, 2, "b", "c")))
+  }
+
+  test("property: batched ≡ sequential reference on random corpora, any batch size") {
+    def referenceMerges(
+        words: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var syms: Map[Vector[String], Long] =
+        words.groupMapReduce(w => w._1.split("").toVector)(_._2)(_ + _)
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = syms.toSeq.flatMap { case (s, wc) =>
+          s.zip(s.tail).map(p => p -> wc)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((r, a, b, c))
+          def rewrite(s: Vector[String]): Vector[String] = {
+            val buf = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                buf += (a + b); i += 2
+              } else { buf += s(i); i += 1 }
+            }
+            buf.result()
+          }
+          syms = syms.toSeq.map { case (s, wc) => rewrite(s) -> wc }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+        }
+        r += 1
+      }
+      out.result()
+    }
+    val wordGen = org.scalacheck.Gen.nonEmptyListOf(
+      org.scalacheck.Gen.oneOf("a", "b", "ab", "ba", "aab", "abab", "aaaa",
+        "bbb", "aba", "baab", "cd", "dc", "xy"))
+      .map(_.take(12))
+    var s = org.scalacheck.rng.Seed(977L)
+    (1 to 6).foreach { i =>
+      val words = wordGen.pureApply(org.scalacheck.Gen.Parameters.default, s)
+      s = s.next
+      val corpus = Seq(words.mkString(" ")).toDF("text")
+      val wc = words.groupMapReduce(identity)(_ => 1L)(_ + _)
+      val want = referenceMerges(wc, 4)
+      Seq(2, 3).foreach { bs =>
+        val got = Bpe.learnMergesBatched(corpus, "text", totalMerges = 4, batchSize = bs)
+          .orderBy("round").collect()
+          .map(r => (r.getInt(0), r.getString(2), r.getString(3), r.getLong(4)))
+          .toSeq
+        assert(got === want.map(t => (t._1, t._2, t._3, t._4)),
+          s"corpus: ${words.mkString(" ")} batchSize=$bs")
+      }
+    }
+  }
+
   test("learnMerges stops early when the corpus runs out of pairs") {
     val docs = Seq("ab ab cd").toDF("text")
     val got = Bpe.learnMerges(docs, "text", rounds = 10)
