@@ -399,7 +399,30 @@ object StreamingQueries extends QueryGroup {
     EventStreams.hllDistinctUsersAvailableNow(s, dir)
   }
 
+  // Streaming RUN REPORT (CorpusStream.ingestWithReportAvailableNow):
+  // S11's report brought to the landing zone — per-micro-batch counter
+  // folds (rows in / kept / quarantined) accumulated into one report
+  // frame and rendered as the same FileSinks.RunReport the batch
+  // pipeline writes. Batch rows are keyed by the deterministic shard id
+  // (doc_id % shards, constant within a one-file micro-batch), so the
+  // oracle replays the counts with a plain GROUP BY regardless of the
+  // landing zone's file listing order; the rendered report file's
+  // totals-match is spec-gated.
+  private val qSt19 = Q(
+    "q_st19_stream_run_report",
+    """SELECT CAST(doc_id % 2 AS INT) AS batch_shard,
+      |       CAST(count(*) AS BIGINT) AS n_in,
+      |       CAST(sum(CASE WHEN n_chars >= 50 AND trim(text) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN n_chars >= 50 AND trim(text) <> '' THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.streaming.CorpusStream.ingestWithReportAvailableNow(
+      s, dir,
+      java.nio.file.Files.createTempDirectory("graft_report_out").toString,
+      shards = 2)
+      .orderBy("batch_shard")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18)
+      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19)
 }

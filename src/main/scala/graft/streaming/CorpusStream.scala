@@ -172,6 +172,70 @@ object CorpusStream {
       .orderBy("doc_id")
   }
 
+  /** STREAMING RUN REPORT (S11's streaming twin — the last
+    * reference-surface asymmetry in streaming mode): the reference's
+    * per-run text report (`SisConnectorResponse.java:96-138`) assumes
+    * one batch run; a landing zone ingests forever, so the report
+    * becomes a PER-MICRO-BATCH FOLD — each `foreachBatch` computes its
+    * batch's (rows in, rows kept, rows quarantined) as one bounded
+    * aggregate row, the driver accumulates them (shards-bounded state),
+    * and stream end renders the same [[graft.sources.FileSinks.RunReport]]
+    * the batch pipeline writes (upserts = kept, quarantined = filtered,
+    * started/finished stamps) plus returns the per-batch rows keyed by
+    * the batch's deterministic shard id (`doc_id % shards` — constant
+    * within a one-file micro-batch, so the gate is file-order-proof).
+    *
+    * The keep rule here is the minimal scan-side gate (non-blank text,
+    * ≥50 chars) — the REPORT plumbing is the unit under test; the full
+    * Gopher filter family is oracled by its own gates.
+    */
+  def ingestWithReportAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      reportDir: String,
+      shards: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(shards >= 1)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_report").toString
+    (0 until shards).foreach { i =>
+      docs.where(pmod(col("doc_id"), lit(shards)) === i)
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    val startedAt = java.time.Instant.now().toString
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val keep = col("n_chars") >= 50 && trim(col("text")) =!= ""
+        val r = batch.toDF().agg(
+          count(lit(1)).as("n_in"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          min(pmod(col("doc_id"), lit(shards))).cast("int").as("shard")).head()
+        if (r.getLong(0) > 0) // AvailableNow can fire a final empty batch
+          batches += ((r.getInt(2), r.getLong(0), r.getLong(1),
+            r.getLong(0) - r.getLong(1)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val report = graft.sources.FileSinks.RunReport(
+      startedAt = startedAt,
+      finishedAt = java.time.Instant.now().toString,
+      upsertCount = batches.map(_._3).sum,
+      deleteCount = 0L,
+      errors = Seq.empty,
+      quarantineCount = batches.map(_._4).sum)
+    graft.sources.FileSinks.writeReport(report, reportDir, "stream_ingest")
+    batches.sortBy(_._1).toSeq
+      .toDF("batch_shard", "n_in", "n_kept", "n_quarantined")
+  }
+
   /** STREAMING transitive near-dup components: the full incremental
     * pipeline composed — crawl drops land as files, each micro-batch
     * probes the persisted MinHash index for its pairs

@@ -216,4 +216,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exists { case (id, c) => id != c },
       "the corpus's planted near-dups must form at least one real cluster")
   }
+
+  test("streaming run report: per-batch folds sum to the rendered RunReport totals") {
+    val reportDir = java.nio.file.Files.createTempDirectory("graft_report_spec").toString
+    val perBatch = CorpusStream
+      .ingestWithReportAvailableNow(spark, sf(), reportDir, shards = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(perBatch.length === 3, "one report row per shard micro-batch")
+    assert(perBatch.map(_._1).toSeq === Seq(0, 1, 2), "deterministic shard keys")
+    perBatch.foreach { case (_, nIn, nKept, nQ) =>
+      assert(nIn === nKept + nQ, "every batch row is internally consistent")
+    }
+    // the per-batch folds must equal a batch-mode recount
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val want = docs
+      .groupBy(pmod(col("doc_id"), lit(3)).cast("int").as("s"))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(when(col("n_chars") >= 50 && trim(col("text")) =!= "", 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy("s").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(perBatch.map(t => (t._1, t._2, t._3)).toSeq === want.toSeq)
+    // the rendered report carries the stream totals in the batch format
+    val rendered = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(reportDir, "stream_ingest.report"))
+    assert(rendered.contains(s"upserts:  ${perBatch.map(_._3).sum}"))
+    assert(rendered.contains(s"quarantined: ${perBatch.map(_._4).sum}"))
+    assert(rendered.contains("deletes:  0") && rendered.contains("errors:   none"))
+  }
 }
