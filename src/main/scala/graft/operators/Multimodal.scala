@@ -254,16 +254,6 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
-  /** Little-endian unsigned integer of `len` bytes at COLUMN (1-based)
-    * offset `pos` — the data-plane twin of [[le]] for payload regions
-    * whose position depends on the row (PCM frames, pixel rows).
-    */
-  private def leAt(payload: Column, pos: Column, len: Int): Column =
-    (0 until len)
-      .map(i => conv(hex(substring(payload, pos + i, lit(1))), 16, 10).cast("bigint")
-        * lit(1L << (8 * i)))
-      .reduce(_ + _)
-
   /** REAL WAV PCM SAMPLE decode — the payload is no longer opaque: this
     * reads the actual frames of the canonical-layout PCM file that
     * [[decodeWavMeta]] validates and emits the per-channel content
@@ -315,45 +305,73 @@ object Multimodal {
     val nFrames = when(blockAlign >= 1L,
       floor(dataSize / blockAlign).cast("bigint")).otherwise(lit(0L))
     val used = least(nFrames, lit(maxFrames.toLong))
-    val bytesPer = (bits / 8L).cast("int")
-    val half = element_at(
-      typedlit(Map(8 -> 128L, 16 -> 32768L, 24 -> 8388608L, 32 -> 2147483648L)),
-      bits.cast("int"))
-    def sampleAt(frame: Column, ch: Column): Column = {
-      val off = lit(45L) + frame * blockAlign + ch.cast("bigint") * bytesPer
-      val raw = when(bits === 8L, leAt(payload, off, 1))
-        .when(bits === 16L, leAt(payload, off, 2))
-        .when(bits === 24L, leAt(payload, off, 3))
-        .otherwise(leAt(payload, off, 4))
-      when(bits === 8L, raw - 128L)
-        .otherwise(when(raw >= half, raw - half * 2L).otherwise(raw))
-    }
-    val zero = struct(
-      lit(new java.math.BigDecimal(0)).cast("decimal(38,0)").as("sq"),
-      lit(0L).as("peak"), lit(0L).as("clips"))
-    val perChannel = transform(sequence(lit(0), (channels - 1L).cast("int")), c => {
-      val folded = aggregate(
-        sequence(lit(0L), used - 1L),
-        zero,
-        (acc, f) => {
-          val v = sampleAt(f, c)
-          struct(
+    // HOF lambdas re-evaluate non-lambda subtrees PER ELEMENT (the
+    // winnowing lesson — graft.functions.hof), and every header field
+    // here is a string-op chain over the payload: unbound, the sample
+    // fold re-parsed the fmt chunk per sample and ran 30× slow. Bind
+    // the header ONCE per row; lambda-variable field reads are slot
+    // lookups.
+    val hdr = struct(
+      channels.as("ch"), bits.as("bits"), blockAlign.as("ba"),
+      (bits / 8L).cast("bigint").as("bp"),
+      element_at(
+        typedlit(Map(8 -> 128L, 16 -> 32768L, 24 -> 8388608L, 32 -> 2147483648L)),
+        bits.cast("int")).as("half"),
+      used.as("used"))
+    val perChannelBound = graft.functions.hof.bind(hdr) { h =>
+      val hBits = h.getField("bits")
+      val hHalf = h.getField("half")
+      val hUsed = h.getField("used")
+      // one substring+hex+conv per SAMPLE (not per byte): read the
+      // sample big-endian and byte-swap arithmetically to little-endian
+      def sampleAt(frame: Column, ch: Column): Column = {
+        val off = lit(45L) + frame * h.getField("ba") +
+          ch.cast("bigint") * h.getField("bp")
+        val be = conv(hex(substring(payload, off, h.getField("bp"))), 16, 10)
+          .cast("bigint")
+        val raw = when(hBits === 8L, be)
+          .when(hBits === 16L,
+            be.bitwiseAND(lit(255L)) * 256L + shiftright(be, 8))
+          .when(hBits === 24L,
+            be.bitwiseAND(lit(255L)) * 65536L +
+              shiftright(be, 8).bitwiseAND(lit(255L)) * 256L +
+              shiftright(be, 16))
+          .otherwise(
+            be.bitwiseAND(lit(255L)) * 16777216L +
+              shiftright(be, 8).bitwiseAND(lit(255L)) * 65536L +
+              shiftright(be, 16).bitwiseAND(lit(255L)) * 256L +
+              shiftright(be, 24))
+        when(hBits === 8L, raw - 128L)
+          .otherwise(when(raw >= hHalf, raw - hHalf * 2L).otherwise(raw))
+      }
+      val zero = struct(
+        lit(new java.math.BigDecimal(0)).cast("decimal(38,0)").as("sq"),
+        lit(0L).as("peak"), lit(0L).as("clips"))
+      transform(sequence(lit(0), (h.getField("ch") - 1L).cast("int")), c => {
+        // decode each sample ONCE into a value array; the stats fold then
+        // touches only the lambda variable (three refs of a slot read,
+        // not three re-decodes)
+        val vals = transform(sequence(lit(0L), hUsed - 1L), f => sampleAt(f, c))
+        val folded = aggregate(
+          vals,
+          zero,
+          (acc, v) => struct(
             (acc.getField("sq") + (v * v).cast("decimal(38,0)"))
               .cast("decimal(38,0)").as("sq"),
             greatest(acc.getField("peak"), abs(v)).as("peak"),
             (acc.getField("clips") +
-              when(v === half - 1L || v === -half, 1L).otherwise(0L)).as("clips"))
-        })
-      struct(
-        c.cast("int").as("channel"),
-        used.as("n_frames"),
-        sqrt(folded.getField("sq").cast("double") / used.cast("double")).as("rms"),
-        folded.getField("peak").as("peak"),
-        folded.getField("clips").as("n_clipped"),
-        (folded.getField("clips").cast("double") / used.cast("double"))
-          .as("clipping_rate"))
-    })
-    when(payload.isNotNull && headerOk && used >= 1L, perChannel)
+              when(v === hHalf - 1L || v === -hHalf, 1L).otherwise(0L)).as("clips")))
+        struct(
+          c.cast("int").as("channel"),
+          hUsed.as("n_frames"),
+          sqrt(folded.getField("sq").cast("double") / hUsed.cast("double")).as("rms"),
+          folded.getField("peak").as("peak"),
+          folded.getField("clips").as("n_clipped"),
+          (folded.getField("clips").cast("double") / hUsed.cast("double"))
+            .as("clipping_rate"))
+      })
+    }
+    when(payload.isNotNull && headerOk && used >= 1L, perChannelBound)
       .otherwise(lit(null))
   }
 
@@ -403,27 +421,38 @@ object Multimodal {
       lit(0L).as("bs"), lit(255L).as("bmin"), lit(0L).as("bmax"),
       lit(0L).as("gs"), lit(255L).as("gmin"), lit(0L).as("gmax"),
       lit(0L).as("rs"), lit(255L).as("rmin"), lit(0L).as("rmax"))
-    val folded = aggregate(
-      sequence(lit(0L), nPix - 1L),
-      zero,
-      (acc, i) => {
-        val row = floor(i / w).cast("bigint")
-        val xcol = i - row * w
-        val base = dataOffset + row * stride + xcol * 3L + 1L
-        val b = leAt(payload, base, 1)
-        val g = leAt(payload, base + 1L, 1)
-        val r = leAt(payload, base + 2L, 1)
-        struct(
-          (acc.getField("bs") + b).as("bs"),
-          least(acc.getField("bmin"), b).as("bmin"),
-          greatest(acc.getField("bmax"), b).as("bmax"),
-          (acc.getField("gs") + g).as("gs"),
-          least(acc.getField("gmin"), g).as("gmin"),
-          greatest(acc.getField("gmax"), g).as("gmax"),
-          (acc.getField("rs") + r).as("rs"),
-          least(acc.getField("rmin"), r).as("rmin"),
-          greatest(acc.getField("rmax"), r).as("rmax"))
+    // geometry bound ONCE per row (the hof lesson: an unbound fold
+    // re-parsed dataOffset/w/stride — twelve string ops — per PIXEL),
+    // and all three channels read with ONE substring+conv per pixel:
+    // stored order B,G,R makes B the big-endian high byte
+    val geo = struct(
+      dataOffset.as("off"), w.as("w"), stride.as("stride"), nPix.as("npix"))
+    val folded = graft.functions.hof.bind(geo) { g =>
+      val pix = transform(sequence(lit(0L), g.getField("npix") - 1L), i => {
+        val row = floor(i / g.getField("w")).cast("bigint")
+        val xcol = i - row * g.getField("w")
+        val base = g.getField("off") + row * g.getField("stride") + xcol * 3L + 1L
+        conv(hex(substring(payload, base, lit(3))), 16, 10).cast("bigint")
       })
+      aggregate(
+        pix,
+        zero,
+        (acc, p) => {
+          val b = shiftright(p, 16)
+          val gc = shiftright(p, 8).bitwiseAND(lit(255L))
+          val r = p.bitwiseAND(lit(255L))
+          struct(
+            (acc.getField("bs") + b).as("bs"),
+            least(acc.getField("bmin"), b).as("bmin"),
+            greatest(acc.getField("bmax"), b).as("bmax"),
+            (acc.getField("gs") + gc).as("gs"),
+            least(acc.getField("gmin"), gc).as("gmin"),
+            greatest(acc.getField("gmax"), gc).as("gmax"),
+            (acc.getField("rs") + r).as("rs"),
+            least(acc.getField("rmin"), r).as("rmin"),
+            greatest(acc.getField("rmax"), r).as("rmax"))
+        })
+    }
     def mean(s: Column): Column = s.cast("double") / nPix.cast("double")
     when(payload.isNotNull && headerOk,
       struct(

@@ -514,21 +514,42 @@ object MultimodalQueries extends QueryGroup {
     val sigHex = when(col("doc_id") % 9 === 0, lit("52494658"))
       .otherwise(lit("52494646"))
     val n = frames * ch
-    val dataHex = array_join(
-      transform(sequence(lit(0L), n - 1L), k => {
-        val vraw = (col("doc_id") * 31 + k * 17 + 7) % span
-        val v = when(k % 10 === 0, half - 1)
-          .when(k % 10 === 5, -half)
-          .when(bits === 8L, vraw - 128L)
-          .when(vraw < half, vraw)
-          .otherwise(vraw - span)
-        val u = when(bits === 8L, v + 128L)
-          .otherwise(when(v < 0, v + span).otherwise(v))
-        when(bits === 8L, leHexN(u, 1))
-          .when(bits === 16L, leHexN(u, 2))
-          .when(bits === 24L, leHexN(u, 3))
-          .otherwise(leHexN(u, 4))
-      }), "")
+    // per-doc constants bound ONCE (HOF lambdas re-evaluate free
+    // subtrees per element — the hof lesson), and each sample emitted
+    // with ONE hex: byte-swap the value arithmetically so the
+    // big-endian hex rendering IS the little-endian byte sequence
+    val docConst = struct(
+      bits.as("bits"), span.as("span"), half.as("half"),
+      col("doc_id").as("id"))
+    val dataHex = graft.functions.hof.bind(docConst) { d =>
+      val dBits = d.getField("bits")
+      val dSpan = d.getField("span")
+      val dHalf = d.getField("half")
+      array_join(
+        transform(sequence(lit(0L), n - 1L), k => {
+          val vraw = (d.getField("id") * 31 + k * 17 + 7) % dSpan
+          val v = when(k % 10 === 0, dHalf - 1)
+            .when(k % 10 === 5, -dHalf)
+            .when(dBits === 8L, vraw - 128L)
+            .when(vraw < dHalf, vraw)
+            .otherwise(vraw - dSpan)
+          val u = when(dBits === 8L, v + 128L)
+            .otherwise(when(v < 0, v + dSpan).otherwise(v))
+          val swapped = when(dBits === 8L, u)
+            .when(dBits === 16L,
+              u.bitwiseAND(lit(255L)) * 256L + shiftright(u, 8))
+            .when(dBits === 24L,
+              u.bitwiseAND(lit(255L)) * 65536L +
+                shiftright(u, 8).bitwiseAND(lit(255L)) * 256L +
+                shiftright(u, 16))
+            .otherwise(
+              u.bitwiseAND(lit(255L)) * 16777216L +
+                shiftright(u, 8).bitwiseAND(lit(255L)) * 65536L +
+                shiftright(u, 16).bitwiseAND(lit(255L)) * 256L +
+                shiftright(u, 24))
+          lpad(hex(swapped), ((dBits / 8L) * 2L).cast("int"), lit("0"))
+        }), "")
+    }
     def le16(c: org.apache.spark.sql.Column) = leHexN(c, 2)
     def le32(c: org.apache.spark.sql.Column) = leHexN(c, 4)
     val payloadHex = concat(
