@@ -62,4 +62,48 @@ object Decontamination {
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contaminated", col("n_hits") > 0)
   }
+
+  /** GRADED contamination: every corpus column plus `n_shingles` (the
+    * document's distinct k-shingle count), `n_hits`, and
+    * `overlap_fraction` = n_hits / n_shingles — the score a curation
+    * policy thresholds instead of [[flagOverlap]]'s boolean (a page
+    * QUOTING one eval question is a different animal from a page that
+    * IS the eval set; binary flagging can't tell them apart). Documents
+    * with no shingles (shorter than k tokens) get NULL fraction — they
+    * cannot be graded, and 0/0 must not read as "clean".
+    *
+    * Same scale shape as [[flagOverlap]] (probe shingles broadcast, one
+    * equi-join riding the scan); the denominator is computed SCAN-SIDE
+    * (size of the per-row distinct shingle array) — no extra aggregate,
+    * no second corpus pass. Fractions are exact integer ratios.
+    */
+  def overlapFraction(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k > 0, "shingle size must be positive")
+    val probeShingles = graft.Tables.spread(probes)
+      .select(explode(array_distinct(TextAnalysis.tokenShingles(col(textCol), k)))
+        .as("__s"))
+      .distinct()
+    val withCount = corpus.withColumn(
+      "n_shingles",
+      size(array_distinct(TextAnalysis.tokenShingles(col(textCol), k))).cast("bigint"))
+    val corpusShingles = graft.Tables.spread(corpus)
+      .select(col(idCol),
+        explode(array_distinct(TextAnalysis.tokenShingles(col(textCol), k))).as("__s"))
+    val hits = corpusShingles
+      .join(probeShingles, "__s")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nh"))
+    withCount
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("__nh"), lit(0L)))
+      .drop("__nh")
+      .withColumn("overlap_fraction",
+        when(col("n_shingles") > 0,
+          col("n_hits").cast("double") / col("n_shingles")))
+  }
 }

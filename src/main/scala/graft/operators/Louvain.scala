@@ -269,4 +269,49 @@ object Louvain {
       "intra_before", "sum_deg_sq_before", "modularity_before",
       "intra_after", "sum_deg_sq_after", "modularity_after")
   }
+
+  /** Louvain PHASE-2 community CONTRACTION (Blondel et al. §2): collapse
+    * each community to a super-node and aggregate parallel edges into
+    * integer weights — the graph the next Louvain level runs on. Returns
+    * `(a, b, weight)` with `a <= b`: rows with `a = b` carry the
+    * community's INTRA-edge count (the contracted self-loop), `a < b`
+    * rows the cross-community edge count. Σ weight = |E| exactly — the
+    * invariant the gate REQUIREs — so modularity computed on the
+    * contracted graph (with self-loops counted into degree twice, the
+    * standard convention) equals modularity of the assignment on the
+    * original graph.
+    *
+    * Shape at scale: two label joins decorate the edge frame (the
+    * |V|-row label frame AQE-broadcasts for small graphs, degrades to a
+    * shuffled join otherwise) and ONE hash aggregate keyed by the
+    * community pair produces the super-graph — |C|²-bounded but
+    * community-structure-sparse in practice. PRECONDITION: `labels`
+    * covers every node in `edges` (detection output always does).
+    */
+  def contractGraph(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      assumeCanonical: Boolean = false): DataFrame = {
+    val canon =
+      if (assumeCanonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges
+        .filter(col(srcCol) =!= col(dstCol))
+        .select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .distinct()
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    canon
+      .join(lab.select(col("__n").as("a"), col("__l").as("__la")), Seq("a"))
+      .join(lab.select(col("__n").as("b"), col("__l").as("__lb")), Seq("b"))
+      .select(
+        least(col("__la"), col("__lb")).as("a"),
+        greatest(col("__la"), col("__lb")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("bigint").as("weight"))
+  }
 }

@@ -143,6 +143,52 @@ object MlEval {
           .as("f1"))
   }
 
+  /** ROC / PR CURVE points — the threshold-sweep view [[binaryMetrics]]'s
+    * single-threshold row summarizes: one row per DISTINCT (6-decimal
+    * quantized) score `s`, carrying the confusion counts of the
+    * "predict positive when score ≥ s" classifier and the derived
+    * rates: `(s, tp, fp, tpr, fpr, precision)`, ordered by `s`
+    * DESCENDING so the rows trace the ROC curve from (0,0)⁺ toward
+    * (1,1). All counts are exact integers (cumulative sums over the
+    * distinct-score frame); rates are single divisions, so both curve
+    * coordinates are engine-replayable to the bit. AUC integrated from
+    * these points by trapezoid equals [[binaryMetrics]]'s exact
+    * Mann–Whitney value — the spec asserts it.
+    *
+    * Shape at scale: the same ONE corpus-reducing hash aggregate as
+    * [[binaryMetrics]] (≤10⁶+1 rows by the internal quantization), then
+    * windows over that tiny frame only. One class absent → tpr or fpr
+    * NULL (guarded divisions), rows still emitted.
+    */
+  def rocPoints(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    val perScore = wellFormed(scored, labelCol, scoreCol)
+      .groupBy(round(col(scoreCol).cast("double"), 6).as("s"))
+      .agg(
+        sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L)).as("pc"),
+        sum(when(col(labelCol).cast("double") === 1.0, 0L).otherwise(1L)).as("nc"))
+    val fromTop = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perScore
+      .withColumn("tp", sum(col("pc")).over(fromTop))
+      .withColumn("fp", sum(col("nc")).over(fromTop))
+      .withColumn("__p", sum(col("pc")).over(all))
+      .withColumn("__n", sum(col("nc")).over(all))
+      .select(
+        col("s"),
+        col("tp").cast("bigint").as("tp"),
+        col("fp").cast("bigint").as("fp"),
+        when(col("__p") > 0, col("tp").cast("double") / col("__p")).as("tpr"),
+        when(col("__n") > 0, col("fp").cast("double") / col("__n")).as("fpr"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"))
+      .orderBy(col("s").desc)
+  }
+
   /** Post-hoc TEMPERATURE SCALING (Guo et al. 2017) — the fix companion
     * to [[calibration]]'s measurement: fit the single scalar T that
     * recalibrates scores as σ(logit(s)/T) by fixed-count gradient

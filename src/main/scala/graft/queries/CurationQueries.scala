@@ -601,7 +601,44 @@ object CurationQueries extends QueryGroup {
     graft.operators.MlEval.temperatureScale(qcScoredPinned(s, dir), "y", "score")
   }
 
+  // ROC / PR curve points (operators.MlEval.rocPoints): the threshold
+  // sweep q_c14's single row summarizes — one row per distinct
+  // (6-decimal) score with the "positive when score ≥ s" confusion
+  // counts and tpr/fpr/precision, ordered score-descending so the rows
+  // trace the ROC curve. Exact cumulative integers over the
+  // distinct-score frame; the oracle replays the full q_c13 training
+  // unroll plus the identical window arithmetic. Trapezoid integration
+  // of these points equals q_c14's exact Mann–Whitney AUC (spec-pinned).
+  private val qC18 = Q(
+    "q_c18_roc_points",
+    s"""WITH $qcTrainCtes,
+       |sc AS (SELECT f.doc_id, f.y,
+       |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
+       |       FROM f CROSS JOIN wt3),
+       |ps AS (SELECT score AS s,
+       |              sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pc,
+       |              sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nc
+       |       FROM sc GROUP BY 1),
+       |c AS (SELECT s,
+       |             sum(pc) OVER (ORDER BY s DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |             sum(nc) OVER (ORDER BY s DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+       |             sum(pc) OVER () AS p, sum(nc) OVER () AS n
+       |      FROM ps)
+       |SELECT s, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |       CASE WHEN p > 0 THEN CAST(tp AS DOUBLE) / p END AS tpr,
+       |       CASE WHEN n > 0 THEN CAST(fp AS DOUBLE) / n END AS fpr,
+       |       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision
+       |FROM c ORDER BY s DESC""".stripMargin) { (s, dir) =>
+    val scored = qcScoredPinned(s, dir)
+    val out = graft.operators.MlEval.rocPoints(scored, "y", "score")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(scored)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16, qC17)
+      qC15, qC16, qC17, qC18)
 }

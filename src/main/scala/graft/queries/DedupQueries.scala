@@ -545,7 +545,51 @@ object DedupQueries extends QueryGroup {
     pinned
   }
 
+  // GRADED decontamination (Decontamination.overlapFraction): q_d8's
+  // boolean flag upgraded to the score a curation policy actually
+  // thresholds — overlap_fraction = matched distinct shingles / the
+  // doc's distinct shingle count (a page QUOTING one eval question vs a
+  // page that IS the eval set). Denominator computed scan-side (no
+  // second corpus pass); fractions are exact integer ratios. Same
+  // shingling contract as q_d8 (k=5, whole-text fallback under k
+  // tokens), probes = docs 0–4, graded over docs ≥ 5.
+  private val qD17 = Q(
+    "q_d17_contamination_fraction",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(tk) - 3),
+      |                                 i -> array_to_string(tk[i:i+4], ' '))) AS s
+      |    FROM toks WHERE len(tk) >= 5
+      |    UNION ALL
+      |    SELECT doc_id, array_to_string(tk, ' ') AS s
+      |    FROM toks WHERE len(tk) < 5)),
+      |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      |        FROM sh WHERE doc_id >= 5 GROUP BY 1),
+      |hits AS (
+      |  SELECT sh.doc_id, count(*) AS n_hits
+      |  FROM sh JOIN probe USING (s) WHERE sh.doc_id >= 5 GROUP BY 1)
+      |SELECT d.doc_id, c.n_shingles,
+      |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / c.n_shingles AS overlap_fraction
+      |FROM documents d
+      |JOIN cnt c USING (doc_id)
+      |LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id >= 5 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    graft.operators.Decontamination
+      .overlapFraction(
+        docs.filter(col("doc_id") >= 5),
+        docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 5)
+      .select("doc_id", "n_shingles", "n_hits", "overlap_fraction")
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12, qD13, qD14, qD15, qD16)
+      qD12, qD13, qD14, qD15, qD16, qD17)
 }

@@ -520,9 +520,14 @@ object GraphQueries extends QueryGroup {
   // The recompute is independent of the gain formula, so the oracle
   // confirms ΔQ twice: once predicted (gain), once measured (after −
   // before).
-  private val qG12 = Q(
-    "q_g12_louvain_refine",
-    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  /** Shared oracle prefix: the co-order edge frame + the FULL 3-round
+    * LPA unroll ending at `l3` — q_g12 (refinement) and q_g15
+    * (contraction) both consume the SAME detection output, so a
+    * tokenization/round/argmax change edits ONE place (the qcTrainCtes
+    * discipline brought to the graph gates).
+    */
+  private val coOrderLpaCtes: String =
+    """items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
       |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
       |und AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ce UNION ALL SELECT b, a FROM ce),
@@ -544,8 +549,12 @@ object GraphQueries extends QueryGroup {
       |l3 AS MATERIALIZED (SELECT node, label FROM (
       |         SELECT node, label,
       |                row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
-      |         FROM c3) WHERE rn = 1),
-      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
+      |         FROM c3) WHERE rn = 1)""".stripMargin
+
+  private val qG12 = Q(
+    "q_g12_louvain_refine",
+    s"WITH $coOrderLpaCtes,\n" +
+    """m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
       |deg AS MATERIALIZED (SELECT n, count(*) AS d FROM
       |        (SELECT a AS n FROM ce UNION ALL SELECT b FROM ce) GROUP BY 1),
       |cd AS MATERIALIZED (SELECT l.label, sum(d) AS dc
@@ -776,6 +785,45 @@ object GraphQueries extends QueryGroup {
     }
   }
 
+  // Louvain PHASE-2 community contraction (Louvain.contractGraph): the
+  // q_g6 LPA communities collapsed to super-nodes with integer edge
+  // weights — a=b rows carry intra-community (self-loop) counts, a<b
+  // rows cross-community counts; Σ weight = |E| exactly, REQUIREd
+  // in-query. Completes the classic detect (q_g6) → refine (q_g12/q_g14)
+  // → CONTRACT pipeline; the oracle reuses the SAME shared LPA unroll
+  // q_g12 consumes (coOrderLpaCtes) and contracts with one GROUP BY.
+  private val qG15 = Q(
+    "q_g15_louvain_contract",
+    s"WITH $coOrderLpaCtes\n" +
+    """SELECT least(la.label, lb.label) AS a,
+      |       greatest(la.label, lb.label) AS b,
+      |       CAST(count(*) AS BIGINT) AS weight
+      |FROM ce JOIN l3 la ON ce.a = la.node JOIN l3 lb ON ce.b = lb.node
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val edges = items.select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+      .localCheckpoint(true)
+    val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
+    val out = graft.operators.Louvain.contractGraph(
+      edges, "a", "b", communities, "node", "community", assumeCanonical = true)
+      .orderBy("a", "b")
+      .localCheckpoint(true) // pinned so the edge frame can free below
+    val nEdges = edges.count()
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(communities)
+    // the contraction invariant: edge mass is conserved exactly
+    val wSum = out.agg(sum(col("weight"))).head().getLong(0)
+    require(wSum == nEdges,
+      s"q_g15: contracted weight mass $wSum must equal |E| = $nEdges")
+    out
+  }
+
   override val all: Seq[Q] =
-    Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14)
+    Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
+      qG15)
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class LouvainSpec extends SparkSpec {
@@ -83,6 +85,29 @@ class LouvainSpec extends SparkSpec {
     assert(Louvain.sweepRefinement(
       edges, "a", "b", after.toDF("node", "community"), "node", "community",
       maxMoves = 5).collect().isEmpty)
+  }
+
+  test("contractGraph: intra self-loops + cross weights, edge mass conserved") {
+    // triangles {1,2,3}/{4,5,6} + bridge 3-4: contract by the clean
+    // assignment → self-loops (10,10,w=3), (20,20,w=3), cross (10,20,w=1)
+    val lab = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
+      .toDF("node", "community")
+    val got = Louvain.contractGraph(edges, "a", "b", lab, "node", "community")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((10L, 10L, 3L), (10L, 20L, 1L), (20L, 20L, 3L)))
+    assert(got.map(_._3).sum === 7L, "Σ weight = |E|")
+    // duplicate/reversed raw edges canonicalize before contraction
+    val messy = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    val got2 = Louvain.contractGraph(messy, "a", "b", lab, "node", "community")
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq === got.toSeq)
+    // singleton communities: every edge crosses, no self-loops
+    val single = Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L)
+      .toDF("node", "community")
+    val got3 = Louvain.contractGraph(edges, "a", "b", single, "node", "community")
+      .collect()
+    assert(got3.length === 7 && got3.forall(_.getLong(2) === 1L))
   }
 
   test("sweep: maxMoves=1 equals bestMoveRefinement's single move") {

@@ -100,6 +100,31 @@ class MlEvalSpec extends SparkSpec {
     assert(MlEval.binaryMetrics(reversed, "y", "score").head().getDouble(3) === 0.0)
   }
 
+  test("rocPoints: hand-computed sweep; trapezoid AUC equals Mann–Whitney exactly") {
+    // P = {0.9, 0.7, 0.3}, N = {0.8, 0.7, 0.1, 0.1} (the binaryMetrics corpus)
+    val rows = Seq((0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.7, 0.0),
+      (0.3, 1.0), (0.1, 0.0), (0.1, 0.0)).toDF("score", "y")
+    val pts = MlEval.rocPoints(rows, "y", "score").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(pts.map(_._1).toSeq === Seq(0.9, 0.8, 0.7, 0.3, 0.1), "s descending")
+    assert(pts.map(p => (p._2, p._3)).toSeq ===
+      Seq((1L, 0L), (1L, 1L), (2L, 2L), (3L, 2L), (3L, 4L)))
+    assert(pts.head._6 === 1.0 && pts.head._4 === 1.0 / 3)   // precision, tpr at top
+    assert(pts.last._4 === 1.0 && pts.last._5 === 1.0)       // curve ends at (1,1)
+    // trapezoid over the (fpr, tpr) points incl. the implicit (0,0) start
+    val curve = ((0.0, 0.0) +: pts.map(p => (p._5, p._4)).toSeq).toList
+    val trap = curve.zip(curve.tail).map {
+      case ((x0, y0), (x1, y1)) => (x1 - x0) * (y0 + y1) / 2
+    }.sum
+    val auc = MlEval.binaryMetrics(rows, "y", "score").head().getDouble(3)
+    assert(math.abs(trap - auc) < 1e-15, s"trapezoid $trap vs Mann–Whitney $auc")
+    // one-class input: the guarded rate is NULL, rows still emitted
+    val onlyPos = Seq((0.9, 1.0), (0.1, 1.0)).toDF("score", "y")
+    val op = MlEval.rocPoints(onlyPos, "y", "score").collect()
+    assert(op.length === 2 && op.forall(_.isNullAt(4)) && op.forall(!_.isNullAt(3)))
+  }
+
   test("raw unrounded sigmoids: quantized inside, bounded distinct-score frame") {
     // feed raw (unrounded) sigmoids whose 6-decimal quantizations COLLIDE:
     // the operator must quantize internally, so the distinct-score frame
