@@ -127,6 +127,50 @@ object DedupIndex {
       .write.mode("append").partitionBy("band").parquet(bandsPath(path))
   }
 
+  /** [[write]] fused with the in-batch pair computation — the FIRST-drop
+    * twin of [[probeAndAppend]]: the seed corpus is shingled/hashed ONCE
+    * (checkpointed), its in-batch near-dup pairs are materialized from
+    * those frames (band-collision candidates + exact thresholded
+    * Jaccard, identical to [[NearDup.minHashLshPairs]]), and the SAME
+    * frames seed the index. Calling `minHashLshPairs` and [[write]]
+    * separately tokenizes and MinHashes the seed drop twice — at landing
+    * -zone scale the seed drop is the biggest batch the pipeline ever
+    * sees, so the double hash is the pipeline's single largest avoidable
+    * cost. Returns the PINNED pair frame.
+    */
+  def writeAndPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 3,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val sh = shingled(docs, idCol, textCol, k).localCheckpoint(true)
+    val bd = banded(sh, numPerm, bands).localCheckpoint(true)
+    val bA = bd.toDF("id_a", "band", "key")
+    val bB = bd.toDF("id_b", "band2", "key2")
+    val cand = bA
+      .join(bB, bA("band") === bB("band2") && bA("key") === bB("key2") &&
+        bA("id_a") < bB("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val pairs = cand
+      .join(sh.toDF("id_a", "__sha"), "id_a")
+      .join(sh.toDF("id_b", "__shb"), "id_b")
+      .withColumn("jaccard", Hashing.jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .localCheckpoint(true)
+    sh.write.mode("overwrite").parquet(shinglesPath(path))
+    bd.write.mode("overwrite").partitionBy("band").parquet(bandsPath(path))
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(sh)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(bd)
+    pairs
+  }
+
   /** [[probe]] + [[appendBatch]] fused: the batch is shingled/hashed
     * ONCE (checkpointed), the probe pairs are materialized from it, and
     * the same frames append into the index — the per-micro-batch shape

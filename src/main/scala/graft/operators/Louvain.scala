@@ -314,4 +314,161 @@ object Louvain {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("bigint").as("weight"))
   }
+
+  /** Split a canonical weighted frame into its cross-edge and self-loop
+    * views plus the strength (weighted degree) frame: self-loops count
+    * TWICE into strength (the standard convention that makes modularity
+    * invariant under [[contractGraph]]). A node with only a self-loop
+    * still gets a strength row (full outer join).
+    */
+  private def weightedParts(w: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cross = w.filter(col("a") =!= col("b"))
+    val selfw = w.filter(col("a") === col("b"))
+      .select(col("a").as("__sn"), (col("wt") * 2L).as("__sw"))
+    val und = cross.select(col("a").as("node"), col("b").as("nbr"), col("wt"))
+      .unionAll(cross.select(col("b").as("node"), col("a").as("nbr"), col("wt")))
+    val undDeg = und.groupBy(col("node")).agg(sum(col("wt")).as("__ud"))
+    val deg = undDeg
+      .join(selfw, undDeg("node") === selfw("__sn"), "full_outer")
+      .select(
+        coalesce(col("node"), col("__sn")).as("node"),
+        (coalesce(col("__ud"), lit(0L)) + coalesce(col("__sw"), lit(0L)))
+          .cast("bigint").as("d"))
+    (cross, und, deg)
+  }
+
+  /** WEIGHTED modularity of a labeling over a canonical weighted graph
+    * (`a <= b`, one row per pair, `a = b` rows are self-loops —
+    * [[contractGraph]]'s output shape). One row: `(m, intra,
+    * sum_deg_sq, modularity)` with m = Σ weight, intra = Σ same-label
+    * cross weight + Σ self-loop weight, and strength counting
+    * self-loops twice — the convention under which
+    * Q(contracted graph, identity labels) EQUALS Q(original graph,
+    * detection labels) exactly, the invariant the multi-level gate
+    * REQUIREs. All sufficient statistics are integers.
+    */
+  def weightedModularity(
+      wedges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String): DataFrame = {
+    val w = wedges.select(
+      col(srcCol).as("a"), col(dstCol).as("b"),
+      col(weightCol).cast("bigint").as("wt"))
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    val (cross, _, deg) = weightedParts(w)
+    val intraCross = cross
+      .join(lab.select(col("__n").as("a"), col("__l").as("__la")), Seq("a"))
+      .join(lab.select(col("__n").as("b"), col("__l").as("__lb")), Seq("b"))
+      .agg(sum(when(col("__la") === col("__lb"), col("wt")).otherwise(0L))
+        .as("__ic"))
+    val massAndSelf = w.agg(
+      sum(col("wt")).cast("bigint").as("m"),
+      sum(when(col("a") === col("b"), col("wt")).otherwise(0L)).as("__is"))
+    val sds = deg.join(lab, deg("node") === lab("__n"))
+      .groupBy(col("__l")).agg(sum(col("d")).as("__dc"))
+      .agg(sum(col("__dc") * col("__dc")).cast("bigint").as("sum_deg_sq"))
+    massAndSelf
+      .crossJoin(broadcast(intraCross))
+      .crossJoin(broadcast(sds))
+      .select(
+        col("m"),
+        (coalesce(col("__ic"), lit(0L)) + coalesce(col("__is"), lit(0L)))
+          .cast("bigint").as("intra"),
+        col("sum_deg_sq"),
+        ((coalesce(col("__ic"), lit(0L)) + coalesce(col("__is"), lit(0L)))
+          .cast("double") / col("m") -
+          col("sum_deg_sq").cast("double") / (lit(4.0) * col("m") * col("m")))
+          .as("modularity"))
+  }
+
+  /** [[bestMoveRefinement]] on a WEIGHTED canonical graph — the local
+    * move step of the NEXT Louvain level, run on [[contractGraph]]'s
+    * output (`a <= b`, one row per pair, `a = b` self-loops). Same
+    * evidence-row contract and total order as the unweighted form;
+    * `n_edges` is the total weight mass m = Σ weight. The exact-integer
+    * gain generalizes verbatim with weighted quantities:
+    *
+    *   ΔQ · 4m² = 4m·(w_iB − w_iA) − 2·d_i·(D_B − D_A + d_i)
+    *
+    * where w_iC = Σ weight from i into C (i's own self-loop excluded —
+    * it moves WITH i and cancels out of ΔQ), d_i = strength (self-loops
+    * twice), D_C = Σ strength over C. With an all-ones weight column
+    * and no self-loops this is bit-identical to [[bestMoveRefinement]]
+    * (spec-pinned). With identity labels (each super-node its own
+    * community) the gain reduces to 4m·w_ij − 2·d_i·d_j — the
+    * community-MERGE criterion, which is exactly what running this on a
+    * contracted detection output asks: should two detected communities
+    * fuse? PRECONDITION: `labels` covers every node of the graph.
+    */
+  def weightedBestMoveRefinement(
+      wedges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String): DataFrame = {
+    val w = wedges.select(
+      col(srcCol).as("a"), col(dstCol).as("b"),
+      col(weightCol).cast("bigint").as("wt"))
+      .localCheckpoint(true)
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+      .localCheckpoint(true)
+    val (cross, und, deg) = weightedParts(w)
+    val mVal = w.agg(sum(col("wt")).cast("bigint")).head().getLong(0)
+    val cd = deg.join(lab, deg("node") === lab("__n"))
+      .groupBy(col("__l")).agg(sum(col("d")).as("dc"))
+    val kic = und.join(lab, und("nbr") === lab("__n"))
+      .groupBy(col("node"), col("__l").as("c")).agg(sum(col("wt")).as("k"))
+    val own = lab.select(col("__n").as("node"), col("__l").as("a_label"))
+    val kOwn = kic.join(own, Seq("node"))
+      .where(col("c") === col("a_label"))
+      .select(col("node"), col("k").as("ka"))
+    val cand = kic.join(own, Seq("node")).where(col("c") =!= col("a_label"))
+      .join(kOwn, Seq("node"), "left_outer")
+      .join(deg.select(col("node"), col("d")), Seq("node"))
+      .join(cd.select(col("__l").as("a_label"), col("dc").as("dca")), Seq("a_label"))
+      .join(cd.select(col("__l").as("c"), col("dc").as("dcb")), Seq("c"))
+      .select(
+        col("node"), col("a_label"), col("c"),
+        (lit(4L) * mVal * (col("k") - coalesce(col("ka"), lit(0L))) -
+          lit(2L) * col("d") * (col("dcb") - (col("dca") - col("d"))))
+          .cast("bigint").as("gain"))
+    val best = cand.where(col("gain") > 0)
+      .orderBy(col("gain").desc, col("node").asc, col("c").asc)
+      .limit(1)
+      .localCheckpoint(true)
+    val moved = lab
+      .crossJoin(broadcast(best.select(
+        col("node").as("__mv"), col("c").as("__to"))))
+      .select(
+        col("__n"),
+        when(col("__n") === col("__mv"), col("__to")).otherwise(col("__l")).as("__l"))
+    def q(ints: DataFrame, suffix: String): DataFrame =
+      ints.select(
+        col("m"),
+        col("intra").as(s"intra_$suffix"),
+        col("sum_deg_sq").as(s"sum_deg_sq_$suffix"),
+        col("modularity").as(s"modularity_$suffix"))
+    def wq(l: DataFrame): DataFrame =
+      weightedModularity(w, "a", "b", "wt", l, "__n", "__l")
+    val before = q(wq(lab), "before")
+    val after = q(wq(moved), "after").drop("m")
+    val out = best
+      .select(
+        col("node").as("moved_node"), col("a_label").as("from_label"),
+        col("c").as("to_label"), col("gain").as("gain_x4m2"))
+      .crossJoin(broadcast(before.withColumnRenamed("m", "n_edges")))
+      .crossJoin(broadcast(after))
+      .localCheckpoint(true)
+    bridge.freeLocalCheckpoint(best)
+    bridge.freeLocalCheckpoint(lab)
+    bridge.freeLocalCheckpoint(w)
+    out
+  }
 }

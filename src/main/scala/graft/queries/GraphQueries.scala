@@ -823,7 +823,109 @@ object GraphQueries extends QueryGroup {
     out
   }
 
+  // MULTI-LEVEL Louvain (the full Blondel loop, one level up): detect
+  // (3-round LPA) → contract (Louvain.contractGraph) → WEIGHTED local
+  // move on the super-graph (Louvain.weightedBestMoveRefinement from
+  // identity labels — the community-MERGE criterion
+  // gain·4m² = 4m·w_AB − 2·d_A·d_B) → project the super-move back onto
+  // every original node as a scan-side literal. Output is the final
+  // (node, community) for EVERY node — never empty, so the gate grades
+  // the whole chain even when detection output is already merge-optimal
+  // (then projection ≡ LPA labels and the oracle agrees on that too).
+  // Two in-engine REQUIREs pin the level-change invariant: the weighted
+  // integer stats (m, intra, ΣD²) of the identity labeling on the
+  // contracted graph must EQUAL the unweighted stats of the LPA labels
+  // on the original graph (Q conserved under contraction), and an
+  // applied merge must strictly increase Q.
+  private val qG16 = Q(
+    "q_g16_louvain_multilevel",
+    s"WITH $coOrderLpaCtes,\n" +
+    """cg AS MATERIALIZED (
+      |  SELECT least(la.label, lb.label) AS a, greatest(la.label, lb.label) AS b,
+      |         CAST(count(*) AS BIGINT) AS w
+      |  FROM ce JOIN l3 la ON ce.a = la.node JOIN l3 lb ON ce.b = lb.node
+      |  GROUP BY 1, 2),
+      |wm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM cg),
+      |wund AS (SELECT a AS node, b AS nbr, w FROM cg WHERE a <> b
+      |         UNION ALL SELECT b, a, w FROM cg WHERE a <> b),
+      |wdeg AS MATERIALIZED (
+      |  SELECT coalesce(u.node, s.node) AS node,
+      |         CAST(coalesce(u.ud, 0) + coalesce(s.sw, 0) AS BIGINT) AS d
+      |  FROM (SELECT node, sum(w) AS ud FROM wund GROUP BY 1) u
+      |  FULL JOIN (SELECT a AS node, 2 * w AS sw FROM cg WHERE a = b) s
+      |    ON u.node = s.node),
+      |best AS MATERIALIZED (
+      |  SELECT node, c FROM (
+      |    SELECT u.node, u.nbr AS c,
+      |           CAST(4 * wm.m * u.w - 2 * dn.d * dc.d AS BIGINT) AS gain
+      |    FROM wund u
+      |    JOIN wdeg dn ON dn.node = u.node
+      |    JOIN wdeg dc ON dc.node = u.nbr
+      |    CROSS JOIN wm)
+      |  WHERE gain > 0
+      |  ORDER BY gain DESC, node ASC, c ASC LIMIT 1)
+      |SELECT l3.node,
+      |       CAST(CASE WHEN b.node IS NOT NULL AND l3.label = b.node
+      |                 THEN b.c ELSE l3.label END AS BIGINT) AS community
+      |FROM l3 LEFT JOIN best b ON l3.label = b.node
+      |ORDER BY l3.node""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val edges = items.select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+      .localCheckpoint(true)
+    val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
+    val contracted = graft.operators.Louvain.contractGraph(
+      edges, "a", "b", communities, "node", "community", assumeCanonical = true)
+      .localCheckpoint(true)
+    val superIdn = contracted.select(col("a").as("node"))
+      .unionAll(contracted.select(col("b").as("node")))
+      .distinct()
+      .withColumn("community", col("node"))
+    // level-change invariant: identity-labeled weighted stats on the
+    // contracted graph ≡ unweighted LPA-label stats on the original
+    val wq = graft.operators.Louvain.weightedModularity(
+      contracted, "a", "b", "weight", superIdn, "node", "community").head()
+    val oq = graft.operators.GraphStats.modularity(
+      edges, "a", "b", communities, "node", "community",
+      assumeCanonical = true).head()
+    require(
+      wq.getAs[Long]("m") == oq.getAs[Long]("n_edges") &&
+        wq.getAs[Long]("intra") == oq.getAs[Long]("intra_edges") &&
+        wq.getAs[Long]("sum_deg_sq") == oq.getAs[Long]("sum_deg_sq"),
+      s"q_g16: contraction must conserve (m, intra, sum_deg_sq) — " +
+        s"weighted (${wq.getAs[Long]("m")}, ${wq.getAs[Long]("intra")}, " +
+        s"${wq.getAs[Long]("sum_deg_sq")}) vs original " +
+        s"(${oq.getAs[Long]("n_edges")}, ${oq.getAs[Long]("intra_edges")}, " +
+        s"${oq.getAs[Long]("sum_deg_sq")})")
+    val mv = graft.operators.Louvain.weightedBestMoveRefinement(
+      contracted, "a", "b", "weight", superIdn, "node", "community")
+      .collect() // 0 or 1 evidence rows — the move ships as literals
+    mv.foreach { r =>
+      require(
+        r.getAs[Double]("modularity_after") > r.getAs[Double]("modularity_before"),
+        "q_g16: an applied community merge must strictly increase Q")
+    }
+    val out = (mv.headOption match {
+      case Some(r) =>
+        val (from, to) =
+          (r.getAs[Long]("moved_node"), r.getAs[Long]("to_label"))
+        communities.select(
+          col("node"),
+          when(col("community") === from, lit(to))
+            .otherwise(col("community")).as("community"))
+      case None => communities.select(col("node"), col("community"))
+    }).orderBy("node").localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(contracted)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(communities)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15)
+      qG15, qG16)
 }

@@ -285,10 +285,10 @@ object CorpusStream {
         val b = batch.toDF()
         val pairs =
           if (!indexed) {
-            // first drop: no index to probe yet — in-batch pairs, then seed
-            val p = graft.operators.NearDup.minHashLshPairs(b, "doc_id", "text",
-              k = 3, numPerm = 64, bands = 16, threshold = 0.8)
-            DedupIndex.write(b, "doc_id", "text", idx)
+            // first drop: no index to probe yet — fused in-batch pairs +
+            // index seed (the batch is shingled/hashed ONCE, same as the
+            // probeAndAppend path below; the unfused form hashed it twice)
+            val p = DedupIndex.writeAndPairs(b, "doc_id", "text", idx)
             indexed = true
             p
           } else
@@ -304,9 +304,8 @@ object CorpusStream {
             ConnectedComponents.appendEdges(labeling, pairs.select("id_a", "id_b"))
         if (labeling != null) bridge.freeLocalCheckpoint(labeling)
         labeling = folded
-        // the probeAndAppend branch returns a PINNED pair frame; free it
-        // now that the fold is materialized (no-op for the lazy
-        // first-batch pairs) — holding one per micro-batch would leak
+        // both branches return a PINNED pair frame; free it now that the
+        // fold is materialized — holding one per micro-batch would leak
         // executor storage across a long-running landing zone
         bridge.freeLocalCheckpoint(pairs)
         ()

@@ -110,6 +110,60 @@ class LouvainSpec extends SparkSpec {
     assert(got3.length === 7 && got3.forall(_.getLong(2) === 1L))
   }
 
+  test("weightedModularity: contraction preserves Q exactly (integer stats)") {
+    // contract the two-triangle graph by the clean assignment, then
+    // weighted Q with identity labels must equal unweighted Q of the
+    // assignment on the original graph — the multi-level invariant
+    val lab = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
+      .toDF("node", "community")
+    val orig = GraphStats.modularity(edges, "a", "b", lab, "node", "community").head()
+    val cg = Louvain.contractGraph(edges, "a", "b", lab, "node", "community")
+    val idn = Seq(10L -> 10L, 20L -> 20L).toDF("node", "community")
+    val wq = Louvain.weightedModularity(cg, "a", "b", "weight", idn, "node", "community").head()
+    assert(wq.getAs[Long]("m") === orig.getAs[Long]("n_edges"))
+    assert(wq.getAs[Long]("intra") === orig.getAs[Long]("intra_edges"))
+    assert(wq.getAs[Long]("sum_deg_sq") === orig.getAs[Long]("sum_deg_sq"))
+    assert(wq.getAs[Double]("modularity") === orig.getAs[Double]("modularity"))
+  }
+
+  test("weightedBestMove: hand-computed merge; heavy cross weight fuses communities") {
+    // two self-loops (1,1,w=1) (2,2,w=1) + heavy cross (1,2,w=6): m = 8,
+    // strengths d1 = d2 = 6 + 2 = 8; merging 1 into {2}:
+    // gain·4m² = 4·8·6 − 2·8·8 = 64 > 0; Q −0.25 → 0.0
+    val wedges = Seq((1L, 1L, 1L), (2L, 2L, 1L), (1L, 2L, 6L)).toDF("a", "b", "weight")
+    val idn = Seq(1L -> 1L, 2L -> 2L).toDF("node", "community")
+    val rows = Louvain.weightedBestMoveRefinement(
+      wedges, "a", "b", "weight", idn, "node", "community").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("moved_node") === 1L && r.getAs[Long]("to_label") === 2L)
+    assert(r.getAs[Long]("gain_x4m2") === 64L)
+    assert(r.getAs[Long]("n_edges") === 8L)
+    assert(r.getAs[Long]("intra_before") === 2L)
+    assert(r.getAs[Long]("sum_deg_sq_before") === 128L)
+    assert(r.getAs[Long]("intra_after") === 8L)
+    assert(r.getAs[Long]("sum_deg_sq_after") === 256L)
+    assert(math.abs(r.getAs[Double]("modularity_before") - (-0.25)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("modularity_after") - 0.0) < 1e-12)
+    // weak cross weight: merging two well-separated communities LOSES Q
+    // (the contracted two-triangle graph: selfs 3,3 + bridge 1 →
+    // gain = 4·7·1 − 2·7·7 < 0 — no move)
+    val tri = Seq((10L, 10L, 3L), (20L, 20L, 3L), (10L, 20L, 1L)).toDF("a", "b", "weight")
+    val idn2 = Seq(10L -> 10L, 20L -> 20L).toDF("node", "community")
+    assert(Louvain.weightedBestMoveRefinement(
+      tri, "a", "b", "weight", idn2, "node", "community").collect().isEmpty)
+  }
+
+  test("weightedBestMove with unit weights and no self-loops ≡ bestMoveRefinement") {
+    val assign = Seq(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
+    val unw = refine(assign).collect()
+    val w1 = edges.withColumn("weight", org.apache.spark.sql.functions.lit(1L))
+    val got = Louvain.weightedBestMoveRefinement(
+      w1, "a", "b", "weight", assign.toDF("node", "community"), "node", "community")
+      .collect()
+    assert(got.map(_.toSeq).toSeq === unw.map(_.toSeq).toSeq)
+  }
+
   test("sweep: maxMoves=1 equals bestMoveRefinement's single move") {
     val assign = Seq(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
     val sweep = Louvain.sweepRefinement(
