@@ -472,6 +472,85 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** 64-bit perceptual AVERAGE-HASH (aHash) of a 24-bpp BMP payload —
+    * the image-side near-dup signature: sample the pixel array on a
+    * fixed 8×8 grid (nearest-neighbor: cell (gy,gx) reads image pixel
+    * (⌊gy·h/8⌋, ⌊gx·w/8⌋) — deterministic index arithmetic, no
+    * interpolation, so the oracle replays it exactly), take the
+    * integer luma L = 299·R + 587·G + 114·B per cell, and set bit k
+    * (row-major from the image's TOP-left, k=0 the sign bit) iff
+    * 64·L_k > ΣL — the strict-majority-of-mean rule, all integers.
+    * Re-encodes of the same image land at small Hamming distance;
+    * unrelated images differ in ~32 bits. NULL for invalid/non-24bpp
+    * payloads.
+    *
+    * Storage orientation is NORMALIZED (bottom-up rows flip, top-down
+    * read directly — the [[decodeBmpMeta]] contract), so the same image
+    * saved either way hashes IDENTICALLY — which is precisely what a
+    * near-dup signature must guarantee and channel statistics never
+    * exercise. The sign bit keeps the full classic 64-bit hash in a
+    * signed BIGINT: weight(0) = Long.MinValue, weight(k) = 1L << (63−k)
+    * — disjoint powers sum to the exact two's-complement bit pattern on
+    * both engines.
+    *
+    * Scale contract: 64 fixed-offset byte reads + two 64-element folds
+    * per row, geometry and luma array each bound ONCE ([[hof.bind]]) —
+    * zero shuffle, zero UDF; feeds [[NearDup.simHashPairs]] as a
+    * `signatureOf` for banded image near-dup joins.
+    */
+  def bmpAHash(payload: Column): Column = {
+    val sigOk = hex(substring(payload, 1, 2)) === lit("424D")
+    val dataOffset = le(payload, 11, 4)
+    val dibSize = le(payload, 15, 4)
+    val w = le(payload, 19, 4)
+    val hRaw = le(payload, 23, 4)
+    val hNeg = hRaw >= lit(2147483648L)
+    val h = when(hNeg, lit(4294967296L) - hRaw).otherwise(hRaw)
+    val bpp = le(payload, 29, 2)
+    val stride = floor((w * 3L + 3L) / 4L).cast("bigint") * 4L
+    val headerOk = length(payload) >= 30 && sigOk && dibSize >= 40L &&
+      w >= 1L && w <= Int.MaxValue.toLong && h >= 1L && h <= Int.MaxValue.toLong &&
+      bpp === 24L &&
+      length(payload).cast("double") >=
+        dataOffset.cast("double") + h.cast("double") * stride.cast("double")
+    val geo = struct(
+      dataOffset.as("off"), w.as("w"), h.as("h"), stride.as("stride"),
+      hNeg.as("topdown"))
+    val hash = graft.functions.hof.bind(geo) { g =>
+      val lumas = transform(sequence(lit(0L), lit(63L)), k => {
+        val gy = floor(k / 8L).cast("bigint")
+        val gx = k % 8L
+        val y = floor(gy * g.getField("h") / 8L).cast("bigint")
+        val x = floor(gx * g.getField("w") / 8L).cast("bigint")
+        // image row y sits at storage row y (top-down) or h−1−y (bottom-up)
+        val srow = when(g.getField("topdown"), y)
+          .otherwise(g.getField("h") - 1L - y)
+        val base = g.getField("off") + srow * g.getField("stride") + x * 3L + 1L
+        val p = conv(hex(substring(payload, base, lit(3))), 16, 10).cast("bigint")
+        // stored B,G,R → B is the big-endian high byte
+        lit(299L) * p.bitwiseAND(lit(255L)) +
+          lit(587L) * shiftright(p, 8).bitwiseAND(lit(255L)) +
+          lit(114L) * shiftright(p, 16)
+      })
+      graft.functions.hof.bind(lumas) { lum =>
+        graft.functions.hof.bind(
+          aggregate(lum, lit(0L), (acc, v) => acc + v)) { total =>
+          aggregate(
+            sequence(lit(0L), lit(63L)),
+            lit(0L),
+            (acc, k) => {
+              val bit = element_at(lum, (k + 1L).cast("int")) * 64L > total
+              val weight = when(k === 0L, lit(Long.MinValue))
+                .otherwise(call_function(
+                  "shiftleft", lit(1L), (lit(63L) - k).cast("int")))
+              acc + when(bit, weight).otherwise(0L)
+            })
+        }
+      }
+    }
+    when(payload.isNotNull && headerOk, hash).otherwise(lit(null))
+  }
+
   /** Position-salted payload hash feeding the stub decoders. Default is
     * xxhash64 (codegen fast path); `portable = true` derives a 60-bit hash
     * from md5 over the hex rendering (uppercase in Spark AND DuckDB), so

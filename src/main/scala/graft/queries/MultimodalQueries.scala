@@ -693,5 +693,180 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  override val all: Seq[Q] = Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10)
+  // Perceptual AVERAGE-HASH over real 24-bpp pixel arrays
+  // (Multimodal.bmpAHash): nearest-neighbor 8×8 grid sample → integer
+  // luma 299R+587G+114B → strict 64·L > ΣL threshold → 64-bit signed
+  // pack (sign bit = Long.MinValue — both engines two's complement).
+  // The constructed corpus exercises widths 4–8 (every stride-padding
+  // case), heights 2–5, BOTTOM-UP and TOP-DOWN storage on alternating
+  // docs (orientation must NOT change the hash — the oracle derives the
+  // storage-row mapping independently), blank images (all-equal lumas →
+  // hash 0 under the strict inequality), gap-byte data offsets, and
+  // corrupt signatures → NULL. Ground truth against real ImageIO files
+  // lives in MultimodalSpec.
+  private val qM11 = Q(
+    "q_m11_image_ahash",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 5 + 4 AS BIGINT) AS w,
+      |         CAST(doc_id % 4 + 2 AS BIGINT) AS h,
+      |         (doc_id % 2 = 0) AS topdown,
+      |         (doc_id % 6 = 0) AS blank,
+      |         (doc_id % 7 <> 0) AS ok
+      |  FROM documents),
+      |cell AS (
+      |  SELECT s.doc_id, u.k,
+      |         ((u.k // 8) * s.h) // 8 AS y,
+      |         ((u.k % 8) * s.w) // 8 AS x,
+      |         s.w, s.h, s.topdown, s.blank
+      |  FROM src s, unnest(range(64)) AS u(k)
+      |  WHERE s.ok),
+      |lum AS (
+      |  SELECT doc_id, k,
+      |         299 * (CASE WHEN blank THEN doc_id % 256
+      |                     ELSE (doc_id * 7 + i * 13 + 2 * 29) % 256 END)
+      |       + 587 * (CASE WHEN blank THEN doc_id % 256
+      |                     ELSE (doc_id * 7 + i * 13 + 1 * 29) % 256 END)
+      |       + 114 * (CASE WHEN blank THEN doc_id % 256
+      |                     ELSE (doc_id * 7 + i * 13 + 0 * 29) % 256 END) AS L
+      |  FROM (SELECT doc_id, k, blank,
+      |               (CASE WHEN topdown THEN y ELSE h - 1 - y END) * w + x AS i
+      |        FROM cell)),
+      |tot AS (SELECT doc_id, sum(L) AS t FROM lum GROUP BY 1),
+      |hsh AS (
+      |  SELECT l.doc_id,
+      |         CAST(sum(CASE WHEN 64 * l.L > tot.t
+      |                       THEN CASE WHEN l.k = 0 THEN -9223372036854775808
+      |                            ELSE (1::BIGINT << CAST(63 - l.k AS INT)) END
+      |                       ELSE 0 END) AS BIGINT) AS v
+      |  FROM lum l JOIN tot ON l.doc_id = tot.doc_id GROUP BY 1)
+      |SELECT s.doc_id,
+      |       CASE WHEN s.ok THEN hsh.v END AS ahash,
+      |       s.ok AS valid_bmp
+      |FROM src s LEFT JOIN hsh ON hsh.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val w = (col("doc_id") % 5 + 4).cast("bigint")
+    val h = (col("doc_id") % 4 + 2).cast("bigint")
+    val topDown = col("doc_id") % 2 === 0
+    val blank = col("doc_id") % 6 === 0
+    val gap = col("doc_id") % 11 === 0
+    val stride = floor((w * 3 + 3) / 4).cast("bigint") * 4
+    val dataOffset = when(gap, lit(58L)).otherwise(lit(54L))
+    val hStored = when(topDown, lit(4294967296L) - h).otherwise(h)
+    val bmpSig = when(col("doc_id") % 7 === 0, lit("0000")).otherwise(lit("424D"))
+    def pix(i: org.apache.spark.sql.Column, chn: Int) =
+      when(blank, col("doc_id") % 256)
+        .otherwise((col("doc_id") * 7 + i * 13 + chn * 29) % 256)
+    val rowsHex = array_join(
+      transform(sequence(lit(0L), h - 1L), r =>
+        concat(
+          array_join(
+            transform(sequence(lit(0L), w - 1L), x => {
+              val i = r * w + x
+              concat(leHexN(pix(i, 0), 1), leHexN(pix(i, 1), 1), leHexN(pix(i, 2), 1))
+            }), ""),
+          repeat(lit("AB"), ((lit(4L) - (w * 3) % 4) % 4).cast("int")))), "")
+    val payloadHex = concat(
+      bmpSig, leHexN(dataOffset + h * stride, 4), lit("00000000"),
+      leHexN(dataOffset, 4),
+      lit("28000000"),
+      leHexN(w, 4), leHexN(hStored, 4),
+      lit("0100"), lit("1800"),
+      lit("00" * 24),
+      when(gap, lit("DEADBEEF")).otherwise(lit("")),
+      rowsHex)
+    val withPayload = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+      .localCheckpoint(true)
+    withPayload
+      .select(
+        col("doc_id"),
+        Multimodal.bmpAHash(col("payload")).as("ahash"),
+        Multimodal.bmpAHash(col("payload")).isNotNull.as("valid_bmp"))
+      .orderBy("doc_id")
+  }
+
+  // IMAGE near-dup pairs: bmpAHash as the signature inside the existing
+  // Charikar block machinery (NearDup.simHashPairs with signatureOf
+  // swapped) — dedup of perturbed image copies with work bounded by
+  // block collisions, never all pairs. The corpus is binary 8×8 images
+  // (each grid cell one pixel; bright L=255000, dark 0, bright count in
+  // (0,64)) so the hash bits EQUAL the bright mask and Hamming distance
+  // is the exact count of differing cells: groups of 4 variants plant
+  // pairs at distance 1, 2, 3 and one far variant. The oracle derives
+  // the hashes from the mask formula and takes ALL pairs at distance
+  // ≤ 3 — equal to the banded answer by the pigeonhole guarantee
+  // (hamming ≤ 3 < 4 blocks ⇒ ≥ 1 identical block), so the oracle
+  // checks the banding found EVERYTHING brute force finds.
+  private val qM12 = Q(
+    "q_m12_image_neardup",
+    """WITH src AS (
+      |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+      |  FROM documents WHERE doc_id < 400),
+      |bits AS (
+      |  SELECT s.doc_id, u.k,
+      |         CASE WHEN ((u.k % 8 + u.k // 8 + s.g) % 3 = 0) <> (
+      |                (s.v IN (1, 2) AND u.k = 0)
+      |                OR (s.v = 2 AND u.k IN (9, 18))
+      |                OR (s.v = 3 AND (u.k // 8 = 7 OR u.k IN (48, 49))))
+      |              THEN 1 ELSE 0 END AS hi
+      |  FROM src s, unnest(range(64)) AS u(k)),
+      |hsh AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN hi = 1
+      |                       THEN CASE WHEN k = 0 THEN -9223372036854775808
+      |                            ELSE (1::BIGINT << CAST(63 - k AS INT)) END
+      |                       ELSE 0 END) AS BIGINT) AS v
+      |  FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
+      |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.v, b.v)) <= 3
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val g = floor(col("doc_id") / 4).cast("bigint")
+    val v = col("doc_id") % 4
+    // bottom-up 8×8: storage row r holds image row y = 7 − r; grid cell
+    // k = y*8 + x. Variant flips are expressed on cell index k.
+    val rowsHex = array_join(
+      transform(sequence(lit(0L), lit(7L)), r =>
+        array_join(
+          transform(sequence(lit(0L), lit(7L)), x => {
+            val y = lit(7L) - r
+            val k = y * 8L + x
+            val base = (x + y + g) % 3 === 0
+            val flip = (v.isin(1L, 2L) && k === 0L) ||
+              (v === 2L && k.isin(9L, 18L)) ||
+              (v === 3L && (y === 7L || k.isin(48L, 49L)))
+            when(base =!= flip, lit("FFFFFF")).otherwise(lit("000000"))
+          }), "")), "")
+    val payloadHex = concat(
+      lit("424D"), leHexN(lit(54L + 8L * 24L), 4), lit("00000000"),
+      leHexN(lit(54L), 4), lit("28000000"),
+      leHexN(lit(8L), 4), leHexN(lit(8L), 4),
+      lit("0100"), lit("1800"), lit("00" * 24),
+      rowsHex)
+    // doc_id < 400 slice: the 3-periodic base mask makes same-mask pairs
+    // possible ACROSS groups (a genuine near-dup corpus), so the pair
+    // output grows quadratically with the corpus — the gate bounds it
+    // the q_g13 way (fixed slice) while the operator stays corpus-scale.
+    val withPayload = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+      .localCheckpoint(true)
+    graft.operators.NearDup.simHashPairs(
+      withPayload, "doc_id", "payload",
+      maxHamming = 3, numBlocks = 4,
+      signatureOf = p => Multimodal.bmpAHash(p))
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  override val all: Seq[Q] =
+    Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12)
 }

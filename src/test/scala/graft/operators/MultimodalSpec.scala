@@ -309,6 +309,109 @@ class MultimodalSpec extends SparkSpec {
     assert(capped.getLong(0) === 5L && capped.getBoolean(1))
   }
 
+  test("BMP aHash: real ImageIO files match an independent reference; orientation-proof") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def bmp(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val i = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) i.setRGB(x, y, rgb(x, y))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(i, "bmp", bos), "JDK BMP writer available")
+      bos.toByteArray
+    }
+    // independent reference: nearest-neighbor 8×8, integer luma, strict
+    // 64·L > ΣL, sign bit via Long.MinValue
+    def refAHash(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Long = {
+      val lum = (0 until 64).map { k =>
+        val (x, y) = ((k % 8) * w / 8, (k / 8) * h / 8)
+        val (r, g, b) = rgb(x, y)
+        299L * r + 587L * g + 114L * b
+      }
+      val total = lum.sum
+      (0 until 64).map { k =>
+        if (lum(k) * 64L > total) { if (k == 0) Long.MinValue else 1L << (63 - k) }
+        else 0L
+      }.sum
+    }
+    def grad(x: Int, y: Int): (Int, Int, Int) = (16 * x + 3, 10 * y + 5, x * y)
+    val img16 = bmp(16, 16) { (x, y) =>
+      val (r, g, b) = grad(x, y); (r << 16) | (g << 8) | b
+    }
+    import spark.implicits._
+    val got = Seq(
+      (1L, img16),
+      (2L, bmp(8, 8)((x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0)),
+      (3L, Array[Byte]('B', 'M'))) // truncated → null
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.bmpAHash(col("payload")).as("ah"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got(1L) === Some(refAHash(16, 16, grad)))
+    // 8×8 checkerboard: every cell is one pixel; equal-luma counts mean
+    // 64·L > ΣL exactly for the bright half → hash = the checker mask
+    assert(got(2L) === Some(refAHash(8, 8, (x, y) =>
+      if ((x + y) % 2 == 0) (255, 255, 255) else (0, 0, 0))))
+    assert(got(3L) === None)
+  }
+
+  test("BMP aHash: bottom-up and top-down storage of the same image hash identically") {
+    // hand-built 4×3 24-bpp payloads: same IMAGE, both storage orders
+    def px(x: Int, y: Int): Seq[Byte] =
+      Seq((x * 40 + y).toByte, (y * 70 + 1).toByte, (x * 9 + y * 21).toByte) // B,G,R
+    def le(v: Long, n: Int): Seq[Byte] = (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte)
+    def raw(topDown: Boolean): Array[Byte] = {
+      val (w, h) = (4, 3)
+      val stride = (w * 3 + 3) / 4 * 4
+      val hStored = if (topDown) (4294967296L - h) else h.toLong
+      val rows = (0 until h).flatMap { r =>
+        val y = if (topDown) r else h - 1 - r // storage row r holds image row y
+        (0 until w).flatMap(x => px(x, y)) ++ Seq.fill(stride - 3 * w)(0xAB.toByte)
+      }
+      (Seq('B'.toByte, 'M'.toByte) ++ le(54L + h * stride, 4) ++ le(0L, 4) ++
+        le(54L, 4) ++ le(40L, 4) ++ le(w.toLong, 4) ++ le(hStored, 4) ++
+        le(1L, 2) ++ le(24L, 2) ++ Seq.fill(24)(0.toByte) ++ rows).toArray
+    }
+    import spark.implicits._
+    val hashes = Seq((1L, raw(topDown = false)), (2L, raw(topDown = true)))
+      .toDF("id", "payload")
+      .select(Multimodal.bmpAHash(col("payload")).as("ah"))
+      .collect().map(_.getLong(0))
+    assert(hashes(0) === hashes(1), "storage orientation must not change the hash")
+  }
+
+  test("BMP aHash near-dup: simHashPairs with the image signature finds perturbed copies") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def bmp(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val i = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) i.setRGB(x, y, rgb(x, y))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(i, "bmp", bos), "JDK BMP writer available")
+      bos.toByteArray
+    }
+    // 8×8 binary images: hash bits are exactly the bright-cell mask
+    def mask(g: Int)(flips: Set[(Int, Int)]) = bmp(8, 8) { (x, y) =>
+      if (((x + y + g) % 3 == 0) ^ flips((x, y))) 0xFFFFFF else 0
+    }
+    import spark.implicits._
+    val docs = Seq(
+      (10L, mask(0)(Set.empty)),
+      (11L, mask(0)(Set((0, 0)))),                       // hamming 1 vs 10
+      (12L, mask(0)(Set((0, 0), (1, 1), (2, 2)))),       // hamming 3 vs 10, 2 vs 11
+      (13L, mask(1)(Set.empty))                          // different base — far
+    ).toDF("doc_id", "payload")
+    val pairs = NearDup.simHashPairs(
+      docs, "doc_id", "payload",
+      maxHamming = 3, numBlocks = 4,
+      signatureOf = p => Multimodal.bmpAHash(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number]("hamming").longValue()).toMap
+    assert(pairs.keySet === Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    assert(pairs((10L, 11L)) === 1L)
+    assert(pairs((10L, 12L)) === 3L)
+    assert(pairs((11L, 12L)) === 2L)
+  }
+
   test("decode stage rebalances partitions by content hash") {
     val staged = Multimodal.decodeStage(docs, "payload", numPartitions = 8) { p =>
       Seq("image_meta" -> Multimodal.decodeImageMetaStub(p))
