@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
@@ -119,6 +119,86 @@ object Bpe {
       .select(col("*"),
         (col("total_chars").cast("double") / col("total_tokens")).as("chars_per_token"),
         (col("total_tokens").cast("double") / col("total_words")).as("tokens_per_word"))
+  }
+
+  /** APPLY a learned merge list to a text column SCAN-SIDE — the
+    * tokenizer's inference path, per row, no vocabulary join: each
+    * whitespace token starts as its character sequence and every merge
+    * round folds it leftmost-greedy (output last symbol = left AND
+    * current = right → fuse). The single-pair greedy fold is EXACTLY
+    * the training step's island/parity application: consecutive match
+    * runs only arise for self-pairs (a run across matches needs b = a),
+    * where greedy keeps every second fusion, and a fused symbol is
+    * STRICTLY longer than the round's left symbol so it can never
+    * re-fuse as `left` within its own round. Returns
+    * `array<array<string>>` — one symbol array per token.
+    *
+    * This is the STREAMING shape: the merge table ships as plan
+    * literals (like the classifier weights in the q_st16 gate), so a
+    * landing zone tokenizes statelessly — no state store, no join, work
+    * ∝ batch characters.
+    */
+  def applyMerges(text: Column, merges: Seq[(String, String)]): Column = {
+    val words = graft.functions.TextAnalysis.tokens(text)
+    transform(words, w => {
+      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+      merges.foldLeft(chars) { case (symsExpr, (a, b)) =>
+        graft.functions.hof.bind(symsExpr) { ss =>
+          aggregate(
+            ss,
+            array().cast("array<string>"),
+            (acc, s) => {
+              val n = size(acc)
+              // 0-based `get`: NULL (never an ANSI fault) on the empty
+              // accumulator — NULL ≠ literal, so the first symbol appends
+              val lastS = get(acc, n - 1)
+              when(lastS === lit(a) && s === lit(b),
+                concat(slice(acc, lit(1), n - 1), array(concat(lastS, s))))
+                .otherwise(concat(acc, array(s)))
+            })
+        }
+      }
+    })
+  }
+
+  /** Per-document tokenization summary under a FIXED merge list (the
+    * [[applyMerges]] inference path): `(idCol, n_words, n_tokens,
+    * tok_digest)` where `tok_digest` = Σ len(sym)·(31·word_idx +
+    * sym_pos) over the document's full ordered tokenization (1-based
+    * indices) — an exact-integer, order-SENSITIVE pin: a tokenizer that
+    * produces the right multiset of symbols in the wrong positions
+    * digests differently. Shared by the batch gate replay and the
+    * streaming parity gate.
+    */
+  def tokenizationSummary(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = applyMerges(col(textCol), merges)
+    docs.select(
+      col(idCol),
+      size(toks).as("n_words"),
+      coalesce(
+        aggregate(toks, lit(0L), (acc, wsyms) => acc + size(wsyms)),
+        lit(0L)).as("n_tokens"),
+      coalesce(
+        // index-carrying folds (no sequence(1, size): Spark's sequence
+        // DESCENDS for empty arrays and would fault element_at)
+        aggregate(
+          toks,
+          struct(lit(0L).as("d"), lit(1L).as("wi")),
+          (acc, wsyms) => struct(
+            (acc.getField("d") + aggregate(
+              wsyms,
+              struct(lit(0L).as("d"), lit(1L).as("si")),
+              (a2, s) => struct(
+                (a2.getField("d") + length(s).cast("bigint") *
+                  (acc.getField("wi") * 31L + a2.getField("si"))).as("d"),
+                (a2.getField("si") + 1L).as("si"))).getField("d")).as("d"),
+            (acc.getField("wi") + 1L).as("wi")),
+          fin => fin.getField("d")),
+        lit(0L)).as("tok_digest"))
   }
 
   /** Sequential training = the batched core with batch size 1 (the

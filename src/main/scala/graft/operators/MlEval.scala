@@ -189,6 +189,46 @@ object MlEval {
       .orderBy(col("s").desc)
   }
 
+  /** AVERAGE PRECISION (the PR-curve summary, a.k.a. PR-AUC in its
+    * step-wise form): AP = Σ_i (ΔR_i)·P_i over distinct scores
+    * descending — each distinct score contributes its positive count's
+    * recall increment times the precision AT that threshold, the
+    * step-interpolation (NOT trapezoid: linear PR interpolation is
+    * known-biased, Davis & Goadrich 2006). One row: `(n_pos, n_neg,
+    * average_precision)`; NULL when no positives. Since
+    * ΔR_i = pc_i / P and P_i = tp_i / (tp_i + fp_i) with tp_i + fp_i ≥ 1
+    * on every emitted row, every term is a ratio of exact integers —
+    * engine-replayable.
+    *
+    * Shape at scale: identical to [[rocPoints]] — one corpus-reducing
+    * hash aggregate (≤10⁶+1 rows by internal quantization), windows over
+    * the tiny frame, one closing aggregate.
+    */
+  def averagePrecision(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    val perScore = wellFormed(scored, labelCol, scoreCol)
+      .groupBy(round(col(scoreCol).cast("double"), 6).as("s"))
+      .agg(
+        sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L)).as("pc"),
+        sum(when(col(labelCol).cast("double") === 1.0, 0L).otherwise(1L)).as("nc"))
+    val fromTop = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("tp", sum(col("pc")).over(fromTop))
+      .withColumn("fp", sum(col("nc")).over(fromTop))
+      .agg(
+        sum(col("pc")).cast("bigint").as("n_pos"),
+        sum(col("nc")).cast("bigint").as("n_neg"),
+        sum(col("pc").cast("double") * col("tp") / (col("tp") + col("fp")))
+          .as("__apn"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0, col("__apn") / col("n_pos"))
+          .as("average_precision"))
+  }
+
   /** Post-hoc TEMPERATURE SCALING (Guo et al. 2017) — the fix companion
     * to [[calibration]]'s measurement: fit the single scalar T that
     * recalibrates scores as σ(logit(s)/T) by fixed-count gradient

@@ -375,6 +375,115 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** Per-channel ZERO-CROSSING RATE and SILENCE statistics over real
+    * PCM frames — the frequency-content companion to
+    * [[wavSampleStats]]'s amplitude stats: ZCR separates tonal/voiced
+    * audio (low) from noise/fricatives (high), and the silence rate is
+    * the "is there anything here at all" cut an audio curation pipeline
+    * applies before any model sees the clip. One struct per channel:
+    * `(channel, n_frames, n_zero_crossings, zcr, n_silent,
+    * silence_rate)` — a crossing is STRICT sign opposition between
+    * consecutive frames (prev·cur < 0; zeros break runs but never
+    * count), `zcr` = crossings / (n−1) (NULL for single-frame clips),
+    * and a frame is silent when |v| ≤ halfScale / `silenceDenom`
+    * (integer division — at 8-bit the threshold is 0, exact silence
+    * only). All counts exact integers; same header contract and NULL
+    * behavior as [[wavSampleStats]].
+    *
+    * Scale contract: the [[wavSampleStats]] shape — header bound once,
+    * samples decoded ONCE into a bound value array, one index fold per
+    * channel reading only slot lookups. Zero shuffle, zero UDF.
+    */
+  def wavZeroCrossings(
+      payload: Column,
+      maxFrames: Int = 1 << 20,
+      silenceDenom: Long = 1000L): Column = {
+    require(silenceDenom >= 1L, "silenceDenom must be positive")
+    val channels = le(payload, 23, 2)
+    val bits = le(payload, 35, 2)
+    val blockAlign = le(payload, 33, 2)
+    val byteRate = le(payload, 29, 4)
+    val sampleRate = le(payload, 25, 4)
+    val consistent = blockAlign === channels * (bits / 8L) &&
+      byteRate === sampleRate * blockAlign
+    val headerOk = length(payload) >= 44 &&
+      hex(substring(payload, 1, 4)) === lit("52494646") &&
+      hex(substring(payload, 9, 4)) === lit("57415645") &&
+      hex(substring(payload, 13, 4)) === lit("666D7420") &&
+      le(payload, 17, 4) === 16L && le(payload, 21, 2) === 1L &&
+      channels >= 1L && sampleRate >= 1L && bits.isin(8L, 16L, 24L, 32L) &&
+      consistent &&
+      hex(substring(payload, 37, 4)) === lit("64617461")
+    val dataSize = least(le(payload, 41, 4), length(payload).cast("bigint") - 44L)
+    val nFrames = when(blockAlign >= 1L,
+      floor(dataSize / blockAlign).cast("bigint")).otherwise(lit(0L))
+    val used = least(nFrames, lit(maxFrames.toLong))
+    val hdr = struct(
+      channels.as("ch"), bits.as("bits"), blockAlign.as("ba"),
+      (bits / 8L).cast("bigint").as("bp"),
+      element_at(
+        typedlit(Map(8 -> 128L, 16 -> 32768L, 24 -> 8388608L, 32 -> 2147483648L)),
+        bits.cast("int")).as("half"),
+      used.as("used"))
+    val perChannelBound = graft.functions.hof.bind(hdr) { h =>
+      val hBits = h.getField("bits")
+      val hHalf = h.getField("half")
+      val hUsed = h.getField("used")
+      val thr = floor(hHalf / lit(silenceDenom)).cast("bigint")
+      def sampleAt(frame: Column, ch: Column): Column = {
+        val off = lit(45L) + frame * h.getField("ba") +
+          ch.cast("bigint") * h.getField("bp")
+        val be = conv(hex(substring(payload, off, h.getField("bp"))), 16, 10)
+          .cast("bigint")
+        val raw = when(hBits === 8L, be)
+          .when(hBits === 16L,
+            be.bitwiseAND(lit(255L)) * 256L + shiftright(be, 8))
+          .when(hBits === 24L,
+            be.bitwiseAND(lit(255L)) * 65536L +
+              shiftright(be, 8).bitwiseAND(lit(255L)) * 256L +
+              shiftright(be, 16))
+          .otherwise(
+            be.bitwiseAND(lit(255L)) * 16777216L +
+              shiftright(be, 8).bitwiseAND(lit(255L)) * 65536L +
+              shiftright(be, 16).bitwiseAND(lit(255L)) * 256L +
+              shiftright(be, 24))
+        when(hBits === 8L, raw - 128L)
+          .otherwise(when(raw >= hHalf, raw - hHalf * 2L).otherwise(raw))
+      }
+      transform(sequence(lit(0), (h.getField("ch") - 1L).cast("int")), c =>
+        graft.functions.hof.bind(
+          transform(sequence(lit(0L), hUsed - 1L), f => sampleAt(f, c))) { vals =>
+          val folded = aggregate(
+            sequence(lit(1L), hUsed),
+            struct(lit(0L).as("zc"), lit(0L).as("sil")),
+            (acc, i) => {
+              val cur = element_at(vals, i.cast("int"))
+              // greatest(…,1): i=1 has no predecessor — the i>1 guard
+              // discards the read, but ANSI element_at(0) would fault
+              val prev = element_at(vals, greatest(i - 1L, lit(1L)).cast("int"))
+              struct(
+                (acc.getField("zc") + when(
+                  i > 1L && ((prev < 0L && cur > 0L) || (prev > 0L && cur < 0L)),
+                  1L).otherwise(0L)).as("zc"),
+                (acc.getField("sil") + when(abs(cur) <= thr, 1L).otherwise(0L))
+                  .as("sil"))
+            })
+          struct(
+            c.cast("int").as("channel"),
+            hUsed.as("n_frames"),
+            folded.getField("zc").as("n_zero_crossings"),
+            when(hUsed >= 2L,
+              folded.getField("zc").cast("double") / (hUsed - 1L).cast("double"))
+              .as("zcr"),
+            folded.getField("sil").as("n_silent"),
+            (folded.getField("sil").cast("double") / hUsed.cast("double"))
+              .as("silence_rate"))
+        })
+    }
+    when(payload.isNotNull && headerOk && used >= 1L, perChannelBound)
+      .otherwise(lit(null))
+  }
+
   /** REAL BMP PIXEL decode — per-channel content statistics over the
     * actual pixel rows of a 24-bpp uncompressed BMP: one struct
     * `(n_pixels, b_mean, b_min, b_max, g_mean, g_min, g_max, r_mean,

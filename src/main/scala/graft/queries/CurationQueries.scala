@@ -638,7 +638,42 @@ object CurationQueries extends QueryGroup {
     out
   }
 
+  // Average precision (operators.MlEval.averagePrecision): the PR-curve
+  // summary in the step-wise form AP = Σ ΔR·P (Davis & Goadrich 2006 —
+  // linear PR interpolation is biased, so no trapezoid), every term a
+  // ratio of exact integers over the same distinct-score frame as
+  // q_c18. Oracle = the full q_c13 training unroll + identical window
+  // arithmetic; the hand-case and one-class NULL live in MlEvalSpec.
+  private val qC19 = Q(
+    "q_c19_average_precision",
+    s"""WITH $qcTrainCtes,
+       |sc AS (SELECT f.doc_id, f.y,
+       |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
+       |       FROM f CROSS JOIN wt3),
+       |ps AS (SELECT score AS s,
+       |              sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pc,
+       |              sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nc
+       |       FROM sc GROUP BY 1),
+       |c AS (SELECT s, pc, nc,
+       |             sum(pc) OVER (ORDER BY s DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |             sum(nc) OVER (ORDER BY s DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+       |      FROM ps)
+       |SELECT CAST(sum(pc) AS BIGINT) AS n_pos,
+       |       CAST(sum(nc) AS BIGINT) AS n_neg,
+       |       CASE WHEN sum(pc) > 0
+       |            THEN sum(CAST(pc AS DOUBLE) * tp / (tp + fp)) / sum(pc)
+       |       END AS average_precision
+       |FROM c""".stripMargin) { (s, dir) =>
+    val scored = qcScoredPinned(s, dir)
+    val out = graft.operators.MlEval.averagePrecision(scored, "y", "score")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(scored)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16, qC17, qC18)
+      qC15, qC16, qC17, qC18, qC19)
 }

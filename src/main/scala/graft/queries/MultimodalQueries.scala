@@ -867,6 +867,147 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  // ZERO-CROSSING RATE + SILENCE decode (Multimodal.wavZeroCrossings):
+  // the frequency-content companion to q_m9's amplitude stats — same
+  // constructed PCM corpus (all four bit depths, 1–2 channels, rail
+  // hits, corrupt sigs → NULL), the oracle re-derives crossings with a
+  // per-channel LAG window over the generating formula and silence by
+  // |v| ≤ half/1000 integer threshold. An interleave bug that q_m9's
+  // order-independent sums can't see (RMS/peak/clips are permutation-
+  // invariant!) breaks the consecutive-frame sign chain here — this
+  // gate pins the sample ORDER.
+  private val qM13 = Q(
+    "q_m13_wav_zero_crossings",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+      |         CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 16
+      |              WHEN 2 THEN 24 ELSE 32 END AS BIGINT) AS bits,
+      |         CAST(n_chars % 40 + 2 AS BIGINT) AS frames,
+      |         (doc_id % 9 <> 0) AS ok
+      |  FROM documents),
+      |samp AS (
+      |  SELECT doc_id, ch, frames, k % ch AS c, k // ch AS f,
+      |         CASE WHEN k % 10 = 0 THEN hf - 1
+      |              WHEN k % 10 = 5 THEN -hf
+      |              WHEN bits = 8 THEN vraw - 128
+      |              WHEN vraw < hf THEN vraw
+      |              ELSE vraw - sp END AS v,
+      |         hf
+      |  FROM (
+      |    SELECT s.*, u.k,
+      |           CASE bits WHEN 8 THEN 256 WHEN 16 THEN 65536
+      |                WHEN 24 THEN 16777216 ELSE 4294967296 END AS sp,
+      |           CASE bits WHEN 8 THEN 128 WHEN 16 THEN 32768
+      |                WHEN 24 THEN 8388608 ELSE 2147483648 END AS hf,
+      |           (s.doc_id * 31 + u.k * 17 + 7) %
+      |             (CASE bits WHEN 8 THEN 256 WHEN 16 THEN 65536
+      |                   WHEN 24 THEN 16777216 ELSE 4294967296 END) AS vraw
+      |    FROM src s, unnest(range(s.frames * s.ch)) AS u(k)
+      |    WHERE s.ok)),
+      |lagged AS (
+      |  SELECT doc_id, c, v, hf,
+      |         lag(v) OVER (PARTITION BY doc_id, c ORDER BY f) AS pv
+      |  FROM samp),
+      |ag AS (
+      |  SELECT doc_id, c,
+      |         sum(CASE WHEN pv IS NOT NULL AND
+      |                       ((pv < 0 AND v > 0) OR (pv > 0 AND v < 0))
+      |                  THEN 1 ELSE 0 END) AS zc,
+      |         sum(CASE WHEN abs(v) <= hf // 1000 THEN 1 ELSE 0 END) AS sil
+      |  FROM lagged GROUP BY 1, 2)
+      |SELECT s.doc_id,
+      |       CAST(ag.c AS INT) AS channel,
+      |       s.frames AS n_frames,
+      |       CAST(ag.zc AS BIGINT) AS n_zero_crossings,
+      |       CASE WHEN s.frames >= 2
+      |            THEN CAST(ag.zc AS DOUBLE) / (s.frames - 1) END AS zcr,
+      |       CAST(ag.sil AS BIGINT) AS n_silent,
+      |       CAST(ag.sil AS DOUBLE) / s.frames AS silence_rate
+      |FROM src s JOIN ag ON ag.doc_id = s.doc_id
+      |UNION ALL
+      |SELECT doc_id, CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+      |FROM src WHERE NOT ok
+      |ORDER BY doc_id, channel""".stripMargin) { (s, dir) =>
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val ch = (col("doc_id") % 2 + 1).cast("bigint")
+    val bits = element_at(
+      typedlit(Seq(8L, 16L, 24L, 32L)), (col("doc_id") % 4 + 1).cast("int"))
+    val span = element_at(
+      typedlit(Seq(256L, 65536L, 16777216L, 4294967296L)),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val half = element_at(
+      typedlit(Seq(128L, 32768L, 8388608L, 2147483648L)),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val frames = (col("n_chars") % 40 + 2).cast("bigint")
+    val rate = lit(16000L)
+    val blockAlign = ch * (bits / lit(8L)).cast("bigint")
+    val dataSize = frames * blockAlign
+    val sigHex = when(col("doc_id") % 9 === 0, lit("52494658"))
+      .otherwise(lit("52494646"))
+    val n = frames * ch
+    val docConst = struct(
+      bits.as("bits"), span.as("span"), half.as("half"),
+      col("doc_id").as("id"))
+    val dataHex = graft.functions.hof.bind(docConst) { d =>
+      val dBits = d.getField("bits")
+      val dSpan = d.getField("span")
+      val dHalf = d.getField("half")
+      array_join(
+        transform(sequence(lit(0L), n - 1L), k => {
+          val vraw = (d.getField("id") * 31 + k * 17 + 7) % dSpan
+          val v = when(k % 10 === 0, dHalf - 1)
+            .when(k % 10 === 5, -dHalf)
+            .when(dBits === 8L, vraw - 128L)
+            .when(vraw < dHalf, vraw)
+            .otherwise(vraw - dSpan)
+          val u = when(dBits === 8L, v + 128L)
+            .otherwise(when(v < 0, v + dSpan).otherwise(v))
+          val swapped = when(dBits === 8L, u)
+            .when(dBits === 16L,
+              u.bitwiseAND(lit(255L)) * 256L + shiftright(u, 8))
+            .when(dBits === 24L,
+              u.bitwiseAND(lit(255L)) * 65536L +
+                shiftright(u, 8).bitwiseAND(lit(255L)) * 256L +
+                shiftright(u, 16))
+            .otherwise(
+              u.bitwiseAND(lit(255L)) * 16777216L +
+                shiftright(u, 8).bitwiseAND(lit(255L)) * 65536L +
+                shiftright(u, 16).bitwiseAND(lit(255L)) * 256L +
+                shiftright(u, 24))
+          lpad(hex(swapped), ((dBits / 8L) * 2L).cast("int"), lit("0"))
+        }), "")
+    }
+    def le16(c: org.apache.spark.sql.Column) = leHexN(c, 2)
+    def le32(c: org.apache.spark.sql.Column) = leHexN(c, 4)
+    val payloadHex = concat(
+      sigHex, le32(dataSize + 36), lit("57415645"),
+      lit("666D7420"), le32(lit(16L)),
+      le16(lit(1L)), le16(ch),
+      le32(rate), le32(rate * blockAlign),
+      le16(blockAlign), le16(bits),
+      lit("64617461"), le32(dataSize),
+      dataHex)
+    val withPayload = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+      .localCheckpoint(true)
+    withPayload
+      .withColumn("st", Multimodal.wavZeroCrossings(col("payload")))
+      .select(col("doc_id"), explode_outer(col("st")).as("e"))
+      .select(
+        col("doc_id"),
+        col("e.channel").as("channel"),
+        col("e.n_frames").as("n_frames"),
+        col("e.n_zero_crossings").as("n_zero_crossings"),
+        col("e.zcr").as("zcr"),
+        col("e.n_silent").as("n_silent"),
+        col("e.silence_rate").as("silence_rate"))
+      .orderBy("doc_id", "channel")
+  }
+
   override val all: Seq[Q] =
-    Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12)
+    Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13)
 }

@@ -422,7 +422,53 @@ object StreamingQueries extends QueryGroup {
       .orderBy("batch_shard")
   }
 
+  // Streaming BPE tokenization (CorpusStream.bpeTokenizedAvailableNow):
+  // merges learned in batch ship as plan literals, every arriving doc
+  // tokenizes statelessly scan-side (Bpe.applyMerges) — the q_st16
+  // classifier posture for the tokenizer. The oracle replays the full
+  // batch tokenization (the q_t22 bpeRound unroll) and aggregates the
+  // per-document (n_words, n_tokens, order-sensitive digest): streamed
+  // tokenization must equal the batch vocabulary pass on every doc.
+  private val qSt20 = Q(
+    "q_st20_stream_bpe_tokens",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents WHERE trim(text) <> ''),
+       |words AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+       |s0 AS (
+       |  SELECT w, wc, CAST(ps.pos AS INT) AS pos, ps.sym AS sym
+       |  FROM (SELECT w, wc, unnest(list_transform(range(len(w)),
+       |               i -> {'pos': i + 1, 'sym': w[i+1:i+1]})) AS ps
+       |        FROM words)),
+       |${TextQueries.bpeRound(1)},
+       |${TextQueries.bpeRound(2)},
+       |${TextQueries.bpeRound(3)},
+       |ws AS (SELECT w, count(*) AS n_syms,
+       |              sum(len(sym)) AS s0len, sum(len(sym) * pos) AS s1len
+       |       FROM s3 GROUP BY w),
+       |docw AS (
+       |  SELECT doc_id, dw.wi, dw.w
+       |  FROM (SELECT doc_id, unnest(list_transform(
+       |          range(len(string_split_regex(lower(trim(text)), '\\s+'))),
+       |          i -> {'wi': i + 1,
+       |                'w': string_split_regex(lower(trim(text)), '\\s+')[i+1]})) AS dw
+       |        FROM documents WHERE trim(text) <> '')),
+       |agg AS (
+       |  SELECT d.doc_id,
+       |         CAST(count(*) AS INT) AS n_words,
+       |         CAST(sum(ws.n_syms) AS BIGINT) AS n_tokens,
+       |         CAST(sum(d.wi * 31 * ws.s0len + ws.s1len) AS BIGINT) AS tok_digest
+       |  FROM docw d JOIN ws ON ws.w = d.w GROUP BY 1)
+       |SELECT doc.doc_id,
+       |       coalesce(agg.n_words, 0) AS n_words,
+       |       coalesce(agg.n_tokens, 0) AS n_tokens,
+       |       coalesce(agg.tok_digest, 0) AS tok_digest
+       |FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin) { (s, dir) =>
+    graft.streaming.CorpusStream.bpeTokenizedAvailableNow(s, dir)
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19)
+      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20)
 }

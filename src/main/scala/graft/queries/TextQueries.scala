@@ -780,7 +780,7 @@ object TextQueries extends QueryGroup {
     * positions keep even in-run offsets) → re-packed s{k}. The Scala
     * operator runs the identical recurrence ([[graft.operators.Bpe]]).
     */
-  private def bpeRound(k: Int): String = {
+  private[queries] def bpeRound(k: Int): String = {
     val (s, n, cnt, top, sel, s2) =
       (s"s${k - 1}", s"n$k", s"cnt$k", s"top$k", s"sel$k", s"s$k")
     // every stage MATERIALIZED: the chain references each previous frame

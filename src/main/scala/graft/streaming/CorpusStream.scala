@@ -141,6 +141,37 @@ object CorpusStream {
       .orderBy("doc_id")
   }
 
+  /** STREAMING BPE tokenization — the tokenizer's landing-zone shape:
+    * the merge table is LEARNED IN BATCH (the reference corpus), ships
+    * into the stream as plan literals (the q_st16 classifier-weights
+    * posture), and every arriving document tokenizes STATELESSLY via
+    * [[graft.operators.Bpe.applyMerges]] — no state store, no
+    * vocabulary join, work ∝ batch characters. Emits the per-document
+    * summary `(doc_id, n_words, n_tokens, tok_digest)`; the gate's
+    * oracle replays the batch tokenization of the full corpus, so
+    * streamed ≡ batch on every document.
+    */
+  def bpeTokenizedAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      rounds: Int = 3,
+      statePartitions: Int = EventStreams.defaultStatePartitions): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", rounds)
+      .orderBy("round")
+      .collect() // bounded: `rounds` rows — the merge table is the model
+      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+      .toSeq
+    val s = EventStreams.streamSession(spark, statePartitions)
+    EventStreams.runToTable(
+      s,
+      graft.operators.Bpe.tokenizationSummary(
+        readDocumentStream(s, sfDir), "doc_id", "text", merges),
+      s"stream_bpe_tokens_${System.nanoTime()}",
+      OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Filter + content-dedup with WATERMARK-BOUNDED state, run to
     * completion: duplicates are suppressed only within `horizon` of the
     * first delivery (`dropDuplicatesWithinWatermark`), so the state store

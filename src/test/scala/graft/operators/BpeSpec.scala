@@ -44,6 +44,56 @@ class BpeSpec extends SparkSpec {
     assert(r.getDouble(5) === 29.0 / 15.0 && r.getDouble(6) === 2.5)
   }
 
+  test("applyMerges: scan-side inference ≡ training application, hand cases") {
+    import org.apache.spark.sql.functions.col
+    // the toy corpus's learned merges: (a,a), (a,n), (an,a)
+    val merges = Seq(("a", "a"), ("a", "n"), ("an", "a"))
+    val docs = Seq(
+      (1L, "aaaa AAAA"), (2L, "aab banana"), (3L, "banana  banana"),
+      (4L, ""), (5L, "aaa x")).toDF("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), Bpe.applyMerges(col("text"), merges).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[String]](1).map(_.toSeq))
+      .toMap
+    assert(toks(1L) === Seq(Seq("aa", "aa"), Seq("aa", "aa")))
+    assert(toks(2L) === Seq(Seq("aa", "b"), Seq("b", "an", "ana")))
+    assert(toks(3L) === Seq(Seq("b", "an", "ana"), Seq("b", "an", "ana")))
+    assert(toks(4L) === Seq.empty, "empty text → no words")
+    // self-pair greedy parity: aaa → [aa, a]; untouched word survives
+    assert(toks(5L) === Seq(Seq("aa", "a"), Seq("x")))
+    // tokenizationSummary digest is order-sensitive: len·(31·wi + si)
+    val sum5 = Bpe.tokenizationSummary(
+      docs.filter(col("doc_id") === 5L), "doc_id", "text", merges).head()
+    // words [aa,a],[x]: digest = 2·(31+1) + 1·(31+2) + 1·(62+1) = 160
+    assert(sum5.getInt(1) === 2 && sum5.getLong(2) === 3L && sum5.getLong(3) === 160L)
+    val sum4 = Bpe.tokenizationSummary(
+      docs.filter(col("doc_id") === 4L), "doc_id", "text", merges).head()
+    assert(sum4.getInt(1) === 0 && sum4.getLong(2) === 0L && sum4.getLong(3) === 0L)
+  }
+
+  test("property: applyMerges token totals ≡ compressionStats on random corpora") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { _ =>
+      val corpus = (1 to 12).map { i =>
+        (i.toLong,
+          Seq.fill(rnd.nextInt(6) + 1)(
+            Seq.fill(rnd.nextInt(6) + 1)(('a' + rnd.nextInt(3)).toChar).mkString)
+            .mkString(" "))
+      }
+      val docs = corpus.toDF("doc_id", "text")
+      val merges = Bpe.learnMerges(docs, "text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val streamedTotal = Bpe.tokenizationSummary(docs, "doc_id", "text", merges)
+        .agg(fsum(col("n_tokens"))).head().getLong(0)
+      val trained = Bpe.compressionStats(docs, "text", rounds = 3).head()
+      assert(streamedTotal === trained.getAs[Long]("total_tokens"),
+        s"inference-path token total must equal the training frame's on $corpus")
+    }
+  }
+
   test("property: learnMerges matches a sequential reference BPE on random corpora") {
     // reference: plain sequential Scala BPE — count weighted adjacent
     // pairs, argmax under (count desc, left, right), leftmost-greedy

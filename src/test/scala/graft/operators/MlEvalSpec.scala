@@ -125,6 +125,23 @@ class MlEvalSpec extends SparkSpec {
     assert(op.length === 2 && op.forall(_.isNullAt(4)) && op.forall(!_.isNullAt(3)))
   }
 
+  test("averagePrecision: hand-computed step-wise AP; one-class NULL") {
+    // P = {0.9, 0.7, 0.3}, N = {0.8, 0.7, 0.1, 0.1} — the rocPoints corpus.
+    // Distinct scores desc: 0.9 (tp=1,fp=0), 0.8 (1,1), 0.7 (2,2),
+    // 0.3 (3,2), 0.1 (3,4). AP = (1·1/1 + 1·2/4 + 1·3/5) / 3 = 0.7
+    val rows = Seq((0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.7, 0.0),
+      (0.3, 1.0), (0.1, 0.0), (0.1, 0.0)).toDF("score", "y")
+    val r = MlEval.averagePrecision(rows, "y", "score").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) - 0.7) < 1e-15)
+    // perfect separation → AP = 1
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0)).toDF("score", "y")
+    assert(MlEval.averagePrecision(perfect, "y", "score").head().getDouble(2) === 1.0)
+    // no positives → NULL
+    val neg = Seq((0.9, 0.0), (0.1, 0.0)).toDF("score", "y")
+    assert(MlEval.averagePrecision(neg, "y", "score").head().isNullAt(2))
+  }
+
   test("raw unrounded sigmoids: quantized inside, bounded distinct-score frame") {
     // feed raw (unrounded) sigmoids whose 6-decimal quantizations COLLIDE:
     // the operator must quantize internally, so the distinct-score frame

@@ -266,6 +266,48 @@ class MultimodalSpec extends SparkSpec {
       capped.getLong(2) === 1L)
   }
 
+  test("WAV zero crossings: real AudioSystem files, hand-computed ZCR and silence") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def wav(rate: Float, bits: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, channels, bits > 8, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, data.length / (channels * bits / 8))
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def le16(vs: Int*): Array[Byte] =
+      vs.flatMap(v => Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+    // mono 16-bit square wave 1000,-1000,1000,-1000,1000: every step
+    // crosses → zcr = 1; silence threshold 32768/1000 = 32, none silent
+    val square = wav(8000f, 16, 1, le16(1000, -1000, 1000, -1000, 1000))
+    // mono 16-bit: 5,-5,9000,0,-9000 — |v|≤32 silent (3); crossings:
+    // (5,-5)=1, (-5,9000)=1, (9000,0)=0, (0,-9000)=0 → 2
+    val mixed = wav(8000f, 16, 1, le16(5, -5, 9000, 0, -9000))
+    // digital silence: all zeros — zcr 0, silence_rate 1
+    val silent = wav(8000f, 16, 1, le16(0, 0, 0, 0))
+    import spark.implicits._
+    val got = Seq((1L, square), (2L, mixed), (3L, silent))
+      .toDF("id", "payload")
+      .select(col("id"), explode(Multimodal.wavZeroCrossings(col("payload"))).as("e"))
+      .select(col("id"), col("e.n_frames"), col("e.n_zero_crossings"), col("e.zcr"),
+        col("e.n_silent"), col("e.silence_rate"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got(1L) === ((5L, 4L, 1.0, 0L, 0.0)))
+    assert(got(2L) === ((5L, 2L, 0.5, 3L, 0.6)))
+    assert(got(3L) === ((4L, 0L, 0.0, 4L, 1.0)))
+    // single frame: zcr NULL, counts still defined
+    val one = Seq((1L, wav(8000f, 16, 1, le16(7))))
+      .toDF("id", "payload")
+      .select(explode(Multimodal.wavZeroCrossings(col("payload"))).as("e"))
+      .select(col("e.n_frames"), col("e.zcr"), col("e.n_silent")).head()
+    assert(one.getLong(0) === 1L && one.isNullAt(1) && one.getLong(2) === 1L)
+  }
+
   test("BMP pixel stats: real ImageIO 24-bpp files yield exact channel stats; blank cut") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
