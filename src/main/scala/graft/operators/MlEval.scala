@@ -229,6 +229,94 @@ object MlEval {
           .as("average_precision"))
   }
 
+  /** SPLIT-CONFORMAL prediction sets (Vovk et al.; Papadopoulos et al.
+    * 2002) — the distribution-free uncertainty layer over a scored
+    * binary frame: rows matching `calPred` form the CALIBRATION split,
+    * whose true-class nonconformity r = (1 − s if y=1 else s) is ranked
+    * under the total order (r, then score, then label) and the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest becomes the threshold q̂; every other
+    * row's prediction set then contains class 1 iff 1−s ≤ q̂ and class
+    * 0 iff s ≤ q̂. One row: `(n_cal, k, qhat, n_eval, n_covered,
+    * coverage, avg_set_size)` — the conformal guarantee says coverage
+    * ≈ 1−α marginally; this measures it on the split. When
+    * ⌈(n_cal+1)(1−α)⌉ > n_cal (including an empty calibration) the
+    * threshold is VACUOUS: q̂ is NULL, every prediction set is {0,1},
+    * coverage 1, avg set size 2 — the honest conformal answer when the
+    * calibration sample cannot certify the level.
+    *
+    * Shape at scale: scores quantize internally (the [[binaryMetrics]]
+    * contract) so the rank window runs over the ≤2·(10⁶+1)-row distinct
+    * (r, s, y) calibration frame, never the corpus; q̂ broadcasts back
+    * as a 1-row frame and the eval pass is one scan-side aggregate.
+    */
+  def splitConformal(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      calPred: org.apache.spark.sql.Column,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val base = wellFormed(scored, labelCol, scoreCol)
+      .select(
+        round(col(scoreCol).cast("double"), 6).as("s"),
+        col(labelCol).cast("double").as("y"),
+        calPred.as("__cal"))
+    // distinct-(r,s,y) calibration frame with multiplicities: the rank
+    // of the k-th smallest over the corpus equals a cumulative-count
+    // scan over the tiny distinct frame
+    val cal = base.filter(col("__cal"))
+      .select(
+        when(col("y") === 1.0, lit(1.0) - col("s")).otherwise(col("s")).as("r"),
+        col("s"), col("y"))
+      .groupBy("r", "s", "y").agg(count(lit(1)).as("c"))
+    val upTo = Window.orderBy(col("r").asc, col("s").asc, col("y").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val calCum = cal.withColumn("__cum", sum(col("c")).over(upTo))
+      .localCheckpoint(true) // distinct-score-bounded; scanned twice below
+    val nk = calCum
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint").as("n_cal"))
+      .select(
+        col("n_cal"),
+        ceil((col("n_cal") + 1L).cast("double") * lit(1.0 - alpha)).cast("bigint")
+          .as("k"))
+    // q̂ = smallest r whose cumulative count reaches k; min over an empty
+    // filter (k > n_cal — the vacuous case — or empty calibration) → NULL
+    val resolved = calCum
+      .crossJoin(broadcast(nk))
+      .filter(col("__cum") >= col("k"))
+      .agg(min(col("r")).as("qhat"))
+      .crossJoin(broadcast(nk))
+      .select(col("n_cal"), col("k"), col("qhat"))
+      .localCheckpoint(true) // 1 row — frees calCum below
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(calCum)
+    val evalAgg = base.filter(!col("__cal"))
+      .crossJoin(broadcast(resolved))
+      .agg(
+        first(col("n_cal")).as("n_cal"),
+        first(col("k")).as("k"),
+        first(col("qhat")).as("qhat"),
+        count(lit(1)).cast("bigint").as("n_eval"),
+        sum(when(
+          coalesce(
+            when(col("y") === 1.0, lit(1.0) - col("s")).otherwise(col("s"))
+              <= col("qhat"),
+            lit(true)), // NULL qhat → vacuous threshold → always covered
+          1L).otherwise(0L)).cast("bigint").as("n_covered"),
+        sum(
+          when(col("qhat").isNull, 1L) // vacuous threshold: class always in
+            .when(lit(1.0) - col("s") <= col("qhat"), 1L).otherwise(0L)
+            + when(col("qhat").isNull, 1L)
+            .when(col("s") <= col("qhat"), 1L).otherwise(0L))
+          .cast("bigint").as("__sets"))
+      .select(
+        col("n_cal"), col("k"), col("qhat"), col("n_eval"), col("n_covered"),
+        when(col("n_eval") > 0,
+          col("n_covered").cast("double") / col("n_eval")).as("coverage"),
+        when(col("n_eval") > 0,
+          col("__sets").cast("double") / col("n_eval")).as("avg_set_size"))
+    evalAgg
+  }
+
   /** Post-hoc TEMPERATURE SCALING (Guo et al. 2017) — the fix companion
     * to [[calibration]]'s measurement: fit the single scalar T that
     * recalibrates scores as σ(logit(s)/T) by fixed-count gradient

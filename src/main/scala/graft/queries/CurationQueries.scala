@@ -673,7 +673,55 @@ object CurationQueries extends QueryGroup {
     out
   }
 
+  // Split-conformal prediction sets (operators.MlEval.splitConformal):
+  // the distribution-free uncertainty layer over the trained classifier
+  // — calibration split doc_id % 5 = 0, true-class nonconformity ranked
+  // under (r, s, y), threshold q̂ at ⌈(n+1)·0.9⌉, prediction-set
+  // membership and coverage measured on the rest. The oracle replays
+  // the full training unroll + the identical rank/threshold/coverage
+  // arithmetic; the hand-computed threshold and the vacuous small-n
+  // case live in MlEvalSpec.
+  private val qC20 = Q(
+    "q_c20_conformal_sets",
+    s"""WITH $qcTrainCtes,
+       |sc AS (SELECT f.doc_id, f.y,
+       |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
+       |       FROM f CROSS JOIN wt3),
+       |cal AS (SELECT CASE WHEN y = 1.0 THEN 1.0 - score ELSE score END AS r,
+       |               score AS s, y
+       |        FROM sc WHERE doc_id % 5 = 0),
+       |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+       |              CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k FROM cal),
+       |cum AS (SELECT r, sum(c) OVER (ORDER BY r, s, y
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+       |        FROM (SELECT r, s, y, count(*) AS c FROM cal GROUP BY 1, 2, 3)),
+       |q AS (SELECT min(r) AS qhat FROM cum CROSS JOIN nk WHERE cm >= nk.k),
+       |ev AS (SELECT y, score AS s FROM sc WHERE doc_id % 5 <> 0)
+       |SELECT nk.n_cal, nk.k, q.qhat,
+       |       CAST(count(*) AS BIGINT) AS n_eval,
+       |       CAST(sum(CASE WHEN q.qhat IS NULL THEN 1
+       |                WHEN (CASE WHEN ev.y = 1.0 THEN 1.0 - ev.s ELSE ev.s END)
+       |                     <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |       CAST(sum(CASE WHEN q.qhat IS NULL THEN 1
+       |                WHEN (CASE WHEN ev.y = 1.0 THEN 1.0 - ev.s ELSE ev.s END)
+       |                     <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |         AS coverage,
+       |       CAST(sum((CASE WHEN q.qhat IS NULL THEN 1
+       |                  WHEN 1.0 - ev.s <= q.qhat THEN 1 ELSE 0 END)
+       |               + (CASE WHEN q.qhat IS NULL THEN 1
+       |                  WHEN ev.s <= q.qhat THEN 1 ELSE 0 END)) AS DOUBLE)
+       |         / count(*) AS avg_set_size
+       |FROM ev CROSS JOIN nk CROSS JOIN q
+       |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val scored = qcScoredPinned(s, dir)
+    val out = graft.operators.MlEval.splitConformal(
+      scored, "y", "score", col("doc_id") % 5 === 0, alpha = 0.1)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(scored)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16, qC17, qC18, qC19)
+      qC15, qC16, qC17, qC18, qC19, qC20)
 }

@@ -524,7 +524,74 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("anchor_id")
   }
 
+  // Matryoshka-style TRUNCATED-DIMENSION recall sweep (Kusupati et al.
+  // 2022): brute-force top-10 over PREFIX-truncated embeddings (dims 16
+  // and 32 of 64) measured against the full-dimension exact answer —
+  // the number a pipeline reads before trading index cost for recall
+  // (searching 16 of 64 dims is a 4× scan/memory cut; this gate prices
+  // it). Unlike the floor-gated approximate indexes (q_v3/q_v5), BOTH
+  // engines compute the truncated answer EXACTLY, so recall is
+  // value-pinned per (dim, query), not floor-bounded: the oracle slices
+  // the same float arrays and replays the same double cosine + total
+  // order.
+  private val qV18: Q = {
+    def dimCte(name: String, dim: Int): String = {
+      val cos = duckCosine(s"q.embedding[1:$dim]", s"c.embedding[1:$dim]")
+      s"""$name AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY $cos DESC, c.vec_id) AS rk
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+         |    JOIN embeddings c ON c.vec_id <> q.vec_id)
+         |  WHERE rk <= 10)""".stripMargin
+    }
+    val cosFull = duckCosine("q.embedding", "c.embedding")
+    Q(
+      "q_v18_truncated_dim_recall",
+      s"""WITH ex AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY $cosFull DESC, c.vec_id) AS rk
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+         |    JOIN embeddings c ON c.vec_id <> q.vec_id)
+         |  WHERE rk <= 10),
+         |${dimCte("t16", 16)},
+         |${dimCte("t32", 32)},
+         |r16 AS (SELECT ex.query_id, CAST(count(t.neighbor_id) AS DOUBLE) / 10 AS recall
+         |        FROM ex LEFT JOIN t16 t ON t.query_id = ex.query_id
+         |          AND t.neighbor_id = ex.neighbor_id
+         |        GROUP BY 1),
+         |r32 AS (SELECT ex.query_id, CAST(count(t.neighbor_id) AS DOUBLE) / 10 AS recall
+         |        FROM ex LEFT JOIN t32 t ON t.query_id = ex.query_id
+         |          AND t.neighbor_id = ex.neighbor_id
+         |        GROUP BY 1)
+         |SELECT 16 AS dim, query_id, recall FROM r16
+         |UNION ALL SELECT 32, query_id, recall FROM r32
+         |ORDER BY dim, query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings").localCheckpoint(true)
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = SimilaritySearch
+        .bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10)
+        .localCheckpoint(true) // consumed once per dim
+      val perDim = Seq(16, 32).map { dim =>
+        val te = emb.select(
+          col("vec_id"), slice(col("embedding"), 1, dim).as("embedding"))
+        val approx = SimilaritySearch.bruteForceTopK(
+          te, te.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+        SimilaritySearch.recallAtK(exact, approx, 10)
+          .select(lit(dim).as("dim"), col("query_id"), col("recall"))
+      }
+      val out = perDim.reduce(_ unionAll _).orderBy("dim", "query_id")
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(exact)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(emb)
+      out
+    }
+  }
+
   override val all: Seq[Q] =
     Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13,
-      qV14, qV15, qV16, qV17)
+      qV14, qV15, qV16, qV17, qV18)
 }

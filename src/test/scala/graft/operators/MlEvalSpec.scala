@@ -142,6 +142,34 @@ class MlEvalSpec extends SparkSpec {
     assert(MlEval.averagePrecision(neg, "y", "score").head().isNullAt(2))
   }
 
+  test("splitConformal: hand-computed threshold, coverage, vacuous small-n case") {
+    import org.apache.spark.sql.functions.col
+    // calibration (flag=1): r = 1−s for y=1 else s →
+    //   (0.9,1)→0.1  (0.8,0)→0.8  (0.6,1)→0.4  (0.3,0)→0.3  (0.2,1)→0.8
+    // sorted r: 0.1, 0.3, 0.4, 0.8, 0.8 ; n=5, α=0.2 → k=⌈6·0.8⌉=5 → q̂=0.8
+    val rows = Seq(
+      (0.9, 1.0, 1), (0.8, 0.0, 1), (0.6, 1.0, 1), (0.3, 0.0, 1), (0.2, 1.0, 1),
+      // eval (flag=0): true-class r:  (0.7,1)→0.3 ≤ q̂ ✓  (0.95,0)→0.95 ✗
+      //   (0.1,0)→0.1 ✓ ; sets: 0.7→{1 (0.3≤.8), 0 (0.7≤.8)}=2,
+      //   0.95→{1 (0.05≤.8)}=1, 0.1→{1? 0.9>0.8 no; 0: 0.1≤0.8 yes}=1
+      (0.7, 1.0, 0), (0.95, 0.0, 0), (0.1, 0.0, 0)
+    ).toDF("score", "y", "cal")
+    val r = MlEval.splitConformal(rows, "y", "score", col("cal") === 1, alpha = 0.2)
+      .head()
+    assert(r.getAs[Long]("n_cal") === 5L && r.getAs[Long]("k") === 5L)
+    assert(math.abs(r.getAs[Double]("qhat") - 0.8) < 1e-12)
+    assert(r.getAs[Long]("n_eval") === 3L && r.getAs[Long]("n_covered") === 2L)
+    assert(math.abs(r.getAs[Double]("coverage") - 2.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("avg_set_size") - 4.0 / 3) < 1e-12)
+    // vacuous: n_cal=2, α=0.1 → k=⌈3·0.9⌉=3 > 2 → NULL q̂, full sets
+    val tiny = Seq((0.9, 1.0, 1), (0.2, 0.0, 1), (0.5, 1.0, 0), (0.5, 0.0, 0))
+      .toDF("score", "y", "cal")
+    val v = MlEval.splitConformal(tiny, "y", "score", col("cal") === 1, alpha = 0.1)
+      .head()
+    assert(v.getAs[Long]("k") === 3L && v.isNullAt(2))
+    assert(v.getAs[Double]("coverage") === 1.0 && v.getAs[Double]("avg_set_size") === 2.0)
+  }
+
   test("raw unrounded sigmoids: quantized inside, bounded distinct-score frame") {
     // feed raw (unrounded) sigmoids whose 6-decimal quantizations COLLIDE:
     // the operator must quantize internally, so the distinct-score frame
