@@ -431,4 +431,47 @@ object DataProfile {
       min_by(col("__v"), struct((-col("__d")).as("d"), col("__v").as("v")))
         .as("d_at_value"))
   }
+
+  /** KEY-SKEW diagnostics — the numbers the salting / AQE-skew-join /
+    * bucketing decisions read BEFORE the join runs: one row with
+    * `(n_rows, n_keys, max_key_rows, top1_share, top10_share, gini)`
+    * for the distribution of rows over `keyCol`. `gini` is the exact
+    * Gini coefficient of the key-count vector under the deterministic
+    * ascending order (count, then key):
+    *
+    *   G = (2·Σᵢ i·cᵢ) / (k·Σcᵢ) − (k+1)/k
+    *
+    * 0 = perfectly uniform keys, → 1 = all rows on one key. A join key
+    * with top1_share ≫ 1/k is the salting candidate; gini summarizes
+    * the whole tail. NULL keys are excluded (they broadcast-null out of
+    * equi-joins anyway).
+    *
+    * Shape at scale: ONE hash aggregate reduces the table to its key
+    * counts; the rank window and top-k run over that |keys|-row frame,
+    * never the table. All sufficient statistics are exact integers.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val ranked = counts.withColumn(
+      "__i", row_number().over(Window.orderBy(col("__c").asc, col("__k").asc)))
+    ranked
+      .crossJoin(broadcast(counts
+        .orderBy(col("__c").desc, col("__k").asc)
+        .limit(10)
+        .agg(max(col("__c")).as("__max1"), sum(col("__c")).as("__top10"))))
+      .agg(
+        sum(col("__c")).cast("bigint").as("n_rows"),
+        count(lit(1)).cast("bigint").as("n_keys"),
+        first(col("__max1")).cast("bigint").as("max_key_rows"),
+        first(col("__top10")).cast("bigint").as("__t10"),
+        sum(col("__i").cast("bigint") * col("__c")).cast("bigint").as("__iw"))
+      .select(
+        col("n_rows"), col("n_keys"), col("max_key_rows"),
+        (col("max_key_rows").cast("double") / col("n_rows")).as("top1_share"),
+        (col("__t10").cast("double") / col("n_rows")).as("top10_share"),
+        (lit(2.0) * col("__iw") / (col("n_keys") * col("n_rows")) -
+          (col("n_keys") + 1L).cast("double") / col("n_keys")).as("gini"))
+  }
 }

@@ -378,6 +378,33 @@ object LayoutQueries extends QueryGroup {
       .orderBy("event_type")
   }
 
+  // KEY-SKEW diagnostics (operators.DataProfile.keySkewReport): the
+  // pre-join report the salting / AQE-skew / bucketing decisions read —
+  // rows-per-key max, top-1/top-10 shares, and the exact Gini of the
+  // key-count vector under the deterministic (count, key) order. One
+  // hash aggregate reduces the table to key counts; everything else
+  // runs over the |keys|-row frame. The oracle replays the identical
+  // rank/Gini integer arithmetic.
+  private val qL6 = Q(
+    "q_l6_key_skew",
+    """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS k, count(*) AS c
+      |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i FROM c),
+      |t AS (SELECT max(c) AS m1, sum(c) AS t10 FROM
+      |        (SELECT c FROM c ORDER BY c DESC, k ASC LIMIT 10)),
+      |ag AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+      |              CAST(count(*) AS BIGINT) AS n_keys,
+      |              CAST(sum(i * c) AS BIGINT) AS iw FROM r)
+      |SELECT ag.n_rows, ag.n_keys, CAST(t.m1 AS BIGINT) AS max_key_rows,
+      |       CAST(t.m1 AS DOUBLE) / ag.n_rows AS top1_share,
+      |       CAST(t.t10 AS DOUBLE) / ag.n_rows AS top10_share,
+      |       2.0 * ag.iw / (ag.n_keys * ag.n_rows)
+      |         - CAST(ag.n_keys + 1 AS DOUBLE) / ag.n_keys AS gini
+      |FROM ag CROSS JOIN t""".stripMargin) { (s, dir) =>
+    graft.operators.DataProfile.keySkewReport(
+      Tables.load(s, dir, "lineitem"), "l_suppkey")
+  }
+
   override val all: Seq[Q] =
-    Seq(qL1, qL2, qS2, qL3, qL4, qL5, qS3, qS4, qS5, qS6, qS7, qS8)
+    Seq(qL1, qL2, qS2, qL3, qL4, qL5, qL6, qS3, qS4, qS5, qS6, qS7, qS8)
 }

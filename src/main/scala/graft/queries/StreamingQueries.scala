@@ -468,7 +468,40 @@ object StreamingQueries extends QueryGroup {
     graft.streaming.CorpusStream.bpeTokenizedAvailableNow(s, dir)
   }
 
+  // Streaming conformal scoring (CorpusStream.conformalScoredAvailableNow):
+  // classifier weights AND the split-conformal threshold fitted in
+  // batch (q_c20's machinery) ship as plan literals; every streamed doc
+  // gets score + prediction-set membership statelessly. The oracle
+  // replays the training unroll, the threshold rank, and every per-doc
+  // set decision — streamed uncertainty ≡ the batch conformal layer.
+  private val qSt21 = Q(
+    "q_st21_stream_conformal",
+    s"""WITH ${CurationQueries.qcTrainCtes},
+       |sc AS (SELECT f.doc_id, f.y,
+       |              round(1.0 / (1.0 + exp(-(${CurationQueries.qcZ("wt3")}))), 6) AS score
+       |       FROM f CROSS JOIN wt3),
+       |cal AS (SELECT CASE WHEN y = 1.0 THEN 1.0 - score ELSE score END AS r,
+       |               score AS s, y
+       |        FROM sc WHERE doc_id % 5 = 0),
+       |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+       |              CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k FROM cal),
+       |cum AS (SELECT r, sum(c) OVER (ORDER BY r, s, y
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+       |        FROM (SELECT r, s, y, count(*) AS c FROM cal GROUP BY 1, 2, 3)),
+       |q AS (SELECT min(r) AS qhat FROM cum CROSS JOIN nk WHERE cm >= nk.k)
+       |SELECT sc.doc_id, sc.score,
+       |       (q.qhat IS NULL OR 1.0 - sc.score <= q.qhat) AS in_set_1,
+       |       (q.qhat IS NULL OR sc.score <= q.qhat) AS in_set_0,
+       |       CAST((CASE WHEN q.qhat IS NULL OR 1.0 - sc.score <= q.qhat
+       |              THEN 1 ELSE 0 END)
+       |          + (CASE WHEN q.qhat IS NULL OR sc.score <= q.qhat
+       |              THEN 1 ELSE 0 END) AS INT) AS set_size
+       |FROM sc CROSS JOIN q
+       |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
+    graft.streaming.CorpusStream.conformalScoredAvailableNow(s, dir)
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20)
+      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21)
 }

@@ -72,6 +72,19 @@ class BpeSpec extends SparkSpec {
     assert(sum4.getInt(1) === 0 && sum4.getLong(2) === 0L && sum4.getLong(3) === 0L)
   }
 
+  test("tokenizationSummaryByVocab ≡ scan-side tokenizationSummary, row for row") {
+    import org.apache.spark.sql.functions.col
+    val merges = Seq(("a", "a"), ("a", "n"), ("an", "a"))
+    val docs = Seq(
+      (1L, "aaaa AAAA"), (2L, "aab banana"), (3L, "banana  banana"),
+      (4L, ""), (5L, "aaa x"), (6L, "banana aaaa aab aaa")).toDF("doc_id", "text")
+    val scanSide = Bpe.tokenizationSummary(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val byVocab = Bpe.tokenizationSummaryByVocab(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(byVocab === scanSide)
+  }
+
   test("property: applyMerges token totals ≡ compressionStats on random corpora") {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val rnd = new scala.util.Random(20260814L)

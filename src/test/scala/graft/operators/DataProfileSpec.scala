@@ -126,6 +126,27 @@ class DataProfileSpec extends SparkSpec {
     assert(d.getLong(3) === 0 && d.isNullAt(5))
   }
 
+  test("keySkewReport: hand-computed shares and Gini; uniform → 0; nulls excluded") {
+    import spark.implicits._
+    // counts: a=1, b=2, c=5 (asc order a,b,c → i = 1,2,3)
+    // G = 2·(1·1 + 2·2 + 3·5)/(3·8) − 4/3 = 40/24 − 4/3 = 1/3
+    val rows = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(5)("c") ++
+      Seq.fill(3)(null.asInstanceOf[String])).toDF("k")
+    val r = DataProfile.keySkewReport(rows, "k").head()
+    assert(r.getLong(0) === 8L && r.getLong(1) === 3L && r.getLong(2) === 5L)
+    assert(r.getDouble(3) === 5.0 / 8 && r.getDouble(4) === 1.0)
+    assert(math.abs(r.getDouble(5) - 1.0 / 3) < 1e-12)
+    // perfectly uniform keys → Gini 0
+    val uni = (1 to 4).flatMap(i => Seq.fill(3)(s"k$i")).toDF("k")
+    val u = DataProfile.keySkewReport(uni, "k").head()
+    assert(u.getLong(1) === 4L && math.abs(u.getDouble(5)) < 1e-12)
+    // extreme skew: 1 row each on 9 keys + 991 on one → Gini near 1
+    val skew = ((1 to 9).map(i => s"s$i") ++ Seq.fill(991)("hot")).toDF("k")
+    val sk = DataProfile.keySkewReport(skew, "k").head()
+    assert(sk.getLong(2) === 991L && sk.getDouble(3) === 0.991)
+    assert(sk.getDouble(5) > 0.85)
+  }
+
   test("ksTwoSample: identical samples give D = 0; other groups ignored") {
     import spark.implicits._
     val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0),
