@@ -450,6 +450,51 @@ object DataProfile {
     * counts; the rank window and top-k run over that |keys|-row frame,
     * never the table. All sufficient statistics are exact integers.
     */
+  /** EXACT equi-join size prediction from key-count frames — the other
+    * number the join planner wants next to [[keySkewReport]]:
+    * |A ⋈ B| = Σ_k cA(k)·cB(k), computed from the two per-key count
+    * aggregates WITHOUT running the join. One row: `(n_left, n_right,
+    * n_common_keys, predicted_rows, max_key_rows, top_key)` where
+    * `max_key_rows` is the largest single-key contribution and
+    * `top_key` its key (ties broken by key ascending) — the row that
+    * tells you whether the join output is dominated by one hot key
+    * (the skew-join case) or spread. All exact integers.
+    *
+    * Shape at scale: two hash aggregates (table → key counts) and one
+    * join of the count frames — orders of magnitude smaller than the
+    * data join it predicts. NULL keys excluded on both sides (they
+    * never match in an equi-join).
+    */
+  def joinSizeProfile(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String): DataFrame = {
+    def counts(df: DataFrame, k: String) =
+      df.filter(col(k).isNotNull)
+        .groupBy(col(k).cast("string").as("__k"))
+        .agg(count(lit(1)).as("__c"))
+    val ca = counts(left, leftKey)
+    val cb = counts(right, rightKey)
+    val joined = ca.toDF("__k", "__ca")
+      .join(cb.toDF("__k", "__cb"), Seq("__k"))
+      .select(col("__k"), (col("__ca") * col("__cb")).as("__prod"))
+    joined
+      .agg(
+        count(lit(1)).cast("bigint").as("n_common_keys"),
+        coalesce(sum(col("__prod")), lit(0L)).cast("bigint").as("predicted_rows"),
+        coalesce(max(col("__prod")), lit(0L)).cast("bigint").as("max_key_rows"),
+        min_by(col("__k"), struct((-col("__prod")).as("p"), col("__k").as("k")))
+          .as("top_key"))
+      .crossJoin(broadcast(ca.agg(
+        coalesce(sum(col("__c")), lit(0L)).cast("bigint").as("n_left"))))
+      .crossJoin(broadcast(cb.agg(
+        coalesce(sum(col("__c")), lit(0L)).cast("bigint").as("n_right"))))
+      .select(
+        col("n_left"), col("n_right"), col("n_common_keys"),
+        col("predicted_rows"), col("max_key_rows"), col("top_key"))
+  }
+
   def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("__k"))

@@ -394,6 +394,70 @@ object MlEval {
     * hash aggregate reduces the corpus to ≤ nBins rows; the ECE window
     * runs over that tiny frame only.
     */
+  /** ISOTONIC calibration over the score-decile bins — the
+    * nonparametric companion to [[temperatureScale]]: fit the monotone
+    * step function minimizing squared error to the per-bin positive
+    * rates via the MINIMAX identity (Barlow et al. 1972),
+    *
+    *   iso_i = max_{j ≤ i} min_{k ≥ i} (Σ pos over bins j..k)/(Σ n),
+    *
+    * which equals the pool-adjacent-violators solution EXACTLY but
+    * needs no sequential pooling loop: with B bins it is one B³-row
+    * self-join over the prefix-sum frame — B ≤ nBins makes that a
+    * few-hundred-row cross product, scan-side, fully oracle-replayable
+    * (every segment mean is a ratio of exact integers). One row per
+    * NON-EMPTY bin: `(bin, n_docs, mean_score, pos_rate, iso_fitted)`,
+    * `iso_fitted` nondecreasing in bin (the gate REQUIREs it).
+    *
+    * Shape at scale: the same ONE corpus-reducing hash aggregate as
+    * [[calibration]]; everything after runs on the ≤nBins-row frame.
+    */
+  def isotonicCalibration(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "need at least one bin")
+    val s6 = round(col(scoreCol).cast("double"), 6)
+    val bin = least(floor(s6 * nBins).cast("int"), lit(nBins - 1))
+    val bins = wellFormed(scored, labelCol, scoreCol)
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(s6.cast("decimal(38,6)")).as("__ss"),
+        sum(when(col(labelCol).cast("double") === 1.0, 1L).otherwise(0L))
+          .as("pos"))
+    val byBin = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // prefix sums over the ≤nBins-row frame: segment (j..k) totals are
+    // prefix differences, so the B³ triple join below carries integers
+    val pre = bins
+      .withColumn("cn", sum(col("n")).over(byBin))
+      .withColumn("cp", sum(col("pos")).over(byBin))
+      .select(col("bin"), col("n"), col("pos"), col("__ss"), col("cn"), col("cp"))
+    val segs = pre.select(col("bin").as("__j"), (col("cn") - col("n")).as("__cnj"),
+        (col("cp") - col("pos")).as("__cpj"))
+      .join(pre.select(col("bin").as("__k"), col("cn").as("__cnk"),
+        col("cp").as("__cpk")), col("__j") <= col("__k"))
+      .select(col("__j"), col("__k"),
+        ((col("__cpk") - col("__cpj")).cast("double") /
+          (col("__cnk") - col("__cnj")).cast("double")).as("__m"))
+    val fitted = pre.select(col("bin").as("__i"))
+      .join(segs, col("__j") <= col("__i") && col("__i") <= col("__k"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(min(col("__m")).as("__innermin"))
+      .groupBy(col("__i"))
+      .agg(max(col("__innermin")).as("iso_fitted"))
+    pre
+      .join(fitted, pre("bin") === fitted("__i"))
+      .select(
+        col("bin"),
+        col("n").cast("bigint").as("n_docs"),
+        (col("__ss").cast("double") / col("n")).as("mean_score"),
+        (col("pos").cast("double") / col("n")).as("pos_rate"),
+        col("iso_fitted"))
+  }
+
   def calibration(
       scored: DataFrame,
       labelCol: String,

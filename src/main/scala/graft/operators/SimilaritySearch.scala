@@ -778,4 +778,65 @@ object SimilaritySearch {
         col("query_id"),
         (coalesce(col("__hits"), lit(0L)).cast("double") / k).as("recall"))
   }
+
+  /** EMBEDDING OUTLIERS by diagonal-covariance Mahalanobis distance —
+    * the geometric "is this vector even from the same distribution"
+    * cut an embedding-quality pipeline applies before dedup/clustering
+    * trusts the geometry (corrupt encodes, all-zero vectors, and
+    * projection bugs all land in the tail). Per dimension d the corpus
+    * mean μ_d and variance σ²_d come from exact DECIMAL sums (the
+    * label-centroid discipline — shuffle-order-proof), ship back as
+    * plan literals (one bounded dim-count artifact, the IVF-centroid
+    * posture), and every vector's
+    *
+    *   D² = Σ_d (x_d − μ_d)² / σ²_d      (zero-variance dims skip)
+    *
+    * folds scan-side left-to-right. Returns the top `k` by
+    * (D² rounded to 6 decimals) DESC then id ASC — the q_e19 rounded-
+    * argmax discipline, so near-ties cannot flip between engines —
+    * as `(vec_id, m_dist2, rank)`.
+    *
+    * Shape at scale: one posexplode aggregate for the stats (dims × a
+    * hash agg), one literal-array scan for the distances, one
+    * TakeOrderedAndProject for the cut. No joins, no state.
+    */
+  def mahalanobisOutliers(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "need a positive top-k")
+    val stats = graft.Tables.spread(vectors)
+      .select(posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .groupBy(col("__p"))
+      .agg(
+        (sum(col("__v").cast("decimal(20,10)")).cast("double") / count(lit(1)))
+          .as("__mu"),
+        (sum((col("__v").cast("double") * col("__v").cast("double"))
+          .cast("decimal(38,12)")).cast("double") / count(lit(1))).as("__m2"))
+      .select(col("__p"), col("__mu"), (col("__m2") - col("__mu") * col("__mu")).as("__var"))
+      .orderBy("__p")
+      .collect() // bounded: one row per embedding dimension
+    val muArr = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val varArr = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val terms = zip_with(
+      zip_with(col(vecCol), muArr,
+        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+      varArr,
+      (t, v) => when(v > 0.0, t / v).otherwise(0.0))
+    vectors
+      .select(
+        col(idCol).as("vec_id"),
+        aggregate(terms, lit(0.0), (acc, t) => acc + t).as("m_dist2"))
+      .withColumn("__r6", round(col("m_dist2"), 6))
+      .orderBy(col("__r6").desc, col("vec_id").asc)
+      .limit(k)
+      .select(
+        // 4-decimal render: list_sum in the oracle engine is not a plain
+        // left fold, so the last ulp of the 64-term sum can differ — the
+        // ORDER uses 6 decimals, the VALUE ships at 4 (both engines)
+        col("vec_id"), round(col("m_dist2"), 4).as("m_dist2"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__r6").desc, col("vec_id").asc)).cast("int").as("rank"))
+  }
 }

@@ -721,7 +721,66 @@ object CurationQueries extends QueryGroup {
     out
   }
 
+  // Isotonic calibration (operators.MlEval.isotonicCalibration): the
+  // nonparametric companion to q_c17's temperature scaling — the
+  // monotone step fit to the per-bin positive rates via the MINIMAX
+  // identity (≡ pool-adjacent-violators exactly, Barlow et al. 1972),
+  // computed as one B³ self-join over the prefix-sum bin frame instead
+  // of a sequential pooling loop. Every segment mean is a ratio of
+  // exact integers, so the oracle replays the identical triple join;
+  // the in-engine REQUIRE pins monotonicity, the spec pins equality
+  // with an independent driver-side PAV on random profiles.
+  private val qC21 = Q(
+    "q_c21_isotonic_calibration",
+    s"""WITH $qcTrainCtes,
+       |sc AS (SELECT f.doc_id, f.y,
+       |              round(1.0 / (1.0 + exp(-(${qcZ("wt3")}))), 6) AS score
+       |       FROM f CROSS JOIN wt3),
+       |bins AS (
+       |  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+       |         count(*) AS n,
+       |         sum(CAST(score AS DECIMAL(38,6))) AS ss,
+       |         sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pos
+       |  FROM sc GROUP BY 1),
+       |pre AS (
+       |  SELECT bin, n, pos, ss,
+       |         sum(n) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+       |         sum(pos) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+       |  FROM bins),
+       |segs AS (
+       |  SELECT j.bin AS bj, k.bin AS bk,
+       |         CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+       |           / (k.cn - (j.cn - j.n)) AS m
+       |  FROM pre j JOIN pre k ON j.bin <= k.bin),
+       |inner_ AS (
+       |  SELECT i.bin, s.bj, min(s.m) AS innermin
+       |  FROM pre i JOIN segs s ON s.bj <= i.bin AND i.bin <= s.bk
+       |  GROUP BY 1, 2),
+       |fit AS (SELECT bin, max(innermin) AS iso FROM inner_ GROUP BY 1)
+       |SELECT pre.bin, CAST(pre.n AS BIGINT) AS n_docs,
+       |       CAST(pre.ss AS DOUBLE) / pre.n AS mean_score,
+       |       CAST(pre.pos AS DOUBLE) / pre.n AS pos_rate,
+       |       fit.iso AS iso_fitted
+       |FROM pre JOIN fit ON fit.bin = pre.bin
+       |ORDER BY pre.bin""".stripMargin) { (s, dir) =>
+    val scored = qcScoredPinned(s, dir)
+    val out = graft.operators.MlEval
+      .isotonicCalibration(scored, "y", "score", nBins = 10)
+      .orderBy("bin")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(scored)
+    val fits = out.select("iso_fitted").collect().map(_.getDouble(0))
+    fits.sliding(2).foreach {
+      case Array(a, b) => require(a <= b,
+        s"q_c21: isotonic fit must be nondecreasing, got $a then $b")
+      case _ => ()
+    }
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16, qC17, qC18, qC19, qC20)
+      qC15, qC16, qC17, qC18, qC19, qC20, qC21)
 }

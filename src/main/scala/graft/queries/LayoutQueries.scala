@@ -405,6 +405,40 @@ object LayoutQueries extends QueryGroup {
       Tables.load(s, dir, "lineitem"), "l_suppkey")
   }
 
+  // Exact equi-join size prediction (DataProfile.joinSizeProfile):
+  // |A ⋈ B| = Σ_k cA(k)·cB(k) from the key-count frames, WITHOUT
+  // running the join — the planner's output-cardinality number next to
+  // q_l6's input-skew report. The in-engine REQUIRE proves the identity
+  // by running the real join once at gate scale and comparing counts;
+  // the oracle replays the count-frame arithmetic.
+  private val qL7 = Q(
+    "q_l7_join_size_profile",
+    """WITH ca AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS c
+      |            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+      |cb AS (SELECT CAST(c_custkey AS VARCHAR) AS k, count(*) AS c
+      |       FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+      |j AS (SELECT ca.k, ca.c * cb.c AS prod FROM ca JOIN cb ON ca.k = cb.k)
+      |SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ca) AS n_left,
+      |       (SELECT CAST(sum(c) AS BIGINT) FROM cb) AS n_right,
+      |       CAST(count(*) AS BIGINT) AS n_common_keys,
+      |       CAST(sum(prod) AS BIGINT) AS predicted_rows,
+      |       CAST(max(prod) AS BIGINT) AS max_key_rows,
+      |       (SELECT k FROM j ORDER BY prod DESC, k ASC LIMIT 1) AS top_key
+      |FROM j""".stripMargin) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val out = graft.operators.DataProfile
+      .joinSizeProfile(orders, "o_custkey", customer, "c_custkey")
+      .localCheckpoint(true)
+    // the identity check: the prediction must equal the real join's size
+    val predicted = out.head().getAs[Long]("predicted_rows")
+    val actual = orders.join(
+      customer, orders("o_custkey") === customer("c_custkey")).count()
+    require(predicted == actual,
+      s"q_l7: predicted join size $predicted must equal the real join's $actual")
+    out
+  }
+
   override val all: Seq[Q] =
-    Seq(qL1, qL2, qS2, qL3, qL4, qL5, qL6, qS3, qS4, qS5, qS6, qS7, qS8)
+    Seq(qL1, qL2, qS2, qL3, qL4, qL5, qL6, qL7, qS3, qS4, qS5, qS6, qS7, qS8)
 }

@@ -591,7 +591,48 @@ object SimilarityQueries extends QueryGroup {
     }
   }
 
+  // Embedding outliers by diagonal-Mahalanobis distance
+  // (SimilaritySearch.mahalanobisOutliers): the "is this vector from
+  // the same distribution" cut applied before the geometry is trusted.
+  // Per-dim stats via the q_v7 exact-DECIMAL sums (shuffle-order-proof)
+  // ship as plan literals; distances fold scan-side; the top-k cut
+  // orders by the 6-decimal-rounded distance (q_e19 discipline). The
+  // oracle recomputes stats AND distances independently over the
+  // exploded frame.
+  private val qV19 = Q(
+    "q_v19_mahalanobis_outliers",
+    """WITH st AS (
+      |  SELECT pos,
+      |         CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mu,
+      |         CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)
+      |                  AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m2
+      |  FROM (SELECT unnest(embedding) AS val,
+      |               unnest(range(len(embedding))) AS pos
+      |        FROM embeddings)
+      |  GROUP BY pos),
+      |mul AS (SELECT list(mu ORDER BY pos) AS mus,
+      |               list(m2 - mu * mu ORDER BY pos) AS vars
+      |        FROM st),
+      |d AS (
+      |  SELECT e.vec_id,
+      |         list_sum(list_transform(range(len(e.embedding)), i ->
+      |           CASE WHEN m.vars[i + 1] > 0
+      |                THEN (CAST(e.embedding[i + 1] AS DOUBLE) - m.mus[i + 1])
+      |                   * (CAST(e.embedding[i + 1] AS DOUBLE) - m.mus[i + 1])
+      |                   / m.vars[i + 1]
+      |                ELSE 0 END)) AS d2
+      |  FROM embeddings e CROSS JOIN mul m)
+      |SELECT vec_id, round(d2, 4) AS m_dist2,
+      |       CAST(row_number() OVER (ORDER BY round(d2, 6) DESC, vec_id) AS INT) AS rank
+      |FROM d
+      |QUALIFY rank <= 20
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    SimilaritySearch.mahalanobisOutliers(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 20)
+      .orderBy("rank")
+  }
+
   override val all: Seq[Q] =
     Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13,
-      qV14, qV15, qV16, qV17, qV18)
+      qV14, qV15, qV16, qV17, qV18, qV19)
 }

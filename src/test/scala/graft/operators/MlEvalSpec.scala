@@ -170,6 +170,59 @@ class MlEvalSpec extends SparkSpec {
     assert(v.getAs[Double]("coverage") === 1.0 && v.getAs[Double]("avg_set_size") === 2.0)
   }
 
+  test("isotonicCalibration: minimax equals PAV — hand pool, full reversal, reference") {
+    import org.apache.spark.sql.functions.col
+    def mk(rows: Seq[(Double, Int, Int)]): org.apache.spark.sql.DataFrame =
+      // (bin-center score, positives, negatives) → per-row frame
+      rows.flatMap { case (s, p, n) =>
+        Seq.fill(p)((s, 1.0)) ++ Seq.fill(n)((s, 0.0))
+      }.toDF("score", "y")
+    // pos rates [0.2, 0.5, 0.4, 0.8] over equal bins → PAV pools bins
+    // 2 and 3 → [0.2, 0.45, 0.45, 0.8]
+    val pooled = MlEval.isotonicCalibration(
+      mk(Seq((0.05, 2, 8), (0.15, 5, 5), (0.25, 4, 6), (0.35, 8, 2))),
+      "y", "score").orderBy("bin").collect()
+    assert(pooled.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    assert(pooled.map(_.getAs[Double]("iso_fitted")).toSeq ===
+      Seq(0.2, 0.45, 0.45, 0.8))
+    assert(pooled.map(_.getAs[Double]("pos_rate")).toSeq === Seq(0.2, 0.5, 0.4, 0.8))
+    // fully reversed rates pool into one block: the global mean
+    val flat = MlEval.isotonicCalibration(
+      mk(Seq((0.05, 9, 1), (0.15, 1, 9))), "y", "score")
+      .orderBy("bin").collect().map(_.getAs[Double]("iso_fitted"))
+    assert(flat.toSeq === Seq(0.5, 0.5))
+    // property vs an independent driver-side PAV on random bin profiles
+    val rnd = new scala.util.Random(11L)
+    (1 to 3).foreach { _ =>
+      val profile = (0 until 6).map(b =>
+        ((b + 0.5) / 10.0, rnd.nextInt(8) + 1, rnd.nextInt(8) + 1))
+      def pav(ws: Seq[(Long, Long)]): Seq[Double] = {
+        // blocks of (n, pos); merge while a block's mean < its left's
+        val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        ws.foreach { case (n, p) =>
+          blocks += ((n, p, 1))
+          while (blocks.length >= 2 &&
+            blocks(blocks.length - 1)._2 * blocks(blocks.length - 2)._1 <=
+              blocks(blocks.length - 2)._2 * blocks(blocks.length - 1)._1) {
+            val a = blocks.remove(blocks.length - 1)
+            val b = blocks.remove(blocks.length - 1)
+            blocks += ((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+          }
+        }
+        blocks.toSeq.flatMap { case (n, p, c) =>
+          Seq.fill(c)(p.toDouble / n)
+        }
+      }
+      val expected = pav(profile.map { case (_, p, n) => ((p + n).toLong, p.toLong) })
+      val got = MlEval.isotonicCalibration(mk(profile), "y", "score")
+        .orderBy("bin").collect().map(_.getAs[Double]("iso_fitted"))
+      got.zip(expected).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-12, s"profile $profile: got ${got.toSeq} want $expected")
+      }
+      assert(got.toSeq === got.sorted.toSeq, "monotone nondecreasing")
+    }
+  }
+
   test("raw unrounded sigmoids: quantized inside, bounded distinct-score frame") {
     // feed raw (unrounded) sigmoids whose 6-decimal quantizations COLLIDE:
     // the operator must quantize internally, so the distinct-score frame

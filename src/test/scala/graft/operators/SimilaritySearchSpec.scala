@@ -328,4 +328,22 @@ class SimilaritySearchSpec extends SparkSpec {
       assert(g.getDouble(3) === w.getDouble(2) && g.getDouble(5) === w.getDouble(4))
     }
   }
+  test("mahalanobisOutliers: planted outlier ranks first; zero-variance dim skipped") {
+    // 10 inliers near (1, 5, c) + one far outlier; dim 3 is CONSTANT
+    // (zero variance) and must not divide-by-zero or contribute
+    val rows = (1L to 10L).map { i =>
+      (i, Seq(1f + (i % 3) * 0.1f, 5f - (i % 2) * 0.2f, 7f))
+    } :+ ((99L, Seq(50f, -40f, 7f)))
+    val got = SimilaritySearch.mahalanobisOutliers(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(got.head.getLong(0) === 99L && got.head.getInt(2) === 1)
+    assert(got.head.getDouble(1) > got(1).getDouble(1) * 10,
+      "the planted outlier dominates the tail")
+    assert(got.forall(r => !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite),
+      "zero-variance dim must be skipped, not divided by")
+    // distances are nonnegative and ranks dense 1..k
+    assert(got.map(_.getInt(2)).toSeq === Seq(1, 2, 3))
+    assert(got.forall(_.getDouble(1) >= 0.0))
+  }
 }
