@@ -420,4 +420,59 @@ object NearDup {
             x => x.getField("seg")),
           " ")).as("dedup_md5"))
   }
+
+  /** BLOCKING-QUALITY evaluation — the numbers that justify (or indict)
+    * an approximate near-dup scheme before it runs at corpus scale:
+    * measure the SimHash-blocked candidate pairs against the EXACT
+    * k-shingle-Jaccard ground truth ([[ngramJaccardPairs]] — complete:
+    * any pair at Jaccard ≥ t shares a shingle, so the inverted index
+    * cannot miss it). One row:
+    * `(n_docs, n_all_pairs, n_true_pairs, n_candidates, n_found,
+    * pair_recall, precision, reduction_ratio)` — recall of the truth
+    * set inside the candidates, precision of the candidates against the
+    * truth, and the fraction of the n(n−1)/2 comparisons the blocking
+    * avoided (the whole point of blocking). Guarded NULLs for the
+    * empty-denominator cases.
+    *
+    * Shape at scale: both pair sets are the already-blocked operators
+    * (inverted index / Charikar blocks), never all-pairs; the three
+    * counts are bounded driver scalars. This is an EVALUATION operator —
+    * run it on a labeled slice, read the trade-off, then ship the
+    * blocking corpus-wide.
+    */
+  def blockingQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      jaccardThreshold: Double = 0.8,
+      maxHamming: Int = 3,
+      numBlocks: Int = 4,
+      signatureOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        t => Hashing.simHash(TextAnalysis.tokens(t))): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val truth = ngramJaccardPairs(docs, idCol, textCol, k, jaccardThreshold)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val cand = simHashPairs(docs, idCol, textCol, maxHamming, numBlocks, signatureOf)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val nDocs = docs.count()
+    val nTrue = truth.count()
+    val nCand = cand.count()
+    val nFound = truth.join(cand, Seq("id_a", "id_b"), "left_semi").count()
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(truth)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(cand)
+    val allPairs = nDocs * (nDocs - 1) / 2
+    Seq((nDocs, allPairs, nTrue, nCand, nFound))
+      .toDF("n_docs", "n_all_pairs", "n_true_pairs", "n_candidates", "n_found")
+      .select(
+        col("*"),
+        when(col("n_true_pairs") > 0,
+          col("n_found").cast("double") / col("n_true_pairs")).as("pair_recall"),
+        when(col("n_candidates") > 0,
+          col("n_found").cast("double") / col("n_candidates")).as("precision"),
+        when(col("n_all_pairs") > 0,
+          lit(1.0) - col("n_candidates").cast("double") / col("n_all_pairs"))
+          .as("reduction_ratio"))
+  }
 }

@@ -589,7 +589,81 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Blocking-quality evaluation (NearDup.blockingQuality): SimHash
+  // blocking graded against the EXACT shingle-Jaccard ground truth —
+  // pair recall, precision, and the reduction ratio that justifies
+  // blocking at all. Portable md5 signature keeps EVERY number in
+  // DuckDB's reach: the oracle recomputes the candidate set (q_d4's
+  // sig replay, brute hamming ≡ blocked by pigeonhole), the truth set
+  // (the pairsOracle shingle machinery), their intersection, and the
+  // ratios — a value-exact evaluation harness, not a floor gate.
+  private val qD18 = Q(
+    "q_d18_blocking_quality",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(tk) - 1),
+      |                                 i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(tk) >= 3
+      |    UNION ALL
+      |    SELECT doc_id, array_to_string(tk, ' ') AS s
+      |    FROM toks WHERE len(tk) < 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |tw AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |th AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM tw),
+      |votes AS (
+      |  SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT unnest(range(60)) AS j) bits
+      |  GROUP BY doc_id, j),
+      |sig0 AS (
+      |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS sim
+      |  FROM votes GROUP BY doc_id),
+      |sig AS (
+      |  SELECT d.doc_id, coalesce(s.sim, 0) AS sim
+      |  FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |cnt AS (
+      |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+      |         (SELECT CAST(count(*) AS BIGINT)
+      |          FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+      |           AS n_found)
+      |SELECT nn.n_docs,
+      |       CAST(nn.n_docs * (nn.n_docs - 1) // 2 AS BIGINT) AS n_all_pairs,
+      |       cnt.n_true_pairs, cnt.n_candidates, cnt.n_found,
+      |       CASE WHEN cnt.n_true_pairs > 0
+      |            THEN CAST(cnt.n_found AS DOUBLE) / cnt.n_true_pairs END AS pair_recall,
+      |       CASE WHEN cnt.n_candidates > 0
+      |            THEN CAST(cnt.n_found AS DOUBLE) / cnt.n_candidates END AS precision,
+      |       CASE WHEN nn.n_docs > 1
+      |            THEN 1.0 - CAST(cnt.n_candidates AS DOUBLE)
+      |                 / (nn.n_docs * (nn.n_docs - 1) // 2) END AS reduction_ratio
+      |FROM nn CROSS JOIN cnt""".stripMargin) { (s, dir) =>
+    import graft.functions.{Hashing, TextAnalysis}
+    NearDup.blockingQuality(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      signatureOf = t => Hashing.simHashPortable(TextAnalysis.tokens(t)))
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12, qD13, qD14, qD15, qD16, qD17)
+      qD12, qD13, qD14, qD15, qD16, qD17, qD18)
 }

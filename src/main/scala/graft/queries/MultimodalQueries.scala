@@ -704,7 +704,61 @@ object MultimodalQueries extends QueryGroup {
   // hash 0 under the strict inequality), gap-byte data offsets, and
   // corrupt signatures → NULL. Ground truth against real ImageIO files
   // lives in MultimodalSpec.
-  private val qM11 = Q(
+  /** The q_m11 synthetic BMP corpus + aHash, as a reusable BATCH-plan
+    * transform (doc_id, ahash, valid_bmp) — shared by the batch gate and
+    * the streaming parity gate (q_st22), which maps it per micro-batch.
+    * The internal payload checkpoint is freed before returning; the
+    * OUTPUT is pinned so callers in foreachBatch can write then free.
+    */
+  private[queries] def bmpAHashFrame(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val w = (col("doc_id") % 5 + 4).cast("bigint")
+    val h = (col("doc_id") % 4 + 2).cast("bigint")
+    val topDown = col("doc_id") % 2 === 0
+    val blank = col("doc_id") % 6 === 0
+    val gap = col("doc_id") % 11 === 0
+    val stride = floor((w * 3 + 3) / 4).cast("bigint") * 4
+    val dataOffset = when(gap, lit(58L)).otherwise(lit(54L))
+    val hStored = when(topDown, lit(4294967296L) - h).otherwise(h)
+    val bmpSig = when(col("doc_id") % 7 === 0, lit("0000")).otherwise(lit("424D"))
+    def pix(i: org.apache.spark.sql.Column, chn: Int) =
+      when(blank, col("doc_id") % 256)
+        .otherwise((col("doc_id") * 7 + i * 13 + chn * 29) % 256)
+    val rowsHex = array_join(
+      transform(sequence(lit(0L), h - 1L), r =>
+        concat(
+          array_join(
+            transform(sequence(lit(0L), w - 1L), x => {
+              val i = r * w + x
+              concat(leHexN(pix(i, 0), 1), leHexN(pix(i, 1), 1), leHexN(pix(i, 2), 1))
+            }), ""),
+          repeat(lit("AB"), ((lit(4L) - (w * 3) % 4) % 4).cast("int")))), "")
+    val payloadHex = concat(
+      bmpSig, leHexN(dataOffset + h * stride, 4), lit("00000000"),
+      leHexN(dataOffset, 4),
+      lit("28000000"),
+      leHexN(w, 4), leHexN(hStored, 4),
+      lit("0100"), lit("1800"),
+      lit("00" * 24),
+      when(gap, lit("DEADBEEF")).otherwise(lit("")),
+      rowsHex)
+    val withPayload = docs
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+      .localCheckpoint(true)
+    val out = withPayload
+      .select(
+        col("doc_id"),
+        Multimodal.bmpAHash(col("payload")).as("ahash"),
+        Multimodal.bmpAHash(col("payload")).isNotNull.as("valid_bmp"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(withPayload)
+    out
+  }
+
+  private[queries] val qM11 = Q(
     "q_m11_image_ahash",
     """WITH src AS (
       |  SELECT doc_id,
@@ -745,48 +799,7 @@ object MultimodalQueries extends QueryGroup {
       |       s.ok AS valid_bmp
       |FROM src s LEFT JOIN hsh ON hsh.doc_id = s.doc_id
       |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
-    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
-      concat((0 until nBytes).map(i =>
-        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
-    val w = (col("doc_id") % 5 + 4).cast("bigint")
-    val h = (col("doc_id") % 4 + 2).cast("bigint")
-    val topDown = col("doc_id") % 2 === 0
-    val blank = col("doc_id") % 6 === 0
-    val gap = col("doc_id") % 11 === 0
-    val stride = floor((w * 3 + 3) / 4).cast("bigint") * 4
-    val dataOffset = when(gap, lit(58L)).otherwise(lit(54L))
-    val hStored = when(topDown, lit(4294967296L) - h).otherwise(h)
-    val bmpSig = when(col("doc_id") % 7 === 0, lit("0000")).otherwise(lit("424D"))
-    def pix(i: org.apache.spark.sql.Column, chn: Int) =
-      when(blank, col("doc_id") % 256)
-        .otherwise((col("doc_id") * 7 + i * 13 + chn * 29) % 256)
-    val rowsHex = array_join(
-      transform(sequence(lit(0L), h - 1L), r =>
-        concat(
-          array_join(
-            transform(sequence(lit(0L), w - 1L), x => {
-              val i = r * w + x
-              concat(leHexN(pix(i, 0), 1), leHexN(pix(i, 1), 1), leHexN(pix(i, 2), 1))
-            }), ""),
-          repeat(lit("AB"), ((lit(4L) - (w * 3) % 4) % 4).cast("int")))), "")
-    val payloadHex = concat(
-      bmpSig, leHexN(dataOffset + h * stride, 4), lit("00000000"),
-      leHexN(dataOffset, 4),
-      lit("28000000"),
-      leHexN(w, 4), leHexN(hStored, 4),
-      lit("0100"), lit("1800"),
-      lit("00" * 24),
-      when(gap, lit("DEADBEEF")).otherwise(lit("")),
-      rowsHex)
-    val withPayload = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), unhex(payloadHex).as("payload"))
-      .localCheckpoint(true)
-    withPayload
-      .select(
-        col("doc_id"),
-        Multimodal.bmpAHash(col("payload")).as("ahash"),
-        Multimodal.bmpAHash(col("payload")).isNotNull.as("valid_bmp"))
-      .orderBy("doc_id")
+    bmpAHashFrame(Tables.load(s, dir, "documents")).orderBy("doc_id")
   }
 
   // IMAGE near-dup pairs: bmpAHash as the signature inside the existing

@@ -501,7 +501,22 @@ object StreamingQueries extends QueryGroup {
     graft.streaming.CorpusStream.conformalScoredAvailableNow(s, dir)
   }
 
+  // Streaming MULTIMODAL decode (CorpusStream.transformAvailableNow +
+  // the q_m11 aHash frame): media drops land as micro-batches and each
+  // batch's perceptual hashes compute inside a full batch plan — the
+  // generic foreachBatch transform harness carrying the multimodal
+  // family onto the landing zone. Per-document output is identical to
+  // the batch pass regardless of sharding, so the oracle is q_m11's
+  // verbatim.
+  private val qSt22 = Q(
+    "q_st22_stream_image_ahash",
+    MultimodalQueries.qM11.oracle.get) { (s, dir) =>
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2)(
+      MultimodalQueries.bmpAHashFrame)
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21)
+      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22)
 }

@@ -906,7 +906,69 @@ object TextQueries extends QueryGroup {
       .orderBy("round")
   }
 
+  // Language-ID CONFUSION MATRIX — the evaluation view of q_t3's
+  // heuristic against the declared `lang` column: one row per
+  // (declared, predicted) cell with its count, the cell's share of the
+  // declared class (recall contribution — the diagonal cell IS the
+  // class recall) and of the predicted class (precision contribution).
+  // The classifier a pipeline routes corpora with needs this table, not
+  // an accuracy scalar. Shape: the q_t3 scan → ONE hash aggregate →
+  // two window sums over the ≤|langs|²-row cell frame.
+  private val qT25 = Q(
+    "q_t25_langid_confusion",
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, text,
+      |    len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','ich','nicht','sie',
+      |        'mit','sich','auf','für','als','auch','es','ein','eine','zu'], x))) AS de,
+      |    len(list_filter(tk, x -> list_contains(['the','of','and','to','in','is','you','that','it',
+      |        'was','for','on','are','as','with','they','at','this','have'], x))) AS en,
+      |    len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','se','no','por',
+      |        'con','su','para','como','es','los','las','una','más'], x))) AS es,
+      |    len(list_filter(tk, x -> list_contains(['le','la','et','les','des','est','un','une','du',
+      |        'que','pas','pour','dans','ce','il','qui','ne','sur','se'], x))) AS fr
+      |  FROM t),
+      |p AS (
+      |  SELECT lang AS lang_declared,
+      |         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |              WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+      |              WHEN fr >= de AND fr >= en AND fr >= es THEN 'fr'
+      |              WHEN es >= de AND es >= en THEN 'es'
+      |              WHEN en >= de THEN 'en'
+      |              ELSE 'de' END AS lang_predicted
+      |  FROM s),
+      |cells AS (
+      |  SELECT lang_declared, lang_predicted, CAST(count(*) AS BIGINT) AS n
+      |  FROM p GROUP BY 1, 2)
+      |SELECT lang_declared, lang_predicted, n,
+      |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang_declared)
+      |         AS declared_share,
+      |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang_predicted)
+      |         AS predicted_share
+      |FROM cells
+      |ORDER BY lang_declared, lang_predicted""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(
+        col("lang").as("lang_declared"),
+        langId(col("text")).as("lang_predicted"))
+      .groupBy("lang_declared", "lang_predicted")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    cells
+      .withColumn("declared_share",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("lang_declared")))
+      .withColumn("predicted_share",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("lang_predicted")))
+      .orderBy("lang_declared", "lang_predicted")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24)
+      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25)
 }

@@ -234,6 +234,43 @@ object CorpusStream {
     spark.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Generic per-micro-batch BATCH-PLAN transform over the document
+    * landing zone, run to completion: each drop arrives as ONE
+    * micro-batch, `f` maps it with a full batch plan (joins, groupBys,
+    * localCheckpoints — everything append-mode streaming plans
+    * disallow), results append to a parquet sink (driver state O(1)),
+    * and the folded table reads back at the end. `f` must be
+    * PER-DOCUMENT (row-local or batch-local with deterministic
+    * per-doc output) for the result to be replayable by a batch oracle
+    * regardless of sharding. Checkpoints `f` may pin are freed after
+    * each batch's write — the landing zone runs forever, residency must
+    * not.
+    */
+  def transformAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      shards: Int = 2)(f: DataFrame => DataFrame): DataFrame = {
+    require(shards >= 1)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_stream_transform").toString
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeLandingZone(docs, shards))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = f(batch.toDF())
+        out.write.mode("append").parquet(outDir)
+        org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Shard a corpus into one parquet file per shard under a temp landing
     * zone (`pmod(doc_id, shards)`) — the multi-drop stream-source shape
     * the foreachBatch gates read with `maxFilesPerTrigger = 1`.
