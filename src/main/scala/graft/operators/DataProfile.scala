@@ -432,6 +432,70 @@ object DataProfile {
         .as("d_at_value"))
   }
 
+  /** DELETE-GROUP JACKKNIFE confidence interval for a column mean — an
+    * UNCERTAINTY number for corpus profile statistics, fully
+    * deterministic (no bootstrap RNG): rows split into `folds`
+    * deterministic groups by `foldCol % folds`, the mean is recomputed
+    * leaving each group out, and the grouped-jackknife variance
+    *
+    *   SE² = (g−1)/g · Σ_i (θ₍ᵢ₎ − θ̄·)²
+    *
+    * yields a 95% interval (±1.96·SE). One row: `(n, mean,
+    * jackknife_se, ci_lo, ci_hi)`. All leave-one-out means derive from
+    * EXACT integer/decimal sufficient sums per fold — no per-fold
+    * rescan, shuffle-order-proof.
+    *
+    * Shape at scale: ONE hash aggregate to `folds` rows, then arithmetic
+    * on that tiny frame. NULL values excluded.
+    */
+  def jackknifeMeanCI(
+      df: DataFrame,
+      valueCol: String,
+      foldCol: String,
+      folds: Int = 10): DataFrame = {
+    require(folds >= 2, "jackknife needs at least two folds")
+    val perFold = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(pmod(col(foldCol), lit(folds.toLong)).as("__g"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(38,6)")).as("__s"))
+    val tot = perFold.agg(
+      sum(col("__n")).cast("bigint").as("n"),
+      sum(col("__s")).cast("decimal(38,6)").as("__st"),
+      count(lit(1)).cast("bigint").as("__g_present"))
+    // leave-one-out means are ratios of exact decimals; θ̄ derives from
+    // the SAME exact totals, so the only doubles are per-row — and the
+    // centered squares go back through a DECIMAL sum, keeping every
+    // aggregate shuffle-order-proof (a bare double sum over folds is
+    // order-nondeterministic and can flip the rounded output)
+    val loo = perFold
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n"), col("__g_present"),
+        (col("__st").cast("double") / col("n")).as("mean"),
+        ((col("__st") - col("__s")).cast("double") /
+          (col("n") - col("__n")).cast("double")).as("__theta"))
+    val tbarFrame = loo
+      .groupBy(col("n"), col("__g_present"), col("mean"))
+      .agg((sum(col("__theta").cast("decimal(38,18)")).cast("double") /
+        col("__g_present")).as("__tbar"))
+    loo
+      .join(broadcast(tbarFrame), Seq("n", "__g_present", "mean"))
+      .groupBy(col("n"), col("__g_present"), col("mean"))
+      .agg(
+        sum(((col("__theta") - col("__tbar")) * (col("__theta") - col("__tbar")))
+          .cast("decimal(38,18)")).cast("double").as("__ssq"))
+      .select(
+        col("n"), col("mean"),
+        sqrt((col("__g_present") - 1L).cast("double") / col("__g_present") *
+          col("__ssq")).as("jackknife_se"))
+      .select(
+        col("n"), col("mean"), col("jackknife_se"),
+        (col("mean") - lit(1.96) * col("jackknife_se")).as("ci_lo"),
+        (col("mean") + lit(1.96) * col("jackknife_se")).as("ci_hi"))
+  }
+
   /** KEY-SKEW diagnostics — the numbers the salting / AQE-skew-join /
     * bucketing decisions read BEFORE the join runs: one row with
     * `(n_rows, n_keys, max_key_rows, top1_share, top10_share, gini)`

@@ -755,7 +755,45 @@ object QualityQueries extends QueryGroup {
       "1-URGENT", "2-HIGH")
   }
 
+  // Delete-group jackknife CI (DataProfile.jackknifeMeanCI): a
+  // DETERMINISTIC uncertainty band for a corpus profile statistic — no
+  // bootstrap RNG, folds by doc_id % 10, leave-one-out means from exact
+  // per-fold decimal sums, centered squares re-summed through DECIMAL
+  // so every aggregate is shuffle-order-proof. The oracle replays the
+  // identical fold/θ/SE arithmetic.
+  private val qQ16 = Q(
+    "q_q16_jackknife_ci",
+    """WITH pf AS (
+      |  SELECT doc_id % 10 AS g, count(*) AS n,
+      |         sum(CAST(n_chars AS DECIMAL(38,6))) AS s
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+      |               CAST(sum(s) AS DECIMAL(38,6)) AS st,
+      |               CAST(count(*) AS BIGINT) AS gp FROM pf),
+      |loo AS (
+      |  SELECT tot.n, tot.gp,
+      |         CAST(tot.st AS DOUBLE) / tot.n AS mean,
+      |         CAST(tot.st - pf.s AS DOUBLE) / (tot.n - pf.n) AS theta
+      |  FROM pf CROSS JOIN tot),
+      |tb AS (
+      |  SELECT n, gp, mean,
+      |         CAST(sum(CAST(theta AS DECIMAL(38,18))) AS DOUBLE) / gp AS tbar
+      |  FROM loo GROUP BY 1, 2, 3),
+      |ssq AS (
+      |  SELECT l.n, l.gp, l.mean,
+      |         CAST(sum(CAST((l.theta - tb.tbar) * (l.theta - tb.tbar)
+      |                  AS DECIMAL(38,18))) AS DOUBLE) AS v
+      |  FROM loo l JOIN tb ON l.n = tb.n GROUP BY 1, 2, 3)
+      |SELECT n, mean,
+      |       sqrt(CAST(gp - 1 AS DOUBLE) / gp * v) AS jackknife_se,
+      |       mean - 1.96 * sqrt(CAST(gp - 1 AS DOUBLE) / gp * v) AS ci_lo,
+      |       mean + 1.96 * sqrt(CAST(gp - 1 AS DOUBLE) / gp * v) AS ci_hi
+      |FROM ssq""".stripMargin) { (s, dir) =>
+    graft.operators.DataProfile.jackknifeMeanCI(
+      Tables.load(s, dir, "documents"), "n_chars", "doc_id", folds = 10)
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16)
+      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16)
 }

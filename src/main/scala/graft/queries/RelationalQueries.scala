@@ -1952,6 +1952,34 @@ object RelationalQueries extends QueryGroup {
     if (includeSinglePair) out.unionByName(singlePair) else out
   }
 
+  // Cohort RETENTION matrix (operators.Cohort.retention): users grouped
+  // by first-activity week, per-offset active fractions — the classic
+  // product-analytics readout, with offset-0 rows structurally at rate
+  // 1 (every cohort member is active in their first week). Both engines
+  // truncate weeks to Monday (date_trunc('week')); the offset is an
+  // exact integer day-difference / 7.
+  private val qE28 = Q(
+    "q_e28_cohort_retention",
+    """WITH wk AS (
+      |  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |co AS (SELECT u, min(w) AS c FROM wk GROUP BY u),
+      |sz AS (SELECT c, count(*) AS cs FROM co GROUP BY c),
+      |act AS (
+      |  SELECT co.c AS cohort_week,
+      |         CAST((wk.w - co.c) // 7 AS INT) AS week_offset,
+      |         CAST(count(*) AS BIGINT) AS n_active
+      |  FROM wk JOIN co ON wk.u = co.u GROUP BY 1, 2)
+      |SELECT a.cohort_week, a.week_offset, a.n_active,
+      |       CAST(sz.cs AS BIGINT) AS cohort_size,
+      |       CAST(a.n_active AS DOUBLE) / sz.cs AS retention_rate
+      |FROM act a JOIN sz ON sz.c = a.cohort_week
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.operators.Cohort.retention(
+      Tables.load(s, dir, "events"), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -1961,5 +1989,5 @@ object RelationalQueries extends QueryGroup {
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
     qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25, qE26,
-    qE27)
+    qE27, qE28)
 }

@@ -147,6 +147,21 @@ class DataProfileSpec extends SparkSpec {
     assert(sk.getDouble(5) > 0.85)
   }
 
+  test("jackknifeMeanCI: hand-computed two-fold case; null values excluded") {
+    import spark.implicits._
+    // fold 0 (ids 0,2): values 1,3 ; fold 1 (id 1): value 5
+    // mean = 3; LOO means θ = (5, 2); θ̄ = 3.5; Σ(θ−θ̄)² = 4.5
+    // SE = sqrt((2−1)/2 · 4.5) = 1.5
+    val rows = Seq((0L, Some(1.0)), (1L, Some(5.0)), (2L, Some(3.0)),
+      (3L, None)).toDF("id", "v")
+    val r = DataProfile.jackknifeMeanCI(rows, "v", "id", folds = 2).head()
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 3.0)
+    assert(math.abs(r.getDouble(2) - 1.5) < 1e-12)
+    assert(math.abs(r.getDouble(3) - (3.0 - 1.96 * 1.5)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - (3.0 + 1.96 * 1.5)) < 1e-12)
+  }
+
   test("ksTwoSample: identical samples give D = 0; other groups ignored") {
     import spark.implicits._
     val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0),
