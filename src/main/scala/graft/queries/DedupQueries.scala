@@ -553,7 +553,7 @@ object DedupQueries extends QueryGroup {
   // second corpus pass); fractions are exact integer ratios. Same
   // shingling contract as q_d8 (k=5, whole-text fallback under k
   // tokens), probes = docs 0–4, graded over docs ≥ 5.
-  private val qD17 = Q(
+  private[queries] val qD17 = Q(
     "q_d17_contamination_fraction",
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),

@@ -516,7 +516,35 @@ object StreamingQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Streaming DECONTAMINATION at the landing zone
+  // (CorpusStream.transformAvailableNow + Decontamination
+  // .overlapFraction): eval-set leakage checked per micro-batch at
+  // INGEST — the place a production pipeline actually wants it, before
+  // contaminated pages reach the corpus. The probe (eval) corpus is a
+  // static frame joined per batch; every document's graded fraction is
+  // row-local given the probe set, so streamed ≡ batch and the oracle
+  // is q_d17's verbatim.
+  private val qSt23 = Q(
+    "q_st23_stream_decontamination",
+    DedupQueries.qD17.oracle.get) { (s, dir) =>
+    // probe corpus re-read per batch straight from parquet — a 5-row
+    // frame; a localCheckpoint here outlives its blocks once the stream's
+    // micro-batch executions interleave with the driver plan (observed
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and the scan is cheaper than
+    // the residency anyway
+    val probes = graft.Tables.load(s, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 5)
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch =>
+        graft.operators.Decontamination
+          .overlapFraction(
+            batch.filter(org.apache.spark.sql.functions.col("doc_id") >= 5),
+            probes, "doc_id", "text", k = 5)
+          .select("doc_id", "n_shingles", "n_hits", "overlap_fraction")
+    }.orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22)
+      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23)
 }
