@@ -925,7 +925,74 @@ object GraphQueries extends QueryGroup {
     out
   }
 
+  // COMMUNITY-level PageRank (multi-level analytics, step 2): the q_g15
+  // contraction's super-graph fed to the SAME weighted PageRank the
+  // node level runs (q_g1) — which communities are central in the
+  // community-interaction graph, at |C|-node cost instead of |V|. The
+  // undirected contracted graph becomes a digraph by symmetrizing the
+  // cross edges; self-loops enter once with their weight (they hold
+  // rank mass inside a community — exactly the semantics wanted here).
+  // Output joins each community's member count; the oracle reuses the
+  // shared LPA unroll + contraction + the generic 3-iteration PR CTEs.
+  private val qG17 = Q(
+    "q_g17_community_pagerank",
+    s"WITH $coOrderLpaCtes,\n" +
+    """cg AS MATERIALIZED (
+      |  SELECT least(la.label, lb.label) AS a, greatest(la.label, lb.label) AS b,
+      |         CAST(count(*) AS DOUBLE) AS w
+      |  FROM ce JOIN l3 la ON ce.a = la.node JOIN l3 lb ON ce.b = lb.node
+      |  GROUP BY 1, 2),
+      |e AS (SELECT a AS src, b AS dst, w FROM cg WHERE a <> b
+      |      UNION ALL SELECT b, a, w FROM cg WHERE a <> b
+      |      UNION ALL SELECT a, a, w FROM cg WHERE a = b),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+      |p AS (SELECT src, dst, w / out_w AS p FROM e JOIN ow USING (src)),
+      |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+      |""".stripMargin +
+    s"$iter3,\n" +
+    """cs AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+      |       FROM l3 GROUP BY 1)
+      |SELECT CAST(r3.node AS BIGINT) AS community, cs.n_members, r3.rank
+      |FROM r3 JOIN cs ON cs.label = r3.node
+      |ORDER BY community""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val edges = items.select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+      .localCheckpoint(true)
+    val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
+    val contracted = graft.operators.Louvain.contractGraph(
+      edges, "a", "b", communities, "node", "community", assumeCanonical = true)
+      .localCheckpoint(true)
+    val cross = contracted.filter(col("a") =!= col("b"))
+    val dig = cross
+      .select(col("a").as("src"), col("b").as("dst"),
+        col("weight").cast("double").as("weight"))
+      .unionAll(cross.select(col("b").as("src"), col("a").as("dst"),
+        col("weight").cast("double").as("weight")))
+      .unionAll(contracted.filter(col("a") === col("b"))
+        .select(col("a").as("src"), col("a").as("dst"),
+          col("weight").cast("double").as("weight")))
+    val sizes = communities.groupBy(col("community"))
+      .agg(count(lit(1)).cast("bigint").as("n_members"))
+    val out = PageRank.run(dig, iterations = 3, damping = 0.85)
+      .join(sizes, col("node") === col("community"))
+      .select(col("community"), col("n_members"), col("rank"))
+      .orderBy("community")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(contracted)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(communities)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16)
+      qG15, qG16, qG17)
 }
