@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted HITS (Kleinberg 1999, "Authoritative sources in a
+  * hyperlinked environment") with fixed iteration count and L1
+  * normalization — the hub/authority complement to [[PageRank]]: in a
+  * directed interaction graph, PageRank measures where a random surfer
+  * accumulates, HITS separates "points at good things" (hub) from "is
+  * pointed at by good hubs" (authority). On an asymmetric trade graph
+  * the two sides genuinely differ (an exporter nation can be a top hub
+  * while importing nothing).
+  *
+  * Reference behavior: the reference ETL (banner-connector) has no graph
+  * analytics; this extends the engine's centrality family
+  * ([[PageRank]], q_g1) for relationship frames the pipeline derives.
+  *
+  * Execution shape — the [[PageRank]] discipline exactly: per iteration
+  * one equi-join + hash aggregate keyed on dst (authority update), one
+  * keyed on src (hub update), each followed by a one-row broadcast
+  * normalizer. The driver loop only BUILDS the plan (no action per
+  * iteration); node count rides along as a broadcast one-row frame; the
+  * edge frame is local-checkpointed once so iterations do not replay its
+  * derivation. At real scale pre-partition `edges` by src so the hub
+  * join reuses one exchange, and checkpoint scores every ~10 iterations
+  * to cut lineage.
+  *
+  * L1 normalization (scores sum to 1) replaces the classical L2 — the
+  * fixed point direction is identical (normalization is a positive
+  * scalar either way, the power iteration converges to the same
+  * principal eigenvector direction of AᵀA / AAᵀ), and it keeps every
+  * arithmetic step a sum+divide both engines replay bit-for-bit (no
+  * sqrt ordering concerns in the oracle unroll).
+  */
+object Hits {
+
+  /** `edges`: (src, dst, weight > 0). Nodes are the union of endpoints;
+    * a node with no in-edges has authority exactly 0 (kept, not
+    * dropped), likewise hub for no out-edges. Initial hub = 1/n.
+    * Output: (node, hub, authority) after `iterations` full
+    * authority-then-hub rounds, each side L1-normalized.
+    */
+  def run(
+      edges: DataFrame,
+      iterations: Int,
+      materializeEdges: Boolean = true): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = if (materializeEdges) edges.localCheckpoint(true) else edges
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+
+    var hub = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n")).as("score"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = normalized(nodes,
+        e.join(hub.select(col("node").as("src"), col("score")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("weight") * col("score")).as("raw")))
+      hub = normalized(nodes,
+        e.join(auth.select(col("node").as("dst"), col("score")), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("weight") * col("score")).as("raw")))
+    }
+    nodes
+      .join(hub.select(col("node"), col("score").as("hub")), Seq("node"), "left")
+      .join(auth.select(col("node"), col("score").as("authority")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("authority"), lit(0.0)).as("authority"))
+  }
+
+  /** Left-join `raw` back onto the full node frame (missing → 0) and
+    * divide by the broadcast L1 total. Division AFTER the coalesce so a
+    * zero-raw node divides 0 by the total, never NULL.
+    */
+  private def normalized(nodes: DataFrame, raw: DataFrame): DataFrame = {
+    val total = raw.agg(sum("raw").as("t"))
+    nodes
+      .join(raw, Seq("node"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("node"),
+        (coalesce(col("raw"), lit(0.0)) / col("t")).as("score"))
+  }
+}

@@ -64,6 +64,73 @@ object TokenStats {
     * not tokens — bounded far below row count), and only topN rows
     * survive into the O(topN) moment aggregate.
     */
+  /** Heaps'-law vocabulary-growth fit V(n) ≈ K·n^β (Heaps 1978;
+    * natural-language corpora sit near β ≈ 0.4–0.6 — β drifting toward 0
+    * means the crawl is re-reading the same material, toward 1 means
+    * unbounded junk vocabulary like serial numbers; either way it is the
+    * corpus-curation dial Zipf's RANK law ([[zipfFit]]) cannot see).
+    *
+    * The growth curve needs V at a sequence of corpus prefixes, which
+    * naively is `numPrefixes` distinct-counts over growing slices. One
+    * aggregate suffices: assign each doc a deterministic prefix bucket
+    * (the md5 hash order [[Curation.hashUnit]] — any fixed doc order is
+    * as valid as crawl order for the law, and hash order makes prefixes
+    * i.i.d. samples), then V(prefix ≤ i) = #{terms whose FIRST-OCCURRENCE
+    * bucket ≤ i} — a per-term min() plus a ≤numPrefixes-row cumulation.
+    *
+    * Shape at scale: explode → one vocabulary-sized (term → min bucket)
+    * hash aggregate + one numPrefixes-row token-count aggregate; the
+    * cumulation window and the OLS run on ≤numPrefixes rows (bounded by
+    * the require, NOT by data). Output one row:
+    * (n_prefixes, total_tokens, vocabulary, beta, k, r2) — n_prefixes
+    * counts the non-empty prefixes the fit used.
+    */
+  def heapsFit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPrefixes: Int = 10,
+      seed: String = "heaps"): DataFrame = {
+    require(numPrefixes >= 2 && numPrefixes <= 1000,
+      "numPrefixes must be in [2, 1000] (the cumulation window is single-partition)")
+    val toks = df
+      .select(
+        floor(Curation.hashUnit(col(idCol), seed) * numPrefixes).cast("int").as("__b"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+    val perBucket = toks.groupBy(col("__b")).agg(count(lit(1)).as("__nt"))
+    val firstSeen = toks.groupBy(col("__t")).agg(min(col("__b")).as("__fb"))
+      .groupBy(col("__fb")).agg(count(lit(1)).as("__nv"))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perBucket
+      .join(firstSeen, col("__b") === col("__fb"), "left")
+      .select(col("__b"), col("__nt"), coalesce(col("__nv"), lit(0L)).as("__nv"))
+      .select(lit(1).as("__k"),
+        sum(col("__nt")).over(w).as("__ct"),
+        sum(col("__nv")).over(w).as("__cv"))
+      .where(col("__ct") > 0 && col("__cv") > 0)
+      .select(col("__k"), log(col("__ct").cast("double")).as("__x"),
+        log(col("__cv").cast("double")).as("__y"),
+        col("__ct"), col("__cv"))
+    // the point frame is ≤numPrefixes rows but its lineage is the corpus
+    // explode — pin it once so the fit and the totals don't scan twice,
+    // checkpoint the 1-row result, then free the internal pin
+    val ptsCp = pts.localCheckpoint(true)
+    val fit = TimeSeries.trendSlope(ptsCp, "__k", "__x", "__y")
+    val totals = ptsCp.agg(
+      max(col("__ct")).as("total_tokens"), max(col("__cv")).as("vocabulary"))
+    val out = fit.crossJoin(broadcast(totals))
+      .select(
+        col("n_points").as("n_prefixes"),
+        col("total_tokens"), col("vocabulary"),
+        col("slope").as("beta"),
+        exp(col("intercept")).as("k"),
+        col("r2"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(ptsCp)
+    out
+  }
+
   def zipfFit(
       df: DataFrame,
       textCol: String,

@@ -992,7 +992,66 @@ object GraphQueries extends QueryGroup {
     out
   }
 
+  // Weighted HITS hubs/authorities (Hits.run) over the q_g1 trade graph
+  // — the centrality the asymmetric flow graph needs alongside PageRank:
+  // an exporter nation with no imports is a strong HUB (its hub score
+  // rides on who it ships to) while its authority is exactly 0, a
+  // distinction PageRank's single score cannot express. 3 full
+  // authority-then-hub rounds, each side L1-normalized; the oracle
+  // unrolls all 6 join+agg+normalize steps per the family convention, so
+  // every float op is replayed. At sf0.001 15 of 25 nations have no
+  // suppliers — the coalesce-to-0 hub path is genuinely exercised.
+  private val hitsIter = Seq(1, 2, 3).map { i =>
+    s"""araw$i AS (SELECT e.dst AS node, sum(e.w * h.score) AS raw
+       |  FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+       |at$i AS (SELECT sum(raw) AS t FROM araw$i),
+       |a$i AS (SELECT nd.node, coalesce(r.raw, 0) / at.t AS score
+       |  FROM nodes nd LEFT JOIN araw$i r ON nd.node = r.node CROSS JOIN at$i at),
+       |hraw$i AS (SELECT e.src AS node, sum(e.w * a.score) AS raw
+       |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+       |ht$i AS (SELECT sum(raw) AS t FROM hraw$i),
+       |h$i AS (SELECT nd.node, coalesce(r.raw, 0) / ht.t AS score
+       |  FROM nodes nd LEFT JOIN hraw$i r ON nd.node = r.node CROSS JOIN ht$i ht)""".stripMargin
+  }.mkString(",\n")
+
+  private val qG18 = Q(
+    "q_g18_hits",
+    s"""WITH e AS (
+      |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+      |         CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |h0 AS (SELECT node, 1.0 / n AS score FROM nodes CROSS JOIN nn),
+      |$hitsIter
+      |SELECT n.n_name, CAST(h3.node AS INT) AS nationkey,
+      |       h3.score AS hub, a3.score AS authority
+      |FROM h3 JOIN a3 ON h3.node = a3.node
+      |JOIN nation n ON h3.node = n.n_nationkey
+      |ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+    val edges = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    graft.operators.Hits.run(edges, iterations = 3)
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("node").cast("int").as("nationkey"),
+        col("hub"), col("authority"))
+      .orderBy("n_name")
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16, qG17)
+      qG15, qG16, qG17, qG18)
 }

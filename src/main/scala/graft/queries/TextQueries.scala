@@ -968,7 +968,49 @@ object TextQueries extends QueryGroup {
       .orderBy("lang_declared", "lang_predicted")
   }
 
+  // Heaps'-law vocabulary-growth fit (TokenStats.heapsFit): V(n) ≈ K·n^β
+  // over 10 hash-ordered corpus prefixes — the growth dial complementing
+  // q_t19's rank law (β → 0: the crawl re-reads itself; β → 1: unbounded
+  // junk vocabulary). The prefix trick makes it ONE vocabulary-sized
+  // aggregate: V(prefix ≤ i) counts terms whose FIRST-occurrence bucket
+  // ≤ i, so no per-prefix distinct-count rescans. Both engines replay
+  // the identical md5 bucket assignment, cumulation, and OLS moments.
+  private val qT26 = Q(
+    "q_t26_heaps_fit",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT CAST(floor((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':heaps'), 1, 8))::BIGINT
+      |                     / 4294967296.0) * 10) AS INT) AS b,
+      |         unnest(tk) AS term
+      |  FROM t),
+      |pb AS (SELECT b, count(*) AS nt FROM toks GROUP BY 1),
+      |fs AS (SELECT term, min(b) AS fb FROM toks GROUP BY 1),
+      |nv AS (SELECT fb, count(*) AS nv FROM fs GROUP BY 1),
+      |cum AS (SELECT pb.b,
+      |               CAST(sum(pb.nt) OVER (ORDER BY pb.b) AS BIGINT) AS ct,
+      |               CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY pb.b) AS BIGINT) AS cv
+      |        FROM pb LEFT JOIN nv ON pb.b = nv.fb),
+      |p AS (SELECT ln(CAST(ct AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y, ct, cv
+      |      FROM cum WHERE ct > 0 AND cv > 0),
+      |m AS (SELECT CAST(count(*) AS INT) AS n_prefixes,
+      |             max(ct) AS total_tokens, max(cv) AS vocabulary,
+      |             covar_samp(x, y) AS cov, var_samp(x) AS vx, var_samp(y) AS vy,
+      |             avg(x) AS mx, avg(y) AS my
+      |      FROM p)
+      |SELECT n_prefixes, total_tokens, vocabulary,
+      |       CASE WHEN vx > 0 THEN cov / vx END AS beta,
+      |       CASE WHEN vx > 0 THEN exp(my - cov / vx * mx) END AS k,
+      |       CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END AS r2
+      |FROM m""".stripMargin) { (s, dir) =>
+    graft.operators.TokenStats.heapsFit(
+      Tables.load(s, dir, "documents"), "doc_id", "text", numPrefixes = 10)
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25)
+      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26)
 }
