@@ -91,7 +91,225 @@ object EntityResolution {
       require(bestCross < minScore,
         f"blocking on $bf is LOSSY: a cross-block pair could score $bestCross%.2f >= $minScore%.2f")
     }
-    val sideCols = (idCol +: nameCol +: fieldWeights.map(_._1)).distinct
+    val candidates = candidateFrame(
+      records, idCol, nameCol, fieldWeights.map(_._1), maxNameDist, blockCol,
+      segmentBlocking)
+
+    val score = fieldWeights.foldLeft(nameDistScore(nameWeights)) {
+      case (acc, (f, agree, disagree)) =>
+        acc + when(col(s"${f}_a2") === col(s"${f}_b2"), agree).otherwise(disagree)
+    }
+    candidates
+      .withColumn("score", score)
+      .where(col("score") >= minScore)
+      .select("id_a", "id_b", "dist", "score")
+  }
+
+  /** Value-frequency Fellegi–Sunter scoring (Fellegi & Sunter 1969 §3;
+    * the term-frequency refinement of Winkler 1988 used by fastLink and
+    * Splink): a field agreeing on a RARE value is stronger evidence than
+    * agreeing on a common one, so the agreement weight is not a literal
+    * but log2(m_f / p_v) — m-probability over the value's relative
+    * frequency in the record frame — capped at `cap` (the standard
+    * guard against singleton values dominating the score). Disagreement
+    * stays the literal `disagree` log-odds; the name field keeps the
+    * distance-stepped literal weights.
+    *
+    * Each `freqFields` entry is (col, mProb, disagree, cap).
+    *
+    * Scale shape: candidates come from the same complete blocking as
+    * [[matchedPairs]]; each field adds ONE vocabulary-bounded frequency
+    * frame (groupBy(value) + a broadcast one-row total) broadcast-joined
+    * onto the pair frame — frequency scoring is only meaningful for
+    * moderate-cardinality fields (a near-unique field has p_v ≈ 1/n and
+    * the cap always binds), so the broadcast is the right default.
+    * Scores are rounded to 6 decimals BEFORE the threshold compare:
+    * log2 is the one non-literal float op in the sum, and the rounding
+    * makes the threshold decision engine-portable (the q_v19/q_e19
+    * rounded-compare rule).
+    *
+    * Blocking losslessness is asserted against the CAPS (the static
+    * upper bound on any agreement weight), so the guarantee holds for
+    * every data distribution, not just the observed one.
+    */
+  def frequencyScoredPairs(
+      records: DataFrame,
+      idCol: String,
+      nameCol: String,
+      nameWeights: Seq[Double],
+      freqFields: Seq[(String, Double, Double, Double)],
+      maxNameDist: Int,
+      minScore: Double,
+      blockCol: Option[String] = None,
+      segmentBlocking: Boolean = true): DataFrame = {
+    require(nameWeights.length == maxNameDist + 1,
+      s"need one name weight per distance 0..$maxNameDist")
+    freqFields.foreach { case (f, m, _, cap) =>
+      require(m > 0 && m <= 1, s"field $f: mProb must be in (0, 1], got $m")
+      require(!cap.isNaN, s"field $f: cap must be a number")
+    }
+    blockCol.foreach { bf =>
+      val bw = freqFields.find(_._1 == bf).getOrElse(
+        throw new IllegalArgumentException(
+          s"blockCol $bf must be one of the scored fields"))
+      val bestCross = nameWeights.max + bw._3 +
+        freqFields.filterNot(_._1 == bf).map(f => math.max(f._4, f._3)).sum
+      require(bestCross < minScore,
+        f"blocking on $bf is LOSSY: a cross-block pair could score $bestCross%.2f >= $minScore%.2f")
+    }
+    val n = records.agg(count(lit(1)).cast("double").as("__n"))
+    val candidates = candidateFrame(
+      records, idCol, nameCol, freqFields.map(_._1), maxNameDist, blockCol,
+      segmentBlocking)
+    val joined = freqFields.foldLeft(candidates) { case (df, (f, _, _, _)) =>
+      val freq = records.groupBy(col(f).as(s"__v_$f"))
+        .agg(count(lit(1)).cast("double").as(s"__c_$f"))
+        .crossJoin(broadcast(n))
+        .select(col(s"__v_$f"), (col(s"__c_$f") / col("__n")).as(s"__p_$f"))
+      df.join(broadcast(freq), col(s"${f}_a2") === col(s"__v_$f"), "left")
+    }
+    val score = freqFields.foldLeft(nameDistScore(nameWeights)) {
+      case (acc, (f, m, disagree, cap)) =>
+        acc + when(col(s"${f}_a2") === col(s"${f}_b2"),
+          least(log2(lit(m) / col(s"__p_$f")), lit(cap))).otherwise(disagree)
+    }
+    joined
+      .withColumn("score", round(score, 6))
+      .where(col("score") >= minScore)
+      .select("id_a", "id_b", "dist", "score")
+  }
+
+  /** The distance-stepped name weight: `nameWeights(dist)` as one CASE
+    * chain (dist is bounded by maxNameDist upstream, so the terminal
+    * otherwise only ever sees the last step).
+    */
+  private def nameDistScore(nameWeights: Seq[Double]): Column =
+    nameWeights.zipWithIndex.tail.foldLeft(
+      when(col("dist") === 0, nameWeights.head)) { case (acc, (w, d)) =>
+      acc.when(col("dist") === d, w)
+    }.otherwise(nameWeights.last)
+
+  /** EM-fitted Fellegi–Sunter match/unmatch probabilities (Fellegi &
+    * Sunter 1969 §5; the unsupervised fit of Winkler 1988 as used by
+    * fastLink, Enamorado–Fifield–Imai 2019): instead of hand-set
+    * agreement weights, estimate λ (match prevalence), m_f = P(agree_f |
+    * match) and u_f = P(agree_f | unmatch) from the candidate pairs
+    * themselves under conditional independence, by `iterations` rounds
+    * of EM over the AGREEMENT-PATTERN frame.
+    *
+    * The pattern frame is the whole trick for scale: a pair's evidence
+    * is its binary agreement vector γ = (name exact?, field_1 =?, …),
+    * so the corpus-sized candidate set reduces to ≤ 2^(k+1) pattern
+    * rows (pattern, count) in ONE hash aggregate, and every EM round is
+    * arithmetic on that bounded frame — the E-step posterior
+    * w_p = λ·Π m^γ(1−m)^(1−γ) / (that + (1−λ)·Π u^γ(1−u)^(1−γ)),
+    * the M-step three count-weighted ratios. Rounds are UNROLLED into
+    * the plan (params flow as broadcast one-row frames); the driver
+    * never collects.
+    *
+    * Cross-engine determinism: each round's sums run over the pattern
+    * frame in engine-chosen order, so the posteriors are first cast to
+    * DECIMAL(20,18) and the count-weighted sums accumulate as exact
+    * DECIMAL(38,18) (shuffle-order-proof); the M-step ratios divide the
+    * exact sums as doubles. Output: one row per pattern —
+    * γ columns (int 0/1), `cnt`, posterior `w` — plus the fitted
+    * `lambda` and per-field `m_<f>`/`u_<f>` (constant across rows),
+    * every probability rounded to 6 decimals.
+    *
+    * Name agreement is binary here (dist == 0): EM's γ must be
+    * categorical, and the candidate frame already caps dist at
+    * `maxNameDist` (the complete PassJoin blocking — which is also why
+    * u_f is fit on the BLOCKED pair population, the standard fastLink
+    * caveat).
+    */
+  def emPatternWeights(
+      records: DataFrame,
+      idCol: String,
+      nameCol: String,
+      fieldCols: Seq[String],
+      maxNameDist: Int,
+      iterations: Int = 3,
+      lambda0: Double = 0.5,
+      m0: Double = 0.9,
+      u0: Double = 0.1,
+      segmentBlocking: Boolean = true): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      "iterations must be in [1, 10] (rounds are plan-unrolled)")
+    require(fieldCols.size <= 10, "pattern frame is 2^(k+1) — cap fields at 10")
+    val gammaNames = "name" +: fieldCols
+    val candidates = candidateFrame(
+      records, idCol, nameCol, fieldCols, maxNameDist, None, segmentBlocking)
+    val gammaCols =
+      (col("dist") === 0).cast("int").as("g_name") +:
+        fieldCols.map(f =>
+          (col(s"${f}_a2") === col(s"${f}_b2")).cast("int").as(s"g_$f"))
+    val patterns = candidates
+      .select(gammaCols: _*)
+      .groupBy(gammaNames.map(g => col(s"g_$g")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+
+    val spark = records.sparkSession
+    var params = spark.range(1).select(
+      (lit(lambda0).as("lambda") +:
+        gammaNames.flatMap(g =>
+          Seq(lit(m0).as(s"m_$g"), lit(u0).as(s"u_$g")))): _*)
+
+    // posterior under CURRENT params — the identical expression tree
+    // both engines evaluate, left-to-right product in gammaNames order
+    def posterior: Column = {
+      val pm = gammaNames.foldLeft(col("lambda")) { (acc, g) =>
+        acc * when(col(s"g_$g") === 1, col(s"m_$g")).otherwise(lit(1.0) - col(s"m_$g"))
+      }
+      val pu = gammaNames.foldLeft(lit(1.0) - col("lambda")) { (acc, g) =>
+        acc * when(col(s"g_$g") === 1, col(s"u_$g")).otherwise(lit(1.0) - col(s"u_$g"))
+      }
+      pm / (pm + pu)
+    }
+    // exact count-weighted sum of a 0..1 term: DECIMAL(20,18) term ×
+    // DECIMAL(18,0) count = DECIMAL(38,18), summed exactly
+    def wsum(term: Column): Column =
+      sum(term.cast("decimal(20,18)") * col("cnt").cast("decimal(18,0)"))
+    for (_ <- 1 to iterations) {
+      val e = patterns.crossJoin(broadcast(params)).withColumn("__w", posterior)
+      val aggCols =
+        wsum(col("__w")).as("__sw") +:
+          gammaNames.flatMap(g => Seq(
+            wsum(col("__w") * col(s"g_$g")).as(s"__swg_$g"),
+            wsum((lit(1.0) - col("__w")) * col(s"g_$g")).as(s"__sug_$g"))) :+
+          wsum(lit(1.0) - col("__w")).as("__su") :+
+          sum(col("cnt")).as("__n")
+      params = e.agg(aggCols.head, aggCols.tail: _*)
+        .select(
+          ((col("__sw").cast("double") / col("__n").cast("double")).as("lambda") +:
+            gammaNames.flatMap(g => Seq(
+              (col(s"__swg_$g").cast("double") / col("__sw").cast("double")).as(s"m_$g"),
+              (col(s"__sug_$g").cast("double") / col("__su").cast("double")).as(s"u_$g")))): _*)
+    }
+    patterns.crossJoin(broadcast(params))
+      .select(
+        (gammaNames.map(g => col(s"g_$g")) :+ col("cnt") :+
+          round(posterior, 6).as("w") :+
+          round(col("lambda"), 6).as("lambda")) ++
+          gammaNames.flatMap(g => Seq(
+            round(col(s"m_$g"), 6).as(s"m_$g"),
+            round(col(s"u_$g"), 6).as(s"u_$g"))): _*)
+  }
+
+  /** The blocked candidate-pair frame shared by the scoring variants:
+    * (id_a < id_b, dist, `<f>_a2`/`<f>_b2` per compared field) — fuzzy
+    * pairs over DISTINCT (block,) names (complete blocking) plus the
+    * identical-name record pairs the name-level join cannot emit.
+    */
+  private def candidateFrame(
+      records: DataFrame,
+      idCol: String,
+      nameCol: String,
+      fieldCols: Seq[String],
+      maxNameDist: Int,
+      blockCol: Option[String],
+      segmentBlocking: Boolean): DataFrame = {
+    val sideCols = (idCol +: nameCol +: fieldCols).distinct
     def side(tag: String): DataFrame =
       records.select(sideCols.map(c => col(c).as(s"${c}_$tag")): _*)
 
@@ -143,10 +361,10 @@ object EntityResolution {
         least(col(s"${idCol}_a"), col(s"${idCol}_b")).as("id_a"),
         greatest(col(s"${idCol}_a"), col(s"${idCol}_b")).as("id_b"),
         col("dist")) ++
-        fieldWeights.map { case (f, _, _) =>
+        fieldCols.map { f =>
           when(col(s"${idCol}_a") < col(s"${idCol}_b"), col(s"${f}_a"))
             .otherwise(col(s"${f}_b")).as(s"${f}_a2")
-        } ++ fieldWeights.map { case (f, _, _) =>
+        } ++ fieldCols.map { f =>
           when(col(s"${idCol}_a") < col(s"${idCol}_b"), col(s"${f}_b"))
             .otherwise(col(s"${f}_a")).as(s"${f}_b2")
         }
@@ -155,22 +373,9 @@ object EntityResolution {
         col(s"${idCol}_a").as("id_a"),
         col(s"${idCol}_b").as("id_b"),
         col("dist")) ++
-        fieldWeights.map { case (f, _, _) => col(s"${f}_a").as(s"${f}_a2") } ++
-        fieldWeights.map { case (f, _, _) => col(s"${f}_b").as(s"${f}_b2") }
-    val candidates = crossName.select(crossCols: _*)
+        fieldCols.map(f => col(s"${f}_a").as(s"${f}_a2")) ++
+        fieldCols.map(f => col(s"${f}_b").as(s"${f}_b2"))
+    crossName.select(crossCols: _*)
       .unionByName(sameName.select(sameCols: _*))
-
-    val nameScore = nameWeights.zipWithIndex.tail.foldLeft(
-      when(col("dist") === 0, nameWeights.head)) { case (acc, (w, d)) =>
-      acc.when(col("dist") === d, w)
-    }
-    val score = fieldWeights.foldLeft(nameScore.otherwise(nameWeights.last)) {
-      case (acc, (f, agree, disagree)) =>
-        acc + when(col(s"${f}_a2") === col(s"${f}_b2"), agree).otherwise(disagree)
-    }
-    candidates
-      .withColumn("score", score)
-      .where(col("score") >= minScore)
-      .select("id_a", "id_b", "dist", "score")
   }
 }

@@ -511,5 +511,66 @@ object PipelineQueries extends QueryGroup {
     out
   }
 
-  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9)
+  // Value-frequency Fellegi–Sunter scoring
+  // (EntityResolution.frequencyScoredPairs): agreement on a RARE nation
+  // or segment is worth log2(m/p_v) — more than agreement on a common
+  // one — the fastLink/Splink term-frequency refinement over q_f7's
+  // fixed weights. Same Febrl-style corpus (md5 names + planted dist-1
+  // typos), blocked on nat with the CAP-based static losslessness proof
+  // (6.0 − 3.0 + 4.0 = 7.0 < 10.7). The threshold 10.7 sits INSIDE the
+  // observed score distribution at every SF (sf0.001: 2 of 22 pairs
+  // pass; sf0.01: 94 of 215), so the gate is decided by the frequency
+  // weights themselves, not by the name evidence — and the oracle
+  // scores the exhaustive UNBLOCKED pair set, so it also empirically
+  // re-proves the blocking dropped nothing. Scores are rounded to 6
+  // decimals before the threshold (log2 is the one non-literal float
+  // op; the q_v19/q_e19 rounded-compare rule).
+  private val qF10 = Q(
+    "q_f10_frequency_er",
+    """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+      |                     substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS name,
+      |                     c_nationkey AS nat, c_mktsegment AS seg
+      |              FROM customer),
+      |typo1 AS (SELECT id + 10000000 AS id, substr(name, 1, 9) || 'z' AS name,
+      |                 nat, seg FROM base WHERE id % 7 = 0),
+      |r AS (SELECT * FROM base UNION ALL SELECT * FROM typo1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM r),
+      |fn AS (SELECT nat, count(*) / (SELECT n FROM n) AS p FROM r GROUP BY nat),
+      |fs AS (SELECT seg, count(*) / (SELECT n FROM n) AS p FROM r GROUP BY seg),
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.name, b.name) AS dist,
+      |         a.nat AS nat_a, b.nat AS nat_b, a.seg AS seg_a, b.seg AS seg_b
+      |  FROM r a JOIN r b ON a.id < b.id
+      |  WHERE levenshtein(a.name, b.name) <= 1),
+      |scored AS (
+      |  SELECT id_a, id_b, dist,
+      |         round(CASE dist WHEN 0 THEN 6.0 ELSE 4.0 END
+      |           + CASE WHEN nat_a = nat_b
+      |                  THEN least(log2(0.95 / fn.p), 6.0) ELSE -3.0 END
+      |           + CASE WHEN seg_a = seg_b
+      |                  THEN least(log2(0.9 / fs.p), 4.0) ELSE -0.5 END, 6) AS score
+      |  FROM cand JOIN fn ON cand.nat_a = fn.nat
+      |             JOIN fs ON cand.seg_a = fs.seg)
+      |SELECT id_a, id_b, CAST(dist AS INT) AS dist, score
+      |FROM scored WHERE score >= 10.7
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val base = Tables.load(s, dir, "customer")
+      .select(
+        col("c_custkey").cast("long").as("rec_id"),
+        substring(md5(col("c_custkey").cast("string")), 1, 10).as("name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+    val typo1 = base.where(col("rec_id") % 7 === 0)
+      .select((col("rec_id") + 10000000L).as("rec_id"),
+        concat(substring(col("name"), 1, 9), lit("z")).as("name"),
+        col("nat"), col("seg"))
+    graft.operators.EntityResolution.frequencyScoredPairs(
+      base.unionByName(typo1),
+      idCol = "rec_id", nameCol = "name",
+      nameWeights = Seq(6.0, 4.0),
+      freqFields = Seq(("nat", 0.95, -3.0, 6.0), ("seg", 0.9, -0.5, 4.0)),
+      maxNameDist = 1, minScore = 10.7, blockCol = Some("nat"))
+      .orderBy("id_a", "id_b")
+  }
+
+  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10)
 }
