@@ -208,9 +208,13 @@ object EntityResolution {
     * never collects.
     *
     * Cross-engine determinism: each round's sums run over the pattern
-    * frame in engine-chosen order, so the posteriors are first cast to
-    * DECIMAL(20,18) and the count-weighted sums accumulate as exact
-    * DECIMAL(38,18) (shuffle-order-proof); the M-step ratios divide the
+    * frame in engine-chosen order, so the posterior is QUANTIZED to 12
+    * decimals and cast to DECIMAL(14,12) first — 12 decimals is coarse
+    * enough that the double→decimal cast lands on the identical decimal
+    * in every engine (double shortest-repr vs exact-binary casts differ
+    * only at the ~17th digit), and fine enough that EM absorbs the
+    * quantization — then every count-weighted sum accumulates in exact
+    * decimal (shuffle-order-proof) and the M-step ratios divide the
     * exact sums as doubles. Output: one row per pattern —
     * γ columns (int 0/1), `cnt`, posterior `w` — plus the fitted
     * `lambda` and per-field `m_<f>`/`u_<f>` (constant across rows),
@@ -266,18 +270,23 @@ object EntityResolution {
       }
       pm / (pm + pu)
     }
-    // exact count-weighted sum of a 0..1 term: DECIMAL(20,18) term ×
-    // DECIMAL(18,0) count = DECIMAL(38,18), summed exactly
-    def wsum(term: Column): Column =
-      sum(term.cast("decimal(20,18)") * col("cnt").cast("decimal(18,0)"))
+    // quantized posterior and its complement as EXACT decimals: the
+    // 12-decimal round keeps both engines on the identical value, the
+    // decimal arithmetic keeps every sum order-independent
+    val wd = round(col("__w"), 12).cast("decimal(14,12)")
+    val cwd = lit(1).cast("decimal(14,12)") - wd
+    val cntd = col("cnt").cast("decimal(18,0)")
+    def gated(g: String, term: Column): Column =
+      sum(when(col(s"g_$g") === 1, term * cntd)
+        .otherwise(lit(0).cast("decimal(32,12)")))
     for (_ <- 1 to iterations) {
       val e = patterns.crossJoin(broadcast(params)).withColumn("__w", posterior)
       val aggCols =
-        wsum(col("__w")).as("__sw") +:
+        sum(wd * cntd).as("__sw") +:
           gammaNames.flatMap(g => Seq(
-            wsum(col("__w") * col(s"g_$g")).as(s"__swg_$g"),
-            wsum((lit(1.0) - col("__w")) * col(s"g_$g")).as(s"__sug_$g"))) :+
-          wsum(lit(1.0) - col("__w")).as("__su") :+
+            gated(g, wd).as(s"__swg_$g"),
+            gated(g, cwd).as(s"__sug_$g"))) :+
+          sum(cwd * cntd).as("__su") :+
           sum(col("cnt")).as("__n")
       params = e.agg(aggCols.head, aggCols.tail: _*)
         .select(

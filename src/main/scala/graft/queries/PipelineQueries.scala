@@ -572,5 +572,121 @@ object PipelineQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
-  override val all: Seq[Q] = Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10)
+  // One EM round for the q_f11 oracle: E-step posterior per pattern
+  // (quantized to DECIMAL(14,12) exactly like the engine), M-step
+  // count-weighted ratios from EXACT decimal sums cast to double — the
+  // same arithmetic, in the same order, as emPatternWeights' unrolled
+  // plan. `pmu(src)` is the left-associated double product both engines
+  // evaluate term by term.
+  private def emPmu(src: String): String = {
+    val head = if (src == "m") "em.lambda" else "(1.0 - em.lambda)"
+    s"""$head
+       |            * (CASE WHEN g_name = 1 THEN em.${src}_name ELSE 1.0 - em.${src}_name END)
+       |            * (CASE WHEN g_nat = 1 THEN em.${src}_nat ELSE 1.0 - em.${src}_nat END)
+       |            * (CASE WHEN g_seg = 1 THEN em.${src}_seg ELSE 1.0 - em.${src}_seg END)""".stripMargin
+  }
+  private def emIter(i: Int): String =
+    s"""e$i AS (
+       |  SELECT g_name, g_nat, g_seg, cnt,
+       |         CAST(round(pm / (pm + pu), 12) AS DECIMAL(14,12)) AS wd
+       |  FROM (SELECT p.*,
+       |          ${emPmu("m")} AS pm,
+       |          ${emPmu("u")} AS pu
+       |        FROM pat p CROSS JOIN em${i - 1} em)),
+       |s$i AS (
+       |  SELECT sum(wd * CAST(cnt AS DECIMAL(18,0))) AS sw,
+       |         sum((CAST(1 AS DECIMAL(14,12)) - wd) * CAST(cnt AS DECIMAL(18,0))) AS su,
+       |         sum(CASE WHEN g_name = 1 THEN wd * CAST(cnt AS DECIMAL(18,0)) ELSE CAST(0 AS DECIMAL(32,12)) END) AS swg_name,
+       |         sum(CASE WHEN g_name = 1 THEN (CAST(1 AS DECIMAL(14,12)) - wd) * CAST(cnt AS DECIMAL(18,0)) ELSE CAST(0 AS DECIMAL(32,12)) END) AS sug_name,
+       |         sum(CASE WHEN g_nat = 1 THEN wd * CAST(cnt AS DECIMAL(18,0)) ELSE CAST(0 AS DECIMAL(32,12)) END) AS swg_nat,
+       |         sum(CASE WHEN g_nat = 1 THEN (CAST(1 AS DECIMAL(14,12)) - wd) * CAST(cnt AS DECIMAL(18,0)) ELSE CAST(0 AS DECIMAL(32,12)) END) AS sug_nat,
+       |         sum(CASE WHEN g_seg = 1 THEN wd * CAST(cnt AS DECIMAL(18,0)) ELSE CAST(0 AS DECIMAL(32,12)) END) AS swg_seg,
+       |         sum(CASE WHEN g_seg = 1 THEN (CAST(1 AS DECIMAL(14,12)) - wd) * CAST(cnt AS DECIMAL(18,0)) ELSE CAST(0 AS DECIMAL(32,12)) END) AS sug_seg,
+       |         sum(cnt) AS n
+       |  FROM e$i),
+       |em$i AS (
+       |  SELECT CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) AS lambda,
+       |         CAST(swg_name AS DOUBLE) / CAST(sw AS DOUBLE) AS m_name,
+       |         CAST(sug_name AS DOUBLE) / CAST(su AS DOUBLE) AS u_name,
+       |         CAST(swg_nat AS DOUBLE) / CAST(sw AS DOUBLE) AS m_nat,
+       |         CAST(sug_nat AS DOUBLE) / CAST(su AS DOUBLE) AS u_nat,
+       |         CAST(swg_seg AS DOUBLE) / CAST(sw AS DOUBLE) AS m_seg,
+       |         CAST(sug_seg AS DOUBLE) / CAST(su AS DOUBLE) AS u_seg
+       |  FROM s$i)""".stripMargin
+
+  // EM-fitted Fellegi–Sunter weights (EntityResolution.emPatternWeights
+  // — the fastLink/Enamorado–Fifield–Imai unsupervised fit): no
+  // hand-set weights at all — λ, m_f, u_f estimated from the candidate
+  // pairs by 3 EM rounds over the agreement-PATTERN frame (the corpus
+  // reduces to ≤2^3 pattern rows in one hash aggregate; every EM round
+  // is arithmetic on that bounded frame, plan-unrolled, driver collects
+  // nothing). The corpus plants three pair classes the fit must
+  // separate UNSUPERVISED: exact duplicates (1,1,1), typo duplicates
+  // (0,1,1), and name coincidences across different people (1,0,0).
+  // The oracle replays pattern extraction AND all three EM rounds —
+  // posterior quantized to DECIMAL(14,12) exactly like the engine so
+  // every count-weighted sum is exact and order-free in BOTH engines.
+  private val qF11 = Q(
+    "q_f11_em_fellegi_sunter",
+    s"""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+       |                     substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS name,
+       |                     c_nationkey AS nat, c_mktsegment AS seg
+       |              FROM customer),
+       |exact AS (SELECT id + 30000000 AS id, name, nat, seg FROM base WHERE id % 5 = 0),
+       |coinc AS (SELECT id + 40000000 AS id, name, (nat + 7) % 25 AS nat,
+       |                 'ZZZ' AS seg FROM base WHERE id % 6 = 0),
+       |typo AS (SELECT id + 10000000 AS id, substr(name, 1, 9) || 'z' AS name,
+       |                nat, seg FROM base WHERE id % 7 = 0),
+       |r AS (SELECT * FROM base UNION ALL SELECT * FROM exact
+       |      UNION ALL SELECT * FROM coinc UNION ALL SELECT * FROM typo),
+       |pat AS (
+       |  SELECT CASE WHEN levenshtein(a.name, b.name) = 0 THEN 1 ELSE 0 END AS g_name,
+       |         CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS g_nat,
+       |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg,
+       |         count(*) AS cnt
+       |  FROM r a JOIN r b ON a.id < b.id
+       |  WHERE levenshtein(a.name, b.name) <= 1
+       |  GROUP BY 1, 2, 3),
+       |em0 AS (SELECT CAST(0.5 AS DOUBLE) AS lambda,
+       |               CAST(0.9 AS DOUBLE) AS m_name, CAST(0.1 AS DOUBLE) AS u_name,
+       |               CAST(0.9 AS DOUBLE) AS m_nat, CAST(0.1 AS DOUBLE) AS u_nat,
+       |               CAST(0.9 AS DOUBLE) AS m_seg, CAST(0.1 AS DOUBLE) AS u_seg),
+       |${emIter(1)},
+       |${emIter(2)},
+       |${emIter(3)}
+       |SELECT g_name, g_nat, g_seg, cnt,
+       |       round(pm / (pm + pu), 6) AS w,
+       |       round(lambda, 6) AS lambda,
+       |       round(m_name, 6) AS m_name, round(u_name, 6) AS u_name,
+       |       round(m_nat, 6) AS m_nat, round(u_nat, 6) AS u_nat,
+       |       round(m_seg, 6) AS m_seg, round(u_seg, 6) AS u_seg
+       |FROM (SELECT p.*, em.*,
+       |        ${emPmu("m")} AS pm,
+       |        ${emPmu("u")} AS pu
+       |      FROM pat p CROSS JOIN em3 em)
+       |ORDER BY g_name, g_nat, g_seg""".stripMargin) { (s, dir) =>
+    val base = Tables.load(s, dir, "customer")
+      .select(
+        col("c_custkey").cast("long").as("rec_id"),
+        substring(md5(col("c_custkey").cast("string")), 1, 10).as("name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+    val exact = base.where(col("rec_id") % 5 === 0)
+      .select((col("rec_id") + 30000000L).as("rec_id"), col("name"),
+        col("nat"), col("seg"))
+    val coinc = base.where(col("rec_id") % 6 === 0)
+      .select((col("rec_id") + 40000000L).as("rec_id"), col("name"),
+        ((col("nat") + 7) % 25).as("nat"), lit("ZZZ").as("seg"))
+    val typo = base.where(col("rec_id") % 7 === 0)
+      .select((col("rec_id") + 10000000L).as("rec_id"),
+        concat(substring(col("name"), 1, 9), lit("z")).as("name"),
+        col("nat"), col("seg"))
+    graft.operators.EntityResolution.emPatternWeights(
+      base.unionByName(exact).unionByName(coinc).unionByName(typo),
+      idCol = "rec_id", nameCol = "name", fieldCols = Seq("nat", "seg"),
+      maxNameDist = 1, iterations = 3)
+      .orderBy("g_name", "g_nat", "g_seg")
+  }
+
+  override val all: Seq[Q] =
+    Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11)
 }

@@ -152,4 +152,86 @@ class EntityResolutionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
     assert(blocked === unblocked && blocked.nonEmpty)
   }
+
+  test("EM pattern weights: matches a driver-side reference EM on the pattern counts") {
+    // three planted pair classes: exact duplicates (1,1,1), typo
+    // duplicates (0,1,1), name coincidences across different people
+    // (1,0,0) — EM must pull the first two toward the match class and
+    // the third toward unmatch
+    // doubled-index names: any two base names differ at >= 2 positions,
+    // so the only dist<=1 pairs are the planted ones
+    val base = (1L to 30L).map(i => (i, s"alpha${i}beta$i", (i % 5).toInt, s"s${i % 3}"))
+    val exact = base.filter(_._1 % 3 == 0).map { case (i, n, a, s) =>
+      (i + 100, n, a, s) }
+    val typo = base.filter(_._1 % 4 == 0).map { case (i, n, a, s) =>
+      (i + 200, n + "z", a, s) }
+    val coinc = base.filter(_._1 % 5 == 0).map { case (i, n, a, s) =>
+      (i + 300, n, (a + 1) % 5, "zz") }
+    val recs = (base ++ exact ++ typo ++ coinc).toDF("id", "name", "nat", "seg")
+
+    val got = EntityResolution.emPatternWeights(
+        recs, "id", "name", Seq("nat", "seg"), maxNameDist = 1, iterations = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5),
+          (6 until 12).map(r.getDouble)))
+      .toMap
+
+    // reference: brute-force pattern counts, then 3 EM rounds with the
+    // same 12-decimal posterior quantization
+    val all = (base ++ exact ++ typo ++ coinc)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val pats = (for {
+      x <- all; y <- all if x._1 < y._1
+      dist = lev(x._2, y._2) if dist <= 1
+    } yield (if (dist == 0) 1 else 0, if (x._3 == y._3) 1 else 0,
+      if (x._4 == y._4) 1 else 0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var lambda = 0.5
+    var m = Array(0.9, 0.9, 0.9); var u = Array(0.1, 0.1, 0.1)
+    def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def post(p: (Int, Int, Int)): Double = {
+      val gs = Seq(p._1, p._2, p._3)
+      val pm = gs.zipWithIndex.foldLeft(lambda) { case (a, (g, i)) =>
+        a * (if (g == 1) m(i) else 1 - m(i)) }
+      val pu = gs.zipWithIndex.foldLeft(1 - lambda) { case (a, (g, i)) =>
+        a * (if (g == 1) u(i) else 1 - u(i)) }
+      pm / (pm + pu)
+    }
+    for (_ <- 1 to 3) {
+      val ws = pats.map { case (p, c) => p -> q12(post(p)) }
+      val sw = ws.map { case (p, w) => w * BigDecimal(pats(p)) }.sum
+      val su = ws.map { case (p, w) => (BigDecimal(1) - w) * BigDecimal(pats(p)) }.sum
+      val n = pats.values.sum
+      val gs: ((Int, Int, Int)) => Seq[Int] = p => Seq(p._1, p._2, p._3)
+      val newM = (0 until 3).map { i =>
+        ws.collect { case (p, w) if gs(p)(i) == 1 => w * BigDecimal(pats(p)) }.sum.toDouble / sw.toDouble }
+      val newU = (0 until 3).map { i =>
+        ws.collect { case (p, w) if gs(p)(i) == 1 => (BigDecimal(1) - w) * BigDecimal(pats(p)) }.sum.toDouble / su.toDouble }
+      lambda = sw.toDouble / n.toDouble
+      m = newM.toArray; u = newU.toArray
+    }
+    assert(got.keySet === pats.keySet)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    pats.foreach { case (p, c) =>
+      val (cnt, w, lam, mus) = got(p)
+      assert(cnt === c, s"count for $p")
+      assert(math.abs(w - post(p)) < 2e-6, s"posterior for $p: got $w want ${post(p)}")
+      assert(math.abs(lam - lambda) < 2e-6, s"lambda: got $lam want $lambda")
+      (0 until 3).foreach { i =>
+        assert(math.abs(mus(2 * i) - m(i)) < 2e-6, s"m($i)")
+        assert(math.abs(mus(2 * i + 1) - u(i)) < 2e-6, s"u($i)")
+      }
+    }
+    // the planted semantics: duplicate patterns sit near w=1, the
+    // name-coincidence pattern near w=0
+    assert(got((1, 1, 1))._2 > 0.9 && got((0, 1, 1))._2 > 0.9)
+    assert(got((1, 0, 0))._2 < 0.1)
+  }
 }
