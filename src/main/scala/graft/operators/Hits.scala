@@ -46,31 +46,50 @@ object Hits {
       iterations: Int,
       materializeEdges: Boolean = true): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    import org.apache.spark.sql.graft.bridge
     val e = if (materializeEdges) edges.localCheckpoint(true) else edges
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .localCheckpoint(true)
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
 
-    var hub = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n")).as("score"))
+    // Each round's scores are PINNED (node-sized frames): a normalize
+    // step reads its input twice (L1 total + the join), and the
+    // auth→hub→auth chain would otherwise re-evaluate every earlier
+    // step 2^k times — 6 rounds = 64 replays of the base join
+    // (measured 11 s on the trade-graph gate; 2.5 s pinned).
+    var pinned = List.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      pinned ::= out
+      out
+    }
+    var hub = pin(nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n")).as("score")))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      auth = normalized(nodes,
+      auth = pin(normalized(nodes,
         e.join(hub.select(col("node").as("src"), col("score")), "src")
           .groupBy(col("dst").as("node"))
-          .agg(sum(col("weight") * col("score")).as("raw")))
-      hub = normalized(nodes,
+          .agg(sum(col("weight") * col("score")).as("raw"))))
+      hub = pin(normalized(nodes,
         e.join(auth.select(col("node").as("dst"), col("score")), "dst")
           .groupBy(col("src").as("node"))
-          .agg(sum(col("weight") * col("score")).as("raw")))
+          .agg(sum(col("weight") * col("score")).as("raw"))))
     }
-    nodes
+    val out = nodes
       .join(hub.select(col("node"), col("score").as("hub")), Seq("node"), "left")
       .join(auth.select(col("node"), col("score").as("authority")), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("authority"), lit(0.0)).as("authority"))
+      .localCheckpoint(true)
+    // the returned frame is materialized: release every internal pin
+    pinned.foreach(bridge.freeLocalCheckpoint)
+    bridge.freeLocalCheckpoint(nodes)
+    if (materializeEdges) bridge.freeLocalCheckpoint(e)
+    out
   }
 
   /** Left-join `raw` back onto the full node frame (missing → 0) and

@@ -17,7 +17,7 @@ object GraphQueries extends QueryGroup {
   // (supplier nation → customer nation, weight = lineitem count). At
   // sf0.001 only 10 of 25 nations have suppliers, so the dangling-mass
   // redistribution path is genuinely exercised, not just present.
-  private val iter3 =
+  private[queries] val iter3 =
     """r1 AS (
       |  SELECT nd.node,
       |         (1 - 0.85) / nn.n + 0.85 * (coalesce(i.in_sum, 0) + dgl.dm / nn.n) AS rank

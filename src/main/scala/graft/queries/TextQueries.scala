@@ -1010,7 +1010,48 @@ object TextQueries extends QueryGroup {
       Tables.load(s, dir, "documents"), "doc_id", "text", numPrefixes = 10)
   }
 
+  // TextRank keyword extraction (TextRank.keywords, Mihalcea & Tarau
+  // 2004): PageRank over the token co-occurrence graph — recursive
+  // importance no frequency count expresses. Edges built row-locally
+  // (token array zipped with its own tail — no window, no per-doc
+  // shuffle), ONE hash aggregate to the vocabulary²-bounded edge
+  // frame, then the SAME weighted PageRank q_g1 gates, so the oracle
+  // reuses q_g1's 3-iteration unroll verbatim (GraphQueries.iter3)
+  // with string nodes. Adjacency applies to the length-FILTERED
+  // sequence (the original's POS-filter posture, deterministic here).
+  private val qT27 = Q(
+    "q_t27_textrank_keywords",
+    s"""WITH dtoks AS (
+      |  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk
+      |  FROM documents),
+      |ftoks AS (SELECT list_filter(tk, t -> len(t) >= 4) AS tk FROM dtoks),
+      |pairs AS (
+      |  SELECT least(tk[i], tk[i + 1]) AS src, greatest(tk[i], tk[i + 1]) AS dst
+      |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+      |        FROM ftoks WHERE len(tk) >= 2)
+      |  WHERE tk[i] <> tk[i + 1]),
+      |und AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+      |        FROM pairs GROUP BY 1, 2),
+      |e AS (SELECT src, dst, w FROM und
+      |      UNION ALL SELECT dst, src, w FROM und),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+      |p AS (SELECT src, dst, w / out_w AS p FROM e JOIN ow USING (src)),
+      |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+      |${GraphQueries.iter3}
+      |SELECT node AS token, round(rank, 6) AS rank
+      |FROM r3
+      |ORDER BY rank DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.operators.TextRank.keywords(
+      Tables.load(s, dir, "documents"), "text",
+      minTokenLen = 4, iterations = 3, damping = 0.85, topK = 20)
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
-      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26)
+      qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
+      qT27)
 }
