@@ -780,7 +780,63 @@ object CurationQueries extends QueryGroup {
     out
   }
 
+  // Multinomial Naive Bayes (NaiveBayes.train/score, McCallum & Nigam
+  // 1998): the COUNT-based classifier next to q_c13's gradient-trained
+  // logistic — training is one explode + one token-keyed pivot
+  // aggregate (no iterations), the model is vocabulary-bounded, and
+  // every log-likelihood ships quantized to DECIMAL(18,9) so per-doc
+  // score sums are exact and a prediction can never flip with
+  // partitioning. The oracle replays counts, smoothing, priors, the
+  // unseen-token default, and every per-doc decimal sum; same
+  // lang='en' label rule as the q_c13 family.
+  private val qC22 = Q(
+    "q_c22_naive_bayes",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |tok AS (SELECT doc_id, y, unnest(tk) AS token FROM t),
+      |ct AS (SELECT token,
+      |              sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0,
+      |              sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1
+      |       FROM tok GROUP BY 1),
+      |st AS (SELECT sum(c0) AS t0, sum(c1) AS t1, count(*) AS v FROM ct),
+      |dc AS (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+      |              count(*) AS n FROM t),
+      |pr AS (SELECT
+      |    CAST(round(ln(CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS prior0,
+      |    CAST(round(ln(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS prior1,
+      |    CAST(round(ln(1.0 / CAST(t0 + v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS def0,
+      |    CAST(round(ln(1.0 / CAST(t1 + v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS def1
+      |  FROM st CROSS JOIN dc),
+      |m AS (SELECT token,
+      |    CAST(round(ln(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ll0,
+      |    CAST(round(ln(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ll1
+      |  FROM ct CROSS JOIN st),
+      |ds AS (SELECT tok.doc_id,
+      |              sum(coalesce(m.ll0, pr.def0)) AS s0a,
+      |              sum(coalesce(m.ll1, pr.def1)) AS s1a
+      |       FROM tok LEFT JOIN m USING (token) CROSS JOIN pr
+      |       GROUP BY 1)
+      |SELECT t.doc_id,
+      |       CAST(coalesce(ds.s0a, CAST(0 AS DECIMAL(18,9))) + pr.prior0 AS DOUBLE) AS s0,
+      |       CAST(coalesce(ds.s1a, CAST(0 AS DECIMAL(18,9))) + pr.prior1 AS DOUBLE) AS s1,
+      |       round(CAST((coalesce(ds.s1a, CAST(0 AS DECIMAL(18,9))) + pr.prior1)
+      |           - (coalesce(ds.s0a, CAST(0 AS DECIMAL(18,9))) + pr.prior0) AS DOUBLE), 6) AS margin,
+      |       CAST(CASE WHEN coalesce(ds.s1a, CAST(0 AS DECIMAL(18,9))) + pr.prior1
+      |                   >= coalesce(ds.s0a, CAST(0 AS DECIMAL(18,9))) + pr.prior0
+      |            THEN 1 ELSE 0 END AS INT) AS pred
+      |FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id CROSS JOIN pr
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("y", (col("lang") === "en").cast("int"))
+    val (model, stats) = graft.operators.NaiveBayes.train(docs, "doc_id", "text", "y")
+    graft.operators.NaiveBayes.score(docs, "doc_id", "text", model, stats)
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16, qC17, qC18, qC19, qC20, qC21)
+      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22)
 }
