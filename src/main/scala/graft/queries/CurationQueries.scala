@@ -836,7 +836,47 @@ object CurationQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // χ² feature selection (FeatureSelection.chiSquareTokens, Yang &
+  // Pedersen 1997): rank vocabulary by presence-vs-label association —
+  // the pre-training feature cut before q_c13/q_c22 ever run. One
+  // explode+distinct to doc-token presence, ONE token-keyed aggregate
+  // to the vocabulary-bounded contingency frame; (ad−bc) stays exact
+  // BIGINT, the one division runs on identically-ordered double
+  // products; degenerate tokens (denominator 0) excluded, top-50 under
+  // the deterministic (χ² desc, token asc) order.
+  private val qC23 = Q(
+    "q_c23_chi2_features",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |pres AS (SELECT DISTINCT doc_id, y, unnest(tk) AS token FROM t),
+      |ct AS (SELECT token,
+      |              sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS a,
+      |              sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS b
+      |       FROM pres GROUP BY 1),
+      |tot AS (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+      |               count(*) AS n FROM t),
+      |x AS (SELECT token, a, b,
+      |             n1 - a AS c, (n - n1) - b AS d, n
+      |      FROM ct CROSS JOIN tot)
+      |SELECT token, CAST(a AS BIGINT) AS df1, CAST(b AS BIGINT) AS df0,
+      |       round(CAST(n AS DOUBLE)
+      |               * (CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE))
+      |             / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+      |                * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 6) AS chi2
+      |FROM x
+      |WHERE CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+      |      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) > 0
+      |ORDER BY chi2 DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+    graft.operators.FeatureSelection.chiSquareTokens(
+      Tables.load(s, dir, "documents")
+        .withColumn("y", (col("lang") === "en").cast("int")),
+      "doc_id", "text", "y", topK = 50)
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22)
+      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23)
 }
