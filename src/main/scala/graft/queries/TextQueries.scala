@@ -1050,8 +1050,46 @@ object TextQueries extends QueryGroup {
       minTokenLen = 4, iterations = 3, damping = 0.85, topK = 20)
   }
 
+  // Dirichlet-smoothed query-likelihood retrieval
+  // (QueryLikelihood.score, Zhai–Lafferty 2001): the probabilistic-LM
+  // ranking next to BM25 (q_t11) — documents scored by the query's
+  // log-likelihood under their μ-smoothed unigram LM. Query terms are
+  // plan literals, so corpus tokens that aren't query terms never
+  // shuffle (scan-side isin before the one (doc,term) aggregate);
+  // per-term log contributions quantized to DECIMAL(18,9) so the
+  // per-doc sum is exact in both engines.
+  private val qT28 = Q(
+    "q_t28_query_likelihood",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS tt FROM t),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |ct AS (SELECT count(*) AS ct FROM tok),
+      |cf AS (SELECT tt AS term, count(*) AS cf FROM tok
+      |       WHERE tt IN ('window', 'scan', 'merge') GROUP BY 1),
+      |tf AS (SELECT doc_id, tt AS term, count(*) AS tf FROM tok
+      |       WHERE tt IN ('window', 'scan', 'merge') GROUP BY 1, 2),
+      |grid AS (SELECT dl.doc_id, dl.dl, cf.term, cf.cf, ct.ct
+      |         FROM dl CROSS JOIN cf CROSS JOIN ct),
+      |sc AS (SELECT doc_id,
+      |         sum(CAST(round(ln(
+      |             (CAST(coalesce(tf.tf, 0) AS DOUBLE)
+      |                + 50.0 * (CAST(cf AS DOUBLE) / CAST(ct AS DOUBLE)))
+      |             / (CAST(dl AS DOUBLE) + 50.0)), 9) AS DECIMAL(18,9))) AS s
+      |       FROM grid LEFT JOIN tf USING (doc_id, term)
+      |       GROUP BY 1)
+      |SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS score
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.operators.QueryLikelihood.score(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      Seq("window", "scan", "merge"), mu = 50.0, topK = 20)
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27)
+      qT27, qT28)
 }
