@@ -222,6 +222,91 @@ object TimeSeries {
     * grain, like [[pacf]] — and nothing shuffles except the one
     * key-partitioned aggregate.
     */
+  /** Holt–Winters ADDITIVE triple exponential smoothing (Winters 1960;
+    * Hyndman & Athanasopoulos FPP §8.3) with dyadic α = β = γ = 1/2 and
+    * season length `period` — [[holtLinear]] plus the seasonal
+    * component, for the weekly/daily cycles the trend-only recursion
+    * reads as noise:
+    *
+    *   fitted_t = l_{t−1} + b_{t−1} + s_{t−m}
+    *   l_t = ((x_t − s_{t−m}) + (l_{t−1} + b_{t−1})) / 2
+    *   b_t = ((l_t − l_{t−1}) + b_{t−1}) / 2
+    *   s_t = ((x_t − l_t) + s_{t−m}) / 2
+    *
+    * Init is the classic first-season scheme: l_m = mean(x_1..x_m)
+    * (computed as a LEFT-TO-RIGHT fold so both engines add in one
+    * order), b_m = 0, s_i = x_i − l_m for i ≤ m; the recursion starts
+    * at t = m+1. Level/trend/seasonal/fitted publish from the completed
+    * first season onward (NULL before); keys with fewer than `period`
+    * points are excluded (no season to initialize from). The halvings
+    * are exact IEEE ops, so the whole recursion is bit-reproducible and
+    * the oracle replays it with a recursive CTE carrying the last-m
+    * seasonal ring as a list column.
+    *
+    * Shape: identical to [[holtLinear]] — one key-partitioned hash
+    * aggregate collects each key's grain-bounded series, one HOF fold
+    * emits the smoothed array (the fold reads s_{t−m} straight out of
+    * the accumulated array with a negative index — no extra state), one
+    * explode returns to rows.
+    */
+  def holtWinters(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    val m = period
+    val g = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("o"),
+        col(valueCol).cast("double").as("x")))).as("__s"))
+      .where(size(col("__s")) >= m)
+      .withColumn("__m0",
+        aggregate(slice(col("__s"), 1, m), lit(0.0),
+          (a, e) => a + e.getField("x")) / lit(m.toDouble))
+    def entry(e: org.apache.spark.sql.Column) = struct(
+      e.getField("o").as("o"), e.getField("x").as("x"),
+      lit(null).cast("double").as("level"), lit(null).cast("double").as("trend"),
+      lit(null).cast("double").as("seasonal"), lit(null).cast("double").as("fitted"))
+    val accInit = slice(transform(col("__s"), e => entry(e)), 1, 0)
+    val folded = aggregate(col("__s"), accInit, (acc, e) => {
+      val x = e.getField("x")
+      val init = struct(
+        e.getField("o").as("o"), x.as("x"),
+        when(size(acc) === m - 1, col("__m0")).cast("double").as("level"),
+        when(size(acc) === m - 1, lit(0.0)).cast("double").as("trend"),
+        (x - col("__m0")).as("seasonal"),
+        lit(null).cast("double").as("fitted"))
+      val last = element_at(acc, -1)
+      val sPrev = element_at(acc, -m).getField("seasonal")
+      val fit = last.getField("level") + last.getField("trend") + sPrev
+      val lNew = ((x - sPrev) + (last.getField("level") + last.getField("trend"))) / lit(2.0)
+      val bNew = ((lNew - last.getField("level")) + last.getField("trend")) / lit(2.0)
+      val sNew = ((x - lNew) + sPrev) / lit(2.0)
+      val step = struct(
+        e.getField("o").as("o"), x.as("x"),
+        lNew.as("level"), bNew.as("trend"), sNew.as("seasonal"), fit.as("fitted"))
+      when(size(acc) < m, concat(acc, array(init)))
+        .otherwise(concat(acc, array(step)))
+    })
+    g.select(col(keyCol), explode(folded).as("__r"))
+      .select(
+        col(keyCol),
+        col("__r.o").as(orderCol),
+        col("__r.x").as(valueCol),
+        col("__r.level").as("level"),
+        col("__r.trend").as("trend"),
+        // the pre-init seasonals exist inside the fold (the first
+        // season's recursion reads them) but publish NULL: the contract
+        // is "defined from the completed first season onward"
+        when(col("__r.level").isNull, lit(null).cast("double"))
+          .otherwise(col("__r.seasonal")).as("seasonal"),
+        col("__r.fitted").as("fitted"),
+        (col("__r.x") - col("__r.fitted")).as("residual"))
+  }
+
   def holtLinear(
       series: DataFrame,
       keyCol: String,

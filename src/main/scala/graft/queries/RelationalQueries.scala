@@ -1931,6 +1931,78 @@ object RelationalQueries extends QueryGroup {
     * unioned in (q_e18's hardening corpus): user -1 = 10-day constant,
     * user -2 = 2-day (1.0, 2.0).
     */
+  // Holt–Winters additive seasonal smoothing (TimeSeries.holtWinters):
+  // q_e27's dyadic recursion plus a weekly (m=7) seasonal component —
+  // every op an IEEE add/subtract/halving except the first-season mean,
+  // which both engines accumulate as the SAME left-to-right fold. The
+  // oracle's recursive CTE carries the last-7 seasonal ring as a list
+  // column (sv), stepping rn → rn+1 per key; keys with < 7 days are
+  // excluded (no season to initialize), which the 2-day probe user
+  // exercises; the 10-day constant probe pins level 5 / trend 0 /
+  // seasonal 0 / residual 0 through all three recursion steps.
+  private val qE29 = Q(
+    "q_e29_holt_winters",
+    {
+      val m0 = "(h.runsum + s.daily_value) / 7.0"
+      val lNew = "((s.daily_value - h.sv[1]) + (h.level + h.trend)) / 2"
+      """WITH RECURSIVE d AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+        |  FROM events GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+        |         CAST(5.0 AS DOUBLE)
+        |  FROM range(10) t(i)
+        |  UNION ALL
+        |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+        |         CAST(i + 1 AS DOUBLE)
+        |  FROM range(2) t(i)),
+        |s AS (
+        |  SELECT user_id, day, daily_value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM d),
+        |h AS (
+        |  SELECT user_id, rn, day, daily_value,
+        |         daily_value AS runsum,
+        |         [daily_value] AS xs,
+        |         CAST(NULL AS DOUBLE[]) AS sv,
+        |         CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+        |         CAST(NULL AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS fitted
+        |  FROM s WHERE rn = 1 AND cnt >= 7
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, s.day, s.daily_value,
+        |         h.runsum + s.daily_value,
+        |         CASE WHEN s.rn < 7 THEN list_append(h.xs, s.daily_value)
+        |              ELSE h.xs END,
+        |         CASE WHEN s.rn < 7 THEN CAST(NULL AS DOUBLE[])
+        |              WHEN s.rn = 7 THEN list_transform(
+        |                list_append(h.xs, s.daily_value), v -> v - M0)
+        |              ELSE list_append(h.sv[2:], ((s.daily_value - LNEW) + h.sv[1]) / 2)
+        |         END,
+        |         CASE WHEN s.rn < 7 THEN CAST(NULL AS DOUBLE)
+        |              WHEN s.rn = 7 THEN M0
+        |              ELSE LNEW END,
+        |         CASE WHEN s.rn < 7 THEN CAST(NULL AS DOUBLE)
+        |              WHEN s.rn = 7 THEN CAST(0 AS DOUBLE)
+        |              ELSE ((LNEW - h.level) + h.trend) / 2 END,
+        |         CASE WHEN s.rn < 7 THEN CAST(NULL AS DOUBLE)
+        |              WHEN s.rn = 7 THEN s.daily_value - (M0)
+        |              ELSE ((s.daily_value - LNEW) + h.sv[1]) / 2 END,
+        |         CASE WHEN s.rn <= 7 THEN CAST(NULL AS DOUBLE)
+        |              ELSE h.level + h.trend + h.sv[1] END
+        |  FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1)
+        |SELECT user_id, day, daily_value, level, trend, seasonal, fitted,
+        |       daily_value - fitted AS residual
+        |FROM h ORDER BY user_id, day""".stripMargin
+        .replace("M0", s"($m0)").replace("LNEW", s"($lNew)")
+    }) { (s, dir) =>
+    graft.operators.TimeSeries
+      .holtWinters(dailyWithProbes(s, dir, includeSinglePair = true),
+        "user_id", "day", "daily_value", period = 7)
+      .orderBy("user_id", "day")
+  }
+
   private def dailyWithProbes(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -1989,5 +2061,5 @@ object RelationalQueries extends QueryGroup {
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
     qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25, qE26,
-    qE27, qE28)
+    qE27, qE28, qE29)
 }
