@@ -583,4 +583,49 @@ object DataProfile {
         (lit(2.0) * col("__iw") / (col("n_keys") * col("n_rows")) -
           (col("n_keys") + 1L).cast("double") / col("n_keys")).as("gini"))
   }
+
+  /** Benford's-law first-digit audit (Benford 1938; Nigrini 2012 — the
+    * standard forensic screen for fabricated or truncated numeric
+    * columns): the distribution of leading significant digits of a
+    * naturally-scaled positive measure follows P(d) = log10(1 + 1/d);
+    * a column that drifts from it was clipped, binned, defaulted, or
+    * invented. One row per digit 1–9: observed count/share, the Benford
+    * expectation, and the χ² contribution (n_d − N·p_d)²/(N·p_d).
+    *
+    * Digit extraction is BOUNDARY-PROOF: e = floor(log10(x)),
+    * d = floor(x / 10^e), then the symmetric clamp d ≥ 10 → 1 (log10
+    * landed one ulp low at a power of ten) and d = 0 → 9 (one ulp
+    * high). Whichever side of the boundary an engine's libm lands on,
+    * both clamps resolve to the SAME digit, so the per-digit counts are
+    * exact integers in every engine.
+    *
+    * Shape: scan-side digit arithmetic → ONE 9-row hash aggregate →
+    * broadcast total; non-positive and NULL values are excluded (no
+    * leading significant digit).
+    */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val e = floor(log10(x))
+    val d0 = floor(x / pow(lit(10.0), e)).cast("int")
+    val digit = when(d0 >= 10, lit(1)).when(d0 === 0, lit(9)).otherwise(d0)
+    val counts = df
+      .where(x.isNotNull && x > 0 && !isnan(x))
+      .select(digit.as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val expected = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))
+    counts.crossJoin(broadcast(total))
+      .select(
+        col("digit"),
+        col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("observed_share"),
+        round(expected, 6).as("expected_share"),
+        round({
+          val exp = col("__t").cast("double") * expected
+          (col("n").cast("double") - exp) * (col("n").cast("double") - exp) / exp
+        }, 6).as("chi2_contrib"))
+      .orderBy("digit")
+  }
 }

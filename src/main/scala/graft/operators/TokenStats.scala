@@ -112,23 +112,48 @@ object TokenStats {
       .select(col("__k"), log(col("__ct").cast("double")).as("__x"),
         log(col("__cv").cast("double")).as("__y"),
         col("__ct"), col("__cv"))
-    // the point frame is ≤numPrefixes rows but its lineage is the corpus
-    // explode — pin it once so the fit and the totals don't scan twice,
-    // checkpoint the 1-row result, then free the internal pin
-    val ptsCp = pts.localCheckpoint(true)
-    val fit = TimeSeries.trendSlope(ptsCp, "__k", "__x", "__y")
-    val totals = ptsCp.agg(
-      max(col("__ct")).as("total_tokens"), max(col("__cv")).as("vocabulary"))
-    val out = fit.crossJoin(broadcast(totals))
-      .select(
-        col("n_points").as("n_prefixes"),
-        col("total_tokens"), col("vocabulary"),
-        col("slope").as("beta"),
-        exp(col("intercept")).as("k"),
-        col("r2"))
-      .localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(ptsCp)
-    out
+    // OLS from EXACT decimal moment sums rather than covar_samp/var_samp:
+    // on a degenerate corpus (constant cumulative vocabulary — a tiny or
+    // saturated vocab) the y column is constant and the parallel
+    // variance aggregates nondeterministically return exactly-0 or
+    // ~1e-16 depending on merge order — in BOTH engines — flipping r2
+    // between NULL and pure noise run to run. Quantizing x/y to 9
+    // decimals (DECIMAL(12,9) — |ln| ≤ 100 by the domain) makes every
+    // sum exact and order-free, and degeneracy is decided by EXACT
+    // min=max equality, not by a variance's last ulp.
+    val xd = round(col("__x"), 9).cast("decimal(12,9)")
+    val yd = round(col("__y"), 9).cast("decimal(12,9)")
+    val m = pts.agg(
+      count(lit(1)).cast("int").as("n_prefixes"),
+      max(col("__ct")).as("total_tokens"),
+      max(col("__cv")).as("vocabulary"),
+      sum(xd).as("__sx"), sum(yd).as("__sy"),
+      sum(xd * yd).as("__sxy"), sum(xd * xd).as("__sxx"),
+      sum(yd * yd).as("__syy"),
+      (max(xd) > min(xd)).as("__varx"),
+      (max(yd) > min(yd)).as("__vary"))
+    // slope/r2 from EXACT-decimal scatter numerators — n·Σxy − ΣxΣy is
+    // exactly 0 in decimal when y is constant, so a degenerate corpus
+    // yields beta = 0.0 and r2 = NULL exactly, never last-ulp noise
+    // (the (n−1) normalizers cancel in every ratio)
+    val nD = col("n_prefixes").cast("decimal(4,0)")
+    val sx = col("__sx").cast("decimal(15,9)")
+    val sy = col("__sy").cast("decimal(15,9)")
+    val numCov = (nD * col("__sxy").cast("decimal(25,18)") - sx * sy)
+      .cast("double")
+    val numVx = (nD * col("__sxx").cast("decimal(25,18)") - sx * sx)
+      .cast("double")
+    val numVy = (nD * col("__syy").cast("decimal(25,18)") - sy * sy)
+      .cast("double")
+    val n = col("n_prefixes").cast("double")
+    val beta = numCov / numVx
+    m.select(
+      col("n_prefixes"), col("total_tokens"), col("vocabulary"),
+      when(col("__varx"), beta).as("beta"),
+      when(col("__varx"),
+        exp(sy.cast("double") / n - beta * (sx.cast("double") / n))).as("k"),
+      when(col("__varx") && col("__vary"),
+        numCov * numCov / (numVx * numVy)).as("r2"))
   }
 
   def zipfFit(

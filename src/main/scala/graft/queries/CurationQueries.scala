@@ -789,7 +789,7 @@ object CurationQueries extends QueryGroup {
   // partitioning. The oracle replays counts, smoothing, priors, the
   // unseen-token default, and every per-doc decimal sum; same
   // lang='en' label rule as the q_c13 family.
-  private val qC22 = Q(
+  private[queries] val qC22 = Q(
     "q_c22_naive_bayes",
     """WITH t AS (
       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,

@@ -793,7 +793,42 @@ object QualityQueries extends QueryGroup {
       Tables.load(s, dir, "documents"), "n_chars", "doc_id", folds = 10)
   }
 
+  // Benford's-law first-digit audit (DataProfile.benfordReport, Nigrini
+  // 2012): the forensic screen for fabricated/truncated numeric columns
+  // over l_extendedprice. Digit extraction is BOUNDARY-PROOF — the
+  // symmetric clamp (d≥10→1, d=0→9) resolves to the same digit
+  // whichever side of a power-of-ten boundary each engine's log10
+  // lands on — so the 9 per-digit counts are exact integers in both
+  // engines; shares and χ² contributions are ratios of those integers.
+  private val qQ17 = Q(
+    "q_q17_benford_audit",
+    """WITH v AS (
+      |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND CAST(l_extendedprice AS DOUBLE) > 0
+      |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+      |dg AS (
+      |  SELECT CASE WHEN d0 >= 10 THEN 1 WHEN d0 = 0 THEN 9 ELSE d0 END AS digit
+      |  FROM (SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT) AS d0
+      |        FROM v)),
+      |ct AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+      |tt AS (SELECT sum(n) AS t FROM ct)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |       round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS observed_share,
+      |       round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS expected_share,
+      |       round((CAST(n AS DOUBLE) - CAST(t AS DOUBLE)
+      |                * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+      |             * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)
+      |                * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+      |             / (CAST(t AS DOUBLE)
+      |                * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6)
+      |         AS chi2_contrib
+      |FROM ct CROSS JOIN tt
+      |ORDER BY digit""".stripMargin) { (s, dir) =>
+    graft.operators.DataProfile.benfordReport(
+      Tables.load(s, dir, "lineitem"), "l_extendedprice")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16)
+      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16, qQ17)
 }

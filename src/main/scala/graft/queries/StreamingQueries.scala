@@ -544,7 +544,21 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id")
   }
 
+  // Streaming Naive Bayes scoring (CorpusStream.nbScoredAvailableNow):
+  // the q_c22 count-based classifier trained in batch, served per
+  // micro-batch by joining the vocabulary-bounded model frame (shipped
+  // via a temp-parquet round trip — DECIMAL log-likelihoods round-trip
+  // exactly, and checkpoints don't survive interleaved micro-batch
+  // executions). Scoring is per-doc given the model, so streamed ≡
+  // batch on every document and the oracle is q_c22's verbatim.
+  private val qSt24 = Q(
+    "q_st24_stream_naive_bayes",
+    CurationQueries.qC22.oracle.get) { (s, dir) =>
+    graft.streaming.CorpusStream.nbScoredAvailableNow(s, dir, shards = 2)
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
-      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23)
+      qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
+      qSt24)
 }

@@ -996,16 +996,29 @@ object TextQueries extends QueryGroup {
       |        FROM pb LEFT JOIN nv ON pb.b = nv.fb),
       |p AS (SELECT ln(CAST(ct AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y, ct, cv
       |      FROM cum WHERE ct > 0 AND cv > 0),
+      |q AS (SELECT CAST(round(x, 9) AS DECIMAL(12,9)) AS xd,
+      |             CAST(round(y, 9) AS DECIMAL(12,9)) AS yd, ct, cv FROM p),
       |m AS (SELECT CAST(count(*) AS INT) AS n_prefixes,
       |             max(ct) AS total_tokens, max(cv) AS vocabulary,
-      |             covar_samp(x, y) AS cov, var_samp(x) AS vx, var_samp(y) AS vy,
-      |             avg(x) AS mx, avg(y) AS my
-      |      FROM p)
+      |             sum(xd) AS sx, sum(yd) AS sy, sum(xd * yd) AS sxy,
+      |             sum(xd * xd) AS sxx, sum(yd * yd) AS syy,
+      |             max(xd) > min(xd) AS varx, max(yd) > min(yd) AS vary
+      |      FROM q),
+      |mm AS (SELECT n_prefixes, total_tokens, vocabulary, varx, vary,
+      |         CAST(CAST(n_prefixes AS DECIMAL(4,0)) * CAST(sxy AS DECIMAL(25,18))
+      |              - CAST(sx AS DECIMAL(15,9)) * CAST(sy AS DECIMAL(15,9)) AS DOUBLE) AS ncov,
+      |         CAST(CAST(n_prefixes AS DECIMAL(4,0)) * CAST(sxx AS DECIMAL(25,18))
+      |              - CAST(sx AS DECIMAL(15,9)) * CAST(sx AS DECIMAL(15,9)) AS DOUBLE) AS nvx,
+      |         CAST(CAST(n_prefixes AS DECIMAL(4,0)) * CAST(syy AS DECIMAL(25,18))
+      |              - CAST(sy AS DECIMAL(15,9)) * CAST(sy AS DECIMAL(15,9)) AS DOUBLE) AS nvy,
+      |         CAST(CAST(sx AS DECIMAL(15,9)) AS DOUBLE) / CAST(n_prefixes AS DOUBLE) AS mx,
+      |         CAST(CAST(sy AS DECIMAL(15,9)) AS DOUBLE) / CAST(n_prefixes AS DOUBLE) AS my
+      |       FROM m)
       |SELECT n_prefixes, total_tokens, vocabulary,
-      |       CASE WHEN vx > 0 THEN cov / vx END AS beta,
-      |       CASE WHEN vx > 0 THEN exp(my - cov / vx * mx) END AS k,
-      |       CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END AS r2
-      |FROM m""".stripMargin) { (s, dir) =>
+      |       CASE WHEN varx THEN ncov / nvx END AS beta,
+      |       CASE WHEN varx THEN exp(my - ncov / nvx * mx) END AS k,
+      |       CASE WHEN varx AND vary THEN ncov * ncov / (nvx * nvy) END AS r2
+      |FROM mm""".stripMargin) { (s, dir) =>
     graft.operators.TokenStats.heapsFit(
       Tables.load(s, dir, "documents"), "doc_id", "text", numPrefixes = 10)
   }
@@ -1088,8 +1101,59 @@ object TextQueries extends QueryGroup {
       Seq("window", "scan", "merge"), mu = 50.0, topK = 20)
   }
 
+  // PII redaction (PiiRedaction.redact): emails/SSNs/phones/IPv4s
+  // counted and replaced by typed placeholders in ONE fixed sequential
+  // order (each pattern counts against the CURRENT text, so a consumed
+  // SSN never re-counts as a phone). The oracle's rewrite chain is
+  // GENERATED from the same pattern list the engine folds over —
+  // patterns stay in the Java-regex ∩ RE2 subset, so counts and the
+  // final md5 of the redacted text match byte-for-byte. The synthetic
+  // corpus has no PII, so three planted probe docs exercise every
+  // pattern class and the overlap rules.
+  private val qT29 = Q(
+    "q_t29_pii_redaction", {
+      val probeSql =
+        """SELECT CAST(-1 AS BIGINT) AS doc_id,
+          |       'mail john.doe@example.com and jane@test.org now' AS text
+          |UNION ALL SELECT CAST(-2 AS BIGINT),
+          |       'ssn 123-45-6789 phone 555.123.4567 ip 10.0.0.1'
+          |UNION ALL SELECT CAST(-3 AS BIGINT),
+          |       'edge 999-88-7777 at 192.168.001.1 end'""".stripMargin
+      val steps = graft.operators.PiiRedaction.patterns.zipWithIndex.map {
+        case ((name, pat, repl), i) =>
+          val carry = graft.operators.PiiRedaction.patterns.take(i)
+            .map(p => p._1).map(n => s"$n, ").mkString
+          s"""r${i + 1} AS (
+             |  SELECT doc_id, $carry
+             |         CAST(len(regexp_extract_all(cur, '$pat')) AS INT) AS $name,
+             |         regexp_replace(cur, '$pat', '$repl', 'g') AS cur
+             |  FROM r$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL $probeSql),
+         |r0 AS (SELECT doc_id, coalesce(text, '') AS cur FROM d),
+         |$steps
+         |SELECT doc_id, n_emails, n_ssns, n_phones, n_ips,
+         |       md5(cur) AS redacted_md5
+         |FROM r4 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val probes = Seq(
+      (-1L, "mail john.doe@example.com and jane@test.org now"),
+      (-2L, "ssn 123-45-6789 phone 555.123.4567 ip 10.0.0.1"),
+      (-3L, "edge 999-88-7777 at 192.168.001.1 end"))
+    val sp = s
+    import sp.implicits._
+    val corpus = Tables.load(s, dir, "documents").select("doc_id", "text")
+      .unionByName(probes.toDF("doc_id", "text"))
+    graft.operators.PiiRedaction.redact(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ssns"),
+        col("n_phones"), col("n_ips"), md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28)
+      qT27, qT28, qT29)
 }

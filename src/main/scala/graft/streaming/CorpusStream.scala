@@ -246,6 +246,42 @@ object CorpusStream {
     * each batch's write — the landing zone runs forever, residency must
     * not.
     */
+  /** Streaming Naive Bayes scoring: the [[graft.operators.NaiveBayes]]
+    * model trains in BATCH over the reference corpus (the q_st16
+    * classifier posture — fit offline, serve online), then every
+    * arriving micro-batch is scored by joining the vocabulary-bounded
+    * model frame. Scoring is per-document given the model, so streamed
+    * ≡ batch exactly and the q_c22 oracle replays it verbatim.
+    *
+    * The model ships via a temp-parquet round trip and is RE-READ per
+    * batch rather than held as a localCheckpoint: checkpoint blocks do
+    * not survive interleaved micro-batch executions (the q_st23
+    * lesson, CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and the
+    * vocabulary-bounded scan is cheaper than the residency. DECIMAL
+    * log-likelihoods round-trip parquet exactly, so the served scores
+    * are bit-identical to the batch pass.
+    */
+  def nbScoredAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      shards: Int = 2): DataFrame = {
+    import graft.operators.NaiveBayes
+    val bridge = org.apache.spark.sql.graft.bridge
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("__y", (col("lang") === "en").cast("int"))
+    val (model, stats) = NaiveBayes.train(docs, "doc_id", "text", "__y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb_model").toString
+    model.write.parquet(s"$dir/model")
+    stats.write.parquet(s"$dir/stats")
+    bridge.freeLocalCheckpoint(model)
+    bridge.freeLocalCheckpoint(stats)
+    val modelR = spark.read.parquet(s"$dir/model")
+    val statsR = spark.read.parquet(s"$dir/stats")
+    transformAvailableNow(spark, sfDir, shards) { batch =>
+      NaiveBayes.score(batch, "doc_id", "text", modelR, statsR)
+    }.orderBy("doc_id")
+  }
+
   def transformAvailableNow(
       spark: SparkSession,
       sfDir: String,

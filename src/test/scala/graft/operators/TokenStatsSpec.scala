@@ -62,23 +62,43 @@ class TokenStatsSpec extends SparkSpec {
       if ((1L to 60L).exists(i => bucketOf(i) == b && toks(i).nonEmpty)) Some((ct, cv))
       else None
     }.filter(p => p._1 > 0 && p._2 > 0)
-    val xs = pts.map(p => math.log(p._1.toDouble))
-    val ys = pts.map(p => math.log(p._2.toDouble))
-    val n = xs.size
-    val (mx, my) = (xs.sum / n, ys.sum / n)
-    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
-    val vx = xs.map(x => (x - mx) * (x - mx)).sum / (n - 1)
-    val vy = ys.map(y => (y - my) * (y - my)).sum / (n - 1)
+    // mirror the engine's exact-decimal moment scheme: quantize the log
+    // points to 9 decimals, sum exactly, derive the fit as doubles
+    def q9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val xs = pts.map(p => q9(math.log(p._1.toDouble)))
+    val ys = pts.map(p => q9(math.log(p._2.toDouble)))
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+    val sxx = xs.map(x => x * x).sum.toDouble
+    val syy = ys.map(y => y * y).sum.toDouble
+    val cov = (sxy - sx * sy / n) / (n - 1.0)
+    val vx = (sxx - sx * sx / n) / (n - 1.0)
+    val vy = (syy - sy * sy / n) / (n - 1.0)
     val beta = cov / vx
 
-    assert(row.getAs[Int]("n_prefixes") === n)
+    assert(row.getAs[Int]("n_prefixes") === xs.size)
     assert(row.getAs[Long]("total_tokens") === pts.last._1.toLong)
     assert(row.getAs[Long]("vocabulary") === pts.last._2.toLong)
-    assert(math.abs(row.getAs[Double]("beta") - beta) < 1e-9,
+    assert(math.abs(row.getAs[Double]("beta") - beta) < 1e-12,
       s"beta: got ${row.getAs[Double]("beta")} want $beta")
-    assert(math.abs(row.getAs[Double]("k") - math.exp(my - beta * mx)) < 1e-9)
-    assert(math.abs(row.getAs[Double]("r2") - cov * cov / (vx * vy)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("k") -
+      math.exp(sy / n - cov / vx * (sx / n))) < 1e-12)
+    assert(math.abs(row.getAs[Double]("r2") - cov * cov / (vx * vy)) < 1e-12)
     assert(row.getAs[Double]("beta") > 0 && row.getAs[Double]("beta") < 1,
       "shared vocabulary must fit sub-linear growth")
+  }
+
+  test("heapsFit: constant cumulative vocabulary yields NULL beta/k/r2, never noise") {
+    // every doc shares the same 3 tokens -> V(prefix) is constant; the
+    // min=max degeneracy guard must return NULL deterministically
+    // (variance-based guards flip on parallel-merge last-ulp noise)
+    val docs = (1L to 40L).map(i => (i, "aa bb cc")).toDF("doc_id", "text")
+    val row = TokenStats.heapsFit(docs, "doc_id", "text", numPrefixes = 8)
+      .collect().head
+    assert(row.getAs[Long]("vocabulary") === 3L)
+    assert(row.isNullAt(row.fieldIndex("r2")), "r2 must be NULL on constant V")
+    // beta is 0 when x varies but y doesn't; it must be exactly 0, not noise
+    assert(row.getAs[Double]("beta") === 0.0)
   }
 }
