@@ -687,6 +687,104 @@ object PipelineQueries extends QueryGroup {
       .orderBy("g_name", "g_nat", "g_seg")
   }
 
+  // The DATASET CARD in one gate: the single-row release report a
+  // corpus ships with (what HuggingFace dataset cards / Datasheets for
+  // Datasets standardize), composed from five already-gated families —
+  // volume (docs/tokens/vocabulary), language mix (count + top share,
+  // deterministic (count desc, lang asc) winner), exact-duplicate
+  // exposure (docs minus distinct md5 texts), the TRAINED q_c13
+  // classifier's corpus-mean quality, and PII exposure (docs with any
+  // q_t29-pattern match). Every number reduces to one broadcast
+  // one-row frame; the oracle chains each family's own fragment
+  // (qcTrainCtes for the classifier, the generated PiiRedaction rewrite
+  // chain) so a regression in ANY composed family flips this row.
+  private val qF12 = Q(
+    "q_f12_dataset_card", {
+      val piiPats = graft.operators.PiiRedaction.patterns
+      val piiSteps = piiPats.zipWithIndex.map { case ((name, pat, repl), i) =>
+        val carry = piiPats.take(i).map(p => s"${p._1}, ").mkString
+        s"""pr${i + 1} AS (
+           |  SELECT doc_id, $carry
+           |         CAST(len(regexp_extract_all(cur, '$pat')) AS INT) AS $name,
+           |         regexp_replace(cur, '$pat', '$repl', 'g') AS cur
+           |  FROM pr$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dt AS (
+         |  SELECT doc_id, lang,
+         |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tk,
+         |         md5(text) AS th
+         |  FROM documents),
+         |vol AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+         |               CAST(count(*) - count(DISTINCT th) AS BIGINT) AS exact_dup_docs
+         |        FROM dt),
+         |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocabulary
+         |        FROM (SELECT unnest(tk) AS tok FROM dt)),
+         |lc AS (SELECT lang, count(*) AS c FROM dt GROUP BY 1),
+         |lng AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM lc),
+         |top AS (SELECT lang AS top_lang, c AS top_c FROM lc
+         |        ORDER BY c DESC, lang LIMIT 1),
+         |${CurationQueries.qcTrainCtes},
+         |qs AS (SELECT round(1.0 / (1.0 + exp(-(${CurationQueries.qcZ("wt3")}))), 6) AS score
+         |       FROM f CROSS JOIN wt3),
+         |qm AS (SELECT CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mq
+         |       FROM qs),
+         |pr0 AS (SELECT doc_id, coalesce(text, '') AS cur FROM documents),
+         |$piiSteps,
+         |pii AS (SELECT CAST(count(*) AS BIGINT) AS pii_docs
+         |        FROM pr4 WHERE n_emails + n_ssns + n_phones + n_ips > 0)
+         |SELECT vol.n_docs, vol.n_tokens, voc.vocabulary,
+         |       lng.n_langs, top.top_lang,
+         |       round(CAST(top.top_c AS DOUBLE) / CAST(vol.n_docs AS DOUBLE), 6)
+         |         AS top_lang_share,
+         |       vol.exact_dup_docs,
+         |       round(qm.mq, 6) AS mean_quality,
+         |       pii.pii_docs
+         |FROM vol CROSS JOIN voc CROSS JOIN lng CROSS JOIN top
+         |     CROSS JOIN qm CROSS JOIN pii""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.TextAnalysis
+    val docs = Tables.load(s, dir, "documents")
+    val vol = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("exact_dup_docs"))
+    val voc = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocabulary"))
+    val lc = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val lng = lc.agg(count(lit(1)).as("n_langs"))
+    val top = lc.orderBy(col("c").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("c").as("top_c"))
+    val scored = CurationQueries.qcScoredPinned(s, dir)
+    val qm = scored.agg(
+      (sum(col("score").cast("decimal(38,6)")).cast("double") /
+        count(lit(1))).as("mq"))
+    val pii = graft.operators.PiiRedaction.redact(docs, "doc_id", "text")
+      .where(col("n_emails") + col("n_ssns") + col("n_phones") + col("n_ips") > 0)
+      .agg(count(lit(1)).as("pii_docs"))
+    val out = vol
+      .crossJoin(broadcast(voc))
+      .crossJoin(broadcast(lng))
+      .crossJoin(broadcast(top))
+      .crossJoin(broadcast(qm))
+      .crossJoin(broadcast(pii))
+      .select(
+        col("n_docs"), col("n_tokens"), col("vocabulary"),
+        col("n_langs"), col("top_lang"),
+        round(col("top_c").cast("double") / col("n_docs").cast("double"), 6)
+          .as("top_lang_share"),
+        col("exact_dup_docs"),
+        round(col("mq"), 6).as("mean_quality"),
+        col("pii_docs"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(scored)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(lc)
+    out
+  }
+
   override val all: Seq[Q] =
-    Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11)
+    Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12)
 }
