@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Jaro–Winkler name similarity (native codegen kernel,
+    * [[graft.expressions.JaroWinkler]]) — semantics pinned to DuckDB's
+    * `jaro_winkler_similarity`: empty → 0, integer match window,
+    * 0.1-weight prefix boost (cap 4) only above jaro 0.7.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.JaroWinkler(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
+
   /** Whitespace tokens of trimmed, lowercased text; empty text → []. */
   def tokens(text: Column): Column = {
     val t = lower(trim(text))

@@ -785,6 +785,37 @@ object PipelineQueries extends QueryGroup {
     out
   }
 
+  // Jaro–Winkler similarity (expressions.JaroWinkler — native codegen
+  // kernel, semantics pinned to DuckDB's jaro_winkler_similarity): the
+  // graded name-matching score of the record-linkage literature next
+  // to the edit-distance blocking q_f7 uses. Per customer, the kernel
+  // runs against a planted dist-1 typo (high similarity, prefix boost
+  // active) and the REVERSED name (transposition-heavy, usually below
+  // the 0.7 boost threshold) — 2×|customers| diverse hex-string pairs
+  // exercising the window, transposition, and boost paths, every value
+  // compared to DuckDB's at 6 decimals.
+  private val qF13 = Q(
+    "q_f13_jaro_winkler",
+    """WITH r AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+      |                  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS name
+      |           FROM customer)
+      |SELECT id,
+      |       round(jaro_winkler_similarity(name, substr(name, 1, 9) || 'z'), 6) AS jw_typo,
+      |       round(jaro_winkler_similarity(name, reverse(name)), 6) AS jw_rev
+      |FROM r ORDER BY id""".stripMargin) { (s, dir) =>
+    import graft.functions.TextAnalysis.jaroWinkler
+    Tables.load(s, dir, "customer")
+      .select(
+        col("c_custkey").cast("long").as("id"),
+        substring(md5(col("c_custkey").cast("string")), 1, 10).as("name"))
+      .select(
+        col("id"),
+        round(jaroWinkler(col("name"),
+          concat(substring(col("name"), 1, 9), lit("z"))), 6).as("jw_typo"),
+        round(jaroWinkler(col("name"), reverse(col("name"))), 6).as("jw_rev"))
+      .orderBy("id")
+  }
+
   override val all: Seq[Q] =
-    Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12)
+    Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13)
 }
