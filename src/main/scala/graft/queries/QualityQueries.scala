@@ -828,7 +828,120 @@ object QualityQueries extends QueryGroup {
       Tables.load(s, dir, "lineitem"), "l_extendedprice")
   }
 
+  // Exact percentile profile (p50/p90/p99 per return flag): Spark's
+  // `percentile` and DuckDB's `quantile_cont` implement the identical
+  // (n−1)·p linear interpolation — probed bit-identical on this data —
+  // so the profile is value-exact, not approximate. The per-group
+  // sort happens inside ONE hash-aggregate percentile (no global
+  // sort); at scale the groups partition the work.
+  private val qQ18 = Q(
+    "q_q18_percentile_profile",
+    """WITH g AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |         quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.5, 0.9, 0.99]) AS q
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n, p, round(v, 6) AS value
+      |FROM (
+      |  SELECT l_returnflag, n, 0.5 AS p, q[1] AS v FROM g
+      |  UNION ALL SELECT l_returnflag, n, 0.9, q[2] FROM g
+      |  UNION ALL SELECT l_returnflag, n, 0.99, q[3] FROM g)
+      |ORDER BY l_returnflag, p""".stripMargin) { (s, dir) =>
+    val g = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.5, 0.9, 0.99))")
+          .as("q"))
+    g.select(col("l_returnflag"), col("n"), lit(0.5).as("p"),
+        round(element_at(col("q"), 1), 6).as("value"))
+      .unionByName(g.select(col("l_returnflag"), col("n"), lit(0.9).as("p"),
+        round(element_at(col("q"), 2), 6).as("value")))
+      .unionByName(g.select(col("l_returnflag"), col("n"), lit(0.99).as("p"),
+        round(element_at(col("q"), 3), 6).as("value")))
+      .orderBy("l_returnflag", "p")
+  }
+
+  // Welch's unequal-variance t-test (Welch 1947) between the TRAINED
+  // q_c13 classifier's scores on en vs non-en documents — the
+  // significance readout next to the q_q7 drift family: "is the score
+  // distribution actually different across this slice". Scores are
+  // 6-decimal-rounded doubles, so Σs and Σs² accumulate as EXACT
+  // decimals and the t statistic and Welch–Satterthwaite df derive
+  // from order-free sums (sample variance via the n·Σs²−(Σs)²
+  // numerator, the heaps-fit discipline).
+  private val qQ19 = Q(
+    "q_q19_welch_ttest",
+    s"""WITH ${CurationQueries.qcTrainCtes},
+      |qs AS (SELECT f.doc_id, f.y,
+      |              round(1.0 / (1.0 + exp(-(${CurationQueries.qcZ("wt3")}))), 6) AS score
+      |       FROM f CROSS JOIN wt3),
+      |m AS (SELECT y, CAST(count(*) AS BIGINT) AS n,
+      |             sum(CAST(score AS DECIMAL(18,6))) AS s,
+      |             sum(CAST(score AS DECIMAL(18,6)) * CAST(score AS DECIMAL(18,6))) AS ss
+      |      FROM qs GROUP BY y),
+      |w AS (SELECT
+      |   max(CASE WHEN y = 1.0 THEN n END) AS n1,
+      |   max(CASE WHEN y = 0.0 THEN n END) AS n0,
+      |   CAST(max(CASE WHEN y = 1.0 THEN s END) AS DOUBLE) AS s1,
+      |   CAST(max(CASE WHEN y = 0.0 THEN s END) AS DOUBLE) AS s0,
+      |   CAST(CAST(max(CASE WHEN y = 1.0 THEN n END) AS DECIMAL(9,0))
+      |        * CAST(max(CASE WHEN y = 1.0 THEN ss END) AS DECIMAL(25,12))
+      |        - CAST(max(CASE WHEN y = 1.0 THEN s END) AS DECIMAL(18,6))
+      |          * CAST(max(CASE WHEN y = 1.0 THEN s END) AS DECIMAL(18,6))
+      |        AS DOUBLE) AS nv1,
+      |   CAST(CAST(max(CASE WHEN y = 0.0 THEN n END) AS DECIMAL(9,0))
+      |        * CAST(max(CASE WHEN y = 0.0 THEN ss END) AS DECIMAL(25,12))
+      |        - CAST(max(CASE WHEN y = 0.0 THEN s END) AS DECIMAL(18,6))
+      |          * CAST(max(CASE WHEN y = 0.0 THEN s END) AS DECIMAL(18,6))
+      |        AS DOUBLE) AS nv0
+      |  FROM m),
+      |d AS (SELECT n1, n0,
+      |        s1 / CAST(n1 AS DOUBLE) AS m1, s0 / CAST(n0 AS DOUBLE) AS m0,
+      |        nv1 / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+      |        nv0 / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)) AS v0
+      |      FROM w)
+      |SELECT n1, n0, round(m1, 6) AS mean1, round(m0, 6) AS mean0,
+      |       round((m1 - m0) / sqrt(v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)), 6) AS t,
+      |       round((v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE))
+      |               * (v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE))
+      |             / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+      |                + (v0 / CAST(n0 AS DOUBLE)) * (v0 / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)), 6)
+      |         AS welch_df
+      |FROM d""".stripMargin) { (s, dir) =>
+    val scored = CurationQueries.qcScoredPinned(s, dir)
+    val sd = col("score").cast("decimal(18,6)")
+    val m = scored.groupBy(col("y")).agg(
+      count(lit(1)).as("n"), sum(sd).as("s"), sum(sd * sd).as("ss"))
+    def pick(yv: Double, c: String) = max(when(col("y") === yv, col(c)))
+    val w = m.agg(
+      pick(1.0, "n").as("n1"), pick(0.0, "n").as("n0"),
+      pick(1.0, "s").cast("double").as("s1"), pick(0.0, "s").cast("double").as("s0"),
+      (pick(1.0, "n").cast("decimal(9,0)") * pick(1.0, "ss").cast("decimal(25,12)") -
+        pick(1.0, "s").cast("decimal(18,6)") * pick(1.0, "s").cast("decimal(18,6)"))
+        .cast("double").as("nv1"),
+      (pick(0.0, "n").cast("decimal(9,0)") * pick(0.0, "ss").cast("decimal(25,12)") -
+        pick(0.0, "s").cast("decimal(18,6)") * pick(0.0, "s").cast("decimal(18,6)"))
+        .cast("double").as("nv0"))
+    def dd(c: String) = col(c).cast("double")
+    val d = w.select(col("n1"), col("n0"),
+      (col("s1") / dd("n1")).as("m1"), (col("s0") / dd("n0")).as("m0"),
+      (col("nv1") / (dd("n1") * (dd("n1") - lit(1.0)))).as("v1"),
+      (col("nv0") / (dd("n0") * (dd("n0") - lit(1.0)))).as("v0"))
+    val se1 = col("v1") / dd("n1")
+    val se0 = col("v0") / dd("n0")
+    val out = d.select(
+      col("n1"), col("n0"),
+      round(col("m1"), 6).as("mean1"), round(col("m0"), 6).as("mean0"),
+      round((col("m1") - col("m0")) / sqrt(se1 + se0), 6).as("t"),
+      round((se1 + se0) * (se1 + se0) /
+        (se1 * se1 / (dd("n1") - lit(1.0)) + se0 * se0 / (dd("n0") - lit(1.0))), 6)
+        .as("welch_df"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(scored)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16, qQ17)
+      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16, qQ17, qQ18, qQ19)
 }
