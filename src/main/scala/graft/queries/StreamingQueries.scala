@@ -557,8 +557,42 @@ object StreamingQueries extends QueryGroup {
     graft.streaming.CorpusStream.nbScoredAvailableNow(s, dir, shards = 2)
   }
 
+  // Streaming PII scrubbing AT THE LANDING ZONE
+  // (CorpusStream.transformAvailableNow + PiiRedaction.redact): the
+  // production posture — text is scrubbed per micro-batch BEFORE it
+  // lands in the corpus, so raw PII never persists downstream.
+  // Redaction is row-local, so streamed ≡ batch exactly; the oracle is
+  // q_t29's generated rewrite chain minus the planted probes (the
+  // landing zone streams the corpus as-is).
+  private val qSt25 = Q(
+    "q_st25_stream_pii_scrub", {
+      val steps = graft.operators.PiiRedaction.patterns.zipWithIndex.map {
+        case ((name, pat, repl), i) =>
+          val carry = graft.operators.PiiRedaction.patterns.take(i)
+            .map(p => s"${p._1}, ").mkString
+          s"""sr${i + 1} AS (
+             |  SELECT doc_id, $carry
+             |         CAST(len(regexp_extract_all(cur, '$pat')) AS INT) AS $name,
+             |         regexp_replace(cur, '$pat', '$repl', 'g') AS cur
+             |  FROM sr$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sr0 AS (SELECT doc_id, coalesce(text, '') AS cur FROM documents),
+         |$steps
+         |SELECT doc_id, n_emails, n_ssns, n_phones, n_ips,
+         |       md5(cur) AS redacted_md5
+         |FROM sr4 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.functions.{col, md5}
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch =>
+        graft.operators.PiiRedaction.redact(batch, "doc_id", "text")
+          .select(col("doc_id"), col("n_emails"), col("n_ssns"),
+            col("n_phones"), col("n_ips"), md5(col("redacted")).as("redacted_md5"))
+    }.orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24)
+      qSt24, qSt25)
 }
