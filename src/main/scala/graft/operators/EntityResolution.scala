@@ -295,7 +295,10 @@ object EntityResolution {
               (col(s"__swg_$g").cast("double") / col("__sw").cast("double")).as(s"m_$g"),
               (col(s"__sug_$g").cast("double") / col("__su").cast("double")).as(s"u_$g")))): _*)
     }
-    patterns.crossJoin(broadcast(params))
+    // materialize the ≤2^(k+1)-row result, then free the pattern pin —
+    // a returned plan over the checkpoint would leak its blocks for the
+    // session (the r10 appendEdges lesson)
+    val out = patterns.crossJoin(broadcast(params))
       .select(
         (gammaNames.map(g => col(s"g_$g")) :+ col("cnt") :+
           round(posterior, 6).as("w") :+
@@ -303,6 +306,9 @@ object EntityResolution {
           gammaNames.flatMap(g => Seq(
             round(col(s"m_$g"), 6).as(s"m_$g"),
             round(col(s"u_$g"), 6).as(s"u_$g"))): _*)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(patterns)
+    out
   }
 
   /** The blocked candidate-pair frame shared by the scoring variants:

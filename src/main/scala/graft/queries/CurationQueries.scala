@@ -832,8 +832,14 @@ object CurationQueries extends QueryGroup {
     val docs = Tables.load(s, dir, "documents")
       .withColumn("y", (col("lang") === "en").cast("int"))
     val (model, stats) = graft.operators.NaiveBayes.train(docs, "doc_id", "text", "y")
-    graft.operators.NaiveBayes.score(docs, "doc_id", "text", model, stats)
+    // pin the scored frame, then release the model artifacts — the gate
+    // must not leak the vocabulary-bounded checkpoints per invocation
+    val out = graft.operators.NaiveBayes.score(docs, "doc_id", "text", model, stats)
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(model)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(stats)
+    out
   }
 
   // χ² feature selection (FeatureSelection.chiSquareTokens, Yang &
