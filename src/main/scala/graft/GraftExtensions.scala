@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVectorDot, HyperplaneSignature, MinHashSignature, SimHash64}
+import graft.expressions.{FloatVectorDot, HyperplaneSignature, JaroWinkler, MinHashSignature, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users (and the registered
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.OptimizeLevenshteinThreshold)
+    ext.injectOptimizerRule(_ => graft.plans.OptimizeJaroWinklerThreshold)
   }
 }
 
@@ -69,6 +70,13 @@ object GraftExtensions {
       children => {
         require(children.length == 1, "simhash64(array<string>)")
         SimHash64(children(0))
+      }),
+    (
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      children => {
+        require(children.length == 2, "jaro_winkler(string, string)")
+        JaroWinkler(children(0), children(1))
       }))
 
   /** Same registrations applied to an already-running session (extensions
@@ -85,5 +93,8 @@ object GraftExtensions {
     if (!em.extraOptimizations.contains(graft.plans.OptimizeLevenshteinThreshold))
       em.extraOptimizations =
         em.extraOptimizations :+ graft.plans.OptimizeLevenshteinThreshold
+    if (!em.extraOptimizations.contains(graft.plans.OptimizeJaroWinklerThreshold))
+      em.extraOptimizations =
+        em.extraOptimizations :+ graft.plans.OptimizeJaroWinklerThreshold
   }
 }

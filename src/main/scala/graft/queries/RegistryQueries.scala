@@ -70,5 +70,45 @@ object RegistryQueries extends QueryGroup {
     df
   }
 
-  override val all: Seq[Q] = Seq(qR1, qR2)
+  // The Jaro–Winkler threshold rule under the oracle gate
+  // (plans.OptimizeJaroWinklerThreshold): jw(a,b) >= 0.93 over
+  // variable-length truncated names (3–10 chars) plus planted typo
+  // variants. The rule injects the PROVABLY SOUND length-ratio guard
+  // min+1 >= (5θ−4)·max ahead of the O(l₁·l₂) kernel — grossly
+  // mismatched lengths are rejected by length arithmetic alone. The
+  // require() proves the guard landed in the optimized plan; the
+  // DuckDB oracle (same predicate, no guard) proves it filtered
+  // nothing it shouldn't. Identical SQL but for the function name
+  // (DuckDB spells it jaro_winkler_similarity).
+  private def jwSql(fn: String, strType: String = "VARCHAR") =
+    s"""WITH r AS (
+       |  SELECT DISTINCT substr(md5(CAST(c_custkey AS $strType)), 1,
+       |                         3 + CAST(c_custkey % 8 AS INT)) AS name
+       |  FROM customer WHERE c_custkey % 7 = 0),
+       |n AS (SELECT name FROM r UNION SELECT name || 'z' FROM r)
+       |SELECT a.name AS name_a, b.name AS name_b,
+       |       round($fn(a.name, b.name), 6) AS jw
+       |FROM n a JOIN n b ON a.name < b.name
+       |WHERE $fn(a.name, b.name) >= 0.93
+       |ORDER BY name_a, name_b""".stripMargin
+
+  private val qR3 = Q(
+    "q_r3_jaro_winkler_rule",
+    jwSql("jaro_winkler_similarity")) { (s, dir) =>
+    graft.GraftExtensions.register(s)
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    val df = s.sql(jwSql("jaro_winkler", strType = "STRING"))
+    val guards = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Least
+            if l.children.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Length]) => l
+      })
+    }.flatten
+    require(guards.nonEmpty,
+      "q_r3: the optimizer must inject the length-ratio guard ahead of jaro_winkler >= theta")
+    df
+  }
+
+  override val all: Seq[Q] = Seq(qR1, qR2, qR3)
 }

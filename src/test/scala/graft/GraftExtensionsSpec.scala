@@ -87,4 +87,57 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(sqlHp.toSeq === dslHp.toSeq)
   }
+
+  test("jaro_winkler threshold rule injects the guard exactly once, soundly") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // lengths 2..12: the 0.93 guard (ratio >= 0.65) genuinely rejects
+    // mismatched pairs; 'z'-typos of each name are genuine matches
+    val names = Seq("ab", "abcd", "abcdefgh", "abcdefghijkl")
+    val words = names ++ names.map(_ + "z")
+    words.map(Tuple1(_)).toDF("w").createOrReplaceTempView("__jw_words")
+    try {
+      for (pred <- Seq(
+          "jaro_winkler(a.w, b.w) >= 0.93", "0.93 <= jaro_winkler(a.w, b.w)",
+          "jaro_winkler(a.w, b.w) > 0.93", "0.93 < jaro_winkler(a.w, b.w)")) {
+        val df = spark.sql(
+          s"SELECT a.w AS wa, b.w AS wb FROM __jw_words a JOIN __jw_words b ON a.w < b.w WHERE $pred")
+        val exprs = df.queryExecution.optimizedPlan.collect {
+          case p => p.expressions
+        }.flatten
+        val guards = exprs.flatMap(_.collect {
+          case l: org.apache.spark.sql.catalyst.expressions.Least
+              if l.children.exists(
+                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Length]) => l
+        })
+        assert(guards.nonEmpty, s"guard must fire for: $pred")
+        // fixed-point safety: the kernel appears exactly once per predicate
+        // (a non-idempotent rule would stack guard towers)
+        val kernels = exprs.flatMap(_.collect {
+          case j: graft.expressions.JaroWinkler => j
+        })
+        assert(kernels.size === 1, s"exactly one kernel for: $pred, got ${kernels.size}")
+        // soundness: result identical to the unguarded kernel evaluation
+        val want = (for {
+          a <- words; b <- words if a < b
+          s = graft.expressions.JaroWinkler.similarity(a, b)
+          if (if (pred.contains(">=") || pred.contains("<=")) s >= 0.93 else s > 0.93)
+        } yield (a, b)).toSet
+        val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(got === want, s"semantics must be unchanged for: $pred")
+        assert(want.nonEmpty, "the gate corpus must produce matches")
+      }
+      // below the useful threshold the rule must not touch the predicate
+      val low = spark.sql(
+        "SELECT a.w FROM __jw_words a JOIN __jw_words b ON a.w < b.w WHERE jaro_winkler(a.w, b.w) >= 0.5")
+      val lowGuards = low.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case l: org.apache.spark.sql.catalyst.expressions.Least
+              if l.children.exists(
+                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Length]) => l
+        })
+      }.flatten
+      assert(lowGuards.isEmpty, "theta <= 0.8 yields a vacuous bound; no guard")
+    } finally spark.sql("DROP VIEW IF EXISTS __jw_words")
+  }
 }
