@@ -42,9 +42,21 @@ object Bench {
     // order-contamination on q_v*; isolated reruns matched the 2nd pass).
     // `total` stays the sum of FIRST-pass times so the driver's headline
     // remains one full cold sweep, comparable with earlier rounds.
+    // CONTENTION-PROOFING (the r11 phantom-regression lesson: q_d12 read
+    // 6.98 s in the 280-query sweep vs 2.5 s warm-isolated): BOTH
+    // back-to-back reps inflate when earlier queries leave block-manager
+    // residue, so between queries every leaked persisted RDD (a returned
+    // plan pinning a localCheckpoint the query could not free) and cached
+    // relation is dropped — each registered query is self-contained by
+    // contract, so cross-query persisted state is by definition a leak.
     // A failing query records -1.0 AND its exception message in the
     // artifact's "errors" map — a -1.0 row must be diagnosable from the
     // JSON alone, without hunting driver stderr.
+    def dropLeakedState(): Unit = try {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = try runOne(fn) catch {
@@ -54,7 +66,9 @@ object Bench {
           errors(name) = msg
           -1.0
       }
+      dropLeakedState()
       val cold = once()
+      dropLeakedState()
       val best = if (cold < 0) cold else math.min(cold, once())
       System.err.println(f"[bench] $name%-28s cold $cold%8.2f s  best $best%8.2f s")
       (name, cold, best)

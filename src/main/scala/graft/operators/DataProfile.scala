@@ -608,8 +608,12 @@ object DataProfile {
     val e = floor(log10(x))
     val d0 = floor(x / pow(lit(10.0), e)).cast("int")
     val digit = when(d0 >= 10, lit(1)).when(d0 === 0, lit(9)).otherwise(d0)
+    // +Infinity must be excluded too: floor(log10(inf)) faults the ANSI
+    // double→long cast (it has no leading significant digit any more
+    // than NaN does)
     val counts = df
-      .where(x.isNotNull && x > 0 && !isnan(x))
+      .where(x.isNotNull && x > 0 && !isnan(x) &&
+        x < lit(Double.PositiveInfinity))
       .select(digit.as("digit"))
       .groupBy("digit")
       .agg(count(lit(1)).as("n"))

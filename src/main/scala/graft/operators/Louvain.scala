@@ -208,16 +208,21 @@ object Louvain {
     require(maxMoves >= 1, "apply at least one move")
     val spark = edges.sparkSession
     import spark.implicits._
+    // node/label columns go through bigint here: the per-move argmax row
+    // is read back with getLong, which would ClassCastException on an
+    // IntegerType input graph (the toDF output schema is bigint anyway)
     val canon =
-      if (assumeCanonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      if (assumeCanonical) edges.select(
+        col(srcCol).cast("bigint").as("a"), col(dstCol).cast("bigint").as("b"))
       else edges
         .filter(col(srcCol) =!= col(dstCol))
         .select(
-          least(col(srcCol), col(dstCol)).as("a"),
-          greatest(col(srcCol), col(dstCol)).as("b"))
+          least(col(srcCol), col(dstCol)).cast("bigint").as("a"),
+          greatest(col(srcCol), col(dstCol)).cast("bigint").as("b"))
         .distinct()
         .localCheckpoint(true)
-    var lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    var lab = labels.select(
+      col(nodeCol).cast("bigint").as("__n"), col(labelCol).cast("bigint").as("__l"))
       .localCheckpoint(true)
     val q0 = qInts(canon, lab).head()
     val m = q0.getLong(0)

@@ -48,6 +48,15 @@ object NaiveBayes {
       idCol: String,
       textCol: String,
       labelCol: String): (DataFrame, DataFrame) = {
+    // fail loudly on a degenerate corpus: a single-class input makes one
+    // prior log(0) = -Inf, which the DECIMAL cast then ANSI-faults with
+    // an unhelpful message (or silently poisons the model off-ANSI)
+    val dc = df.agg(
+      sum(when(col(labelCol).cast("int") === 1, lit(1L)).otherwise(lit(0L))),
+      count(lit(1))).head()
+    val (n1Chk, nChk) = (dc.getLong(0), dc.getLong(1))
+    require(n1Chk > 0 && n1Chk < nChk,
+      s"NaiveBayes.train needs BOTH classes present: got $n1Chk of $nChk docs labeled 1")
     val toks = df.select(
       col(labelCol).cast("int").as("__y"),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.expressions.JaroWinkler
+import graft.expressions.{JaroWinkler, Utf16Length}
 
 /** Catalyst optimizer rule: prefix high-threshold Jaro–Winkler
   * predicates `jaro_winkler(a, b) >= θ` (θ > 0.8) with a PROVABLY SOUND
@@ -18,11 +18,17 @@ import graft.expressions.JaroWinkler
   * string must be at least half the longer one. The injected conjunct
   * `min + 1 ≥ (5θ−4)·max` (the +1 slack swallows any floating-point
   * rounding of the bound, keeping the filter strictly conservative)
-  * costs two `length` calls and rejects grossly mismatched pairs BEFORE
+  * costs two length calls and rejects grossly mismatched pairs BEFORE
   * the O(l₁·l₂) kernel runs — on a 100 TB candidate join, the
   * difference between length arithmetic and the DP matrix per pair.
   * Null semantics are preserved: the guard is null exactly when the
   * original predicate is null (same inputs), and null AND null = null.
+  *
+  * UNITS: the kernel compares UTF-16 code units (`String.length`), so
+  * the guard measures with [[Utf16Length]] — NOT Spark's code-point
+  * `Length`, which undercounts supplementary-plane strings by up to 2×
+  * and would silently reject pairs whose UTF-16 similarity clears θ
+  * (e.g. twenty U+1F600 vs the same plus 13 ASCII chars at θ = 0.95).
   *
   * The rule runs in a fixed-point batch, so it detects an
   * already-guarded predicate (`And(guard, pred)` with a semantically
@@ -33,8 +39,8 @@ object OptimizeJaroWinklerThreshold extends Rule[LogicalPlan] {
 
   private def guard(a: Expression, b: Expression, theta: Double): Expression = {
     val c = 5.0 * theta - 4.0
-    val la = Length(a)
-    val lb = Length(b)
+    val la = Utf16Length(a)
+    val lb = Utf16Length(b)
     GreaterThanOrEqual(
       Cast(Add(Least(Seq(la, lb)), Literal(1, IntegerType)), DoubleType),
       Multiply(Literal(c, DoubleType),

@@ -80,11 +80,15 @@ object RegistryQueries extends QueryGroup {
   // DuckDB oracle (same predicate, no guard) proves it filtered
   // nothing it shouldn't. Identical SQL but for the function name
   // (DuckDB spells it jaro_winkler_similarity).
+  // The name set is SF-INVARIANT by construction (custkey <= 7000, i.e.
+  // fixed once SF >= 0.05): the gate is a deliberate nested-loop vehicle
+  // for the guard proof, so its corpus must not grow O(SF²) with the
+  // scale factor — the OPERATOR's scale story is the guard itself.
   private def jwSql(fn: String, strType: String = "VARCHAR") =
     s"""WITH r AS (
        |  SELECT DISTINCT substr(md5(CAST(c_custkey AS $strType)), 1,
        |                         3 + CAST(c_custkey % 8 AS INT)) AS name
-       |  FROM customer WHERE c_custkey % 7 = 0),
+       |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey <= 7000),
        |n AS (SELECT name FROM r UNION SELECT name || 'z' FROM r)
        |SELECT a.name AS name_a, b.name AS name_b,
        |       round($fn(a.name, b.name), 6) AS jw
@@ -102,7 +106,7 @@ object RegistryQueries extends QueryGroup {
       case p => p.expressions.flatMap(_.collect {
         case l: org.apache.spark.sql.catalyst.expressions.Least
             if l.children.exists(
-              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Length]) => l
+              _.isInstanceOf[graft.expressions.Utf16Length]) => l
       })
     }.flatten
     require(guards.nonEmpty,

@@ -108,7 +108,7 @@ class GraftExtensionsSpec extends SparkSpec {
         val guards = exprs.flatMap(_.collect {
           case l: org.apache.spark.sql.catalyst.expressions.Least
               if l.children.exists(
-                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Length]) => l
+                _.isInstanceOf[graft.expressions.Utf16Length]) => l
         })
         assert(guards.nonEmpty, s"guard must fire for: $pred")
         // fixed-point safety: the kernel appears exactly once per predicate
@@ -134,10 +134,50 @@ class GraftExtensionsSpec extends SparkSpec {
         case p => p.expressions.flatMap(_.collect {
           case l: org.apache.spark.sql.catalyst.expressions.Least
               if l.children.exists(
-                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Length]) => l
+                _.isInstanceOf[graft.expressions.Utf16Length]) => l
         })
       }.flatten
       assert(lowGuards.isEmpty, "theta <= 0.8 yields a vacuous bound; no guard")
     } finally spark.sql("DROP VIEW IF EXISTS __jw_words")
+  }
+
+  test("jaro_winkler guard measures UTF-16 units: non-BMP pairs survive") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // 20 U+1F600 (40 UTF-16 units, 20 code points) vs the same + 13 ASCII
+    // chars (53 units, 33 code points): jw = 0.9509... >= 0.95, but a guard
+    // computed in CODE POINTS rejects it (21 < 0.75*33 = 24.75) while the
+    // UTF-16 guard keeps it (41 >= 0.75*53 = 39.75) — the r11 ADVICE case.
+    val emoji = "😀" * 20
+    val longer = emoji + ("x" * 13)
+    assert(graft.expressions.JaroWinkler.similarity(emoji, longer) >= 0.95)
+    // the strings derive from the range id so the predicate is NOT
+    // foldable — otherwise the optimizer evaluates the filter at plan
+    // time and there is no guard left to inspect
+    spark.range(1).selectExpr(
+      "repeat('😀', 20 + cast(id as int)) AS a",
+      "concat(repeat('😀', 20 + cast(id as int)), repeat('x', 13)) AS b")
+      .createOrReplaceTempView("__jw_nonbmp")
+    try {
+      val df = spark.sql(
+        "SELECT a FROM __jw_nonbmp WHERE jaro_winkler(a, b) >= 0.95")
+      val guards = df.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case l: graft.expressions.Utf16Length => l
+        })
+      }.flatten
+      assert(guards.nonEmpty, "the rule must fire (theta = 0.95 > 0.8)")
+      assert(df.count() === 1L,
+        "the UTF-16 guard must not reject a pair whose jw clears theta")
+    } finally spark.sql("DROP VIEW IF EXISTS __jw_nonbmp")
+  }
+
+  test("utf16_length kernel: ASCII, BMP multi-byte, supplementary, empty") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u16(s: String): Int =
+      graft.expressions.Utf16Length.utf16Length(UTF8String.fromString(s))
+    for (s <- Seq("", "abc", "café", "中文", "😀",
+        "a😀bé", "😀" * 5 + "xy"))
+      assert(u16(s) === s.length, s"utf16_length('$s')")
   }
 }

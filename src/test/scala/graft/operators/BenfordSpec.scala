@@ -31,6 +31,15 @@ class BenfordSpec extends SparkSpec {
     }
   }
 
+  test("non-finite values are excluded: +Inf neither faults nor adds a digit row") {
+    val df = Seq(
+      (1L, Some(Double.PositiveInfinity)), (2L, Some(Double.NaN)),
+      (3L, Some(123.0)), (4L, Some(95.0)), (5L, None)).toDF("id", "x")
+    val got = DataProfile.benfordReport(df, "x")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(1 -> 1L, 9 -> 1L))
+  }
+
   test("a Benford-conforming geometric column yields small chi2; uniform-first-digit does not") {
     // powers of a constant ratio are the canonical Benford generator
     val benford = (0 until 300).map(i => (i.toLong, math.pow(1.1, i))).toDF("id", "x")

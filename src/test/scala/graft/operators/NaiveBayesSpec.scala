@@ -73,4 +73,18 @@ class NaiveBayesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(3), r.getInt(4))).sortBy(_._1)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("train fails loudly on a single-class corpus (no ANSI log(0) fault)") {
+    val allOnes = Seq((1L, "good stuff", 1), (2L, "more good", 1))
+      .toDF("doc_id", "text", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      NaiveBayes.train(allOnes, "doc_id", "text", "y")
+    }
+    assert(e1.getMessage.contains("BOTH classes"))
+    val allZeros = Seq((1L, "bad stuff", 0)).toDF("doc_id", "text", "y")
+    val e0 = intercept[IllegalArgumentException] {
+      NaiveBayes.train(allZeros, "doc_id", "text", "y")
+    }
+    assert(e0.getMessage.contains("BOTH classes"))
+  }
 }
