@@ -237,23 +237,44 @@ object EntityResolution {
       m0: Double = 0.9,
       u0: Double = 0.1,
       segmentBlocking: Boolean = true): DataFrame = {
+    val candidates = candidateFrame(
+      records, idCol, nameCol, fieldCols, maxNameDist, None, segmentBlocking)
+    emFit(candidates, fieldCols, iterations, lambda0, m0, u0)
+  }
+
+  /** The pair-level agreement vector γ over a [[candidateFrame]] row —
+    * the SAME definition the fit and the scoring join must share, or a
+    * fitted posterior would be looked up under a different key than it
+    * was estimated under.
+    */
+  private def gammaCols(fieldCols: Seq[String]): Seq[Column] =
+    (col("dist") === 0).cast("int").as("g_name") +:
+      fieldCols.map(f =>
+        (col(s"${f}_a2") === col(s"${f}_b2")).cast("int").as(s"g_$f"))
+
+  /** The EM core of [[emPatternWeights]] over an already-built candidate
+    * frame (shared with [[resolveWithEmWeights]], which needs the same
+    * candidates again for scoring and must not rebuild the blocked fuzzy
+    * join twice).
+    */
+  private def emFit(
+      candidates: DataFrame,
+      fieldCols: Seq[String],
+      iterations: Int,
+      lambda0: Double,
+      m0: Double,
+      u0: Double): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
       "iterations must be in [1, 10] (rounds are plan-unrolled)")
     require(fieldCols.size <= 10, "pattern frame is 2^(k+1) — cap fields at 10")
     val gammaNames = "name" +: fieldCols
-    val candidates = candidateFrame(
-      records, idCol, nameCol, fieldCols, maxNameDist, None, segmentBlocking)
-    val gammaCols =
-      (col("dist") === 0).cast("int").as("g_name") +:
-        fieldCols.map(f =>
-          (col(s"${f}_a2") === col(s"${f}_b2")).cast("int").as(s"g_$f"))
     val patterns = candidates
-      .select(gammaCols: _*)
+      .select(gammaCols(fieldCols): _*)
       .groupBy(gammaNames.map(g => col(s"g_$g")): _*)
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
 
-    val spark = records.sparkSession
+    val spark = candidates.sparkSession
     var params = spark.range(1).select(
       (lit(lambda0).as("lambda") +:
         gammaNames.flatMap(g =>
@@ -308,6 +329,111 @@ object EntityResolution {
             round(col(s"u_$g"), 6).as(s"u_$g"))): _*)
       .localCheckpoint(true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(patterns)
+    out
+  }
+
+  /** END-TO-END entity resolution with EM-FITTED weights — the actual
+    * fastLink workflow (Enamorado–Fifield–Imai 2019: fit → score with
+    * the fitted parameters → transitive closure) as ONE user-callable
+    * path, where [[resolve]] takes hand-fixed weights:
+    *
+    *  1. build the blocked candidate-pair frame ONCE (the complete
+    *     PassJoin name blocking — never O(n²)) and pin it;
+    *  2. fit λ/m/u unsupervised with [[emPatternWeights]]' EM rounds
+    *     over the ≤ 2^(k+1)-row agreement-pattern frame;
+    *  3. a pair matches iff its pattern's fitted posterior
+    *     w = P(match | γ) ≥ `minPosterior` — scoring is ONE broadcast
+    *     join from the pair frame to the pattern frame (the posterior
+    *     is a per-PATTERN quantity, so no per-pair arithmetic at all);
+    *  4. the existing alternating-star closure assigns `entity_id`
+    *     (component minimum; unmatched records are their own entity).
+    *
+    * The posterior compared is the PUBLISHED 6-decimal-rounded `w`
+    * (the q_f11 cross-engine discipline), so the threshold decision is
+    * engine-portable.
+    *
+    * `blockCol` is a SCORING restriction here (cross-block pairs never
+    * match), and its losslessness is REQUIREd from the FITTED model
+    * itself — the q_f7 static-weights proof re-derived from data: the
+    * most favorable cross-block pattern (every other field agreeing)
+    * must score below `minPosterior` under the fitted λ/m/u, else
+    * blocking would drop pairs the model itself calls matches. The fit
+    * always runs UNBLOCKED (u of the block field is inestimable from
+    * same-block pairs alone — the standard fastLink caveat), which the
+    * complete name blocking keeps affordable; at corpus scale the fit
+    * side can be a sample, the scoring side never is.
+    */
+  def resolveWithEmWeights(
+      records: DataFrame,
+      idCol: String,
+      nameCol: String,
+      fieldCols: Seq[String],
+      maxNameDist: Int,
+      minPosterior: Double,
+      iterations: Int = 3,
+      lambda0: Double = 0.5,
+      m0: Double = 0.9,
+      u0: Double = 0.1,
+      blockCol: Option[String] = None,
+      segmentBlocking: Boolean = true): DataFrame = {
+    require(minPosterior > 0 && minPosterior < 1,
+      s"minPosterior must be in (0, 1), got $minPosterior")
+    blockCol.foreach { bf =>
+      require(fieldCols.contains(bf),
+        s"blockCol $bf must be one of the compared fields")
+    }
+    val candidates = candidateFrame(
+      records, idCol, nameCol, fieldCols, maxNameDist, None, segmentBlocking)
+      .localCheckpoint(true)
+    val fitted = emFit(candidates, fieldCols, iterations, lambda0, m0, u0)
+    val gammaNames = "name" +: fieldCols
+
+    // the lossy-block REQUIRE, re-derived from the FITTED model: the
+    // params are constant across the ≤ 2^(k+1) pattern rows — one
+    // bounded driver read of the published 6-decimal values
+    blockCol.foreach { bf =>
+      fitted.limit(1).collect().headOption.foreach { p =>
+        val lambda = p.getAs[Double]("lambda")
+        def mOf(g: String) = p.getAs[Double](s"m_$g")
+        def uOf(g: String) = p.getAs[Double](s"u_$g")
+        // most favorable cross-block pattern: γ_bf = 0, all others 1
+        val pm = gammaNames.foldLeft(lambda) { (acc, g) =>
+          acc * (if (g == bf) 1.0 - mOf(g) else mOf(g))
+        }
+        val pu = gammaNames.foldLeft(1.0 - lambda) { (acc, g) =>
+          acc * (if (g == bf) 1.0 - uOf(g) else uOf(g))
+        }
+        val best = BigDecimal(pm / (pm + pu))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        require(best < minPosterior,
+          f"blocking on $bf is LOSSY under the FITTED model: a cross-block " +
+            f"pair with every other field agreeing scores $best%.6f >= " +
+            f"$minPosterior%.6f")
+      }
+    }
+
+    // scoring: pair γ → broadcast pattern-posterior lookup → threshold
+    val keyCols = gammaNames.map(g => s"g_$g")
+    val pairCols: Seq[Column] =
+      Seq(col("id_a"), col("id_b")) ++
+        blockCol.map(bf =>
+          (col(s"${bf}_a2") === col(s"${bf}_b2")).as("__same_block")).toSeq ++
+        gammaCols(fieldCols)
+    val pairGamma = candidates.select(pairCols: _*)
+    val matched = pairGamma
+      .join(broadcast(fitted.select((keyCols.map(col) :+ col("w")): _*)),
+        keyCols, "inner")
+      .where(col("w") >= minPosterior &&
+        blockCol.map(_ => col("__same_block")).getOrElse(lit(true)))
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(candidates)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(fitted)
+    // alternatingStar materializes its rounds eagerly, so the matched
+    // pair pin can be released as soon as clustering returns
+    val out = ConnectedComponents.assignClusters(records, idCol, matched)
+      .withColumnRenamed("cluster_id", "entity_id")
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(matched)
     out
   }
 

@@ -816,6 +816,98 @@ object PipelineQueries extends QueryGroup {
       .orderBy("id")
   }
 
+  // EM-fitted weights wired into the END-TO-END resolver
+  // (EntityResolution.resolveWithEmWeights — the actual fastLink
+  // workflow: fit → score with fitted weights → closure), where q_f7
+  // resolves with HAND-FIXED weights and q_f11 only proves the fit.
+  // Same corpus as q_f11 (exact dups, cross-nation name coincidences,
+  // planted typos — the three pair classes EM must separate
+  // unsupervised); a pair matches iff its agreement pattern's fitted
+  // posterior (published at 6 decimals) reaches 0.9, scoring is one
+  // broadcast pattern-lookup join, and the closure is the alternating
+  // star. Blocking on nat is a scoring restriction whose losslessness
+  // the engine REQUIREs FROM THE FITTED MODEL (the most favorable
+  // cross-nation pattern posteriors ≈ 0.16 « 0.9). The oracle replays
+  // everything: pattern extraction, all 3 EM rounds (the q_f11 decimal
+  // discipline), the posterior threshold + block conjunct, and the
+  // recursive-CTE closure — a drift anywhere in fit, scoring, or
+  // closure flips an entity_id.
+  private val qF14 = Q(
+    "q_f14_em_resolved_entities",
+    s"""WITH RECURSIVE
+       |base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+       |                substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS name,
+       |                c_nationkey AS nat, c_mktsegment AS seg
+       |         FROM customer),
+       |exact AS (SELECT id + 30000000 AS id, name, nat, seg FROM base WHERE id % 5 = 0),
+       |coinc AS (SELECT id + 40000000 AS id, name, (nat + 7) % 25 AS nat,
+       |                 'ZZZ' AS seg FROM base WHERE id % 6 = 0),
+       |typo AS (SELECT id + 10000000 AS id, substr(name, 1, 9) || 'z' AS name,
+       |                nat, seg FROM base WHERE id % 7 = 0),
+       |r AS (SELECT * FROM base UNION ALL SELECT * FROM exact
+       |      UNION ALL SELECT * FROM coinc UNION ALL SELECT * FROM typo),
+       |candp AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         CASE WHEN levenshtein(a.name, b.name) = 0 THEN 1 ELSE 0 END AS g_name,
+       |         CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS g_nat,
+       |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg
+       |  FROM r a JOIN r b ON a.id < b.id
+       |  WHERE levenshtein(a.name, b.name) <= 1),
+       |pat AS (
+       |  SELECT g_name, g_nat, g_seg, count(*) AS cnt
+       |  FROM candp GROUP BY 1, 2, 3),
+       |em0 AS (SELECT CAST(0.5 AS DOUBLE) AS lambda,
+       |               CAST(0.9 AS DOUBLE) AS m_name, CAST(0.1 AS DOUBLE) AS u_name,
+       |               CAST(0.9 AS DOUBLE) AS m_nat, CAST(0.1 AS DOUBLE) AS u_nat,
+       |               CAST(0.9 AS DOUBLE) AS m_seg, CAST(0.1 AS DOUBLE) AS u_seg),
+       |${emIter(1)},
+       |${emIter(2)},
+       |${emIter(3)},
+       |wpat AS (
+       |  SELECT g_name, g_nat, g_seg,
+       |         round(pm / (pm + pu), 6) AS w
+       |  FROM (SELECT p.*,
+       |          ${emPmu("m")} AS pm,
+       |          ${emPmu("u")} AS pu
+       |        FROM pat p CROSS JOIN em3 em)),
+       |m AS (
+       |  SELECT id_a, id_b
+       |  FROM candp JOIN wpat USING (g_name, g_nat, g_seg)
+       |  WHERE w >= 0.9 AND g_nat = 1),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM m UNION SELECT id_b, id_a FROM m),
+       |reach(u, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, w2.lbl FROM edges e JOIN reach w2 ON e.v = w2.u),
+       |comp AS (SELECT u, min(lbl) AS entity_id FROM reach GROUP BY u)
+       |SELECT r.id AS rec_id, coalesce(c.entity_id, r.id) AS entity_id
+       |FROM r LEFT JOIN comp c ON c.u = r.id
+       |ORDER BY rec_id""".stripMargin) { (s, dir) =>
+    val base = Tables.load(s, dir, "customer")
+      .select(
+        col("c_custkey").cast("long").as("rec_id"),
+        substring(md5(col("c_custkey").cast("string")), 1, 10).as("name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+    val exact = base.where(col("rec_id") % 5 === 0)
+      .select((col("rec_id") + 30000000L).as("rec_id"), col("name"),
+        col("nat"), col("seg"))
+    val coinc = base.where(col("rec_id") % 6 === 0)
+      .select((col("rec_id") + 40000000L).as("rec_id"), col("name"),
+        ((col("nat") + 7) % 25).as("nat"), lit("ZZZ").as("seg"))
+    val typo = base.where(col("rec_id") % 7 === 0)
+      .select((col("rec_id") + 10000000L).as("rec_id"),
+        concat(substring(col("name"), 1, 9), lit("z")).as("name"),
+        col("nat"), col("seg"))
+    graft.operators.EntityResolution.resolveWithEmWeights(
+      base.unionByName(exact).unionByName(coinc).unionByName(typo),
+      idCol = "rec_id", nameCol = "name", fieldCols = Seq("nat", "seg"),
+      maxNameDist = 1, minPosterior = 0.9, iterations = 3,
+      blockCol = Some("nat"))
+      .select("rec_id", "entity_id")
+      .orderBy("rec_id")
+  }
+
   override val all: Seq[Q] =
-    Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13)
+    Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13,
+      qF14)
 }

@@ -234,4 +234,44 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got((1, 1, 1))._2 > 0.9 && got((0, 1, 1))._2 > 0.9)
     assert(got((1, 0, 0))._2 < 0.1)
   }
+
+  test("resolveWithEmWeights: fitted-posterior threshold + closure = fastLink end to end") {
+    // same planted corpus as the EM test: exact dups and typo dups must
+    // cluster with their base record; cross-nat name coincidences must NOT
+    val base = (1L to 30L).map(i => (i, s"alpha${i}beta$i", (i % 5).toInt, s"s${i % 3}"))
+    val exact = base.filter(_._1 % 3 == 0).map { case (i, n, a, s) => (i + 100, n, a, s) }
+    val typo = base.filter(_._1 % 4 == 0).map { case (i, n, a, s) => (i + 200, n + "z", a, s) }
+    val coinc = base.filter(_._1 % 5 == 0).map { case (i, n, a, s) => (i + 300, n, (a + 1) % 5, "zz") }
+    val recs = (base ++ exact ++ typo ++ coinc).toDF("id", "name", "nat", "seg")
+    val got = EntityResolution.resolveWithEmWeights(
+        recs, "id", "name", Seq("nat", "seg"), maxNameDist = 1,
+        minPosterior = 0.9, iterations = 3, blockCol = Some("nat"))
+      .select("id", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.foreach { case (i, _, _, _) =>
+      if (i % 3 == 0) assert(got(i + 100) === got(i), s"exact dup of $i must merge")
+      if (i % 4 == 0) assert(got(i + 200) === got(i), s"typo dup of $i must merge")
+      if (i % 5 == 0) assert(got(i + 300) === (i + 300), s"coincidence $i must stay its own entity")
+    }
+    // unplanted records are singletons
+    base.foreach { case (i, _, _, _) =>
+      if (i % 3 != 0 && i % 4 != 0) assert(got(i) === i, s"record $i")
+    }
+  }
+
+  test("resolveWithEmWeights: a threshold the fitted model cannot block for is rejected") {
+    val base = (1L to 30L).map(i => (i, s"alpha${i}beta$i", (i % 5).toInt, s"s${i % 3}"))
+    val exact = base.filter(_._1 % 3 == 0).map { case (i, n, a, s) => (i + 100, n, a, s) }
+    val coinc = base.filter(_._1 % 5 == 0).map { case (i, n, a, s) => (i + 300, n, (a + 1) % 5, "zz") }
+    val recs = (base ++ exact ++ coinc).toDF("id", "name", "nat", "seg")
+    // at minPosterior = 0.01 even the best cross-nat pattern clears the
+    // bar under the fitted model — blocking on nat would be LOSSY and the
+    // operator must say so instead of silently dropping matches
+    val e = intercept[IllegalArgumentException] {
+      EntityResolution.resolveWithEmWeights(
+        recs, "id", "name", Seq("nat", "seg"), maxNameDist = 1,
+        minPosterior = 0.01, iterations = 3, blockCol = Some("nat"))
+    }
+    assert(e.getMessage.contains("LOSSY"))
+  }
 }
