@@ -426,24 +426,7 @@ object Louvain {
       .localCheckpoint(true)
     val (cross, und, deg) = weightedParts(w)
     val mVal = w.agg(sum(col("wt")).cast("bigint")).head().getLong(0)
-    val cd = deg.join(lab, deg("node") === lab("__n"))
-      .groupBy(col("__l")).agg(sum(col("d")).as("dc"))
-    val kic = und.join(lab, und("nbr") === lab("__n"))
-      .groupBy(col("node"), col("__l").as("c")).agg(sum(col("wt")).as("k"))
-    val own = lab.select(col("__n").as("node"), col("__l").as("a_label"))
-    val kOwn = kic.join(own, Seq("node"))
-      .where(col("c") === col("a_label"))
-      .select(col("node"), col("k").as("ka"))
-    val cand = kic.join(own, Seq("node")).where(col("c") =!= col("a_label"))
-      .join(kOwn, Seq("node"), "left_outer")
-      .join(deg.select(col("node"), col("d")), Seq("node"))
-      .join(cd.select(col("__l").as("a_label"), col("dc").as("dca")), Seq("a_label"))
-      .join(cd.select(col("__l").as("c"), col("dc").as("dcb")), Seq("c"))
-      .select(
-        col("node"), col("a_label"), col("c"),
-        (lit(4L) * mVal * (col("k") - coalesce(col("ka"), lit(0L))) -
-          lit(2L) * col("d") * (col("dcb") - (col("dca") - col("d"))))
-          .cast("bigint").as("gain"))
+    val cand = weightedGains(und, deg, lab, mVal)
     val best = cand.where(col("gain") > 0)
       .orderBy(col("gain").desc, col("node").asc, col("c").asc)
       .limit(1)
@@ -475,5 +458,223 @@ object Louvain {
     bridge.freeLocalCheckpoint(lab)
     bridge.freeLocalCheckpoint(w)
     out
+  }
+
+  /** Candidate weighted moves with full sufficient statistics:
+    * `(node, a_label, c, k, ka, d, dca, dcb, gain)` over the undirected
+    * cross-edge view `und` (node, nbr, wt), the strength frame `deg`
+    * (node, d — self-loops already counted twice), and the label frame
+    * `lab` (__n, __l). The weighted generalization of [[candidateGains]]:
+    * ΔQ·4m² = 4m·(w_iB − w_iA) − 2·d_i·(D_B − D_A + d_i), the node's own
+    * self-loop excluded from w_iC (it moves with the node and cancels).
+    */
+  private def weightedGains(
+      und: DataFrame, deg: DataFrame, lab: DataFrame, m: Long): DataFrame = {
+    val cd = deg.join(lab, deg("node") === lab("__n"))
+      .groupBy(col("__l")).agg(sum(col("d")).as("dc"))
+    val kic = und.join(lab, und("nbr") === lab("__n"))
+      .groupBy(col("node"), col("__l").as("c")).agg(sum(col("wt")).as("k"))
+    val own = lab.select(col("__n").as("node"), col("__l").as("a_label"))
+    val kOwn = kic.join(own, Seq("node"))
+      .where(col("c") === col("a_label"))
+      .select(col("node"), col("k").as("ka"))
+    kic.join(own, Seq("node")).where(col("c") =!= col("a_label"))
+      .join(kOwn, Seq("node"), "left_outer")
+      .join(deg.select(col("node"), col("d")), Seq("node"))
+      .join(cd.select(col("__l").as("a_label"), col("dc").as("dca")), Seq("a_label"))
+      .join(cd.select(col("__l").as("c"), col("dc").as("dcb")), Seq("c"))
+      .select(
+        col("node"), col("a_label"), col("c"),
+        col("k").cast("bigint").as("k"),
+        coalesce(col("ka"), lit(0L)).cast("bigint").as("ka"),
+        col("d").cast("bigint").as("d"),
+        col("dca").cast("bigint").as("dca"),
+        col("dcb").cast("bigint").as("dcb"),
+        (lit(4L) * m * (col("k") - coalesce(col("ka"), lit(0L))) -
+          lit(2L) * col("d") * (col("dcb") - (col("dca") - col("d"))))
+          .cast("bigint").as("gain"))
+  }
+
+  /** [[weightedModularity]]'s integer statistics with the strength frame
+    * supplied by the caller (multilevel holds it checkpointed per level —
+    * rebuilding the full-outer strength join for every before/after stats
+    * pass was round-12's first profile finding): one row
+    * `(m, intra, sum_deg_sq)`.
+    */
+  private def weightedQInts(w: DataFrame, deg: DataFrame, lab: DataFrame): DataFrame = {
+    val cross = w.filter(col("a") =!= col("b"))
+    val intraCross = cross
+      .join(lab.select(col("__n").as("a"), col("__l").as("__la")), Seq("a"))
+      .join(lab.select(col("__n").as("b"), col("__l").as("__lb")), Seq("b"))
+      .agg(sum(when(col("__la") === col("__lb"), col("wt")).otherwise(0L)).as("__ic"))
+    val massAndSelf = w.agg(
+      sum(col("wt")).cast("bigint").as("m"),
+      sum(when(col("a") === col("b"), col("wt")).otherwise(0L)).as("__is"))
+    val sds = deg.join(lab, deg("node") === lab("__n"))
+      .groupBy(col("__l")).agg(sum(col("d")).as("__dc"))
+      .agg(sum(col("__dc") * col("__dc")).cast("bigint").as("sum_deg_sq"))
+    massAndSelf
+      .crossJoin(broadcast(intraCross))
+      .crossJoin(broadcast(sds))
+      .select(
+        col("m"),
+        (coalesce(col("__ic"), lit(0L)) + coalesce(col("__is"), lit(0L)))
+          .cast("bigint").as("intra"),
+        col("sum_deg_sq"))
+  }
+
+  /** The FULL multi-level Louvain driver (Blondel et al. §2, both
+    * phases iterated): per level, apply up to `maxMovesPerLevel`
+    * globally-best positive-gain WEIGHTED local moves (level 1 runs on
+    * the original graph with unit weights — exactly the
+    * [[sweepRefinement]] semantics), then CONTRACT communities to
+    * super-nodes with identity labels and repeat one level up, until
+    * `levels` levels ran or a level is already local-move optimal
+    * (its 0-move row is still emitted — the fixpoint evidence). This
+    * is the operator a user actually calls; q_g14/q_g15/q_g16 gate its
+    * composed parts.
+    *
+    * One row PER LEVEL: `(level, n_nodes, n_pairs, total_weight,
+    * moves_applied, intra_before, sum_deg_sq_before, modularity_before,
+    * intra_after, sum_deg_sq_after, modularity_after)` — all sufficient
+    * statistics exact integers in the self-loops-count-twice strength
+    * convention, under which contraction conserves (m, intra, ΣD²)
+    * EXACTLY, so modularity is comparable across levels and
+    * Q_before(level+1) = Q_after(level) — REQUIREd at every level
+    * change, along with the per-level self-check that the driver's
+    * incremental (intra, ΣD²) updates equal a from-scratch recompute.
+    * Q is therefore non-decreasing down the output (each applied gain
+    * is strictly positive).
+    *
+    * Shape at scale, per level: the static per-level frames (cross-edge
+    * view, strength frame) derive from ONE checkpointed weighted edge
+    * frame; each move is the degree-bounded [[weightedGains]] join
+    * family + a 1-row argmax; contraction is two label joins + one hash
+    * aggregate, and every superseded checkpoint is freed as soon as its
+    * successor lands (the PageRank iterative discipline). Level ℓ+1
+    * runs at |C_ℓ| cost — the whole point of the multi-level scheme.
+    */
+  def multilevel(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      levels: Int,
+      maxMovesPerLevel: Int,
+      assumeCanonical: Boolean = false): DataFrame = {
+    require(levels >= 1, "need at least one level")
+    require(maxMovesPerLevel >= 1, "apply at least one move per level")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // bigint discipline: argmax rows are read back with getLong
+    var w =
+      (if (assumeCanonical)
+        edges.select(
+          col(srcCol).cast("bigint").as("a"), col(dstCol).cast("bigint").as("b"))
+      else edges
+        .filter(col(srcCol) =!= col(dstCol))
+        .select(
+          least(col(srcCol), col(dstCol)).cast("bigint").as("a"),
+          greatest(col(srcCol), col(dstCol)).cast("bigint").as("b"))
+        .distinct())
+        .select(col("a"), col("b"), lit(1L).as("wt"))
+        .localCheckpoint(true)
+    var lab = labels.select(
+      col(nodeCol).cast("bigint").as("__n"), col(labelCol).cast("bigint").as("__l"))
+      .localCheckpoint(true)
+    def q(m: Long, i: Long, s: Long): Double =
+      i.toDouble / m - s.toDouble / (4.0 * m * m)
+    val rows = Seq.newBuilder[
+      (Int, Long, Long, Long, Int, Long, Long, Double, Long, Long, Double)]
+    var carried: Option[(Long, Long)] = None
+    var level = 1
+    var stop = false
+    while (level <= levels && !stop) {
+      val (_, und, deg0) = weightedParts(w)
+      val deg = deg0.localCheckpoint(true) // static per level, read per move
+      val q0 = weightedQInts(w, deg, lab).head()
+      val m = q0.getAs[Long]("m")
+      val intra0 = q0.getAs[Long]("intra")
+      val sds0 = q0.getAs[Long]("sum_deg_sq")
+      // the level-change invariant: contraction conserved the integers
+      carried.foreach { case (pi, ps) =>
+        require(pi == intra0 && ps == sds0,
+          s"multilevel level $level: contraction drift — carried " +
+            s"(intra=$pi, sds=$ps) != recomputed ($intra0, $sds0)")
+      }
+      val nNodes = deg.count()
+      val nPairs = w.count()
+      var intra = intra0
+      var sds = sds0
+      var moves = 0
+      var optimal = false
+      while (moves < maxMovesPerLevel && !optimal) {
+        val best = weightedGains(und, deg, lab, m)
+          .where(col("gain") > 0)
+          .orderBy(col("gain").desc, col("node").asc, col("c").asc)
+          .limit(1)
+          .collect() // bounded: one row per move — the move ships as literals
+        if (best.isEmpty) optimal = true
+        else {
+          val r = best(0)
+          val (node, bLab) = (r.getLong(0), r.getLong(2))
+          val (k, ka, d) = (r.getLong(3), r.getLong(4), r.getLong(5))
+          val (dca, dcb) = (r.getLong(6), r.getLong(7))
+          intra += (k - ka)
+          sds += -dca * dca - dcb * dcb +
+            (dca - d) * (dca - d) + (dcb + d) * (dcb + d)
+          val next = lab.select(
+            col("__n"),
+            when(col("__n") === node, lit(bLab)).otherwise(col("__l")).as("__l"))
+            .localCheckpoint(true)
+          bridge.freeLocalCheckpoint(lab)
+          lab = next
+          moves += 1
+        }
+      }
+      // one self-check recompute per level: running integers must equal
+      // the from-scratch stats over the final assignment
+      val fin = weightedQInts(w, deg, lab).head()
+      require(fin.getAs[Long]("intra") == intra && fin.getAs[Long]("sum_deg_sq") == sds,
+        s"multilevel level $level: derived (intra=$intra, sds=$sds) != " +
+          s"recomputed (${fin.getAs[Long]("intra")}, ${fin.getAs[Long]("sum_deg_sq")})")
+      rows += ((level, nNodes, nPairs, m, moves,
+        intra0, sds0, q(m, intra0, sds0), intra, sds, q(m, intra, sds)))
+      bridge.freeLocalCheckpoint(deg)
+      if (moves == 0) stop = true
+      else if (level < levels) {
+        // PHASE 2: contract communities to super-nodes (intra edges and
+        // existing self-loops fold into the community self-loop)
+        val nextW = w
+          .join(lab.select(col("__n").as("a"), col("__l").as("__la")), Seq("a"))
+          .join(lab.select(col("__n").as("b"), col("__l").as("__lb")), Seq("b"))
+          .select(
+            least(col("__la"), col("__lb")).as("a"),
+            greatest(col("__la"), col("__lb")).as("b"),
+            col("wt"))
+          .groupBy(col("a"), col("b"))
+          .agg(sum(col("wt")).cast("bigint").as("wt"))
+          .localCheckpoint(true)
+        val nextLab = nextW.select(col("a").as("__n"))
+          .unionAll(nextW.select(col("b").as("__n")))
+          .distinct()
+          .select(col("__n"), col("__n").as("__l"))
+          .localCheckpoint(true)
+        bridge.freeLocalCheckpoint(w)
+        bridge.freeLocalCheckpoint(lab)
+        w = nextW
+        lab = nextLab
+        carried = Some((intra, sds))
+      }
+      level += 1
+    }
+    bridge.freeLocalCheckpoint(w)
+    bridge.freeLocalCheckpoint(lab)
+    rows.result().toDF(
+      "level", "n_nodes", "n_pairs", "total_weight", "moves_applied",
+      "intra_before", "sum_deg_sq_before", "modularity_before",
+      "intra_after", "sum_deg_sq_after", "modularity_after")
   }
 }

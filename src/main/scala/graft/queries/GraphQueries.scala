@@ -1051,7 +1051,154 @@ object GraphQueries extends QueryGroup {
       .orderBy("n_name")
   }
 
+  // The FULL multi-level Louvain driver (Louvain.multilevel): the
+  // operator a user actually calls, iterating the gated parts — weighted
+  // local-move sweep (level 1 = unit weights on the original co-order
+  // graph, the q_g14 setting) → community contraction → weighted sweep
+  // on the super-graph — to a bounded fixpoint, one evidence row per
+  // LEVEL with exact-integer (m, intra, ΣD²) before/after under the
+  // self-loops-count-twice convention that makes contraction conserve
+  // them exactly. The oracle unrolls BOTH levels move by move in the
+  // weighted algebra (the q_g14 generated-CTE discipline: per-move
+  // strength/community-degree frames, weighted-gain argmax LIMIT 1,
+  // LEFT-JOIN relabel, from-scratch integer stats per state) plus the
+  // level-1→2 contraction, so the engine's incremental driver updates,
+  // its contraction, AND its level-change conservation are all
+  // independently recomputed. In-engine REQUIREs pin Q monotone within
+  // and across levels.
+  private val qG19: Q = {
+    val moves = 2
+    def levelStatics(l: Int): String =
+      s"""wund$l AS (SELECT a AS node, b AS nbr, w FROM cg$l WHERE a <> b
+         |        UNION ALL SELECT b, a, w FROM cg$l WHERE a <> b),
+         |wdeg$l AS MATERIALIZED (
+         |  SELECT coalesce(u.node, s.node) AS node,
+         |         CAST(coalesce(u.ud, 0) + coalesce(s.sw, 0) AS BIGINT) AS d
+         |  FROM (SELECT node, sum(w) AS ud FROM wund$l GROUP BY 1) u
+         |  FULL JOIN (SELECT a AS node, 2 * w AS sw FROM cg$l WHERE a = b) s
+         |    ON u.node = s.node),
+         |m$l AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM cg$l)""".stripMargin
+    def stateStats(l: Int, r: Int): String =
+      s"""e${l}_$r AS (
+         |  SELECT CAST(sum(CASE WHEN la.label = lb.label THEN cg.w ELSE 0 END) AS BIGINT) AS intra
+         |  FROM cg$l cg JOIN l${l}_$r la ON cg.a = la.node
+         |               JOIN l${l}_$r lb ON cg.b = lb.node),
+         |s${l}_$r AS (
+         |  SELECT CAST(sum(dc * dc) AS BIGINT) AS sds FROM
+         |  (SELECT l.label, sum(d.d) AS dc
+         |   FROM wdeg$l d JOIN l${l}_$r l ON d.node = l.node GROUP BY 1))""".stripMargin
+    def moveCtes(l: Int, r: Int): String =
+      s"""cd${l}_$r AS MATERIALIZED (
+         |  SELECT l.label, sum(d.d) AS dc
+         |  FROM wdeg$l d JOIN l${l}_${r - 1} l ON d.node = l.node GROUP BY 1),
+         |kic${l}_$r AS MATERIALIZED (
+         |  SELECT u.node, l.label AS c, sum(u.w) AS k
+         |  FROM wund$l u JOIN l${l}_${r - 1} l ON u.nbr = l.node GROUP BY 1, 2),
+         |best${l}_$r AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT kic.node, o.label AS a_label, kic.c,
+         |           CAST(4 * m$l.m * (kic.k - coalesce(ka.k, 0))
+         |                - 2 * d.d * (cdb.dc - (cda.dc - d.d)) AS BIGINT) AS gain
+         |    FROM kic${l}_$r kic
+         |    JOIN l${l}_${r - 1} o ON kic.node = o.node AND kic.c <> o.label
+         |    LEFT JOIN kic${l}_$r ka ON ka.node = kic.node AND ka.c = o.label
+         |    JOIN wdeg$l d ON d.node = kic.node
+         |    JOIN cd${l}_$r cda ON cda.label = o.label
+         |    JOIN cd${l}_$r cdb ON cdb.label = kic.c
+         |    CROSS JOIN m$l)
+         |  WHERE gain > 0
+         |  ORDER BY gain DESC, node ASC, c ASC LIMIT 1),
+         |l${l}_$r AS MATERIALIZED (
+         |  SELECT l.node, CASE WHEN b.node IS NOT NULL THEN b.c ELSE l.label END AS label
+         |  FROM l${l}_${r - 1} l LEFT JOIN best${l}_$r b ON l.node = b.node)""".stripMargin
+    def levelRow(l: Int): String = {
+      val applied = (1 to moves)
+        .map(r => s"(SELECT count(*) FROM best${l}_$r)").mkString(" + ")
+      s"""SELECT CAST($l AS INT) AS level,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM wdeg$l) AS n_nodes,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM cg$l) AS n_pairs,
+         |       m$l.m AS total_weight,
+         |       CAST($applied AS INT) AS moves_applied,
+         |       e${l}_0.intra AS intra_before, s${l}_0.sds AS sum_deg_sq_before,
+         |       CAST(e${l}_0.intra AS DOUBLE) / m$l.m
+         |       - CAST(s${l}_0.sds AS DOUBLE) / (4.0 * m$l.m * m$l.m) AS modularity_before,
+         |       e${l}_$moves.intra AS intra_after, s${l}_$moves.sds AS sum_deg_sq_after,
+         |       CAST(e${l}_$moves.intra AS DOUBLE) / m$l.m
+         |       - CAST(s${l}_$moves.sds AS DOUBLE) / (4.0 * m$l.m * m$l.m) AS modularity_after
+         |FROM m$l CROSS JOIN e${l}_0 CROSS JOIN s${l}_0
+         |CROSS JOIN e${l}_$moves CROSS JOIN s${l}_$moves""".stripMargin
+    }
+    def levelCtes(l: Int): String =
+      (Seq(levelStatics(l), stateStats(l, 0)) ++
+        (1 to moves).map(r => moveCtes(l, r)) :+
+        stateStats(l, moves)).mkString(",\n")
+    // the q_g13 density lesson: the gate runs on the l_quantity >= 40
+    // slice's co-order graph — the full graph makes a 2-level × 2-move
+    // unroll a 16 s gate with no extra semantics exercised
+    val sql =
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |       FROM lineitem WHERE l_quantity >= 40),
+         |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |cg1 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM ce),
+         |l1_0 AS MATERIALIZED (
+         |  SELECT node, node % 2 AS label FROM
+         |  (SELECT a AS node FROM ce UNION SELECT b FROM ce)),
+         |${levelCtes(1)},
+         |cg2 AS MATERIALIZED (
+         |  SELECT least(la.label, lb.label) AS a, greatest(la.label, lb.label) AS b,
+         |         CAST(sum(cg.w) AS BIGINT) AS w
+         |  FROM cg1 cg JOIN l1_$moves la ON cg.a = la.node
+         |              JOIN l1_$moves lb ON cg.b = lb.node
+         |  GROUP BY 1, 2),
+         |l2_0 AS MATERIALIZED (
+         |  SELECT node, node AS label FROM
+         |  (SELECT a AS node FROM cg2 UNION SELECT b FROM cg2)),
+         |${levelCtes(2)}
+         |${levelRow(1)}
+         |UNION ALL
+         |${levelRow(2)}
+         |ORDER BY level""".stripMargin
+    Q("q_g19_louvain_full", sql) { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+      val edges = items.select(col("__o"), col("__p").as("a"))
+        .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(true)
+      val labels = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .distinct()
+        .select(col("node"), (col("node") % 2).as("community"))
+      val out = graft.operators.Louvain.multilevel(
+        edges, "a", "b", labels, "node", "community",
+        levels = 2, maxMovesPerLevel = moves, assumeCanonical = true)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+      val rows = out.orderBy("level").collect()
+      require(rows.length == 2, s"q_g19: expected 2 levels, got ${rows.length}")
+      require(rows(0).getAs[Int]("moves_applied") >= 1,
+        "q_g19: the coarse node%2 assignment must admit a level-1 move")
+      rows.foreach { r =>
+        require(r.getAs[Double]("modularity_after") >=
+          r.getAs[Double]("modularity_before"),
+          "q_g19: Q must not decrease within a level")
+      }
+      // contraction conserves the integers across the level change, so
+      // the FINAL Q bounds every earlier state from above
+      val finalQ = rows.last.getAs[Double]("modularity_after")
+      rows.foreach { r =>
+        require(finalQ >= r.getAs[Double]("modularity_before") &&
+          finalQ >= r.getAs[Double]("modularity_after"),
+          "q_g19: final Q must be >= every level's Q")
+      }
+      out.orderBy("level")
+    }
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16, qG17, qG18)
+      qG15, qG16, qG17, qG18, qG19)
 }

@@ -178,4 +178,71 @@ class LouvainSpec extends SparkSpec {
     assert(s.getAs[Long]("sum_deg_sq_after") === b.getAs[Long]("sum_deg_sq_after"))
     assert(s.getAs[Double]("modularity_after") === b.getAs[Double]("modularity_after"))
   }
+
+  test("multilevel: single level degenerates to the unweighted sweep endpoint") {
+    val assign = Seq(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
+    val got = Louvain.multilevel(
+      edges, "a", "b", assign.toDF("node", "community"), "node", "community",
+      levels = 1, maxMovesPerLevel = 3).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Int]("level") === 1)
+    assert(r.getAs[Long]("n_nodes") === 6L)
+    assert(r.getAs[Long]("n_pairs") === 7L)
+    assert(r.getAs[Long]("total_weight") === 7L)
+    // one positive move exists (node 3 home), then local-move optimal
+    assert(r.getAs[Int]("moves_applied") === 1)
+    assert(r.getAs[Long]("intra_before") === 5L)
+    assert(r.getAs[Long]("sum_deg_sq_before") === 116L)
+    assert(r.getAs[Long]("intra_after") === 6L)
+    assert(r.getAs[Long]("sum_deg_sq_after") === 98L)
+  }
+
+  test("multilevel: level-2 merge on the contracted graph, integers conserved") {
+    // four triangles; A{1,2,3} and B{4,5,6} bridged by THREE cross edges
+    // (no single level-1 node move is positive, but the LEVEL-2 community
+    // merge is: gain = 4·15·3 − 2·9·9 = 18); node 3 starts misassigned to
+    // C's label so level 1 provably applies exactly one move (gain 120)
+    val tri = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 4L), (2L, 5L), (1L, 6L)).toDF("a", "b")
+    val assign = Seq(
+      1L -> 10L, 2L -> 10L, 3L -> 30L, 4L -> 20L, 5L -> 20L, 6L -> 20L,
+      7L -> 30L, 8L -> 30L, 9L -> 30L, 10L -> 40L, 11L -> 40L, 12L -> 40L)
+    val got = Louvain.multilevel(
+      tri, "a", "b", assign.toDF("node", "community"), "node", "community",
+      levels = 2, maxMovesPerLevel = 2).collect().sortBy(_.getAs[Int]("level"))
+    assert(got.length === 2)
+    val l1 = got(0)
+    assert(l1.getAs[Long]("n_nodes") === 12L)
+    assert(l1.getAs[Long]("n_pairs") === 15L)
+    assert(l1.getAs[Int]("moves_applied") === 1)
+    assert(l1.getAs[Long]("intra_before") === 10L)
+    assert(l1.getAs[Long]("intra_after") === 12L)
+    assert(l1.getAs[Long]("sum_deg_sq_before") === 234L)
+    assert(l1.getAs[Long]("sum_deg_sq_after") === 234L)
+    val l2 = got(1)
+    assert(l2.getAs[Long]("n_nodes") === 4L)
+    assert(l2.getAs[Long]("n_pairs") === 5L) // 4 self-loops + the A-B cross edge
+    assert(l2.getAs[Long]("total_weight") === 15L)
+    assert(l2.getAs[Int]("moves_applied") === 1) // the A∪B merge
+    // level change conserves the integers exactly
+    assert(l2.getAs[Long]("intra_before") === l1.getAs[Long]("intra_after"))
+    assert(l2.getAs[Long]("sum_deg_sq_before") === l1.getAs[Long]("sum_deg_sq_after"))
+    assert(l2.getAs[Long]("intra_after") === 15L)
+    assert(l2.getAs[Long]("sum_deg_sq_after") === 396L)
+    assert(l2.getAs[Double]("modularity_after") >
+      l2.getAs[Double]("modularity_before"))
+  }
+
+  test("multilevel: integer node/label input types do not fault the argmax reads") {
+    val e = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)).toDF("a", "b")
+    val assign = Seq(1 -> 10, 2 -> 10, 3 -> 20, 4 -> 20, 5 -> 20, 6 -> 20)
+      .toDF("node", "community")
+    val got = Louvain.multilevel(
+      e, "a", "b", assign, "node", "community", levels = 1, maxMovesPerLevel = 1)
+      .collect()
+    assert(got.head.getAs[Int]("moves_applied") === 1)
+  }
 }
