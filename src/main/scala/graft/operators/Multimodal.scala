@@ -254,6 +254,87 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** REAL MP4 / ISO-BMFF (ISO 14496-12) metadata decode — the VIDEO
+    * container next to the five image/audio formats: an MP4 is a chain
+    * of boxes `[be32 size][4cc type][payload]`, with the movie header
+    * (`mvhd` — timescale, duration) nested inside the `moov` box at a
+    * VARIABLE position behind whatever `free`/`mdat`/`udta` boxes the
+    * muxer emitted. Two marker walks in the q_m6 JPEG discipline — one
+    * `aggregate` fold over the top-level chain to locate `moov`, one
+    * over moov's children to locate `mvhd` — then fixed-offset
+    * big-endian reads for both mvhd versions (v0: 32-bit times at body
+    * +12, v1: 64-bit at body +20/+24). Returns
+    * `(major_brand, mvhd_version, timescale, duration, duration_us)`
+    * or NULL when the file is not a plausible MP4: no leading `ftyp`,
+    * a box with size < 8 or past EOF before `moov`, no `mvhd` child,
+    * an unknown mvhd version, or timescale 0. 64-bit `largesize`
+    * boxes (size field 1) and to-EOF boxes (size 0) abort to NULL —
+    * landing-zone clips are bounded, a >4 GiB box is not a clip.
+    *
+    * `duration_us` divides exact DECIMALs and floors (a v1 duration is
+    * 64-bit — the double path would round above 2^53), so the value is
+    * engine-replayable to the bit. Pure codegen built-ins, zero UDF,
+    * zero shuffle: video corpus filtering (duration/brand cuts) stays
+    * scan-side at 100 TB like every other decoder in this family.
+    */
+  def decodeMp4Meta(payload: Column, maxBoxes: Int = 12): Column = {
+    def be32(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(4))), 16, 10).cast("bigint")
+    def be64(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(8))), 16, 10).cast("bigint")
+    def byteAt(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(1))), 16, 10).cast("bigint")
+    def fourCc(pos: Column): Column = hex(substring(payload, pos, lit(4)))
+    val plen = length(payload).cast("bigint")
+
+    // fold 1: walk the top-level chain to the `moov` box.
+    // cursor: (pos, found) — found carries moov's 1-based position
+    val nullLong = lit(null).cast("bigint")
+    def cur(pos: Column, found: Column): Column =
+      struct(pos.cast("bigint").as("pos"), found.cast("bigint").as("found"))
+    def walk(from: Column, limit: Column, target: String): Column =
+      aggregate(
+        sequence(lit(1), lit(maxBoxes)),
+        cur(from, nullLong),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val done = acc.getField("found").isNotNull || pos.isNull
+          val size = be32(pos)
+          val isTarget = fourCc(pos + 4) === lit(target)
+          val broken = size < 8L || pos + size > plen + 1L
+          when(done, acc)
+            .when(pos + 8L > limit + 1L, cur(nullLong, nullLong)) // chain exhausted
+            .when(broken, cur(nullLong, nullLong))
+            .when(isTarget, cur(pos, pos))
+            .otherwise(cur(pos + size, nullLong))
+        }).getField("found")
+
+    // ftyp is the first box by spec; the moov search starts right after it
+    val moovPos = walk(be32(lit(1)) + 1L, plen, "6D6F6F76") // "moov"
+    val ftypOk = plen >= 16L && be32(lit(1)) >= 16L &&
+      fourCc(lit(5)) === lit("66747970") // "ftyp"
+    val moovEnd = moovPos + be32(moovPos) - 1L
+    val mvhdPos = walk(moovPos + 8L, moovEnd, "6D766864") // "mvhd"
+
+    val ver = byteAt(mvhdPos + 8L)
+    val ts = when(ver === 0L, be32(mvhdPos + 20L)).otherwise(be32(mvhdPos + 28L))
+    val dur = when(ver === 0L, be32(mvhdPos + 24L)).otherwise(be64(mvhdPos + 32L))
+    val durUs = floor(
+      dur.cast("decimal(38,0)") * lit(1000000L) / ts.cast("decimal(19,0)"))
+      .cast("bigint")
+    when(payload.isNotNull && ftypOk && moovPos.isNotNull && mvhdPos.isNotNull &&
+        ver.isin(0L, 1L) && ts >= 1L &&
+        when(ver === 0L, length(payload) >= mvhdPos + 27L)
+          .otherwise(length(payload) >= mvhdPos + 39L),
+      struct(
+        decode(substring(payload, 9, 4), "UTF-8").as("major_brand"),
+        ver.cast("int").as("mvhd_version"),
+        ts.cast("bigint").as("timescale"),
+        dur.cast("bigint").as("duration"),
+        durUs.as("duration_us")))
+      .otherwise(lit(null))
+  }
+
   /** REAL WAV PCM SAMPLE decode — the payload is no longer opaque: this
     * reads the actual frames of the canonical-layout PCM file that
     * [[decodeWavMeta]] validates and emits the per-channel content

@@ -1021,6 +1021,80 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id", "channel")
   }
 
+  // REAL MP4 / ISO-BMFF metadata decode (Multimodal.decodeMp4Meta) —
+  // the VIDEO container joins the image/audio formats: genuine box
+  // chains built in-plan — ftyp(isom), an optional top-level `free` box
+  // (every 5th doc) shifting moov to a VARIABLE offset, then moov with a
+  // `udta` child BEFORE mvhd so the child walk must skip a sibling.
+  // Every 3rd doc writes mvhd VERSION 1 (64-bit ctime/mtime/duration —
+  // the duration exceeds 2^32 to prove the be64 read); every 7th doc a
+  // corrupted ftyp 4cc → NULL. duration_us is floored exact-decimal
+  // division; the oracle derives every expectation independently from
+  // the generator arithmetic (the q_m6 discipline).
+  private val qM14 = Q(
+    "q_m14_mp4_box_walk",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         n_chars % 40000 + 1000 AS ts,
+      |         (n_chars * 17 + doc_id % 777) % 900000 + 1 AS d32,
+      |         (doc_id % 3 = 0) AS v1,
+      |         (doc_id % 7 <> 0) AS ok
+      |  FROM documents),
+      |x AS (SELECT doc_id, ts,
+      |             CASE WHEN v1 THEN d32 + 5000000000 ELSE d32 END AS dur,
+      |             CASE WHEN v1 THEN 1 ELSE 0 END AS ver, ok FROM src)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN 'isom' END AS major_brand,
+      |       CASE WHEN ok THEN CAST(ver AS INT) END AS mvhd_version,
+      |       CASE WHEN ok THEN CAST(ts AS BIGINT) END AS timescale,
+      |       CASE WHEN ok THEN CAST(dur AS BIGINT) END AS duration,
+      |       CASE WHEN ok THEN CAST(CAST(dur AS BIGINT) * 1000000 // ts AS BIGINT) END AS duration_us,
+      |       ok AS valid_mp4
+      |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def be32h(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def be64h(c: org.apache.spark.sql.Column) = lpad(hex(c), 16, "0")
+    val ts = col("n_chars").cast("bigint") % 40000 + 1000
+    val d32 = (col("n_chars").cast("bigint") * 17 + col("doc_id") % 777) % 900000 + 1
+    val isV1 = col("doc_id") % 3 === 0
+    val dur64 = d32 + 5000000000L
+    val matrixHex = Seq(
+      "00010000", "00000000", "00000000", "00000000", "00010000",
+      "00000000", "00000000", "00000000", "40000000").mkString
+    // rate, volume, 10 reserved bytes, unity matrix, 24 predefined bytes,
+    // next_track — the fixed 80-byte mvhd tail shared by both versions
+    val tail80 = "00010000" + "0100" + ("0" * 20) + matrixHex + ("0" * 48) + "00000002"
+    val ftyp = concat(
+      lit("00000010"),
+      when(col("doc_id") % 7 === 0, lit("66747971")).otherwise(lit("66747970")),
+      lit("69736F6D"), lit("00000000"))
+    val free = when(col("doc_id") % 5 === 0,
+      lit("0000001066726565DEADBEEFDEADBEEF")).otherwise(lit(""))
+    val udta = lit("0000000C" + "75647461" + "00000000")
+    val mvhd = when(isV1,
+      concat(lit("00000078" + "6D766864" + "01000000" +
+          "0000000000000000" + "0000000000000000"),
+        be32h(ts), be64h(dur64), lit(tail80)))
+      .otherwise(
+        concat(lit("0000006C" + "6D766864" + "00000000" +
+            "00000000" + "00000000"),
+          be32h(ts), be32h(d32), lit(tail80)))
+    val moovSize = when(isV1, lit("0000008C")).otherwise(lit("00000080"))
+    val mp4Hex = concat(ftyp, free, moovSize, lit("6D6F6F76"), udta, mvhd)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(mp4Hex).as("payload"))
+      .withColumn("m", Multimodal.decodeMp4Meta(col("payload")))
+      .select(
+        col("doc_id"),
+        col("m.major_brand").as("major_brand"),
+        col("m.mvhd_version").as("mvhd_version"),
+        col("m.timescale").as("timescale"),
+        col("m.duration").as("duration"),
+        col("m.duration_us").as("duration_us"),
+        col("m").isNotNull.as("valid_mp4"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
-    Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13)
+    Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
+      qM14)
 }

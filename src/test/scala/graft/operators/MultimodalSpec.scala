@@ -465,4 +465,57 @@ class MultimodalSpec extends SparkSpec {
     val mean = counts.sum.toDouble / counts.length
     assert(counts.forall(_ <= mean * 3), s"skewed: ${counts.toSeq}")
   }
+
+  test("MP4 box walk: hand-muxed ISO-BMFF files round-trip; corrupt shapes → null") {
+    import java.nio.ByteBuffer
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    def mvhd(version: Int, timescale: Int, duration: Long): Array[Byte] = {
+      val body = ByteBuffer.allocate(if (version == 0) 100 else 112)
+      body.put(version.toByte).put(Array[Byte](0, 0, 0)) // flags
+      if (version == 0) {
+        body.putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt)
+      } else {
+        body.putLong(0L).putLong(0L).putInt(timescale).putLong(duration)
+      }
+      body.putInt(0x00010000).putShort(0x0100.toShort).put(new Array[Byte](10))
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(i => body.putInt(i))
+      body.put(new Array[Byte](24)).putInt(2)
+      box("mvhd", body.array())
+    }
+    val ftyp = box("ftyp", "isommp42".getBytes("US-ASCII"))
+    val free = box("free", Array[Byte](1, 2, 3, 4))
+    val udta = box("udta", Array[Byte](0, 0, 0, 0))
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    val v0 = cat(ftyp, free, box("moov", cat(udta, mvhd(0, 1000, 90000L))))
+    // v1: 64-bit duration beyond 2^32, mvhd behind TWO sibling children
+    val v1 = cat(ftyp, box("moov", cat(udta, free, mvhd(1, 600, 5000000123L))))
+    val noMvhd = cat(ftyp, box("moov", udta))
+    val badSig = { val c = v0.clone(); c(4) = 'f'; c(5) = 'r'; c(6) = 'e'; c(7) = 'e'; c }
+    val truncated = v0.take(40) // moov size now points past EOF
+    val zeroTs = cat(ftyp, box("moov", mvhd(0, 0, 1L)))
+    val largesize = { val c = v0.clone(); c(16) = 0; c(17) = 0; c(18) = 0; c(19) = 1; c } // free box size=1
+
+    import spark.implicits._
+    val df = Seq(
+      (1L, v0), (2L, v1), (3L, noMvhd), (4L, badSig), (5L, truncated),
+      (6L, zeroTs), (7L, largesize))
+      .toDF("id", "payload")
+      .withColumn("m", Multimodal.decodeMp4Meta(col("payload")))
+    val got = df.select(col("id"), col("m.major_brand"), col("m.mvhd_version"),
+        col("m.timescale"), col("m.duration"), col("m.duration_us"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)))).toMap
+    assert(got(1L) === ((Some("isom"), Some(0), Some(1000L), Some(90000L),
+      Some(90000000L))))
+    assert(got(2L) === ((Some("isom"), Some(1), Some(600L), Some(5000000123L),
+      Some(5000000123L * 1000000L / 600L))))
+    for (id <- 3L to 7L)
+      assert(got(id) === ((None, None, None, None, None)), s"case $id must be null")
+  }
 }
