@@ -54,8 +54,10 @@ object Bench {
     // JSON alone, without hunting driver stderr.
     def dropLeakedState(): Unit = try {
       spark.sharedState.cacheManager.clearCache()
+      // blocking: an async unpersist would execute DURING the next
+      // query's measured window — the cleanup must finish here
       spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

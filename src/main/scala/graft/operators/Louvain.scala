@@ -564,6 +564,48 @@ object Louvain {
       levels: Int,
       maxMovesPerLevel: Int,
       assumeCanonical: Boolean = false): DataFrame = {
+    val (stats, assign) = mlCore(
+      edges, srcCol, dstCol, labels, nodeCol, labelCol, levels,
+      maxMovesPerLevel, assumeCanonical)
+    bridge.freeLocalCheckpoint(assign)
+    stats
+  }
+
+  /** [[multilevel]]'s FINAL per-node assignment — the map a user feeds
+    * downstream (the per-level evidence rows grade the run; this is its
+    * product): every ORIGINAL node with its community after all levels,
+    * i.e. the initial labels composed through every level's moves and
+    * contractions. Composition is one |V|-row map join per level
+    * (original node → super-node → its new label), checkpointed and
+    * freed per level like everything else in the driver. Returns
+    * `(node, community)` as bigint, materialized (caller may free).
+    */
+  def multilevelAssignments(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      levels: Int,
+      maxMovesPerLevel: Int,
+      assumeCanonical: Boolean = false): DataFrame = {
+    val (_, assign) = mlCore(
+      edges, srcCol, dstCol, labels, nodeCol, labelCol, levels,
+      maxMovesPerLevel, assumeCanonical)
+    assign
+  }
+
+  private def mlCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      levels: Int,
+      maxMovesPerLevel: Int,
+      assumeCanonical: Boolean): (DataFrame, DataFrame) = {
     require(levels >= 1, "need at least one level")
     require(maxMovesPerLevel >= 1, "apply at least one move per level")
     val spark = edges.sparkSession
@@ -588,6 +630,8 @@ object Louvain {
       i.toDouble / m - s.toDouble / (4.0 * m * m)
     val rows = Seq.newBuilder[
       (Int, Long, Long, Long, Int, Long, Long, Double, Long, Long, Double)]
+    // original node → current community, composed through the levels
+    var assign: DataFrame = null
     var carried: Option[(Long, Long)] = None
     var level = 1
     var stop = false
@@ -643,6 +687,16 @@ object Louvain {
       rows += ((level, nNodes, nPairs, m, moves,
         intra0, sds0, q(m, intra0, sds0), intra, sds, q(m, intra, sds)))
       bridge.freeLocalCheckpoint(deg)
+      // compose the original-node assignment through this level's labels
+      val nextAssign =
+        (if (level == 1)
+          lab.select(col("__n").as("node"), col("__l").as("community"))
+        else assign
+          .join(lab, assign("community") === lab("__n"))
+          .select(assign("node"), col("__l").as("community")))
+          .localCheckpoint(true)
+      if (assign != null) bridge.freeLocalCheckpoint(assign)
+      assign = nextAssign
       if (moves == 0) stop = true
       else if (level < levels) {
         // PHASE 2: contract communities to super-nodes (intra edges and
@@ -672,9 +726,10 @@ object Louvain {
     }
     bridge.freeLocalCheckpoint(w)
     bridge.freeLocalCheckpoint(lab)
-    rows.result().toDF(
+    (rows.result().toDF(
       "level", "n_nodes", "n_pairs", "total_weight", "moves_applied",
       "intra_before", "sum_deg_sq_before", "modularity_before",
-      "intra_after", "sum_deg_sq_after", "modularity_after")
+      "intra_after", "sum_deg_sq_after", "modularity_after"),
+      assign)
   }
 }

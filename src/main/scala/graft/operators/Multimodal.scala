@@ -254,6 +254,92 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** EXIF orientation from a JPEG's APP1 segment (TIFF 6.0 + EXIF 2.x)
+    * — the one EXIF field an image-curation pass cannot skip: a camera
+    * that stored the sensor raster unrotated marks the intended
+    * rotation/mirror here (values 1–8), and a perceptual hash or
+    * resize that ignores it silently mismatches visually identical
+    * images (the reason [[bmpAHash]] normalizes orientation).
+    *
+    * The read is the q_m6 JPEG marker walk retargeted at APP1
+    * (`FF E1 <len> "Exif\0\0"`), then a SECOND fold over the IFD0
+    * directory entries — and it is ENDIANNESS-DEPENDENT: the TIFF
+    * header's "II"/"MM" mark decides whether every u16/u32 in the IFD
+    * reads little- or big-endian, so both byte orders are implemented
+    * as hex-slice reassembly and selected per row. Entry scan stops at
+    * tag 0x0112 (type SHORT, value inline in the first 2 value bytes).
+    * Returns 1–8, or NULL when there is no APP1 before SOS, the Exif
+    * magic/TIFF header is malformed, or IFD0 lacks the tag. Still one
+    * scan-side codegen expression: two bounded folds, no UDF.
+    */
+  def jpegExifOrientation(
+      payload: Column, maxSegments: Int = 16, maxIfdEntries: Int = 24): Column = {
+    def byteAt(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(1))), 16, 10).cast("bigint")
+    def be16(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(2))), 16, 10).cast("bigint")
+    def le16(pos: Column): Column =
+      conv(concat(hex(substring(payload, pos + 1, lit(1))),
+        hex(substring(payload, pos, lit(1)))), 16, 10).cast("bigint")
+    def le32(pos: Column): Column =
+      conv(concat(
+        hex(substring(payload, pos + 3, lit(1))),
+        hex(substring(payload, pos + 2, lit(1))),
+        hex(substring(payload, pos + 1, lit(1))),
+        hex(substring(payload, pos, lit(1)))), 16, 10).cast("bigint")
+    def be32(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(4))), 16, 10).cast("bigint")
+
+    // fold 1: marker walk to the APP1 position (FF byte), q_m6 discipline
+    val nullInt = lit(null).cast("int")
+    def cur(pos: Column, found: Column): Column =
+      struct(pos.cast("int").as("pos"), found.cast("int").as("found"))
+    val app1 = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      cur(lit(3), nullInt),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val done = acc.getField("found").isNotNull || pos.isNull
+        val m1 = byteAt(pos)
+        val m2 = byteAt(pos + 1)
+        val isApp1 = m1 === 255L && m2 === 225L
+        val isStop = m1 =!= 255L || m2 === 218L || m2 === 217L
+        val next = pos + 2 + be16(pos + 2)
+        when(done, acc)
+          .when(isApp1, cur(pos, pos))
+          .when(isStop || next > length(payload), cur(nullInt, nullInt))
+          .otherwise(cur(next, nullInt))
+      }).getField("found").cast("bigint")
+
+    val exifOk = hex(substring(payload, app1 + 4, lit(6))) === lit("457869660000")
+    val tb = app1 + 10 // TIFF header base
+    val order = hex(substring(payload, tb, lit(2)))
+    val isLe = order === lit("4949")
+    val tiffOk = (isLe && le16(tb + 2) === 42L) ||
+      (order === lit("4D4D") && be16(tb + 2) === 42L)
+    def u16(pos: Column): Column = when(isLe, le16(pos)).otherwise(be16(pos))
+    def u32(pos: Column): Column = when(isLe, le32(pos)).otherwise(be32(pos))
+
+    val ifd0 = tb + u32(tb + 4)
+    val nEntries = u16(ifd0)
+    // fold 2: scan IFD0 entries for tag 0x0112 (SHORT, inline value)
+    val orient = aggregate(
+      sequence(lit(0), lit(maxIfdEntries - 1)),
+      lit(null).cast("bigint"),
+      (acc, i) => {
+        val e = ifd0 + 2 + i.cast("bigint") * 12
+        val hit = i.cast("bigint") < nEntries &&
+          u16(e) === 274L && u16(e + 2) === 3L
+        when(acc.isNotNull, acc).when(hit, u16(e + 8)).otherwise(acc)
+      })
+    when(payload.isNotNull && length(payload) >= 4 &&
+        hex(substring(payload, 1, 2)) === lit("FFD8") &&
+        app1.isNotNull && exifOk && tiffOk &&
+        orient.isNotNull && orient >= 1L && orient <= 8L,
+      orient.cast("int"))
+      .otherwise(lit(null).cast("int"))
+  }
+
   /** REAL MP4 / ISO-BMFF (ISO 14496-12) metadata decode — the VIDEO
     * container next to the five image/audio formats: an MP4 is a chain
     * of boxes `[be32 size][4cc type][payload]`, with the movie header

@@ -1066,9 +1066,11 @@ object GraphQueries extends QueryGroup {
   // its contraction, AND its level-change conservation are all
   // independently recomputed. In-engine REQUIREs pin Q monotone within
   // and across levels.
-  private val qG19: Q = {
-    val moves = 2
-    def levelStatics(l: Int): String =
+  // Shared generated-CTE vocabulary for the multi-level Louvain gates
+  // (q_g19 per-level stats, q_g20 final assignments): both levels of the
+  // weighted sweep unrolled move by move plus the level-1→2 contraction.
+  private val mlMoves = 2
+  private def mlLevelStatics(l: Int): String =
       s"""wund$l AS (SELECT a AS node, b AS nbr, w FROM cg$l WHERE a <> b
          |        UNION ALL SELECT b, a, w FROM cg$l WHERE a <> b),
          |wdeg$l AS MATERIALIZED (
@@ -1078,7 +1080,7 @@ object GraphQueries extends QueryGroup {
          |  FULL JOIN (SELECT a AS node, 2 * w AS sw FROM cg$l WHERE a = b) s
          |    ON u.node = s.node),
          |m$l AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM cg$l)""".stripMargin
-    def stateStats(l: Int, r: Int): String =
+  private def mlStateStats(l: Int, r: Int): String =
       s"""e${l}_$r AS (
          |  SELECT CAST(sum(CASE WHEN la.label = lb.label THEN cg.w ELSE 0 END) AS BIGINT) AS intra
          |  FROM cg$l cg JOIN l${l}_$r la ON cg.a = la.node
@@ -1087,7 +1089,7 @@ object GraphQueries extends QueryGroup {
          |  SELECT CAST(sum(dc * dc) AS BIGINT) AS sds FROM
          |  (SELECT l.label, sum(d.d) AS dc
          |   FROM wdeg$l d JOIN l${l}_$r l ON d.node = l.node GROUP BY 1))""".stripMargin
-    def moveCtes(l: Int, r: Int): String =
+  private def mlMoveCtes(l: Int, r: Int): String =
       s"""cd${l}_$r AS MATERIALIZED (
          |  SELECT l.label, sum(d.d) AS dc
          |  FROM wdeg$l d JOIN l${l}_${r - 1} l ON d.node = l.node GROUP BY 1),
@@ -1111,8 +1113,8 @@ object GraphQueries extends QueryGroup {
          |l${l}_$r AS MATERIALIZED (
          |  SELECT l.node, CASE WHEN b.node IS NOT NULL THEN b.c ELSE l.label END AS label
          |  FROM l${l}_${r - 1} l LEFT JOIN best${l}_$r b ON l.node = b.node)""".stripMargin
-    def levelRow(l: Int): String = {
-      val applied = (1 to moves)
+  private def mlLevelRow(l: Int): String = {
+      val applied = (1 to mlMoves)
         .map(r => s"(SELECT count(*) FROM best${l}_$r)").mkString(" + ")
       s"""SELECT CAST($l AS INT) AS level,
          |       (SELECT CAST(count(*) AS BIGINT) FROM wdeg$l) AS n_nodes,
@@ -1122,42 +1124,46 @@ object GraphQueries extends QueryGroup {
          |       e${l}_0.intra AS intra_before, s${l}_0.sds AS sum_deg_sq_before,
          |       CAST(e${l}_0.intra AS DOUBLE) / m$l.m
          |       - CAST(s${l}_0.sds AS DOUBLE) / (4.0 * m$l.m * m$l.m) AS modularity_before,
-         |       e${l}_$moves.intra AS intra_after, s${l}_$moves.sds AS sum_deg_sq_after,
-         |       CAST(e${l}_$moves.intra AS DOUBLE) / m$l.m
-         |       - CAST(s${l}_$moves.sds AS DOUBLE) / (4.0 * m$l.m * m$l.m) AS modularity_after
+         |       e${l}_$mlMoves.intra AS intra_after, s${l}_$mlMoves.sds AS sum_deg_sq_after,
+         |       CAST(e${l}_$mlMoves.intra AS DOUBLE) / m$l.m
+         |       - CAST(s${l}_$mlMoves.sds AS DOUBLE) / (4.0 * m$l.m * m$l.m) AS modularity_after
          |FROM m$l CROSS JOIN e${l}_0 CROSS JOIN s${l}_0
-         |CROSS JOIN e${l}_$moves CROSS JOIN s${l}_$moves""".stripMargin
+         |CROSS JOIN e${l}_$mlMoves CROSS JOIN s${l}_$mlMoves""".stripMargin
     }
-    def levelCtes(l: Int): String =
-      (Seq(levelStatics(l), stateStats(l, 0)) ++
-        (1 to moves).map(r => moveCtes(l, r)) :+
-        stateStats(l, moves)).mkString(",\n")
-    // the q_g13 density lesson: the gate runs on the l_quantity >= 40
-    // slice's co-order graph — the full graph makes a 2-level × 2-move
-    // unroll a 16 s gate with no extra semantics exercised
+  private def mlLevelCtes(l: Int): String =
+    (Seq(mlLevelStatics(l), mlStateStats(l, 0)) ++
+      (1 to mlMoves).map(r => mlMoveCtes(l, r)) :+
+      mlStateStats(l, mlMoves)).mkString(",\n")
+  // the q_g13 density lesson: the gates run on the l_quantity >= 40
+  // slice's co-order graph — the full graph makes a 2-level × 2-move
+  // unroll a 16 s gate with no extra semantics exercised
+  private lazy val mlWithBody: String =
+    s"""items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |       FROM lineitem WHERE l_quantity >= 40),
+       |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+       |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+       |cg1 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM ce),
+       |l1_0 AS MATERIALIZED (
+       |  SELECT node, node % 2 AS label FROM
+       |  (SELECT a AS node FROM ce UNION SELECT b FROM ce)),
+       |${mlLevelCtes(1)},
+       |cg2 AS MATERIALIZED (
+       |  SELECT least(la.label, lb.label) AS a, greatest(la.label, lb.label) AS b,
+       |         CAST(sum(cg.w) AS BIGINT) AS w
+       |  FROM cg1 cg JOIN l1_$mlMoves la ON cg.a = la.node
+       |              JOIN l1_$mlMoves lb ON cg.b = lb.node
+       |  GROUP BY 1, 2),
+       |l2_0 AS MATERIALIZED (
+       |  SELECT node, node AS label FROM
+       |  (SELECT a AS node FROM cg2 UNION SELECT b FROM cg2)),
+       |${mlLevelCtes(2)}""".stripMargin
+
+  private val qG19: Q = {
     val sql =
-      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-         |       FROM lineitem WHERE l_quantity >= 40),
-         |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
-         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
-         |cg1 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM ce),
-         |l1_0 AS MATERIALIZED (
-         |  SELECT node, node % 2 AS label FROM
-         |  (SELECT a AS node FROM ce UNION SELECT b FROM ce)),
-         |${levelCtes(1)},
-         |cg2 AS MATERIALIZED (
-         |  SELECT least(la.label, lb.label) AS a, greatest(la.label, lb.label) AS b,
-         |         CAST(sum(cg.w) AS BIGINT) AS w
-         |  FROM cg1 cg JOIN l1_$moves la ON cg.a = la.node
-         |              JOIN l1_$moves lb ON cg.b = lb.node
-         |  GROUP BY 1, 2),
-         |l2_0 AS MATERIALIZED (
-         |  SELECT node, node AS label FROM
-         |  (SELECT a AS node FROM cg2 UNION SELECT b FROM cg2)),
-         |${levelCtes(2)}
-         |${levelRow(1)}
+      s"""WITH $mlWithBody
+         |${mlLevelRow(1)}
          |UNION ALL
-         |${levelRow(2)}
+         |${mlLevelRow(2)}
          |ORDER BY level""".stripMargin
     Q("q_g19_louvain_full", sql) { (s, dir) =>
       val items = Tables.load(s, dir, "lineitem")
@@ -1175,7 +1181,7 @@ object GraphQueries extends QueryGroup {
         .select(col("node"), (col("node") % 2).as("community"))
       val out = graft.operators.Louvain.multilevel(
         edges, "a", "b", labels, "node", "community",
-        levels = 2, maxMovesPerLevel = moves, assumeCanonical = true)
+        levels = 2, maxMovesPerLevel = mlMoves, assumeCanonical = true)
       org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
       val rows = out.orderBy("level").collect()
       require(rows.length == 2, s"q_g19: expected 2 levels, got ${rows.length}")
@@ -1198,7 +1204,40 @@ object GraphQueries extends QueryGroup {
     }
   }
 
+  // The multi-level driver's PRODUCT: the final per-node assignment
+  // (Louvain.multilevelAssignments) — the initial labels composed
+  // through every level's moves and contractions, i.e. what a user
+  // feeds downstream after q_g19 graded the run. The oracle reuses the
+  // identical two-level unroll and projects each original node through
+  // its level-1 label to that super-node's level-2 label — one map join
+  // per level on both sides.
+  private val qG20: Q = Q(
+    "q_g20_louvain_assignments",
+    s"""WITH $mlWithBody
+       |SELECT n.node AS node, CAST(l2.label AS BIGINT) AS community
+       |FROM l1_$mlMoves n JOIN l2_$mlMoves l2 ON n.label = l2.node
+       |ORDER BY n.node""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val edges = items.select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+      .localCheckpoint(true)
+    val labels = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .distinct()
+      .select(col("node"), (col("node") % 2).as("community"))
+    val out = graft.operators.Louvain.multilevelAssignments(
+      edges, "a", "b", labels, "node", "community",
+      levels = 2, maxMovesPerLevel = mlMoves, assumeCanonical = true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+    out.orderBy("node")
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16, qG17, qG18, qG19)
+      qG15, qG16, qG17, qG18, qG19, qG20)
 }

@@ -1094,7 +1094,62 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // EXIF orientation decode (Multimodal.jpegExifOrientation): genuine
+  // APP1 segments built in-plan with BOTH TIFF byte orders — even docs
+  // little-endian "II", odd docs big-endian "MM", so the per-row
+  // endianness selection is the thing under test — plus a Make entry
+  // BEFORE the orientation tag (the IFD scan must skip siblings), an
+  // APP0 shifting APP1 to a variable offset on every 5th doc, a tagless
+  // IFD on every 11th (orientation NULL inside a valid walk), and a
+  // corrupted SOI on every 7th. Orientation cycles 1–8 from doc_id; the
+  // oracle derives expectations independently (the q_m6 discipline).
+  private val qM15 = Q(
+    "q_m15_exif_orientation",
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 0
+      |            THEN CAST(doc_id % 8 + 1 AS INT) END AS orientation,
+      |       (doc_id % 7 <> 0 AND doc_id % 11 <> 0) AS has_orientation
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val o = col("doc_id") % 8 + 1
+    val oHex = lpad(hex(o), 2, "0")
+    val isLe = col("doc_id") % 2 === 0
+    val soi = when(col("doc_id") % 7 === 0, lit("00D8")).otherwise(lit("FFD8"))
+    val app0 = when(col("doc_id") % 5 === 0,
+      lit("FFE0" + "0010" + "4A46494600010100000100010000")).otherwise(lit(""))
+    val tagless = col("doc_id") % 11 === 0
+    // TIFF body: header, entry count, entries (Make 0x010F then
+    // Orientation 0x0112 SHORT inline), next-IFD terminator
+    val tiffLe = concat(
+      lit("4949" + "2A00" + "08000000" + "0200" +
+        "0F01" + "0200" + "04000000" + "41424300" +
+        "1201" + "0300" + "01000000"), oHex, lit("00" + "0000" + "00000000"))
+    val tiffBe = concat(
+      lit("4D4D" + "002A" + "00000008" + "0002" +
+        "010F" + "0002" + "00000004" + "41424300" +
+        "0112" + "0003" + "00000001" + "00"), oHex, lit("0000" + "00000000"))
+    val tiffLeNoTag = lit("4949" + "2A00" + "08000000" + "0100" +
+      "0F01" + "0200" + "04000000" + "41424300" + "00000000")
+    val tiffBeNoTag = lit("4D4D" + "002A" + "00000008" + "0001" +
+      "010F" + "0002" + "00000004" + "41424300" + "00000000")
+    val tiff = when(tagless, when(isLe, tiffLeNoTag).otherwise(tiffBeNoTag))
+      .otherwise(when(isLe, tiffLe).otherwise(tiffBe))
+    val app1Len = when(tagless, lit("0022")).otherwise(lit("002E"))
+    val jpegHex = concat(
+      soi, app0,
+      lit("FFE1"), app1Len, lit("457869660000"), tiff,
+      lit("FFC0" + "0011" + "08" + "0010" + "0010" + "03" +
+        "011100021101031101" + "FFDA" + "0002" + "DEADBEEF"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(jpegHex).as("payload"))
+      .withColumn("o", Multimodal.jpegExifOrientation(col("payload")))
+      .select(
+        col("doc_id"),
+        col("o").as("orientation"),
+        col("o").isNotNull.as("has_orientation"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
-      qM14)
+      qM14, qM15)
 }

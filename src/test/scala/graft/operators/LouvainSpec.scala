@@ -236,6 +236,25 @@ class LouvainSpec extends SparkSpec {
       l2.getAs[Double]("modularity_before"))
   }
 
+  test("multilevelAssignments: composition through the level-2 merge") {
+    // same 4-triangle corpus: level 1 sends node 3 home (label 10), level 2
+    // merges super-node 10 into 20 (tie broken node-asc), so A∪B end at 20
+    val tri = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 4L), (2L, 5L), (1L, 6L)).toDF("a", "b")
+    val assign = Seq(
+      1L -> 10L, 2L -> 10L, 3L -> 30L, 4L -> 20L, 5L -> 20L, 6L -> 20L,
+      7L -> 30L, 8L -> 30L, 9L -> 30L, 10L -> 40L, 11L -> 40L, 12L -> 40L)
+    val got = Louvain.multilevelAssignments(
+      tri, "a", "b", assign.toDF("node", "community"), "node", "community",
+      levels = 2, maxMovesPerLevel = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((1L to 6L).map(_ -> 20L) ++ (7L to 9L).map(_ -> 30L) ++
+      (10L to 12L).map(_ -> 40L)).toMap
+    assert(got === want)
+  }
+
   test("multilevel: integer node/label input types do not fault the argmax reads") {
     val e = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)).toDF("a", "b")
     val assign = Seq(1 -> 10, 2 -> 10, 3 -> 20, 4 -> 20, 5 -> 20, 6 -> 20)

@@ -466,6 +466,49 @@ class MultimodalSpec extends SparkSpec {
     assert(counts.forall(_ <= mean * 3), s"skewed: ${counts.toSeq}")
   }
 
+  test("EXIF orientation: both TIFF byte orders, sibling tags, real no-EXIF JPEG") {
+    import java.nio.ByteBuffer
+    def exifJpeg(le: Boolean, orientation: Int, withTag: Boolean): Array[Byte] = {
+      val tiff = ByteBuffer.allocate(if (withTag) 38 else 26)
+      def u16(v: Int): Unit =
+        if (le) { tiff.put((v & 0xff).toByte).put((v >> 8).toByte) }
+        else { tiff.put((v >> 8).toByte).put((v & 0xff).toByte) }
+      def u32(v: Int): Unit =
+        if (le) { u16(v & 0xffff); u16(v >>> 16) } else { u16(v >>> 16); u16(v & 0xffff) }
+      tiff.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+      u16(42); u32(8); u16(if (withTag) 2 else 1)
+      u16(0x010f); u16(2); u32(4); tiff.put("ABC ".getBytes("US-ASCII"))
+      if (withTag) { u16(0x0112); u16(3); u32(1); u16(orientation); u16(0) }
+      u32(0)
+      val app1Len = 2 + 6 + tiff.capacity()
+      val out = ByteBuffer.allocate(2 + 2 + app1Len + 4)
+      out.put(Array(0xff, 0xd8, 0xff, 0xe1).map(_.toByte))
+      out.put((app1Len >> 8).toByte).put((app1Len & 0xff).toByte)
+      out.put("Exif".getBytes("US-ASCII")).put(Array[Byte](0, 0)).put(tiff.array())
+      out.put(Array(0xff, 0xda, 0x00, 0x02).map(_.toByte)) // SOS: walk must stop
+      out.array()
+    }
+    import spark.implicits._
+    // a REAL encoder JPEG carries no APP1 Exif → null, not a misparse
+    val realJpeg = {
+      import java.awt.image.BufferedImage
+      val img = new BufferedImage(4, 3, BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, exifJpeg(le = true, 6, withTag = true)),
+      (2L, exifJpeg(le = false, 8, withTag = true)),
+      (3L, exifJpeg(le = true, 1, withTag = false)),
+      (4L, realJpeg))
+      .toDF("id", "payload")
+      .withColumn("o", Multimodal.jpegExifOrientation(col("payload")))
+    val got = df.select("id", "o").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(6), 2L -> Some(8), 3L -> None, 4L -> None))
+  }
+
   test("MP4 box walk: hand-muxed ISO-BMFF files round-trip; corrupt shapes → null") {
     import java.nio.ByteBuffer
     def box(typ: String, body: Array[Byte]): Array[Byte] = {
