@@ -311,32 +311,46 @@ object Multimodal {
           .otherwise(cur(next, nullInt))
       }).getField("found").cast("bigint")
 
-    val exifOk = hex(substring(payload, app1 + 4, lit(6))) === lit("457869660000")
-    val tb = app1 + 10 // TIFF header base
-    val order = hex(substring(payload, tb, lit(2)))
-    val isLe = order === lit("4949")
-    val tiffOk = (isLe && le16(tb + 2) === 42L) ||
-      (order === lit("4D4D") && be16(tb + 2) === 42L)
-    def u16(pos: Column): Column = when(isLe, le16(pos)).otherwise(be16(pos))
-    def u32(pos: Column): Column = when(isLe, le32(pos)).otherwise(be32(pos))
-
-    val ifd0 = tb + u32(tb + 4)
-    val nEntries = u16(ifd0)
-    // fold 2: scan IFD0 entries for tag 0x0112 (SHORT, inline value)
-    val orient = aggregate(
-      sequence(lit(0), lit(maxIfdEntries - 1)),
-      lit(null).cast("bigint"),
-      (acc, i) => {
-        val e = ifd0 + 2 + i.cast("bigint") * 12
-        val hit = i.cast("bigint") < nEntries &&
-          u16(e) === 274L && u16(e + 2) === 3L
-        when(acc.isNotNull, acc).when(hit, u16(e + 8)).otherwise(acc)
-      })
+    // HOF lambdas don't CSE (the hof.bind lesson): every downstream
+    // reference to the APP1 fold — and every PER-ELEMENT reference from
+    // inside the IFD fold — would re-run the 16-step marker walk, so the
+    // walk result and the TIFF context are LET-BOUND once per row
+    // (unbound this gate measured 15 s at sf0.1; bound it is scan-cheap)
+    val out = graft.functions.hof.bind(app1) { a1 =>
+      val exifOk = hex(substring(payload, a1 + 4, lit(6))) === lit("457869660000")
+      val tb = a1 + 10 // TIFF header base
+      val order = hex(substring(payload, tb, lit(2)))
+      val isLe = order === lit("4949")
+      val tiffOk = (isLe && le16(tb + 2) === 42L) ||
+        (order === lit("4D4D") && be16(tb + 2) === 42L)
+      def u16(pos: Column): Column = when(isLe, le16(pos)).otherwise(be16(pos))
+      def u32(pos: Column): Column = when(isLe, le32(pos)).otherwise(be32(pos))
+      val ifd0 = tb + u32(tb + 4)
+      graft.functions.hof.bind(struct(
+        ifd0.as("ifd0"), u16(ifd0).as("n"), isLe.as("le"),
+        (a1.isNotNull && exifOk && tiffOk).as("ok"))) { c =>
+        val ifd = c.getField("ifd0")
+        val n = c.getField("n")
+        def u16i(pos: Column): Column =
+          when(c.getField("le"), le16(pos)).otherwise(be16(pos))
+        // fold 2: scan IFD0 entries for tag 0x0112 (SHORT, inline value)
+        val orient = aggregate(
+          sequence(lit(0), lit(maxIfdEntries - 1)),
+          lit(null).cast("bigint"),
+          (acc, i) => {
+            val e = ifd + 2 + i.cast("bigint") * 12
+            val hit = i.cast("bigint") < n &&
+              u16i(e) === 274L && u16i(e + 2) === 3L
+            when(acc.isNotNull, acc).when(hit, u16i(e + 8)).otherwise(acc)
+          })
+        when(c.getField("ok") && orient >= 1L && orient <= 8L,
+          orient.cast("int"))
+          .otherwise(lit(null).cast("int"))
+      }
+    }
     when(payload.isNotNull && length(payload) >= 4 &&
-        hex(substring(payload, 1, 2)) === lit("FFD8") &&
-        app1.isNotNull && exifOk && tiffOk &&
-        orient.isNotNull && orient >= 1L && orient <= 8L,
-      orient.cast("int"))
+        hex(substring(payload, 1, 2)) === lit("FFD8"),
+      out)
       .otherwise(lit(null).cast("int"))
   }
 
@@ -395,30 +409,41 @@ object Multimodal {
             .otherwise(cur(pos + size, nullLong))
         }).getField("found")
 
-    // ftyp is the first box by spec; the moov search starts right after it
-    val moovPos = walk(be32(lit(1)) + 1L, plen, "6D6F6F76") // "moov"
+    // ftyp is the first box by spec; the moov search starts right after
+    // it. Both walk results are LET-BOUND (hof.bind): HOF lambdas don't
+    // CSE, so an unbound `moovEnd` referenced from inside the child walk
+    // would re-run the whole top-level walk once PER CHILD BOX, and each
+    // field read would re-run both walks once per reference.
     val ftypOk = plen >= 16L && be32(lit(1)) >= 16L &&
       fourCc(lit(5)) === lit("66747970") // "ftyp"
-    val moovEnd = moovPos + be32(moovPos) - 1L
-    val mvhdPos = walk(moovPos + 8L, moovEnd, "6D766864") // "mvhd"
-
-    val ver = byteAt(mvhdPos + 8L)
-    val ts = when(ver === 0L, be32(mvhdPos + 20L)).otherwise(be32(mvhdPos + 28L))
-    val dur = when(ver === 0L, be32(mvhdPos + 24L)).otherwise(be64(mvhdPos + 32L))
-    val durUs = floor(
-      dur.cast("decimal(38,0)") * lit(1000000L) / ts.cast("decimal(19,0)"))
-      .cast("bigint")
-    when(payload.isNotNull && ftypOk && moovPos.isNotNull && mvhdPos.isNotNull &&
-        ver.isin(0L, 1L) && ts >= 1L &&
-        when(ver === 0L, length(payload) >= mvhdPos + 27L)
-          .otherwise(length(payload) >= mvhdPos + 39L),
-      struct(
-        decode(substring(payload, 9, 4), "UTF-8").as("major_brand"),
-        ver.cast("int").as("mvhd_version"),
-        ts.cast("bigint").as("timescale"),
-        dur.cast("bigint").as("duration"),
-        durUs.as("duration_us")))
-      .otherwise(lit(null))
+    graft.functions.hof.bind(
+      walk(be32(lit(1)) + 1L, plen, "6D6F6F76")) { moovPos => // "moov"
+      graft.functions.hof.bind(
+        walk(moovPos + 8L, moovPos + be32(moovPos) - 1L, "6D766864")) { mvhdPos => // "mvhd"
+        val ver = byteAt(mvhdPos + 8L)
+        graft.functions.hof.bind(struct(
+          ver.as("ver"),
+          when(ver === 0L, be32(mvhdPos + 20L)).otherwise(be32(mvhdPos + 28L)).as("ts"),
+          when(ver === 0L, be32(mvhdPos + 24L)).otherwise(be64(mvhdPos + 32L)).as("dur"),
+          (payload.isNotNull && ftypOk && moovPos.isNotNull && mvhdPos.isNotNull &&
+            when(ver === 0L, length(payload) >= mvhdPos + 27L)
+              .otherwise(length(payload) >= mvhdPos + 39L)).as("ok"))) { c =>
+          val ts = c.getField("ts")
+          val dur = c.getField("dur")
+          val durUs = floor(
+            dur.cast("decimal(38,0)") * lit(1000000L) / ts.cast("decimal(19,0)"))
+            .cast("bigint")
+          when(c.getField("ok") && c.getField("ver").isin(0L, 1L) && ts >= 1L,
+            struct(
+              decode(substring(payload, 9, 4), "UTF-8").as("major_brand"),
+              c.getField("ver").cast("int").as("mvhd_version"),
+              ts.cast("bigint").as("timescale"),
+              dur.cast("bigint").as("duration"),
+              durUs.as("duration_us")))
+            .otherwise(lit(null))
+        }
+      }
+    }
   }
 
   /** REAL WAV PCM SAMPLE decode — the payload is no longer opaque: this
