@@ -354,16 +354,46 @@ object EntityResolution {
     *
     * `blockCol` is a SCORING restriction here (cross-block pairs never
     * match), and its losslessness is REQUIREd from the FITTED model
-    * itself — the q_f7 static-weights proof re-derived from data: the
-    * most favorable cross-block pattern (every other field agreeing)
-    * must score below `minPosterior` under the fitted λ/m/u, else
-    * blocking would drop pairs the model itself calls matches. The fit
-    * always runs UNBLOCKED (u of the block field is inestimable from
-    * same-block pairs alone — the standard fastLink caveat), which the
-    * complete name blocking keeps affordable; at corpus scale the fit
-    * side can be a sample, the scoring side never is.
+    * itself — the q_f7 static-weights proof re-derived from data, and
+    * EXACT: every OBSERVED candidate pattern with γ_block = 0 must score
+    * below `minPosterior`, else the block conjunct would drop pairs the
+    * model itself calls matches. The fit always runs UNBLOCKED (u of the
+    * block field is inestimable from same-block pairs alone — the
+    * standard fastLink caveat), which the complete name blocking keeps
+    * affordable; at corpus scale the fit side can be a sample, the
+    * scoring side never is.
     */
   def resolveWithEmWeights(
+      records: DataFrame,
+      idCol: String,
+      nameCol: String,
+      fieldCols: Seq[String],
+      maxNameDist: Int,
+      minPosterior: Double,
+      iterations: Int = 3,
+      lambda0: Double = 0.5,
+      m0: Double = 0.9,
+      u0: Double = 0.1,
+      blockCol: Option[String] = None,
+      segmentBlocking: Boolean = true): DataFrame = {
+    val matched = emMatchedPairs(
+      records, idCol, nameCol, fieldCols, maxNameDist, minPosterior,
+      iterations, lambda0, m0, u0, blockCol, segmentBlocking)
+    // alternatingStar materializes its rounds eagerly, so the matched
+    // pair pin can be released as soon as clustering returns
+    val out = ConnectedComponents.assignClusters(records, idCol, matched)
+      .withColumnRenamed("cluster_id", "entity_id")
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(matched)
+    out
+  }
+
+  /** [[resolveWithEmWeights]]'s matched-pair frame `(id_a < id_b)` —
+    * exposed so callers that need a DIFFERENT clustering policy (e.g.
+    * [[graft.plans.SyncRun]]'s richest-record representative pick) can
+    * consume the same fit → threshold evidence. Returned MATERIALIZED;
+    * the caller owns the pin (`bridge.freeLocalCheckpoint` when done).
+    */
+  def emMatchedPairs(
       records: DataFrame,
       idCol: String,
       nameCol: String,
@@ -388,27 +418,25 @@ object EntityResolution {
     val fitted = emFit(candidates, fieldCols, iterations, lambda0, m0, u0)
     val gammaNames = "name" +: fieldCols
 
-    // the lossy-block REQUIRE, re-derived from the FITTED model: the
-    // params are constant across the ≤ 2^(k+1) pattern rows — one
-    // bounded driver read of the published 6-decimal values
+    // the lossy-block REQUIRE, re-derived from the FITTED model — and
+    // EXACT, not extrapolated: scoring is an inner join against the
+    // OBSERVED pattern frame, so the block conjunct can only ever drop
+    // observed candidates whose pattern has γ_block = 0. Blocking is
+    // lossless iff no such pattern's fitted posterior reaches the
+    // threshold. (An extrapolated "most favorable unobserved pattern"
+    // check is both too strong — it fails on degenerate fits where an
+    // unmatched field's u rounds to 0 and the hypothetical posterior
+    // divides 0/0 — and unnecessary: a pattern with no observed pairs
+    // has nothing to drop.) One bounded aggregate over ≤ 2^(k+1) rows.
     blockCol.foreach { bf =>
-      fitted.limit(1).collect().headOption.foreach { p =>
-        val lambda = p.getAs[Double]("lambda")
-        def mOf(g: String) = p.getAs[Double](s"m_$g")
-        def uOf(g: String) = p.getAs[Double](s"u_$g")
-        // most favorable cross-block pattern: γ_bf = 0, all others 1
-        val pm = gammaNames.foldLeft(lambda) { (acc, g) =>
-          acc * (if (g == bf) 1.0 - mOf(g) else mOf(g))
-        }
-        val pu = gammaNames.foldLeft(1.0 - lambda) { (acc, g) =>
-          acc * (if (g == bf) 1.0 - uOf(g) else uOf(g))
-        }
-        val best = BigDecimal(pm / (pm + pu))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        require(best < minPosterior,
-          f"blocking on $bf is LOSSY under the FITTED model: a cross-block " +
-            f"pair with every other field agreeing scores $best%.6f >= " +
-            f"$minPosterior%.6f")
+      val worst = fitted.where(col(s"g_$bf") === 0)
+        .agg(max(col("w"))).head().get(0)
+      worst match {
+        case w: java.lang.Double =>
+          require(w < minPosterior,
+            f"blocking on $bf is LOSSY under the FITTED model: an observed " +
+              f"cross-block pattern scores $w%.6f >= $minPosterior%.6f")
+        case _ => () // no cross-block candidate patterns at all
       }
     }
 
@@ -429,12 +457,7 @@ object EntityResolution {
       .localCheckpoint(true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(candidates)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(fitted)
-    // alternatingStar materializes its rounds eagerly, so the matched
-    // pair pin can be released as soon as clustering returns
-    val out = ConnectedComponents.assignClusters(records, idCol, matched)
-      .withColumnRenamed("cluster_id", "entity_id")
-    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(matched)
-    out
+    matched
   }
 
   /** The blocked candidate-pair frame shared by the scoring variants:

@@ -60,9 +60,17 @@ object SyncRun {
   /** Optional pre-sync entity resolution (the reference's identity problem:
     * the same student arriving under variant spellings across extracts,
     * SisConnectorService.java:142-160, would upsert as two records there).
-    * Fixed Fellegi–Sunter weights over (name fuzzy, nation, segment) —
-    * see [[EntityResolution.resolve]]; defaults tuned so the nation block
-    * is provably lossless (asserted from the weights at plan time).
+    * Two policies, one lifecycle slot: [[ResolutionConfig]] scores with
+    * FIXED Fellegi–Sunter weights ([[EntityResolution.resolve]]);
+    * [[EmResolutionConfig]] fits them from the wave itself by EM
+    * ([[EntityResolution.resolveWithEmWeights]] — the fastLink workflow,
+    * no hand-set weights at all).
+    */
+  sealed trait IdentityResolution
+
+  /** Fixed weights over (name fuzzy, nation, segment); defaults tuned so
+    * the nation block is provably lossless (asserted from the weights at
+    * plan time).
     */
   final case class ResolutionConfig(
       nameCol: String = "c_name",
@@ -71,7 +79,20 @@ object SyncRun {
         Seq(("c_nationkey", 1.5, -3.0), ("c_mktsegment", 1.0, -0.5)),
       maxNameDist: Int = 1,
       minScore: Double = 5.0,
-      blockCol: Option[String] = Some("c_nationkey"))
+      blockCol: Option[String] = Some("c_nationkey")) extends IdentityResolution
+
+  /** EM-FITTED weights (λ/m/u estimated from the wave's own agreement
+    * patterns); a pair matches at fitted posterior ≥ `minPosterior`, and
+    * the nation block's losslessness is REQUIREd from the fitted model
+    * itself rather than hand-tuned constants.
+    */
+  final case class EmResolutionConfig(
+      nameCol: String = "c_name",
+      fieldCols: Seq[String] = Seq("c_nationkey", "c_mktsegment"),
+      maxNameDist: Int = 1,
+      minPosterior: Double = 0.9,
+      iterations: Int = 3,
+      blockCol: Option[String] = Some("c_nationkey")) extends IdentityResolution
 
   /** Collapse variant records of one real-world entity to ONE canonical
     * row before assembly:
@@ -101,6 +122,25 @@ object SyncRun {
       .drop("cluster_id")
   }
 
+  /** [[resolveRepresentatives]] with EM-FITTED weights — the same
+    * representative policy (cluster min key, richest row by `c_acctbal`)
+    * over [[EntityResolution.emMatchedPairs]]' evidence: fit → threshold
+    * on the fitted posterior → closure, zero hand-set weights.
+    */
+  def resolveRepresentativesEm(customer: DataFrame, cfg: EmResolutionConfig): DataFrame = {
+    val pairs = EntityResolution.emMatchedPairs(
+      customer, "c_custkey", cfg.nameCol, cfg.fieldCols,
+      cfg.maxNameDist, cfg.minPosterior, cfg.iterations, blockCol = cfg.blockCol)
+    // representativesByScore clusters eagerly (alternating star), so the
+    // pair pin frees as soon as it returns
+    val out = ConnectedComponents
+      .representativesByScore(customer, "c_custkey", pairs, col("c_acctbal"))
+      .withColumn("c_custkey", col("cluster_id"))
+      .drop("cluster_id")
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pairs)
+    out
+  }
+
   def run(
       spark: SparkSession,
       sfDir: String,
@@ -110,7 +150,7 @@ object SyncRun {
       reportDir: Option[String] = None,
       quarantineDir: Option[String] = None,
       customerOverride: Option[DataFrame] = None,
-      resolution: Option[ResolutionConfig] = None,
+      resolution: Option[IdentityResolution] = None,
       now: () => Instant = () => Instant.now()): Result = {
     val started = now()
 
@@ -124,8 +164,9 @@ object SyncRun {
     // (assembly, diff, sinks, report) is unchanged — it just sees one
     // canonical row per entity under the entity key
     val validCustomer = resolution match {
-      case Some(cfg) => resolveRepresentatives(validRows, cfg)
-      case None      => validRows
+      case Some(cfg: ResolutionConfig)   => resolveRepresentatives(validRows, cfg)
+      case Some(cfg: EmResolutionConfig) => resolveRepresentativesEm(validRows, cfg)
+      case None                          => validRows
     }
     // the quarantine frame is consumed three times (sink, count, delete
     // withholding) — materialize the (small) slice once instead of

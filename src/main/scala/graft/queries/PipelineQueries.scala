@@ -826,8 +826,9 @@ object PipelineQueries extends QueryGroup {
   // posterior (published at 6 decimals) reaches 0.9, scoring is one
   // broadcast pattern-lookup join, and the closure is the alternating
   // star. Blocking on nat is a scoring restriction whose losslessness
-  // the engine REQUIREs FROM THE FITTED MODEL (the most favorable
-  // cross-nation pattern posteriors ≈ 0.16 « 0.9). The oracle replays
+  // the engine REQUIREs FROM THE FITTED MODEL, exactly: every OBSERVED
+  // cross-nation pattern's posterior must sit below the threshold
+  // (here the (1,0,0) coincidence class at w ≈ 0). The oracle replays
   // everything: pattern extraction, all 3 EM rounds (the q_f11 decimal
   // discipline), the posterior threshold + block conjunct, and the
   // recursive-CTE closure — a drift anywhere in fit, scoring, or

@@ -259,19 +259,32 @@ class EntityResolutionSpec extends SparkSpec {
     }
   }
 
-  test("resolveWithEmWeights: a threshold the fitted model cannot block for is rejected") {
+  test("resolveWithEmWeights: blocking that would drop fitted matches is rejected") {
+    // exact duplicates that SPAN nations (the record moved between
+    // extracts): pattern (name=1, nat=0, seg=1) is fitted as a match
+    // class, so a nat block would drop true matches — the operator must
+    // refuse instead of silently losing them
     val base = (1L to 30L).map(i => (i, s"alpha${i}beta$i", (i % 5).toInt, s"s${i % 3}"))
-    val exact = base.filter(_._1 % 3 == 0).map { case (i, n, a, s) => (i + 100, n, a, s) }
-    val coinc = base.filter(_._1 % 5 == 0).map { case (i, n, a, s) => (i + 300, n, (a + 1) % 5, "zz") }
-    val recs = (base ++ exact ++ coinc).toDF("id", "name", "nat", "seg")
-    // at minPosterior = 0.01 even the best cross-nat pattern clears the
-    // bar under the fitted model — blocking on nat would be LOSSY and the
-    // operator must say so instead of silently dropping matches
+    val crossNatDup = base.filter(_._1 % 3 == 0).map { case (i, n, a, s) =>
+      (i + 100, n, (a + 1) % 5, s) }
+    val sameNatDup = base.filter(_._1 % 4 == 0).map { case (i, n, a, s) =>
+      (i + 200, n, a, s) }
+    val recs = (base ++ crossNatDup ++ sameNatDup).toDF("id", "name", "nat", "seg")
     val e = intercept[IllegalArgumentException] {
       EntityResolution.resolveWithEmWeights(
         recs, "id", "name", Seq("nat", "seg"), maxNameDist = 1,
-        minPosterior = 0.01, iterations = 3, blockCol = Some("nat"))
+        minPosterior = 0.9, iterations = 3, blockCol = Some("nat"))
     }
     assert(e.getMessage.contains("LOSSY"))
+    // the same corpus and threshold resolve fine UNBLOCKED: the
+    // cross-nation duplicates merge
+    val got = EntityResolution.resolveWithEmWeights(
+        recs, "id", "name", Seq("nat", "seg"), maxNameDist = 1,
+        minPosterior = 0.9, iterations = 3, blockCol = None)
+      .select("id", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.filter(_._1 % 3 == 0).foreach { case (i, _, _, _) =>
+      assert(got(i + 100) === got(i), s"cross-nation dup of $i must merge")
+    }
   }
 }

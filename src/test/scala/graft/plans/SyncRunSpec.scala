@@ -113,6 +113,32 @@ class SyncRunSpec extends SparkSpec {
     assert(FakeServer.store.size() === 2)
   }
 
+  test("EM-fitted resolution: representatives collapse planted duplicates, zero hand weights") {
+    import spark.implicits._
+    // doubled-index names: any two base names differ at >= 2 positions, so
+    // the only dist<=1 candidates are the planted ones; exact duplicates
+    // carry richer acctbal (their attributes must win while the entity key
+    // stays the cluster min), cross-nation name coincidences must NOT merge
+    val base = (1L to 30L).map(i =>
+      (i, s"alpha${i}beta$i", i % 5, i * 10.0, "BUILDING"))
+    val exact = base.filter(_._1 % 3 == 0).map { case (i, n, a, b, s) =>
+      (i + 100, n, a, b + 1000.0, s) }
+    val coinc = base.filter(_._1 % 5 == 0).map { case (i, n, a, _, _) =>
+      (i + 300, n, (a + 1) % 5, 5.0, "ZZ") }
+    val wave = (base ++ exact ++ coinc)
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val got = SyncRun.resolveRepresentativesEm(wave, SyncRun.EmResolutionConfig())
+      .collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Double]("c_acctbal")).toMap
+    base.filter(_._1 % 3 == 0).foreach { case (i, _, _, _, _) =>
+      assert(got(i) === i * 10.0 + 1000.0, s"entity $i must keep the richest row")
+      assert(!got.contains(i + 100), s"merged key ${i + 100} must not survive")
+    }
+    base.filter(_._1 % 5 == 0).foreach { case (i, _, _, _, _) =>
+      assert(got.contains(i + 300), s"coincidence ${i + 300} stays its own entity")
+    }
+  }
+
   test("re-run converges (idempotent): same counts, same server state") {
     FakeServer.reset()
     def once() = SyncRun.run(spark, sf(), new FakeServer.Fake, new FakeServer.Tokens, "/entities")
