@@ -1237,7 +1237,80 @@ object GraphQueries extends QueryGroup {
     out.orderBy("node")
   }
 
+  // Pivot-sampled betweenness centrality (Betweenness.pivotBetweenness —
+  // Brandes 2001 dependency accumulation over the Brandes–Pich 2007
+  // pivot subset, depth-bounded): the PATH-based centrality next to
+  // PageRank (q_g1) and HITS (q_g18). 8 smallest-id pivots, depth 3, on
+  // the sliced co-order graph. Exact BIGINT path counts; every
+  // per-successor dependency contribution is rounded to 12 decimals and
+  // cast to DECIMAL(28,12) BEFORE the per-node sum, so the accumulation
+  // is shuffle-order-proof and engine-exact. The oracle replays the
+  // multi-source BFS level by level (keyed by pivot, seen-set
+  // anti-joins) and the backward sweep with the identical quantization.
+  private val qG21: Q = {
+    val depth = 3
+    val fwd = (1 to depth).map { l =>
+      s"""f$l AS MATERIALIZED (
+         |  SELECT f.pv, u.nbr AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${l - 1} f JOIN und u ON u.node = f.node
+         |  LEFT JOIN s${l - 1} s ON s.pv = f.pv AND s.node = u.nbr
+         |  WHERE s.node IS NULL GROUP BY 1, 2),
+         |s$l AS MATERIALIZED (
+         |  SELECT * FROM s${l - 1} UNION ALL SELECT pv, node FROM f$l)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (depth - 1 to 0 by -1).map { l =>
+      s"""d$l AS MATERIALIZED (
+         |  SELECT f.pv, f.node, f.sigma,
+         |         coalesce(sum(CAST(round(CAST(f.sigma AS DOUBLE)
+         |             * (1 + CAST(w.delta AS DOUBLE))
+         |             / CAST(w.sigma AS DOUBLE), 12) AS DECIMAL(28,12))),
+         |           CAST(0 AS DECIMAL(28,12))) AS delta
+         |  FROM f$l f
+         |  LEFT JOIN und u ON u.node = f.node
+         |  LEFT JOIN d${l + 1} w ON w.pv = f.pv AND w.node = u.nbr
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to depth)
+      .map(l => s"SELECT node, delta FROM d$l").mkString("\n       UNION ALL ")
+    val sql =
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |       FROM lineitem WHERE l_quantity >= 40),
+         |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |und AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ce
+         |       UNION ALL SELECT b, a FROM ce),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
+         |f0 AS MATERIALIZED (
+         |  SELECT node AS pv, node, CAST(1 AS BIGINT) AS sigma
+         |  FROM (SELECT node FROM nodes ORDER BY node LIMIT 8)),
+         |s0 AS (SELECT pv, node FROM f0),
+         |$fwd,
+         |d$depth AS (SELECT pv, node, sigma, CAST(0 AS DECIMAL(28,12)) AS delta FROM f$depth),
+         |$bwd,
+         |bc AS (SELECT node, sum(delta) AS b FROM
+         |       ($unions) GROUP BY 1)
+         |SELECT n.node AS node,
+         |       round(CAST(coalesce(bc.b, 0) AS DOUBLE), 6) AS betweenness
+         |FROM nodes n LEFT JOIN bc ON bc.node = n.node
+         |ORDER BY n.node""".stripMargin
+    Q("q_g21_betweenness", sql) { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+      val edges = items.select(col("__o"), col("__p").as("a"))
+        .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(true)
+      val out = graft.operators.Betweenness.pivotBetweenness(
+        edges, "a", "b", numPivots = 8, maxDepth = depth, assumeCanonical = true)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+      out.orderBy("node")
+    }
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16, qG17, qG18, qG19, qG20)
+      qG15, qG16, qG17, qG18, qG19, qG20, qG21)
 }
