@@ -35,13 +35,19 @@ import org.apache.spark.sql.graft.bridge
   */
 object Betweenness {
 
-  def pivotBetweenness(
+  /** The shared multi-source forward pass: canonical edge frame, its
+    * undirected view, the node set, and one `(pivot, node, sigma)` frame
+    * per BFS level (index = distance), all pivots advancing together.
+    * Every returned frame that is checkpointed belongs to the caller.
+    */
+  private def forwardLevels(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       numPivots: Int,
       maxDepth: Int,
-      assumeCanonical: Boolean = false): DataFrame = {
+      assumeCanonical: Boolean)
+      : (DataFrame, DataFrame, DataFrame, scala.collection.mutable.ArrayBuffer[DataFrame]) = {
     require(numPivots >= 1, "need at least one pivot")
     require(maxDepth >= 1 && maxDepth <= 12,
       "maxDepth in [1, 12] (levels are materialized frames)")
@@ -93,6 +99,55 @@ object Betweenness {
       }
     }
     bridge.freeLocalCheckpoint(seen)
+    (canon, und, nodes, levels)
+  }
+
+  /** Pivot-sampled HARMONIC centrality (Boldi & Vigna 2014's
+    * infinite-distance-proof closeness): H(v) = Σ_pivots 1/d(s, v),
+    * unreachable (or beyond `maxDepth`) pairs contributing exactly 0 —
+    * the reason harmonic replaces classic closeness on disconnected
+    * graphs. Rides the SAME multi-source BFS as [[pivotBetweenness]];
+    * each 1/ℓ term is quantized to 12 decimals as DECIMAL(28,12) before
+    * the per-node sum (exact, shuffle-order-proof), output rounded to 6.
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      numPivots: Int,
+      maxDepth: Int,
+      assumeCanonical: Boolean = false): DataFrame = {
+    val (canon, _, nodes, levels) = forwardLevels(
+      edges, srcCol, dstCol, numPivots, maxDepth, assumeCanonical)
+    val zeroD = lit(0).cast("decimal(28,12)")
+    val terms =
+      if (levels.length <= 1)
+        levels(0).select(col("node"), zeroD.as("__h")).limit(0)
+      else levels.zipWithIndex.drop(1).map { case (f, lev) =>
+        f.select(col("node"),
+          round(lit(1.0) / lit(lev.toDouble), 12)
+            .cast("decimal(28,12)").as("__h"))
+      }.reduceLeft(_ unionByName _)
+    val out = nodes
+      .join(terms.groupBy(col("node")).agg(sum(col("__h")).as("__hc")),
+        Seq("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("__hc"), zeroD).cast("double"), 6).as("harmonic"))
+      .localCheckpoint(true)
+    levels.foreach(bridge.freeLocalCheckpoint(_))
+    bridge.freeLocalCheckpoint(canon)
+    out
+  }
+
+  def pivotBetweenness(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      numPivots: Int,
+      maxDepth: Int,
+      assumeCanonical: Boolean = false): DataFrame = {
+    val (canon, und, nodes, levels) = forwardLevels(
+      edges, srcCol, dstCol, numPivots, maxDepth, assumeCanonical)
     val deepest = levels.length - 1
 
     // BACKWARD: δ at the deepest level is 0; walk up accumulating the

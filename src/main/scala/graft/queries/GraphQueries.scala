@@ -1247,9 +1247,13 @@ object GraphQueries extends QueryGroup {
   // is shuffle-order-proof and engine-exact. The oracle replays the
   // multi-source BFS level by level (keyed by pivot, seen-set
   // anti-joins) and the backward sweep with the identical quantization.
-  private val qG21: Q = {
-    val depth = 3
-    val fwd = (1 to depth).map { l =>
+  // Shared generated-CTE vocabulary for the pivot-centrality gates
+  // (q_g21 betweenness, q_g22 harmonic): the multi-source BFS levels —
+  // 8 smallest-id pivots, depth bfsDepth — over the sliced co-order
+  // graph. (`pivot` is a DuckDB reserved word; the column is `pv`.)
+  private val bfsDepth = 3
+  private lazy val bfsWithBody: String = {
+    val fwd = (1 to bfsDepth).map { l =>
       s"""f$l AS MATERIALIZED (
          |  SELECT f.pv, u.nbr AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
          |  FROM f${l - 1} f JOIN und u ON u.node = f.node
@@ -1258,6 +1262,22 @@ object GraphQueries extends QueryGroup {
          |s$l AS MATERIALIZED (
          |  SELECT * FROM s${l - 1} UNION ALL SELECT pv, node FROM f$l)""".stripMargin
     }.mkString(",\n")
+    s"""items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |       FROM lineitem WHERE l_quantity >= 40),
+       |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+       |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+       |und AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ce
+       |       UNION ALL SELECT b, a FROM ce),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
+       |f0 AS MATERIALIZED (
+       |  SELECT node AS pv, node, CAST(1 AS BIGINT) AS sigma
+       |  FROM (SELECT node FROM nodes ORDER BY node LIMIT 8)),
+       |s0 AS (SELECT pv, node FROM f0),
+       |$fwd""".stripMargin
+  }
+
+  private val qG21: Q = {
+    val depth = bfsDepth
     val bwd = (depth - 1 to 0 by -1).map { l =>
       s"""d$l AS MATERIALIZED (
          |  SELECT f.pv, f.node, f.sigma,
@@ -1273,18 +1293,7 @@ object GraphQueries extends QueryGroup {
     val unions = (1 to depth)
       .map(l => s"SELECT node, delta FROM d$l").mkString("\n       UNION ALL ")
     val sql =
-      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-         |       FROM lineitem WHERE l_quantity >= 40),
-         |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
-         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
-         |und AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ce
-         |       UNION ALL SELECT b, a FROM ce),
-         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
-         |f0 AS MATERIALIZED (
-         |  SELECT node AS pv, node, CAST(1 AS BIGINT) AS sigma
-         |  FROM (SELECT node FROM nodes ORDER BY node LIMIT 8)),
-         |s0 AS (SELECT pv, node FROM f0),
-         |$fwd,
+      s"""WITH $bfsWithBody,
          |d$depth AS (SELECT pv, node, sigma, CAST(0 AS DECIMAL(28,12)) AS delta FROM f$depth),
          |$bwd,
          |bc AS (SELECT node, sum(delta) AS b FROM
@@ -1310,7 +1319,42 @@ object GraphQueries extends QueryGroup {
     }
   }
 
+  // Pivot-sampled HARMONIC centrality (Betweenness.harmonicCentrality —
+  // Boldi–Vigna 2014): H(v) = Σ_pivots 1/d(s,v), unreachable pairs
+  // contributing exactly 0 — the closeness that survives disconnected
+  // graphs. Rides the SAME multi-source BFS as q_g21 (shared CTE
+  // vocabulary on both sides); each 1/ℓ term quantized to 12 decimals
+  // as DECIMAL(28,12) before the exact per-node sum.
+  private val qG22: Q = {
+    val terms = (1 to bfsDepth).map { l =>
+      s"""SELECT node, CAST(round(CAST(1 AS DOUBLE) / $l, 12) AS DECIMAL(28,12)) AS h FROM f$l"""
+    }.mkString("\n       UNION ALL ")
+    val sql =
+      s"""WITH $bfsWithBody,
+         |hc AS (SELECT node, sum(h) AS h FROM
+         |       ($terms) GROUP BY 1)
+         |SELECT n.node AS node,
+         |       round(CAST(coalesce(hc.h, 0) AS DOUBLE), 6) AS harmonic
+         |FROM nodes n LEFT JOIN hc ON hc.node = n.node
+         |ORDER BY n.node""".stripMargin
+    Q("q_g22_harmonic_centrality", sql) { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+      val edges = items.select(col("__o"), col("__p").as("a"))
+        .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(true)
+      val out = graft.operators.Betweenness.harmonicCentrality(
+        edges, "a", "b", numPivots = 8, maxDepth = bfsDepth, assumeCanonical = true)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+      out.orderBy("node")
+    }
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16, qG17, qG18, qG19, qG20, qG21)
+      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22)
 }

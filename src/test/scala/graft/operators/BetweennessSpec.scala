@@ -40,6 +40,26 @@ class BetweennessSpec extends SparkSpec {
     assert(deep === Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0))
   }
 
+  private def hc(edges: Seq[(Long, Long)], pivots: Int, depth: Int): Map[Long, Double] =
+    Betweenness.harmonicCentrality(
+      edges.toDF("a", "b"), "a", "b", numPivots = pivots, maxDepth = depth)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("harmonic centrality: path graph hand values; depth truncation") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = hc(path, pivots = 5, depth = 4)
+    assert(got === Map(
+      1L -> 2.083333, 2L -> 2.833333, 3L -> 3.0, 4L -> 2.833333, 5L -> 2.083333))
+    // depth 1: only direct neighbors count
+    val d1 = hc(path, pivots = 5, depth = 1)
+    assert(d1 === Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 2.0, 5L -> 1.0))
+  }
+
+  test("harmonic centrality: unreachable pairs contribute exactly zero") {
+    val got = hc(Seq((1L, 2L), (10L, 11L)), pivots = 4, depth = 3)
+    assert(got === Map(1L -> 1.0, 2L -> 1.0, 10L -> 1.0, 11L -> 1.0))
+  }
+
   test("disconnected component: unreachable nodes contribute and receive nothing") {
     val got = bc(Seq((1L, 2L), (2L, 3L), (10L, 11L)), pivots = 3, depth = 4)
     // pivots are 1, 2, 3 (smallest ids); node 2 carries s=1(t=3)+s=3(t=1)
