@@ -1031,8 +1031,7 @@ object MultimodalQueries extends QueryGroup {
   // corrupted ftyp 4cc → NULL. duration_us is floored exact-decimal
   // division; the oracle derives every expectation independently from
   // the generator arithmetic (the q_m6 discipline).
-  private val qM14 = Q(
-    "q_m14_mp4_box_walk",
+  private[queries] val mp4OracleSql: String =
     """WITH src AS (
       |  SELECT doc_id,
       |         n_chars % 40000 + 1000 AS ts,
@@ -1050,7 +1049,13 @@ object MultimodalQueries extends QueryGroup {
       |       CASE WHEN ok THEN CAST(dur AS BIGINT) END AS duration,
       |       CASE WHEN ok THEN CAST(CAST(dur AS BIGINT) * 1000000 // ts AS BIGINT) END AS duration_us,
       |       ok AS valid_mp4
-      |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  /** The q_m14 payload construction + decode as a frame transform —
+    * shared with the streaming twin (q_st26), which applies it per
+    * micro-batch (row-local, so streamed ≡ batch on every document).
+    */
+  private[queries] def mp4Decoded(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def be32h(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
     def be64h(c: org.apache.spark.sql.Column) = lpad(hex(c), 16, "0")
     val ts = col("n_chars").cast("bigint") % 40000 + 1000
@@ -1080,7 +1085,7 @@ object MultimodalQueries extends QueryGroup {
           be32h(ts), be32h(d32), lit(tail80)))
     val moovSize = when(isV1, lit("0000008C")).otherwise(lit("00000080"))
     val mp4Hex = concat(ftyp, free, moovSize, lit("6D6F6F76"), udta, mvhd)
-    Tables.load(s, dir, "documents")
+    df
       .select(col("doc_id"), unhex(mp4Hex).as("payload"))
       .withColumn("m", Multimodal.decodeMp4Meta(col("payload")))
       .select(
@@ -1091,7 +1096,10 @@ object MultimodalQueries extends QueryGroup {
         col("m.duration").as("duration"),
         col("m.duration_us").as("duration_us"),
         col("m").isNotNull.as("valid_mp4"))
-      .orderBy("doc_id")
+  }
+
+  private val qM14 = Q("q_m14_mp4_box_walk", mp4OracleSql) { (s, dir) =>
+    mp4Decoded(Tables.load(s, dir, "documents")).orderBy("doc_id")
   }
 
   // EXIF orientation decode (Multimodal.jpegExifOrientation): genuine

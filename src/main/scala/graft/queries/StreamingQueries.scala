@@ -591,8 +591,22 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id")
   }
 
+  // Streaming MEDIA METADATA at the landing zone: the q_m14 MP4
+  // box-walk decode applied PER MICRO-BATCH as clips arrive — where a
+  // video corpus actually wants its duration/brand cuts, before anything
+  // persists downstream. Decode is row-local (two bounded folds per
+  // payload, zero state), so streamed ≡ batch on every document; the
+  // oracle is q_m14's verbatim.
+  private val qSt26 = Q(
+    "q_st26_stream_media_meta",
+    MultimodalQueries.mp4OracleSql) { (s, dir) =>
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch => MultimodalQueries.mp4Decoded(batch)
+    }.orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24, qSt25)
+      qSt24, qSt25, qSt26)
 }
