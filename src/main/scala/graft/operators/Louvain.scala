@@ -565,8 +565,33 @@ object Louvain {
       maxMovesPerLevel: Int,
       assumeCanonical: Boolean = false): DataFrame = {
     val (stats, assign) = mlCore(
-      edges, srcCol, dstCol, labels, nodeCol, labelCol, levels,
+      edges, srcCol, dstCol, None, labels, nodeCol, labelCol, levels,
       maxMovesPerLevel, assumeCanonical)
+    bridge.freeLocalCheckpoint(assign)
+    stats
+  }
+
+  /** [[multilevel]] over an ALREADY-WEIGHTED canonical graph (`a <= b`,
+    * one row per pair, `a = b` rows are self-loops — the
+    * [[contractGraph]] output shape): the entry point for a user whose
+    * input graph carries integer edge weights, e.g. resuming the
+    * multi-level scheme from a persisted contraction. With an all-ones
+    * weight column and no self-loops this is row-identical to
+    * [[multilevel]] (spec-pinned).
+    */
+  def multilevelWeighted(
+      wedges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      levels: Int,
+      maxMovesPerLevel: Int): DataFrame = {
+    val (stats, assign) = mlCore(
+      wedges, srcCol, dstCol, Some(weightCol), labels, nodeCol, labelCol,
+      levels, maxMovesPerLevel, assumeCanonical = true)
     bridge.freeLocalCheckpoint(assign)
     stats
   }
@@ -591,7 +616,7 @@ object Louvain {
       maxMovesPerLevel: Int,
       assumeCanonical: Boolean = false): DataFrame = {
     val (_, assign) = mlCore(
-      edges, srcCol, dstCol, labels, nodeCol, labelCol, levels,
+      edges, srcCol, dstCol, None, labels, nodeCol, labelCol, levels,
       maxMovesPerLevel, assumeCanonical)
     assign
   }
@@ -600,6 +625,7 @@ object Louvain {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
+      weightCol: Option[String],
       labels: DataFrame,
       nodeCol: String,
       labelCol: String,
@@ -611,18 +637,25 @@ object Louvain {
     val spark = edges.sparkSession
     import spark.implicits._
     // bigint discipline: argmax rows are read back with getLong
-    var w =
-      (if (assumeCanonical)
+    var w = (weightCol match {
+      case Some(wc) =>
+        // caller vouches canonical (a <= b, one row per pair): weights
+        // carry the multiplicity a distinct would destroy
         edges.select(
-          col(srcCol).cast("bigint").as("a"), col(dstCol).cast("bigint").as("b"))
-      else edges
-        .filter(col(srcCol) =!= col(dstCol))
-        .select(
-          least(col(srcCol), col(dstCol)).cast("bigint").as("a"),
-          greatest(col(srcCol), col(dstCol)).cast("bigint").as("b"))
-        .distinct())
-        .select(col("a"), col("b"), lit(1L).as("wt"))
-        .localCheckpoint(true)
+          col(srcCol).cast("bigint").as("a"), col(dstCol).cast("bigint").as("b"),
+          col(wc).cast("bigint").as("wt"))
+      case None =>
+        (if (assumeCanonical)
+          edges.select(
+            col(srcCol).cast("bigint").as("a"), col(dstCol).cast("bigint").as("b"))
+        else edges
+          .filter(col(srcCol) =!= col(dstCol))
+          .select(
+            least(col(srcCol), col(dstCol)).cast("bigint").as("a"),
+            greatest(col(srcCol), col(dstCol)).cast("bigint").as("b"))
+          .distinct())
+          .select(col("a"), col("b"), lit(1L).as("wt"))
+    }).localCheckpoint(true)
     var lab = labels.select(
       col(nodeCol).cast("bigint").as("__n"), col(labelCol).cast("bigint").as("__l"))
       .localCheckpoint(true)

@@ -255,6 +255,30 @@ class LouvainSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("multilevelWeighted: all-ones weights ≡ multilevel; weighted merge applied") {
+    val assign = Seq(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
+    val unw = Louvain.multilevel(
+      edges, "a", "b", assign.toDF("node", "community"), "node", "community",
+      levels = 1, maxMovesPerLevel = 2).collect()
+    val canon = edges.withColumn("weight", org.apache.spark.sql.functions.lit(1L))
+    val w = Louvain.multilevelWeighted(
+      canon, "a", "b", "weight", assign.toDF("node", "community"), "node", "community",
+      levels = 1, maxMovesPerLevel = 2).collect()
+    assert(w.map(_.toSeq).toSeq === unw.map(_.toSeq).toSeq)
+    // a contracted-shape weighted graph (self-loops + one heavy cross
+    // edge): identity labels, the merge gain 4·8·6 − 2·8·8 = 64 > 0 fires
+    val wedges = Seq((1L, 1L, 1L), (2L, 2L, 1L), (1L, 2L, 6L)).toDF("a", "b", "wt")
+    val idn = Seq(1L -> 1L, 2L -> 2L).toDF("node", "community")
+    val got = Louvain.multilevelWeighted(
+      wedges, "a", "b", "wt", idn, "node", "community",
+      levels = 1, maxMovesPerLevel = 1).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Int]("moves_applied") === 1)
+    assert(got.head.getAs[Long]("total_weight") === 8L)
+    assert(got.head.getAs[Long]("intra_before") === 2L)
+    assert(got.head.getAs[Long]("intra_after") === 8L)
+  }
+
   test("multilevel: integer node/label input types do not fault the argmax reads") {
     val e = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)).toDF("a", "b")
     val assign = Seq(1 -> 10, 2 -> 10, 3 -> 20, 4 -> 20, 5 -> 20, 6 -> 20)
