@@ -139,6 +139,44 @@ object Betweenness {
     out
   }
 
+  /** Per-pivot ECCENTRICITY and reach (and with them the classic
+    * max-over-pivots diameter LOWER bound — Magnien–Latapy–Habib 2009's
+    * cheap side of the sandwich): ecc(s) = the deepest BFS level s
+    * reaches within `maxDepth`, `n_reached` the nodes within that
+    * horizon (the pivot itself included). One row per pivot
+    * `(pivot, eccentricity, n_reached, diameter_lb)` — the same
+    * forward pass as [[pivotBetweenness]], no backward sweep at all,
+    * so this is the cheapest member of the family and the one to run
+    * FIRST (its horizon evidence says whether `maxDepth` truncated the
+    * others). Integers only; nothing to quantize.
+    */
+  def pivotEccentricity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      numPivots: Int,
+      maxDepth: Int,
+      assumeCanonical: Boolean = false): DataFrame = {
+    val (canon, _, _, levels) = forwardLevels(
+      edges, srcCol, dstCol, numPivots, maxDepth, assumeCanonical)
+    val tagged = levels.zipWithIndex.map { case (f, lev) =>
+      f.select(col("pivot"), lit(lev.toLong).as("__lev"))
+    }.reduceLeft(_ unionByName _)
+    val perPivot = tagged.groupBy(col("pivot"))
+      .agg(
+        max(col("__lev")).cast("bigint").as("eccentricity"),
+        count(lit(1)).cast("bigint").as("n_reached"))
+    val out = perPivot
+      .crossJoin(broadcast(
+        perPivot.agg(max(col("eccentricity")).cast("bigint").as("diameter_lb"))))
+      .select(col("pivot"), col("eccentricity"), col("n_reached"),
+        col("diameter_lb"))
+      .localCheckpoint(true)
+    levels.foreach(bridge.freeLocalCheckpoint(_))
+    bridge.freeLocalCheckpoint(canon)
+    out
+  }
+
   def pivotBetweenness(
       edges: DataFrame,
       srcCol: String,

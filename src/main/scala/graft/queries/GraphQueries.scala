@@ -1354,7 +1354,44 @@ object GraphQueries extends QueryGroup {
     }
   }
 
+  // Per-pivot eccentricity + the max-over-pivots diameter LOWER bound
+  // (Betweenness.pivotEccentricity — Magnien–Latapy–Habib 2009's cheap
+  // bound): the forward BFS alone, integers only — the horizon evidence
+  // that says whether bfsDepth truncated q_g21/q_g22. Shared CTE
+  // vocabulary; the oracle tags each level and takes one GROUP BY.
+  private val qG23: Q = {
+    val tags = (0 to bfsDepth).map { l =>
+      s"SELECT pv, CAST($l AS BIGINT) AS lev FROM f$l"
+    }.mkString("\n       UNION ALL ")
+    val sql =
+      s"""WITH $bfsWithBody,
+         |t AS ($tags),
+         |pp AS (SELECT pv, max(lev) AS eccentricity,
+         |              CAST(count(*) AS BIGINT) AS n_reached
+         |       FROM t GROUP BY 1)
+         |SELECT pv, eccentricity, n_reached,
+         |       (SELECT max(eccentricity) FROM pp) AS diameter_lb
+         |FROM pp ORDER BY pv""".stripMargin
+    Q("q_g23_eccentricity", sql) { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+      val edges = items.select(col("__o"), col("__p").as("a"))
+        .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(true)
+      val out = graft.operators.Betweenness.pivotEccentricity(
+        edges, "a", "b", numPivots = 8, maxDepth = bfsDepth, assumeCanonical = true)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+      // pivot is a DuckDB reserved word: the gate projects it as pv
+      out.select(col("pivot").as("pv"), col("eccentricity"),
+        col("n_reached"), col("diameter_lb")).orderBy("pv")
+    }
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22)
+      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22, qG23)
 }

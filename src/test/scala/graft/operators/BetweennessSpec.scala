@@ -60,6 +60,21 @@ class BetweennessSpec extends SparkSpec {
     assert(got === Map(1L -> 1.0, 2L -> 1.0, 10L -> 1.0, 11L -> 1.0))
   }
 
+  test("eccentricity: per-pivot horizons and the diameter lower bound") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = Betweenness.pivotEccentricity(
+      path.toDF("a", "b"), "a", "b", numPivots = 2, maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(1L -> ((4L, 5L, 4L)), 2L -> ((3L, 5L, 4L))))
+    // depth truncation caps the horizon AND the reach
+    val cut = Betweenness.pivotEccentricity(
+      path.toDF("a", "b"), "a", "b", numPivots = 2, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(cut === Map(1L -> ((2L, 3L, 2L)), 2L -> ((2L, 4L, 2L))))
+  }
+
   test("disconnected component: unreachable nodes contribute and receive nothing") {
     val got = bc(Seq((1L, 2L), (2L, 3L), (10L, 11L)), pivots = 3, depth = 4)
     // pivots are 1, 2, 3 (smallest ids); node 2 carries s=1(t=3)+s=3(t=1)
