@@ -621,6 +621,27 @@ object Louvain {
     assign
   }
 
+  /** [[multilevelAssignments]] AND [[multilevel]]'s per-level stats from
+    * the same single run — `(stats, assignments)`. The driver computes
+    * both anyway; a caller that wants to gate the assignment map on the
+    * run's evidence (e.g. "level 1 actually moved", the q_g20 trace
+    * guard) gets it for free instead of paying a second full run. The
+    * assignments frame is checkpointed; the caller may free it.
+    */
+  def multilevelWithAssignments(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      levels: Int,
+      maxMovesPerLevel: Int,
+      assumeCanonical: Boolean = false): (DataFrame, DataFrame) =
+    mlCore(
+      edges, srcCol, dstCol, None, labels, nodeCol, labelCol, levels,
+      maxMovesPerLevel, assumeCanonical)
+
   private def mlCore(
       edges: DataFrame,
       srcCol: String,

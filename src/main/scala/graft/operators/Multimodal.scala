@@ -430,9 +430,21 @@ object Multimodal {
               .otherwise(length(payload) >= mvhdPos + 39L)).as("ok"))) { c =>
           val ts = c.getField("ts")
           val dur = c.getField("dur")
-          val durUs = floor(
-            dur.cast("decimal(38,0)") * lit(1000000L) / ts.cast("decimal(19,0)"))
-            .cast("bigint")
+          // Floored EXACT integer division, replayable to the bit. The
+          // naive floor(dur*1e6/ts) is wrong in decimal space: Spark caps
+          // the quotient scale at 6 and rounds HALF_UP, so for
+          // ts >= 2e6 a fraction within 5e-7 of 1 rounds up BEFORE the
+          // floor. Instead subtract the modulus first — both divisions
+          // below are of exact multiples of ts, so the decimal engine
+          // cannot round: duration_us = (dur div ts)*1e6 + (rem*1e6 div ts).
+          val durD = dur.cast("decimal(38,0)")
+          val tsD = ts.cast("decimal(19,0)")
+          val remD = pmod(durD, tsD)
+          val remUs = (remD * lit(1000000L)).cast("decimal(38,0)")
+          val durUs =
+            (((durD - remD) / tsD).cast("decimal(38,0)") * lit(1000000L) +
+              ((remUs - pmod(remUs, tsD)) / tsD).cast("decimal(38,0)"))
+              .cast("bigint")
           when(c.getField("ok") && c.getField("ver").isin(0L, 1L) && ts >= 1L,
             struct(
               decode(substring(payload, 9, 4), "UTF-8").as("major_brand"),

@@ -1230,10 +1230,19 @@ object GraphQueries extends QueryGroup {
       .unionAll(edges.select(col("b").as("node")))
       .distinct()
       .select(col("node"), (col("node") % 2).as("community"))
-    val out = graft.operators.Louvain.multilevelAssignments(
+    // the oracle unrolls BOTH levels unconditionally, which is only the
+    // trace the engine ran if level 1 actually moved (a 0-move level
+    // stops the driver before contracting) — guard the assumption so a
+    // break fails loudly instead of as an opaque hash mismatch (same
+    // contract as q_g19's moves_applied require)
+    val (stats, out) = graft.operators.Louvain.multilevelWithAssignments(
       edges, "a", "b", labels, "node", "community",
       levels = 2, maxMovesPerLevel = mlMoves, assumeCanonical = true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+    val l1 = stats.orderBy("level").collect()
+    require(l1.nonEmpty && l1(0).getAs[Int]("moves_applied") >= 1,
+      "q_g20: the oracle's two-level unroll assumes a level-1 move; " +
+        "the engine stopped at a local-move-optimal level 1")
     out.orderBy("node")
   }
 
