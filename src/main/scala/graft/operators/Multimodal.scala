@@ -28,9 +28,17 @@ import org.apache.spark.sql.functions._
   *    pixel rows (per-channel means/extremes and the blank-image cut) —
   *    fixed-layout byte-slice integer arithmetic, the same discipline
   *    as the header parsers.
+  *  - CONTENT of DEFLATE-compressed PNGs — REAL decompression, not a
+  *    stub: [[decodePngPixels]] runs the zlib inflate (adler-verified)
+  *    and the five-filter scanline reconstruction through the native
+  *    codegen expression [[graft.expressions.PngUnfilteredPixels]];
+  *    [[pngPixelStats]] and [[pngAHash]] put the decoded pixels through
+  *    the same stats/near-dup machinery as the BMP layer.
   *
-  * What remains stubbed is decode of COMPRESSED payloads (JPEG pixels,
-  * MP3/OGG audio, video), which genuinely needs libjpeg/ffmpeg.
+  * What remains stubbed is decode of payloads whose codecs are genuine
+  * signal-processing libraries (JPEG pixels, MP3/OGG audio, video
+  * codecs) — those need libjpeg/ffmpeg; the container/entropy-coding
+  * layer (chunk walks, marker walks, box walks, DEFLATE) is real.
   */
 object Multimodal {
 
@@ -862,6 +870,160 @@ object Multimodal {
       }
     }
     when(payload.isNotNull && headerOk, hash).otherwise(lit(null))
+  }
+
+  /** REAL PNG PIXEL decode — the compressed-payload boundary the header
+    * decoders documented is now CLOSED for PNG: signature + chunk walk,
+    * concatenated-IDAT zlib INFLATE (adler-32 verified), and the full
+    * five-filter scanline reconstruction (None/Sub/Up/Average/Paeth),
+    * via the native codegen expression
+    * [[graft.expressions.PngUnfilteredPixels]]. Returns the raw pixel
+    * bytes (row-major, top-down, channels interleaved — G/GA/RGB/RGBA)
+    * or NULL for anything that is not a well-formed 8-bit non-interlaced
+    * PNG of color type 0/2/4/6 within `maxPixels` (palette and sub-byte
+    * depths stay out of scope, documented on the expression).
+    *
+    * Scale contract: one static kernel call per row inside whole-stage
+    * codegen; output allocation is bounded by `maxPixels`·channels
+    * BEFORE the inflate runs — the decompression-bomb guard a 100 TB
+    * scan of untrusted payloads needs.
+    */
+  def decodePngPixels(payload: Column, maxPixels: Int = 1 << 22): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.PngUnfilteredPixels(
+        org.apache.spark.sql.graft.bridge.expression(payload), maxPixels))
+
+  /** Per-channel pixel statistics of a PNG payload — the [[bmpPixelStats]]
+    * contract on REAL compressed input: decode via [[decodePngPixels]],
+    * then per-channel mean/min/max and the blank-image cut with one
+    * scan-side fold (one `substring`+`conv` per PIXEL, channels split by
+    * integer arithmetic — no per-byte string ops). Emits a struct
+    * `(width, height, channels, n_pixels, c0_mean..c3_max, is_blank)`
+    * with NULL stats for channels the color type does not carry, or NULL
+    * when the decode fails. Channel order is the PNG byte order:
+    * c0=G for gray, c0..c2=R,G,B for truecolor, alpha last.
+    */
+  def pngPixelStats(payload: Column, maxPixels: Int = 1 << 22): Column = {
+    import graft.functions.hof.bind
+    bind(decodePngPixels(payload, maxPixels)) { px =>
+      bind(decodePngMeta(payload)) { m =>
+        val w = m.getField("width").cast("bigint")
+        val h = m.getField("height").cast("bigint")
+        val ch = m.getField("channels").cast("bigint")
+        val npx = w * h
+        val zero = struct(
+          (0 to 3).flatMap { c =>
+            Seq(lit(0L).as(s"s$c"), lit(255L).as(s"mn$c"), lit(0L).as(s"mx$c"))
+          }: _*)
+        // one packed big-endian read per pixel; channel c is then
+        // (v div 256^(ch-1-c)) mod 256 — divisor via element_at, no
+        // dynamic shift
+        val pows = array(lit(1L), lit(256L), lit(65536L), lit(16777216L))
+        val folded = bind(ch) { chB =>
+          aggregate(
+            transform(sequence(lit(0L), npx - 1L), i =>
+              conv(hex(substring(px, (i * chB + 1L).cast("int"),
+                chB.cast("int"))), 16, 10).cast("bigint")),
+            zero,
+            (acc, v) => struct(
+              (0 to 3).flatMap { c =>
+                val live = chB > c
+                val value = pmod(
+                  floor(v / element_at(pows, (chB - c).cast("int")))
+                    .cast("bigint"), lit(256L))
+                Seq(
+                  when(live, acc.getField(s"s$c") + value)
+                    .otherwise(acc.getField(s"s$c")).as(s"s$c"),
+                  when(live, least(acc.getField(s"mn$c"), value))
+                    .otherwise(acc.getField(s"mn$c")).as(s"mn$c"),
+                  when(live, greatest(acc.getField(s"mx$c"), value))
+                    .otherwise(acc.getField(s"mx$c")).as(s"mx$c"))
+              }: _*))
+        }
+        bind(folded) { f =>
+          val statCols = (0 to 3).flatMap { c =>
+            val live = ch > c
+            Seq(
+              when(live, f.getField(s"s$c").cast("double") / npx.cast("double"))
+                .as(s"c${c}_mean"),
+              when(live, f.getField(s"mn$c").cast("int")).as(s"c${c}_min"),
+              when(live, f.getField(s"mx$c").cast("int")).as(s"c${c}_max"))
+          }
+          val blank = (0 to 3).map { c =>
+            ch <= c || f.getField(s"mn$c") === f.getField(s"mx$c")
+          }.reduce(_ && _)
+          when(px.isNotNull && m.isNotNull,
+            struct(
+              (Seq(
+                m.getField("width").as("width"),
+                m.getField("height").as("height"),
+                m.getField("channels").as("channels"),
+                npx.as("n_pixels")) ++ statCols :+ blank.as("is_blank")): _*))
+            .otherwise(lit(null))
+        }
+      }
+    }
+  }
+
+  /** 64-bit perceptual average-hash of a PNG payload — [[bmpAHash]]'s
+    * contract on REAL compressed input, decoding via
+    * [[decodePngPixels]]: 8×8 nearest-neighbor grid over the top-down
+    * pixel rows, integer luma 299·R + 587·G + 114·B per cell (gray and
+    * gray+alpha use 1000·G — the same scale, so a gray image saved as
+    * 24-bpp BMP and as grayscale PNG hashes IDENTICALLY, spec-pinned),
+    * bit k set iff 64·L_k > ΣL. Alpha never contributes (a re-encode
+    * that adds an opaque alpha channel keeps its hash). NULL when the
+    * decode fails.
+    */
+  def pngAHash(payload: Column, maxPixels: Int = 1 << 22): Column = {
+    import graft.functions.hof.bind
+    bind(decodePngPixels(payload, maxPixels)) { px =>
+      bind(decodePngMeta(payload)) { m =>
+        val geo = struct(
+          m.getField("width").cast("bigint").as("w"),
+          m.getField("height").cast("bigint").as("h"),
+          m.getField("channels").cast("bigint").as("ch"))
+        val hash = bind(geo) { g =>
+          val w = g.getField("w"); val h = g.getField("h")
+          val ch = g.getField("ch")
+          val lumas = transform(sequence(lit(0L), lit(63L)), k => {
+            val gy = floor(k / 8L).cast("bigint")
+            val gx = k % 8L
+            val y = floor(gy * h / 8L).cast("bigint")
+            val x = floor(gx * w / 8L).cast("bigint")
+            val base = ((y * w + x) * ch + 1L).cast("int")
+            val v = conv(hex(substring(px, base, ch.cast("int"))), 16, 10)
+              .cast("bigint")
+            // packed big-endian: for RGB(A) the R byte is highest
+            when(ch === 1L, lit(1000L) * v)
+              .when(ch === 2L, lit(1000L) * shiftright(v, 8))
+              .when(ch === 3L,
+                lit(299L) * shiftright(v, 16) +
+                  lit(587L) * shiftright(v, 8).bitwiseAND(lit(255L)) +
+                  lit(114L) * v.bitwiseAND(lit(255L)))
+              .otherwise(
+                lit(299L) * shiftright(v, 24) +
+                  lit(587L) * shiftright(v, 16).bitwiseAND(lit(255L)) +
+                  lit(114L) * shiftright(v, 8).bitwiseAND(lit(255L)))
+          })
+          bind(lumas) { lum =>
+            bind(aggregate(lum, lit(0L), (acc, v) => acc + v)) { total =>
+              aggregate(
+                sequence(lit(0L), lit(63L)),
+                lit(0L),
+                (acc, k) => {
+                  val bit = element_at(lum, (k + 1L).cast("int")) * 64L > total
+                  val weight = when(k === 0L, lit(Long.MinValue))
+                    .otherwise(call_function(
+                      "shiftleft", lit(1L), (lit(63L) - k).cast("int")))
+                  acc + when(bit, weight).otherwise(0L)
+                })
+            }
+          }
+        }
+        when(px.isNotNull && m.isNotNull, hash).otherwise(lit(null))
+      }
+    }
   }
 
   /** Position-salted payload hash feeding the stub decoders. Default is
