@@ -928,8 +928,12 @@ object Multimodal {
             (acc, v) => struct(
               (0 to 3).flatMap { c =>
                 val live = chB > c
+                // index clamped ≥1: dead slots never take the branch, but
+                // element_at(…, 0) THROWS under ANSI if a subexpression
+                // pass ever evaluates it eagerly — keep the expr total
                 val value = pmod(
-                  floor(v / element_at(pows, (chB - c).cast("int")))
+                  floor(v / element_at(pows,
+                    greatest(chB - c, lit(1L)).cast("int")))
                     .cast("bigint"), lit(256L))
                 Seq(
                   when(live, acc.getField(s"s$c") + value)

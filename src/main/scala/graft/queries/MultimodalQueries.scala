@@ -1157,7 +1157,277 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // ---- q_m16: REAL COMPRESSED pixel decode (Multimodal.pngPixelStats /
+  // expressions.PngUnfilteredPixels) — complete zlib-wrapped PNGs built
+  // in-plan. The deflate payload uses STORED blocks (BTYPE=00) so every
+  // byte is layout-derivable, but the engine runs the REAL inflate path:
+  // zlib header parse, block walk, and the adler-32 integrity check over
+  // the decompressed bytes — which every 9th doc CORRUPTS (flipped adler
+  // word) and must therefore fail as NULL; a decoder that skipped the
+  // checksum would "pass" those rows with real stats and hash-mismatch.
+  // Scanlines cycle ALL FIVE filter types (y % 5), so Sub/Up/Average/
+  // Paeth reconstruction runs against in-plan-computed filter output;
+  // color types cycle gray/RGB/gray+alpha/RGBA. The oracle derives every
+  // statistic INDEPENDENTLY from the pixel formula (the q_m8/q_m10
+  // discipline) — it never parses bytes. Ground truth against really-
+  // compressed (JDK Deflater/ImageIO) PNGs lives in PngPixelsSpec.
+
+  /** Filtered scanline byte for the q_m16/q_m17 constructions: the PNG
+    * encoder side of the five filter recurrences, computed in closed
+    * form from a caller-supplied pixel formula pix(x, y, c).
+    */
+  private def pngFilteredByte(
+      pix: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      ch: org.apache.spark.sql.Column, ftOff: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val x = floor(j / ch).cast("bigint")
+    val c = j % ch
+    val cur = pix(x, y, c)
+    val a = when(x >= 1, pix(x - 1, y, c)).otherwise(lit(0L))
+    val b = when(y >= 1, pix(x, y - 1, c)).otherwise(lit(0L))
+    val ul = when(x >= 1 && y >= 1, pix(x - 1, y - 1, c)).otherwise(lit(0L))
+    val p = a + b - ul
+    val paeth = when(abs(p - a) <= abs(p - b) && abs(p - a) <= abs(p - ul), a)
+      .when(abs(p - b) <= abs(p - ul), b)
+      .otherwise(ul)
+    val ft = (y + ftOff) % 5
+    val pred = when(ft === 0, lit(0L))
+      .when(ft === 1, a)
+      .when(ft === 2, b)
+      .when(ft === 3, floor((a + b) / 2).cast("bigint"))
+      .otherwise(paeth)
+    pmod(cur - pred, lit(256L))
+  }
+
+  /** Complete zlib-wrapped PNG built in-plan (stored deflate blocks,
+    * scanline filters cycling (y + ftOff) % 5, in-plan adler-32 fold;
+    * chunk CRCs zero — the decoder verifies the adler, not the CRCs).
+    * `adlerFlip` corrupts the adler word so the integrity check has a
+    * must-reject row. Raw scanline bytes must stay < 65536 (one stored
+    * block) — the callers' dims guarantee it.
+    */
+  private def pngHexFull(
+      w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+      ct: org.apache.spark.sql.Column, ch: org.apache.spark.sql.Column,
+      pix: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      ftOff: org.apache.spark.sql.Column,
+      adlerFlip: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def beHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      lpad(hex(c), 2 * nBytes, "0")
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val rowLen = lit(1L) + w * ch
+    val n = h * rowLen
+    def rawByte(p: org.apache.spark.sql.Column) = {
+      val y = floor(p / rowLen).cast("bigint")
+      val k = p % rowLen
+      when(k === 0, (y + ftOff) % 5)
+        .otherwise(pngFilteredByte(pix, ch, ftOff, y, k - 1))
+    }
+    val rawHex = array_join(
+      transform(sequence(lit(0L), n - 1L), p =>
+        lpad(hex(rawByte(p)), 2, "0")), "")
+    // adler-32 over the raw scanline bytes: the sequential (s1,s2) fold,
+    // mod 65521 — bound once (consumed twice for the 4 trailer bytes)
+    val adlerHex = graft.functions.hof.bind(
+      aggregate(
+        sequence(lit(0L), n - 1L),
+        struct(lit(1L).as("s1"), lit(0L).as("s2")),
+        (acc, p) => {
+          val s1 = (acc.getField("s1") + rawByte(p)) % 65521L
+          struct(s1.as("s1"), ((acc.getField("s2") + s1) % 65521L).as("s2"))
+        })) { ad =>
+      val word = ad.getField("s2") * 65536L + ad.getField("s1")
+      beHexN(when(adlerFlip, pmod(word + 1L, lit(4294967296L)))
+        .otherwise(word), 4)
+    }
+    concat(
+      lit("89504E470D0A1A0A"),
+      lit("0000000D"), lit("49484452"),
+      beHexN(w, 4), beHexN(h, 4),
+      lit("08"), beHexN(ct, 1), lit("000000"),
+      lit("00000000"), // IHDR CRC — not verified (integrity = adler-32)
+      beHexN(n + 11L, 4), lit("49444154"),
+      lit("7801"),                       // zlib CMF/FLG (30721 % 31 = 0)
+      lit("01"),                         // BFINAL=1, BTYPE=00 (stored)
+      leHexN(n, 2), leHexN(lit(65535L) - n, 2),
+      rawHex, adlerHex,
+      lit("00000000"),                   // IDAT CRC — not verified
+      lit("0000000049454E4400000000"))   // IEND
+  }
+
+  private val qM16 = Q(
+    "q_m16_png_pixel_stats",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(n_chars % 13 + 4 AS BIGINT) AS w,
+      |         CAST(doc_id % 11 + 3 AS BIGINT) AS h,
+      |         CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+      |              WHEN 2 THEN 2 ELSE 4 END AS INT) AS ch,
+      |         doc_id % 251 AS seed,
+      |         (doc_id % 9 <> 0) AS ok
+      |  FROM documents),
+      |px AS (
+      |  SELECT s.doc_id, cc.c AS c,
+      |         (s.seed + cc.c * 7 + xx.x * 11 + yy.y * 13) % 256 AS v
+      |  FROM src s, unnest(range(s.w)) AS xx(x), unnest(range(s.h)) AS yy(y),
+      |       unnest(range(s.ch)) AS cc(c)
+      |  WHERE s.ok),
+      |ag AS (
+      |  SELECT doc_id, c, CAST(sum(v) AS BIGINT) AS sv,
+      |         CAST(min(v) AS INT) AS mnv, CAST(max(v) AS INT) AS mxv
+      |  FROM px GROUP BY 1, 2),
+      |pvt AS (
+      |  SELECT doc_id,
+      |         max(CASE WHEN c = 0 THEN sv END) AS s0,
+      |         max(CASE WHEN c = 0 THEN mnv END) AS mn0,
+      |         max(CASE WHEN c = 0 THEN mxv END) AS mx0,
+      |         max(CASE WHEN c = 1 THEN sv END) AS s1,
+      |         max(CASE WHEN c = 1 THEN mnv END) AS mn1,
+      |         max(CASE WHEN c = 1 THEN mxv END) AS mx1,
+      |         max(CASE WHEN c = 2 THEN sv END) AS s2,
+      |         max(CASE WHEN c = 2 THEN mnv END) AS mn2,
+      |         max(CASE WHEN c = 2 THEN mxv END) AS mx2,
+      |         max(CASE WHEN c = 3 THEN sv END) AS s3,
+      |         max(CASE WHEN c = 3 THEN mnv END) AS mn3,
+      |         max(CASE WHEN c = 3 THEN mxv END) AS mx3
+      |  FROM ag GROUP BY 1)
+      |SELECT s.doc_id,
+      |       CASE WHEN s.ok THEN CAST(s.w AS INT) END AS width,
+      |       CASE WHEN s.ok THEN CAST(s.h AS INT) END AS height,
+      |       CASE WHEN s.ok THEN s.ch END AS channels,
+      |       CASE WHEN s.ok THEN s.w * s.h END AS n_pixels,
+      |       CASE WHEN s.ok THEN CAST(p.s0 AS DOUBLE) / (s.w * s.h) END AS c0_mean,
+      |       CASE WHEN s.ok THEN p.mn0 END AS c0_min,
+      |       CASE WHEN s.ok THEN p.mx0 END AS c0_max,
+      |       CASE WHEN s.ok AND s.ch > 1 THEN CAST(p.s1 AS DOUBLE) / (s.w * s.h) END AS c1_mean,
+      |       CASE WHEN s.ok AND s.ch > 1 THEN p.mn1 END AS c1_min,
+      |       CASE WHEN s.ok AND s.ch > 1 THEN p.mx1 END AS c1_max,
+      |       CASE WHEN s.ok AND s.ch > 2 THEN CAST(p.s2 AS DOUBLE) / (s.w * s.h) END AS c2_mean,
+      |       CASE WHEN s.ok AND s.ch > 2 THEN p.mn2 END AS c2_min,
+      |       CASE WHEN s.ok AND s.ch > 2 THEN p.mx2 END AS c2_max,
+      |       CASE WHEN s.ok AND s.ch > 3 THEN CAST(p.s3 AS DOUBLE) / (s.w * s.h) END AS c3_mean,
+      |       CASE WHEN s.ok AND s.ch > 3 THEN p.mn3 END AS c3_min,
+      |       CASE WHEN s.ok AND s.ch > 3 THEN p.mx3 END AS c3_max,
+      |       CASE WHEN s.ok THEN CAST(
+      |         (p.mn0 = p.mx0) AND (s.ch <= 1 OR p.mn1 = p.mx1) AND
+      |         (s.ch <= 2 OR p.mn2 = p.mx2) AND (s.ch <= 3 OR p.mn3 = p.mx3)
+      |       AS INT) END AS is_blank,
+      |       s.ok AS valid_png
+      |FROM src s LEFT JOIN pvt p ON p.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    val w = (col("n_chars") % 13 + 4).cast("bigint")
+    val h = (col("doc_id") % 11 + 3).cast("bigint")
+    val ctIdx = (col("doc_id") % 4 + 1).cast("int")
+    val ct = element_at(array(lit(0L), lit(2L), lit(4L), lit(6L)), ctIdx)
+    val ch = element_at(array(lit(1L), lit(3L), lit(2L), lit(4L)), ctIdx)
+    val seed = (col("doc_id") % 251).cast("bigint")
+    val ok = col("doc_id") % 9 =!= 0
+    val pngHex = pngHexFull(
+      w, h, ct, ch,
+      (x, y, c) => (seed + c * 7 + x * 11 + y * 13) % 256,
+      ftOff = lit(0L), adlerFlip = !ok)
+    // materialized before decoding — the q_m9/q_m10 codegen-inlining
+    // lesson: the stats fold references the payload per PIXEL
+    val withPayload = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(pngHex).as("payload"))
+      .localCheckpoint(true) // ≤500 rows × ≤900 B — trivial residency
+    withPayload
+      .withColumn("m", Multimodal.pngPixelStats(col("payload"), maxPixels = 512))
+      .select(
+        (Seq(col("doc_id")) ++
+          Seq("width", "height", "channels", "n_pixels").map(f =>
+            col(s"m.$f").as(f)) ++
+          (0 to 3).flatMap(c => Seq(
+            col(s"m.c${c}_mean").as(s"c${c}_mean"),
+            col(s"m.c${c}_min").as(s"c${c}_min"),
+            col(s"m.c${c}_max").as(s"c${c}_max"))) ++
+          Seq(col("m.is_blank").cast("int").as("is_blank"),
+            col("m").isNotNull.as("valid_png"))): _*)
+      .orderBy("doc_id")
+  }
+
+  // ---- q_m17: perceptual hash on REAL COMPRESSED input
+  // (Multimodal.pngAHash) with a CROSS-REPRESENTATION parity proof: each
+  // doc renders the SAME image twice — grayscale PNG and truecolor PNG
+  // with R=G=B, under DIFFERENT filter cycles (ftOff 0 vs 3) — and both
+  // payloads must hash to the same 64-bit aHash (luma 1000·v on both
+  // paths), which only holds if inflate + unfilter reconstruct the exact
+  // pixels on every filter type. Every 6th doc is constant (blank → hash
+  // 0 under the strict majority rule); every 9th doc corrupts both
+  // adler words → NULL. The oracle derives the hash from the luma
+  // formula (the q_m11 replay) and never parses bytes.
+  private val qM17 = Q(
+    "q_m17_png_ahash",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 6 + 4 AS BIGINT) AS w,
+      |         CAST(doc_id % 5 + 3 AS BIGINT) AS h,
+      |         doc_id % 251 AS seed,
+      |         (doc_id % 6 = 0) AS blank,
+      |         (doc_id % 9 <> 0) AS ok
+      |  FROM documents),
+      |lum AS (
+      |  SELECT s.doc_id, u.k,
+      |         1000 * (CASE WHEN s.blank THEN s.seed
+      |                 ELSE (s.seed + (((u.k % 8) * s.w) // 8) * 11
+      |                              + (((u.k // 8) * s.h) // 8) * 13) % 256
+      |                 END) AS L
+      |  FROM src s, unnest(range(64)) AS u(k)
+      |  WHERE s.ok),
+      |tot AS (SELECT doc_id, sum(L) AS t FROM lum GROUP BY 1),
+      |hsh AS (
+      |  SELECT l.doc_id,
+      |         CAST(sum(CASE WHEN 64 * l.L > tot.t
+      |                       THEN CASE WHEN l.k = 0 THEN -9223372036854775808
+      |                            ELSE (1::BIGINT << CAST(63 - l.k AS INT)) END
+      |                       ELSE 0 END) AS BIGINT) AS v
+      |  FROM lum l JOIN tot ON l.doc_id = tot.doc_id GROUP BY 1)
+      |SELECT s.doc_id,
+      |       CASE WHEN s.ok THEN hsh.v END AS ahash,
+      |       CASE WHEN s.ok THEN 1 END AS formats_agree,
+      |       s.ok AS valid_png
+      |FROM src s LEFT JOIN hsh ON hsh.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    val w = (col("doc_id") % 6 + 4).cast("bigint")
+    val h = (col("doc_id") % 5 + 3).cast("bigint")
+    val seed = (col("doc_id") % 251).cast("bigint")
+    val blank = col("doc_id") % 6 === 0
+    val ok = col("doc_id") % 9 =!= 0
+    def lum(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      when(blank, seed).otherwise((seed + x * 11 + y * 13) % 256)
+    val grayHex = pngHexFull(
+      w, h, ct = lit(0L), ch = lit(1L),
+      (x, y, _) => lum(x, y), ftOff = lit(0L), adlerFlip = !ok)
+    val rgbHex = pngHexFull(
+      w, h, ct = lit(2L), ch = lit(3L),
+      (x, y, _) => lum(x, y), ftOff = lit(3L), adlerFlip = !ok)
+    val withPayload = Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        unhex(grayHex).as("gray_payload"),
+        unhex(rgbHex).as("rgb_payload"))
+      .localCheckpoint(true) // ≤500 rows × ≤700 B — trivial residency
+    val out = withPayload
+      .select(
+        col("doc_id"),
+        Multimodal.pngAHash(col("gray_payload"), maxPixels = 128).as("hg"),
+        Multimodal.pngAHash(col("rgb_payload"), maxPixels = 128).as("hr"))
+      .select(
+        col("doc_id"),
+        col("hg").as("ahash"),
+        when(col("hg").isNotNull && col("hr").isNotNull,
+          (col("hg") === col("hr")).cast("int")).as("formats_agree"),
+        col("hg").isNotNull.as("valid_png"))
+      .orderBy("doc_id")
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
-      qM14, qM15)
+      qM14, qM15, qM16, qM17)
 }
