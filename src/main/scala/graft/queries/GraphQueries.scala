@@ -1400,7 +1400,66 @@ object GraphQueries extends QueryGroup {
     }
   }
 
+  // DeepWalk walk-corpus generation (RandomWalks.deepWalk, Perozzi et
+  // al. 2014): 2 walks per node, 4 steps, on the sliced co-order graph
+  // — the graph→embedding-corpus bridge. The neighbor pick is the
+  // portable arithmetic hash mod degree over row_number-ranked
+  // adjacency, so the oracle replays every step verbatim: four chained
+  // join CTEs, each picking rank ((w%P)·2654435761 + k·40503 + 42) % P
+  // % deg. An off-by-one in ranks, a wrong hash constant, or any
+  // nondeterminism in the adjacency order diverges every downstream
+  // step — the gate is self-amplifying.
+  private val qG24: Q = {
+    def stepCte(k: Int): String =
+      s"""s$k AS MATERIALIZED (
+         |  SELECT s.walk_id, s.start, a.nbr AS cur
+         |  FROM s${k - 1} s
+         |  JOIN dg d ON d.node = s.cur
+         |  JOIN adj a ON a.node = s.cur
+         |   AND a.r = ((((s.walk_id % 1000000007) * 2654435761
+         |               + $k * 40503 + 42) % 1000000007) % d.d))""".stripMargin
+    val sql =
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |       FROM lineitem WHERE l_quantity >= 40),
+         |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |und AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ce
+         |       UNION ALL SELECT b, a FROM ce),
+         |adj AS MATERIALIZED (
+         |  SELECT node, nbr,
+         |         row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS r
+         |  FROM und),
+         |dg AS MATERIALIZED (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+         |s0 AS MATERIALIZED (
+         |  SELECT node * 2 + g.g AS walk_id, node AS start, node AS cur
+         |  FROM dg, unnest(range(2)) AS g(g)),
+         |${(1 to 4).map(stepCte).mkString(",\n")}
+         |SELECT walk_id, start, step, node FROM (
+         |  SELECT walk_id, start, 0 AS step, cur AS node FROM s0
+         |  UNION ALL SELECT walk_id, start, 1, cur FROM s1
+         |  UNION ALL SELECT walk_id, start, 2, cur FROM s2
+         |  UNION ALL SELECT walk_id, start, 3, cur FROM s3
+         |  UNION ALL SELECT walk_id, start, 4, cur FROM s4)
+         |ORDER BY walk_id, step""".stripMargin
+    Q("q_g24_deepwalk", sql) { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+      val edges = items.select(col("__o"), col("__p").as("a"))
+        .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(true)
+      val out = graft.operators.RandomWalks.deepWalk(
+        edges, "a", "b", walksPerNode = 2, walkLength = 4, seed = 42L)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+      out.orderBy("walk_id", "step")
+    }
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22, qG23)
+      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22, qG23, qG24)
 }
