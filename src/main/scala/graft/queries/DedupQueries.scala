@@ -663,7 +663,75 @@ object DedupQueries extends QueryGroup {
       signatureOf = t => Hashing.simHashPortable(TextAnalysis.tokens(t)))
   }
 
+  // Content-defined chunking dedup (Chunking.cdcChunks, the Rabin/LBFS
+  // scheme): every doc gets a VARIABLE-LENGTH prefix (doc_id % 37 + 10
+  // chars of its own text) before one shared 608-char paragraph — the
+  // adversarial case for fixed-size chunking, where a one-char shift
+  // destroys every block alignment. CDC boundaries depend only on local
+  // content, so the paragraph's interior chunks are IDENTICAL across all
+  // docs regardless of prefix length; the gate output is the cross-doc
+  // duplicated-chunk inventory, and the oracle replays boundary
+  // detection (md5-60 of each 16-char window, mod 32), lag-window chunk
+  // assembly, and chunk hashing verbatim. Engine-side REQUIRE pins
+  // non-vacuity: the shared paragraph must surface as duplicated chunks.
+  private val sharedPara =
+    "the five boxing wizards jump quickly over content defined chunk boundaries "
+  private val qD19 = Q(
+    "q_d19_cdc_chunk_dedup",
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |         substr(text, 1, CAST(doc_id % 37 AS INT) + 10)
+       |         || repeat('$sharedPara', 8)
+       |         || substr(text, 50, 150) AS txt
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, u.p
+       |  FROM src, unnest(range(16, length(txt) + 1)) AS u(p)
+       |  WHERE (('0x' || substring(md5(substr(txt, CAST(u.p AS INT) - 15, 16)), 1, 15))::BIGINT) % 32 = 0),
+       |ends AS (
+       |  SELECT doc_id, p FROM pos
+       |  UNION
+       |  SELECT doc_id, length(txt) FROM src WHERE length(txt) >= 1),
+       |ch AS (
+       |  SELECT e.doc_id, s.txt,
+       |         coalesce(lag(e.p) OVER (PARTITION BY e.doc_id ORDER BY e.p), 0) + 1 AS start,
+       |         e.p AS e
+       |  FROM ends e JOIN src s ON s.doc_id = e.doc_id),
+       |hashed AS (
+       |  SELECT doc_id,
+       |         ('0x' || substring(md5(substr(txt, CAST(start AS INT), CAST(e - start + 1 AS INT))), 1, 15))::BIGINT AS chunk_hash,
+       |         e - start + 1 AS len
+       |  FROM ch)
+       |SELECT chunk_hash, CAST(len AS BIGINT) AS len,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_occ
+       |FROM hashed
+       |GROUP BY 1, 2
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_hash""".stripMargin) { (s, dir) =>
+    val txt = concat(
+      col("text").substr(lit(1), (col("doc_id") % 37 + 10).cast("int")),
+      lit(sharedPara * 8),
+      col("text").substr(lit(50), lit(150)))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), txt.as("txt"))
+    val out = graft.operators.Chunking
+      .cdcChunks(docs, "doc_id", "txt", window = 16, modulus = 32)
+      .groupBy("chunk_hash", "len")
+      .agg(
+        countDistinct("doc_id").cast("bigint").as("n_docs"),
+        count(lit(1)).cast("bigint").as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .select(col("chunk_hash"), col("len").cast("bigint").as("len"),
+        col("n_docs"), col("n_occ"))
+      .orderBy("chunk_hash")
+    // the whole point of CDC: the shifted shared paragraph MUST dedup
+    require(out.limit(1).count() >= 1,
+      "q_d19: shared-paragraph interior chunks must surface as duplicates")
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12, qD13, qD14, qD15, qD16, qD17, qD18)
+      qD12, qD13, qD14, qD15, qD16, qD17, qD18, qD19)
 }
