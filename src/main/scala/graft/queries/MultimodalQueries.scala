@@ -1361,7 +1361,49 @@ object MultimodalQueries extends QueryGroup {
   // 0 under the strict majority rule); every 9th doc corrupts both
   // adler words → NULL. The oracle derives the hash from the luma
   // formula (the q_m11 replay) and never parses bytes.
-  private val qM17 = Q(
+  /** The q_m17 synthetic dual-representation PNG corpus + aHash, as a
+    * reusable BATCH-plan transform (doc_id, ahash, formats_agree,
+    * valid_png) — shared by the batch gate and the streaming landing-
+    * zone twin (q_st27), which maps it per micro-batch.
+    */
+  private[queries] def pngAHashFrame(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = (col("doc_id") % 6 + 4).cast("bigint")
+    val h = (col("doc_id") % 5 + 3).cast("bigint")
+    val seed = (col("doc_id") % 251).cast("bigint")
+    val blank = col("doc_id") % 6 === 0
+    val ok = col("doc_id") % 9 =!= 0
+    def lum(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      when(blank, seed).otherwise((seed + x * 11 + y * 13) % 256)
+    val grayHex = pngHexFull(
+      w, h, ct = lit(0L), ch = lit(1L),
+      (x, y, _) => lum(x, y), ftOff = lit(0L), adlerFlip = !ok)
+    val rgbHex = pngHexFull(
+      w, h, ct = lit(2L), ch = lit(3L),
+      (x, y, _) => lum(x, y), ftOff = lit(3L), adlerFlip = !ok)
+    val withPayload = docs
+      .select(
+        col("doc_id"),
+        unhex(grayHex).as("gray_payload"),
+        unhex(rgbHex).as("rgb_payload"))
+      .localCheckpoint(true) // <=500 rows x <=700 B - trivial residency
+    val out = withPayload
+      .select(
+        col("doc_id"),
+        Multimodal.pngAHash(col("gray_payload"), maxPixels = 128).as("hg"),
+        Multimodal.pngAHash(col("rgb_payload"), maxPixels = 128).as("hr"))
+      .select(
+        col("doc_id"),
+        col("hg").as("ahash"),
+        when(col("hg").isNotNull && col("hr").isNotNull,
+          (col("hg") === col("hr")).cast("int")).as("formats_agree"),
+        col("hg").isNotNull.as("valid_png"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(withPayload)
+    out
+  }
+
+  private[queries] val qM17 = Q(
     "q_m17_png_ahash",
     """WITH src AS (
       |  SELECT doc_id,
@@ -1393,38 +1435,7 @@ object MultimodalQueries extends QueryGroup {
       |       s.ok AS valid_png
       |FROM src s LEFT JOIN hsh ON hsh.doc_id = s.doc_id
       |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
-    val w = (col("doc_id") % 6 + 4).cast("bigint")
-    val h = (col("doc_id") % 5 + 3).cast("bigint")
-    val seed = (col("doc_id") % 251).cast("bigint")
-    val blank = col("doc_id") % 6 === 0
-    val ok = col("doc_id") % 9 =!= 0
-    def lum(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      when(blank, seed).otherwise((seed + x * 11 + y * 13) % 256)
-    val grayHex = pngHexFull(
-      w, h, ct = lit(0L), ch = lit(1L),
-      (x, y, _) => lum(x, y), ftOff = lit(0L), adlerFlip = !ok)
-    val rgbHex = pngHexFull(
-      w, h, ct = lit(2L), ch = lit(3L),
-      (x, y, _) => lum(x, y), ftOff = lit(3L), adlerFlip = !ok)
-    val withPayload = Tables.load(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        unhex(grayHex).as("gray_payload"),
-        unhex(rgbHex).as("rgb_payload"))
-      .localCheckpoint(true) // ≤500 rows × ≤700 B — trivial residency
-    val out = withPayload
-      .select(
-        col("doc_id"),
-        Multimodal.pngAHash(col("gray_payload"), maxPixels = 128).as("hg"),
-        Multimodal.pngAHash(col("rgb_payload"), maxPixels = 128).as("hr"))
-      .select(
-        col("doc_id"),
-        col("hg").as("ahash"),
-        when(col("hg").isNotNull && col("hr").isNotNull,
-          (col("hg") === col("hr")).cast("int")).as("formats_agree"),
-        col("hg").isNotNull.as("valid_png"))
-      .orderBy("doc_id")
-    out
+    pngAHashFrame(Tables.load(s, dir, "documents")).orderBy("doc_id")
   }
 
   override val all: Seq[Q] =

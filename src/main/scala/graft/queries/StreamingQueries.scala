@@ -605,8 +605,23 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id")
   }
 
+  // Streaming COMPRESSED-PIXEL decode at the landing zone
+  // (CorpusStream.transformAvailableNow + the q_m17 dual-representation
+  // PNG frame): each micro-batch runs the REAL zlib inflate + five-filter
+  // reconstruction + perceptual hash as images arrive — where an image
+  // corpus wants its near-dup signatures, before anything persists.
+  // Decode is row-local (one kernel call per payload, zero state), so
+  // streamed ≡ batch on every document; the oracle is q_m17's verbatim.
+  private val qSt27 = Q(
+    "q_st27_stream_png_ahash",
+    MultimodalQueries.qM17.oracle.get) { (s, dir) =>
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2)(
+      MultimodalQueries.pngAHashFrame)
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24, qSt25, qSt26)
+      qSt24, qSt25, qSt26, qSt27)
 }
