@@ -893,6 +893,70 @@ object Multimodal {
       graft.expressions.PngUnfilteredPixels(
         org.apache.spark.sql.graft.bridge.expression(payload), maxPixels))
 
+  /** Per-channel stats fold over an INTERLEAVED pixel byte buffer
+    * (row-major, `ch` channels per pixel — the [[decodePngPixels]] /
+    * [[graft.expressions.GifFramePixels]] output shape): sum/min/max per
+    * channel slot in one pass, one packed big-endian `substring`+`conv`
+    * read per PIXEL with channels split by integer arithmetic. Returns
+    * the raw accumulator struct (s0..3, mn0..3, mx0..3); callers shape
+    * the user-facing struct. Shared by [[pngPixelStats]] and
+    * [[gifPixelStats]].
+    */
+  private def interleavedChannelFold(
+      px: Column, npx: Column, ch: Column): Column = {
+    val zero = struct(
+      (0 to 3).flatMap { c =>
+        Seq(lit(0L).as(s"s$c"), lit(255L).as(s"mn$c"), lit(0L).as(s"mx$c"))
+      }: _*)
+    val pows = array(lit(1L), lit(256L), lit(65536L), lit(16777216L))
+    graft.functions.hof.bind(ch) { chB =>
+      aggregate(
+        transform(sequence(lit(0L), npx - 1L), i =>
+          conv(hex(substring(px, (i * chB + 1L).cast("int"),
+            chB.cast("int"))), 16, 10).cast("bigint")),
+        zero,
+        (acc, v) => struct(
+          (0 to 3).flatMap { c =>
+            val live = chB > c
+            // index clamped ≥1: dead slots never take the branch, but
+            // element_at(…, 0) THROWS under ANSI if a subexpression
+            // pass ever evaluates it eagerly — keep the expr total
+            val value = pmod(
+              floor(v / element_at(pows,
+                greatest(chB - c, lit(1L)).cast("int")))
+                .cast("bigint"), lit(256L))
+            Seq(
+              when(live, acc.getField(s"s$c") + value)
+                .otherwise(acc.getField(s"s$c")).as(s"s$c"),
+              when(live, least(acc.getField(s"mn$c"), value))
+                .otherwise(acc.getField(s"mn$c")).as(s"mn$c"),
+              when(live, greatest(acc.getField(s"mx$c"), value))
+                .otherwise(acc.getField(s"mx$c")).as(s"mx$c"))
+          }: _*))
+    }
+  }
+
+  /** User-facing stats struct from the fold accumulator: per-channel
+    * mean/min/max (NULL past `ch`) plus the all-channels-constant blank
+    * cut. Shared by [[pngPixelStats]] and [[gifPixelStats]].
+    */
+  private def channelStatsStruct(
+      f: Column, npx: Column, ch: Column, metaCols: Seq[Column]): Column = {
+    val statCols = (0 to 3).flatMap { c =>
+      val live = ch > c
+      Seq(
+        when(live, f.getField(s"s$c").cast("double") / npx.cast("double"))
+          .as(s"c${c}_mean"),
+        when(live, f.getField(s"mn$c").cast("int")).as(s"c${c}_min"),
+        when(live, f.getField(s"mx$c").cast("int")).as(s"c${c}_max"))
+    }
+    val blank = (0 to 3).map { c =>
+      ch <= c || f.getField(s"mn$c") === f.getField(s"mx$c")
+    }.reduce(_ && _)
+    struct((metaCols ++ Seq(npx.as("n_pixels")) ++ statCols :+
+      blank.as("is_blank")): _*)
+  }
+
   /** Per-channel pixel statistics of a PNG payload — the [[bmpPixelStats]]
     * contract on REAL compressed input: decode via [[decodePngPixels]],
     * then per-channel mean/min/max and the blank-image cut with one
@@ -911,58 +975,45 @@ object Multimodal {
         val h = m.getField("height").cast("bigint")
         val ch = m.getField("channels").cast("bigint")
         val npx = w * h
-        val zero = struct(
-          (0 to 3).flatMap { c =>
-            Seq(lit(0L).as(s"s$c"), lit(255L).as(s"mn$c"), lit(0L).as(s"mx$c"))
-          }: _*)
-        // one packed big-endian read per pixel; channel c is then
-        // (v div 256^(ch-1-c)) mod 256 — divisor via element_at, no
-        // dynamic shift
-        val pows = array(lit(1L), lit(256L), lit(65536L), lit(16777216L))
-        val folded = bind(ch) { chB =>
-          aggregate(
-            transform(sequence(lit(0L), npx - 1L), i =>
-              conv(hex(substring(px, (i * chB + 1L).cast("int"),
-                chB.cast("int"))), 16, 10).cast("bigint")),
-            zero,
-            (acc, v) => struct(
-              (0 to 3).flatMap { c =>
-                val live = chB > c
-                // index clamped ≥1: dead slots never take the branch, but
-                // element_at(…, 0) THROWS under ANSI if a subexpression
-                // pass ever evaluates it eagerly — keep the expr total
-                val value = pmod(
-                  floor(v / element_at(pows,
-                    greatest(chB - c, lit(1L)).cast("int")))
-                    .cast("bigint"), lit(256L))
-                Seq(
-                  when(live, acc.getField(s"s$c") + value)
-                    .otherwise(acc.getField(s"s$c")).as(s"s$c"),
-                  when(live, least(acc.getField(s"mn$c"), value))
-                    .otherwise(acc.getField(s"mn$c")).as(s"mn$c"),
-                  when(live, greatest(acc.getField(s"mx$c"), value))
-                    .otherwise(acc.getField(s"mx$c")).as(s"mx$c"))
-              }: _*))
-        }
-        bind(folded) { f =>
-          val statCols = (0 to 3).flatMap { c =>
-            val live = ch > c
-            Seq(
-              when(live, f.getField(s"s$c").cast("double") / npx.cast("double"))
-                .as(s"c${c}_mean"),
-              when(live, f.getField(s"mn$c").cast("int")).as(s"c${c}_min"),
-              when(live, f.getField(s"mx$c").cast("int")).as(s"c${c}_max"))
-          }
-          val blank = (0 to 3).map { c =>
-            ch <= c || f.getField(s"mn$c") === f.getField(s"mx$c")
-          }.reduce(_ && _)
+        bind(interleavedChannelFold(px, npx, ch)) { f =>
           when(px.isNotNull && m.isNotNull,
-            struct(
-              (Seq(
-                m.getField("width").as("width"),
-                m.getField("height").as("height"),
-                m.getField("channels").as("channels"),
-                npx.as("n_pixels")) ++ statCols :+ blank.as("is_blank")): _*))
+            channelStatsStruct(f, npx, ch, Seq(
+              m.getField("width").as("width"),
+              m.getField("height").as("height"),
+              m.getField("channels").as("channels"))))
+            .otherwise(lit(null))
+        }
+      }
+    }
+  }
+
+  /** Per-channel pixel statistics of a GIF payload — [[pngPixelStats]]'s
+    * contract on the SECOND compressed container: first-frame decode via
+    * the native LZW expression [[graft.expressions.GifFramePixels]]
+    * (dictionary growth, KwKwK, deinterlacing, palette mapping), then
+    * the same one-fold channel stats over the RGB bytes. The frame is
+    * always 3-channel (palette-mapped), so c3_* is always NULL. NULL
+    * when the payload is not a decodable GIF or exceeds `maxPixels`.
+    */
+  def gifPixelStats(payload: Column, maxPixels: Int = 1 << 22): Column = {
+    import graft.functions.hof.bind
+    val pxCol = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.GifFramePixels(
+        org.apache.spark.sql.graft.bridge.expression(payload), maxPixels))
+    bind(pxCol) { px =>
+      bind(decodeGifMeta(payload)) { m =>
+        val w = m.getField("width").cast("bigint")
+        val h = m.getField("height").cast("bigint")
+        val npx = w * h
+        bind(interleavedChannelFold(px, npx, lit(3L))) { f =>
+          // the decoded frame may legally be smaller than the logical
+          // screen (sub-rectangle frames); stats are only meaningful when
+          // the frame IS the canvas — anything else reads as undecodable
+          when(px.isNotNull && m.isNotNull && length(px) === npx * 3L,
+            channelStatsStruct(f, npx, lit(3L), Seq(
+              m.getField("width").cast("int").as("width"),
+              m.getField("height").cast("int").as("height"),
+              lit(3).as("channels"))))
             .otherwise(lit(null))
         }
       }

@@ -1438,7 +1438,120 @@ object MultimodalQueries extends QueryGroup {
     pngAHashFrame(Tables.load(s, dir, "documents")).orderBy("doc_id")
   }
 
+  // ---- q_m18: REAL LZW pixel decode (Multimodal.gifPixelStats /
+  // expressions.GifFramePixels) — complete GIF89a files built in-plan
+  // with the CLEAR-HEAVY byte-aligned coding (mcs=7, a CLEAR before
+  // every literal keeps the dictionary from growing, so each code is
+  // exactly one byte — the stored-deflate analog for GIF): every byte is
+  // layout-derivable while the engine runs the REAL LZW state machine
+  // (clear handling, code widths, palette mapping — the same kernel that
+  // decodes the JDK encoder's growing-dictionary streams in
+  // GifPixelsSpec). Every 7th doc corrupts the signature → NULL; every
+  // 6th is constant (blank cut). The oracle derives every statistic from
+  // the index formula through the palette formula — never parsing bytes.
+  private val qM18 = Q(
+    "q_m18_gif_pixel_stats",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 7 + 3 AS BIGINT) AS w,
+      |         CAST(n_chars % 6 + 2 AS BIGINT) AS h,
+      |         doc_id % 127 AS seed,
+      |         (doc_id % 6 = 0) AS blank,
+      |         (doc_id % 7 <> 0) AS ok
+      |  FROM documents),
+      |px AS (
+      |  SELECT s.doc_id,
+      |         CASE WHEN s.blank THEN s.seed
+      |              ELSE (s.seed + 13 * (u.i % s.w) + 7 * (u.i // s.w)) % 128
+      |         END AS idx
+      |  FROM src s, unnest(range(s.w * s.h)) AS u(i)
+      |  WHERE s.ok),
+      |ag AS (
+      |  SELECT doc_id,
+      |         CAST(sum((2 * idx) % 256) AS BIGINT) AS s0,
+      |         CAST(min((2 * idx) % 256) AS INT) AS mn0,
+      |         CAST(max((2 * idx) % 256) AS INT) AS mx0,
+      |         CAST(sum((3 * idx) % 256) AS BIGINT) AS s1,
+      |         CAST(min((3 * idx) % 256) AS INT) AS mn1,
+      |         CAST(max((3 * idx) % 256) AS INT) AS mx1,
+      |         CAST(sum(255 - idx) AS BIGINT) AS s2,
+      |         CAST(min(255 - idx) AS INT) AS mn2,
+      |         CAST(max(255 - idx) AS INT) AS mx2
+      |  FROM px GROUP BY 1)
+      |SELECT s.doc_id,
+      |       CASE WHEN s.ok THEN CAST(s.w AS INT) END AS width,
+      |       CASE WHEN s.ok THEN CAST(s.h AS INT) END AS height,
+      |       CASE WHEN s.ok THEN 3 END AS channels,
+      |       CASE WHEN s.ok THEN s.w * s.h END AS n_pixels,
+      |       CASE WHEN s.ok THEN CAST(a.s0 AS DOUBLE) / (s.w * s.h) END AS c0_mean,
+      |       CASE WHEN s.ok THEN a.mn0 END AS c0_min,
+      |       CASE WHEN s.ok THEN a.mx0 END AS c0_max,
+      |       CASE WHEN s.ok THEN CAST(a.s1 AS DOUBLE) / (s.w * s.h) END AS c1_mean,
+      |       CASE WHEN s.ok THEN a.mn1 END AS c1_min,
+      |       CASE WHEN s.ok THEN a.mx1 END AS c1_max,
+      |       CASE WHEN s.ok THEN CAST(a.s2 AS DOUBLE) / (s.w * s.h) END AS c2_mean,
+      |       CASE WHEN s.ok THEN a.mn2 END AS c2_min,
+      |       CASE WHEN s.ok THEN a.mx2 END AS c2_max,
+      |       CAST(NULL AS DOUBLE) AS c3_mean,
+      |       CAST(NULL AS INT) AS c3_min,
+      |       CAST(NULL AS INT) AS c3_max,
+      |       CASE WHEN s.ok THEN CAST(
+      |         a.mn0 = a.mx0 AND a.mn1 = a.mx1 AND a.mn2 = a.mx2 AS INT)
+      |       END AS is_blank,
+      |       s.ok AS valid_gif
+      |FROM src s LEFT JOIN ag a ON a.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val w = (col("doc_id") % 7 + 3).cast("bigint")
+    val h = (col("n_chars") % 6 + 2).cast("bigint")
+    val seed = (col("doc_id") % 127).cast("bigint")
+    val blank = col("doc_id") % 6 === 0
+    val ok = col("doc_id") % 7 =!= 0
+    // 128-entry palette (2i, 3i mod 256, 255-i) — one constant hex blob
+    val gctHex = (0 until 128).map { i =>
+      f"${(2 * i) % 256}%02X${(3 * i) % 256}%02X${255 - i}%02X"
+    }.mkString
+    def idx(i: org.apache.spark.sql.Column) =
+      when(blank, seed)
+        .otherwise((seed + (i % w) * 13 + floor(i / w).cast("bigint") * 7) % 128)
+    // clear-heavy coding: (CLEAR, literal) per pixel + EOI — w·h ≤ 63
+    // keeps the whole stream in ONE ≤255-byte sub-block
+    val codesHex = concat(
+      array_join(
+        transform(sequence(lit(0L), w * h - 1L), i =>
+          concat(lit("80"), lpad(hex(idx(i)), 2, "0"))), ""),
+      lit("81"))
+    val sigHex = when(ok, lit("474946383961")).otherwise(lit("474958383961"))
+    val gifHex = concat(
+      sigHex, leHexN(w, 2), leHexN(h, 2),
+      lit("86"), lit("00"), lit("00"), // GCT present 2^7, bg, aspect
+      lit(gctHex),
+      lit("2C"), lit("00000000"), leHexN(w, 2), leHexN(h, 2), lit("00"),
+      lit("07"),                        // min code size
+      leHexN(w * h * 2L + 1L, 1),       // single sub-block length
+      codesHex,
+      lit("00"), lit("3B"))             // terminator + trailer
+    val withPayload = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(gifHex).as("payload"))
+      .localCheckpoint(true) // ≤500 rows × ≤600 B — trivial residency
+    withPayload
+      .withColumn("m", Multimodal.gifPixelStats(col("payload"), maxPixels = 64))
+      .select(
+        (Seq(col("doc_id")) ++
+          Seq("width", "height", "channels", "n_pixels").map(f =>
+            col(s"m.$f").as(f)) ++
+          (0 to 3).flatMap(c => Seq(
+            col(s"m.c${c}_mean").as(s"c${c}_mean"),
+            col(s"m.c${c}_min").as(s"c${c}_min"),
+            col(s"m.c${c}_max").as(s"c${c}_max"))) ++
+          Seq(col("m.is_blank").cast("int").as("is_blank"),
+            col("m").isNotNull.as("valid_gif"))): _*)
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
-      qM14, qM15, qM16, qM17)
+      qM14, qM15, qM16, qM17, qM18)
 }
