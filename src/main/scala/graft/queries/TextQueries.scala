@@ -1152,8 +1152,50 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Windowed co-occurrence PMI (Cooccurrence.pmiPairs, Church–Hanks
+  // 1990): unordered token pairs within 3 positions, exact corpus
+  // counts, PMI rounded to 6 decimals (ln differs in the last ulp
+  // across libm implementations — the q_e19/q_v19 rounding rule). Pair
+  // generation is map-only (scan-side HOF, no positional self-join);
+  // the oracle replays pair windows with a range-product, the same
+  // canonicalization, and the identical double association order.
+  private val qT30 = Q(
+    "q_t30_pmi_cooccurrence",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |pr AS (
+      |  SELECT least(tk[u.i + 1], tk[u.i + d.d + 1]) AS tok_a,
+      |         greatest(tk[u.i + 1], tk[u.i + d.d + 1]) AS tok_b
+      |  FROM t, unnest(range(len(tk) - 1)) AS u(i), unnest(range(1, 4)) AS d(d)
+      |  WHERE u.i + d.d <= len(tk) - 1),
+      |pc AS (
+      |  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 5),
+      |ug AS (
+      |  SELECT u.tok AS tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM t, unnest(tk) AS u(tok) GROUP BY 1),
+      |tots AS (
+      |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ug) AS n_tok,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pairs)
+      |SELECT p.tok_a, p.tok_b, p.c_ab, a.c AS c_a, b.c AS c_b,
+      |       round(ln((CAST(p.c_ab AS DOUBLE) * t2.n_tok * t2.n_tok)
+      |                / (CAST(t2.n_pairs AS DOUBLE) * a.c * b.c)), 6) AS pmi
+      |FROM pc p
+      |JOIN ug a ON a.tok = p.tok_a
+      |JOIN ug b ON b.tok = p.tok_b
+      |CROSS JOIN tots t2
+      |ORDER BY tok_a, tok_b""".stripMargin) { (s, dir) =>
+    graft.operators.Cooccurrence
+      .pmiPairs(Tables.load(s, dir, "documents"), "text",
+        window = 3, minPairCount = 5L)
+      .orderBy("tok_a", "tok_b")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29)
+      qT27, qT28, qT29, qT30)
 }
