@@ -780,17 +780,11 @@ object CurationQueries extends QueryGroup {
     out
   }
 
-  // Multinomial Naive Bayes (NaiveBayes.train/score, McCallum & Nigam
-  // 1998): the COUNT-based classifier next to q_c13's gradient-trained
-  // logistic — training is one explode + one token-keyed pivot
-  // aggregate (no iterations), the model is vocabulary-bounded, and
-  // every log-likelihood ships quantized to DECIMAL(18,9) so per-doc
-  // score sums are exact and a prediction can never flip with
-  // partitioning. The oracle replays counts, smoothing, priors, the
-  // unseen-token default, and every per-doc decimal sum; same
-  // lang='en' label rule as the q_c13 family.
-  private[queries] val qC22 = Q(
-    "q_c22_naive_bayes",
+  /** The q_c22 Naive-Bayes oracle CTE chain (tokens → counts →
+    * smoothed DECIMAL(18,9) model → per-doc decimal sums) — shared with
+    * q_c24, which extends it with the confident-learning counting.
+    */
+  private val nbWithBody: String =
     """WITH t AS (
       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
       |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
@@ -818,7 +812,20 @@ object CurationQueries extends QueryGroup {
       |              sum(coalesce(m.ll0, pr.def0)) AS s0a,
       |              sum(coalesce(m.ll1, pr.def1)) AS s1a
       |       FROM tok LEFT JOIN m USING (token) CROSS JOIN pr
-      |       GROUP BY 1)
+      |       GROUP BY 1)""".stripMargin
+
+  // Multinomial Naive Bayes (NaiveBayes.train/score, McCallum & Nigam
+  // 1998): the COUNT-based classifier next to q_c13's gradient-trained
+  // logistic — training is one explode + one token-keyed pivot
+  // aggregate (no iterations), the model is vocabulary-bounded, and
+  // every log-likelihood ships quantized to DECIMAL(18,9) so per-doc
+  // score sums are exact and a prediction can never flip with
+  // partitioning. The oracle replays counts, smoothing, priors, the
+  // unseen-token default, and every per-doc decimal sum; same
+  // lang='en' label rule as the q_c13 family.
+  private[queries] val qC22 = Q(
+    "q_c22_naive_bayes",
+    s"""$nbWithBody
       |SELECT t.doc_id,
       |       CAST(coalesce(ds.s0a, CAST(0 AS DECIMAL(18,9))) + pr.prior0 AS DOUBLE) AS s0,
       |       CAST(coalesce(ds.s1a, CAST(0 AS DECIMAL(18,9))) + pr.prior1 AS DOUBLE) AS s1,
@@ -882,7 +889,63 @@ object CurationQueries extends QueryGroup {
       "doc_id", "text", "y", topK = 50)
   }
 
+  // Confident-learning label-noise estimation (LabelNoise.confidentJoint,
+  // Northcutt et al. 2021 count form) on the q_c22 Naive-Bayes scorer:
+  // per-class mean-posterior thresholds, confident-joint counting, the
+  // off-diagonal cells = estimated labeling errors. The thresholds are
+  // never divided — the confidence test cross-multiplies (p_j·n_j ≥
+  // Σp_j) in exact DECIMAL, so counts cannot flip with partitioning.
+  // The oracle extends the shared NB chain with sigmoid(margin) rounded
+  // to 6 decimals (libm-ulp rule) and the identical decimal counting.
+  private val qC24 = Q(
+    "q_c24_label_noise",
+    s"""$nbWithBody,
+       |mg AS (SELECT t.doc_id, t.y,
+       |         round(CAST((coalesce(ds.s1a, CAST(0 AS DECIMAL(18,9))) + pr.prior1)
+       |             - (coalesce(ds.s0a, CAST(0 AS DECIMAL(18,9))) + pr.prior0) AS DOUBLE), 6) AS margin
+       |       FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id CROSS JOIN pr),
+       |p2 AS (SELECT doc_id, y,
+       |         CAST(round(1.0 / (1.0 + exp(-margin)), 6) AS DECIMAL(9,6)) AS p1,
+       |         CAST(1.0 AS DECIMAL(9,6))
+       |           - CAST(round(1.0 / (1.0 + exp(-margin)), 6) AS DECIMAL(9,6)) AS p0
+       |       FROM mg),
+       |th AS (SELECT sum(CASE WHEN y = 1 THEN p1 END) AS s1,
+       |              CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |              sum(CASE WHEN y = 0 THEN p0 END) AS s0,
+       |              CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+       |       FROM p2),
+       |cj AS (SELECT p.y AS given_label,
+       |         CASE WHEN p.p1 * t2.n1 >= t2.s1 AND p.p0 * t2.n0 >= t2.s0
+       |                THEN CASE WHEN p.p1 >= p.p0 THEN 1 ELSE 0 END
+       |              WHEN p.p1 * t2.n1 >= t2.s1 THEN 1
+       |              WHEN p.p0 * t2.n0 >= t2.s0 THEN 0 END AS confident_label
+       |       FROM p2 p CROSS JOIN th t2),
+       |cc AS (SELECT given_label, confident_label, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM cj WHERE confident_label IS NOT NULL GROUP BY 1, 2),
+       |ctot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn FROM cc)
+       |SELECT given_label, confident_label, n_docs,
+       |       CAST(n_docs AS DOUBLE) / ctot.tn AS cell_rate
+       |FROM cc CROSS JOIN ctot
+       |ORDER BY given_label, confident_label""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("y", (col("lang") === "en").cast("int"))
+    val (model, stats) = graft.operators.NaiveBayes.train(docs, "doc_id", "text", "y")
+    val scored = graft.operators.NaiveBayes.score(docs, "doc_id", "text", model, stats)
+      .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(model)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(stats)
+    val out = graft.operators.LabelNoise.confidentJoint(scored, "y", "margin")
+      .orderBy("given_label", "confident_label")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(scored)
+    val cells = out.collect()
+    require(cells.nonEmpty && cells.map(_.getAs[Long]("n_docs")).sum >= 1,
+      "q_c24: the confident joint must count at least one example")
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23)
+      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24)
 }
