@@ -1459,7 +1459,84 @@ object GraphQueries extends QueryGroup {
     }
   }
 
+  // node2vec biased walks (RandomWalks.node2vec, Grover–Leskovec 2016):
+  // the SECOND-ORDER companion to q_g24 — integer bias weights
+  // (return, near, far) = (4, 2, 1), cumulative-weight pick
+  // r = H(w,k) mod ΣW, step 1 uniform (deepWalk's exact rule). The
+  // oracle replays the expand join, the LEFT-JOIN distance-1 classing,
+  // the walk-partitioned cumsum window, and the modular pick for both
+  // biased steps — any divergence in weight classing or window order
+  // diverges every downstream step.
+  private val qG25: Q = {
+    def hashSql(k: Int): String =
+      s"((((walk_id % 1000000007) * 2654435761 + $k * 40503 + 7) % 1000000007))"
+    def biasedStep(k: Int): String =
+      s"""c$k AS (
+         |  SELECT s.walk_id, s.start, s.prev, s.cur, a.nbr AS x, a.r,
+         |         CASE WHEN a.nbr = s.prev THEN 4
+         |              WHEN u.node IS NOT NULL THEN 2
+         |              ELSE 1 END AS wt
+         |  FROM s${k - 1} s
+         |  JOIN adj a ON a.node = s.cur
+         |  LEFT JOIN und u ON u.node = s.prev AND u.nbr = a.nbr),
+         |w$k AS (
+         |  SELECT walk_id, start, cur, x, wt,
+         |         sum(wt) OVER (PARTITION BY walk_id ORDER BY r
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(wt) OVER (PARTITION BY walk_id) AS tot
+         |  FROM c$k),
+         |s$k AS MATERIALIZED (
+         |  SELECT walk_id, start, cur AS prev, x AS cur
+         |  FROM w$k
+         |  WHERE ${hashSql(k)} % tot >= cum - wt
+         |    AND ${hashSql(k)} % tot < cum)""".stripMargin
+    val sql =
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |       FROM lineitem WHERE l_quantity >= 40),
+         |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |und AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ce
+         |       UNION ALL SELECT b, a FROM ce),
+         |adj AS MATERIALIZED (
+         |  SELECT node, nbr,
+         |         row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS r
+         |  FROM und),
+         |dg AS MATERIALIZED (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+         |s0 AS (SELECT node AS walk_id, node AS start,
+         |              CAST(NULL AS BIGINT) AS prev, node AS cur FROM dg),
+         |s1 AS MATERIALIZED (
+         |  SELECT s.walk_id, s.start, s.cur AS prev, a.nbr AS cur
+         |  FROM s0 s JOIN dg d ON d.node = s.cur
+         |  JOIN adj a ON a.node = s.cur
+         |   AND a.r = (${hashSql(1).replace("walk_id", "s.walk_id")} % d.d)),
+         |${biasedStep(2)},
+         |${biasedStep(3)}
+         |SELECT walk_id, start, step, node FROM (
+         |  SELECT walk_id, start, 0 AS step, cur AS node FROM s0
+         |  UNION ALL SELECT walk_id, start, 1, cur FROM s1
+         |  UNION ALL SELECT walk_id, start, 2, cur FROM s2
+         |  UNION ALL SELECT walk_id, start, 3, cur FROM s3)
+         |ORDER BY walk_id, step""".stripMargin
+    Q("q_g25_node2vec", sql) { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+      val edges = items.select(col("__o"), col("__p").as("a"))
+        .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(true)
+      val out = graft.operators.RandomWalks.node2vec(
+        edges, "a", "b", walksPerNode = 1, walkLength = 3, seed = 7L,
+        wReturn = 4L, wNear = 2L, wFar = 1L)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+      out.orderBy("walk_id", "step")
+    }
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22, qG23, qG24)
+      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22, qG23, qG24, qG25)
 }

@@ -43,6 +43,56 @@ class RandomWalksSpec extends SparkSpec {
     assert(run(42L).except(run(43L)).count() > 0, "seed moves the picks")
   }
 
+  test("node2vec: full output equals a local hand-replay of the pick rule") {
+    val P = 1000000007L
+    val (wr, wn, wf) = (4L, 2L, 1L)
+    val seed = 9L
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (2L, 7L))
+    // local reference: sorted adjacency + the exact modular pick
+    val adjM = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).distinct.sorted }
+    def hash(w: Long, k: Int): Long = ((w % P) * 2654435761L + k * 40503L + seed) % P
+    def replay(start: Long, len: Int): Seq[Long] = {
+      var prev = -1L; var cur = start
+      var path = Seq(cur)
+      for (k <- 1 to len) {
+        val nbrs = adjM(cur)
+        val next = if (k == 1) nbrs((hash(start, k) % nbrs.length).toInt)
+        else {
+          val wts = nbrs.map { x =>
+            if (x == prev) wr
+            else if (adjM(prev).contains(x)) wn else wf
+          }
+          val r = hash(start, k) % wts.sum
+          val cums = wts.scanLeft(0L)(_ + _).tail
+          nbrs(cums.indexWhere(_ > r))
+        }
+        prev = cur; cur = next; path :+= cur
+      }
+      path
+    }
+    val got = RandomWalks.node2vec(edges, "a", "b",
+      walksPerNode = 1, walkLength = 4, seed = seed,
+      wReturn = wr, wNear = wn, wFar = wf)
+      .orderBy("walk_id", "step").collect()
+      .groupBy(_.getAs[Long]("walk_id"))
+      .map { case (w, rs) =>
+        w -> rs.sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("node")).toSeq }
+    (1L to 7L).foreach { n =>
+      assert(got(n) === replay(n, 4), s"walk from $n")
+    }
+  }
+
+  test("node2vec step 1 equals deepWalk's uniform pick (shared-prefix contract)") {
+    val dw = RandomWalks.deepWalk(edges, "a", "b", 2, 1, seed = 5L)
+      .filter(col("step") === 1).select("walk_id", "node")
+    val n2 = RandomWalks.node2vec(edges, "a", "b", 2, 1, seed = 5L,
+      wReturn = 9L, wNear = 9L, wFar = 1L)
+      .filter(col("step") === 1).select("walk_id", "node")
+    assert(dw.except(n2).isEmpty && n2.except(dw).isEmpty)
+  }
+
   test("walks from a leaf immediately return through its only edge") {
     val chain = Seq((10L, 11L)).toDF("a", "b") // two leaves, degree 1
     val w = RandomWalks.deepWalk(chain, "a", "b",
