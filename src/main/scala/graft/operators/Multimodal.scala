@@ -1081,6 +1081,54 @@ object Multimodal {
     }
   }
 
+  /** REAL WebP header decode — not a stub: the RIFF container walk plus
+    * ALL THREE WebP variants' dimension encodings (the modern web-corpus
+    * format next to PNG/GIF/JPEG):
+    *  - `VP8 ` (lossy): 3-byte frame tag, the 9D 01 2A sync code, then
+    *    14-bit width/height in little-endian u16s (scale bits masked);
+    *  - `VP8L` (lossless): the 0x2F signature byte, then 14-bit
+    *    width−1 / height−1 BIT-PACKED little-endian across 4 bytes;
+    *  - `VP8X` (extended): flags byte + 24-bit canvas width−1 /
+    *    height−1.
+    * Returns `(width, height, format)` (format ∈ lossy/lossless/
+    * extended) or NULL for absent/short/non-WebP payloads, bad sync or
+    * signature bytes included. Pure codegen built-ins (byte slices +
+    * integer arithmetic) like [[decodeGifMeta]] — scan-side at any
+    * scale; the q_m19 oracle derives expectations independently.
+    */
+  def decodeWebpMeta(payload: Column): Column = {
+    val riffOk = hex(substring(payload, 1, 4)) === lit("52494646") &&
+      hex(substring(payload, 9, 4)) === lit("57454250") // "RIFF" … "WEBP"
+    val fourcc = hex(substring(payload, 13, 4))
+    def b(pos: Int): Column = le(payload, pos, 1)
+    // chunk payload starts at 1-based offset 21 (12 RIFF+WEBP, 8 header)
+    val isVp8 = fourcc === lit("56503820")  // "VP8 "
+    val isVp8l = fourcc === lit("5650384C") // "VP8L"
+    val isVp8x = fourcc === lit("56503858") // "VP8X"
+    val vp8SyncOk = hex(substring(payload, 24, 3)) === lit("9D012A")
+    val vp8W = pmod(le(payload, 27, 2), lit(16384L))
+    val vp8H = pmod(le(payload, 29, 2), lit(16384L))
+    val vp8lSigOk = b(21) === 0x2fL
+    val vp8lW = b(22) + pmod(b(23), lit(64L)) * 256L + 1L
+    val vp8lH = floor(b(23) / 64L).cast("bigint") +
+      b(24) * 4L + pmod(b(25), lit(16L)) * 1024L + 1L
+    val vp8xW = le(payload, 25, 3) + 1L
+    val vp8xH = le(payload, 28, 3) + 1L
+    val minLen = when(isVp8, 30L).when(isVp8l, 25L).otherwise(lit(30L))
+    val variantOk =
+      (isVp8 && vp8SyncOk && vp8W >= 1L) ||
+        (isVp8l && vp8lSigOk) || isVp8x
+    when(payload.isNotNull && length(payload) >= minLen && riffOk && variantOk,
+      struct(
+        when(isVp8, vp8W).when(isVp8l, vp8lW).otherwise(vp8xW)
+          .cast("int").as("width"),
+        when(isVp8, vp8H).when(isVp8l, vp8lH).otherwise(vp8xH)
+          .cast("int").as("height"),
+        when(isVp8, lit("lossy")).when(isVp8l, lit("lossless"))
+          .otherwise(lit("extended")).as("format")))
+      .otherwise(lit(null))
+  }
+
   /** Position-salted payload hash feeding the stub decoders. Default is
     * xxhash64 (codegen fast path); `portable = true` derives a 60-bit hash
     * from md5 over the hex rendering (uppercase in Spark AND DuckDB), so

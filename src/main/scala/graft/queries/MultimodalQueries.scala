@@ -1551,7 +1551,82 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // REAL WebP header decode (Multimodal.decodeWebpMeta): genuine RIFF
+  // containers built in-plan cycling ALL THREE variants — VP8 lossy
+  // (14-bit dims in u16s with NONZERO SCALE BITS planted, which the
+  // decoder must mask off), VP8L lossless (14-bit dims BIT-PACKED across
+  // four bytes), VP8X extended (24-bit dims past the 16383 limit) —
+  // plus a corrupted RIFF tag every 7th doc and a corrupted VP8 sync
+  // code every 11th. The oracle derives width/height/format from the
+  // source columns (the q_m8 discipline).
+  private val qM19 = Q(
+    "q_m19_webp_header_decode",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 3 AS INT) AS variant,
+      |         n_chars % 16000 + 1 AS w14,
+      |         (n_chars * 3 + doc_id % 777) % 16000 + 1 AS h14,
+      |         n_chars % 100000 + 1 AS w24,
+      |         (n_chars * 7 + doc_id % 555) % 100000 + 1 AS h24,
+      |         (doc_id % 7 <> 0 AND NOT (doc_id % 3 = 0 AND doc_id % 11 = 0)) AS ok
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN CAST(CASE WHEN variant = 2 THEN w24 ELSE w14 END AS INT)
+      |            END AS width,
+      |       CASE WHEN ok THEN CAST(CASE WHEN variant = 2 THEN h24 ELSE h14 END AS INT)
+      |            END AS height,
+      |       CASE WHEN ok THEN CASE variant WHEN 0 THEN 'lossy'
+      |            WHEN 1 THEN 'lossless' ELSE 'extended' END END AS format,
+      |       ok AS valid_webp
+      |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val variant = (col("doc_id") % 3).cast("int")
+    val w14 = (col("n_chars") % 16000 + 1).cast("bigint")
+    val h14 = ((col("n_chars") * 3 + col("doc_id") % 777) % 16000 + 1).cast("bigint")
+    val w24 = (col("n_chars") % 100000 + 1).cast("bigint")
+    val h24 = ((col("n_chars") * 7 + col("doc_id") % 555) % 100000 + 1).cast("bigint")
+    val badRiff = col("doc_id") % 7 === 0
+    val badSync = variant === 0 && col("doc_id") % 11 === 0
+    // VP8 lossy: plant nonzero scale bits in the upper 2 bits — the
+    // decoder must mask them off to recover the true dimensions
+    val wField = w14 + (col("doc_id") % 4).cast("bigint") * 16384L
+    val hField = h14 + (col("doc_id") % 3).cast("bigint") * 16384L
+    val vp8Body = concat(
+      lit("56503820"), leHexN(lit(10L), 4),
+      lit("000000"), // frame tag
+      when(badSync, lit("9D012B")).otherwise(lit("9D012A")),
+      leHexN(wField, 2), leHexN(hField, 2))
+    val vp8lBody = concat(
+      lit("5650384C"), leHexN(lit(5L), 4), lit("2F"),
+      leHexN((w14 - 1).bitwiseAND(lit(255L)), 1),
+      leHexN(shiftright(w14 - 1, 8).bitwiseAND(lit(63L)) +
+        (h14 - 1).bitwiseAND(lit(3L)) * 64L, 1),
+      leHexN(shiftright(h14 - 1, 2).bitwiseAND(lit(255L)), 1),
+      leHexN(shiftright(h14 - 1, 10).bitwiseAND(lit(15L)), 1))
+    val vp8xBody = concat(
+      lit("56503858"), leHexN(lit(10L), 4),
+      lit("00"), lit("000000"), // flags + reserved
+      leHexN(w24 - 1, 3), leHexN(h24 - 1, 3))
+    val body = when(variant === 0, vp8Body)
+      .when(variant === 1, vp8lBody)
+      .otherwise(vp8xBody)
+    val riff = when(badRiff, lit("52494658")).otherwise(lit("52494646"))
+    val webpHex = concat(riff, leHexN(lit(30L), 4), lit("57454250"), body)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(webpHex).as("payload"))
+      .withColumn("m", Multimodal.decodeWebpMeta(col("payload")))
+      .select(
+        col("doc_id"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.format").as("format"),
+        col("m").isNotNull.as("valid_webp"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
-      qM14, qM15, qM16, qM17, qM18)
+      qM14, qM15, qM16, qM17, qM18, qM19)
 }
