@@ -1129,6 +1129,56 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** REAL FLAC STREAMINFO decode — not a stub: the "fLaC" magic, the
+    * first metadata-block header (must be STREAMINFO, type 0, length
+    * 34), and the BIT-PACKED audio parameters: 20-bit sample rate,
+    * 3-bit channels−1, 5-bit bits-per-sample−1, 36-bit total samples
+    * (the >2^32 field). `duration_us` is the floored EXACT integer
+    * division (total·1e6 div rate) computed modulus-first — the decimal
+    * quotient-scale trap the MP4 decoder documented cannot round here.
+    * Returns `(sample_rate, channels, bits_per_sample, total_samples,
+    * duration_us)` or NULL for absent/short/non-FLAC payloads or a
+    * zero sample rate (legal only for non-audio streams). Pure codegen
+    * built-ins; the q_m20 oracle derives expectations independently.
+    */
+  def decodeFlacMeta(payload: Column): Column = {
+    def b(pos: Int): Column = le(payload, pos, 1) // single byte
+    val magicOk = hex(substring(payload, 1, 4)) === lit("664C6143") // "fLaC"
+    // block header: bit7 = last-metadata flag (either is legal), bits
+    // 0-6 type must be 0 (STREAMINFO), 24-bit BE length must be 34
+    val typeOk = pmod(b(5), lit(128L)) === 0L
+    val lenOk = b(6) === 0L && b(7) === 0L && b(8) === 34L
+    val rate = b(19) * 4096L + b(20) * 16L +
+      floor(b(21) / 16L).cast("bigint")
+    val channels = (pmod(floor(b(21) / 2L).cast("bigint"), lit(8L)) + 1L)
+    val bps = pmod(b(21), lit(2L)) * 16L +
+      floor(b(22) / 16L).cast("bigint") + 1L
+    val total = pmod(b(22), lit(16L)) * 4294967296L +
+      le6BE(payload) // bytes 23-26 big-endian u32
+    val totalD = total.cast("decimal(38,0)")
+    val rateD = rate.cast("decimal(19,0)")
+    val remD = pmod(totalD, rateD)
+    val remUs = (remD * lit(1000000L)).cast("decimal(38,0)")
+    val durUs =
+      (((totalD - remD) / rateD).cast("decimal(38,0)") * lit(1000000L) +
+        ((remUs - pmod(remUs, rateD)) / rateD).cast("decimal(38,0)"))
+        .cast("bigint")
+    when(payload.isNotNull && length(payload) >= 42 && magicOk &&
+      typeOk && lenOk && rate >= 1L,
+      struct(
+        rate.cast("int").as("sample_rate"),
+        channels.cast("int").as("channels"),
+        bps.cast("int").as("bits_per_sample"),
+        total.cast("bigint").as("total_samples"),
+        durUs.as("duration_us")))
+      .otherwise(lit(null))
+  }
+
+  /** Big-endian u32 at the STREAMINFO total-samples tail (bytes 23-26). */
+  private def le6BE(payload: Column): Column =
+    le(payload, 23, 1) * 16777216L + le(payload, 24, 1) * 65536L +
+      le(payload, 25, 1) * 256L + le(payload, 26, 1)
+
   /** Position-salted payload hash feeding the stub decoders. Default is
     * xxhash64 (codegen fast path); `portable = true` derives a 60-bit hash
     * from md5 over the hex rendering (uppercase in Spark AND DuckDB), so

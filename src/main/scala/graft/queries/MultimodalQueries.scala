@@ -1626,7 +1626,84 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // REAL FLAC STREAMINFO decode (Multimodal.decodeFlacMeta): genuine
+  // headers built in-plan with the bit-packed parameter layout — 20-bit
+  // sample rate, 3-bit channels, 5-bit bps, 36-bit total samples (every
+  // 3rd doc exceeds 2^32 samples, exercising the high nibble) — plus
+  // the exact floored duration_us (modulus-first, the q_m14 ADVICE
+  // rule; rates up to 655350 with huge totals probe the decimal-scale
+  // trap directly). Corrupt magic every 7th, a non-STREAMINFO first
+  // block every 11th. The oracle derives everything from source columns
+  // and replays duration with DuckDB's exact integer //.
+  private val qM20 = Q(
+    "q_m20_flac_header_decode",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 44100
+      |              WHEN 2 THEN 48000 WHEN 3 THEN 96000 ELSE 655350 END AS rate,
+      |         CAST(doc_id % 8 + 1 AS INT) AS ch,
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END AS bps,
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN 4294967296 + n_chars * 977 + doc_id
+      |              ELSE n_chars * 977 + doc_id END AS total,
+      |         (doc_id % 7 <> 0 AND doc_id % 11 <> 0) AS ok
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN CAST(rate AS INT) END AS sample_rate,
+      |       CASE WHEN ok THEN ch END AS channels,
+      |       CASE WHEN ok THEN CAST(bps AS INT) END AS bits_per_sample,
+      |       CASE WHEN ok THEN CAST(total AS BIGINT) END AS total_samples,
+      |       CASE WHEN ok THEN CAST((total * 1000000) // rate AS BIGINT)
+      |            END AS duration_us,
+      |       ok AS valid_flac
+      |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def beHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      lpad(hex(c), 2 * nBytes, "0")
+    val rate = element_at(
+      array(lit(8000L), lit(44100L), lit(48000L), lit(96000L), lit(655350L)),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val ch = (col("doc_id") % 8 + 1).cast("bigint")
+    val bps = element_at(array(lit(8L), lit(16L), lit(24L)),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val total = when(col("doc_id") % 3 === 0,
+      lit(4294967296L) + col("n_chars").cast("bigint") * 977L + col("doc_id"))
+      .otherwise(col("n_chars").cast("bigint") * 977L + col("doc_id"))
+    val magic = when(col("doc_id") % 7 === 0, lit("664C6144"))
+      .otherwise(lit("664C6143"))
+    // block type: STREAMINFO (0, with the last-flag set — 0x80) except
+    // every 11th doc, which leads with a PADDING block (type 1) the
+    // decoder must reject as "STREAMINFO not first"
+    val blockHdr = when(col("doc_id") % 11 === 0, lit("81"))
+      .otherwise(lit("80"))
+    // the 8 bit-packed bytes: rate(20) | ch-1(3) | bps-1(5) | total(36)
+    val b19 = floor(rate / 4096L).cast("bigint")
+    val b20 = pmod(floor(rate / 16L).cast("bigint"), lit(256L))
+    val b21 = pmod(rate, lit(16L)) * 16L + (ch - 1L) * 2L +
+      floor((bps - 1L) / 16L).cast("bigint")
+    val b22 = pmod(bps - 1L, lit(16L)) * 16L +
+      floor(total / 4294967296L).cast("bigint")
+    val flacHex = concat(
+      magic, blockHdr, lit("000022"), // length 34
+      lit("1000"), lit("1000"),       // min/max block size
+      lit("000000"), lit("000000"),   // min/max frame size
+      beHexN(b19, 1), beHexN(b20, 1), beHexN(b21, 1), beHexN(b22, 1),
+      beHexN(pmod(total, lit(4294967296L)), 4),
+      lit("00" * 16))                 // md5 signature
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), unhex(flacHex).as("payload"))
+      .withColumn("m", Multimodal.decodeFlacMeta(col("payload")))
+      .select(
+        col("doc_id"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.bits_per_sample").as("bits_per_sample"),
+        col("m.total_samples").as("total_samples"),
+        col("m.duration_us").as("duration_us"),
+        col("m").isNotNull.as("valid_flac"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
-      qM14, qM15, qM16, qM17, qM18, qM19)
+      qM14, qM15, qM16, qM17, qM18, qM19, qM20)
 }
