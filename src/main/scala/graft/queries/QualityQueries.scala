@@ -941,7 +941,48 @@ object QualityQueries extends QueryGroup {
     out
   }
 
+  // Mergeable bottom-k-by-hash quantile sketch (QuantileSketch
+  // .bottomKQuantiles over expressions.BottomKSample, the Cohen–Kaplan
+  // KMV scheme): the SCALE PATH next to the exact percentile profile —
+  // O(k) state per group, map-side combine, no full-group sort. The kept
+  // sample is a pure function of the input multiset (not of partition
+  // order, unlike KLL/t-digest), so with the portable md5-60 ranking
+  // hash the oracle reproduces the sample EXACTLY even at 240× capacity
+  // and replays the quantiles with quantile_cont (bit-identical to
+  // Spark's percentile, the round-11 probe).
+  private val qQ20 = Q(
+    "q_q20_bottomk_quantiles",
+    """WITH h AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS DOUBLE) AS v,
+      |         ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':'
+      |            || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS hk
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, v,
+      |         row_number() OVER (PARTITION BY flag ORDER BY hk, v) AS rn,
+      |         count(*) OVER (PARTITION BY flag) AS n
+      |  FROM h)
+      |SELECT flag AS l_returnflag,
+      |       CAST(max(n) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS sample_size,
+      |       quantile_cont(v, 0.25) AS q_25,
+      |       quantile_cont(v, 0.5) AS q_50,
+      |       quantile_cont(v, 0.75) AS q_75,
+      |       quantile_cont(v, 0.95) AS q_95
+      |FROM r WHERE rn <= 256
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    graft.operators.QuantileSketch.bottomKQuantiles(
+      li, Seq("l_returnflag"),
+      graft.functions.Hashing.md5Hash60(
+        concat_ws(":", col("l_orderkey"), col("l_linenumber"))),
+      col("l_quantity"), k = 256,
+      quantiles = Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy("l_returnflag")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
-      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16, qQ17, qQ18, qQ19)
+      qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16, qQ17, qQ18, qQ19,
+      qQ20)
 }
