@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVectorDot, HyperplaneSignature, JaroWinkler, MinHashSignature, SimHash64}
+import graft.expressions.{FloatVectorDot, GifFramePixels, HyperplaneSignature, JaroWinkler, MinHashSignature, PngUnfilteredPixels, SimHash64, ZlibInflate}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users (and the registered
@@ -77,6 +77,27 @@ object GraftExtensions {
       children => {
         require(children.length == 2, "jaro_winkler(string, string)")
         JaroWinkler(children(0), children(1))
+      }),
+    (
+      new FunctionIdentifier("zlib_inflate"),
+      new ExpressionInfo(classOf[ZlibInflate].getName, "zlib_inflate"),
+      children => {
+        require(children.length == 2, "zlib_inflate(binary, maxBytes)")
+        ZlibInflate(children(0), intLit(children(1), "maxBytes"))
+      }),
+    (
+      new FunctionIdentifier("png_pixels"),
+      new ExpressionInfo(classOf[PngUnfilteredPixels].getName, "png_pixels"),
+      children => {
+        require(children.length == 2, "png_pixels(binary, maxPixels)")
+        PngUnfilteredPixels(children(0), intLit(children(1), "maxPixels"))
+      }),
+    (
+      new FunctionIdentifier("gif_pixels"),
+      new ExpressionInfo(classOf[GifFramePixels].getName, "gif_pixels"),
+      children => {
+        require(children.length == 2, "gif_pixels(binary, maxPixels)")
+        GifFramePixels(children(0), intLit(children(1), "maxPixels"))
       }))
 
   /** Same registrations applied to an already-running session (extensions

@@ -21,6 +21,30 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.catalog.functionExists("vec_dot"))
   }
 
+  test("zlib_inflate / png_pixels / gif_pixels are callable from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val raw = "the decode kernels ride the SQL surface too".getBytes("UTF-8")
+    val z = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256); val n = d.deflate(buf); d.end(); buf.take(n)
+    }
+    Seq(Tuple1(z)).toDF("z").createOrReplaceTempView("zv")
+    try {
+      val got = spark.sql(s"SELECT zlib_inflate(z, ${raw.length}) AS r FROM zv")
+        .collect()(0).getAs[Array[Byte]](0)
+      assert(got.toSeq === raw.toSeq)
+      // cap guard: one byte short → NULL, never a partial buffer
+      assert(spark.sql(s"SELECT zlib_inflate(z, ${raw.length - 1}) FROM zv")
+        .collect()(0).isNullAt(0))
+      // png_pixels / gif_pixels resolve and null-reject garbage payloads
+      assert(spark.sql("SELECT png_pixels(CAST('x' AS BINARY), 100)")
+        .collect()(0).isNullAt(0))
+      assert(spark.sql("SELECT gif_pixels(CAST('x' AS BINARY), 100)")
+        .collect()(0).isNullAt(0))
+    } finally spark.sql("DROP VIEW IF EXISTS zv")
+  }
+
   test("levenshtein threshold rule rewrites all four orientations, exactly") {
     GraftExtensions.register(spark)
     import spark.implicits._
