@@ -40,10 +40,25 @@ object Cooccurrence {
       df: DataFrame,
       textCol: String,
       window: Int,
+      minPairCount: Long): DataFrame =
+    pmiPairsOfArrays(
+      df.select(TextAnalysis.tokens(col(textCol)).as("__toks")),
+      "__toks", window, minPairCount)
+
+  /** [[pmiPairs]] over an ALREADY-TOKENIZED sequence column
+    * (`array<string>`): the entry point for non-text sequences — walk
+    * corpora ([[RandomWalks]] node sequences are the skip-gram input of
+    * DeepWalk/node2vec training), event paths, API call chains. Same
+    * canonicalization, counting, and rounded-PMI contract.
+    */
+  def pmiPairsOfArrays(
+      df: DataFrame,
+      seqCol: String,
+      window: Int,
       minPairCount: Long): DataFrame = {
     require(window >= 1, "window must be positive")
     require(minPairCount >= 1, "minPairCount must be positive")
-    val toks = TextAnalysis.tokens(col(textCol))
+    val toks = coalesce(col(seqCol), array().cast("array<string>"))
     val pairsOfDoc = graft.functions.hof.bind(toks) { tk =>
       val n = size(tk)
       when(n >= 2,

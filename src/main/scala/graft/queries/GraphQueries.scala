@@ -1409,8 +1409,9 @@ object GraphQueries extends QueryGroup {
   // % deg. An off-by-one in ranks, a wrong hash constant, or any
   // nondeterminism in the adjacency order diverges every downstream
   // step — the gate is self-amplifying.
-  private val qG24: Q = {
-    def stepCte(k: Int): String =
+  // shared by q_g24 and q_g26 (walk-context PMI): the uniform-walk CTE
+  // chain — adjacency, degrees, gamma=2 starts, four chained pick steps
+  private def dwStepCte(k: Int): String =
       s"""s$k AS MATERIALIZED (
          |  SELECT s.walk_id, s.start, a.nbr AS cur
          |  FROM s${k - 1} s
@@ -1418,29 +1419,34 @@ object GraphQueries extends QueryGroup {
          |  JOIN adj a ON a.node = s.cur
          |   AND a.r = ((((s.walk_id % 1000000007) * 2654435761
          |               + $k * 40503 + 42) % 1000000007) % d.d))""".stripMargin
+  private lazy val dwWithBody: String =
+    s"""items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |       FROM lineitem WHERE l_quantity >= 40),
+       |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+       |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+       |und AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ce
+       |       UNION ALL SELECT b, a FROM ce),
+       |adj AS MATERIALIZED (
+       |  SELECT node, nbr,
+       |         row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS r
+       |  FROM und),
+       |dg AS MATERIALIZED (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT node * 2 + g.g AS walk_id, node AS start, node AS cur
+       |  FROM dg, unnest(range(2)) AS g(g)),
+       |${(1 to 4).map(dwStepCte).mkString(",\n")},
+       |dwsteps AS (
+       |  SELECT walk_id, start, 0 AS step, cur AS node FROM s0
+       |  UNION ALL SELECT walk_id, start, 1, cur FROM s1
+       |  UNION ALL SELECT walk_id, start, 2, cur FROM s2
+       |  UNION ALL SELECT walk_id, start, 3, cur FROM s3
+       |  UNION ALL SELECT walk_id, start, 4, cur FROM s4)""".stripMargin
+
+  private val qG24: Q = {
     val sql =
-      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-         |       FROM lineitem WHERE l_quantity >= 40),
-         |ce AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
-         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
-         |und AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ce
-         |       UNION ALL SELECT b, a FROM ce),
-         |adj AS MATERIALIZED (
-         |  SELECT node, nbr,
-         |         row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS r
-         |  FROM und),
-         |dg AS MATERIALIZED (
-         |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
-         |s0 AS MATERIALIZED (
-         |  SELECT node * 2 + g.g AS walk_id, node AS start, node AS cur
-         |  FROM dg, unnest(range(2)) AS g(g)),
-         |${(1 to 4).map(stepCte).mkString(",\n")}
-         |SELECT walk_id, start, step, node FROM (
-         |  SELECT walk_id, start, 0 AS step, cur AS node FROM s0
-         |  UNION ALL SELECT walk_id, start, 1, cur FROM s1
-         |  UNION ALL SELECT walk_id, start, 2, cur FROM s2
-         |  UNION ALL SELECT walk_id, start, 3, cur FROM s3
-         |  UNION ALL SELECT walk_id, start, 4, cur FROM s4)
+      s"""WITH $dwWithBody
+         |SELECT walk_id, start, step, node FROM dwsteps
          |ORDER BY walk_id, step""".stripMargin
     Q("q_g24_deepwalk", sql) { (s, dir) =>
       val items = Tables.load(s, dir, "lineitem")
@@ -1536,7 +1542,63 @@ object GraphQueries extends QueryGroup {
     }
   }
 
+  // Walk-context PMI (Cooccurrence.pmiPairsOfArrays over the q_g24 walk
+  // corpus): the node-context co-occurrence statistics DeepWalk/node2vec
+  // training actually consumes — window-2 skip-gram pairs over walk
+  // sequences, exact counts, 6-decimal PMI. The graph and text sides
+  // share ONE operator; the oracle composes the verbatim q_g24 walk
+  // chain with the q_t30 pair/PMI chain, so a regression in EITHER
+  // family flips this row.
+  private val qG26: Q = Q(
+    "q_g26_walk_context_pmi",
+    s"""WITH $dwWithBody,
+       |pr AS (
+       |  SELECT least(CAST(a.node AS VARCHAR), CAST(b.node AS VARCHAR)) AS tok_a,
+       |         greatest(CAST(a.node AS VARCHAR), CAST(b.node AS VARCHAR)) AS tok_b
+       |  FROM dwsteps a JOIN dwsteps b
+       |    ON a.walk_id = b.walk_id AND b.step - a.step BETWEEN 1 AND 2),
+       |pc AS (
+       |  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+       |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ug AS (
+       |  SELECT CAST(node AS VARCHAR) AS tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM dwsteps GROUP BY 1),
+       |tots AS (
+       |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ug) AS n_tok,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pairs)
+       |SELECT p.tok_a, p.tok_b, p.c_ab, a.c AS c_a, b.c AS c_b,
+       |       round(ln((CAST(p.c_ab AS DOUBLE) * t2.n_tok * t2.n_tok)
+       |                / (CAST(t2.n_pairs AS DOUBLE) * a.c * b.c)), 6) AS pmi
+       |FROM pc p
+       |JOIN ug a ON a.tok = p.tok_a
+       |JOIN ug b ON b.tok = p.tok_b
+       |CROSS JOIN tots t2
+       |ORDER BY tok_a, tok_b""".stripMargin) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+    val edges = items.select(col("__o"), col("__p").as("a"))
+      .join(items.select(col("__o"), col("__p").as("b")), Seq("__o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+      .localCheckpoint(true)
+    val walks = graft.operators.RandomWalks.deepWalk(
+      edges, "a", "b", walksPerNode = 2, walkLength = 4, seed = 42L)
+    val seqs = walks.groupBy("walk_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("step"), col("node")))),
+        e => e.getField("node").cast("string")).as("seq"))
+    val out = graft.operators.Cooccurrence
+      .pmiPairsOfArrays(seqs, "seq", window = 2, minPairCount = 2L)
+      .orderBy("tok_a", "tok_b")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(walks)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22, qG23, qG24, qG25)
+      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22, qG23, qG24, qG25, qG26)
 }

@@ -1270,7 +1270,7 @@ object MultimodalQueries extends QueryGroup {
       |              WHEN 2 THEN 2 ELSE 4 END AS INT) AS ch,
       |         doc_id % 251 AS seed,
       |         (doc_id % 9 <> 0) AS ok
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < 500),
       |px AS (
       |  SELECT s.doc_id, cc.c AS c,
       |         (s.seed + cc.c * 7 + xx.x * 11 + yy.y * 13) % 256 AS v
@@ -1332,8 +1332,13 @@ object MultimodalQueries extends QueryGroup {
       (x, y, c) => (seed + c * 7 + x * 11 + y * 13) % 256,
       ftOff = lit(0L), adlerFlip = !ok)
     // materialized before decoding — the q_m9/q_m10 codegen-inlining
-    // lesson: the stats fold references the payload per PIXEL
+    // lesson: the stats fold references the payload per PIXEL.
+    // doc_id < 500 caps the gate corpus (the q_r3 rule): the per-byte
+    // construction folds are HOF-interpreted and grow with SF while the
+    // gate only needs correctness coverage — the OPERATOR's scale story
+    // is the kernel (linear in payload bytes, whole-stage codegen)
     val withPayload = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 500)
       .select(col("doc_id"), unhex(pngHex).as("payload"))
       .localCheckpoint(true) // ≤500 rows × ≤900 B — trivial residency
     withPayload
@@ -1367,7 +1372,11 @@ object MultimodalQueries extends QueryGroup {
     * zone twin (q_st27), which maps it per micro-batch.
     */
   private[queries] def pngAHashFrame(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // doc_id < 500 caps the gate corpus (the q_r3 rule — the dual PNG
+    // construction is HOF-interpreted per byte); applied INSIDE the
+    // shared frame so batch gate, streaming twin, and oracle agree
+    val docs = docs0.filter(col("doc_id") < 500)
     val w = (col("doc_id") % 6 + 4).cast("bigint")
     val h = (col("doc_id") % 5 + 3).cast("bigint")
     val seed = (col("doc_id") % 251).cast("bigint")
@@ -1412,7 +1421,7 @@ object MultimodalQueries extends QueryGroup {
       |         doc_id % 251 AS seed,
       |         (doc_id % 6 = 0) AS blank,
       |         (doc_id % 9 <> 0) AS ok
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < 500),
       |lum AS (
       |  SELECT s.doc_id, u.k,
       |         1000 * (CASE WHEN s.blank THEN s.seed
