@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -631,5 +631,64 @@ object DataProfile {
           (col("n").cast("double") - exp) * (col("n").cast("double") - exp) / exp
         }, 6).as("chi2_contrib"))
       .orderBy("digit")
+  }
+
+  /** Hill tail-index estimator (Hill 1975 — the extreme-value screen
+    * next to [[benfordReport]]: does this column's upper tail look
+    * Pareto, and how heavy?): over the top k+1 POSITIVE order
+    * statistics x₍₁₎ ≥ … ≥ x₍ₖ₊₁₎ per group,
+    * H = (1/k)·Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎) and tail index α = 1/H. Small α
+    * (≈ ≤ 2) says the tail is heavy enough that means/variances of the
+    * column are unstable — the "is an average even meaningful" audit.
+    *
+    * Determinism contract: the order statistics come from the
+    * bounded-heap [[graft.expressions.TopKScoreId]] under
+    * (value DESC, id ASC) — map-side O(log k) updates, ≤ k+1-entry
+    * partial buffers, NO per-group sort of the full column; each ln
+    * term is rounded to 9 decimals and summed as exact DECIMAL, so H/α
+    * are partition-order-proof and engine-replayable (H and α divide
+    * the same exact sum — one IEEE op each). Groups with fewer than
+    * k+1 positive rows are omitted (no tail to estimate).
+    */
+  def hillTailIndex(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.graft.bridge
+    val pos = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+    val topAgg = bridge.column(
+      graft.expressions.TopKScoreId(
+        bridge.expression(col(valueCol).cast("double")),
+        bridge.expression(idCol.cast("bigint")),
+        k + 1).toAggregateExpression())
+    val grouped = pos.groupBy(groupCols.map(col): _*)
+      .agg(topAgg.as("__top"), count(lit(1)).cast("bigint").as("n_pos"))
+      .filter(size(col("__top")) === k + 1)
+    val stats = graft.functions.hof.bind(col("__top")) { t =>
+      graft.functions.hof.bind(
+        element_at(t, k + 1).getField("score")) { xk1 =>
+        val termSum = aggregate(
+          transform(slice(t, 1, k), e =>
+            round(log(e.getField("score") / xk1), 9).cast("decimal(18,9)")),
+          lit(0).cast("decimal(28,9)"),
+          (a, b) => (a + b).cast("decimal(28,9)"))
+        graft.functions.hof.bind(termSum.cast("double")) { sd =>
+          struct(
+            xk1.as("x_k1"),
+            round(sd / k, 6).as("hill_h"),
+            round(lit(k.toDouble) / sd, 6).as("tail_alpha"))
+        }
+      }
+    }
+    grouped.select(
+      (groupCols.map(col) :+ col("n_pos") :+ stats.as("__s")): _*)
+      .select(
+        (groupCols.map(col) :+ col("n_pos") :+
+          col("__s.x_k1").as("x_k1") :+
+          col("__s.hill_h").as("hill_h") :+
+          col("__s.tail_alpha").as("tail_alpha")): _*)
   }
 }

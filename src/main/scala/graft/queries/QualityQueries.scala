@@ -981,8 +981,45 @@ object QualityQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  // Hill tail-index estimator (DataProfile.hillTailIndex, Hill 1975):
+  // the extreme-value audit next to Benford — is the column's upper
+  // tail Pareto-heavy enough that means are unstable? Order statistics
+  // via the bounded-heap TopKScoreId (map-side, no per-group sort);
+  // each ln term rounded to 9 decimals and summed as exact DECIMAL so
+  // H and α are partition-order-proof; the oracle replays the rank
+  // window, the identical term rounding, and the same two IEEE
+  // divisions of the exact sum.
+  private val qQ21 = Q(
+    "q_q21_hill_tail",
+    """WITH pos AS (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+      |         l_orderkey * 8 + l_linenumber AS id
+      |  FROM lineitem WHERE l_extendedprice > 0),
+      |r AS (
+      |  SELECT g, v,
+      |         row_number() OVER (PARTITION BY g ORDER BY v DESC, id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY g) AS np
+      |  FROM pos),
+      |k1 AS (SELECT g, v AS xk1, np FROM r WHERE rn = 101),
+      |t AS (
+      |  SELECT r.g, CAST(round(ln(r.v / k1.xk1), 9) AS DECIMAL(18,9)) AS term
+      |  FROM r JOIN k1 USING (g) WHERE r.rn <= 100),
+      |ag AS (SELECT g, sum(term) AS s FROM t GROUP BY 1)
+      |SELECT ag.g AS l_returnflag, CAST(k1.np AS BIGINT) AS n_pos,
+      |       k1.xk1 AS x_k1,
+      |       round(CAST(ag.s AS DOUBLE) / 100, 6) AS hill_h,
+      |       round(100.0 / CAST(ag.s AS DOUBLE), 6) AS tail_alpha
+      |FROM ag JOIN k1 USING (g)
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.DataProfile.hillTailIndex(
+      Tables.load(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_extendedprice",
+      col("l_orderkey") * 8 + col("l_linenumber"), k = 100)
+      .orderBy("l_returnflag")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
       qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16, qQ17, qQ18, qQ19,
-      qQ20)
+      qQ20, qQ21)
 }
