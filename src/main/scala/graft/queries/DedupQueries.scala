@@ -674,9 +674,9 @@ object DedupQueries extends QueryGroup {
   // detection (md5-60 of each 16-char window, mod 32), lag-window chunk
   // assembly, and chunk hashing verbatim. Engine-side REQUIRE pins
   // non-vacuity: the shared paragraph must surface as duplicated chunks.
-  private val sharedPara =
+  private[queries] val sharedPara =
     "the five boxing wizards jump quickly over content defined chunk boundaries "
-  private val qD19 = Q(
+  private[queries] val qD19 = Q(
     "q_d19_cdc_chunk_dedup",
     s"""WITH src AS (
        |  SELECT doc_id,

@@ -620,8 +620,42 @@ object StreamingQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Streaming CONTENT-DEFINED CHUNKING at the landing zone
+  // (CorpusStream.transformAvailableNow + Chunking.cdcChunks): chunk
+  // inventories computed per micro-batch as documents arrive — the
+  // storage-dedup posture, where shifted re-uploads dedup against chunks
+  // already landed. Chunking is row-local (boundaries depend only on a
+  // 16-char window), so the union of per-batch chunk frames equals the
+  // batch pass exactly, and the cross-doc duplicated-chunk aggregate on
+  // top is the same one shuffle; the oracle is q_d19's verbatim.
+  private val qSt28 = Q(
+    "q_st28_stream_cdc_chunks",
+    DedupQueries.qD19.oracle.get) { (s, dir) =>
+    import org.apache.spark.sql.functions.{col, concat, count, countDistinct, lit}
+    val chunked = graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch =>
+        val txt = concat(
+          col("text").substr(lit(1), (col("doc_id") % 37 + 10).cast("int")),
+          lit(DedupQueries.sharedPara * 8),
+          col("text").substr(lit(50), lit(150)))
+        graft.operators.Chunking.cdcChunks(
+          batch.filter(col("doc_id") < 1000)
+            .select(col("doc_id"), txt.as("txt")),
+          "doc_id", "txt", window = 16, modulus = 32)
+    }
+    chunked
+      .groupBy("chunk_hash", "len")
+      .agg(
+        countDistinct("doc_id").cast("bigint").as("n_docs"),
+        count(lit(1)).cast("bigint").as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .select(col("chunk_hash"), col("len").cast("bigint").as("len"),
+        col("n_docs"), col("n_occ"))
+      .orderBy("chunk_hash")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24, qSt25, qSt26, qSt27)
+      qSt24, qSt25, qSt26, qSt27, qSt28)
 }
