@@ -654,8 +654,51 @@ object StreamingQueries extends QueryGroup {
       .orderBy("chunk_hash")
   }
 
+  // Streaming MERGEABLE quantile sketch: each micro-batch reduces to its
+  // own bottom-k-by-hash sample (the landing zone ships ≤ k rows per
+  // group per batch, NOT the batch), and the final pass re-sketches the
+  // union — bottom-k(∪ batch bottom-ks) = bottom-k(all) is the KMV merge
+  // law, operationalized: the streamed estimate must equal the batch
+  // sketch EXACTLY, and the oracle ranks the whole corpus by the same
+  // portable hash. This is what "mergeable" buys at 100 TB: per-executor
+  // partial sketches, k-row shuffles, one tiny final merge.
+  private val qSt29 = Q(
+    "q_st29_stream_quantile_sketch",
+    """WITH h AS (
+      |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v,
+      |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+      |  FROM documents),
+      |r AS (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY hk, v) AS rn
+      |  FROM h)
+      |SELECT g AS lang, CAST(count(*) AS BIGINT) AS sample_size,
+      |       quantile_cont(v, 0.5) AS q_50,
+      |       quantile_cont(v, 0.9) AS q_90
+      |FROM r WHERE rn <= 64
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions.{col, explode}
+    val perBatchSamples = graft.streaming.CorpusStream
+      .transformAvailableNow(s, dir, shards = 3) { batch =>
+        batch.groupBy("lang")
+          .agg(org.apache.spark.sql.graft.bridge.column(
+            graft.expressions.BottomKSample(
+              org.apache.spark.sql.graft.bridge.expression(
+                graft.functions.Hashing.md5Hash60(col("doc_id").cast("string"))),
+              org.apache.spark.sql.graft.bridge.expression(
+                col("n_chars").cast("double")),
+              64).toAggregateExpression()).as("s"))
+          .select(col("lang"), explode(col("s")).as("e"))
+          .select(col("lang"), col("e.hk").as("hk"), col("e.value").as("v"))
+      }
+    graft.operators.QuantileSketch.bottomKQuantiles(
+      perBatchSamples, Seq("lang"), col("hk"), col("v"),
+      k = 64, quantiles = Seq(0.5, 0.9))
+      .select("lang", "sample_size", "q_50", "q_90")
+      .orderBy("lang")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24, qSt25, qSt26, qSt27, qSt28)
+      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29)
 }
