@@ -56,14 +56,16 @@ case class ZlibInflate(child: Expression, maxBytes: Int)
   * the full five-filter scanline reconstruction (None/Sub/Up/Average/
   * Paeth, RFC 2083 §6) — returning the raw pixel bytes row-major with
   * channels interleaved (G / GA / RGB / RGBA byte order), or NULL when
-  * the payload is not a well-formed 8-bit non-interlaced PNG of a
-  * supported color type, the pixel count exceeds `maxPixels`, or the
-  * compressed stream is corrupt.
+  * the payload is not a well-formed 8-bit PNG of a supported color
+  * type, the pixel count exceeds `maxPixels`, or the compressed stream
+  * is corrupt. BOTH interlace modes decode: sequential and Adam7
+  * (seven filtered sub-images scattered onto the canvas grid,
+  * spec-pinned against the JDK encoder's progressive output).
   *
   * Scope contract (documented, spec-pinned): bit depth 8; color types
-  * 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); interlace 0. Palette
-  * (type 3) and sub-byte depths stay NULL — the indexed/packed layouts
-  * serve icons, not the photographic corpus this curates. Chunk CRCs
+  * 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA). Palette (type 3) and
+  * sub-byte depths stay NULL — the indexed/packed layouts serve icons,
+  * not the photographic corpus this curates. Chunk CRCs
   * are NOT verified: integrity rides the zlib adler-32 over the
   * decompressed bytes, which IS verified (the libspng/stb "skip CRC"
   * fast path); a flipped payload byte still fails loudly as NULL.
@@ -223,18 +225,33 @@ object PngCodec {
     if (width < 1 || height < 1 ||
       width > Int.MaxValue || height > Int.MaxValue ||
       width * height > maxPixels.toLong) return null
-    if (bitDepth != 8 || interlace != 0) return null
+    if (bitDepth != 8 || (interlace != 0 && interlace != 1)) return null
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case _ => return null // palette / invalid
     }
-    val rowBytes = width.toInt * channels
-    val expected = height.toInt * (1 + rowBytes)
+    val w = width.toInt; val h = height.toInt
+    val rowBytes = w * channels
+    // Adam7 passes contribute independent sub-images, each with its own
+    // filtered scanlines; pass p covers x = xs + i·xstep, y = ys + j·ystep
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (xs, ys, xst, yst) = p
+      (math.max(0, (w - xs + xst - 1) / xst), math.max(0, (h - ys + yst - 1) / yst))
+    }
+    val expected = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0 else ph * (1 + pw * channels)
+    }.sum
+    if (expected == 0) return null
     if (idatTotal > Int.MaxValue) return null
 
     // second pass: copy the IDAT payloads back to back
     val idat = new Array[Byte](idatTotal.toInt)
-    var w = 0
+    var copied = 0
     pos = 8
     var stop = false
     while (!stop && pos + 8 <= png.length) {
@@ -242,8 +259,8 @@ object PngCodec {
       val t0 = png(pos + 4); val t1 = png(pos + 5)
       val t2 = png(pos + 6); val t3 = png(pos + 7)
       if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
-        System.arraycopy(png, pos + 8, idat, w, clen)
-        w += clen
+        System.arraycopy(png, pos + 8, idat, copied, clen)
+        copied += clen
       } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') stop = true
       pos += 12 + clen
     }
@@ -251,56 +268,95 @@ object PngCodec {
     val raw = inflateExact(idat, expected)
     if (raw == null) return null
 
-    // ---- scanline reconstruction (RFC 2083 §6.2–6.6) ----
-    val px = new Array[Byte](height.toInt * rowBytes)
+    // ---- scanline reconstruction (RFC 2083 §6.2–6.6), per pass ----
+    val px = new Array[Byte](h * rowBytes)
     val bpp = channels
+    var rawOff = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (xs, ys, xst, yst) = passes(pi)
+      val (pw, ph) = passDims(passes(pi))
+      if (pw > 0 && ph > 0) {
+        val prb = pw * bpp
+        val pass = new Array[Byte](ph * prb)
+        if (unfilterInto(raw, rawOff, pass, ph, prb, bpp) == null) return null
+        rawOff += ph * (1 + prb)
+        // scatter the sub-image onto the canvas grid
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            val dst = ((ys + j * yst) * w + (xs + i * xst)) * bpp
+            var c = 0
+            while (c < bpp) {
+              px(dst + c) = pass((j * pw + i) * bpp + c)
+              c += 1
+            }
+            i += 1
+          }
+          j += 1
+        }
+      }
+      pi += 1
+    }
+    px
+  }
+
+  /** Reconstruct `nRows` filtered scanlines of `rowBytes` bytes starting
+    * at `raw(off)` into `out` (a standalone sub-image: the Up/Paeth
+    * "previous row" is all-zero for its first row). Returns `out`, or
+    * null on an undefined filter type.
+    */
+  private def unfilterInto(
+      raw: Array[Byte], off: Int, out: Array[Byte],
+      nRows: Int, rowBytes: Int, bpp: Int): Array[Byte] = {
     var y = 0
-    while (y < height.toInt) {
-      val ft = raw(y * (1 + rowBytes)) & 0xff
-      val src = y * (1 + rowBytes) + 1
+    while (y < nRows) {
+      val ft = raw(off + y * (1 + rowBytes)) & 0xff
+      val src = off + y * (1 + rowBytes) + 1
       val dst = y * rowBytes
       ft match {
         case 0 =>
-          System.arraycopy(raw, src, px, dst, rowBytes)
+          System.arraycopy(raw, src, out, dst, rowBytes)
         case 1 => // Sub
           var x = 0
           while (x < rowBytes) {
-            val a = if (x >= bpp) px(dst + x - bpp) & 0xff else 0
-            px(dst + x) = ((raw(src + x) & 0xff) + a).toByte
+            val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+            out(dst + x) = ((raw(src + x) & 0xff) + a).toByte
             x += 1
           }
         case 2 => // Up
           var x = 0
           while (x < rowBytes) {
-            val b = if (y > 0) px(dst - rowBytes + x) & 0xff else 0
-            px(dst + x) = ((raw(src + x) & 0xff) + b).toByte
+            val b = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
+            out(dst + x) = ((raw(src + x) & 0xff) + b).toByte
             x += 1
           }
         case 3 => // Average
           var x = 0
           while (x < rowBytes) {
-            val a = if (x >= bpp) px(dst + x - bpp) & 0xff else 0
-            val b = if (y > 0) px(dst - rowBytes + x) & 0xff else 0
-            px(dst + x) = ((raw(src + x) & 0xff) + ((a + b) >> 1)).toByte
+            val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+            val b = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
+            out(dst + x) = ((raw(src + x) & 0xff) + ((a + b) >> 1)).toByte
             x += 1
           }
         case 4 => // Paeth
           var x = 0
           while (x < rowBytes) {
-            val a = if (x >= bpp) px(dst + x - bpp) & 0xff else 0
-            val b = if (y > 0) px(dst - rowBytes + x) & 0xff else 0
-            val c = if (x >= bpp && y > 0) px(dst - rowBytes + x - bpp) & 0xff else 0
+            val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+            val b = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
+            val c = if (x >= bpp && y > 0) out(dst - rowBytes + x - bpp) & 0xff else 0
             val p = a + b - c
             val pa = math.abs(p - a); val pb = math.abs(p - b)
             val pc = math.abs(p - c)
             val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-            px(dst + x) = ((raw(src + x) & 0xff) + pred).toByte
+            out(dst + x) = ((raw(src + x) & 0xff) + pred).toByte
             x += 1
           }
         case _ => return null // undefined filter type
       }
       y += 1
     }
-    px
+    out
   }
 }

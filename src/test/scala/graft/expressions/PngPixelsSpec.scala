@@ -169,6 +169,57 @@ class PngPixelsSpec extends SparkSpec {
         grayImg.getRaster.getSample(x, y, 0), s"gray($x,$y)")
   }
 
+  test("Adam7 interlaced PNGs decode: the JDK progressive encoder round-trips") {
+    import javax.imageio.{IIOImage, ImageWriteParam}
+    import javax.imageio.stream.MemoryCacheImageOutputStream
+    def progressive(w: Int, h: Int, imgType: Int): (Array[Byte], BufferedImage) = {
+      val img = new BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 2654435761L + y * 40503L + 0x123456).toInt)
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT) // Adam7
+      val bos = new ByteArrayOutputStream()
+      val mos = new MemoryCacheImageOutputStream(bos)
+      writer.setOutput(mos)
+      writer.write(null, new IIOImage(img, null, null), param)
+      mos.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      assert((bytes(8 + 8 + 12) & 0xff) === 1, "interlace flag actually set")
+      (bytes, img)
+    }
+    // dims chosen so several passes are non-trivial AND several are
+    // empty-in-one-dimension (w or h below a pass's start offset)
+    for ((w, h) <- Seq((23, 17), (8, 8), (5, 3), (1, 1), (2, 9))) {
+      val (png, img) = progressive(w, h, BufferedImage.TYPE_INT_RGB)
+      val got = decode(png)
+      assert(got != null, s"progressive ${w}x$h decodes")
+      assert(got.length === w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val base = (y * w + x) * 3
+        assert((got(base) & 0xff) === ((argb >> 16) & 0xff), s"R($x,$y) ${w}x$h")
+        assert((got(base + 1) & 0xff) === ((argb >> 8) & 0xff), s"G($x,$y) ${w}x$h")
+        assert((got(base + 2) & 0xff) === (argb & 0xff), s"B($x,$y) ${w}x$h")
+      }
+    }
+    // gray + alpha-carrying types through the interlaced path too
+    val (gp, gi) = progressive(9, 6, BufferedImage.TYPE_BYTE_GRAY)
+    val gotG = decode(gp)
+    assert(gotG != null && gotG.length === 9 * 6)
+    for (y <- 0 until 6; x <- 0 until 9)
+      assert((gotG(y * 9 + x) & 0xff) === gi.getRaster.getSample(x, y, 0))
+    val (ap, ai) = progressive(7, 5, BufferedImage.TYPE_INT_ARGB)
+    val gotA = decode(ap)
+    assert(gotA != null && gotA.length === 7 * 5 * 4)
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val argb = ai.getRGB(x, y)
+      val base = (y * 7 + x) * 4
+      assert((gotA(base) & 0xff) === ((argb >> 16) & 0xff))
+      assert((gotA(base + 3) & 0xff) === ((argb >>> 24) & 0xff), "alpha")
+    }
+  }
+
   test("malformed payloads fail as NULL, never crash") {
     val p = pix(4, 4, 3)((x, y, c) => (x + y + c) % 256)
     val good = makePng(4, 4, 2, p, filters = Seq(1))
@@ -190,7 +241,10 @@ class PngPixelsSpec extends SparkSpec {
     // interlaced / palette / 16-bit / bad signature / oversized
     def mutate(i: Int, v: Byte): Array[Byte] = {
       val c = good.clone(); c(i) = v; c }
-    assert(decode(mutate(8 + 8 + 12, 1)) == null, "interlace flag")
+    // interlace=1 over SEQUENTIAL scanline data: the Adam7 pass layout
+    // expects a different byte total, so the exact-size inflate rejects
+    assert(decode(mutate(8 + 8 + 12, 1)) == null, "interlace flag on sequential data")
+    assert(decode(mutate(8 + 8 + 12, 2)) == null, "undefined interlace mode")
     assert(decode(mutate(8 + 8 + 9, 3)) == null, "palette color type")
     assert(decode(mutate(8 + 8 + 8, 16)) == null, "16-bit depth")
     assert(decode(mutate(0, 0x47)) == null, "bad signature")
