@@ -33,7 +33,11 @@ object Explain {
     "q_e10_rolling_anomaly",  // per-key windows only — no global sort except output
     "q_v16_hard_triplets",    // block-pair shuffle + one two-heap hash agg
     "q_q15_mutual_information", // one contingency aggregate; windows on cells only
-    "q_c14_classifier_eval")  // distinct-score reduction before any window
+    "q_c14_classifier_eval",  // distinct-score reduction before any window
+    "q_q20_bottomk_quantiles", // partial_bottom_k_sample BEFORE the Exchange —
+                               // only ≤k-entry sketch buffers shuffle
+    "q_m16_png_pixel_stats",  // one kernel call per row; stats fold scan-side
+    "q_g24_deepwalk")         // per-step (node,rank) hash joins, no expansion
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
