@@ -1018,8 +1018,64 @@ object QualityQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  // HyperLogLog distinct sketch (operators.HyperLogLog, Flajolet et al.
+  // 2007): the CARDINALITY sketch next to the bottom-k quantile sketch —
+  // per-group register frames of 2^p integers that combine map-side and
+  // merge by bucket-wise max. Engine-exact replay: the portable md5-60
+  // hash reproduces every register in DuckDB; the harmonic sum is the
+  // EXACT scaled integer Σ 2^(r0−M_j) (every term an integer, m·2^r0 =
+  // 2^61 fits BIGINT), so the estimate is one double division of exact
+  // integers + the fixed small-range branch. bin()-string bit length is
+  // used on both sides because floor(log2)+1 mis-rounds just below
+  // large powers of two. The gate also joins the EXACT distinct count
+  // (affordable at gate scale) so the row itself shows the error the
+  // spec bounds at 3σ = 3·1.04/√512.
+  private val qQ22 = Q(
+    "q_q22_hll_distinct",
+    """WITH h AS (
+      |  SELECT l_returnflag AS g,
+      |         ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hk
+      |  FROM lineitem),
+      |reg AS (
+      |  SELECT g, hk & 511 AS bucket,
+      |         max(51 - length(ltrim(bin(hk >> 9), '0')) + 1) AS r
+      |  FROM h GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS nb,
+      |         CAST(sum(1::BIGINT << CAST(52 - r AS INTEGER)) AS BIGINT) AS sp
+      |  FROM reg GROUP BY 1),
+      |est AS (
+      |  SELECT g, CAST(512 - nb AS BIGINT) AS n_zero,
+      |         CAST(sp + (512 - nb) * (1::BIGINT << 52) AS BIGINT) AS s_scaled
+      |  FROM ag),
+      |fin AS (
+      |  SELECT g, n_zero, s_scaled,
+      |         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE)))
+      |           * CAST(512 AS DOUBLE) * CAST(512 AS DOUBLE)
+      |           * CAST(1::BIGINT << 52 AS DOUBLE) / CAST(s_scaled AS DOUBLE) AS e_raw
+      |  FROM est),
+      |ex AS (SELECT l_returnflag AS g, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_exact
+      |       FROM lineitem GROUP BY 1)
+      |SELECT fin.g AS l_returnflag, CAST(512 AS INTEGER) AS m, fin.n_zero, fin.s_scaled,
+      |       round(CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * CAST(512 AS DOUBLE) AND fin.n_zero > 0
+      |                  THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE) / CAST(fin.n_zero AS DOUBLE))
+      |                  ELSE e_raw END, 6) AS nd_estimate,
+      |       ex.nd_exact
+      |FROM fin JOIN ex ON fin.g = ex.g
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val sketch = graft.operators.HyperLogLog.distinctSketch(
+      li.select(col("l_returnflag"), col("l_orderkey")),
+      Seq("l_returnflag"),
+      graft.functions.Hashing.md5Hash60(col("l_orderkey").cast("string")),
+      p = 9)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").cast("bigint").as("nd_exact"))
+    sketch.join(exact, "l_returnflag").orderBy("l_returnflag")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
       qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16, qQ17, qQ18, qQ19,
-      qQ20, qQ21)
+      qQ20, qQ21, qQ22)
 }

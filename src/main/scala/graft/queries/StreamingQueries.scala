@@ -697,8 +697,60 @@ object StreamingQueries extends QueryGroup {
       .orderBy("lang")
   }
 
+  // Streaming MERGEABLE HyperLogLog: each micro-batch reduces to its own
+  // ≤ 2^p-row register frame (the landing zone ships registers, not
+  // rows), and the final pass max-merges — registers(∪ batches) =
+  // bucket-max(per-batch registers) is the HLL merge law, so the
+  // streamed estimate equals the batch sketch EXACTLY and the oracle
+  // (the q_q22 replay over documents) verifies it bit-for-bit. The
+  // 100 TB posture: per-executor partial registers, 2^p-row shuffles,
+  // one tiny final merge — cardinality tracking that never re-reads
+  // the corpus.
+  private val qSt30 = Q(
+    "q_st30_stream_hll_distinct",
+    """WITH h AS (
+      |  SELECT lang AS g,
+      |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+      |  FROM documents),
+      |reg AS (
+      |  SELECT g, hk & 511 AS bucket,
+      |         max(51 - length(ltrim(bin(hk >> 9), '0')) + 1) AS r
+      |  FROM h GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS nb,
+      |         CAST(sum(1::BIGINT << CAST(52 - r AS INTEGER)) AS BIGINT) AS sp
+      |  FROM reg GROUP BY 1),
+      |est AS (
+      |  SELECT g, CAST(512 - nb AS BIGINT) AS n_zero,
+      |         CAST(sp + (512 - nb) * (1::BIGINT << 52) AS BIGINT) AS s_scaled
+      |  FROM ag),
+      |fin AS (
+      |  SELECT g, n_zero, s_scaled,
+      |         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE)))
+      |           * CAST(512 AS DOUBLE) * CAST(512 AS DOUBLE)
+      |           * CAST(1::BIGINT << 52 AS DOUBLE) / CAST(s_scaled AS DOUBLE) AS e_raw
+      |  FROM est)
+      |SELECT g AS lang, CAST(512 AS INTEGER) AS m, n_zero, s_scaled,
+      |       round(CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * CAST(512 AS DOUBLE) AND n_zero > 0
+      |                  THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE) / CAST(n_zero AS DOUBLE))
+      |                  ELSE e_raw END, 6) AS nd_estimate
+      |FROM fin ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions.col
+    val perBatchRegs = graft.streaming.CorpusStream
+      .transformAvailableNow(s, dir, shards = 3) { batch =>
+        graft.operators.HyperLogLog.registers(
+          batch.select(col("lang"), col("doc_id")),
+          Seq("lang"),
+          graft.functions.Hashing.md5Hash60(col("doc_id").cast("string")),
+          p = 9)
+      }
+    val merged = graft.operators.HyperLogLog.mergeRegisters(Seq("lang"), perBatchRegs)
+    graft.operators.HyperLogLog.estimateFromRegisters(merged, Seq("lang"), p = 9)
+      .orderBy("lang")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29)
+      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30)
 }
