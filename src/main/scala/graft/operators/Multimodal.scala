@@ -362,6 +362,220 @@ object Multimodal {
       .otherwise(lit(null).cast("int"))
   }
 
+  /** REAL TIFF (TIFF 6.0) header decode — the SEVENTH container format,
+    * and the one whose structure the EXIF machinery already speaks: a
+    * standalone TIFF is the byte-order mark (`II`/`MM`) + magic 42 + a
+    * u32 offset to IFD0, whose 12-byte entries carry the image facts as
+    * (tag, type, count, value-or-offset) records — exactly the IFD the
+    * q_m15 APP1 walk scans, minus the JPEG wrapping. One `aggregate`
+    * fold over IFD0 accumulates the five curation-relevant tags in a
+    * single pass (the orientation-fold discipline, generalized to a
+    * multi-field accumulator):
+    * 0x0100 ImageWidth / 0x0101 ImageLength (SHORT or LONG, inline),
+    * 0x0102 BitsPerSample (inline when count 1; count 3 = RGB stores an
+    * OFFSET to three u16s — the decoder follows it for the first
+    * sample, one bounded read), 0x0103 Compression and 0x0115
+    * SamplesPerPixel (SHORT inline). Endianness is selected PER ROW
+    * from the byte-order mark, the q_m15 lesson.
+    *
+    * Returns `(byte_order, n_entries, width, height, bits_per_sample,
+    * compression, samples_per_pixel)`; NULL when not a structurally
+    * valid TIFF: wrong mark/magic, zero entries, or an entry table
+    * running past EOF. Tags absent from a valid IFD yield NULL fields,
+    * not a NULL row — partial metadata is still metadata. Pure codegen
+    * byte-slice built-ins, zero UDF, zero shuffle.
+    */
+  def decodeTiffMeta(payload: Column, maxIfdEntries: Int = 24): Column = {
+    def be16(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(2))), 16, 10).cast("bigint")
+    def le16(pos: Column): Column =
+      conv(concat(hex(substring(payload, pos + 1, lit(1))),
+        hex(substring(payload, pos, lit(1)))), 16, 10).cast("bigint")
+    def be32(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(4))), 16, 10).cast("bigint")
+    def le32(pos: Column): Column =
+      conv(concat(
+        hex(substring(payload, pos + 3, lit(1))),
+        hex(substring(payload, pos + 2, lit(1))),
+        hex(substring(payload, pos + 1, lit(1))),
+        hex(substring(payload, pos, lit(1)))), 16, 10).cast("bigint")
+
+    val order = hex(substring(payload, 1, 2))
+    val isLe = order === lit("4949")
+    val magicOk = (isLe && le16(lit(3)) === 42L) ||
+      (order === lit("4D4D") && be16(lit(3)) === 42L)
+    def u16(pos: Column): Column = when(isLe, le16(pos)).otherwise(be16(pos))
+    def u32(pos: Column): Column = when(isLe, le32(pos)).otherwise(be32(pos))
+
+    val nullB = lit(null).cast("bigint")
+    def tags(w: Column, h: Column, bps: Column, comp: Column, spp: Column): Column =
+      struct(w.as("w"), h.as("h"), bps.as("bps"), comp.as("comp"), spp.as("spp"))
+
+    val out = graft.functions.hof.bind(struct(
+      (u32(lit(5)) + 1L).as("ifd0"),
+      u16(u32(lit(5)) + 1L).as("n"),
+      isLe.as("le"))) { c =>
+      val ifd = c.getField("ifd0")
+      val n = c.getField("n")
+      def u16i(pos: Column): Column =
+        when(c.getField("le"), le16(pos)).otherwise(be16(pos))
+      def u32i(pos: Column): Column =
+        when(c.getField("le"), le32(pos)).otherwise(be32(pos))
+      val found = aggregate(
+        sequence(lit(0), lit(maxIfdEntries - 1)),
+        tags(nullB, nullB, nullB, nullB, nullB),
+        (acc, i) => {
+          val e = ifd + 2L + i.cast("bigint") * 12L
+          val tag = u16i(e)
+          val typ = u16i(e + 2)
+          val cnt = u32i(e + 4)
+          // SHORT inline / LONG inline; SHORT count-3 (RGB bps) follows
+          // the offset for the first sample — one bounded read
+          val inline = when(typ === 3L && cnt === 1L, u16i(e + 8))
+            .when(typ === 4L && cnt === 1L, u32i(e + 8))
+          val bpsVal = when(typ === 3L && cnt === 1L, u16i(e + 8))
+            .when(typ === 3L && cnt === 3L, u16i(u32i(e + 8) + 1L))
+          val live = i.cast("bigint") < n
+          tags(
+            when(live && tag === 256L && acc.getField("w").isNull, inline)
+              .otherwise(acc.getField("w")),
+            when(live && tag === 257L && acc.getField("h").isNull, inline)
+              .otherwise(acc.getField("h")),
+            when(live && tag === 258L && acc.getField("bps").isNull, bpsVal)
+              .otherwise(acc.getField("bps")),
+            when(live && tag === 259L && acc.getField("comp").isNull, inline)
+              .otherwise(acc.getField("comp")),
+            when(live && tag === 277L && acc.getField("spp").isNull, inline)
+              .otherwise(acc.getField("spp")))
+        })
+      graft.functions.hof.bind(found) { f =>
+        val ok = magicOk && n >= 1L &&
+          ifd + 1L + n * 12L <= length(payload).cast("bigint")
+        when(ok, struct(
+          when(isLe, lit("II")).otherwise(lit("MM")).as("byte_order"),
+          n.cast("int").as("n_entries"),
+          f.getField("w").as("width"),
+          f.getField("h").as("height"),
+          f.getField("bps").cast("int").as("bits_per_sample"),
+          f.getField("comp").cast("int").as("compression"),
+          f.getField("spp").cast("int").as("samples_per_pixel")))
+      }
+    }
+    when(payload.isNotNull && length(payload) >= 8, out)
+  }
+
+  /** REAL MP3 / MPEG-audio frame-header decode (ISO 11172-3 / 13818-3)
+    * — the compressed-audio container next to WAV's PCM and FLAC's
+    * STREAMINFO: an MP3 is an optional ID3v2 tag (10-byte header + a
+    * SYNCSAFE 28-bit size — 7 data bits per byte, the decoder
+    * reassembles them) followed by frames whose 4-byte header packs
+    * everything curation needs in BIT FIELDS: 11-bit sync, 2-bit
+    * version (MPEG1/2/2.5 — value 1 reserved), 2-bit layer (I/II/III —
+    * 0 reserved), 4-bit bitrate INDEX and 2-bit sample-rate index into
+    * version/layer-dependent tables, padding bit, 2-bit channel mode.
+    * The decoder skips the ID3 tag, validates the first frame header,
+    * resolves the table lookups (arrays with CLAMPED element_at — an
+    * out-of-range index under ANSI would throw even from a dead branch
+    * if a subexpression pass hoisted it, the q_m16 lesson), and derives
+    * frame_bytes, samples_per_frame, and the CBR duration estimate
+    * (audio_bytes·8000 / bitrate_bps, exact integer division) — the
+    * cuts an audio-corpus curation pass actually makes.
+    *
+    * Returns `(id3_size, version_id, layer, bitrate_kbps, sample_rate,
+    * channels, padding, frame_bytes, samples_per_frame,
+    * est_duration_ms)`; NULL when the first post-tag header is not a
+    * valid frame: bad sync, reserved version/layer, free (0) or bad
+    * (15) bitrate index, reserved sample-rate index, or a file too
+    * short to hold the header. `version_id` is 10·MPEG-version (10/20/
+    * 25) to stay integral. VBR files carry a correct FIRST frame and a
+    * wrong duration estimate — the documented CBR contract (a Xing
+    * header walk is the natural extension). Pure codegen byte-slice
+    * built-ins, zero UDF, zero shuffle.
+    */
+  def decodeMp3Meta(payload: Column): Column = {
+    def byteAt(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(1))), 16, 10).cast("bigint")
+    val plen = length(payload).cast("bigint")
+
+    val hasId3 = length(payload) >= 10 &&
+      substring(payload, 1, 3) === lit("ID3").cast("binary")
+    // syncsafe 28-bit size: 7 data bits per byte, MSB first
+    val id3Size = when(hasId3,
+      lit(10L) + byteAt(lit(7)).bitwiseAND(lit(127L)) * 2097152L +
+        byteAt(lit(8)).bitwiseAND(lit(127L)) * 16384L +
+        byteAt(lit(9)).bitwiseAND(lit(127L)) * 128L +
+        byteAt(lit(10)).bitwiseAND(lit(127L)))
+      .otherwise(lit(0L))
+
+    val out = graft.functions.hof.bind(id3Size) { tag =>
+      val h = tag + 1L // 1-based header position
+      val b1 = byteAt(h)
+      val b2 = byteAt(h + 1L)
+      val b3 = byteAt(h + 2L)
+      val b4 = byteAt(h + 3L)
+      val ver = shiftright(b2.cast("int"), 3).cast("bigint").bitwiseAND(lit(3L))
+      val lay = shiftright(b2.cast("int"), 1).cast("bigint").bitwiseAND(lit(3L))
+      val brIdx = shiftright(b3.cast("int"), 4).cast("bigint").bitwiseAND(lit(15L))
+      val srIdx = shiftright(b3.cast("int"), 2).cast("bigint").bitwiseAND(lit(3L))
+      val pad = shiftright(b3.cast("int"), 1).cast("bigint").bitwiseAND(lit(1L))
+      val mode = shiftright(b4.cast("int"), 6).cast("bigint").bitwiseAND(lit(3L))
+      val syncOk = b1 === 255L && b2.bitwiseAND(lit(224L)) === 224L
+      val ok = plen >= tag + 4L && syncOk &&
+        ver =!= 1L && lay =!= 0L && brIdx =!= 0L && brIdx =!= 15L && srIdx =!= 3L
+
+      val isV1 = ver === 3L
+      val isL1 = lay === 3L
+      val isL2 = lay === 2L
+      def tab(vals: Int*): Column = array(vals.map(v => lit(v.toLong)): _*)
+      // clamped index: brIdx in [1,14] whenever ok; clamp anyway so the
+      // lookup can never throw from a speculatively-evaluated branch
+      val bi = greatest(least(brIdx, lit(14L)), lit(1L)).cast("int")
+      val bitrate =
+        when(isV1 && isL1, element_at(tab(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), bi))
+          .when(isV1 && isL2, element_at(tab(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384), bi))
+          .when(isV1, element_at(tab(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320), bi))
+          .when(isL1, element_at(tab(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256), bi))
+          .otherwise(element_at(tab(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160), bi))
+      val si = (srIdx.bitwiseAND(lit(3L)) + 1L).cast("int")
+      // 4th (reserved) slot repeats a real rate so no dead-branch
+      // division can ever see a zero denominator (ok is false there)
+      val sampleRate =
+        when(ver === 3L, element_at(tab(44100, 48000, 32000, 32000), si))
+          .when(ver === 2L, element_at(tab(22050, 24000, 16000, 16000), si))
+          .otherwise(element_at(tab(11025, 12000, 8000, 8000), si))
+      val samplesPerFrame =
+        when(isL1, lit(384L)).when(isL2, lit(1152L))
+          .when(isV1, lit(1152L)).otherwise(lit(576L))
+      // frame bytes: L1 in 4-byte slots; L2/L3 byte-granular; L3 on
+      // MPEG2/2.5 uses the 576-sample (72·br) size
+      val brBps = bitrate * 1000L
+      // exact floored integer division: (x − x%y) is divisible by y, so
+      // the double division is exact for integers < 2^53 (q_m14 rule)
+      def idiv(a: Column, b: Column): Column =
+        ((a - a % b) / b).cast("bigint")
+      val frameBytes =
+        when(isL1, (idiv(lit(12L) * brBps, sampleRate) + pad) * 4L)
+          .when(isL2 || isV1, idiv(lit(144L) * brBps, sampleRate) + pad)
+          .otherwise(idiv(lit(72L) * brBps, sampleRate) + pad)
+      val audioBytes = plen - tag
+      val durMs = idiv(audioBytes * 8L, brBps) * 1000L +
+        idiv((audioBytes * 8L % brBps) * 1000L, brBps)
+      when(ok, struct(
+        tag.as("id3_size"),
+        when(ver === 3L, lit(10)).when(ver === 2L, lit(20)).otherwise(lit(25))
+          .as("version_id"),
+        (lit(4L) - lay).cast("int").as("layer"),
+        bitrate.cast("int").as("bitrate_kbps"),
+        sampleRate.cast("int").as("sample_rate"),
+        when(mode === 3L, lit(1)).otherwise(lit(2)).as("channels"),
+        pad.cast("int").as("padding"),
+        frameBytes.cast("bigint").as("frame_bytes"),
+        samplesPerFrame.cast("int").as("samples_per_frame"),
+        durMs.cast("bigint").as("est_duration_ms")))
+    }
+    when(payload.isNotNull && length(payload) >= 4, out)
+  }
+
   /** REAL MP4 / ISO-BMFF (ISO 14496-12) metadata decode — the VIDEO
     * container next to the five image/audio formats: an MP4 is a chain
     * of boxes `[be32 size][4cc type][payload]`, with the movie header

@@ -828,4 +828,64 @@ object TimeSeries {
         (col("r3") - p21 * col("r2") - col("__p2") * col("r1")) /
           (lit(1) - p21 * col("r1") - col("__p2") * col("r2"))).as("pacf3"))
   }
+
+  /** Per-key THEIL–SEN robust trend (Theil 1950 / Sen 1968): slope =
+    * median of all pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j,
+    * intercept = median of y_i − slope·x_i — the breakdown-point-29%
+    * companion to [[trendSlope]]'s OLS line, unmoved by the outliers
+    * that drag covariance (the spec plants one 1000× spike: OLS slope
+    * explodes, Theil–Sen's doesn't move).
+    *
+    * Scale contract: the pair expansion is a per-key self-join —
+    * O(n_k²) pairs per key, where n_k is the SERIES length, bounded by
+    * the time window at any corpus size (a daily grain over a month is
+    * ≤ 435 pairs/key forever); total work grows linearly in #keys, the
+    * same asymptote as every other per-key window op here. Keys with
+    * < 2 distinct x have no pairs and emit NULL slope (the trendSlope
+    * convention). Equal-x pairs (infinite slope) are excluded by the
+    * strict x_i < x_j, the standard Theil–Sen convention.
+    *
+    * Replayability: `xCol` must be an exact integer (epoch days, row
+    * index), so each pairwise slope is ONE double division of exact
+    * values, rounded to 9 decimals; the median is the built-in
+    * `percentile` ≡ DuckDB quantile_cont (the probed-identical (n−1)p
+    * interpolation) whose midpoint average of two rounded doubles is
+    * the same IEEE op in both engines. Intercept terms round the same
+    * way, so the whole line is engine-exact at 6 output decimals.
+    */
+  def theilSenSlope(
+      series: DataFrame,
+      keyCol: String,
+      xCol: String,
+      valueCol: String): DataFrame = {
+    val pts = series.select(
+      col(keyCol).as("__k"),
+      col(xCol).cast("bigint").as("__x"),
+      col(valueCol).cast("double").as("__y"))
+    val a = pts.select(col("__k"), col("__x").as("__xi"), col("__y").as("__yi"))
+    val b = pts.select(col("__k"), col("__x").as("__xj"), col("__y").as("__yj"))
+    val pairs = a.join(b, Seq("__k"))
+      .filter(col("__xi") < col("__xj"))
+      .select(
+        col("__k"),
+        round((col("__yj") - col("__yi")) /
+          (col("__xj") - col("__xi")).cast("double"), 9).as("__s"))
+    val med = pairs.groupBy(col("__k")).agg(
+      count(lit(1)).cast("bigint").as("n_pairs"),
+      percentile(col("__s"), lit(0.5)).as("__slope"))
+    val icpt = pts.join(med.select(col("__k"), col("__slope")), Seq("__k"))
+      .select(col("__k"),
+        round(col("__y") - col("__slope") * col("__x").cast("double"), 9).as("__c"))
+      .groupBy(col("__k"))
+      .agg(percentile(col("__c"), lit(0.5)).as("__icpt"))
+    pts.groupBy(col("__k")).agg(count(lit(1)).cast("int").as("n_points"))
+      .join(med, Seq("__k"), "left")
+      .join(icpt, Seq("__k"), "left")
+      .select(
+        col("__k").as(keyCol),
+        col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        round(col("__slope"), 6).as("ts_slope"),
+        round(col("__icpt"), 6).as("ts_intercept"))
+  }
 }

@@ -1712,7 +1712,211 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // TIFF header decode (Multimodal.decodeTiffMeta): standalone TIFFs
+  // built in-plan in BOTH byte orders (even docs "II", odd "MM" — the
+  // q_m15 endianness-selection lesson), dims cycling SHORT and LONG
+  // entry types, BitsPerSample alternating inline (count 1) and
+  // RGB-triple-behind-an-OFFSET (count 3 — the decoder must follow the
+  // indirection), the IFD shifted off 8 on every 5th doc, corrupt magic
+  // on every 7th and an over-declared entry count (table past EOF) on
+  // every 11th as must-reject rows. Expectations derive from the source
+  // columns, never from parsing (the q_m6 discipline); valid ships as
+  // INT (the q_m10 nullable-boolean rule).
+  private val qM21 = Q(
+    "q_m21_tiff_header_decode",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         doc_id % 2 = 0 AS le,
+      |         doc_id % 4 = 1 AS longdims,
+      |         doc_id % 3 = 0 AS bps3,
+      |         doc_id % 5 = 0 AS shifted,
+      |         NOT (doc_id % 7 = 0 OR doc_id % 11 = 0) AS ok,
+      |         CAST(n_chars % 3000 + 16 AS BIGINT) AS wshort,
+      |         CAST(70000 + doc_id % 100 AS BIGINT) AS wlong,
+      |         CAST(doc_id % 900 + 8 AS BIGINT) AS hshort,
+      |         CAST(170000 + doc_id % 77 AS BIGINT) AS hlong
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN (CASE WHEN le THEN 'II' ELSE 'MM' END) END AS byte_order,
+      |       CASE WHEN ok THEN 5 END AS n_entries,
+      |       CASE WHEN ok THEN (CASE WHEN longdims THEN wlong ELSE wshort END) END AS width,
+      |       CASE WHEN ok THEN (CASE WHEN longdims THEN hlong ELSE hshort END) END AS height,
+      |       CASE WHEN ok THEN (CASE WHEN bps3 THEN 16 ELSE 8 END) END AS bits_per_sample,
+      |       CASE WHEN ok THEN CAST(1 + doc_id % 2 AS INT) END AS compression,
+      |       CASE WHEN ok THEN (CASE WHEN bps3 THEN 3 ELSE 1 END) END AS samples_per_pixel,
+      |       CAST(ok AS INT) AS valid
+      |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val isLe = col("doc_id") % 2 === 0
+    val longDims = col("doc_id") % 4 === 1
+    val bps3 = col("doc_id") % 3 === 0
+    val shifted = col("doc_id") % 5 === 0
+    val badMagic = col("doc_id") % 7 === 0
+    val overDecl = col("doc_id") % 11 === 0
+
+    def be16h(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def be32h(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def swap16(h: org.apache.spark.sql.Column) =
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    def swap32(h: org.apache.spark.sql.Column) =
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    def u16h(v: org.apache.spark.sql.Column) = when(isLe, swap16(be16h(v))).otherwise(be16h(v))
+    def u32h(v: org.apache.spark.sql.Column) = when(isLe, swap32(be32h(v))).otherwise(be32h(v))
+    def entry(tag: Int, typ: org.apache.spark.sql.Column, cnt: org.apache.spark.sql.Column, valueHex: org.apache.spark.sql.Column) =
+      concat(u16h(lit(tag)), u16h(typ), u32h(cnt), valueHex)
+    def shortInline(v: org.apache.spark.sql.Column) = concat(u16h(v), lit("0000"))
+
+    val wShort = col("n_chars").cast("bigint") % 3000 + 16
+    val wLong = lit(70000L) + col("doc_id") % 100
+    val hShort = col("doc_id").cast("bigint") % 900 + 8
+    val hLong = lit(170000L) + col("doc_id") % 77
+    val width = when(longDims, wLong).otherwise(wShort)
+    val height = when(longDims, hLong).otherwise(hShort)
+    val dimTyp = when(longDims, lit(4L)).otherwise(lit(3L))
+    def dimVal(v: org.apache.spark.sql.Column) = when(longDims, u32h(v)).otherwise(shortInline(v))
+
+    val ifdOff = when(shifted, lit(16L)).otherwise(lit(8L))
+    // IFD: n(2) + 5 entries (60) + next-IFD(4) → bps triple right after
+    val bpsOff = ifdOff + 66L
+    val header = concat(
+      when(isLe, lit("4949")).otherwise(lit("4D4D")),
+      u16h(when(badMagic, lit(43L)).otherwise(lit(42L))),
+      u32h(ifdOff),
+      when(shifted, lit("0" * 16)).otherwise(lit("")))
+    val declaredN = when(overDecl, lit(8L)).otherwise(lit(5L))
+    val bpsEntry = when(bps3,
+      entry(258, lit(3L), lit(3L), u32h(bpsOff)))
+      .otherwise(entry(258, lit(3L), lit(1L), shortInline(lit(8L))))
+    val body = concat(
+      u16h(declaredN),
+      entry(256, dimTyp, lit(1L), dimVal(width)),
+      entry(257, dimTyp, lit(1L), dimVal(height)),
+      bpsEntry,
+      entry(259, lit(3L), lit(1L), shortInline(lit(1L) + col("doc_id") % 2)),
+      entry(277, lit(3L), lit(1L),
+        shortInline(when(bps3, lit(3L)).otherwise(lit(1L)))),
+      lit("00000000"),
+      when(bps3, concat(u16h(lit(16L)), u16h(lit(16L)), u16h(lit(16L))))
+        .otherwise(lit("")))
+
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        unhex(concat(header, body)).as("payload"))
+      .withColumn("m", graft.operators.Multimodal.decodeTiffMeta(col("payload")))
+      .select(
+        col("doc_id"),
+        col("m.byte_order").as("byte_order"),
+        col("m.n_entries").as("n_entries"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.bits_per_sample").as("bits_per_sample"),
+        col("m.compression").as("compression"),
+        col("m.samples_per_pixel").as("samples_per_pixel"),
+        col("m").isNotNull.cast("int").as("valid"))
+      .orderBy("doc_id")
+  }
+
+  // MP3 frame-header decode (Multimodal.decodeMp3Meta): in-plan MPEG
+  // audio files cycling version (1/2/2.5), layer (I/II/III), all 14
+  // bitrate indices, the 3 sample-rate indices, padding, and channel
+  // mode, half the docs behind an ID3v2 tag with a SYNCSAFE size the
+  // decoder must reassemble; corrupt sync on every 7th doc and the
+  // forbidden bitrate index 15 on every 11th as must-reject rows. The
+  // oracle replays the version/layer-dependent bitrate tables as
+  // list_extract lookups and the frame-size / CBR-duration integer
+  // arithmetic with DuckDB's exact `//` — expectations derive from the
+  // source columns, never from parsing (the q_m6 discipline).
+  private val qM22 = Q(
+    "q_m22_mp3_frame_decode",
+    """WITH src AS (
+      |  SELECT doc_id, n_chars,
+      |         CASE WHEN doc_id % 3 = 0 THEN 3 WHEN doc_id % 3 = 1 THEN 2 ELSE 0 END AS ver,
+      |         CASE WHEN doc_id % 5 = 0 THEN 3 WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS lay,
+      |         CAST(doc_id % 14 + 1 AS INTEGER) AS bi,
+      |         CAST(doc_id % 3 AS INTEGER) AS si,
+      |         CAST(doc_id % 2 AS INTEGER) AS pad,
+      |         CAST(doc_id % 4 AS INTEGER) AS mode,
+      |         CASE WHEN doc_id % 2 = 1 THEN 10 + doc_id % 200 ELSE 0 END AS id3,
+      |         4 + n_chars % 50 AS ab,
+      |         NOT (doc_id % 7 = 0 OR doc_id % 11 = 0) AS ok
+      |  FROM documents),
+      |lk AS (
+      |  SELECT *,
+      |         CASE WHEN ver = 3 AND lay = 3 THEN list_extract([32,64,96,128,160,192,224,256,288,320,352,384,416,448], bi)
+      |              WHEN ver = 3 AND lay = 2 THEN list_extract([32,48,56,64,80,96,112,128,160,192,224,256,320,384], bi)
+      |              WHEN ver = 3 THEN list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320], bi)
+      |              WHEN lay = 3 THEN list_extract([32,48,56,64,80,96,112,128,144,160,176,192,224,256], bi)
+      |              ELSE list_extract([8,16,24,32,40,48,56,64,80,96,112,128,144,160], bi) END AS br,
+      |         CASE WHEN ver = 3 THEN list_extract([44100,48000,32000], si + 1)
+      |              WHEN ver = 2 THEN list_extract([22050,24000,16000], si + 1)
+      |              ELSE list_extract([11025,12000,8000], si + 1) END AS sr
+      |  FROM src)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN CAST(id3 AS BIGINT) END AS id3_size,
+      |       CASE WHEN ok THEN (CASE WHEN ver = 3 THEN 10 WHEN ver = 2 THEN 20 ELSE 25 END) END AS version_id,
+      |       CASE WHEN ok THEN CAST(4 - lay AS INT) END AS layer,
+      |       CASE WHEN ok THEN CAST(br AS INT) END AS bitrate_kbps,
+      |       CASE WHEN ok THEN CAST(sr AS INT) END AS sample_rate,
+      |       CASE WHEN ok THEN (CASE WHEN mode = 3 THEN 1 ELSE 2 END) END AS channels,
+      |       CASE WHEN ok THEN pad END AS padding,
+      |       CASE WHEN ok THEN CAST(CASE WHEN lay = 3 THEN ((12 * br * 1000) // sr + pad) * 4
+      |                                  WHEN lay = 2 OR ver = 3 THEN (144 * br * 1000) // sr + pad
+      |                                  ELSE (72 * br * 1000) // sr + pad END AS BIGINT) END AS frame_bytes,
+      |       CASE WHEN ok THEN (CASE WHEN lay = 3 THEN 384 WHEN lay = 2 THEN 1152
+      |                               WHEN ver = 3 THEN 1152 ELSE 576 END) END AS samples_per_frame,
+      |       CASE WHEN ok THEN CAST((ab * 8 * 1000) // (br * 1000) AS BIGINT) END AS est_duration_ms,
+      |       CAST(ok AS INT) AS valid
+      |FROM lk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ver = when(col("doc_id") % 3 === 0, lit(3L))
+      .when(col("doc_id") % 3 === 1, lit(2L)).otherwise(lit(0L))
+    val lay = when(col("doc_id") % 5 === 0, lit(3L))
+      .when(col("doc_id") % 2 === 0, lit(1L)).otherwise(lit(2L))
+    val badSync = col("doc_id") % 7 === 0
+    val brIdx = when(col("doc_id") % 11 === 0, lit(15L))
+      .otherwise(col("doc_id") % 14 + 1)
+    val srIdx = col("doc_id") % 3
+    val pad = col("doc_id") % 2
+    val mode = col("doc_id") % 4
+    val hasId3 = col("doc_id") % 2 === 1
+    val tagLen = col("doc_id") % 200 // body bytes; id3_size = 10 + this
+
+    def b2h(v: org.apache.spark.sql.Column) = lpad(hex(v), 2, "0")
+    val hdr = concat(
+      b2h(when(badSync, lit(254L)).otherwise(lit(255L))),
+      b2h(lit(224L) + ver * 8 + lay * 2 + 1),
+      b2h(brIdx * 16 + srIdx * 4 + pad * 2),
+      b2h(mode * 64))
+    val id3Hex = when(hasId3, concat(
+      lit("494433" + "0400" + "00"),
+      lit("0000"),
+      b2h(((tagLen - tagLen % 128) / 128).cast("bigint")),
+      b2h(tagLen % 128),
+      lit("0" * 400).substr(lit(1), (tagLen * 2).cast("int"))))
+      .otherwise(lit(""))
+    val filler = col("n_chars").cast("bigint") % 50
+    val fillerHex = lit("41" * 50).substr(lit(1), (filler * 2).cast("int"))
+
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        unhex(concat(id3Hex, hdr, fillerHex)).as("payload"))
+      .withColumn("m", graft.operators.Multimodal.decodeMp3Meta(col("payload")))
+      .select(
+        col("doc_id"),
+        col("m.id3_size").as("id3_size"),
+        col("m.version_id").as("version_id"),
+        col("m.layer").as("layer"),
+        col("m.bitrate_kbps").as("bitrate_kbps"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.padding").as("padding"),
+        col("m.frame_bytes").as("frame_bytes"),
+        col("m.samples_per_frame").as("samples_per_frame"),
+        col("m.est_duration_ms").as("est_duration_ms"),
+        col("m").isNotNull.cast("int").as("valid"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
-      qM14, qM15, qM16, qM17, qM18, qM19, qM20)
+      qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22)
 }

@@ -2052,6 +2052,55 @@ object RelationalQueries extends QueryGroup {
       .orderBy("cohort_week", "week_offset")
   }
 
+  // THEIL–SEN robust trend (TimeSeries.theilSenSlope): median-of-
+  // pairwise-slopes — the outlier-proof line next to q_e22's OLS
+  // trendSlope. The pair expansion is per-key and the series length is
+  // bounded by the TIME WINDOW (30 days here → ≤ 435 pairs/key at any
+  // corpus size), so total work is linear in #keys. Each pairwise slope
+  // is one double division of exact integers/decimal-derived values
+  // rounded to 9; the median is percentile ≡ quantile_cont (the probed
+  // bit-identical interpolation); constant probe user -1 pins slope 0
+  // exactly, the 2-day probe user -2 pins slope 1 from a single pair.
+  private val qE30 = Q(
+    "q_e30_theil_sen",
+    """WITH d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(i + 1 AS DOUBLE)
+      |  FROM range(2) t(i)),
+      |x AS (SELECT user_id, date_diff('day', DATE '1970-01-01', day) AS x,
+      |             daily_value AS y
+      |      FROM d),
+      |p AS (SELECT a.user_id, round((b.y - a.y) / CAST(b.x - a.x AS DOUBLE), 9) AS s
+      |      FROM x a JOIN x b ON a.user_id = b.user_id AND a.x < b.x),
+      |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |             quantile_cont(s, 0.5) AS slope
+      |      FROM p GROUP BY 1),
+      |c AS (SELECT x.user_id, round(x.y - m.slope * CAST(x.x AS DOUBLE), 9) AS ic
+      |      FROM x JOIN m USING (user_id)),
+      |i AS (SELECT user_id, quantile_cont(ic, 0.5) AS icpt FROM c GROUP BY 1),
+      |n AS (SELECT user_id, CAST(count(*) AS INT) AS n_points FROM x GROUP BY 1)
+      |SELECT n.user_id, n.n_points,
+      |       COALESCE(m.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+      |       round(m.slope, 6) AS ts_slope, round(i.icpt, 6) AS ts_intercept
+      |FROM n LEFT JOIN m USING (user_id) LEFT JOIN i USING (user_id)
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val daily = dailyWithProbes(s, dir, includeSinglePair = true)
+      .withColumn("x",
+        datediff(col("day").cast("date"),
+          lit(java.sql.Date.valueOf("1970-01-01"))))
+    graft.operators.TimeSeries
+      .theilSenSlope(daily, "user_id", "x", "daily_value")
+      .orderBy("user_id")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -2061,5 +2110,5 @@ object RelationalQueries extends QueryGroup {
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
     qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25, qE26,
-    qE27, qE28, qE29)
+    qE27, qE28, qE29, qE30)
 }
