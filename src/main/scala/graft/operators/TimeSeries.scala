@@ -853,6 +853,67 @@ object TimeSeries {
     * the same IEEE op in both engines. Intercept terms round the same
     * way, so the whole line is engine-exact at 6 output decimals.
     */
+  /** Per-key DYNAMIC TIME WARPING distance to a broadcast query
+    * pattern (Sakoe–Chiba 1978; the elastic match behind shapelet /
+    * motif screening): D(i,j) = |y_i − p_j| + min(D(i−1,j), D(i,j−1),
+    * D(i−1,j−1)) over the full alignment lattice, reported as
+    * `dtw_distance` = D(n,m). Unlike the sliding-window Euclidean
+    * primitive, DTW matches the SHAPE under local time stretching —
+    * the "does this series contain this pattern, possibly slower"
+    * question.
+    *
+    * Execution shape: the pattern is a PLAN LITERAL (the model-as-
+    * literal discipline); the per-key series folds ONCE through a
+    * nested `aggregate` HOF — the outer fold walks the series carrying
+    * the previous DP row (m+1 doubles), the inner fold builds the next
+    * row left to right (the D(i,j−1) dependency makes the row itself a
+    * fold) — O(n·m) work, O(m) state, zero shuffle beyond the one
+    * per-key collect. Series length is time-window-bounded (the
+    * [[theilSenSlope]] argument), so per-key cost is flat at any
+    * corpus size.
+    *
+    * Determinism: every lattice cell is |y−p| + a 3-way min of
+    * doubles, accumulated in the FIXED fold order, so another engine
+    * replaying the same recursion (the oracle's per-step lateral
+    * unroll) reproduces the distance to the bit; the unreachable-cell
+    * sentinel is 1e300, unchanged by any finite addition at this
+    * magnitude. `orderCol` must be unique per key (gridded series).
+    */
+  def dtwToPattern(
+      series: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      pattern: Seq[Double]): DataFrame = {
+    require(pattern.nonEmpty && pattern.size <= 64, "pattern size in [1,64]")
+    val m = pattern.size
+    val inf = lit(1e300)
+    val pArr = array(pattern.map(lit): _*)
+    val collected = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("o"), col(valueCol).cast("double").as("y")))).as("__s"))
+      .select(col(keyCol),
+        transform(col("__s"), e => e.getField("y")).as("__ys"))
+    val initRow = array((lit(0.0) +: Seq.fill(m)(inf)): _*)
+    val finalRow = aggregate(
+      col("__ys"),
+      initRow,
+      (prev, y) => aggregate(
+        sequence(lit(1), lit(m)),
+        array(inf),
+        (acc, j) => concat(acc, array(
+          abs(y - element_at(pArr, j)) +
+            least(
+              element_at(prev, j),
+              element_at(prev, j + 1),
+              element_at(acc, j))))))
+    collected.select(
+      col(keyCol),
+      size(col("__ys")).as("n_points"),
+      round(element_at(finalRow, m + 1), 6).as("dtw_distance"))
+  }
+
   def theilSenSlope(
       series: DataFrame,
       keyCol: String,

@@ -2101,6 +2101,63 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  // DYNAMIC TIME WARPING to a broadcast pattern (TimeSeries
+  // .dtwToPattern, Sakoe–Chiba 1978): the elastic shape-match on the
+  // probe-hardened daily corpus against the fixed peak pattern
+  // [10,20,30,20,10]. The engine folds the DP lattice row by row in one
+  // nested HOF; the oracle's recursive CTE steps the series carrying
+  // the previous DP row as a list column (the q_e29 ring discipline)
+  // and unrolls the 5 within-row cells via LATERAL column references —
+  // every cell |y−p| + least(3 doubles) in the identical order, so the
+  // distance replays to the bit. Probe user −2 (2 points) pins the
+  // short-series path; constant user −1 the all-cells-equal path.
+  private val qE31 = Q(
+    "q_e31_dtw_pattern",
+    """WITH RECURSIVE d AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(5.0 AS DOUBLE)
+      |  FROM range(10) t(i)
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST(DATE '2020-01-01' + CAST(i AS INTEGER) AS TIMESTAMP),
+      |         CAST(i + 1 AS DOUBLE)
+      |  FROM range(2) t(i)),
+      |s AS (
+      |  SELECT user_id, daily_value AS y,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM d),
+      |r AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS rn,
+      |         [CAST(0.0 AS DOUBLE), CAST(1e300 AS DOUBLE), CAST(1e300 AS DOUBLE),
+      |          CAST(1e300 AS DOUBLE), CAST(1e300 AS DOUBLE), CAST(1e300 AS DOUBLE)] AS rw
+      |  FROM (SELECT DISTINCT user_id FROM s)
+      |  UNION ALL
+      |  SELECT user_id, rn,
+      |         [CAST(1e300 AS DOUBLE), c1, c2, c3, c4, c5] AS rw
+      |  FROM (
+      |    SELECT t.user_id, t.rn,
+      |           abs(t.y - 10) + least(t.pr[1], t.pr[2], CAST(1e300 AS DOUBLE)) AS c1,
+      |           abs(t.y - 20) + least(t.pr[2], t.pr[3], c1) AS c2,
+      |           abs(t.y - 30) + least(t.pr[3], t.pr[4], c2) AS c3,
+      |           abs(t.y - 20) + least(t.pr[4], t.pr[5], c3) AS c4,
+      |           abs(t.y - 10) + least(t.pr[5], t.pr[6], c4) AS c5
+      |    FROM (SELECT s.user_id, s.rn, r.rw AS pr, s.y
+      |          FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1) t)),
+      |f AS (SELECT user_id, max(rn) AS maxrn FROM s GROUP BY 1)
+      |SELECT r.user_id, CAST(f.maxrn AS INT) AS n_points,
+      |       round(r.rw[6], 6) AS dtw_distance
+      |FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.maxrn
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.TimeSeries.dtwToPattern(
+      dailyWithProbes(s, dir, includeSinglePair = true),
+      "user_id", "day", "daily_value",
+      Seq(10.0, 20.0, 30.0, 20.0, 10.0))
+      .orderBy("user_id")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -2110,5 +2167,5 @@ object RelationalQueries extends QueryGroup {
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
     qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25, qE26,
-    qE27, qE28, qE29, qE30)
+    qE27, qE28, qE29, qE30, qE31)
 }
