@@ -1598,7 +1598,55 @@ object GraphQueries extends QueryGroup {
     out
   }
 
+  // k-TRUSS decomposition (operators.KTruss, Cohen 2008): the edge-
+  // analog of q_g8's k-core and the stricter cohesion screen — every
+  // surviving edge must sit in >= k-2 triangles WITHIN the survivors, so
+  // hub stars (high core, no triangles) are out. Iterative support peel
+  // with the degree-ordered compact-forward triangle join per round; the
+  // oracle unrolls 5 generated rounds (the graph converges in <= 3
+  // changing rounds at every SF — probed — and peeling is idempotent at
+  // the fixpoint, the q_g8/KCore unroll-soundness contract) and the
+  // engine passes maxRounds=5 with requireConvergence, so a slice that
+  // suddenly needed more rounds fails loudly instead of hash-drifting.
+  private val qG27: Q = {
+    def roundCte(r: Int): String =
+      s"""d$r AS (SELECT n, count(*) AS dg FROM (SELECT a AS n FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1),
+         |o$r AS MATERIALIZED (
+         |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+         |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.b ELSE e.a END AS v
+         |  FROM e$r e JOIN d$r da ON e.a = da.n JOIN d$r db ON e.b = db.n),
+         |t$r AS (SELECT x.u, x.v, y.v AS w FROM o$r x JOIN o$r y ON x.u = y.u AND x.v < y.v
+         |        WHERE EXISTS (SELECT 1 FROM e$r z WHERE z.a = x.v AND z.b = y.v)),
+         |s$r AS (SELECT a, b, count(*) AS sup FROM (
+         |          SELECT least(u, v) AS a, greatest(u, v) AS b FROM t$r
+         |          UNION ALL SELECT least(u, w), greatest(u, w) FROM t$r
+         |          UNION ALL SELECT least(v, w), greatest(v, w) FROM t$r) GROUP BY 1, 2),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e$r e JOIN s$r s ON e.a = s.a AND e.b = s.b WHERE s.sup >= 2)""".stripMargin
+    val rounds = 5
+    val sql =
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |       FROM lineitem WHERE l_quantity >= 40),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |${(0 until rounds).map(roundCte).mkString(",\n")}
+         |SELECT e.a AS a, e.b AS b, CAST(s.sup AS BIGINT) AS support
+         |FROM e$rounds e JOIN s${rounds - 1} s ON e.a = s.a AND e.b = s.b
+         |ORDER BY e.a, e.b""".stripMargin
+    Q("q_g27_ktruss", sql) { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p")).distinct()
+      val edges = items.select(col("__o"), col("__p").as("x"))
+        .join(items.select(col("__o"), col("__p").as("y")), Seq("__o"))
+        .filter(col("x") < col("y"))
+        .select("x", "y").distinct()
+      graft.operators.KTruss.trussEdges(edges, "x", "y", k = 4, maxRounds = 5)
+        .orderBy("a", "b")
+    }
+  }
+
   override val all: Seq[Q] =
     Seq(qG1, qG2, qG3, qG4, qG5, qG6, qG7, qG8, qG9, qG10, qG11, qG12, qG13, qG14,
-      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22, qG23, qG24, qG25, qG26)
+      qG15, qG16, qG17, qG18, qG19, qG20, qG21, qG22, qG23, qG24, qG25, qG26, qG27)
 }
