@@ -1194,8 +1194,69 @@ object TextQueries extends QueryGroup {
       .orderBy("tok_a", "tok_b")
   }
 
+  // Rocchio pseudo-relevance feedback (operators.Rocchio, Rocchio
+  // 1971): q_t11's BM25 query expanded by the strongest terms of its
+  // own top-10 — the label-free retrieval-quality lever. Deterministic
+  // by construction: the pseudo-relevant cut ranks on (bm25 ROUNDED to
+  // 6, doc_id) — the q_e19 rounded-argmax rule — and expansion terms on
+  // exact integer counts; the rescore replays the BM25 expression with
+  // per-term α/β weights, its postings filter a broadcast join against
+  // the ≤|Q|+E-row term frame (the term set is runtime-derived, so the
+  // isin-literal path is structurally unavailable).
+  private val qT31 = Q(
+    "q_t31_rocchio_prf",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+      |  FROM t),
+      |tf0 AS (
+      |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM t)
+      |  WHERE term IN ('data', 'table', 'join')
+      |  GROUP BY doc_id, dl, term),
+      |df0 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf0 GROUP BY term),
+      |base AS (
+      |  SELECT tf0.doc_id,
+      |         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |             (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)))) AS bm25
+      |  FROM tf0 JOIN df0 USING (term) CROSS JOIN stats
+      |  GROUP BY tf0.doc_id),
+      |top AS (SELECT doc_id FROM base ORDER BY round(bm25, 6) DESC, doc_id LIMIT 10),
+      |exp AS (
+      |  SELECT term, count(*) AS c
+      |  FROM (SELECT unnest(tk) AS term FROM t
+      |        WHERE doc_id IN (SELECT doc_id FROM top))
+      |  WHERE term NOT IN ('data', 'table', 'join')
+      |  GROUP BY 1 ORDER BY c DESC, term LIMIT 5),
+      |w AS (
+      |  SELECT term, CAST(0.5 AS DOUBLE) AS w FROM exp
+      |  UNION ALL
+      |  SELECT unnest(['data', 'table', 'join']), CAST(1.0 AS DOUBLE)),
+      |tf AS (
+      |  SELECT doc_id, dl, term, w, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM t)
+      |  JOIN w USING (term)
+      |  GROUP BY doc_id, dl, term, w),
+      |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+      |SELECT tf.doc_id,
+      |       CAST(count(*) AS INT) AS n_terms_matched,
+      |       round(sum(w * ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |                 (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)))), 6)
+      |         AS rocchio
+      |FROM tf JOIN dfx USING (term) CROSS JOIN stats
+      |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Rocchio
+      .prfScore(Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("data", "table", "join"), topR = 10, expandE = 5)
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30)
+      qT27, qT28, qT29, qT30, qT31)
 }
