@@ -945,7 +945,60 @@ object CurationQueries extends QueryGroup {
     out
   }
 
+  // Closed-form ridge regression (operators.RidgeRegression, Hoerl–
+  // Kennard 1970): the LINEAR model next to the logistic-GD and NB
+  // classifiers — one pass of EXACT-DECIMAL moment sums (the q_q19
+  // Welch discipline) to a broadcast row, then determinant/adjugate/
+  // coefficients/R² in ONE fixed IEEE expression tree both engines
+  // write identically; λ on the feature diagonal only. No gradient
+  // loop, no driver linear algebra — the 100 TB regression is exactly
+  // one aggregate.
+  private val qC25 = Q(
+    "q_c25_ridge_regression",
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS s2,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS s11,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS s12,
+      |         CAST(sum(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS s22,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS s1y,
+      |         CAST(sum(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS s2y
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+      |c AS (SELECT *, s11 + 0.5 AS a11, s22 + 0.5 AS a22 FROM m),
+      |d AS (SELECT *,
+      |        n * (a11 * a22 - s12 * s12) - s1 * (s1 * a22 - s12 * s2) + s2 * (s1 * s12 - a11 * s2) AS det,
+      |        a11 * a22 - s12 * s12 AS c00,
+      |        -(s1 * a22 - s12 * s2) AS c01,
+      |        s1 * s12 - a11 * s2 AS c02,
+      |        n * a22 - s2 * s2 AS c11,
+      |        -(n * s12 - s1 * s2) AS c12,
+      |        n * a11 - s1 * s1 AS c22
+      |      FROM c),
+      |b AS (SELECT *,
+      |        CASE WHEN det <> 0 THEN (c00 * sy + c01 * s1y + c02 * s2y) / det END AS b0,
+      |        CASE WHEN det <> 0 THEN (c01 * sy + c11 * s1y + c12 * s2y) / det END AS b1,
+      |        CASE WHEN det <> 0 THEN (c02 * sy + c12 * s1y + c22 * s2y) / det END AS b2
+      |      FROM d),
+      |e AS (SELECT *,
+      |        syy - 2.0 * (b0 * sy + b1 * s1y + b2 * s2y)
+      |            + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
+      |               + 2.0 * b0 * b1 * s1 + 2.0 * b0 * b2 * s2 + 2.0 * b1 * b2 * s12) AS sse,
+      |        syy - sy * sy / n AS sst
+      |      FROM b)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |       round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+      |       CASE WHEN b0 IS NOT NULL AND sst > 0 THEN round(1.0 - sse / sst, 6) END AS r2
+      |FROM e""".stripMargin) { (s, dir) =>
+    graft.operators.RidgeRegression.ridge2(
+      Tables.load(s, dir, "lineitem"),
+      "l_extendedprice", "l_quantity", "l_discount", lambda = 0.5)
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24)
+      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25)
 }
