@@ -1248,49 +1248,203 @@ object Multimodal {
     import graft.functions.hof.bind
     bind(decodePngPixels(payload, maxPixels)) { px =>
       bind(decodePngMeta(payload)) { m =>
-        val geo = struct(
-          m.getField("width").cast("bigint").as("w"),
-          m.getField("height").cast("bigint").as("h"),
-          m.getField("channels").cast("bigint").as("ch"))
-        val hash = bind(geo) { g =>
-          val w = g.getField("w"); val h = g.getField("h")
-          val ch = g.getField("ch")
-          val lumas = transform(sequence(lit(0L), lit(63L)), k => {
-            val gy = floor(k / 8L).cast("bigint")
-            val gx = k % 8L
-            val y = floor(gy * h / 8L).cast("bigint")
-            val x = floor(gx * w / 8L).cast("bigint")
-            val base = ((y * w + x) * ch + 1L).cast("int")
-            val v = conv(hex(substring(px, base, ch.cast("int"))), 16, 10)
-              .cast("bigint")
-            // packed big-endian: for RGB(A) the R byte is highest
-            when(ch === 1L, lit(1000L) * v)
-              .when(ch === 2L, lit(1000L) * shiftright(v, 8))
-              .when(ch === 3L,
-                lit(299L) * shiftright(v, 16) +
-                  lit(587L) * shiftright(v, 8).bitwiseAND(lit(255L)) +
-                  lit(114L) * v.bitwiseAND(lit(255L)))
-              .otherwise(
-                lit(299L) * shiftright(v, 24) +
-                  lit(587L) * shiftright(v, 16).bitwiseAND(lit(255L)) +
-                  lit(114L) * shiftright(v, 8).bitwiseAND(lit(255L)))
-          })
-          bind(lumas) { lum =>
-            bind(aggregate(lum, lit(0L), (acc, v) => acc + v)) { total =>
-              aggregate(
-                sequence(lit(0L), lit(63L)),
-                lit(0L),
-                (acc, k) => {
-                  val bit = element_at(lum, (k + 1L).cast("int")) * 64L > total
-                  val weight = when(k === 0L, lit(Long.MinValue))
-                    .otherwise(call_function(
-                      "shiftleft", lit(1L), (lit(63L) - k).cast("int")))
-                  acc + when(bit, weight).otherwise(0L)
-                })
-            }
-          }
-        }
+        val hash = lumaMajorityHash(px,
+          m.getField("width").cast("bigint"),
+          m.getField("height").cast("bigint"),
+          m.getField("channels").cast("bigint"))
         when(px.isNotNull && m.isNotNull, hash).otherwise(lit(null))
+      }
+    }
+  }
+
+  /** Netpbm binary PGM/PPM (P5/P6) header decode — the EIGHTH container
+    * and the only one with a TEXT header: `P5|P6 <w> <h> <maxval>` as
+    * ASCII tokens separated by whitespace runs, one single whitespace
+    * byte, then raw interleaved samples (gray for P5, RGB for P6). The
+    * header is parsed with one anchored regexp over the UTF-8 decode of
+    * the first 32 bytes — safe because the match is pure ASCII (1 byte
+    * = 1 char) and PRECEDES any replacement chars lenient decoding
+    * substitutes for binary pixel bytes, so the match length IS the
+    * byte offset of the pixel data. Numeric captures parse through a
+    * `concat('0', …)` prefix so an empty capture can never ANSI-fault
+    * a cast. The maxval capture is `\d{1,3}` with a REQUIRED trailing
+    * whitespace: a pixel byte that happens to be an ASCII digit can
+    * force a reject (backtrack exhausts) but never a misparse.
+    * Returns `(format, width, height, maxval, data_offset)`; NULL for
+    * wrong magic, maxval ≠ 255 (16-bit Netpbm out of scope), a header
+    * with comments (documented divergence: `#` lines are rejected, not
+    * skipped), or a payload shorter than w·h·channels.
+    */
+  def decodePnmMeta(payload: Column): Column = {
+    // parse over the HEX rendering (not a UTF-8 decode, which
+    // ANSI-faults on the binary pixel bytes that follow the header):
+    // the header is pure ASCII, so every token is a fixed hex-pair
+    // vocabulary — "50" P, "3[56]" 5/6, "3[0-9]" digits, 20/09/0A/0D
+    // whitespace — and the match length in hex chars is exactly twice
+    // the byte offset
+    val head = hex(substring(payload, 1, 32))
+    val ws = "(?:20|09|0A|0D)"
+    val pat = s"^50(3[56])$ws+(3[0-9](?:3[0-9]){0,4})$ws+" +
+      s"(3[0-9](?:3[0-9]){0,4})$ws+(3[0-9](?:3[0-9]){0,2})$ws"
+    def num(g: Int): Column =
+      concat(lit("0"), unhex(regexp_extract(head, pat, g)).cast("string"))
+        .cast("bigint")
+    val fmt = concat(lit("P"), unhex(regexp_extract(head, pat, 1)).cast("string"))
+    val w = num(2)
+    val h = num(3)
+    val maxv = num(4)
+    val dataOff = (length(regexp_extract(head, pat, 0)) / 2 + 1).cast("bigint")
+    val ch = when(fmt === "P6", lit(3L)).otherwise(lit(1L))
+    val ok = fmt =!= "P" && w >= 1L && h >= 1L && maxv === 255L &&
+      length(payload).cast("bigint") >= dataOff - 1L + w * h * ch
+    when(payload.isNotNull && length(payload) >= 8 && ok,
+      struct(
+        fmt.as("format"),
+        w.as("width"),
+        h.as("height"),
+        maxv.cast("int").as("maxval"),
+        dataOff.as("data_offset")))
+  }
+
+  /** PGM/PPM pixel decode as a FRAME operator: header parsed ONCE into
+    * plain columns behind an eager barrier, then the shared channel
+    * fold + the [[lumaMajorityHash]] run with COLUMN-derived geometry.
+    *
+    * Why a frame op and not a Column function like [[pngPixelStats]]:
+    * parse-once-into-attributes is the right 100 TB shape — one regex
+    * pass per payload behind the barrier, and the fold geometry reads
+    * row slots instead of re-deriving header fields. The barrier also
+    * keeps an in-plan payload CONSTRUCTION (gate corpora) from being
+    * inlined into every decode reference by projection collapse.
+    *
+    * Output: `(idCol, format, width, height, maxval, channels,
+    * n_pixels, c0_* .. c3_*, is_blank, ahash)`; NULL fields for
+    * invalid payloads, NULL c1..c3 for P5.
+    */
+  def pnmDecodedFrame(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxPixels: Int = 1 << 22): DataFrame = {
+    val meta = df
+      .select(col(idCol), col(payloadCol).as("__pnm_payload"),
+        decodePnmMeta(col(payloadCol)).as("__m"))
+      .select(col(idCol), col("__pnm_payload"),
+        col("__m.format").as("format"),
+        col("__m.width").as("width"),
+        col("__m.height").as("height"),
+        col("__m.maxval").as("maxval"),
+        col("__m.data_offset").as("__off"))
+      .localCheckpoint(true)
+    val ch = when(col("format") === "P6", lit(3L)).otherwise(lit(1L))
+    // NULL-guarded size bound — least() SKIPS nulls, so an invalid
+    // payload (width/height NULL) would otherwise size the fold at
+    // maxPixels: a 4M-element no-op fold PER BAD ROW (measured 431 s
+    // at 500 mixed rows vs 2 s guarded). The guard keeps npx NULL on
+    // invalid rows, which the HOF chain propagates for free.
+    val npx = when(col("format").isNotNull,
+      least(col("width") * col("height"), lit(maxPixels.toLong)))
+    val px = substring(col("__pnm_payload"),
+      col("__off").cast("int"), (npx * ch).cast("int"))
+    import graft.functions.hof.bind
+    val stats = bind(interleavedChannelFold(px, npx, ch)) { f =>
+      when(col("format").isNotNull,
+        channelStatsStruct(f, npx, ch, Seq(ch.cast("int").as("channels"))))
+    }
+    val hash = when(col("format").isNotNull,
+      lumaMajorityHash(px, col("width"), col("height"), ch))
+    // materialize the stats STRUCT (one fold per row) before unpacking:
+    // projection collapse would otherwise hand each of the 12 extracted
+    // fields its own copy of the interpreted fold — interpreted HOFs
+    // get no common-subexpression elimination (measured 12× on this
+    // exact shape)
+    val stage2 = meta
+      .select(
+        col(idCol), col("format"),
+        col("width"), col("height"), col("maxval"),
+        stats.as("__s"), hash.as("ahash"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(meta)
+    stage2.select(
+      col(idCol), col("format"),
+      col("width"), col("height"), col("maxval"),
+      col("__s.channels").as("channels"),
+      col("__s.n_pixels").as("n_pixels"),
+      col("__s.c0_mean").as("c0_mean"), col("__s.c0_min").as("c0_min"),
+      col("__s.c0_max").as("c0_max"),
+      col("__s.c1_mean").as("c1_mean"), col("__s.c1_min").as("c1_min"),
+      col("__s.c1_max").as("c1_max"),
+      col("__s.c2_mean").as("c2_mean"), col("__s.c2_min").as("c2_min"),
+      col("__s.c2_max").as("c2_max"),
+      col("__s.is_blank").as("is_blank"),
+      col("ahash"))
+  }
+
+  /** Perceptual aHash of a PGM/PPM payload — [[pngAHash]]'s exact
+    * contract (the shared [[lumaMajorityHash]] kernel) on the raw
+    * buffer, so the SAME image hashes identically as grayscale PGM,
+    * truecolor PPM, grayscale/truecolor PNG, and 24-bpp BMP — the
+    * cross-format near-dup bridge, spec-pinned.
+    */
+  def pnmAHash(payload: Column): Column = {
+    import graft.functions.hof.bind
+    bind(decodePnmMeta(payload)) { m =>
+      val w = m.getField("width")
+      val h = m.getField("height")
+      val ch = when(m.getField("format") === "P6", lit(3L)).otherwise(lit(1L))
+      val px = substring(payload,
+        m.getField("data_offset").cast("int"), (w * h * ch).cast("int"))
+      when(m.isNotNull, lumaMajorityHash(px, w, h, ch)).otherwise(lit(null))
+    }
+  }
+
+  /** The shared 8x8 luma-majority perceptual hash over an interleaved
+    * pixel buffer (top-down row-major, `ch` channels): gray scales by
+    * 1000 — the same scale as 299+587+114 — so one image hashes
+    * IDENTICALLY as grayscale or truecolor in ANY container wired to
+    * this kernel (PNG, BMP via its own reader, PNM). Extracted from
+    * [[pngAHash]] for the PNM family; bit semantics unchanged.
+    */
+  private def lumaMajorityHash(
+      px: Column, wc: Column, hc: Column, chc: Column): Column = {
+    import graft.functions.hof.bind
+    val geo = struct(wc.as("w"), hc.as("h"), chc.as("ch"))
+    bind(geo) { g =>
+      val w = g.getField("w"); val h = g.getField("h")
+      val ch = g.getField("ch")
+      val lumas = transform(sequence(lit(0L), lit(63L)), k => {
+        val gy = floor(k / 8L).cast("bigint")
+        val gx = k % 8L
+        val y = floor(gy * h / 8L).cast("bigint")
+        val x = floor(gx * w / 8L).cast("bigint")
+        val base = ((y * w + x) * ch + 1L).cast("int")
+        val v = conv(hex(substring(px, base, ch.cast("int"))), 16, 10)
+          .cast("bigint")
+        // packed big-endian: for RGB(A) the R byte is highest
+        when(ch === 1L, lit(1000L) * v)
+          .when(ch === 2L, lit(1000L) * shiftright(v, 8))
+          .when(ch === 3L,
+            lit(299L) * shiftright(v, 16) +
+              lit(587L) * shiftright(v, 8).bitwiseAND(lit(255L)) +
+              lit(114L) * v.bitwiseAND(lit(255L)))
+          .otherwise(
+            lit(299L) * shiftright(v, 24) +
+              lit(587L) * shiftright(v, 16).bitwiseAND(lit(255L)) +
+              lit(114L) * shiftright(v, 8).bitwiseAND(lit(255L)))
+      })
+      bind(lumas) { lum =>
+        bind(aggregate(lum, lit(0L), (acc, v) => acc + v)) { total =>
+          aggregate(
+            sequence(lit(0L), lit(63L)),
+            lit(0L),
+            (acc, k) => {
+              val bit = element_at(lum, (k + 1L).cast("int")) * 64L > total
+              val weight = when(k === 0L, lit(Long.MinValue))
+                .otherwise(call_function(
+                  "shiftleft", lit(1L), (lit(63L) - k).cast("int")))
+              acc + when(bit, weight).otherwise(0L)
+            })
+        }
       }
     }
   }

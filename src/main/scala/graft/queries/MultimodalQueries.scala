@@ -1916,7 +1916,117 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Netpbm P5/P6 decode (Multimodal.decodePnmMeta/pnmPixelStats/
+  // pnmAHash): the RAW-sample container — real pixels with no
+  // decompression, so the whole q_m16 stats + q_m17 perceptual-hash
+  // machinery runs with the buffer just a substring at the header's
+  // data offset. In-plan 9×7 images alternate P5/P6 with pixel bytes
+  // from a doc_id formula; maxval 254 on every 7th doc and a truncated
+  // buffer on every 11th as must-reject rows. The oracle recomputes
+  // channel stats from the BYTE FORMULA (never from parsing) and
+  // replays the 8×8 luma-majority hash — sampled positions, 1000·G vs
+  // 299/587/114, the bit-63 sign weight as the
+  // -9223372036854775808 literal (the 1<<63 overflow lesson). Corpus
+  // capped at 500 docs (the q_r3 rule: per-byte construction folds are
+  // HOF-interpreted).
+  private val qM23 = Q(
+    "q_m23_pnm_pixel_decode",
+    """WITH src AS (
+      |  SELECT doc_id, doc_id % 2 = 0 AS p6,
+      |         NOT (doc_id % 7 = 0 OR doc_id % 11 = 0) AS ok,
+      |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+      |  FROM documents WHERE doc_id < 500),
+      |b AS (
+      |  SELECT doc_id, p6, ok, ch, CAST(j AS BIGINT) AS j,
+      |         (doc_id * 7 + j * 13) % 256 AS v
+      |  FROM src, range(189) t(j) WHERE j < 63 * ch),
+      |st AS (
+      |  SELECT doc_id, CAST(j % ch AS INT) AS c,
+      |         sum(v) AS s, min(v) AS mn, max(v) AS mx
+      |  FROM b GROUP BY 1, 2),
+      |stw AS (
+      |  SELECT doc_id,
+      |         max(CASE WHEN c = 0 THEN s END) AS s0,
+      |         max(CASE WHEN c = 0 THEN mn END) AS mn0,
+      |         max(CASE WHEN c = 0 THEN mx END) AS mx0,
+      |         max(CASE WHEN c = 1 THEN s END) AS s1,
+      |         max(CASE WHEN c = 1 THEN mn END) AS mn1,
+      |         max(CASE WHEN c = 1 THEN mx END) AS mx1,
+      |         max(CASE WHEN c = 2 THEN s END) AS s2,
+      |         max(CASE WHEN c = 2 THEN mn END) AS mn2,
+      |         max(CASE WHEN c = 2 THEN mx END) AS mx2
+      |  FROM st GROUP BY 1),
+      |lum AS (
+      |  SELECT s.doc_id, CAST(k AS BIGINT) AS k,
+      |         CASE WHEN s.p6
+      |              THEN 299 * ((s.doc_id * 7 + (((k // 8) * 7 // 8) * 9 + (k % 8) * 9 // 8) * 3 * 13) % 256)
+      |                 + 587 * ((s.doc_id * 7 + ((((k // 8) * 7 // 8) * 9 + (k % 8) * 9 // 8) * 3 + 1) * 13) % 256)
+      |                 + 114 * ((s.doc_id * 7 + ((((k // 8) * 7 // 8) * 9 + (k % 8) * 9 // 8) * 3 + 2) * 13) % 256)
+      |              ELSE 1000 * ((s.doc_id * 7 + (((k // 8) * 7 // 8) * 9 + (k % 8) * 9 // 8) * 13) % 256)
+      |         END AS luma
+      |  FROM src s, range(64) t(k)),
+      |tot AS (SELECT doc_id, sum(luma) AS total FROM lum GROUP BY 1),
+      |hsh AS (
+      |  SELECT lum.doc_id,
+      |         CAST(sum(CASE WHEN lum.luma * 64 > tot.total
+      |                       THEN (CASE WHEN lum.k = 0 THEN -9223372036854775808
+      |                                  ELSE (1::BIGINT << CAST(63 - lum.k AS INTEGER)) END)
+      |                       ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM lum JOIN tot USING (doc_id) GROUP BY 1)
+      |SELECT src.doc_id,
+      |       CASE WHEN ok THEN (CASE WHEN p6 THEN 'P6' ELSE 'P5' END) END AS format,
+      |       CASE WHEN ok THEN 9 END AS width,
+      |       CASE WHEN ok THEN 7 END AS height,
+      |       CASE WHEN ok THEN ch END AS channels,
+      |       CASE WHEN ok THEN CAST(63 AS BIGINT) END AS n_pixels,
+      |       CASE WHEN ok THEN CAST(stw.s0 AS DOUBLE) / 63 END AS c0_mean,
+      |       CASE WHEN ok THEN CAST(stw.mn0 AS INT) END AS c0_min,
+      |       CASE WHEN ok THEN CAST(stw.mx0 AS INT) END AS c0_max,
+      |       CASE WHEN ok AND p6 THEN CAST(stw.s1 AS DOUBLE) / 63 END AS c1_mean,
+      |       CASE WHEN ok AND p6 THEN CAST(stw.mn1 AS INT) END AS c1_min,
+      |       CASE WHEN ok AND p6 THEN CAST(stw.mx1 AS INT) END AS c1_max,
+      |       CASE WHEN ok AND p6 THEN CAST(stw.s2 AS DOUBLE) / 63 END AS c2_mean,
+      |       CASE WHEN ok AND p6 THEN CAST(stw.mn2 AS INT) END AS c2_min,
+      |       CASE WHEN ok AND p6 THEN CAST(stw.mx2 AS INT) END AS c2_max,
+      |       CASE WHEN ok THEN CAST(
+      |         (CASE WHEN stw.mn0 = stw.mx0 THEN 1 ELSE 0 END) *
+      |         (CASE WHEN NOT p6 OR stw.mn1 = stw.mx1 THEN 1 ELSE 0 END) *
+      |         (CASE WHEN NOT p6 OR stw.mn2 = stw.mx2 THEN 1 ELSE 0 END) AS INT) END AS is_blank,
+      |       CASE WHEN ok THEN hsh.ahash END AS ahash
+      |FROM src JOIN stw USING (doc_id) JOIN hsh USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val isP6 = col("doc_id") % 2 === 0
+    val ch = when(isP6, lit(3L)).otherwise(lit(1L))
+    val maxvalStr = when(col("doc_id") % 7 === 0, lit("254")).otherwise(lit("255"))
+    val header = concat(
+      when(isP6, lit("P6")).otherwise(lit("P5")),
+      lit("\n9 7\n"), maxvalStr, lit("\n"))
+    val nBytes = lit(63L) * ch
+    val pixHex = array_join(
+      transform(sequence(lit(0L), nBytes - 1L), j =>
+        lpad(hex((col("doc_id") * 7 + j * 13) % 256), 2, "0")), "")
+    val full = concat(header.cast("binary"), unhex(pixHex))
+    val payload = when(col("doc_id") % 11 === 0,
+      full.substr(lit(1), (length(full) - 10).cast("int")))
+      .otherwise(full)
+    val corpus = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), payload.as("payload"))
+    graft.operators.Multimodal.pnmDecodedFrame(corpus, "doc_id", "payload")
+      .select(
+        col("doc_id"), col("format"),
+        col("width").cast("int").as("width"),
+        col("height").cast("int").as("height"),
+        col("channels"), col("n_pixels"),
+        col("c0_mean"), col("c0_min"), col("c0_max"),
+        col("c1_mean"), col("c1_min"), col("c1_max"),
+        col("c2_mean"), col("c2_min"), col("c2_max"),
+        col("is_blank").cast("int").as("is_blank"),
+        col("ahash"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
-      qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22)
+      qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22, qM23)
 }
