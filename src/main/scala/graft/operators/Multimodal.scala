@@ -730,7 +730,12 @@ object Multimodal {
     // would make floor(x/0)=floor(Inf) fault the ANSI bigint cast
     val nFrames = when(blockAlign >= 1L,
       floor(dataSize / blockAlign).cast("bigint")).otherwise(lit(0L))
-    val used = least(nFrames, lit(maxFrames.toLong))
+    // least() SKIPS nulls (the q_m23 lesson): a 34-43-byte payload has a
+    // readable blockAlign but a NULL dataSize -> nFrames NULL -> an
+    // unguarded least() returns the CAP and the fold runs maxFrames
+    // no-op steps per malformed row
+    val used = when(nFrames.isNotNull, least(nFrames, lit(maxFrames.toLong)))
+      .otherwise(lit(0L))
     // HOF lambdas re-evaluate non-lambda subtrees PER ELEMENT (the
     // winnowing lesson — graft.functions.hof), and every header field
     // here is a string-op chain over the payload: unbound, the sample
@@ -843,7 +848,12 @@ object Multimodal {
     val dataSize = least(le(payload, 41, 4), length(payload).cast("bigint") - 44L)
     val nFrames = when(blockAlign >= 1L,
       floor(dataSize / blockAlign).cast("bigint")).otherwise(lit(0L))
-    val used = least(nFrames, lit(maxFrames.toLong))
+    // least() SKIPS nulls (the q_m23 lesson): a 34-43-byte payload has a
+    // readable blockAlign but a NULL dataSize -> nFrames NULL -> an
+    // unguarded least() returns the CAP and the fold runs maxFrames
+    // no-op steps per malformed row
+    val used = when(nFrames.isNotNull, least(nFrames, lit(maxFrames.toLong)))
+      .otherwise(lit(0L))
     val hdr = struct(
       channels.as("ch"), bits.as("bits"), blockAlign.as("ba"),
       (bits / 8L).cast("bigint").as("bp"),
@@ -951,7 +961,10 @@ object Multimodal {
       // form is overflow-free and exact for every real file size
       length(payload).cast("double") >=
         dataOffset.cast("double") + h.cast("double") * stride.cast("double")
-    val nPix = least(w * h, lit(maxPixels.toLong))
+    // null-guarded (the q_m23 least()-null lesson): a <22-byte payload
+    // has NULL dims and least() would size the fold at the cap
+    val nPix = when(w.isNotNull && h.isNotNull,
+      least(w * h, lit(maxPixels.toLong)))
     val zero = struct(
       lit(0L).as("bs"), lit(255L).as("bmin"), lit(0L).as("bmax"),
       lit(0L).as("gs"), lit(255L).as("gmin"), lit(0L).as("gmax"),
