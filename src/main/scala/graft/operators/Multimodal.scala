@@ -1270,6 +1270,109 @@ object Multimodal {
     }
   }
 
+  /** ZIP central-directory decode (PKWARE APPNOTE) — the ARCHIVE
+    * container next to the media formats: a data lake full of uploaded
+    * zips needs "how many files, how big uncompressed, what methods"
+    * BEFORE anything inflates (the decompression-bomb triage). Layout
+    * is read back to front, as the format intends: the End-Of-Central-
+    * Directory record (sig PK\x05\x06) sits 22 bytes from EOF plus an
+    * optional comment, found by ONE bounded backward fold that demands
+    * the record's OWN commentLen field equal the distance scanned (a
+    * stray sig in file data cannot satisfy that identity); then the
+    * central directory is walked entry by entry (sig PK\x01\x02,
+    * little-endian sizes/method, variable name/extra/comment lengths
+    * chaining to the next entry) with a second bounded fold.
+    *
+    * Returns `(n_entries, total_compressed, total_uncompressed,
+    * n_stored, n_deflated, cd_offset, comment_len)`; NULL when no
+    * consistent EOCD exists, the entry count exceeds `maxEntries`, any
+    * entry signature breaks, or the walk does not consume exactly
+    * cdSize bytes (the cross-check that catches truncated/spliced
+    * archives). Multi-disk and ZIP64 archives reject (their sentinel
+    * fields make the consistency checks fail) — landing-zone uploads
+    * are single-disk; a ZIP64 walk is the natural extension. Pure
+    * codegen byte-slice built-ins, zero UDF, zero shuffle.
+    */
+  def decodeZipMeta(
+      payload: Column,
+      maxEntries: Int = 64,
+      maxCommentLen: Int = 64): Column = {
+    def le(pos: Column, n: Int): Column =
+      conv(concat((n - 1 to 0 by -1).map(i =>
+        hex(substring(payload, pos + i, lit(1)))): _*), 16, 10).cast("bigint")
+    def sig(pos: Column, hexSig: String): Column =
+      hex(substring(payload, pos, lit(4))) === lit(hexSig)
+    val plen = length(payload).cast("bigint")
+
+    // EOCD: scan k = 0..maxCommentLen; candidate at plen-21-k must have
+    // the sig AND declare commentLen == k
+    val eocd = aggregate(
+      sequence(lit(0), lit(maxCommentLen)),
+      lit(null).cast("bigint"),
+      (acc, k) => {
+        val pos = plen - 21L - k.cast("bigint")
+        val hit = pos >= 1L && sig(pos, "504B0506") &&
+          le(pos + 20L, 2) === k.cast("bigint")
+        when(acc.isNotNull, acc).when(hit, pos).otherwise(acc)
+      })
+
+    val out = graft.functions.hof.bind(eocd) { e =>
+      val nEntries = le(e + 10L, 2)
+      val cdSize = le(e + 12L, 4)
+      val cdOffset = le(e + 16L, 4)
+      val commentLen = le(e + 20L, 2)
+      def entryState(pos: Column, cnt: Column, comp: Column, uncomp: Column,
+          stored: Column, deflated: Column, bad: Column): Column =
+        struct(pos.as("pos"), cnt.as("cnt"), comp.as("comp"),
+          uncomp.as("uncomp"), stored.as("stored"),
+          deflated.as("deflated"), bad.as("bad"))
+      val walked = graft.functions.hof.bind(
+        struct(nEntries.as("n"), (cdOffset + 1L).as("start"))) { g =>
+        aggregate(
+          sequence(lit(0), lit(maxEntries - 1)),
+          entryState(g.getField("start"), lit(0L), lit(0L), lit(0L),
+            lit(0L), lit(0L), lit(false)),
+          (acc, _) => {
+            val pos = acc.getField("pos")
+            val done = acc.getField("cnt") >= g.getField("n") ||
+              acc.getField("bad")
+            val sigOk = sig(pos, "504B0102")
+            val method = le(pos + 10L, 2)
+            val comp = le(pos + 20L, 4)
+            val uncomp = le(pos + 24L, 4)
+            val varLen = le(pos + 28L, 2) + le(pos + 30L, 2) + le(pos + 32L, 2)
+            when(done, acc)
+              .when(!sigOk || pos + 45L > plen,
+                entryState(pos, acc.getField("cnt"), acc.getField("comp"),
+                  acc.getField("uncomp"), acc.getField("stored"),
+                  acc.getField("deflated"), lit(true)))
+              .otherwise(entryState(
+                pos + 46L + varLen,
+                acc.getField("cnt") + 1L,
+                acc.getField("comp") + comp,
+                acc.getField("uncomp") + uncomp,
+                acc.getField("stored") + when(method === 0L, 1L).otherwise(0L),
+                acc.getField("deflated") + when(method === 8L, 1L).otherwise(0L),
+                lit(false)))
+          })
+      }
+      graft.functions.hof.bind(walked) { w =>
+        val ok = e.isNotNull && nEntries <= maxEntries &&
+          !w.getField("bad") && w.getField("cnt") === nEntries &&
+          w.getField("pos") === cdOffset + cdSize + 1L
+        when(ok, struct(
+          nEntries.cast("int").as("n_entries"),
+          w.getField("comp").as("total_compressed"),
+          w.getField("uncomp").as("total_uncompressed"),
+          w.getField("stored").cast("int").as("n_stored"),
+          w.getField("deflated").cast("int").as("n_deflated"),
+          cdOffset.as("cd_offset"),
+          commentLen.cast("int").as("comment_len")))
+      }
+    }
+    when(payload.isNotNull && length(payload) >= 22, out)
+  }
+
   /** Netpbm binary PGM/PPM (P5/P6) header decode — the EIGHTH container
     * and the only one with a TEXT header: `P5|P6 <w> <h> <maxval>` as
     * ASCII tokens separated by whitespace runs, one single whitespace

@@ -2026,7 +2026,117 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // ZIP central-directory decode (Multimodal.decodeZipMeta): complete
+  // in-plan archives — real local headers + central directory + EOCD —
+  // with 1-3 STORED entries of doc_id-derived sizes, odd docs behind an
+  // EOCD comment the backward scan must cross (with the commentLen-
+  // distance identity pinning the true record); corrupt EOCD sig on
+  // every 7th doc and an over-declared entry count (walk/count
+  // mismatch) on every 11th as must-reject rows. Expectations derive
+  // from the size formulas (the q_m6 discipline). Corpus pinned before
+  // decode (the q_m23 projection-collapse rule: decodeZipMeta reads the
+  // payload ~50 times).
+  private val qM24 = Q(
+    "q_m24_zip_central_dir",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 3 + 1 AS INTEGER) AS ne,
+      |         (doc_id + 0) % 9 + 1 AS l0,
+      |         (doc_id + 1) % 9 + 1 AS l1,
+      |         (doc_id + 2) % 9 + 1 AS l2,
+      |         CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 20 AS INTEGER) ELSE 0 END AS cl,
+      |         NOT (doc_id % 7 = 0 OR doc_id % 11 = 0) AS ok
+      |  FROM documents WHERE doc_id < 500),
+      |x AS (
+      |  SELECT doc_id, ne, cl, ok,
+      |         CASE WHEN ne = 1 THEN l0 WHEN ne = 2 THEN l0 + l1
+      |              ELSE l0 + l1 + l2 END AS tot
+      |  FROM src)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN ne END AS n_entries,
+      |       CASE WHEN ok THEN CAST(tot AS BIGINT) END AS total_compressed,
+      |       CASE WHEN ok THEN CAST(tot AS BIGINT) END AS total_uncompressed,
+      |       CASE WHEN ok THEN ne END AS n_stored,
+      |       CASE WHEN ok THEN 0 END AS n_deflated,
+      |       CASE WHEN ok THEN CAST(32 * ne + tot AS BIGINT) END AS cd_offset,
+      |       CASE WHEN ok THEN cl END AS comment_len,
+      |       CAST(ok AS INT) AS valid
+      |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def b2h(v: org.apache.spark.sql.Column) = lpad(hex(v), 2, "0")
+    def le16(v: org.apache.spark.sql.Column) =
+      concat(b2h(v % 256), b2h(((v - v % 256) / 256).cast("bigint")))
+    def le32(v: org.apache.spark.sql.Column) = concat(
+      b2h(v % 256),
+      b2h(((v - v % 256) / 256).cast("bigint") % 256),
+      b2h(((v - v % 65536) / 65536).cast("bigint") % 256),
+      b2h(((v - v % 16777216) / 16777216).cast("bigint")))
+    val nE = col("doc_id") % 3 + 1
+    def len(j: Int) = (col("doc_id") + j) % 9 + 1
+    val tot = when(nE === 1, len(0)).when(nE === 2, len(0) + len(1))
+      .otherwise(len(0) + len(1) + len(2))
+    def localOff(k: org.apache.spark.sql.Column) =
+      when(k === 0, lit(0L)).when(k === 1, lit(32L) + len(0))
+        .otherwise(lit(64L) + len(0) + len(1))
+    def lenOf(k: org.apache.spark.sql.Column) = (col("doc_id") + k) % 9 + 1
+    def nameHex(k: org.apache.spark.sql.Column) = concat(lit("66"), b2h(lit(48L) + k))
+    // local header: sig, ver, flags, method(0), time, date, crc, comp,
+    // uncomp, nameLen(2), extraLen(0) + name + data
+    def localHex(k: org.apache.spark.sql.Column) = concat(
+      lit("504B0304"), lit("0A00"), lit("0000"), lit("0000"),
+      lit("0000"), lit("0000"), lit("00000000"),
+      le32(lenOf(k)), le32(lenOf(k)),
+      lit("0200"), lit("0000"),
+      nameHex(k),
+      lit("41" * 9).substr(lit(1), (lenOf(k) * 2).cast("int")))
+    // central entry: sig, verMade, verNeed, flags, method, time, date,
+    // crc, comp, uncomp, nameLen, extra, comment, disk, intAttr,
+    // extAttr, localOff + name
+    def cdHex(k: org.apache.spark.sql.Column) = concat(
+      lit("504B0102"), lit("0A00"), lit("0A00"), lit("0000"), lit("0000"),
+      lit("0000"), lit("0000"), lit("00000000"),
+      le32(lenOf(k)), le32(lenOf(k)),
+      lit("0200"), lit("0000"), lit("0000"), lit("0000"), lit("0000"),
+      lit("00000000"), le32(localOff(k)),
+      nameHex(k))
+    val locals = array_join(
+      transform(sequence(lit(0L), nE - 1), k => localHex(k)), "")
+    val cds = array_join(
+      transform(sequence(lit(0L), nE - 1), k => cdHex(k)), "")
+    val cdOffset = lit(32L) * nE + tot
+    val cdSize = lit(48L) * nE
+    val commentLen = when(col("doc_id") % 2 === 1, col("doc_id") % 20)
+      .otherwise(lit(0L))
+    val declaredN = when(col("doc_id") % 11 === 0, nE + 1).otherwise(nE)
+    val eocdSig = when(col("doc_id") % 7 === 0, lit("504B0606"))
+      .otherwise(lit("504B0506"))
+    val eocd = concat(
+      eocdSig, lit("0000"), lit("0000"),
+      le16(declaredN), le16(declaredN),
+      le32(cdSize), le32(cdOffset),
+      le16(commentLen),
+      lit("63" * 20).substr(lit(1), (commentLen * 2).cast("int")))
+    val payload = unhex(concat(locals, cds, eocd))
+
+    val corpus = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), payload.as("payload"))
+      .localCheckpoint(true)
+    corpus
+      .withColumn("m", graft.operators.Multimodal.decodeZipMeta(col("payload")))
+      .select(
+        col("doc_id"),
+        col("m.n_entries").as("n_entries"),
+        col("m.total_compressed").as("total_compressed"),
+        col("m.total_uncompressed").as("total_uncompressed"),
+        col("m.n_stored").as("n_stored"),
+        col("m.n_deflated").as("n_deflated"),
+        col("m.cd_offset").as("cd_offset"),
+        col("m.comment_len").as("comment_len"),
+        col("m").isNotNull.cast("int").as("valid"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
-      qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22, qM23)
+      qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22, qM23, qM24)
 }
