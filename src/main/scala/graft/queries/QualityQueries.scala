@@ -1074,8 +1074,59 @@ object QualityQueries extends QueryGroup {
     sketch.join(exact, "l_returnflag").orderBy("l_returnflag")
   }
 
+  // Mann–Whitney U (operators.MannWhitney, 1947): the NONPARAMETRIC
+  // two-sample test next to q_q19's Welch t — the readout that survives
+  // the heavy tails q_q21 flags. Exact to the end: per-DISTINCT-VALUE
+  // counts, the DOUBLED rank sum r1x2 = Σ tₐ(2·below+t+1) as a BIGINT
+  // (midranks are halves — doubling keeps every intermediate integral,
+  // no decimal-division semantics to match), exact tie correction
+  // Σ(t³−t); only z forms in IEEE, rounded to 6. l_discount between
+  // returnflags R and A is tie-saturated (11 distinct values over
+  // ~30k rows) — the tie machinery is the thing under test.
+  private val qQ23 = Q(
+    "q_q23_mann_whitney",
+    """WITH t AS (
+      |  SELECT l_returnflag = 'R' AS isa, l_discount AS v
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A') AND l_discount IS NOT NULL),
+      |pv AS (
+      |  SELECT v, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS ta,
+      |         sum(CASE WHEN isa THEN 0 ELSE 1 END) AS tb
+      |  FROM t GROUP BY v),
+      |r AS (
+      |  SELECT ta, tb, ta + tb AS tt,
+      |         COALESCE(sum(ta + tb) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM pv),
+      |ag AS (
+      |  SELECT CAST(sum(ta) AS BIGINT) AS na, CAST(sum(tb) AS BIGINT) AS nb,
+      |         CAST(sum(ta * (below * 2 + tt + 1)) AS BIGINT) AS r1x2,
+      |         CAST(sum(tt * tt * tt - tt) AS BIGINT) AS tcorr
+      |  FROM r)
+      |SELECT na AS n_a, nb AS n_b,
+      |       CAST(r1x2 - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+      |       CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |         - CAST(r1x2 - na * (na + 1) AS DOUBLE) / 2.0 AS u_b,
+      |       CASE WHEN na > 0 AND nb > 0 AND
+      |                 CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+      |                 ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+      |                  - CAST(tcorr AS DOUBLE) / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+      |                      * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))) > 0
+      |            THEN round((CAST(r1x2 - na * (na + 1) AS DOUBLE) / 2.0
+      |                        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+      |                       / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+      |                              ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+      |                               - CAST(tcorr AS DOUBLE) /
+      |                                 ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+      |                                  * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))), 6)
+      |       END AS z
+      |FROM ag""".stripMargin) { (s, dir) =>
+    graft.operators.MannWhitney.uTest(
+      Tables.load(s, dir, "lineitem"),
+      "l_returnflag", "l_discount", "R", "A")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
       qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16, qQ17, qQ18, qQ19,
-      qQ20, qQ21, qQ22)
+      qQ20, qQ21, qQ22, qQ23)
 }
