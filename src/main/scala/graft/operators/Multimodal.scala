@@ -1373,6 +1373,93 @@ object Multimodal {
     when(payload.isNotNull && length(payload) >= 22, out)
   }
 
+  /** TAR / USTAR archive decode (POSIX.1-1988) — the uncompressed
+    * archive next to ZIP: 512-byte header blocks with OCTAL-ASCII
+    * numeric fields, each entry's data rounded up to whole blocks, the
+    * archive terminated by a zero block. The walk verifies each
+    * header's CHECKSUM (sum of header bytes with the checksum field
+    * read as spaces — the format's own integrity line) with a bounded
+    * per-entry fold, parses the size field via a leading-octal-digits
+    * regex + `conv(_, 8, 10)`, and chains `512 + ⌈size/512⌉·512`.
+    *
+    * Returns `(n_entries, n_files, n_dirs, total_size, max_size)`;
+    * NULL when a header's magic is not `ustar`, a checksum breaks, an
+    * entry runs past EOF, or more than `maxEntries` entries precede
+    * the terminator. Pure codegen built-ins, zero UDF.
+    */
+  def decodeTarMeta(payload: Column, maxEntries: Int = 8): Column = {
+    def byteAt(pos: Column): Column =
+      conv(hex(substring(payload, pos, lit(1))), 16, 10).cast("bigint")
+    val plen = length(payload).cast("bigint")
+
+    def state(pos: Column, cnt: Column, files: Column, dirs: Column,
+        total: Column, mx: Column, done: Column, bad: Column): Column =
+      struct(pos.as("pos"), cnt.as("cnt"), files.as("files"),
+        dirs.as("dirs"), total.as("total"), mx.as("mx"),
+        done.as("done"), bad.as("bad"))
+
+    val walked = aggregate(
+      sequence(lit(0), lit(maxEntries)),
+      state(lit(1L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L),
+        lit(false), lit(false)),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val stop = acc.getField("done") || acc.getField("bad")
+        val zeroBlock = byteAt(pos) === 0L
+        val overCap = acc.getField("cnt") >= maxEntries
+        val magicOk = hex(substring(payload, pos + 257L, lit(5))) === lit("7573746172")
+        // checksum: Σ header bytes, field 148..155 (0-based) as spaces
+        val ckSum = graft.functions.hof.bind(pos) { p =>
+          aggregate(
+            sequence(lit(0L), lit(511L)),
+            lit(0L),
+            (s2, i) => s2 + when(i >= 148L && i < 156L, lit(32L))
+              .otherwise(coalesce(byteAt(p + i), lit(0L))))
+        }
+        val ckDeclared = conv(
+          concat(lit("0"), regexp_extract(
+            substring(payload, (pos + 148L).cast("int"), lit(8)).cast("string"),
+            "^([0-7]+)", 1)), 8, 10).cast("bigint")
+        val size = conv(
+          concat(lit("0"), regexp_extract(
+            substring(payload, (pos + 124L).cast("int"), lit(12)).cast("string"),
+            "^([0-7]+)", 1)), 8, 10).cast("bigint")
+        val typeflag = byteAt(pos + 156L)
+        val isDir = typeflag === 53L // '5'
+        val blocks = floor((size + 511L) / 512L).cast("bigint")
+        val next = pos + 512L + blocks * 512L
+        val headerOk = pos + 511L <= plen && magicOk && ckSum === ckDeclared &&
+          next - 1L <= plen
+        when(stop, acc)
+          .when(zeroBlock,
+            state(pos, acc.getField("cnt"), acc.getField("files"),
+              acc.getField("dirs"), acc.getField("total"),
+              acc.getField("mx"), lit(true), acc.getField("bad")))
+          .when(overCap || !headerOk,
+            state(pos, acc.getField("cnt"), acc.getField("files"),
+              acc.getField("dirs"), acc.getField("total"),
+              acc.getField("mx"), lit(false), lit(true)))
+          .otherwise(state(
+            next,
+            acc.getField("cnt") + 1L,
+            acc.getField("files") + when(isDir, 0L).otherwise(1L),
+            acc.getField("dirs") + when(isDir, 1L).otherwise(0L),
+            acc.getField("total") + when(isDir, 0L).otherwise(size),
+            greatest(acc.getField("mx"), when(isDir, 0L).otherwise(size)),
+            lit(false), lit(false)))
+      })
+    graft.functions.hof.bind(walked) { w =>
+      when(payload.isNotNull && length(payload) >= 1024 &&
+          w.getField("done") && !w.getField("bad"),
+        struct(
+          w.getField("cnt").cast("int").as("n_entries"),
+          w.getField("files").cast("int").as("n_files"),
+          w.getField("dirs").cast("int").as("n_dirs"),
+          w.getField("total").as("total_size"),
+          w.getField("mx").as("max_size")))
+    }
+  }
+
   /** Netpbm binary PGM/PPM (P5/P6) header decode — the EIGHTH container
     * and the only one with a TEXT header: `P5|P6 <w> <h> <maxval>` as
     * ASCII tokens separated by whitespace runs, one single whitespace

@@ -2036,32 +2036,11 @@ object MultimodalQueries extends QueryGroup {
   // from the size formulas (the q_m6 discipline). Corpus pinned before
   // decode (the q_m23 projection-collapse rule: decodeZipMeta reads the
   // payload ~50 times).
-  private val qM24 = Q(
-    "q_m24_zip_central_dir",
-    """WITH src AS (
-      |  SELECT doc_id,
-      |         CAST(doc_id % 3 + 1 AS INTEGER) AS ne,
-      |         (doc_id + 0) % 9 + 1 AS l0,
-      |         (doc_id + 1) % 9 + 1 AS l1,
-      |         (doc_id + 2) % 9 + 1 AS l2,
-      |         CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 20 AS INTEGER) ELSE 0 END AS cl,
-      |         NOT (doc_id % 7 = 0 OR doc_id % 11 = 0) AS ok
-      |  FROM documents WHERE doc_id < 500),
-      |x AS (
-      |  SELECT doc_id, ne, cl, ok,
-      |         CASE WHEN ne = 1 THEN l0 WHEN ne = 2 THEN l0 + l1
-      |              ELSE l0 + l1 + l2 END AS tot
-      |  FROM src)
-      |SELECT doc_id,
-      |       CASE WHEN ok THEN ne END AS n_entries,
-      |       CASE WHEN ok THEN CAST(tot AS BIGINT) END AS total_compressed,
-      |       CASE WHEN ok THEN CAST(tot AS BIGINT) END AS total_uncompressed,
-      |       CASE WHEN ok THEN ne END AS n_stored,
-      |       CASE WHEN ok THEN 0 END AS n_deflated,
-      |       CASE WHEN ok THEN CAST(32 * ne + tot AS BIGINT) END AS cd_offset,
-      |       CASE WHEN ok THEN cl END AS comment_len,
-      |       CAST(ok AS INT) AS valid
-      |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+  /** The q_m24 in-plan archive construction + pinned decode, shared
+    * with the streaming twin (q_st31), which applies it per micro-batch
+    * (construction and decode are row-local, so streamed ≡ batch).
+    */
+  private[queries] def zipDecodedFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def b2h(v: org.apache.spark.sql.Column) = lpad(hex(v), 2, "0")
     def le16(v: org.apache.spark.sql.Column) =
       concat(b2h(v % 256), b2h(((v - v % 256) / 256).cast("bigint")))
@@ -2071,16 +2050,14 @@ object MultimodalQueries extends QueryGroup {
       b2h(((v - v % 65536) / 65536).cast("bigint") % 256),
       b2h(((v - v % 16777216) / 16777216).cast("bigint")))
     val nE = col("doc_id") % 3 + 1
+    def lenOf(k: org.apache.spark.sql.Column) = (col("doc_id") + k) % 9 + 1
     def len(j: Int) = (col("doc_id") + j) % 9 + 1
     val tot = when(nE === 1, len(0)).when(nE === 2, len(0) + len(1))
       .otherwise(len(0) + len(1) + len(2))
     def localOff(k: org.apache.spark.sql.Column) =
       when(k === 0, lit(0L)).when(k === 1, lit(32L) + len(0))
         .otherwise(lit(64L) + len(0) + len(1))
-    def lenOf(k: org.apache.spark.sql.Column) = (col("doc_id") + k) % 9 + 1
     def nameHex(k: org.apache.spark.sql.Column) = concat(lit("66"), b2h(lit(48L) + k))
-    // local header: sig, ver, flags, method(0), time, date, crc, comp,
-    // uncomp, nameLen(2), extraLen(0) + name + data
     def localHex(k: org.apache.spark.sql.Column) = concat(
       lit("504B0304"), lit("0A00"), lit("0000"), lit("0000"),
       lit("0000"), lit("0000"), lit("00000000"),
@@ -2088,9 +2065,6 @@ object MultimodalQueries extends QueryGroup {
       lit("0200"), lit("0000"),
       nameHex(k),
       lit("41" * 9).substr(lit(1), (lenOf(k) * 2).cast("int")))
-    // central entry: sig, verMade, verNeed, flags, method, time, date,
-    // crc, comp, uncomp, nameLen, extra, comment, disk, intAttr,
-    // extAttr, localOff + name
     def cdHex(k: org.apache.spark.sql.Column) = concat(
       lit("504B0102"), lit("0A00"), lit("0A00"), lit("0000"), lit("0000"),
       lit("0000"), lit("0000"), lit("00000000"),
@@ -2116,8 +2090,7 @@ object MultimodalQueries extends QueryGroup {
       le16(commentLen),
       lit("63" * 20).substr(lit(1), (commentLen * 2).cast("int")))
     val payload = unhex(concat(locals, cds, eocd))
-
-    val corpus = Tables.load(s, dir, "documents")
+    val corpus = df
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), payload.as("payload"))
       .localCheckpoint(true)
@@ -2133,10 +2106,131 @@ object MultimodalQueries extends QueryGroup {
         col("m.cd_offset").as("cd_offset"),
         col("m.comment_len").as("comment_len"),
         col("m").isNotNull.cast("int").as("valid"))
+  }
+
+  private[queries] val zipOracleSql: String =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 3 + 1 AS INTEGER) AS ne,
+      |         (doc_id + 0) % 9 + 1 AS l0,
+      |         (doc_id + 1) % 9 + 1 AS l1,
+      |         (doc_id + 2) % 9 + 1 AS l2,
+      |         CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 20 AS INTEGER) ELSE 0 END AS cl,
+      |         NOT (doc_id % 7 = 0 OR doc_id % 11 = 0) AS ok
+      |  FROM documents WHERE doc_id < 500),
+      |x AS (
+      |  SELECT doc_id, ne, cl, ok,
+      |         CASE WHEN ne = 1 THEN l0 WHEN ne = 2 THEN l0 + l1
+      |              ELSE l0 + l1 + l2 END AS tot
+      |  FROM src)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN ne END AS n_entries,
+      |       CASE WHEN ok THEN CAST(tot AS BIGINT) END AS total_compressed,
+      |       CASE WHEN ok THEN CAST(tot AS BIGINT) END AS total_uncompressed,
+      |       CASE WHEN ok THEN ne END AS n_stored,
+      |       CASE WHEN ok THEN 0 END AS n_deflated,
+      |       CASE WHEN ok THEN CAST(32 * ne + tot AS BIGINT) END AS cd_offset,
+      |       CASE WHEN ok THEN cl END AS comment_len,
+      |       CAST(ok AS INT) AS valid
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  private val qM24 = Q("q_m24_zip_central_dir", zipOracleSql) { (s, dir) =>
+    zipDecodedFrame(Tables.load(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  // TAR/USTAR decode
+  // TAR/USTAR decode (Multimodal.decodeTarMeta): complete in-plan
+  // archives with 1-3 file entries (0-599-byte payloads exercising the
+  // 0/1/2-block data rounding) plus a directory entry on every 5th doc;
+  // header CHECKSUMS are emitted from the closed-form byte-sum formula
+  // (constant field bytes + name digit + octal-digit sum of the size),
+  // so a formula slip fails LOUDLY as an engine NULL against an
+  // oracle-valid row; corrupt magic on every 7th doc and an
+  // off-by-one checksum on every 11th as must-reject rows.
+  private val qM25 = Q(
+    "q_m25_tar_decode",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 3 + 1 AS INTEGER) AS ne,
+      |         CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS nd,
+      |         (doc_id + 0) % 600 AS s0,
+      |         (doc_id + 7) % 600 AS s1,
+      |         (doc_id + 14) % 600 AS s2,
+      |         NOT (doc_id % 7 = 0 OR doc_id % 11 = 0) AS ok
+      |  FROM documents WHERE doc_id < 500),
+      |x AS (
+      |  SELECT doc_id, ne, nd, ok,
+      |         CASE WHEN ne = 1 THEN s0 WHEN ne = 2 THEN s0 + s1
+      |              ELSE s0 + s1 + s2 END AS tot,
+      |         CASE WHEN ne = 1 THEN s0 WHEN ne = 2 THEN greatest(s0, s1)
+      |              ELSE greatest(s0, s1, s2) END AS mx
+      |  FROM src)
+      |SELECT doc_id,
+      |       CASE WHEN ok THEN ne + nd END AS n_entries,
+      |       CASE WHEN ok THEN ne END AS n_files,
+      |       CASE WHEN ok THEN nd END AS n_dirs,
+      |       CASE WHEN ok THEN CAST(tot AS BIGINT) END AS total_size,
+      |       CASE WHEN ok THEN CAST(mx AS BIGINT) END AS max_size,
+      |       CAST(ok AS INT) AS valid
+      |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def octHex(v: org.apache.spark.sql.Column, width: Int) =
+      hex(lpad(conv(v.cast("string"), 10, 8), width, "0"))
+    val badMagic = col("doc_id") % 7 === 0
+    val badCk = col("doc_id") % 11 === 0
+    // osum: digit sum of the octal rendering (sizes < 4096)
+    def osum(v: org.apache.spark.sql.Column) =
+      v % 8 + ((v - v % 8) / 8).cast("bigint") % 8 +
+        ((v - v % 64) / 64).cast("bigint") % 8 +
+        ((v - v % 512) / 512).cast("bigint") % 8
+    def entryHex(k: org.apache.spark.sql.Column, typeCode: Long,
+        size: org.apache.spark.sql.Column) = {
+      val nameHex = rpad(concat(lit("66696C65"), lpad(hex(lit(48L) + k), 2, "0")),
+        200, "0")
+      val sum = lit(3597L) + typeCode + (lit(48L) + k) + osum(size) +
+        when(badCk, 1L).otherwise(0L)
+      val blocks = ((size + 511) - (size + 511) % 512) / 512
+      concat(
+        nameHex,
+        lit("3030303036343420"), // mode "0000644 "
+        lit("3030303030303020"), // uid
+        lit("3030303030303020"), // gid
+        octHex(size, 11), lit("20"),
+        lit("30" * 11), lit("20"), // mtime
+        octHex(sum, 6), lit("0020"), // chksum + NUL + space
+        lpad(hex(lit(typeCode)), 2, "0"),
+        lit("0" * 200), // linkname
+        when(badMagic, lit("787374617220")).otherwise(lit("757374617220")),
+        lit("3030"), // version
+        lit("0" * 494), // uname/gname/dev/prefix/pad = 247 bytes
+        rpad(lit("41" * 599).substr(lit(1), (size * 2).cast("int")),
+          (blocks * 1024).cast("int"), lit("0")))
+    }
+    val nE = col("doc_id") % 3 + 1
+    def sz(k: org.apache.spark.sql.Column) = (col("doc_id") + k * 7) % 600
+    val dirPart = when(col("doc_id") % 5 === 0,
+      entryHex(lit(-1L), 53L, lit(0L))).otherwise(lit(""))
+    val files = array_join(
+      transform(sequence(lit(0L), nE - 1), k => entryHex(k, 48L, sz(k))), "")
+    val payload = unhex(concat(dirPart, files, lit("0" * 2048)))
+
+    val corpus = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), payload.as("payload"))
+      .localCheckpoint(true)
+    corpus
+      .withColumn("m", graft.operators.Multimodal.decodeTarMeta(col("payload")))
+      .select(
+        col("doc_id"),
+        col("m.n_entries").as("n_entries"),
+        col("m.n_files").as("n_files"),
+        col("m.n_dirs").as("n_dirs"),
+        col("m.total_size").as("total_size"),
+        col("m.max_size").as("max_size"),
+        col("m").isNotNull.cast("int").as("valid"))
       .orderBy("doc_id")
   }
 
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
-      qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22, qM23, qM24)
+      qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22, qM23, qM24, qM25)
 }

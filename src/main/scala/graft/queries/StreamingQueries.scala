@@ -749,8 +749,22 @@ object StreamingQueries extends QueryGroup {
       .orderBy("lang")
   }
 
+  // Streaming ARCHIVE TRIAGE at the landing zone: q_m24's ZIP central-
+  // directory decode per micro-batch — file counts, methods, and
+  // uncompressed totals established as archives arrive, BEFORE anything
+  // inflates (the decompression-bomb posture, streamed). Construction
+  // and decode are row-local, so streamed ≡ batch on every document and
+  // the oracle is q_m24's verbatim.
+  private val qSt31 = Q(
+    "q_st31_stream_zip_triage",
+    MultimodalQueries.zipOracleSql) { (s, dir) =>
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch => MultimodalQueries.zipDecodedFrame(batch)
+    }.orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30)
+      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31)
 }
