@@ -632,7 +632,47 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("rank")
   }
 
+  // k-CENTER GREEDY / farthest-point traversal (operators.KCenter,
+  // Gonzalez 1985; the Sener–Savarese core-set selector): the DIVERSITY
+  // complement of near-dup removal — build a maximally spread seed
+  // subset. Every argmax ranks on round(d,6) with id tie-break and the
+  // running nearest-center distance is carried ROUNDED (least of
+  // rounded values), so the whole trajectory replays; the newest center
+  // travels as a plan-literal vector (no join per round). The oracle
+  // unrolls all 5 selection rounds: per round one per-dim join against
+  // the chosen row, one rounded distance aggregate, least() with the
+  // carried column, one argmax LIMIT 1.
+  private val qV20: Q = {
+    def roundCte(r: Int): String =
+      s"""cd$r AS (SELECT vd.p, vd.x FROM vd JOIN ch$r ON vd.id = ch$r.id),
+         |nd$r AS (SELECT vd.id, round(sum((vd.x - cd$r.x) * (vd.x - cd$r.x)), 6) AS nd
+         |         FROM vd JOIN cd$r ON vd.p = cd$r.p GROUP BY vd.id),
+         |d$r AS (SELECT nd$r.id, ${if (r == 1) s"nd$r.nd"
+        else s"least(d${r - 1}.d, nd$r.nd)"} AS d
+         |        FROM nd$r${if (r == 1) ""
+        else s" JOIN d${r - 1} ON nd$r.id = d${r - 1}.id"}),
+         |ch${r + 1} AS (SELECT id, d FROM d$r ORDER BY d DESC, id LIMIT 1)""".stripMargin
+    val rounds = 5
+    val sql =
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+         |vd AS (SELECT id, i AS p, CAST(emb[i] AS DOUBLE) AS x
+         |       FROM v, range(1, 65) t(i)),
+         |ch1 AS (SELECT id, CAST(NULL AS DOUBLE) AS d FROM v ORDER BY id LIMIT 1),
+         |${(1 to rounds).map(roundCte).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to rounds + 1).map(r =>
+          s"SELECT $r AS center_rank, id AS vec_id, " +
+            s"${if (r == 1) "CAST(NULL AS DOUBLE)" else "d"} AS sel_dist2 FROM ch$r")
+          .mkString("\nUNION ALL\n")})
+         |ORDER BY center_rank""".stripMargin
+    Q("q_v20_kcenter_coreset", sql) { (s, dir) =>
+      graft.operators.KCenter.greedyCenters(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+        .orderBy("center_rank")
+    }
+  }
+
   override val all: Seq[Q] =
     Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13,
-      qV14, qV15, qV16, qV17, qV18, qV19)
+      qV14, qV15, qV16, qV17, qV18, qV19, qV20)
 }
