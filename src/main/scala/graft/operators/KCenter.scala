@@ -26,6 +26,12 @@ import org.apache.spark.sql.graft.bridge
   * compute; the selected vector collected per round is the bounded
   * O(d) artifact read.
   *
+  * Degenerate inputs fail loud or stop clean: an empty frame raises a
+  * clear requirement error, and when every remaining point coincides
+  * with a chosen center (k exceeds the number of distinct points) the
+  * traversal STOPS instead of re-selecting duplicates, so fewer than k
+  * rows may come back. The id column is cast to bigint internally.
+  *
   * Returns k rows `(center_rank, idCol, sel_dist2)` — `sel_dist2` the
   * rounded distance that made the point the argmax (NULL for rank 1;
   * non-increasing thereafter — the 2-approx coverage certificate: all
@@ -48,26 +54,36 @@ object KCenter {
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val spark = vecs.sparkSession
+    // id is carried as bigint so the collected argmax row has one
+    // physical type regardless of the caller's int/long id column
     val v = vecs.select(
-      col(idCol).as("__id"),
+      col(idCol).cast("long").as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val first = v.orderBy("__id").limit(1).collect()(0)
+    val firstRows = v.orderBy("__id").limit(1).collect()
+    require(firstRows.nonEmpty, "greedyCenters: input frame is empty")
+    val first = firstRows(0)
     var centers = List[(Int, Long, Option[Double])](
       (1, first.getLong(0), None))
     var cv: Seq[Double] = first.getSeq[Double](1)
     var cur = v.select(col("__id"), col("__v"),
       dist2(col("__v"), cv).as("__d")).localCheckpoint(true)
-    for (r <- 2 to k) {
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
       val best = cur
         .orderBy(col("__d").desc, col("__id").asc)
         .limit(1).collect()(0)
-      centers ::= ((r, best.getLong(0), Some(best.getDouble(2))))
-      cv = best.getSeq[Double](1)
-      val next = cur.select(col("__id"), col("__v"),
-        least(col("__d"), dist2(col("__v"), cv)).as("__d"))
-        .localCheckpoint(true)
-      bridge.freeLocalCheckpoint(cur)
-      cur = next
+      // all remaining points coincide with a chosen center: selecting
+      // further would emit duplicate centers with sel_dist2=0 — stop
+      if (best.getDouble(2) <= 0.0) { exhausted = true }
+      else {
+        centers ::= ((r, best.getLong(0), Some(best.getDouble(2))))
+        cv = best.getSeq[Double](1)
+        val next = cur.select(col("__id"), col("__v"),
+          least(col("__d"), dist2(col("__v"), cv)).as("__d"))
+          .localCheckpoint(true)
+        bridge.freeLocalCheckpoint(cur)
+        cur = next
+      }
     }
     bridge.freeLocalCheckpoint(cur)
     import spark.implicits._

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * z uses the tie-corrected normal approximation
   * σ² = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))); the continuity
   * correction is omitted (documented — at corpus n it is noise).
+  *
+  * Exactness bounds: u_a/u_b are exact while n₁·n₂ < 9e15 (double
+  * holds the halved integer exactly below 2^53); the tie term Σ(t³−t)
+  * is DECIMAL(38,0)-exact up to t ≈ 1e12 rows PER DISTINCT VALUE
+  * (t³ ≤ 1e36 < 1e38) — far past the ~2.1e6 where a BIGINT t³ would
+  * wrap, which matters precisely for the tie-saturated low-cardinality
+  * columns this test is marketed for.
   */
 object MannWhitney {
 
@@ -64,7 +71,12 @@ object MannWhitney {
       sum(col("tb")).cast("bigint").as("nb"),
       sum(col("ta") * (col("below") * 2 + col("t") + 1)).cast("bigint")
         .as("r1x2"),
-      sum(col("t") * col("t") * col("t") - col("t")).cast("bigint").as("tcorr"))
+      // t³ in DECIMAL(38,0): a tie group past ~2.1M rows overflows
+      // t³ in BIGINT, and tie-saturated low-cardinality columns (the
+      // exact target of this operator) grow t with the corpus. Decimal
+      // keeps Σ(t³−t) exact up to t ≈ 1e12 per distinct value.
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)").as("tcorr"))
     val na = col("na").cast("double")
     val nb = col("nb").cast("double")
     val nn = na + nb

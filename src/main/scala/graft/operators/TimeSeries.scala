@@ -829,30 +829,6 @@ object TimeSeries {
           (lit(1) - p21 * col("r1") - col("__p2") * col("r2"))).as("pacf3"))
   }
 
-  /** Per-key THEIL–SEN robust trend (Theil 1950 / Sen 1968): slope =
-    * median of all pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j,
-    * intercept = median of y_i − slope·x_i — the breakdown-point-29%
-    * companion to [[trendSlope]]'s OLS line, unmoved by the outliers
-    * that drag covariance (the spec plants one 1000× spike: OLS slope
-    * explodes, Theil–Sen's doesn't move).
-    *
-    * Scale contract: the pair expansion is a per-key self-join —
-    * O(n_k²) pairs per key, where n_k is the SERIES length, bounded by
-    * the time window at any corpus size (a daily grain over a month is
-    * ≤ 435 pairs/key forever); total work grows linearly in #keys, the
-    * same asymptote as every other per-key window op here. Keys with
-    * < 2 distinct x have no pairs and emit NULL slope (the trendSlope
-    * convention). Equal-x pairs (infinite slope) are excluded by the
-    * strict x_i < x_j, the standard Theil–Sen convention.
-    *
-    * Replayability: `xCol` must be an exact integer (epoch days, row
-    * index), so each pairwise slope is ONE double division of exact
-    * values, rounded to 9 decimals; the median is the built-in
-    * `percentile` ≡ DuckDB quantile_cont (the probed-identical (n−1)p
-    * interpolation) whose midpoint average of two rounded doubles is
-    * the same IEEE op in both engines. Intercept terms round the same
-    * way, so the whole line is engine-exact at 6 output decimals.
-    */
   /** Per-key DYNAMIC TIME WARPING distance to a broadcast query
     * pattern (Sakoe–Chiba 1978; the elastic match behind shapelet /
     * motif screening): D(i,j) = |y_i − p_j| + min(D(i−1,j), D(i,j−1),
@@ -914,6 +890,30 @@ object TimeSeries {
       round(element_at(finalRow, m + 1), 6).as("dtw_distance"))
   }
 
+  /** Per-key THEIL–SEN robust trend (Theil 1950 / Sen 1968): slope =
+    * median of all pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j,
+    * intercept = median of y_i − slope·x_i — the breakdown-point-29%
+    * companion to [[trendSlope]]'s OLS line, unmoved by the outliers
+    * that drag covariance (the spec plants one 1000× spike: OLS slope
+    * explodes, Theil–Sen's doesn't move).
+    *
+    * Scale contract: the pair expansion is a per-key self-join —
+    * O(n_k²) pairs per key, where n_k is the SERIES length, bounded by
+    * the time window at any corpus size (a daily grain over a month is
+    * ≤ 435 pairs/key forever); total work grows linearly in #keys, the
+    * same asymptote as every other per-key window op here. Keys with
+    * < 2 distinct x have no pairs and emit NULL slope (the trendSlope
+    * convention). Equal-x pairs (infinite slope) are excluded by the
+    * strict x_i < x_j, the standard Theil–Sen convention.
+    *
+    * Replayability: `xCol` must be an exact integer (epoch days, row
+    * index), so each pairwise slope is ONE double division of exact
+    * values, rounded to 9 decimals; the median is the built-in
+    * `percentile` ≡ DuckDB quantile_cont (the probed-identical (n−1)p
+    * interpolation) whose midpoint average of two rounded doubles is
+    * the same IEEE op in both engines. Intercept terms round the same
+    * way, so the whole line is engine-exact at 6 output decimals.
+    */
   def theilSenSlope(
       series: DataFrame,
       keyCol: String,
