@@ -182,12 +182,14 @@ object DedupQueries extends QueryGroup {
   }
 
   // PRODUCTION SimHash path, bench-visible: the xxhash64 codegen kernel
-  // (expressions.SimHash64) users actually run at scale. xxhash64's seed
-  // arithmetic is Spark-internal, so no DuckDB value oracle is possible —
-  // rows-only row; correctness is pinned by q_d4b's blocked≡brute gate and
-  // the kernel's bit-exact HOF-twin specs. q_d4 (portable md5 signature)
-  // stays the value-exact oracle anchor.
-  private val qD4x = Q.rowsOnly("q_d4x_simhash_prod") { (s, dir) =>
+  // (expressions.SimHash64) users actually run at scale. DuckDB has no
+  // xxhash64 built-in, so the oracle CARRIES the algorithm: a generated
+  // pure-SQL XXH64 (seed 42, HUGEINT wraparound arithmetic — see
+  // DuckXxh64) feeding the frequency-weighted Charikar vote replay, then
+  // the brute-force hamming<=3 pair set (value-identical to the blocked
+  // plan by q_d4b's pigeonhole-completeness gate). q_d4 (portable md5
+  // signature) stays the second, structurally independent anchor.
+  private val qD4x = Q("q_d4x_simhash_prod", DuckXxh64.simhashProdOracle) { (s, dir) =>
     NearDup
       .simHashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, numBlocks = 4)

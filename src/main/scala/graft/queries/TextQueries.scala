@@ -207,11 +207,13 @@ object TextQueries extends QueryGroup {
   }
 
   // PRODUCTION winnowing path, bench-visible: the xxhash64 k-gram hash
-  // users run at scale (codegen, no md5 round-trip). xxhash64 keeps the
-  // values out of DuckDB's reach — rows-only row; the portable q_t5 stays
-  // the value-exact oracle anchor and the edit-robustness specs cover this
-  // variant bit-exactly.
-  private val qT5x = Q.rowsOnly("q_t5x_fingerprint_prod") { (s, dir) =>
+  // users run at scale (codegen, no md5 round-trip). DuckDB has no
+  // xxhash64 built-in, so the oracle CARRIES the algorithm — a generated
+  // pure-SQL XXH64 CTE chain (see DuckXxh64) feeding the winnowing
+  // replay: signed-min over w=4 windows, distinct+sort, md5 of the
+  // comma-joined signed values. q_t5 (portable md5 hash) stays the
+  // second, structurally independent anchor.
+  private val qT5x = Q("q_t5x_fingerprint_prod", DuckXxh64.fingerprintProdOracle) { (s, dir) =>
     Tables.spread(Tables.load(s, dir, "documents"))
       .select(
         col("doc_id"),
