@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVectorDot, GifFramePixels, HyperplaneSignature, JaroWinkler, MinHashSignature, PngUnfilteredPixels, SimHash64, ZlibInflate}
+import graft.expressions.{FloatVectorDot, GifFramePixels, HyperplaneSignature, JaroWinkler, JpegBaselinePixels, MinHashSignature, PngUnfilteredPixels, SimHash64, ZlibInflate}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users (and the registered
@@ -98,6 +98,13 @@ object GraftExtensions {
       children => {
         require(children.length == 2, "gif_pixels(binary, maxPixels)")
         GifFramePixels(children(0), intLit(children(1), "maxPixels"))
+      }),
+    (
+      new FunctionIdentifier("jpeg_pixels"),
+      new ExpressionInfo(classOf[JpegBaselinePixels].getName, "jpeg_pixels"),
+      children => {
+        require(children.length == 2, "jpeg_pixels(binary, maxPixels)")
+        JpegBaselinePixels(children(0), intLit(children(1), "maxPixels"))
       }))
 
   /** Same registrations applied to an already-running session (extensions

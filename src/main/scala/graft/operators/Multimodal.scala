@@ -1270,6 +1270,73 @@ object Multimodal {
     }
   }
 
+  /** REAL baseline-JPEG PIXEL decode — the THIRD compressed container
+    * closed, and the one real image corpora are mostly made of: marker
+    * walk, canonical Huffman entropy decode, restart handling,
+    * dequantize + IDCT, chroma upsampling, JFIF YCbCr→RGB, via the
+    * native codegen expression [[graft.expressions.JpegBaselinePixels]].
+    * Returns interleaved pixel bytes (row-major top-down, 1 byte/pixel
+    * gray or 3 bytes/pixel RGB) or NULL for anything that is not a
+    * well-formed 8-bit baseline SOF0 JPEG of 1/3 components within
+    * `maxPixels` (progressive SOF2 is the documented SURVEY §8
+    * exemption). Same decompression-bomb contract as
+    * [[decodePngPixels]]: bounds checked before planes allocate.
+    */
+  def decodeJpegPixels(payload: Column, maxPixels: Int = 1 << 22): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.JpegBaselinePixels(
+        org.apache.spark.sql.graft.bridge.expression(payload), maxPixels))
+
+  /** Per-channel pixel statistics of a baseline JPEG —
+    * [[pngPixelStats]]'s contract on the JPEG container: decode via
+    * [[decodeJpegPixels]], then the shared one-fold channel stats.
+    * Channels: c0=gray for 1-component scans, c0..c2=R,G,B for color;
+    * c3_* always NULL. NULL when the decode fails (including
+    * progressive files, whose SOF2 header [[decodeJpegMeta]] reads but
+    * the baseline kernel rejects — geometry alone never fabricates
+    * stats).
+    */
+  def jpegPixelStats(payload: Column, maxPixels: Int = 1 << 22): Column = {
+    import graft.functions.hof.bind
+    bind(decodeJpegPixels(payload, maxPixels)) { px =>
+      bind(decodeJpegMeta(payload)) { m =>
+        val w = m.getField("width").cast("bigint")
+        val h = m.getField("height").cast("bigint")
+        val ch = m.getField("num_components").cast("bigint")
+        val npx = w * h
+        bind(interleavedChannelFold(px, npx, ch)) { f =>
+          when(px.isNotNull && m.isNotNull,
+            channelStatsStruct(f, npx, ch, Seq(
+              m.getField("width").cast("int").as("width"),
+              m.getField("height").cast("int").as("height"),
+              ch.cast("int").as("channels"))))
+            .otherwise(lit(null))
+        }
+      }
+    }
+  }
+
+  /** 64-bit perceptual average-hash of a baseline JPEG — the
+    * [[pngAHash]]/[[bmpAHash]]/[[pnmAHash]] contract on the FIFTH
+    * container (the shared [[lumaMajorityHash]] kernel over the decoded
+    * RGB/gray buffer), so the same image content hashes identically
+    * across BMP, PNM, gray/color PNG, and JPEG — provided the JPEG
+    * round-trip is value-exact, which flat-per-cell images are (DC-only
+    * blocks decode losslessly). NULL when the decode fails.
+    */
+  def jpegAHash(payload: Column, maxPixels: Int = 1 << 22): Column = {
+    import graft.functions.hof.bind
+    bind(decodeJpegPixels(payload, maxPixels)) { px =>
+      bind(decodeJpegMeta(payload)) { m =>
+        val hash = lumaMajorityHash(px,
+          m.getField("width").cast("bigint"),
+          m.getField("height").cast("bigint"),
+          m.getField("num_components").cast("bigint"))
+        when(px.isNotNull && m.isNotNull, hash).otherwise(lit(null))
+      }
+    }
+  }
+
   /** ZIP central-directory decode (PKWARE APPNOTE) — the ARCHIVE
     * container next to the media formats: a data lake full of uploaded
     * zips needs "how many files, how big uncompressed, what methods"

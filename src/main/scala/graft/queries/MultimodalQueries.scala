@@ -2230,7 +2230,278 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // ---- q_m26: REAL baseline-JPEG pixel decode (Multimodal.jpegPixelStats
+  // / expressions.JpegBaselinePixels) — complete JPEGs built in-plan with
+  // the BYTE-ALIGNED MCU coding (single-symbol Huffman tables: DC category
+  // 4 = code "0", EOB = "000", so every block is exactly "0" + 4 diff bits
+  // + "000" = one byte < 0x80 — the stored-deflate analog for JPEG): every
+  // byte is layout-derivable while the engine runs the REAL entropy
+  // decoder — canonical Huffman DECODE, DC prediction chain across blocks,
+  // dequantize, IDCT. Blocks are DC-only with q00 = 16, so pixels are
+  // EXACTLY 128 + 2·dc (the IDCT of a DC-only block is flat at F00/8 —
+  // lossless by construction) and the oracle derives every statistic from
+  // the DC walk + the replayed JFIF floor(x+.5) color formula, never
+  // parsing bytes. Every 9th doc corrupts the first entropy byte to an
+  // unstuffed 0xFF (an in-scan marker) and must fail NULL — a decoder
+  // that ignored marker discipline would keep decoding garbage. Ground
+  // truth with REAL coefficients/stuffing/restarts + javax.imageio interop
+  // lives in JpegPixelsSpec.
+
+  /** Complete baseline JPEG built in-plan (hex): byte-aligned MCU coding,
+    * DC-only blocks, 4:4:4 or grayscale; `dcOf(c)(j)` gives the cumulative
+    * quantized DC of channel c at block j, which MUST follow the
+    * even-up/odd-zero walk (diff ∈ ±[8,15], category 4) the single-symbol
+    * tables can encode. `corrupt` flips entropy byte 0 to an unstuffed FF.
+    */
+  private def jpegHexFlat(
+      w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+      gray: org.apache.spark.sql.Column,
+      upOf: Int => (org.apache.spark.sql.Column => org.apache.spark.sql.Column),
+      corrupt: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def beHex2(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    val nb = (w / 8).cast("bigint") * (h / 8).cast("bigint")
+    val nc = when(gray, lit(1L)).otherwise(lit(3L))
+    val header = concat(
+      lit("FFD8"),
+      lit("FFDB004300" + "10" * 64),                     // DQT: all 16s
+      lit("FFC40014" + "00" + "01" + "00" * 15 + "04"),  // DC: cat4 = "0"
+      lit("FFC40014" + "10" + "000001" + "00" * 13 + "00"), // AC: EOB = "000"
+      when(gray,
+        concat(lit("FFC0000B08"), beHex2(h), beHex2(w), lit("01011100")))
+        .otherwise(
+          concat(lit("FFC0001108"), beHex2(h), beHex2(w),
+            lit("03011100021100031100"))),
+      when(gray, lit("FFDA00080101" + "00003F00"))
+        .otherwise(lit("FFDA000C03010002000300" + "003F00")))
+    // per block j, channel c: diff = up(j) − up(j−1)·[j odd] under the
+    // even-up/odd-zero walk → bits = up(j) (j even) | 15 − up(j−1) (j odd);
+    // encoded byte = "0" ++ bits(4) ++ "000" = bits·8, never 0xFF
+    val entropy = array_join(
+      transform(sequence(lit(0L), nb * nc - 1L), b => {
+        val j = floor(b / nc).cast("bigint")
+        val c = (b % nc).cast("int")
+        val bits = (0 until 3).map { ci =>
+          val up = upOf(ci)
+          when(j % 2 === 0, up(j)).otherwise(lit(15L) - up(j - 1))
+        }
+        val bitsC = when(c === 0, bits(0)).when(c === 1, bits(1))
+          .otherwise(bits(2))
+        when(corrupt && b === 0, lit("FF"))
+          .otherwise(lpad(hex(bitsC * 8L), 2, "0"))
+      }), "")
+    concat(header, entropy, lit("FFD9"))
+  }
+
+  private val qM26 = Q(
+    "q_m26_jpeg_pixel_stats",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CAST(8 * (doc_id % 3 + 1) AS BIGINT) AS w,
+      |         CAST(8 * (n_chars % 2 + 1) AS BIGINT) AS h,
+      |         (doc_id % 2 = 0) AS gray,
+      |         doc_id % 251 AS seed,
+      |         (doc_id % 9 <> 0) AS ok
+      |  FROM documents WHERE doc_id < 500),
+      |blk AS (
+      |  SELECT s.doc_id, s.gray, s.w, s.h,
+      |         128 + 2 * (CASE WHEN u.j % 2 = 0 THEN 8 + (s.seed + u.j) % 8 ELSE 0 END) AS yv,
+      |         128 + 2 * (CASE WHEN u.j % 2 = 0 THEN 8 ELSE 0 END) AS cbv,
+      |         128 + 2 * (CASE WHEN u.j % 2 = 0 THEN 8 + s.seed % 4 ELSE 0 END) AS crv
+      |  FROM src s, unnest(range((s.w // 8) * (s.h // 8))) AS u(j)
+      |  WHERE s.ok),
+      |rgb AS (
+      |  SELECT doc_id, gray,
+      |         CASE WHEN gray THEN yv
+      |              ELSE GREATEST(0, LEAST(255, CAST(floor(yv + 1.402 * (crv - 128) + 0.5) AS INT))) END AS c0,
+      |         CASE WHEN gray THEN NULL
+      |              ELSE GREATEST(0, LEAST(255, CAST(floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5) AS INT))) END AS c1,
+      |         CASE WHEN gray THEN NULL
+      |              ELSE GREATEST(0, LEAST(255, CAST(floor(yv + 1.772 * (cbv - 128) + 0.5) AS INT))) END AS c2
+      |  FROM blk),
+      |ag AS (
+      |  SELECT doc_id,
+      |         CAST(avg(c0) AS DOUBLE) AS m0, CAST(min(c0) AS INT) AS mn0, CAST(max(c0) AS INT) AS mx0,
+      |         CAST(avg(c1) AS DOUBLE) AS m1, CAST(min(c1) AS INT) AS mn1, CAST(max(c1) AS INT) AS mx1,
+      |         CAST(avg(c2) AS DOUBLE) AS m2, CAST(min(c2) AS INT) AS mn2, CAST(max(c2) AS INT) AS mx2
+      |  FROM rgb GROUP BY 1)
+      |SELECT s.doc_id,
+      |       CASE WHEN s.ok THEN CAST(s.w AS INT) END AS width,
+      |       CASE WHEN s.ok THEN CAST(s.h AS INT) END AS height,
+      |       CASE WHEN s.ok THEN (CASE WHEN s.gray THEN 1 ELSE 3 END) END AS channels,
+      |       CASE WHEN s.ok THEN s.w * s.h END AS n_pixels,
+      |       CASE WHEN s.ok THEN a.m0 END AS c0_mean,
+      |       CASE WHEN s.ok THEN a.mn0 END AS c0_min,
+      |       CASE WHEN s.ok THEN a.mx0 END AS c0_max,
+      |       CASE WHEN s.ok AND NOT s.gray THEN a.m1 END AS c1_mean,
+      |       CASE WHEN s.ok AND NOT s.gray THEN a.mn1 END AS c1_min,
+      |       CASE WHEN s.ok AND NOT s.gray THEN a.mx1 END AS c1_max,
+      |       CASE WHEN s.ok AND NOT s.gray THEN a.m2 END AS c2_mean,
+      |       CASE WHEN s.ok AND NOT s.gray THEN a.mn2 END AS c2_min,
+      |       CASE WHEN s.ok AND NOT s.gray THEN a.mx2 END AS c2_max,
+      |       CAST(NULL AS DOUBLE) AS c3_mean,
+      |       CAST(NULL AS INT) AS c3_min,
+      |       CAST(NULL AS INT) AS c3_max,
+      |       CASE WHEN s.ok THEN CAST(
+      |         a.mn0 = a.mx0 AND (s.gray OR (a.mn1 = a.mx1 AND a.mn2 = a.mx2))
+      |       AS INT) END AS is_blank,
+      |       s.ok AS valid_jpeg
+      |FROM src s LEFT JOIN ag a ON a.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    val w = (lit(8L) * (col("doc_id") % 3 + 1)).cast("bigint")
+    val h = (lit(8L) * (col("n_chars") % 2 + 1)).cast("bigint")
+    val gray = col("doc_id") % 2 === 0
+    val seed = (col("doc_id") % 251).cast("bigint")
+    val ok = col("doc_id") % 9 =!= 0
+    // even-block cumulative DCs per channel (odd blocks return to 0)
+    val upOf: Int => (org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      case 0 => j => lit(8L) + pmod(seed + j, lit(8L))
+      case 1 => _ => lit(8L)
+      case _ => _ => lit(8L) + pmod(seed, lit(4L))
+    }
+    val jpegHex = jpegHexFlat(w, h, gray, upOf, corrupt = !ok)
+    val withPayload = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), unhex(jpegHex).as("payload"))
+      .localCheckpoint(true) // <=500 rows x <=400 B - trivial residency
+    withPayload
+      .withColumn("m", Multimodal.jpegPixelStats(col("payload"), maxPixels = 1024))
+      .select(
+        (Seq(col("doc_id")) ++
+          Seq("width", "height", "channels", "n_pixels").map(f =>
+            col(s"m.$f").as(f)) ++
+          (0 to 3).flatMap(c => Seq(
+            col(s"m.c${c}_mean").as(s"c${c}_mean"),
+            col(s"m.c${c}_min").as(s"c${c}_min"),
+            col(s"m.c${c}_max").as(s"c${c}_max"))) ++
+          Seq(col("m.is_blank").cast("int").as("is_blank"),
+            col("m").isNotNull.as("valid_jpeg"))): _*)
+      .orderBy("doc_id")
+  }
+
+  // ---- q_m27: FIVE-FORMAT perceptual-hash parity — the q_m17 gate
+  // widened to the full container family: the SAME flat-per-block image
+  // rendered as grayscale PNG, truecolor PNG (different filter cycle),
+  // 24-bpp BMP (bottom-up), binary PPM, and baseline JPEG must produce
+  // the SAME 64-bit aHash, which only holds if every decoder (inflate +
+  // unfilter, BMP orientation, PNM header, JPEG huffman + DC chain +
+  // IDCT) reconstructs the exact pixels. Flat DC-only blocks keep the
+  // JPEG round-trip lossless, so parity is EXACT, not approximate.
+  // Every 6th doc is blank (single flat block → hash 0); every 9th doc
+  // corrupts ALL five payloads (adler flip / adler flip / BMP sig /
+  // PPM maxval / in-scan marker) → NULL across the board. The oracle
+  // derives the hash from the block-value formula — never parses bytes.
+  private val qM27 = Q(
+    "q_m27_ahash_parity_5formats",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         (doc_id % 6 = 0) AS blank,
+      |         (doc_id % 9 <> 0) AS ok,
+      |         CAST(CASE WHEN doc_id % 6 = 0 THEN 8 ELSE 8 * (doc_id % 2 + 1) END AS BIGINT) AS w,
+      |         CAST(CASE WHEN doc_id % 6 = 0 THEN 8 ELSE 8 * (doc_id % 3 + 1) END AS BIGINT) AS h,
+      |         doc_id % 251 AS seed
+      |  FROM documents WHERE doc_id < 500),
+      |lum AS (
+      |  SELECT s.doc_id, u.k,
+      |         1000 * (128 + 2 * (CASE WHEN (((((u.k // 8) * s.h) // 8) // 8) * (s.w // 8)
+      |                                       + ((((u.k % 8) * s.w) // 8) // 8)) % 2 = 0
+      |                            THEN 8 + (s.seed + ((((u.k // 8) * s.h) // 8) // 8) * (s.w // 8)
+      |                                      + ((((u.k % 8) * s.w) // 8) // 8)) % 8
+      |                            ELSE 0 END)) AS L
+      |  FROM src s, unnest(range(64)) AS u(k)
+      |  WHERE s.ok),
+      |tot AS (SELECT doc_id, sum(L) AS t FROM lum GROUP BY 1),
+      |hsh AS (
+      |  SELECT l.doc_id,
+      |         CAST(sum(CASE WHEN 64 * l.L > tot.t
+      |                       THEN CASE WHEN l.k = 0 THEN -9223372036854775808
+      |                            ELSE (1::BIGINT << CAST(63 - l.k AS INT)) END
+      |                       ELSE 0 END) AS BIGINT) AS v
+      |  FROM lum l JOIN tot ON l.doc_id = tot.doc_id GROUP BY 1)
+      |SELECT s.doc_id,
+      |       CASE WHEN s.ok THEN hsh.v END AS ahash,
+      |       CASE WHEN s.ok THEN 1 END AS agree_rgb_png,
+      |       CASE WHEN s.ok THEN 1 END AS agree_bmp,
+      |       CASE WHEN s.ok THEN 1 END AS agree_pnm,
+      |       CASE WHEN s.ok THEN 1 END AS agree_jpeg,
+      |       s.ok AS valid
+      |FROM src s LEFT JOIN hsh ON hsh.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val blank = col("doc_id") % 6 === 0
+    val ok = col("doc_id") % 9 =!= 0
+    val w = when(blank, lit(8L)).otherwise(lit(8L) * (col("doc_id") % 2 + 1))
+    val h = when(blank, lit(8L)).otherwise(lit(8L) * (col("doc_id") % 3 + 1))
+    val seed = (col("doc_id") % 251).cast("bigint")
+    val wB = (w / 8).cast("bigint")
+    // cumulative DC of scan-order block j (even-up/odd-zero walk)
+    def dcOf(j: org.apache.spark.sql.Column) =
+      when(j % 2 === 0, lit(8L) + pmod(seed + j, lit(8L))).otherwise(lit(0L))
+    def lum(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      lit(128L) + lit(2L) * dcOf(floor(y / 8).cast("bigint") * wB +
+        floor(x / 8).cast("bigint"))
+    val grayPng = pngHexFull(w, h, ct = lit(0L), ch = lit(1L),
+      (x, y, _) => lum(x, y), ftOff = lit(0L), adlerFlip = !ok)
+    val rgbPng = pngHexFull(w, h, ct = lit(2L), ch = lit(3L),
+      (x, y, _) => lum(x, y), ftOff = lit(3L), adlerFlip = !ok)
+    // 24-bpp bottom-up BMP; w multiple of 8 → stride = 3w, no padding
+    val bmpSig = when(ok, lit("424D")).otherwise(lit("0000"))
+    val bmpRows = array_join(
+      transform(sequence(lit(0L), h - 1L), sr =>
+        array_join(
+          transform(sequence(lit(0L), w - 1L), x =>
+            // bottom-up: storage row sr is image row h-1-sr; B=G=R=lum
+            repeat(lpad(hex(lum(x, h - 1L - sr)), 2, "0"), 3)), "")), "")
+    val bmpHex = concat(
+      bmpSig, leHexN(lit(54L) + h * w * 3L, 4), lit("00000000"),
+      lit("36000000"), lit("28000000"),
+      leHexN(w, 4), leHexN(h, 4), lit("0100"), lit("1800"), lit("00" * 24),
+      bmpRows)
+    // binary PPM; maxval 254 on corrupt rows fails decodePnmMeta
+    val ppmHeader = concat(lit("P6\n"), w.cast("string"), lit(" "),
+      h.cast("string"), when(ok, lit("\n255\n")).otherwise(lit("\n254\n")))
+    val ppmPix = array_join(
+      transform(sequence(lit(0L), w * h - 1L), i =>
+        repeat(lpad(hex(lum(i % w, floor(i / w).cast("bigint"))), 2, "0"), 3)), "")
+    val ppmHex = concat(hex(ppmHeader.cast("binary")), ppmPix)
+    val jpegHex = jpegHexFlat(w, h, gray = lit(true),
+      _ => (j => lit(8L) + pmod(seed + j, lit(8L))), corrupt = !ok)
+    val withPayload = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(
+        col("doc_id"),
+        unhex(grayPng).as("p_gpng"), unhex(rgbPng).as("p_cpng"),
+        unhex(bmpHex).as("p_bmp"), unhex(ppmHex).as("p_ppm"),
+        unhex(jpegHex).as("p_jpg"))
+      .localCheckpoint(true) // <=500 rows x 5 payloads <=2.5 KB
+    val hashed = withPayload
+      .select(
+        col("doc_id"),
+        Multimodal.pngAHash(col("p_gpng"), maxPixels = 512).as("hg"),
+        Multimodal.pngAHash(col("p_cpng"), maxPixels = 512).as("hc"),
+        Multimodal.bmpAHash(col("p_bmp")).as("hb"),
+        Multimodal.pnmAHash(col("p_ppm")).as("hp"),
+        Multimodal.jpegAHash(col("p_jpg"), maxPixels = 512).as("hj"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(withPayload)
+    def agree(other: org.apache.spark.sql.Column) =
+      when(col("hg").isNotNull && other.isNotNull,
+        (col("hg") === other).cast("int"))
+    hashed.select(
+      col("doc_id"),
+      col("hg").as("ahash"),
+      agree(col("hc")).as("agree_rgb_png"),
+      agree(col("hb")).as("agree_bmp"),
+      agree(col("hp")).as("agree_pnm"),
+      agree(col("hj")).as("agree_jpeg"),
+      (col("hg").isNotNull && col("hc").isNotNull && col("hb").isNotNull &&
+        col("hp").isNotNull && col("hj").isNotNull).as("valid"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
-      qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22, qM23, qM24, qM25)
+      qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22, qM23, qM24, qM25,
+      qM26, qM27)
 }
