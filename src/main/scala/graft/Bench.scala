@@ -85,8 +85,34 @@ object Bench {
     val qs = results.map { case (k, _, b) => jstr(k) + ":" + b }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, c, _) if c >= 0 => c }.sum
+    // CONTAMINATION SENTINEL (the r13 lesson: the whole sweep ran on a
+    // busy box and read 2.2x inflated with nonsense outliers on unchanged
+    // code — an unusable artifact that blinded the round's perf signal).
+    // Three cheap, stable canaries re-time warm at sweep END; if any
+    // exceeds 2x its committed quiet-box warm reference, the artifact
+    // self-reports "contended": true so a reader never mistakes machine
+    // load for a regression. References are quiet-box warm (PERF.md
+    // protocol: best-of-2, isolated), deliberately generous.
+    val canaryRef = Seq(
+      "q1_agg" -> 1.2,
+      "q_j1_inner_join" -> 0.6,
+      "q_t1_token_stats" -> 0.8)
+    val canaries = canaryRef.map { case (name, ref) =>
+      val best = try {
+        dropLeakedState()
+        val a = runOne(SparkEntry.queries(name))
+        dropLeakedState()
+        math.min(a, runOne(SparkEntry.queries(name)))
+      } catch { case _: Throwable => -1.0 }
+      System.err.println(f"[bench] canary $name%-24s warm $best%6.2f s (ref $ref)")
+      (name, best, ref)
+    }
+    val contended = canaries.exists { case (_, b, ref) => b < 0 || b > 2 * ref }
+    val canaryJson = canaries.map { case (n, b, _) => jstr(n) + ":" + b }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
+        s""""canaries":$canaryJson,"contended":$contended,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, which has truncated
     // the per-query map in past rounds — persist the complete artifact too.

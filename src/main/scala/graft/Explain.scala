@@ -37,7 +37,10 @@ object Explain {
     "q_q20_bottomk_quantiles", // partial_bottom_k_sample BEFORE the Exchange —
                                // only ≤k-entry sketch buffers shuffle
     "q_m16_png_pixel_stats",  // one kernel call per row; stats fold scan-side
-    "q_g24_deepwalk")         // per-step (node,rank) hash joins, no expansion
+    "q_g24_deepwalk",         // per-step (node,rank) hash joins, no expansion
+    "q_v10_ann_ivf_persisted") // probe scans nprobe/numCentroids of the index:
+                               // dynamic partition pruning on cell — the
+                               // 100 TB centerpiece claim, plan-pinned
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

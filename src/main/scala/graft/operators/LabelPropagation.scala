@@ -27,25 +27,53 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
+  /** The per-round majority vote as ONE aggregate —
+    * [[graft.expressions.MajorityLabel]] (count DESC, label ASC), exact
+    * integer counts, bit-identical to the classic two-aggregate form
+    * (spec-pinned both ways).
+    */
+  private def majorityLabel(label: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.MajorityLabel(
+        org.apache.spark.sql.graft.bridge.expression(label))
+        .toAggregateExpression())
+
   /** `edges`: any (src, dst) frame with numeric node ids; direction,
-    * duplicates, and self-loops canonicalized away. Labels start as the
+    * duplicates, and self-loops canonicalized away — UNLESS
+    * `assumeCanonical`, which skips the canonicalizing distinct (one
+    * full shuffle of the edge frame, the largest frame in the chain)
+    * when the caller already guarantees a < b, deduped, no self-loops
+    * (the multi-level gates build exactly that). Labels start as the
     * node's own id. Output: (node, community) — `community` is the
     * surviving label after `iterations` rounds.
+    *
+    * Per-round shape (the q_g17 scheduling-floor fix): one equi-join of
+    * the undirected edge frame against the |V|-row labels frame
+    * (broadcast / AQE-build side), then ONE hash aggregate keyed on
+    * node — [[majorityLabel]] accumulates the degree-bounded label
+    * histogram map-side, so only partial histograms cross the single
+    * per-round Exchange. The classic form's second Exchange (count per
+    * (node,label), then argmax per node) is gone; the vote arithmetic
+    * is identical.
     */
   def run(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iterations: Int,
-      materializeEdges: Boolean = true): DataFrame = {
+      materializeEdges: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     import org.apache.spark.sql.graft.bridge
-    val canon = edges
-      .filter(col(srcCol) =!= col(dstCol))
-      .select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
+    val canon =
+      if (assumeCanonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges
+        .filter(col(srcCol) =!= col(dstCol))
+        .select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .distinct()
     // The per-round join builds its hash table from the |V|-row labels
     // frame (broadcast at gate scale; at cluster scale AQE picks the
     // labels side as the build side since |V| << |E|), so the
@@ -61,10 +89,8 @@ object LabelPropagation {
     for (it <- 1 to iterations) {
       labels = und
         .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
-        .groupBy(col("node"), col("label"))
-        .agg(count(lit(1)).as("__c"))
         .groupBy(col("node"))
-        .agg(max_by(col("label"), struct(col("__c"), (-col("label")).as("__neg"))).as("label"))
+        .agg(majorityLabel(col("label").cast("bigint")).as("label"))
       if (it % 10 == 0) {
         val next = labels.localCheckpoint(true)
         if (labelsCkpt != null) bridge.freeLocalCheckpoint(labelsCkpt)

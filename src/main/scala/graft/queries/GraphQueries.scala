@@ -445,7 +445,8 @@ object GraphQueries extends QueryGroup {
       .select("a", "b")
       .distinct()
       .localCheckpoint(true)
-    val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
+    val communities = graft.operators.LabelPropagation.run(
+      edges, "a", "b", iterations = 3, assumeCanonical = true)
     val out = graft.operators.GraphStats.modularity(
       edges, "a", "b", communities, "node", "community", assumeCanonical = true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
@@ -605,7 +606,8 @@ object GraphQueries extends QueryGroup {
       .select("a", "b")
       .distinct()
       .localCheckpoint(true)
-    val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
+    val communities = graft.operators.LabelPropagation.run(
+      edges, "a", "b", iterations = 3, assumeCanonical = true)
     val out = graft.operators.Louvain.bestMoveRefinement(
       edges, "a", "b", communities, "node", "community", assumeCanonical = true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(edges)
@@ -808,7 +810,8 @@ object GraphQueries extends QueryGroup {
       .select("a", "b")
       .distinct()
       .localCheckpoint(true)
-    val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
+    val communities = graft.operators.LabelPropagation.run(
+      edges, "a", "b", iterations = 3, assumeCanonical = true)
     val out = graft.operators.Louvain.contractGraph(
       edges, "a", "b", communities, "node", "community", assumeCanonical = true)
       .orderBy("a", "b")
@@ -877,7 +880,8 @@ object GraphQueries extends QueryGroup {
       .select("a", "b")
       .distinct()
       .localCheckpoint(true)
-    val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
+    val communities = graft.operators.LabelPropagation.run(
+      edges, "a", "b", iterations = 3, assumeCanonical = true)
     val contracted = graft.operators.Louvain.contractGraph(
       edges, "a", "b", communities, "node", "community", assumeCanonical = true)
       .localCheckpoint(true)
@@ -966,7 +970,8 @@ object GraphQueries extends QueryGroup {
       .select("a", "b")
       .distinct()
       .localCheckpoint(true)
-    val communities = graft.operators.LabelPropagation.run(edges, "a", "b", iterations = 3)
+    val communities = graft.operators.LabelPropagation.run(
+      edges, "a", "b", iterations = 3, assumeCanonical = true)
     val contracted = graft.operators.Louvain.contractGraph(
       edges, "a", "b", communities, "node", "community", assumeCanonical = true)
       .localCheckpoint(true)
