@@ -998,7 +998,81 @@ object CurationQueries extends QueryGroup {
       "l_extendedprice", "l_quantity", "l_discount", lambda = 0.5)
   }
 
+  // Inter-annotator agreement (Agreement.cohenKappa): did two labelers
+  // agree beyond chance — the audit a labeling pipeline runs before
+  // trusting its labels. Two deterministic "raters" derived from
+  // independent document features (length bucket vs a shifted bucket)
+  // give a chance-corrected table with real off-diagonal mass; po/pe
+  // from exact integer contingency counts, κ as one IEEE expression —
+  // the oracle replays the identical cells/marginals.
+  private val qC26 = Q(
+    "q_c26_cohen_kappa",
+    """WITH r AS (
+      |  SELECT n_chars % 4 AS la, (n_chars + doc_id % 3) % 4 AS lb
+      |  FROM documents),
+      |cells AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+      |ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |              CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT) AS diag
+      |       FROM cells),
+      |ma AS (SELECT la, sum(c) AS ra FROM cells GROUP BY 1),
+      |mb AS (SELECT lb, sum(c) AS rb FROM cells GROUP BY 1),
+      |pe AS (SELECT coalesce(sum(ra * rb), 0) AS pe_num
+      |       FROM ma JOIN mb ON ma.la = mb.lb)
+      |SELECT ag.n AS n_items,
+      |       round(CAST(ag.diag AS DOUBLE) / ag.n, 6) AS po,
+      |       round(CAST(pe.pe_num AS DOUBLE) / (CAST(ag.n AS DOUBLE) * ag.n), 6) AS pe,
+      |       CASE WHEN CAST(pe.pe_num AS DOUBLE) / (CAST(ag.n AS DOUBLE) * ag.n) < 1.0
+      |            THEN round((CAST(ag.diag AS DOUBLE) / ag.n
+      |                        - CAST(pe.pe_num AS DOUBLE) / (CAST(ag.n AS DOUBLE) * ag.n))
+      |                       / (1.0 - CAST(pe.pe_num AS DOUBLE) / (CAST(ag.n AS DOUBLE) * ag.n)), 6)
+      |       END AS kappa
+      |FROM ag CROSS JOIN pe""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").select(
+      (col("n_chars") % 4).as("ra"),
+      ((col("n_chars") + col("doc_id") % 3) % 4).as("rb"))
+    graft.operators.Agreement.cohenKappa(docs, "ra", "rb")
+  }
+
+  // Multi-rater agreement (Agreement.fleissKappa): a 3-rater pool per
+  // document, each rater a different deterministic labeling function —
+  // Pᵢ/pⱼ/κ from exact integer per-item and per-label counts; the
+  // equal-raters-per-item REQUIREment is the operator's contract.
+  private val qC27 = Q(
+    "q_c27_fleiss_kappa",
+    """WITH ratings AS (
+      |  SELECT doc_id AS item, r.r AS rater,
+      |         (doc_id * (r.r + 1) + n_chars) % 3 AS label
+      |  FROM documents, (VALUES (0), (1), (2)) AS r(r)),
+      |cells AS (SELECT item, label, CAST(count(*) AS BIGINT) AS c
+      |          FROM ratings GROUP BY 1, 2),
+      |per_item AS (SELECT item, sum(c) AS n, sum(c * c) AS sq FROM cells GROUP BY 1),
+      |ia AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |              CAST(max(n) AS BIGINT) AS n_raters,
+      |              sum(sq) AS sq_sum FROM per_item),
+      |la AS (SELECT coalesce(sum(tot * tot), 0) AS lbl_sq
+      |       FROM (SELECT label, sum(c) AS tot FROM cells GROUP BY 1)),
+      |f AS (SELECT ia.n_items, ia.n_raters,
+      |             (CAST(ia.sq_sum AS DOUBLE) - CAST(ia.n_items AS DOUBLE) * ia.n_raters)
+      |               / (CAST(ia.n_items AS DOUBLE) * ia.n_raters * (ia.n_raters - 1.0)) AS p_bar,
+      |             CAST(la.lbl_sq AS DOUBLE)
+      |               / (CAST(ia.n_items AS DOUBLE) * ia.n_raters
+      |                  * CAST(ia.n_items AS DOUBLE) * ia.n_raters) AS pe_bar
+      |      FROM ia CROSS JOIN la)
+      |SELECT n_items, n_raters, round(p_bar, 6) AS p_bar, round(pe_bar, 6) AS pe_bar,
+      |       CASE WHEN n_raters >= 2 AND pe_bar < 1.0
+      |            THEN round((p_bar - pe_bar) / (1.0 - pe_bar), 6) END AS kappa
+      |FROM f""".stripMargin) { (s, dir) =>
+    val ratings = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(array(lit(0), lit(1), lit(2))).as("rater"))
+      .select(
+        col("doc_id").as("item"),
+        col("rater"),
+        ((col("doc_id") * (col("rater") + 1) + col("n_chars")) % 3).as("label"))
+    graft.operators.Agreement.fleissKappa(ratings, "item", "rater", "label")
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25)
+      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27)
 }

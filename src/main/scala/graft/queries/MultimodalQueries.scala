@@ -2390,7 +2390,82 @@ object MultimodalQueries extends QueryGroup {
   // corrupts ALL five payloads (adler flip / adler flip / BMP sig /
   // PPM maxval / in-scan marker) → NULL across the board. The oracle
   // derives the hash from the block-value formula — never parses bytes.
-  private val qM27 = Q(
+  /** The q_m27 five-format corpus + hashes + agree flags, as a reusable
+    * BATCH-plan transform — shared by the batch gate and the streaming
+    * landing-zone twin (q_st32), which applies it per micro-batch.
+    */
+  private[queries] def ahashParity5Frame(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val blank = col("doc_id") % 6 === 0
+    val ok = col("doc_id") % 9 =!= 0
+    val w = when(blank, lit(8L)).otherwise(lit(8L) * (col("doc_id") % 2 + 1))
+    val h = when(blank, lit(8L)).otherwise(lit(8L) * (col("doc_id") % 3 + 1))
+    val seed = (col("doc_id") % 251).cast("bigint")
+    val wB = (w / 8).cast("bigint")
+    def dcOf(j: org.apache.spark.sql.Column) =
+      when(j % 2 === 0, lit(8L) + pmod(seed + j, lit(8L))).otherwise(lit(0L))
+    def lum(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      lit(128L) + lit(2L) * dcOf(floor(y / 8).cast("bigint") * wB +
+        floor(x / 8).cast("bigint"))
+    val grayPng = pngHexFull(w, h, ct = lit(0L), ch = lit(1L),
+      (x, y, _) => lum(x, y), ftOff = lit(0L), adlerFlip = !ok)
+    val rgbPng = pngHexFull(w, h, ct = lit(2L), ch = lit(3L),
+      (x, y, _) => lum(x, y), ftOff = lit(3L), adlerFlip = !ok)
+    val bmpSig = when(ok, lit("424D")).otherwise(lit("0000"))
+    val bmpRows = array_join(
+      transform(sequence(lit(0L), h - 1L), sr =>
+        array_join(
+          transform(sequence(lit(0L), w - 1L), x =>
+            repeat(lpad(hex(lum(x, h - 1L - sr)), 2, "0"), 3)), "")), "")
+    val bmpHex = concat(
+      bmpSig, leHexN(lit(54L) + h * w * 3L, 4), lit("00000000"),
+      lit("36000000"), lit("28000000"),
+      leHexN(w, 4), leHexN(h, 4), lit("0100"), lit("1800"), lit("00" * 24),
+      bmpRows)
+    val ppmHeader = concat(lit("P6\n"), w.cast("string"), lit(" "),
+      h.cast("string"), when(ok, lit("\n255\n")).otherwise(lit("\n254\n")))
+    val ppmPix = array_join(
+      transform(sequence(lit(0L), w * h - 1L), i =>
+        repeat(lpad(hex(lum(i % w, floor(i / w).cast("bigint"))), 2, "0"), 3)), "")
+    val ppmHex = concat(hex(ppmHeader.cast("binary")), ppmPix)
+    val jpegHex = jpegHexFlat(w, h, gray = lit(true),
+      _ => (j => lit(8L) + pmod(seed + j, lit(8L))), corrupt = !ok)
+    val withPayload = docs
+      .filter(col("doc_id") < 500)
+      .select(
+        col("doc_id"),
+        unhex(grayPng).as("p_gpng"), unhex(rgbPng).as("p_cpng"),
+        unhex(bmpHex).as("p_bmp"), unhex(ppmHex).as("p_ppm"),
+        unhex(jpegHex).as("p_jpg"))
+      .localCheckpoint(true) // <=500 rows x 5 payloads <=2.5 KB
+    val hashed = withPayload
+      .select(
+        col("doc_id"),
+        Multimodal.pngAHash(col("p_gpng"), maxPixels = 512).as("hg"),
+        Multimodal.pngAHash(col("p_cpng"), maxPixels = 512).as("hc"),
+        Multimodal.bmpAHash(col("p_bmp")).as("hb"),
+        Multimodal.pnmAHash(col("p_ppm")).as("hp"),
+        Multimodal.jpegAHash(col("p_jpg"), maxPixels = 512).as("hj"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(withPayload)
+    def agree(other: org.apache.spark.sql.Column) =
+      when(col("hg").isNotNull && other.isNotNull,
+        (col("hg") === other).cast("int"))
+    hashed.select(
+      col("doc_id"),
+      col("hg").as("ahash"),
+      agree(col("hc")).as("agree_rgb_png"),
+      agree(col("hb")).as("agree_bmp"),
+      agree(col("hp")).as("agree_pnm"),
+      agree(col("hj")).as("agree_jpeg"),
+      (col("hg").isNotNull && col("hc").isNotNull && col("hb").isNotNull &&
+        col("hp").isNotNull && col("hj").isNotNull).as("valid"))
+  }
+
+  private[queries] val qM27 = Q(
     "q_m27_ahash_parity_5formats",
     """WITH src AS (
       |  SELECT doc_id,
@@ -2426,78 +2501,7 @@ object MultimodalQueries extends QueryGroup {
       |       s.ok AS valid
       |FROM src s LEFT JOIN hsh ON hsh.doc_id = s.doc_id
       |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
-    def leHexN(c: org.apache.spark.sql.Column, nBytes: Int) =
-      concat((0 until nBytes).map(i =>
-        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
-    val blank = col("doc_id") % 6 === 0
-    val ok = col("doc_id") % 9 =!= 0
-    val w = when(blank, lit(8L)).otherwise(lit(8L) * (col("doc_id") % 2 + 1))
-    val h = when(blank, lit(8L)).otherwise(lit(8L) * (col("doc_id") % 3 + 1))
-    val seed = (col("doc_id") % 251).cast("bigint")
-    val wB = (w / 8).cast("bigint")
-    // cumulative DC of scan-order block j (even-up/odd-zero walk)
-    def dcOf(j: org.apache.spark.sql.Column) =
-      when(j % 2 === 0, lit(8L) + pmod(seed + j, lit(8L))).otherwise(lit(0L))
-    def lum(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      lit(128L) + lit(2L) * dcOf(floor(y / 8).cast("bigint") * wB +
-        floor(x / 8).cast("bigint"))
-    val grayPng = pngHexFull(w, h, ct = lit(0L), ch = lit(1L),
-      (x, y, _) => lum(x, y), ftOff = lit(0L), adlerFlip = !ok)
-    val rgbPng = pngHexFull(w, h, ct = lit(2L), ch = lit(3L),
-      (x, y, _) => lum(x, y), ftOff = lit(3L), adlerFlip = !ok)
-    // 24-bpp bottom-up BMP; w multiple of 8 → stride = 3w, no padding
-    val bmpSig = when(ok, lit("424D")).otherwise(lit("0000"))
-    val bmpRows = array_join(
-      transform(sequence(lit(0L), h - 1L), sr =>
-        array_join(
-          transform(sequence(lit(0L), w - 1L), x =>
-            // bottom-up: storage row sr is image row h-1-sr; B=G=R=lum
-            repeat(lpad(hex(lum(x, h - 1L - sr)), 2, "0"), 3)), "")), "")
-    val bmpHex = concat(
-      bmpSig, leHexN(lit(54L) + h * w * 3L, 4), lit("00000000"),
-      lit("36000000"), lit("28000000"),
-      leHexN(w, 4), leHexN(h, 4), lit("0100"), lit("1800"), lit("00" * 24),
-      bmpRows)
-    // binary PPM; maxval 254 on corrupt rows fails decodePnmMeta
-    val ppmHeader = concat(lit("P6\n"), w.cast("string"), lit(" "),
-      h.cast("string"), when(ok, lit("\n255\n")).otherwise(lit("\n254\n")))
-    val ppmPix = array_join(
-      transform(sequence(lit(0L), w * h - 1L), i =>
-        repeat(lpad(hex(lum(i % w, floor(i / w).cast("bigint"))), 2, "0"), 3)), "")
-    val ppmHex = concat(hex(ppmHeader.cast("binary")), ppmPix)
-    val jpegHex = jpegHexFlat(w, h, gray = lit(true),
-      _ => (j => lit(8L) + pmod(seed + j, lit(8L))), corrupt = !ok)
-    val withPayload = Tables.load(s, dir, "documents")
-      .filter(col("doc_id") < 500)
-      .select(
-        col("doc_id"),
-        unhex(grayPng).as("p_gpng"), unhex(rgbPng).as("p_cpng"),
-        unhex(bmpHex).as("p_bmp"), unhex(ppmHex).as("p_ppm"),
-        unhex(jpegHex).as("p_jpg"))
-      .localCheckpoint(true) // <=500 rows x 5 payloads <=2.5 KB
-    val hashed = withPayload
-      .select(
-        col("doc_id"),
-        Multimodal.pngAHash(col("p_gpng"), maxPixels = 512).as("hg"),
-        Multimodal.pngAHash(col("p_cpng"), maxPixels = 512).as("hc"),
-        Multimodal.bmpAHash(col("p_bmp")).as("hb"),
-        Multimodal.pnmAHash(col("p_ppm")).as("hp"),
-        Multimodal.jpegAHash(col("p_jpg"), maxPixels = 512).as("hj"))
-      .localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(withPayload)
-    def agree(other: org.apache.spark.sql.Column) =
-      when(col("hg").isNotNull && other.isNotNull,
-        (col("hg") === other).cast("int"))
-    hashed.select(
-      col("doc_id"),
-      col("hg").as("ahash"),
-      agree(col("hc")).as("agree_rgb_png"),
-      agree(col("hb")).as("agree_bmp"),
-      agree(col("hp")).as("agree_pnm"),
-      agree(col("hj")).as("agree_jpeg"),
-      (col("hg").isNotNull && col("hc").isNotNull && col("hb").isNotNull &&
-        col("hp").isNotNull && col("hj").isNotNull).as("valid"))
-      .orderBy("doc_id")
+    ahashParity5Frame(Tables.load(s, dir, "documents")).orderBy("doc_id")
   }
 
   override val all: Seq[Q] =

@@ -1125,8 +1125,49 @@ object QualityQueries extends QueryGroup {
       "l_returnflag", "l_discount", "R", "A")
   }
 
+  // Spearman's ρ between two tie-heavy measures (Agreement.spearmanRho):
+  // "do two scorers rank the corpus the same way" — l_discount vs l_tax
+  // have 11 and 9 distinct values over the whole table, the exact
+  // tie-saturated regime where midrank arithmetic must be EXACT
+  // (doubled ranks, decimal moment sums — the q_q23 discipline) or the
+  // estimate drifts with partition order. Oracle replays the doubled
+  // midranks from per-distinct-value counts and the one-expression ρ.
+  private val qQ24 = Q(
+    "q_q24_spearman_scorers",
+    """WITH pts AS (
+      |  SELECT l_discount AS x, l_tax AS y FROM lineitem
+      |  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL),
+      |rx AS (
+      |  SELECT x, 2 * coalesce(sum(t) OVER (ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS x_r2
+      |  FROM (SELECT x, CAST(count(*) AS BIGINT) AS t FROM pts GROUP BY 1)),
+      |ry AS (
+      |  SELECT y, 2 * coalesce(sum(t) OVER (ORDER BY y
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS y_r2
+      |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS t FROM pts GROUP BY 1)),
+      |ranked AS (SELECT rx.x_r2, ry.y_r2 FROM pts JOIN rx USING (x) JOIN ry USING (y)),
+      |ag AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(x_r2 AS DECIMAL(38,0))) AS sx,
+      |         sum(CAST(y_r2 AS DECIMAL(38,0))) AS sy,
+      |         sum(CAST(x_r2 AS DECIMAL(38,0)) * x_r2) AS sxx,
+      |         sum(CAST(y_r2 AS DECIMAL(38,0)) * y_r2) AS syy,
+      |         sum(CAST(x_r2 AS DECIMAL(38,0)) * y_r2) AS sxy
+      |  FROM ranked)
+      |SELECT n AS n_obs,
+      |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |       END AS rho
+      |FROM ag""".stripMargin) { (s, dir) =>
+    graft.operators.Agreement.spearmanRho(
+      Tables.load(s, dir, "lineitem"), "l_discount", "l_tax")
+  }
+
   override val all: Seq[Q] =
     Seq(qQ1, qQ2, qA8, qQ3, qQ4, qA9, qA10, qQ5, qQ6, qQ7, qQ8, qA11, qQ9, qA12,
       qQ10, qQ11, qA13, qQ12, qA15, qQ13, qQ14, qQ15, qA16, qQ16, qQ17, qQ18, qQ19,
-      qQ20, qQ21, qQ22, qQ23)
+      qQ20, qQ21, qQ22, qQ23, qQ24)
 }

@@ -763,8 +763,23 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id")
   }
 
+  // Streaming FIVE-FORMAT hash parity at the landing zone: the q_m27
+  // frame (gray/RGB PNG inflate+unfilter, BMP, PPM, baseline-JPEG
+  // huffman+IDCT — every real decoder in the engine) per micro-batch as
+  // images arrive, where an image corpus wants its near-dup signatures
+  // AND its format-consistency check. Decode is row-local (five kernel
+  // calls per payload, zero state), so streamed ≡ batch on every
+  // document; the oracle is q_m27's verbatim.
+  private val qSt32 = Q(
+    "q_st32_stream_ahash_parity",
+    MultimodalQueries.qM27.oracle.get) { (s, dir) =>
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2)(
+      MultimodalQueries.ahashParity5Frame)
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31)
+      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32)
 }

@@ -37,11 +37,27 @@ class GraftExtensionsSpec extends SparkSpec {
       // cap guard: one byte short → NULL, never a partial buffer
       assert(spark.sql(s"SELECT zlib_inflate(z, ${raw.length - 1}) FROM zv")
         .collect()(0).isNullAt(0))
-      // png_pixels / gif_pixels resolve and null-reject garbage payloads
+      // png_pixels / gif_pixels / jpeg_pixels resolve and null-reject
+      // garbage payloads
       assert(spark.sql("SELECT png_pixels(CAST('x' AS BINARY), 100)")
         .collect()(0).isNullAt(0))
       assert(spark.sql("SELECT gif_pixels(CAST('x' AS BINARY), 100)")
         .collect()(0).isNullAt(0))
+      assert(spark.sql("SELECT jpeg_pixels(CAST('x' AS BINARY), 100)")
+        .collect()(0).isNullAt(0))
+      // and jpeg_pixels decodes a real baseline file from SQL: a 1x1
+      // gray JPEG under the q_m26 byte-aligned coding (DC=+8, q00=16 →
+      // the single pixel is exactly 128 + 2*8 = 144)
+      val jpegHex = "FFD8" + "FFDB004300" + "10" * 64 +
+        "FFC40014" + "00" + "01" + "00" * 15 + "04" +
+        "FFC40014" + "10" + "000001" + "00" * 13 + "00" +
+        "FFC0000B08" + "0001" + "0001" + "01011100" +
+        "FFDA00080101" + "00003F00" +
+        "40" + "FFD9"
+      val px = spark.sql(
+        s"SELECT jpeg_pixels(unhex('$jpegHex'), 100) AS p")
+        .collect()(0).getAs[Array[Byte]](0)
+      assert(px != null && px.length == 1 && (px(0) & 0xFF) == 144)
     } finally spark.sql("DROP VIEW IF EXISTS zv")
   }
 
