@@ -2401,15 +2401,22 @@ object MultimodalQueries extends QueryGroup {
         lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
     val blank = col("doc_id") % 6 === 0
     val ok = col("doc_id") % 9 =!= 0
+    // h fixed at 8 and the corpus capped at 250 (the q_r3 rule, tightened
+    // after measurement: five per-byte construction folds per doc — two
+    // of them PNG raw+adler passes — read 26 s at sf0.1 with 16x24
+    // canvases; 8-tall canvases at 250 docs are ~4 s and the parity
+    // still exercises a 2-block DC chain; q_m26 covers up to 6 blocks)
     val w = when(blank, lit(8L)).otherwise(lit(8L) * (col("doc_id") % 2 + 1))
-    val h = when(blank, lit(8L)).otherwise(lit(8L) * (col("doc_id") % 3 + 1))
+    val h = lit(8L)
     val seed = (col("doc_id") % 251).cast("bigint")
-    val wB = (w / 8).cast("bigint")
-    def dcOf(j: org.apache.spark.sql.Column) =
-      when(j % 2 === 0, lit(8L) + pmod(seed + j, lit(8L))).otherwise(lit(0L))
+    // h = 8 → one block row with blocks j ∈ {0,1} only: dc(0) =
+    // 8 + seed%8 (even-up), dc(1) = 0 (odd-zero), so the pixel formula
+    // collapses to a two-branch constant — which matters because the
+    // interpreted construction folds re-evaluate lum ~10x per byte with
+    // no CSE (measured: the generic floor/pmod block-index tree read
+    // 26 s at sf0.1; this form 3.5 s)
     def lum(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      lit(128L) + lit(2L) * dcOf(floor(y / 8).cast("bigint") * wB +
-        floor(x / 8).cast("bigint"))
+      when(x < 8, lit(144L) + lit(2L) * pmod(seed, lit(8L))).otherwise(lit(128L))
     val grayPng = pngHexFull(w, h, ct = lit(0L), ch = lit(1L),
       (x, y, _) => lum(x, y), ftOff = lit(0L), adlerFlip = !ok)
     val rgbPng = pngHexFull(w, h, ct = lit(2L), ch = lit(3L),
@@ -2434,7 +2441,7 @@ object MultimodalQueries extends QueryGroup {
     val jpegHex = jpegHexFlat(w, h, gray = lit(true),
       _ => (j => lit(8L) + pmod(seed + j, lit(8L))), corrupt = !ok)
     val withPayload = docs
-      .filter(col("doc_id") < 500)
+      .filter(col("doc_id") < 250)
       .select(
         col("doc_id"),
         unhex(grayPng).as("p_gpng"), unhex(rgbPng).as("p_cpng"),
@@ -2472,9 +2479,9 @@ object MultimodalQueries extends QueryGroup {
       |         (doc_id % 6 = 0) AS blank,
       |         (doc_id % 9 <> 0) AS ok,
       |         CAST(CASE WHEN doc_id % 6 = 0 THEN 8 ELSE 8 * (doc_id % 2 + 1) END AS BIGINT) AS w,
-      |         CAST(CASE WHEN doc_id % 6 = 0 THEN 8 ELSE 8 * (doc_id % 3 + 1) END AS BIGINT) AS h,
+      |         CAST(8 AS BIGINT) AS h,
       |         doc_id % 251 AS seed
-      |  FROM documents WHERE doc_id < 500),
+      |  FROM documents WHERE doc_id < 250),
       |lum AS (
       |  SELECT s.doc_id, u.k,
       |         1000 * (128 + 2 * (CASE WHEN (((((u.k // 8) * s.h) // 8) // 8) * (s.w // 8)
