@@ -738,7 +738,137 @@ object DedupQueries extends QueryGroup {
     out
   }
 
+  // Generalized suffix array (operators.SuffixArray, prefix doubling):
+  // the full suffix ORDER of a 120-doc corpus — every (doc, offset)
+  // suffix ranked globally, identical suffixes tie-broken by doc id.
+  // The oracle sorts the suffix STRINGS directly; the engine never
+  // materializes a suffix, only log-many rank tables (rounds bounded by
+  // the longest DOCUMENT, not the corpus — the 100 TB property). The
+  // corpus contains exact-duplicate docs, so cross-doc full-suffix ties
+  // are exercised, and the doc-ascending sentinel rule is load-bearing.
+  private val qD20 = Q(
+    "q_d20_suffix_array",
+    """WITH src AS (
+      |  SELECT doc_id, coalesce(text, '') AS txt
+      |  FROM documents WHERE doc_id < 120),
+      |sfx AS (
+      |  SELECT doc_id, CAST(u.o AS BIGINT) AS off,
+      |         substr(txt, CAST(u.o AS INT)) AS s
+      |  FROM src, unnest(range(1, length(txt) + 1)) AS u(o))
+      |SELECT CAST(row_number() OVER (ORDER BY s, doc_id, off) - 1 AS BIGINT) AS rk,
+      |       CAST(doc_id AS BIGINT) AS doc_id, off
+      |FROM sfx
+      |ORDER BY rk""".stripMargin) { (s, dir) =>
+    import graft.operators.SuffixArray
+    // doc_id < 120 caps the gate corpus (the q_r3 rule) — SF-invariant
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 120)
+    SuffixArray.suffixArray(docs, "doc_id", "text")
+      .select(col("rk"), col("doc").cast("bigint").as("doc_id"), col("off"))
+      .orderBy("rk")
+  }
+
+  // Exact-substring dedup spans (Lee et al. 2022): every doc gets a
+  // doc-dependent variable-length prefix before a shared 308-char
+  // paragraph (the q_d19 shifted-duplicate construction), and the gate
+  // reports the MAXIMAL per-doc spans covered by cross-doc duplicated
+  // 40-char windows. Engine detects duplicates via ONE doubling table
+  // (overlapping 32-char rank pairs — the sparse-table equality trick);
+  // the oracle re-derives the same set by brute 40-gram grouping: two
+  // different algorithms, provably the same answer.
+  private val qD21 = Q(
+    "q_d21_exact_substring_spans",
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |         substr(text, 1, CAST(doc_id % 37 AS INT) + 10)
+       |         || repeat('$sharedPara', 4)
+       |         || substr(text, 50, 150) AS txt
+       |  FROM documents WHERE doc_id < 250),
+       |g AS (
+       |  SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+       |         substr(txt, CAST(u.p AS INT), 40) AS gram
+       |  FROM src, unnest(range(1, length(txt) - 38)) AS u(p)),
+       |dup AS (
+       |  SELECT gram FROM g GROUP BY gram
+       |  HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)),
+       |brk AS (
+       |  SELECT doc_id, p,
+       |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
+       |              THEN 0 ELSE 1 END AS b
+       |  FROM cov),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY p
+       |                      ROWS UNBOUNDED PRECEDING) AS i
+       |  FROM brk)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       min(p) AS span_start,
+       |       CAST(max(p) - min(p) + 40 AS BIGINT) AS span_len,
+       |       CAST(count(*) AS BIGINT) AS n_windows
+       |FROM isl GROUP BY doc_id, i
+       |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    import graft.operators.SuffixArray
+    val txt = concat(
+      col("text").substr(lit(1), (col("doc_id") % 37 + 10).cast("int")),
+      lit(sharedPara * 4),
+      col("text").substr(lit(50), lit(150)))
+    val src = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 250)
+      .select(col("doc_id"), txt.as("txt"))
+    val ctx = SuffixArray.build(src, "doc_id", "txt", maxWindow = 40)
+    val out = SuffixArray.duplicatedSpans(ctx, 40)
+      .select(col("doc").cast("bigint").as("doc_id"),
+        col("span_start"), col("span_len"), col("n_windows"))
+      .orderBy("doc_id", "span_start")
+      // checkpointed so the non-vacuity probe and the driver's consumption
+      // share one materialization
+      .localCheckpoint()
+    // the whole point: the shifted shared paragraph MUST surface as spans
+    require(out.limit(1).count() >= 1,
+      "q_d21: shared-paragraph duplicate spans must exist")
+    out
+  }
+
+  // Corpus repetition profile: duplicated-window position counts at four
+  // scales (20/40/80/160 chars) from ONE doubling build — the dedup
+  // dial-setting diagnostic ("how much of the corpus recurs verbatim,
+  // and at what granularity") run before choosing the span threshold.
+  private val qD22 = Q(
+    "q_d22_repetition_profile",
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |         substr(text, 1, CAST(doc_id % 37 AS INT) + 10)
+       |         || repeat('$sharedPara', 4)
+       |         || substr(text, 50, 150) AS txt
+       |  FROM documents WHERE doc_id < 150),
+       |ls(l) AS (SELECT * FROM (VALUES (20), (40), (80), (160)) t(l)),
+       |g AS (
+       |  SELECT ls.l, s.doc_id, CAST(u.p AS BIGINT) AS p,
+       |         substr(s.txt, CAST(u.p AS INT), ls.l) AS gram
+       |  FROM src s CROSS JOIN ls, unnest(range(1, length(s.txt) - ls.l + 2)) AS u(p)),
+       |dup AS (
+       |  SELECT l, gram FROM g GROUP BY l, gram
+       |  HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2)
+       |SELECT CAST(g.l AS BIGINT) AS win_len,
+       |       CAST(count(*) AS BIGINT) AS n_dup_windows,
+       |       CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs
+       |FROM g JOIN dup ON g.l = dup.l AND g.gram = dup.gram
+       |GROUP BY g.l
+       |ORDER BY win_len""".stripMargin) { (s, dir) =>
+    import graft.operators.SuffixArray
+    val txt = concat(
+      col("text").substr(lit(1), (col("doc_id") % 37 + 10).cast("int")),
+      lit(sharedPara * 4),
+      col("text").substr(lit(50), lit(150)))
+    val src = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), txt.as("txt"))
+    val ctx = SuffixArray.build(src, "doc_id", "txt", maxWindow = 160)
+    SuffixArray.repetitionProfile(ctx, Seq(20, 40, 80, 160))
+      .orderBy("win_len")
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12, qD13, qD14, qD15, qD16, qD17, qD18, qD19)
+      qD12, qD13, qD14, qD15, qD16, qD17, qD18, qD19, qD20, qD21, qD22)
 }
