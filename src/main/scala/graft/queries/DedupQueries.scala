@@ -815,7 +815,10 @@ object DedupQueries extends QueryGroup {
     val src = Tables.load(s, dir, "documents")
       .filter(col("doc_id") < 250)
       .select(col("doc_id"), txt.as("txt"))
-    val ctx = SuffixArray.build(src, "doc_id", "txt", maxWindow = 40)
+    // only the last doubling table feeds one plan → skip per-round
+    // checkpoints, the whole build pipelines into one job
+    val ctx = SuffixArray.build(src, "doc_id", "txt", maxWindow = 40,
+      materializeRounds = false, baseWindow = 8)
     val out = SuffixArray.duplicatedSpans(ctx, 40)
       .select(col("doc").cast("bigint").as("doc_id"),
         col("span_start"), col("span_len"), col("n_windows"))
@@ -863,12 +866,65 @@ object DedupQueries extends QueryGroup {
     val src = Tables.load(s, dir, "documents")
       .filter(col("doc_id") < 150)
       .select(col("doc_id"), txt.as("txt"))
-    val ctx = SuffixArray.build(src, "doc_id", "txt", maxWindow = 160)
+    val ctx = SuffixArray.build(src, "doc_id", "txt", maxWindow = 160,
+      baseWindow = 8)
     SuffixArray.repetitionProfile(ctx, Seq(20, 40, 80, 160))
       .orderBy("win_len")
   }
 
+  // Corpus-scale exact-substring dedup — the UNCAPPED twin of q_d21 on
+  // the natural documents table (the planted near-dup docs share their
+  // whole source text, so 40-char duplicate windows exist organically).
+  // This row is the suffix-array family's bench/scale signal: positions
+  // grow with SF (~1.3M at sf0.1), rounds stay fixed at 6 (window 32
+  // covers L=40 via the overlapping-rank trick), and the per-doc output
+  // is the dedup ledger a pipeline would act on: how many duplicated
+  // chars each doc carries and in how many maximal spans.
+  private val qD23 = Q(
+    "q_d23_exact_substring_corpus",
+    """WITH g AS (
+      |  SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+      |         substr(text, CAST(u.p AS INT), 40) AS gram
+      |  FROM documents, unnest(range(1, length(text) - 38)) AS u(p)),
+      |dup AS (
+      |  SELECT gram FROM g GROUP BY gram
+      |  HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)),
+      |brk AS (
+      |  SELECT doc_id, p,
+      |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
+      |              THEN 0 ELSE 1 END AS b
+      |  FROM cov),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY p
+      |                      ROWS UNBOUNDED PRECEDING) AS i
+      |  FROM brk),
+      |spans AS (
+      |  SELECT doc_id, i,
+      |         max(p) - min(p) + 40 AS span_len,
+      |         count(*) AS n_win
+      |  FROM isl GROUP BY doc_id, i)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(span_len) AS BIGINT) AS dup_chars,
+      |       CAST(sum(n_win) AS BIGINT) AS n_windows
+      |FROM spans GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.SuffixArray
+    val docs = Tables.load(s, dir, "documents")
+    val ctx = SuffixArray.build(docs, "doc_id", "text", maxWindow = 40,
+      materializeRounds = false, baseWindow = 8)
+    SuffixArray.duplicatedSpans(ctx, 40)
+      .groupBy(col("doc").cast("bigint").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_chars"),
+        sum(col("n_windows")).as("n_windows"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12, qD13, qD14, qD15, qD16, qD17, qD18, qD19, qD20, qD21, qD22)
+      qD12, qD13, qD14, qD15, qD16, qD17, qD18, qD19, qD20, qD21, qD22, qD23)
 }

@@ -58,13 +58,34 @@ class SuffixArraySpec extends SparkSpec {
     val docs = Seq((0L, "a" * 100)).toDF("doc_id", "text")
     val ctx = SuffixArray.build(docs, "doc_id", "text", maxWindow = 40)
     // windows 1,2,4,8,16,32 — 64 exceeds maxWindow
-    assert(ctx.tables.length === 6)
+    assert(ctx.tables.map(_._1) === Vector(1, 2, 4, 8, 16, 32))
     assert(ctx.tableFor(40)._1 === 32)
     assert(ctx.tableFor(1)._1 === 1)
-    intercept[IllegalArgumentException](ctx.tableFor(64))
+    // asking for L=80 when 2*32 < 80 and the build did NOT cover the
+    // corpus (maxLen 100) must fail loudly, not return garbage
+    assert(!ctx.coversCorpus)
+    intercept[IllegalArgumentException](SuffixArray.duplicateWindows(ctx, 80))
     // full build stops once the window covers maxLen+1 (101 -> 128)
     val full = SuffixArray.build(docs, "doc_id", "text")
-    assert(full.tables.length === 8)
+    assert(full.tables.map(_._1) === Vector(1, 2, 4, 8, 16, 32, 64, 128))
+    // baseWindow=8 skips the first three rounds
+    val wide = SuffixArray.build(docs, "doc_id", "text", maxWindow = 40,
+      baseWindow = 8)
+    assert(wide.tables.map(_._1) === Vector(8, 16, 32))
+    intercept[IllegalArgumentException](wide.tableFor(4))
+  }
+
+  test("baseWindow=8 dedup path matches brute grams incl. truncated tails") {
+    // short docs (< 8 chars) and tail positions exercise the truncated
+    // initial-key collisions that must never surface as candidates
+    val docs = seededDocs(10, 25, seed = 29) ++ Seq((90L, "row key"), (91L, "key"))
+    val ctx = SuffixArray.build(docs.toDF("doc_id", "text"), "doc_id", "text",
+      maxWindow = 40, baseWindow = 8)
+    for (l <- Seq(8, 13, 40)) {
+      val got = SuffixArray.duplicateWindows(ctx, l)
+        .as[(Long, Long)].collect().toSet
+      assert(got === bruteDup(docs, l, crossDoc = true), s"L=$l")
+    }
   }
 
   test("duplicate windows match brute-force grams, both crossDoc modes") {
