@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVectorDot, GifFramePixels, HyperplaneSignature, JaroWinkler, JpegBaselinePixels, MinHashSignature, PngUnfilteredPixels, SimHash64, ZlibInflate}
+import graft.expressions.{FloatVectorDot, GifFramePixels, HyperplaneSignature, JaroWinkler, JpegBaselinePixels, MinHashSignature, MultiMatch, PngUnfilteredPixels, SimHash64, ZlibInflate}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users (and the registered
@@ -34,6 +34,21 @@ object GraftExtensions {
       what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
+  private def strArrayLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    require(e.foldable && e.dataType == ArrayType(StringType, containsNull = false)
+      || e.foldable && e.dataType == ArrayType(StringType, containsNull = true),
+      s"$what must be a foldable array<string> literal")
+    e.eval() match {
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val arr = ad.toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+        require(arr.forall(_ != null), s"$what must not contain nulls")
+        arr.map(_.toString).toSeq
+      case _ => throw new IllegalArgumentException(s"$what must not be null")
+    }
   }
 
   private val functions: Seq[(
@@ -105,6 +120,13 @@ object GraftExtensions {
       children => {
         require(children.length == 2, "jpeg_pixels(binary, maxPixels)")
         JpegBaselinePixels(children(0), intLit(children(1), "maxPixels"))
+      }),
+    (
+      new FunctionIdentifier("multi_match"),
+      new ExpressionInfo(classOf[MultiMatch].getName, "multi_match"),
+      children => {
+        require(children.length == 2, "multi_match(string, array<string>)")
+        MultiMatch(children(0), strArrayLit(children(1), "patterns"))
       }))
 
   /** Same registrations applied to an already-running session (extensions

@@ -1257,8 +1257,35 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Dictionary (blocklist) annotation via ONE Aho-Corasick pass per doc
+  // (expressions.MultiMatch): every (document, banned-phrase) hit with
+  // its first offset. The dictionary deliberately plants a pattern that
+  // is a SUFFIX of another ("agg" inside "fast agg") — the failure-link
+  // outputs must surface both — plus an absent phrase (never emits).
+  // The oracle rescans per pattern with contains(); the engine walks the
+  // text once for the whole dictionary — O(text) vs O(patterns x text),
+  // the 100 TB difference. Uncapped: scan-side, scales with SF.
+  private val blockPats = Seq(
+    "fast agg", "order join", "customer", "quantum flux", "agg",
+    "join sm", "key fast")
+  private val qT32 = Q(
+    "q_t32_blocklist_annotate",
+    """WITH pats(pid, p) AS (
+      |  SELECT * FROM (VALUES
+      |    (0, 'fast agg'), (1, 'order join'), (2, 'customer'),
+      |    (3, 'quantum flux'), (4, 'agg'), (5, 'join sm'),
+      |    (6, 'key fast')) t(pid, p))
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(p.pid AS INT) AS pid,
+      |       p.p AS pattern, CAST(instr(d.text, p.p) AS BIGINT) AS first_off
+      |FROM documents d JOIN pats p ON contains(d.text, p.p)
+      |ORDER BY doc_id, pid""".stripMargin) { (s, dir) =>
+    graft.operators.Blocklist
+      .annotate(Tables.load(s, dir, "documents"), "doc_id", "text", blockPats)
+      .orderBy("doc_id", "pid")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31)
+      qT27, qT28, qT29, qT30, qT31, qT32)
 }
