@@ -38,9 +38,13 @@ object Explain {
                                // only ≤k-entry sketch buffers shuffle
     "q_m16_png_pixel_stats",  // one kernel call per row; stats fold scan-side
     "q_g24_deepwalk",         // per-step (node,rank) hash joins, no expansion
-    "q_v10_ann_ivf_persisted") // probe scans nprobe/numCentroids of the index:
+    "q_v10_ann_ivf_persisted", // probe scans nprobe/numCentroids of the index:
                                // dynamic partition pruning on cell — the
                                // 100 TB centerpiece claim, plan-pinned
+    "q_d23_exact_substring_corpus", // 3 ranking rounds only (baseWindow 8);
+                               // lead/min windows, no joins, no zip jobs
+    "q_t32_blocklist_annotate") // multi_match inside WholeStageCodegen;
+                               // single text scan, zero shuffle pre-sort
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
