@@ -778,8 +778,23 @@ object StreamingQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Streaming BLOCKLIST SCREENING at the landing zone: the q_t32
+  // Aho-Corasick dictionary pass per micro-batch — where a compliance
+  // filter actually runs, before anything persists downstream. Matching
+  // is row-local (one automaton walk per document, zero state), so
+  // streamed ≡ batch on every document; the oracle is q_t32's verbatim.
+  private val qSt33 = Q(
+    "q_st33_stream_blocklist",
+    TextQueries.qT32.oracle.get) { (s, dir) =>
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch =>
+        graft.operators.Blocklist
+          .annotate(batch, "doc_id", "text", TextQueries.blockPats)
+    }.orderBy("doc_id", "pid")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32)
+      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33)
 }

@@ -1265,10 +1265,10 @@ object TextQueries extends QueryGroup {
   // The oracle rescans per pattern with contains(); the engine walks the
   // text once for the whole dictionary — O(text) vs O(patterns x text),
   // the 100 TB difference. Uncapped: scan-side, scales with SF.
-  private val blockPats = Seq(
+  private[queries] val blockPats = Seq(
     "fast agg", "order join", "customer", "quantum flux", "agg",
     "join sm", "key fast")
-  private val qT32 = Q(
+  private[queries] val qT32 = Q(
     "q_t32_blocklist_annotate",
     """WITH pats(pid, p) AS (
       |  SELECT * FROM (VALUES
