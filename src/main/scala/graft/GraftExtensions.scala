@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVectorDot, GifFramePixels, HyperplaneSignature, JaroWinkler, JpegBaselinePixels, MinHashSignature, MultiMatch, PngUnfilteredPixels, SimHash64, ZlibInflate}
+import graft.expressions.{FloatVectorDot, GifFramePixels, HyperplaneSignature, JaroWinkler, JpegBaselinePixels, MinHashSignature, MultiMatch, MultiMatchCounts, PngUnfilteredPixels, SimHash64, ZlibInflate}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users (and the registered
@@ -127,6 +127,13 @@ object GraftExtensions {
       children => {
         require(children.length == 2, "multi_match(string, array<string>)")
         MultiMatch(children(0), strArrayLit(children(1), "patterns"))
+      }),
+    (
+      new FunctionIdentifier("multi_match_counts"),
+      new ExpressionInfo(classOf[MultiMatchCounts].getName, "multi_match_counts"),
+      children => {
+        require(children.length == 2, "multi_match_counts(string, array<string>)")
+        MultiMatchCounts(children(0), strArrayLit(children(1), "patterns"))
       }))
 
   /** Same registrations applied to an already-running session (extensions

@@ -75,6 +75,25 @@ final class AhoCorasick(val patterns: Array[String]) extends Serializable {
     while (b >= 0) { res(j) = b; j += 1; b = hit.nextSetBit(b + 1) }
     res
   }
+
+  /** Occurrence count per pattern id (ALL occurrences, overlapping
+    * included — every match end position reports), aligned to the pattern
+    * array: result(i) = occurrences of patterns(i), 0 when absent.
+    */
+  def matchCounts(text: String): Array[Int] = {
+    val cnt = new Array[Int](patterns.length)
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      while (s != 0 && !goto_(s).contains(ch)) s = fail(s)
+      s = goto_(s).getOrElse(ch, 0)
+      var o = out(s)
+      while (o.nonEmpty) { cnt(o.head) += 1; o = o.tail }
+      i += 1
+    }
+    cnt
+  }
 }
 
 /** `multi_match(text, array('p1', 'p2', …))` → array<int> of the ids
@@ -115,5 +134,40 @@ case class MultiMatch(child: Expression, patterns: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): MultiMatch =
+    copy(child = newChild)
+}
+
+/** `multi_match_counts(text, array('p1', …))` → array<int> of occurrence
+  * counts ALIGNED to the pattern array (counts(i) = occurrences of
+  * pattern i, overlapping included, 0 when absent); null on null text.
+  * The lexicon-scoring companion to [[MultiMatch]]: weighted dictionary
+  * scores need per-pattern frequencies, still in one automaton pass.
+  */
+case class MultiMatchCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val ac = new AhoCorasick(patterns.toArray)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "multi_match_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ac.matchCounts(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ac", ac, classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$acRef.matchCounts($in.toString()));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiMatchCounts =
     copy(child = newChild)
 }

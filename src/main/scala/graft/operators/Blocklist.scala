@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expressions.MultiMatch
+import graft.expressions.{MultiMatch, MultiMatchCounts}
 
 /** Dictionary (blocklist) filtering over a document corpus — the
   * compliance pass an LLM-data pipeline runs before anything else ships:
@@ -55,4 +55,34 @@ object Blocklist {
       textCol: String,
       patterns: Seq[String]): DataFrame =
     df.filter(col(textCol).isNull || size(matchIds(col(textCol), patterns)) === 0)
+
+  /** Per-pattern occurrence counts (overlapping included), aligned to the
+    * pattern array: array<int> with counts(i) for patterns(i).
+    */
+  def matchCounts(text: Column, patterns: Seq[String]): Column =
+    bridge.column(MultiMatchCounts(bridge.expression(text), patterns))
+
+  /** Weighted lexicon score per document — the toxicity/sentiment/quality
+    * lexicon pass: score = Σ weight(i) · occurrences(i), plus the raw hit
+    * total. One automaton walk per document, the weighted fold inline:
+    * (idCol, n_hits, score). Weights ride the plan as an array literal
+    * zipped against the counts — still zero shuffle, scan-side.
+    */
+  def lexiconScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lexicon: Seq[(String, Double)]): DataFrame = {
+    require(lexicon.nonEmpty, "lexicon must be non-empty")
+    val cnts = matchCounts(coalesce(col(textCol), lit("")), lexicon.map(_._1))
+    val ws = array(lexicon.map(e => lit(e._2)): _*)
+    df.select(col(idCol), cnts.as("__c"))
+      .select(
+        col(idCol),
+        aggregate(col("__c"), lit(0L), (acc, c) => acc + c.cast("long"))
+          .as("n_hits"),
+        aggregate(
+          zip_with(col("__c"), ws, (c, w) => c.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+  }
 }

@@ -1284,8 +1284,42 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id", "pid")
   }
 
+  // Weighted lexicon scoring (the toxicity/sentiment-lexicon pass): one
+  // Aho-Corasick walk per document yields per-pattern OCCURRENCE counts
+  // (overlapping included — every match end reports), folded against the
+  // weight array inline. Weights are dyadic rationals (halves/quarters)
+  // so count·weight sums are EXACT doubles — partition- and fold-order-
+  // proof with no rounding rule needed. The oracle counts occurrences
+  // positionally (substr at every offset) — the naive O(len·patterns)
+  // algorithm replayed against the single-pass automaton.
+  private val qT33 = Q(
+    "q_t33_lexicon_score",
+    """WITH pats(pid, p, w) AS (
+      |  SELECT * FROM (VALUES
+      |    (0, 'fast agg', -2.0), (1, 'order join', 1.5),
+      |    (2, 'customer', 0.5), (3, 'agg', -0.25),
+      |    (4, 'quantum flux', 8.0)) t(pid, p, w)),
+      |occ AS (
+      |  SELECT d.doc_id, pt.pid, pt.w, count(*) AS c
+      |  FROM documents d, pats pt,
+      |       unnest(range(1, length(d.text) - length(pt.p) + 2)) AS u(pos)
+      |  WHERE substr(d.text, CAST(u.pos AS INT), length(pt.p)) = pt.p
+      |  GROUP BY 1, 2, 3)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(sum(o.c), 0) AS BIGINT) AS n_hits,
+      |       CAST(coalesce(sum(o.c * o.w), 0.0) AS DOUBLE) AS score
+      |FROM documents d LEFT JOIN occ o USING (doc_id)
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Blocklist
+      .lexiconScore(Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("fast agg" -> -2.0, "order join" -> 1.5, "customer" -> 0.5,
+          "agg" -> -0.25, "quantum flux" -> 8.0))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33)
 }

@@ -81,4 +81,22 @@ class BlocklistSpec extends SparkSpec {
     intercept[IllegalArgumentException](new AhoCorasick(Array.empty[String]))
     intercept[IllegalArgumentException](new AhoCorasick(Array("ok", "")))
   }
+
+  test("matchCounts reports every occurrence, overlapping included") {
+    val ac = new AhoCorasick(Array("aa", "b", "zz"))
+    assert(ac.matchCounts("aaaa").toSeq === Seq(3, 0, 0))
+    assert(ac.matchCounts("ab ab").toSeq === Seq(0, 2, 0))
+    assert(ac.matchCounts("").toSeq === Seq(0, 0, 0))
+  }
+
+  test("lexiconScore folds count x weight exactly; null text scores 0") {
+    val lex = Seq("aa" -> -0.5, "b" -> 1.25)
+    val df = Seq(
+      (1L, "aaaa b"),          // 3*(-0.5) + 1*1.25 = -0.25, 4 hits
+      (2L, "clean"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Blocklist.lexiconScore(df, "doc_id", "text", lex)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 4L, -0.25), (2L, 0L, 0.0), (3L, 0L, 0.0)))
+  }
 }
