@@ -490,4 +490,59 @@ object MlEval {
       sum(col("abs_gap") * col("n_docs")).over(all) /
         sum(col("n_docs")).over(all))
   }
+
+  /** Ranking-quality metrics per query — the retrieval-eval staple
+    * (Järvelin & Kekäläinen 2002 for nDCG; classic MRR/P@k): given a run
+    * (query, doc, score) with graded relevance, report per query
+    *
+    *   - mrr     — 1/rank of the first relevant doc (0 when none),
+    *   - dcg_k   — Σ_{rank ≤ k} (2^rel − 1) / log2(rank + 1),
+    *   - idcg_k  — the same sum under the ideal (rel-descending) order,
+    *   - ndcg_k  — dcg_k / idcg_k (0 when the query has no relevance),
+    *   - p_k     — relevant-in-top-k / k.
+    *
+    * Ranking ties break by doc id ascending (deterministic, and exactly
+    * replayable by an ORDER BY score DESC, doc); the ideal order's ties
+    * are between EQUAL relevance grades, so tie placement never changes
+    * idcg. dcg/idcg/ndcg ship ROUNDED to 6 decimals (sums of ≤k irrational
+    * log2 discounts — the q_t30 rounded-ln rule); mrr and p_k are single
+    * divisions, bit-identical across engines unrounded.
+    *
+    * Shape at scale: two windows partitioned by query (rank + ideal rank)
+    * and one aggregate — per-query partition width is the run's depth per
+    * query, never the corpus.
+    */
+  def rankingMetrics(
+      runs: DataFrame,
+      queryCol: String,
+      docCol: String,
+      scoreCol: String,
+      relCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val byScore = Window.partitionBy(queryCol)
+      .orderBy(col(scoreCol).desc, col(docCol).asc)
+    val byRel = Window.partitionBy(queryCol)
+      .orderBy(col(relCol).desc, col(docCol).asc)
+    val gain = pow(lit(2.0), col(relCol).cast("double")) - lit(1.0)
+    runs
+      .withColumn("__rk", row_number().over(byScore))
+      .withColumn("__irk", row_number().over(byRel))
+      .groupBy(col(queryCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(
+          max(when(col(relCol) > 0, lit(1.0)) / // 1/min rank via max of 1/rank
+            when(col(relCol) > 0, col("__rk").cast("double"))),
+          lit(0.0)).as("mrr"),
+        round(sum(when(col("__rk") <= k, gain / log2(col("__rk") + 1))
+          .otherwise(lit(0.0))), 6).as(s"dcg_$k"),
+        round(sum(when(col("__irk") <= k, gain / log2(col("__irk") + 1))
+          .otherwise(lit(0.0))), 6).as(s"idcg_$k"),
+        (sum(when(col("__rk") <= k && col(relCol) > 0, 1L).otherwise(0L))
+          .cast("double") / k).as(s"p_$k"))
+      .withColumn(s"ndcg_$k",
+        when(col(s"idcg_$k") > 0, round(col(s"dcg_$k") / col(s"idcg_$k"), 6))
+          .otherwise(lit(0.0)))
+  }
 }

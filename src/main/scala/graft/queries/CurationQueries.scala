@@ -1072,7 +1072,58 @@ object CurationQueries extends QueryGroup {
     graft.operators.Agreement.fleissKappa(ratings, "item", "rater", "label")
   }
 
+  // Ranking-quality evaluation (MlEval.rankingMetrics): MRR / DCG@10 /
+  // nDCG@10 / P@10 per query over a deterministic graded run derived
+  // from the corpus (5 queries, 100 docs each at sf0.01; relevance
+  // grades 0-3, score ties broken by doc id on both engines). DCG sums
+  // mix irrational log2 discounts, so dcg/idcg/ndcg ship rounded to 6
+  // decimals (the q_t30 rule); mrr and p@k are single divisions,
+  // bit-identical unrounded.
+  private val qC28 = Q(
+    "q_c28_ranking_eval",
+    """WITH runs AS (
+      |  SELECT CAST(doc_id % 5 AS BIGINT) AS query_id, doc_id,
+      |         CAST((doc_id * 137) % 1000 AS DOUBLE) AS score,
+      |         greatest(0, 3 - CAST(doc_id % 7 AS INT)) AS rel
+      |  FROM documents),
+      |rk AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY score DESC, doc_id) AS r,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY rel DESC, doc_id) AS ir
+      |  FROM runs),
+      |agg AS (
+      |  SELECT query_id,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         coalesce(max(CASE WHEN rel > 0
+      |                           THEN CAST(1 AS DOUBLE) / r END),
+      |                  CAST(0 AS DOUBLE)) AS mrr,
+      |         round(sum(CASE WHEN r <= 10
+      |                        THEN (pow(2, rel) - 1) / log2(r + 1)
+      |                        ELSE CAST(0 AS DOUBLE) END), 6) AS dcg_10,
+      |         round(sum(CASE WHEN ir <= 10
+      |                        THEN (pow(2, rel) - 1) / log2(ir + 1)
+      |                        ELSE CAST(0 AS DOUBLE) END), 6) AS idcg_10,
+      |         CAST(sum(CASE WHEN r <= 10 AND rel > 0 THEN 1 ELSE 0 END)
+      |              AS DOUBLE) / 10 AS p_10
+      |  FROM rk GROUP BY query_id)
+      |SELECT query_id, n_docs, mrr, dcg_10, idcg_10, p_10,
+      |       CASE WHEN idcg_10 > 0 THEN round(dcg_10 / idcg_10, 6)
+      |            ELSE CAST(0 AS DOUBLE) END AS ndcg_10
+      |FROM agg ORDER BY query_id""".stripMargin) { (s, dir) =>
+    val runs = Tables.load(s, dir, "documents").select(
+      (col("doc_id") % 5).cast("bigint").as("query_id"),
+      col("doc_id"),
+      ((col("doc_id") * 137) % 1000).cast("double").as("score"),
+      greatest(lit(0), lit(3) - (col("doc_id") % 7).cast("int")).as("rel"))
+    graft.operators.MlEval
+      .rankingMetrics(runs, "query_id", "doc_id", "score", "rel", k = 10)
+      .orderBy("query_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
-      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27)
+      qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27,
+      qC28)
 }

@@ -262,4 +262,37 @@ class MlEvalSpec extends SparkSpec {
         dirtyDf.withColumn("src", org.apache.spark.sql.functions.lit("a")),
         "src", "y", "score").head().getLong(1) === 4L)
   }
+
+  test("rankingMetrics: hand-computed MRR/DCG/nDCG/P@k on one query") {
+    // ranked by score desc: d1(rel 0), d2(rel 3), d3(rel 1), d4(rel 0)
+    val runs = Seq(
+      (0L, 1L, 9.0, 0), (0L, 2L, 8.0, 3), (0L, 3L, 7.0, 1), (0L, 4L, 6.0, 0))
+      .toDF("q", "d", "score", "rel")
+    val r = MlEval.rankingMetrics(runs, "q", "d", "score", "rel", k = 3).head()
+    // mrr: first relevant at rank 2
+    assert(r.getAs[Double]("mrr") === 0.5)
+    // dcg@3 = 7/log2(3) + 1/log2(4) = 4.916508 + 0.5
+    val dcg = BigDecimal(7.0 / (math.log(3) / math.log(2)) + 0.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("dcg_3") === dcg)
+    // ideal order: rel 3,1,0 at ranks 1,2,3 → idcg = 7 + 1/log2(3)
+    val idcg = BigDecimal(7.0 + 1.0 / (math.log(3) / math.log(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("idcg_3") === idcg)
+    assert(r.getAs[Double]("ndcg_3") ===
+      BigDecimal(dcg / idcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("p_3") === 2.0 / 3)
+    assert(r.getAs[Long]("n_docs") === 4L)
+  }
+
+  test("rankingMetrics: no relevant docs -> mrr 0, ndcg 0; ties by doc id") {
+    val none = Seq((0L, 1L, 1.0, 0), (0L, 2L, 2.0, 0)).toDF("q", "d", "score", "rel")
+    val r0 = MlEval.rankingMetrics(none, "q", "d", "score", "rel", k = 2).head()
+    assert(r0.getAs[Double]("mrr") === 0.0)
+    assert(r0.getAs[Double]("ndcg_2") === 0.0)
+    // equal scores: doc 1 outranks doc 2, so the relevant doc 2 is rank 2
+    val tied = Seq((0L, 1L, 5.0, 0), (0L, 2L, 5.0, 2)).toDF("q", "d", "score", "rel")
+    val rt = MlEval.rankingMetrics(tied, "q", "d", "score", "rel", k = 2).head()
+    assert(rt.getAs[Double]("mrr") === 0.5)
+  }
 }
