@@ -124,4 +124,68 @@ object KMeans {
         count(lit(1)).cast("int").as("n_vecs"),
         sum(col("dist2")).as("inertia"))
       .orderBy("cluster")
+
+  /** Clustering-quality scoreboard — the "is k right?" readout run before
+    * committing to a cluster-based curation or IVF partitioning:
+    *
+    *   - centroid-simplified SILHOUETTE (the O(n·k) form of Rousseeuw
+    *     1987 — a = distance to own centroid, b = nearest other centroid;
+    *     the O(n²) pairwise form is not a 100 TB operator),
+    *   - DAVIES–BOULDIN index (Davies & Bouldin 1979):
+    *     mean over clusters of max_j (S_i + S_j) / M_ij, S = mean
+    *     intra-centroid distance, M = centroid separation.
+    *
+    * Output one row per surviving cluster: (cluster, n_vecs,
+    * mean_silhouette, s_intra, davies_bouldin) — the DB index repeated
+    * per row (it is a global scalar; the per-cluster rows carry its
+    * ingredients). Silhouette of a point with no other cluster (k = 1)
+    * is 0 by convention — handled explicitly because greatest() SKIPS
+    * nulls. Irrational sqrt means ship ROUNDED to 6 decimals (the q_t30
+    * rule); the DB ratio uses the unrounded means and rounds once.
+    *
+    * Shape at scale: one broadcast cross of points × k centroids (the
+    * [[assign]] shape), one per-point aggregate, one k-row aggregate;
+    * the k×k centroid-pair frame never leaves the executors.
+    */
+  def clusteringQuality(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): DataFrame = {
+    val (assigned, centroids) = fit(vecs, idCol, vecCol, k, iterations)
+    val d = assigned.select(col("__id"), col("__c").as("own"), col("__v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", sqrt(aggregate(
+        zip_with(col("__v"), col("__cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)))
+    val ab = d.groupBy(col("__id"), col("own"))
+      .agg(
+        max(when(col("__c") === col("own"), col("dist"))).as("a"),
+        min(when(col("__c") =!= col("own"), col("dist"))).as("b"))
+    val sil = ab.withColumn("s",
+      when(col("b").isNull, lit(0.0))
+        .when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .otherwise(lit(0.0)))
+    val perCluster = sil.groupBy(col("own").cast("int").as("cluster"))
+      .agg(
+        count(lit(1)).cast("int").as("n_vecs"),
+        round(avg(col("s")), 6).as("mean_silhouette"),
+        round(avg(col("a")), 6).as("s_intra"),
+        avg(col("a")).as("__s_raw"))
+    val cpos = centroids.select(col("__c"), posexplode(col("__cv")).as(Seq("__p", "__m")))
+    val cdist = cpos.as("x").join(cpos.as("y"),
+        col("x.__p") === col("y.__p") && col("x.__c") =!= col("y.__c"))
+      .groupBy(col("x.__c").cast("int").as("ci"), col("y.__c").cast("int").as("cj"))
+      .agg(sqrt(sum((col("x.__m") - col("y.__m")) * (col("x.__m") - col("y.__m"))))
+        .as("m"))
+    val dbPer = cdist
+      .join(perCluster.select(col("cluster").as("ci"), col("__s_raw").as("si")), Seq("ci"))
+      .join(perCluster.select(col("cluster").as("cj"), col("__s_raw").as("sj")), Seq("cj"))
+      .groupBy(col("ci"))
+      .agg(max(when(col("m") > 0, (col("si") + col("sj")) / col("m"))).as("r"))
+    val db = dbPer.agg(round(avg(col("r")), 6).as("davies_bouldin"))
+    perCluster.drop("__s_raw").crossJoin(db).orderBy("cluster")
+  }
 }

@@ -672,7 +672,75 @@ object SimilarityQueries extends QueryGroup {
     }
   }
 
+  // Clustering-quality scoreboard (KMeans.clusteringQuality): centroid-
+  // simplified silhouette + Davies-Bouldin over the q_v14 k-means fit —
+  // the "is k right?" readout before committing to cluster-based
+  // curation or an IVF partitioning. The oracle extends q_v14's unrolled
+  // Lloyd CTEs: d2 already holds every point's distance to every final
+  // centroid, so a/b/s and the DB ratio are pure algebra on it.
+  // Irrational sqrt means ship rounded to 6 decimals (the q_t30 rule).
+  private val qV21 = Q(
+    "q_v21_cluster_quality",
+    """WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+      |seeds AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, emb
+      |          FROM (SELECT id, emb FROM v ORDER BY id LIMIT 8)),
+      |c0 AS (SELECT c, i AS p, CAST(emb[i] AS DOUBLE) AS m
+      |       FROM seeds, range(1, 65) t(i)),
+      |vd AS (SELECT id, i AS p, CAST(emb[i] AS DOUBLE) AS x
+      |       FROM v, range(1, 65) t(i)),
+      |d1 AS (SELECT vd.id, c0.c, sum((vd.x - c0.m) * (vd.x - c0.m)) AS d
+      |       FROM vd JOIN c0 ON vd.p = c0.p GROUP BY 1, 2),
+      |a1 AS (SELECT id, c FROM (
+      |         SELECT id, c, row_number() OVER (
+      |           PARTITION BY id ORDER BY round(d, 6), c) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.c, vd.p,
+      |              CAST(sum(CAST(vd.x AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS m
+      |       FROM a1 JOIN vd ON a1.id = vd.id GROUP BY 1, 2),
+      |d2 AS (SELECT vd.id, c1.c, sum((vd.x - c1.m) * (vd.x - c1.m)) AS d
+      |       FROM vd JOIN c1 ON vd.p = c1.p GROUP BY 1, 2),
+      |a2 AS (SELECT id, c FROM (
+      |         SELECT id, c, row_number() OVER (
+      |           PARTITION BY id ORDER BY round(d, 6), c) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |ab AS (
+      |  SELECT d2.id, a2.c AS own,
+      |         max(CASE WHEN d2.c = a2.c THEN sqrt(d2.d) END) AS a,
+      |         min(CASE WHEN d2.c <> a2.c THEN sqrt(d2.d) END) AS b
+      |  FROM d2 JOIN a2 ON d2.id = a2.id GROUP BY 1, 2),
+      |sil AS (
+      |  SELECT own, a,
+      |         CASE WHEN b IS NULL THEN CAST(0 AS DOUBLE)
+      |              WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+      |              ELSE CAST(0 AS DOUBLE) END AS s
+      |  FROM ab),
+      |percl AS (
+      |  SELECT CAST(own AS INT) AS cluster, CAST(count(*) AS INT) AS n_vecs,
+      |         round(avg(s), 6) AS mean_silhouette,
+      |         round(avg(a), 6) AS s_intra, avg(a) AS s_raw
+      |  FROM sil GROUP BY 1),
+      |cdist AS (
+      |  SELECT CAST(x.c AS INT) AS ci, CAST(y.c AS INT) AS cj,
+      |         sqrt(sum((x.m - y.m) * (x.m - y.m))) AS m
+      |  FROM c1 x JOIN c1 y ON x.p = y.p AND x.c <> y.c GROUP BY 1, 2),
+      |dbi AS (
+      |  SELECT cd.ci,
+      |         max(CASE WHEN cd.m > 0 THEN (pi.s_raw + pj.s_raw) / cd.m END) AS r
+      |  FROM cdist cd
+      |  JOIN percl pi ON pi.cluster = cd.ci
+      |  JOIN percl pj ON pj.cluster = cd.cj
+      |  GROUP BY 1),
+      |db AS (SELECT round(avg(r), 6) AS davies_bouldin FROM dbi)
+      |SELECT p.cluster, p.n_vecs, p.mean_silhouette, p.s_intra,
+      |       db.davies_bouldin
+      |FROM percl p CROSS JOIN db
+      |ORDER BY cluster""".stripMargin) { (s, dir) =>
+    graft.operators.KMeans.clusteringQuality(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iterations = 2)
+  }
+
   override val all: Seq[Q] =
     Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13,
-      qV14, qV15, qV16, qV17, qV18, qV19, qV20)
+      qV14, qV15, qV16, qV17, qV18, qV19, qV20, qV21)
 }
