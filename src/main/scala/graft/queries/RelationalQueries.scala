@@ -2158,6 +2158,66 @@ object RelationalQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  // A/B experiment readout with CUPED variance reduction
+  // (Experiment.cuped, Deng et al. 2013): units = users, variant by
+  // user_id parity, Y = post-period value sum, X = the pre-period sum of
+  // the same metric (the canonical covariate). Per-user sums fold as
+  // exact DECIMAL(20,2); the operator quantizes to DECIMAL(15,4), folds
+  // exact moments, and derives theta/means/diffs as one fixed IEEE tree
+  // rounded to 6 decimals — the oracle replays the identical tree.
+  private val qE32 = Q(
+    "q_e32_cuped_experiment",
+    """WITH pu AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+      |         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+      |                                THEN CAST(value AS DECIMAL(20,2)) END),
+      |                       0) AS DOUBLE) AS x0,
+      |         CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |                                THEN CAST(value AS DECIMAL(20,2)) END),
+      |                       0) AS DOUBLE) AS y0
+      |  FROM events GROUP BY 1, 2),
+      |q AS (SELECT variant, CAST(x0 AS DECIMAL(15,4)) AS x,
+      |             CAST(y0 AS DECIMAL(15,4)) AS y FROM pu),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |         CAST(sum(CASE WHEN variant = 0 THEN x END) AS DOUBLE) AS sxa,
+      |         CAST(sum(CASE WHEN variant = 1 THEN x END) AS DOUBLE) AS sxb,
+      |         CAST(sum(CASE WHEN variant = 0 THEN y END) AS DOUBLE) AS sya,
+      |         CAST(sum(CASE WHEN variant = 1 THEN y END) AS DOUBLE) AS syb,
+      |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+      |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |         CAST(sum(y * y) AS DOUBLE) AS syy,
+      |         (max(x) > min(x)) AS varx, (max(y) > min(y)) AS vary
+      |  FROM q)
+      |SELECT n, n_a, n_b, '0' AS variant_a, '1' AS variant_b,
+      |       round(sya / n_a, 6) AS mean_y_a,
+      |       round(syb / n_b, 6) AS mean_y_b,
+      |       round(sya / n_a - syb / n_b, 6) AS diff,
+      |       round(CASE WHEN varx THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      |                  ELSE CAST(0 AS DOUBLE) END, 6) AS theta,
+      |       round(sya / n_a - syb / n_b
+      |             - (CASE WHEN varx THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      |                     ELSE CAST(0 AS DOUBLE) END)
+      |               * (sxa / n_a - sxb / n_b), 6) AS adj_diff,
+      |       round(CASE WHEN varx AND vary
+      |                  THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |                       / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      |                  ELSE CAST(0 AS DOUBLE) END, 6) AS var_reduction
+      |FROM m""".stripMargin) { (s, dir) =>
+    val cut = lit("2024-01-08 00:00:00").cast("timestamp")
+    val perUser = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).cast("int").as("variant"))
+      .agg(
+        coalesce(sum(when(col("ts") < cut, col("value").cast("decimal(20,2)"))),
+          lit(0).cast("decimal(20,2)")).cast("double").as("x"),
+        coalesce(sum(when(col("ts") >= cut, col("value").cast("decimal(20,2)"))),
+          lit(0).cast("decimal(20,2)")).cast("double").as("y"))
+    graft.operators.Experiment.cuped(perUser, "variant", "y", "x")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -2167,5 +2227,5 @@ object RelationalQueries extends QueryGroup {
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
     qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25, qE26,
-    qE27, qE28, qE29, qE30, qE31)
+    qE27, qE28, qE29, qE30, qE31, qE32)
 }
