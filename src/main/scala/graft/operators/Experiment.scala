@@ -97,4 +97,89 @@ object Experiment {
       round(meanYa - meanYb - theta * (meanXa - meanXb), 6).as("adj_diff"),
       round(rho2, 6).as("var_reduction"))
   }
+
+  /** Randomization (re-randomization) test of the observed diff-in-means
+    * — Fisher's permutation logic (1935) in the form that distributes:
+    * instead of fixed-margin shuffles (a global coupled sort, not a
+    * 100 TB operator), each of `nPerms` replicates re-assigns every unit
+    * by a deterministic md5 coin ([[Curation.hashUnit]] on unit⊕replicate
+    * — engine-portable, oracle-replayable), the standard scalable
+    * variant whose null includes assignment-margin variation.
+    *
+    *   p = (1 + #{replicates with |diff| ≥ |observed|}) / (valid + 1)
+    *
+    * — the add-one estimator, never exactly 0. Replicates that land a
+    * degenerate assignment (either group empty) are EXCLUDED from
+    * `valid` rather than silently counted as extreme.
+    *
+    * Exactness: per-replicate group sums fold as exact DECIMAL(15,4)
+    * moments (partition-order-proof); each diff is two divisions on
+    * exact sums; |diff_p| ≥ |obs| compares bit-identical doubles — so
+    * the COUNT (and hence p) is exact, no rounding tolerance anywhere.
+    *
+    * Output one row: (n_units, n_perms, n_valid, observed_diff r6,
+    * n_extreme, p_value r6).
+    *
+    * Shape at scale: the unit frame fans out ×nPerms scan-side
+    * (explode over a literal range), one hash aggregate by replicate,
+    * one nPerms-row reduction. Cost is nPerms × units rows through one
+    * shuffle — nPerms is a knob (100–1000), not data.
+    */
+  def permutationTest(
+      units: DataFrame,
+      unitCol: String,
+      variantCol: String,
+      metricCol: String,
+      nPerms: Int = 200,
+      seed: String = "perm"): DataFrame = {
+    require(nPerms >= 1, "need at least one replicate")
+    val vs = col(variantCol).cast("string")
+    val head = units
+      .agg(countDistinct(vs).as("nv"), min(vs).as("va"), max(vs).as("vb"))
+      .head()
+    require(head.getLong(0) == 2,
+      s"permutation test needs exactly 2 variants, got ${head.getLong(0)}")
+    val va = head.getString(1)
+
+    val y = col(metricCol).cast("double").cast("decimal(15,4)")
+    val obs = units.agg(
+      count(lit(1)).as("n_units"),
+      (sum(when(vs === va, y)).cast("double") /
+        sum(when(vs === va, 1L).otherwise(0L)) -
+        sum(when(vs =!= va, y)).cast("double") /
+          sum(when(vs =!= va, 1L).otherwise(0L))).as("obs_diff"))
+
+    // replicate fan-out is scan-side; the coin keys on (UNIT, replicate)
+    val exploded = units
+      .select(col(unitCol).cast("string").as("__u"), y.as("__y"),
+        explode(sequence(lit(0), lit(nPerms - 1))).as("__p"))
+    val coin = Curation.hashUnit(
+      concat_ws("|", col("__u"), col("__p").cast("string")), seed)
+    val perPerm = exploded
+      .withColumn("__g", (coin < 0.5).cast("int"))
+      .groupBy("__p")
+      .agg(
+        sum(when(col("__g") === 1, col("__y"))).as("s1"),
+        sum(when(col("__g") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__g") === 0, col("__y"))).as("s0"),
+        sum(when(col("__g") === 0, 1L).otherwise(0L)).as("n0"))
+    val summary = perPerm
+      .crossJoin(broadcast(obs))
+      .select(col("n_units"), col("obs_diff"),
+        when(col("n1") > 0 && col("n0") > 0, lit(1L)).otherwise(0L).as("valid"),
+        when(col("n1") > 0 && col("n0") > 0 &&
+          abs(col("s1").cast("double") / col("n1") -
+            col("s0").cast("double") / col("n0")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L).as("extreme"))
+      .groupBy(col("n_units"), col("obs_diff"))
+      .agg(sum(col("valid")).as("n_valid"), sum(col("extreme")).as("n_extreme"))
+    summary.select(
+      col("n_units").cast("bigint").as("n_units"),
+      lit(nPerms.toLong).as("n_perms"),
+      col("n_valid").cast("bigint").as("n_valid"),
+      round(col("obs_diff"), 6).as("observed_diff"),
+      col("n_extreme").cast("bigint").as("n_extreme"),
+      round((col("n_extreme") + lit(1L)).cast("double") /
+        (col("n_valid") + lit(1L)), 6).as("p_value"))
+  }
 }

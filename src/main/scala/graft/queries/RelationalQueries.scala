@@ -2218,6 +2218,65 @@ object RelationalQueries extends QueryGroup {
     graft.operators.Experiment.cuped(perUser, "variant", "y", "x")
   }
 
+  // Randomization test of the q_e32 experiment's observed diff
+  // (Experiment.permutationTest): 200 deterministic md5-coin
+  // re-assignments of the per-user metric, p = (1 + extreme)/(valid + 1).
+  // Group sums per replicate fold as exact decimals, so the EXTREME
+  // COUNT is exact — the only rounding in the output is presentational.
+  // The oracle replays the identical coin (the q_t26 hashUnit SQL form)
+  // and the identical comparison tree.
+  private val qE33 = Q(
+    "q_e33_permutation_test",
+    """WITH pu AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+      |         CAST(CAST(coalesce(sum(CAST(value AS DECIMAL(20,2))), 0)
+      |              AS DOUBLE) AS DECIMAL(15,4)) AS y
+      |  FROM events GROUP BY 1, 2),
+      |o AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+      |         CAST(sum(CASE WHEN variant = 0 THEN y END) AS DOUBLE)
+      |           / sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+      |         - CAST(sum(CASE WHEN variant <> 0 THEN y END) AS DOUBLE)
+      |           / sum(CASE WHEN variant <> 0 THEN 1 ELSE 0 END) AS obs_diff
+      |  FROM pu),
+      |e AS (
+      |  SELECT pu.user_id, pu.y, u.p,
+      |         CASE WHEN (('0x' || substring(md5(
+      |                 CAST(user_id AS VARCHAR) || '|' ||
+      |                 CAST(u.p AS VARCHAR) || ':perm'), 1, 8))::BIGINT
+      |               / 4294967296) < 0.5
+      |              THEN 1 ELSE 0 END AS g
+      |  FROM pu, unnest(range(0, 200)) AS u(p)),
+      |pp AS (
+      |  SELECT p,
+      |         sum(CASE WHEN g = 1 THEN y END) AS s1,
+      |         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1,
+      |         sum(CASE WHEN g = 0 THEN y END) AS s0,
+      |         sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0
+      |  FROM e GROUP BY 1),
+      |s AS (
+      |  SELECT o.n_units, o.obs_diff,
+      |         sum(CASE WHEN n1 > 0 AND n0 > 0 THEN 1 ELSE 0 END) AS n_valid,
+      |         sum(CASE WHEN n1 > 0 AND n0 > 0
+      |                  AND abs(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+      |                      >= abs(o.obs_diff)
+      |                  THEN 1 ELSE 0 END) AS n_extreme
+      |  FROM pp CROSS JOIN o GROUP BY 1, 2)
+      |SELECT n_units, CAST(200 AS BIGINT) AS n_perms,
+      |       CAST(n_valid AS BIGINT) AS n_valid,
+      |       round(obs_diff, 6) AS observed_diff,
+      |       CAST(n_extreme AS BIGINT) AS n_extreme,
+      |       round(CAST(n_extreme + 1 AS DOUBLE) / (n_valid + 1), 6) AS p_value
+      |FROM s""".stripMargin) { (s, dir) =>
+    val perUser = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).cast("int").as("variant"))
+      .agg(coalesce(sum(col("value").cast("decimal(20,2)")),
+        lit(0).cast("decimal(20,2)")).cast("double").as("y"))
+    graft.operators.Experiment
+      .permutationTest(perUser, "user_id", "variant", "y",
+        nPerms = 200, seed = "perm")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -2227,5 +2286,5 @@ object RelationalQueries extends QueryGroup {
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
     qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25, qE26,
-    qE27, qE28, qE29, qE30, qE31, qE32)
+    qE27, qE28, qE29, qE30, qE31, qE32, qE33)
 }

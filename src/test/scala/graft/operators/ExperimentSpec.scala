@@ -72,6 +72,35 @@ class ExperimentSpec extends SparkSpec {
     assert(got.getAs[Double]("adj_diff") === got.getAs[Double]("diff"))
   }
 
+  test("permutation test: strong effect -> minimal p; null effect -> large p") {
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // separated groups: no re-randomization of 20 units reproduces
+    // |diff| = 10 short of an all-or-nothing coin run (P ~ 2e-6)
+    val strong = (0 until 10).map(i => (i.toLong, "a", 10.0)) ++
+      (10 until 20).map(i => (i.toLong, "b", 0.0))
+    val rs = Experiment.permutationTest(
+      strong.toDF("uid", "variant", "y"), "uid", "variant", "y",
+      nPerms = 100, seed = "s1").head()
+    assert(rs.getAs[Long]("n_valid") === 100L)
+    assert(rs.getAs[Double]("observed_diff") === 10.0)
+    assert(rs.getAs[Long]("n_extreme") === 0L)
+    assert(rs.getAs[Double]("p_value") === r6(1.0 / 101))
+    // null effect: metric independent of the variant -> clearly not
+    // significant (seeded, so the exact value is stable run to run)
+    val nil = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      (i % 5).toDouble))
+    val rn = Experiment.permutationTest(
+      nil.toDF("uid", "variant", "y"), "uid", "variant", "y",
+      nPerms = 100, seed = "s1").head()
+    assert(rn.getAs[Double]("p_value") > 0.1)
+    // deterministic: identical seeds, identical readout
+    val rn2 = Experiment.permutationTest(
+      nil.toDF("uid", "variant", "y"), "uid", "variant", "y",
+      nPerms = 100, seed = "s1").head()
+    assert(rn2 === rn)
+  }
+
   test("not exactly two variants fails loudly") {
     val three = Seq(("a", 1.0, 1.0), ("b", 1.0, 1.0), ("c", 1.0, 1.0))
     intercept[IllegalArgumentException](Experiment.cuped(
