@@ -2277,6 +2277,70 @@ object RelationalQueries extends QueryGroup {
         nPerms = 200, seed = "perm")
   }
 
+  // Kaplan-Meier time-to-first-purchase (Survival.kaplanMeier): subjects
+  // enter at their first event, the event is the first purchase BEFORE
+  // the administrative study cutoff (2024-01-03), and everyone else is
+  // right-censored at the cutoff - the fixed-end-of-study design that
+  // guarantees a censored population. Durations are exact integer hours
+  // (unix_micros floor-div), the risk ledger is exact integers, and the
+  // running product is a SEQUENTIAL exp-sum-ln both engines evaluate in
+  // the same order, rounded to 6 decimals.
+  private val qE34 = Q(
+    "q_e34_kaplan_meier",
+    """WITH per0 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS start_us,
+      |         min(CASE WHEN event_type = 'purchase'
+      |                   AND ts < TIMESTAMP '2024-01-03 00:00:00'
+      |                  THEN epoch_us(ts) END) AS ev_us
+      |  FROM events GROUP BY 1),
+      |per AS (
+      |  SELECT CASE WHEN ev_us IS NOT NULL THEN 1 ELSE 0 END AS ev,
+      |         (coalesce(ev_us, epoch_us(TIMESTAMP '2024-01-03 00:00:00'))
+      |          - start_us) // 3600000000 AS t
+      |  FROM per0
+      |  WHERE start_us < epoch_us(TIMESTAMP '2024-01-03 00:00:00')),
+      |g AS (
+      |  SELECT t, sum(ev) AS d, sum(1 - ev) AS c
+      |  FROM per GROUP BY 1),
+      |w AS (
+      |  SELECT t, d, c,
+      |         sum(d + c) OVER () -
+      |           coalesce(sum(d + c) OVER (ORDER BY t
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS n_risk
+      |  FROM g),
+      |s AS (
+      |  SELECT t, d, c, n_risk,
+      |         CAST(n_risk - d AS DOUBLE) / n_risk AS f
+      |  FROM w),
+      |k AS (
+      |  SELECT t, d, c, n_risk,
+      |         sum(CASE WHEN f > 0 THEN ln(f) ELSE CAST(0 AS DOUBLE) END)
+      |           OVER (ORDER BY t) AS ls,
+      |         sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) OVER (ORDER BY t) AS z
+      |  FROM s)
+      |SELECT CAST(t AS BIGINT) AS t,
+      |       CAST(n_risk AS BIGINT) AS n_risk,
+      |       CAST(d AS BIGINT) AS n_events,
+      |       CAST(c AS BIGINT) AS n_censored,
+      |       CASE WHEN z > 0 THEN CAST(0 AS DOUBLE)
+      |            ELSE round(exp(ls), 6) END AS survival
+      |FROM k ORDER BY t""".stripMargin) { (s, dir) =>
+    val cutUs = lit("2024-01-03 00:00:00").cast("timestamp")
+    val per = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("start_us"),
+        min(when(col("event_type") === "purchase" && col("ts") < cutUs,
+          unix_micros(col("ts")))).as("ev_us"))
+      .filter(col("start_us") < unix_micros(cutUs))
+      .select(
+        when(col("ev_us").isNotNull, 1).otherwise(0).as("ev"),
+        expr("(coalesce(ev_us, unix_micros(TIMESTAMP '2024-01-03 00:00:00')) " +
+          "- start_us) div 3600000000").as("t"))
+    graft.operators.Survival.kaplanMeier(per, "t", "ev")
+  }
+
   override val all: Seq[Q] = Seq(
     qScan, qP1, qP2, qP3, qP4, qP5, qP6,
     qJ1, qJ2, qJ3, qJ4, qJ5, qJ6, qJ7, qJ8,
@@ -2286,5 +2350,5 @@ object RelationalQueries extends QueryGroup {
     qCube, qSessionWindow, qScd2, qJ10, qA7, qJ11, qE6, qE7, qW2, qP12,
     qJ12, qW3, qJ13, qE8, qE9, qE10, qE11, qE12, qE13, qE14, qE15,
     qP13, qA14, qE16, qE17, qE18, qE19, qE20, qE21, qE22, qE23, qE24, qE25, qE26,
-    qE27, qE28, qE29, qE30, qE31, qE32, qE33)
+    qE27, qE28, qE29, qE30, qE31, qE32, qE33, qE34)
 }
