@@ -40,8 +40,15 @@ object Experiment {
       variantCol: String,
       metricCol: String,
       covariateCol: String): DataFrame = {
+    // drop dirty rows up front so n = n_a + n_b and every moment folds
+    // over the SAME row set — a null variant/metric/covariate would
+    // otherwise silently skew theta, rho2 and the group means (nulls
+    // vanish from sum() but not count(*))
+    val units0 = units.filter(
+      col(variantCol).isNotNull && col(metricCol).isNotNull &&
+        col(covariateCol).isNotNull)
     val vs = col(variantCol).cast("string")
-    val head = units
+    val head = units0
       .agg(countDistinct(vs).as("nv"), min(vs).as("va"), max(vs).as("vb"))
       .head()
     require(head.getLong(0) == 2,
@@ -51,7 +58,7 @@ object Experiment {
 
     val x = col(covariateCol).cast("double").cast("decimal(15,4)")
     val y = col(metricCol).cast("double").cast("decimal(15,4)")
-    val agg = units.agg(
+    val agg = units0.agg(
       count(lit(1)).as("n"),
       sum(when(vs === va, 1L).otherwise(0L)).as("n_a"),
       sum(when(vs === vb, 1L).otherwise(0L)).as("n_b"),

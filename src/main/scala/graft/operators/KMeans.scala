@@ -168,24 +168,32 @@ object KMeans {
         .when(greatest(col("a"), col("b")) > 0,
           (col("b") - col("a")) / greatest(col("a"), col("b")))
         .otherwise(lit(0.0)))
+    // cross-row folds as exact DECIMAL sums (the fit() centroid idiom):
+    // a raw double avg() is partition-order-dependent and can flip the
+    // round(.,6) gate on a near-half-ulp boundary
     val perCluster = sil.groupBy(col("own").cast("int").as("cluster"))
       .agg(
         count(lit(1)).cast("int").as("n_vecs"),
-        round(avg(col("s")), 6).as("mean_silhouette"),
-        round(avg(col("a")), 6).as("s_intra"),
-        avg(col("a")).as("__s_raw"))
+        round(sum(col("s").cast("decimal(20,10)")).cast("double") /
+          count(lit(1)), 6).as("mean_silhouette"),
+        round(sum(col("a").cast("decimal(20,10)")).cast("double") /
+          count(lit(1)), 6).as("s_intra"),
+        (sum(col("a").cast("decimal(20,10)")).cast("double") /
+          count(lit(1))).as("__s_raw"))
     val cpos = centroids.select(col("__c"), posexplode(col("__cv")).as(Seq("__p", "__m")))
     val cdist = cpos.as("x").join(cpos.as("y"),
         col("x.__p") === col("y.__p") && col("x.__c") =!= col("y.__c"))
       .groupBy(col("x.__c").cast("int").as("ci"), col("y.__c").cast("int").as("cj"))
-      .agg(sqrt(sum((col("x.__m") - col("y.__m")) * (col("x.__m") - col("y.__m"))))
-        .as("m"))
+      .agg(sqrt(sum(((col("x.__m") - col("y.__m")) * (col("x.__m") - col("y.__m")))
+        .cast("decimal(30,15)")).cast("double")).as("m"))
     val dbPer = cdist
       .join(perCluster.select(col("cluster").as("ci"), col("__s_raw").as("si")), Seq("ci"))
       .join(perCluster.select(col("cluster").as("cj"), col("__s_raw").as("sj")), Seq("cj"))
       .groupBy(col("ci"))
       .agg(max(when(col("m") > 0, (col("si") + col("sj")) / col("m"))).as("r"))
-    val db = dbPer.agg(round(avg(col("r")), 6).as("davies_bouldin"))
+    val db = dbPer.agg(round(
+      sum(col("r").cast("decimal(30,15)")).cast("double") / count(lit(1)), 6)
+      .as("davies_bouldin"))
     perCluster.drop("__s_raw").crossJoin(db).orderBy("cluster")
   }
 }

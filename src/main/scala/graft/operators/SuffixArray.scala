@@ -115,9 +115,15 @@ object SuffixArray {
     require(maxDoc >= 0 && maxDoc < Long.MaxValue / stride,
       s"doc ids up to $maxDoc overflow the gpos space at stride $stride")
 
-    // one row per real position; ordered mode adds the sentinel at len+1
-    val positions = base
+    // one row per real position; ordered mode adds the sentinel at len+1.
+    // Unordered mode MUST drop zero-length documents before the explode:
+    // sequence(1, 0) evaluates DESCENDING as [1, 0], which would mint two
+    // phantom positions per empty doc (ordered mode's bound is len+1 >= 1,
+    // so its sequence is never descending).
+    val measured = base
       .select(col("doc"), col("txt"), length(col("txt")).cast("long").as("len"))
+    val eligible = if (ordered) measured else measured.filter(col("len") > 0)
+    val positions = eligible
       .select(col("doc"), col("len"), col("txt"),
         explode(sequence(lit(1L),
           col("len") + lit(if (ordered) 1L else 0L))).as("off"))

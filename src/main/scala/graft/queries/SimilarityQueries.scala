@@ -716,12 +716,16 @@ object SimilarityQueries extends QueryGroup {
       |  FROM ab),
       |percl AS (
       |  SELECT CAST(own AS INT) AS cluster, CAST(count(*) AS INT) AS n_vecs,
-      |         round(avg(s), 6) AS mean_silhouette,
-      |         round(avg(a), 6) AS s_intra, avg(a) AS s_raw
+      |         round(CAST(sum(CAST(s AS DECIMAL(20,10))) AS DOUBLE) / count(*),
+      |               6) AS mean_silhouette,
+      |         round(CAST(sum(CAST(a AS DECIMAL(20,10))) AS DOUBLE) / count(*),
+      |               6) AS s_intra,
+      |         CAST(sum(CAST(a AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS s_raw
       |  FROM sil GROUP BY 1),
       |cdist AS (
       |  SELECT CAST(x.c AS INT) AS ci, CAST(y.c AS INT) AS cj,
-      |         sqrt(sum((x.m - y.m) * (x.m - y.m))) AS m
+      |         sqrt(CAST(sum(CAST((x.m - y.m) * (x.m - y.m)
+      |                             AS DECIMAL(30,15))) AS DOUBLE)) AS m
       |  FROM c1 x JOIN c1 y ON x.p = y.p AND x.c <> y.c GROUP BY 1, 2),
       |dbi AS (
       |  SELECT cd.ci,
@@ -730,7 +734,8 @@ object SimilarityQueries extends QueryGroup {
       |  JOIN percl pi ON pi.cluster = cd.ci
       |  JOIN percl pj ON pj.cluster = cd.cj
       |  GROUP BY 1),
-      |db AS (SELECT round(avg(r), 6) AS davies_bouldin FROM dbi)
+      |db AS (SELECT round(CAST(sum(CAST(r AS DECIMAL(30,15))) AS DOUBLE)
+      |                     / count(*), 6) AS davies_bouldin FROM dbi)
       |SELECT p.cluster, p.n_vecs, p.mean_silhouette, p.s_intra,
       |       db.davies_bouldin
       |FROM percl p CROSS JOIN db

@@ -109,4 +109,28 @@ class ExperimentSpec extends SparkSpec {
     intercept[IllegalArgumentException](Experiment.cuped(
       one.toDF("variant", "x", "y"), "variant", "y", "x"))
   }
+
+  test("dirty rows (null variant/metric/covariate) are excluded coherently") {
+    val clean = Seq(
+      ("a", 1.0, 2.5), ("a", 2.0, 3.25), ("a", 3.0, 4.5),
+      ("b", 1.5, 3.0), ("b", 2.5, 4.75), ("b", 0.5, 1.25))
+    val dirty = Seq(
+      (null.asInstanceOf[String], java.lang.Double.valueOf(9.0),
+        java.lang.Double.valueOf(9.0)),
+      ("a", null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(7.0)),
+      ("b", java.lang.Double.valueOf(7.0), null.asInstanceOf[java.lang.Double]))
+    val mixed = clean.map { case (v, x, y) =>
+      (v, java.lang.Double.valueOf(x), java.lang.Double.valueOf(y))
+    } ++ dirty
+    val got = Experiment.cuped(
+      mixed.toDF("variant", "x", "y"), "variant", "y", "x").head()
+    val want = Experiment.cuped(
+      clean.toDF("variant", "x", "y"), "variant", "y", "x").head()
+    // n counts only the surviving rows (n = n_a + n_b) and every readout
+    // equals the clean-input run — dirty rows neither skew nor count
+    assert(got.getAs[Long]("n") === 6L)
+    assert(got.getAs[Long]("n_a") + got.getAs[Long]("n_b") === got.getAs[Long]("n"))
+    for (c <- Seq("diff", "theta", "adj_diff", "var_reduction"))
+      assert(got.getAs[Double](c) === want.getAs[Double](c), c)
+  }
 }

@@ -135,4 +135,22 @@ class SuffixArraySpec extends SparkSpec {
     val ctx = SuffixArray.build(blank, "doc_id", "text", maxWindow = 4)
     assert(SuffixArray.duplicateWindows(ctx, 2).count() === 0L)
   }
+
+  test("empty docs mint no phantom positions at L=1 (unordered mode)") {
+    // sequence(1, 0) evaluates DESCENDING as [1, 0]; without the len>0
+    // guard each empty doc would contribute phantom offsets 0 and 1 that
+    // collide with each other and pass the off+L-1<=len filter at L=1
+    val docs = Seq((0L, ""), (1L, ""), (2L, null.asInstanceOf[String]),
+      (3L, "ab"), (4L, "cd")).toDF("doc_id", "text")
+    val ctx = SuffixArray.build(docs, "doc_id", "text",
+      maxWindow = 1, baseWindow = 1)
+    assert(SuffixArray.duplicateWindows(ctx, 1).count() === 0L)
+    // a real shared char still reports — the guard only drops len=0 rows
+    val docs2 = Seq((0L, ""), (1L, "a"), (2L, "a")).toDF("doc_id", "text")
+    val ctx2 = SuffixArray.build(docs2, "doc_id", "text",
+      maxWindow = 1, baseWindow = 1)
+    val got = SuffixArray.duplicateWindows(ctx2, 1)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 1L)))
+  }
 }
