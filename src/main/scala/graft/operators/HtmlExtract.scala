@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HTML/markup boilerplate extraction — the stage every web-scale LLM
+  * corpus runs BEFORE any text operator can see the document: raw pages
+  * are tag soup dominated by navigation, chrome and templates, and
+  * tokenization / quality scoring / dedup all assume clean text.
+  *
+  * Two-phase design (the jusText / trafilatura heuristic family,
+  * Pomikálek 2011):
+  *
+  *   1. TEXTIFY — a fixed chain of deterministic transforms: scrub the
+  *      three private markers, drop comments, drop `script`/`style`
+  *      subtrees (content-free by construction), mark anchor text with
+  *      marker chars (so link mass survives tag stripping), turn
+  *      block-level tags into block delimiters, strip remaining tags,
+  *      decode the common HTML entities (named core + their numeric
+  *      twins; `&amp;` LAST so double-escapes like `&amp;lt;` decode one
+  *      level, per the spec).
+  *   2. CLASSIFY — per block: collapsed/trimmed text, char/word counts,
+  *      LINK DENSITY = anchor-text chars / total chars. A block is
+  *      CONTENT iff it is long enough (`minChars`) and link-sparse
+  *      enough (`maxLinkDensity`) — short and link-heavy blocks are
+  *      navigation/chrome with very high precision (the core jusText
+  *      observation); everything is pure arithmetic over per-block
+  *      counts, so a SQL oracle can replay the classification exactly.
+  *
+  * Every pattern is RE2-compatible (no lookaround, non-greedy + inline
+  * flags only) so the identical regex chain runs in engines whose regex
+  * is RE2 — the oracle-parity discipline of [[graft.functions]]
+  * `normalizeText` (q_t10).
+  *
+  * Documented heuristic boundaries (tag soup is not a grammar):
+  *   - a malformed unclosed tag (`<foo` with no `>`) stays literal text
+  *     up to the next `>` if any — the behavior of every regex-level
+  *     stripper, and deterministic;
+  *   - block tags nested INSIDE an anchor split the anchor's markers
+  *     across blocks; unbalanced markers never match the link-segment
+  *     pattern, so such mass counts as plain text (undercounts link
+  *     density, never over);
+  *   - entity decode covers the core named set + numeric twins
+  *     (`lt gt quot apos nbsp amp`, `#34 #39 #160`); exotic numeric
+  *     references stay literal.
+  *
+  * Scale shape: the whole pipeline is scan-side — regexp chains and one
+  * `posexplode`, no join, no shuffle until the consumer aggregates; the
+  * only window is per-document block renumbering (partition width =
+  * blocks in one document). At 100 TB this runs at parquet-scan speed.
+  *
+  * Reference scope note: the reference ingests clean relational rows
+  * (banner-connector/ sql dir) and has no markup stage; this operator
+  * is part of the beyond-reference LLM-pipeline surface.
+  */
+object HtmlExtract {
+
+  /** Block-level elements whose open OR close tag ends a text block. */
+  private val blockTags =
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|br|hr|table|thead|tbody|tfoot|tr|td|th|" +
+      "section|article|header|footer|nav|aside|blockquote|pre|title|form|" +
+      "figure|figcaption|main|body|html|head"
+
+  private val BLK = "\u0001" // block delimiter
+  private val LA = "\u0002"  // link-text open marker
+  private val LZ = "\u0003"  // link-text close marker
+
+  /** The fixed textify chain: html → entity-decoded text with U+0001
+    * block delimiters and U+0002/U+0003 link-text markers.
+    */
+  def textify(html: Column): Column = {
+    val noCtl = translate(coalesce(html, lit("")), BLK + LA + LZ, "")
+    val noComment = regexp_replace(noCtl, "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val anchored =
+      regexp_replace(noStyle, "(?is)<a\\b[^>]*>(.*?)</a>", LA + "$1" + LZ)
+    val blocked = regexp_replace(
+      anchored, s"(?i)</?(?:$blockTags)\\b[^>]*>", BLK)
+    val noTags = regexp_replace(blocked, "(?s)<[^>]*>", " ")
+    decodeEntities(noTags)
+  }
+
+  /** Core named entities + numeric twins; `&amp;` strictly last so one
+    * escape level decodes per pass (HTML semantics for `&amp;lt;`).
+    * Entity names are regex-literal, so plain regexp_replace chains are
+    * exact and replayable.
+    */
+  def decodeEntities(c: Column): Column = {
+    val steps = Seq(
+      "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#34;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&#160;" -> " ",
+      "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
+  }
+
+  /** Per-block scoreboard: one row per NON-EMPTY text block —
+    * (doc_id, block_idx, block_text, n_chars, n_words, n_link_chars,
+    * link_density, is_content). `block_idx` renumbers surviving blocks
+    * densely per document in source order; counts are over the
+    * whitespace-collapsed trimmed block text; `n_link_chars` sums the
+    * collapsed-trimmed lengths of the block's balanced anchor segments.
+    */
+  def blocks(
+      docs: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      minChars: Int = 25,
+      maxLinkDensity: Double = 0.33): DataFrame = {
+    require(minChars >= 1, "minChars must be positive")
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      "maxLinkDensity must be in [0, 1]")
+    val w = Window.partitionBy("doc_id").orderBy("__b")
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(textify(col(htmlCol)), BLK)).as(Seq("__b", "__raw")))
+      .withColumn("block_text",
+        trim(regexp_replace(translate(col("__raw"), LA + LZ, ""), "\\s+", " ")))
+      .filter(length(col("block_text")) > 0)
+      .withColumn("n_link_chars",
+        aggregate(
+          regexp_extract_all(col("__raw"),
+            lit(LA + "([^" + LA + LZ + "]*)" + LZ), lit(1)),
+          lit(0),
+          (acc, x) =>
+            acc + length(trim(regexp_replace(x, "\\s+", " ")))))
+      .withColumn("n_chars", length(col("block_text")))
+      .select(
+        col("doc_id"),
+        (row_number().over(w) - 1).as("block_idx"),
+        col("block_text"),
+        col("n_chars"),
+        size(split(col("block_text"), " ")).as("n_words"),
+        col("n_link_chars"),
+        round(col("n_link_chars").cast("double") / col("n_chars"), 6)
+          .as("link_density"),
+        (col("n_chars") >= minChars &&
+          col("n_link_chars").cast("double") / col("n_chars")
+            <= maxLinkDensity).as("is_content"))
+  }
+
+  /** The cleaned document: content blocks joined with `\n` in source
+    * order — (doc_id, text, n_blocks_kept, n_blocks_dropped). Documents
+    * whose every block is boilerplate come out with empty text (kept in
+    * the frame: a row per input document that produced any block).
+    */
+  def extract(
+      docs: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      minChars: Int = 25,
+      maxLinkDensity: Double = 0.33): DataFrame =
+    blocks(docs, idCol, htmlCol, minChars, maxLinkDensity)
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("is_content"),
+                struct(col("block_idx"), col("block_text"))))),
+            s => s.getField("block_text"))).as("text"),
+        sum(when(col("is_content"), 1L).otherwise(0L)).as("n_blocks_kept"),
+        sum(when(!col("is_content"), 1L).otherwise(0L)).as("n_blocks_dropped"))
+}

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1318,8 +1319,143 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** In-plan tag-soup corpus for the HTML gates: every document wrapped
+    * in a full page with planted chrome (title/nav/footer all links),
+    * a script whose STRING contains markup, a comment, entities
+    * (`&amp; &quot; &nbsp; &#39;`), a too-short block, a periodic
+    * link-heavy paragraph (doc_id % 7) and a periodic MALFORMED unclosed
+    * tag (doc_id % 9). Spark side of the construction; the oracle builds
+    * the identical string with `||`.
+    */
+  private def htmlCorpus(docs: DataFrame): DataFrame = {
+    val did = col("doc_id").cast("string")
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), did,
+      lit("</title><style>p{color:red}</style></head><body>"),
+      lit("<script type=\"text/javascript\">var x = \"<p>nope</p>\";</script>"),
+      lit("<!-- build "), did, lit(" -->"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About&nbsp;Us</a> " +
+        "<a href=\"/more\">Read &amp; more</a></nav>"),
+      lit("<h1>Title &quot;"), did, lit("&quot;</h1>"),
+      lit("<p>"), expr("substring(coalesce(text, ''), 1, 220)"), lit("</p>"),
+      lit("<div>"), expr("substring(coalesce(text, ''), 221)"),
+      lit(" tail &#39;quoted&#39;</div><p>tiny</p>"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("<p>Linked para: <a href=\"/x\">"),
+          expr("substring(coalesce(text, ''), 1, 40)"),
+          lit("</a> plus trailing words here</p>"))).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit("<malformed attr=")).otherwise(lit("")),
+      lit("<footer><a href=\"/terms\">Terms of Service</a> | " +
+        "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      .as("html"))
+  }
+
+  /** The oracle's identical page construction (DuckDB `||` form). */
+  private val htmlCorpusSql: String =
+    """sel AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>p{color:red}</style></head><body>' ||
+      |    '<script type="text/javascript">var x = "<p>nope</p>";</script>' ||
+      |    '<!-- build ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+      |    '<nav><a href="/">Home</a> <a href="/about">About&nbsp;Us</a> ' ||
+      |    '<a href="/more">Read &amp; more</a></nav>' ||
+      |    '<h1>Title &quot;' || CAST(doc_id AS VARCHAR) || '&quot;</h1>' ||
+      |    '<p>' || substr(text, 1, 220) || '</p>' ||
+      |    '<div>' || substr(text, 221) ||
+      |    ' tail &#39;quoted&#39;</div><p>tiny</p>' ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN '<p>Linked para: <a href="/x">' || substr(text, 1, 40) ||
+      |              '</a> plus trailing words here</p>' ELSE '' END ||
+      |    CASE WHEN doc_id % 9 = 0 THEN '<malformed attr=' ELSE '' END ||
+      |    '<footer><a href="/terms">Terms of Service</a> | ' ||
+      |    '<a href="/privacy">Privacy</a></footer></body></html>' AS html
+      |  FROM sel)""".stripMargin
+
+  /** The oracle's replay of [[graft.operators.HtmlExtract]].textify +
+    * per-block classification, as CTEs from a table `h(doc_id, html)`:
+    * the same RE2 chain (comments → script → style → anchor markers →
+    * block delimiters → tag strip → entity decode), then split on U+0001
+    * and score each block. DuckDB's regexp_replace needs the explicit
+    * 'g' flag; replacement backrefs are `\1` (Java: `$1`) — the engines
+    * differ ONLY in that spelling.
+    */
+  private val htmlBlocksSql: String =
+    """t1 AS (SELECT doc_id,
+      |         translate(html, chr(1)||chr(2)||chr(3), '') AS s FROM h),
+      |t2 AS (SELECT doc_id,
+      |         regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM t1),
+      |t3 AS (SELECT doc_id, regexp_replace(s,
+      |         '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS s FROM t2),
+      |t4 AS (SELECT doc_id, regexp_replace(s,
+      |         '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS s FROM t3),
+      |t5 AS (SELECT doc_id, regexp_replace(s,
+      |         '(?is)<a\b[^>]*>(.*?)</a>', chr(2)||'\1'||chr(3), 'g') AS s
+      |       FROM t4),
+      |t6 AS (SELECT doc_id, regexp_replace(s,
+      |         '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|br|hr|table|thead|tbody|tfoot|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|title|form|figure|figcaption|main|body|html|head)\b[^>]*>',
+      |         chr(1), 'g') AS s FROM t5),
+      |t7 AS (SELECT doc_id,
+      |         regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s FROM t6),
+      |ent AS (SELECT doc_id,
+      |         replace(replace(replace(replace(replace(replace(replace(
+      |         replace(replace(s,
+      |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#34;', '"'),
+      |           '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' '),
+      |           '&#160;', ' '), '&amp;', '&') AS s FROM ent0),
+      |sp AS (SELECT doc_id, string_split(s, chr(1)) AS l FROM ent),
+      |blk AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS i, l FROM sp),
+      |b1 AS (SELECT doc_id, i - 1 AS bidx, l[i] AS raw,
+      |         trim(regexp_replace(translate(l[i], chr(2)||chr(3), ''),
+      |              '\s+', ' ', 'g')) AS block_text
+      |       FROM blk),
+      |b2 AS (SELECT * FROM b1 WHERE len(block_text) > 0),
+      |b3 AS (SELECT doc_id,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY bidx) - 1
+      |           AS block_idx,
+      |         block_text,
+      |         CAST(len(block_text) AS INT) AS n_chars,
+      |         CAST(len(string_split(block_text, ' ')) AS INT) AS n_words,
+      |         CAST(coalesce(list_sum(list_transform(
+      |           regexp_extract_all(raw, '\x02([^\x02\x03]*)\x03', 1),
+      |           x -> len(trim(regexp_replace(x, '\s+', ' ', 'g'))))), 0)
+      |           AS INT) AS n_link_chars
+      |       FROM b2)""".stripMargin
+      .replace("ent0", "t7")
+
+  // HTML/markup boilerplate extraction (HtmlExtract.blocks — the
+  // jusText/trafilatura heuristic family): tag-soup corpus built in-plan
+  // (planted nav/footer chrome, script-with-markup, entities, malformed
+  // unclosed tags), per-block link-density classification, everything a
+  // fixed RE2 chain + pure arithmetic over per-block counts that the
+  // oracle replays verbatim. Block text pinned by md5 + length (q_t10).
+  private val qT34 = Q(
+    "q_t34_html_extract",
+    s"""WITH $htmlCorpusSql,
+      |$htmlBlocksSql
+      |SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+      |       md5(block_text) AS block_md5, n_chars, n_words, n_link_chars,
+      |       round(n_link_chars / CAST(n_chars AS DOUBLE), 6) AS link_density,
+      |       CAST(CASE WHEN n_chars >= 25 AND
+      |                      n_link_chars / CAST(n_chars AS DOUBLE) <= 0.33
+      |                 THEN 1 ELSE 0 END AS INT) AS is_content
+      |FROM b3
+      |ORDER BY doc_id, block_idx""".stripMargin) { (s, dir) =>
+    graft.operators.HtmlExtract
+      .blocks(htmlCorpus(Tables.load(s, dir, "documents")), "doc_id", "html")
+      .select(
+        col("doc_id"),
+        col("block_idx").cast("int").as("block_idx"),
+        md5(col("block_text").cast("binary")).as("block_md5"),
+        col("n_chars"), col("n_words"), col("n_link_chars"),
+        col("link_density"),
+        col("is_content").cast("int").as("is_content"))
+      .orderBy("doc_id", "block_idx")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32, qT33)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34)
 }
