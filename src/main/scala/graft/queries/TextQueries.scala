@@ -1454,8 +1454,97 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id", "block_idx")
   }
 
+  // Unicode/encoding hygiene (TextHygiene.clean): planted mojibake /
+  // zero-width / control / NFD suffixes by doc_id residue, then the
+  // 4-stage pass (control scrub -> cp1252 mojibake repair -> invisible
+  // scrub + NBSP->space -> NFC). The oracle replays each stage: regexp
+  // scrubs, the literal replace chain (same byte sequences, NBSP/SHY
+  // members built with chr()), DuckDB nfc_normalize for the native
+  // NfcNormalize expression. Cleaned text pinned by md5 + lengths;
+  // flags CAST to INT (the q_m10 boolean rule).
+  private val qT35 = Q(
+    "q_t35_text_hygiene",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '')
+      |    || CASE WHEN doc_id % 3 = 0
+      |            THEN ' caffÃ© â€œmojiâ€™ l' || 'Ã' || chr(160) ||
+      |                 ' v' || 'Ã' || chr(173) || 'x' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0
+      |            THEN ' ze' || chr(8203) || 'ro' || chr(65279) || 'wi' ||
+      |                 chr(173) || 'dth' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0
+      |            THEN ' ct' || chr(7) || 'rl' || chr(11) || 's' ELSE '' END
+      |    || CASE WHEN doc_id % 6 = 0
+      |            THEN ' ne' || chr(769) || 'e a' || chr(768) ELSE '' END
+      |    AS s0
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, s0,
+      |         regexp_replace(s0, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+      |           AS s FROM raw),
+      |s2 AS (SELECT doc_id, s0, s1.s AS sa,
+      |         replace(replace(replace(replace(replace(replace(replace(
+      |         replace(replace(replace(replace(replace(replace(replace(
+      |         replace(replace(replace(replace(replace(replace(replace(
+      |         replace(replace(replace(replace(replace(replace(replace(
+      |         replace(replace(replace(s1.s,
+      |           'â€™', '’'), 'â€˜', '‘'), 'â€œ', '“'), 'â€“', '–'),
+      |           'â€”', '—'), 'â€¦', '…'),
+      |           'Ã©', 'é'), 'Ã¨', 'è'), 'Ãª', 'ê'), 'Ã«', 'ë'),
+      |           'Ã¡', 'á'), 'Ã' || chr(160), 'à'), 'Ã¢', 'â'),
+      |           'Ã¤', 'ä'), 'Ã§', 'ç'), 'Ã±', 'ñ'), 'Ã³', 'ó'),
+      |           'Ã²', 'ò'), 'Ã´', 'ô'), 'Ã¶', 'ö'), 'Ãº', 'ú'),
+      |           'Ã¹', 'ù'), 'Ã¼', 'ü'), 'Ã' || chr(173), 'í'),
+      |           'Ã¬', 'ì'), 'Ã®', 'î'), 'Ã¯', 'ï'), 'Â«', '«'),
+      |           'Â»', '»'), 'Â°', '°'), 'Â' || chr(160), chr(160))
+      |         AS s FROM s1),
+      |s3 AS (SELECT doc_id, s0, sa, s2.s AS sb,
+      |         replace(regexp_replace(s2.s,
+      |           '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g'),
+      |           chr(160), ' ') AS s FROM s2),
+      |s4 AS (SELECT doc_id, s0, sa, sb, s3.s AS sc,
+      |         nfc_normalize(s3.s) AS clean FROM s3)
+      |SELECT doc_id,
+      |       md5(clean) AS clean_md5,
+      |       CAST(len(s0) AS INT) AS n_chars_raw,
+      |       CAST(len(clean) AS INT) AS n_chars_clean,
+      |       CAST(CASE WHEN len(sa) < len(s0) THEN 1 ELSE 0 END AS INT)
+      |         AS had_control,
+      |       CAST(CASE WHEN sb <> sa THEN 1 ELSE 0 END AS INT) AS had_mojibake,
+      |       CAST(CASE WHEN sc <> sb THEN 1 ELSE 0 END AS INT) AS had_invisible,
+      |       CAST(CASE WHEN clean <> sc THEN 1 ELSE 0 END AS INT) AS had_nfc,
+      |       CAST(CASE WHEN clean <> s0 THEN 1 ELSE 0 END AS INT) AS changed
+      |FROM s4
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val planted = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        coalesce(col("text"), lit("")),
+        when(col("doc_id") % 3 === 0, lit(
+          " caff\u00C3\u00A9 \u00E2\u20AC\u0153moji\u00E2\u20AC\u2122" +
+            " l\u00C3\u00A0 v\u00C3\u00ADx")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(
+          " ze\u200Bro\uFEFFwi\u00ADdth")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(
+          " ct\u0007rl\u000Bs")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(
+          " ne\u0301e a\u0300")).otherwise(lit("")))
+        .as("text"))
+    graft.operators.TextHygiene.clean(planted, "doc_id", "text")
+      .select(
+        col("doc_id"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"),
+        col("n_chars_raw"), col("n_chars_clean"),
+        col("had_control").cast("int").as("had_control"),
+        col("had_mojibake").cast("int").as("had_mojibake"),
+        col("had_invisible").cast("int").as("had_invisible"),
+        col("had_nfc").cast("int").as("had_nfc"),
+        col("changed").cast("int").as("changed"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35)
 }
