@@ -43,6 +43,12 @@ object Explain {
                                // 100 TB centerpiece claim, plan-pinned
     "q_d23_exact_substring_corpus", // 3 ranking rounds only (baseWindow 8);
                                // lead/min windows, no joins, no zip jobs
+    "q_d20_suffix_array",      // ordered ranks: sort + zipWithIndex + min-rank
+                               // chain — the one suffix-array plan that PAYS
+                               // for order; job-count evidence in PERF.md
+    "q_d24_substring_index_probe", // postings scan carries a PartitionFilters
+                               // dynamicpruning(kp IN batch-prefixes) — the
+                               // probe ∝ batch claim, plan-pinned
     "q_t32_blocklist_annotate") // multi_match inside WholeStageCodegen;
                                // single text scan, zero shuffle pre-sort
 

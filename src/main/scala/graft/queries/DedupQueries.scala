@@ -924,7 +924,47 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Incremental exact-substring dedup (SubstringIndex): the q_d14
+  // persisted-index discipline applied to the suffix-array family —
+  // index docs (doc_id % 4 != 0) fingerprint once into kp-partitioned
+  // postings, the batch (doc_id % 4 == 0) probes with work ∝ batch
+  // (broadcast key-prefix pruning + full-fingerprint join), and
+  // probe ∪ index-internal dups must equal the full rebuild over
+  // index ∪ batch. The oracle computes that full set directly with the
+  // same md5-60 fingerprints per position (the q_d19 per-position md5
+  // portability idiom); positions are compared, not hashes, so the
+  // equality gate IS the incremental-≡-rebuild contract.
+  private val qD24 = Q(
+    "q_d24_substring_index_probe",
+    """WITH d AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+      |pos AS (
+      |  SELECT doc_id, CAST(u.p AS BIGINT) AS off,
+      |         ('0x' || substring(md5(substr(txt, CAST(u.p AS INT), 40)),
+      |                            1, 15))::BIGINT AS fp
+      |  FROM d, unnest(range(1, len(txt) - 38)) AS u(p)
+      |  WHERE len(txt) >= 40),
+      |g AS (SELECT fp, count(*) AS c, min(doc_id) AS mn, max(doc_id) AS mx
+      |      FROM pos GROUP BY fp)
+      |SELECT CAST(p.doc_id AS BIGINT) AS doc,
+      |       CAST(p.off AS BIGINT) AS off
+      |FROM pos p JOIN g USING (fp)
+      |WHERE g.c >= 2 AND g.mn <> g.mx
+      |ORDER BY doc, off""".stripMargin) { (s, dir) =>
+    import graft.operators.SubstringIndex
+    val docs = Tables.load(s, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ssi_idx").toString
+    SubstringIndex.write(
+      docs.where(col("doc_id") % 4 =!= 0), "doc_id", "text", idx, L = 40)
+    // distinct: an index position can be BOTH an index-internal dup and
+    // a probe hit (its window recurs in the index AND in the batch)
+    SubstringIndex.probe(
+      s, idx, docs.where(col("doc_id") % 4 === 0), "doc_id", "text", L = 40)
+      .unionByName(SubstringIndex.duplicateWindows(s, idx))
+      .distinct()
+      .orderBy("doc", "off")
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12, qD13, qD14, qD15, qD16, qD17, qD18, qD19, qD20, qD21, qD22, qD23)
+      qD12, qD13, qD14, qD15, qD16, qD17, qD18, qD19, qD20, qD21, qD22, qD23, qD24)
 }
