@@ -131,8 +131,15 @@ object SubstringIndex {
       textCol: String,
       L: Int,
       nBuckets: Int = 64,
-      crossDocOnly: Boolean = true): DataFrame = {
-    val bg = grams(newDocs, idCol, textCol, L, nBuckets)
+      crossDocOnly: Boolean = true): DataFrame =
+    probeFrom(spark, path, grams(newDocs, idCol, textCol, L, nBuckets),
+      crossDocOnly)
+
+  private def probeFrom(
+      spark: SparkSession,
+      path: String,
+      bg: DataFrame,
+      crossDocOnly: Boolean): DataFrame = {
     val kps = bg.select("kp").distinct() // bounded: ≤ nBuckets rows
     val pruned = spark.read.parquet(postingsPath(path))
       .join(broadcast(kps), Seq("kp")) // DPP on the partition column
@@ -154,5 +161,58 @@ object SubstringIndex {
     bg.join(qual, Seq("kp", "fp")).select("doc", "off")
       .unionByName(
         pruned.join(qual, Seq("kp", "fp")).select("doc", "off"))
+  }
+
+  /** [[write]] fused with the seed drop's IN-BATCH duplicate windows —
+    * the first-drop twin of [[probeAndAppend]] (the [[DedupIndex]]
+    * `writeAndPairs` shape): the seed corpus is fingerprinted ONCE
+    * (checkpointed), its internal duplicates come straight off that
+    * frame (no index re-read), and the same frame seeds the postings.
+    * Returns the PINNED (doc, off) frame.
+    */
+  def writeAndDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      L: Int,
+      nBuckets: Int = 64,
+      crossDocOnly: Boolean = true): DataFrame = {
+    val g = grams(docs, idCol, textCol, L, nBuckets).localCheckpoint(true)
+    g.write.mode("overwrite").partitionBy("kp").parquet(postingsPath(path))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("kp", "fp")
+    val dups = g
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__mn", min(col("doc")).over(w))
+      .withColumn("__mx", max(col("doc")).over(w))
+      .filter(col("__n") >= 2 &&
+        (if (crossDocOnly) col("__mn") =!= col("__mx") else lit(true)))
+      .select("doc", "off")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(g)
+    dups
+  }
+
+  /** [[probe]] + [[appendBatch]] fused: the batch is fingerprinted ONCE
+    * (checkpointed), the probe output is MATERIALIZED before the append
+    * mutates the postings (a lazy probe evaluated after the append would
+    * see the batch in the index and match it against itself), then the
+    * same frame appends. Returns the PINNED (doc, off) frame — the
+    * per-micro-batch shape of streaming landing-zone screening.
+    */
+  def probeAndAppend(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      L: Int,
+      nBuckets: Int = 64,
+      crossDocOnly: Boolean = true): DataFrame = {
+    val bg = grams(newDocs, idCol, textCol, L, nBuckets).localCheckpoint(true)
+    val out = probeFrom(spark, path, bg, crossDocOnly).localCheckpoint(true)
+    bg.write.mode("append").partitionBy("kp").parquet(postingsPath(path))
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(bg)
+    out
   }
 }

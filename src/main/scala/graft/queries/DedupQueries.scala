@@ -934,7 +934,7 @@ object DedupQueries extends QueryGroup {
   // same md5-60 fingerprints per position (the q_d19 per-position md5
   // portability idiom); positions are compared, not hashes, so the
   // equality gate IS the incremental-≡-rebuild contract.
-  private val qD24 = Q(
+  private[queries] val qD24 = Q(
     "q_d24_substring_index_probe",
     """WITH d AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
       |pos AS (

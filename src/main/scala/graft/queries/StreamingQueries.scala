@@ -793,8 +793,23 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id", "pid")
   }
 
+  // Streaming exact-substring screening at the landing zone
+  // (CorpusStream.substringScreenAvailableNow — the q_st28 CDC posture
+  // for the q_d24 index): drop 1 seeds the SubstringIndex and reports
+  // in-batch duplicate windows, drop 2 probes (partition-pruned, work ∝
+  // batch) then appends; the cumulative distinct output must equal the
+  // batch full-rebuild duplicate-window set — the SAME oracle as q_d24,
+  // streamed ≡ batch.
+  private val qSt34 = Q(
+    "q_st34_stream_substring_screen",
+    DedupQueries.qD24.oracle.get) { (s, dir) =>
+    graft.streaming.CorpusStream
+      .substringScreenAvailableNow(s, dir, shards = 2, L = 40)
+      .orderBy("doc", "off")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33)
+      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33, qSt34)
 }

@@ -497,4 +497,36 @@ object CorpusStream {
         coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** Exact-substring screening AT THE LANDING ZONE — the strongest dedup
+    * (Lee et al. 2022 verbatim-span detection) run where data arrives,
+    * per micro-batch against the persisted
+    * [[graft.operators.SubstringIndex]]: the first drop seeds the
+    * postings and reports its in-batch duplicate windows; every later
+    * drop probes (partition-pruned, work ∝ batch) then appends. The
+    * cumulative union of per-batch outputs equals the batch full-rebuild
+    * duplicate-window set over the whole corpus — a duplicate pair
+    * surfaces exactly when its LATER side arrives, emitting both sides
+    * (the probe returns matched index positions too), so streamed ≡
+    * batch after a final distinct (an early position can be re-reported
+    * by several later batches).
+    */
+  def substringScreenAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      shards: Int = 2,
+      L: Int = 40): DataFrame = {
+    import graft.operators.SubstringIndex
+    val idx =
+      java.nio.file.Files.createTempDirectory("graft_stream_ssi").toString
+    var seeded = false
+    transformAvailableNow(spark, sfDir, shards) { b =>
+      if (!seeded) {
+        seeded = true
+        SubstringIndex.writeAndDuplicates(b, "doc_id", "text", idx, L)
+      } else
+        SubstringIndex.probeAndAppend(b.sparkSession, b, "doc_id", "text",
+          idx, L)
+    }.distinct()
+  }
 }
