@@ -17,10 +17,11 @@ import org.apache.spark.sql.graft.bridge
   * outcome depends on visit order — ungateable. Here the candidate
   * gains are pure INTEGER arithmetic, the one applied move is the
   * global argmax under a total order (gain DESC, node ASC, target
-  * ASC), and the refined score is RECOMPUTED from the updated
-  * assignment — not derived from the gain — so the oracle independently
-  * confirms ΔQ (the gain formula and the recompute must agree, and the
-  * gate REQUIREs the strict increase).
+  * ASC), and the refined score derives EXACTLY from the move's integer
+  * sufficient statistics while the ORACLE recomputes it from the
+  * updated assignment from scratch — the gate therefore confirms the
+  * gain algebra against an independent computation, and REQUIREs the
+  * strict increase.
   *
   * The exact-integer gain for moving node i from community A to B:
   *   ΔQ · 4m² = 4m·(k_iB − k_iA) − 2·d_i·(D_B − D_A + d_i)
@@ -62,42 +63,28 @@ object Louvain {
     edgeAgg.crossJoin(broadcast(sds))
   }
 
-  /** Candidate local moves with their exact-integer gains over a
-    * canonical edge frame and a label frame: one row per (node,
-    * NEIGHBORING community ≠ own) with every sufficient statistic the
-    * move algebra needs — `(node, a_label, c, k, ka, d, dca, dcb,
-    * gain)`. Shared by [[bestMoveRefinement]] and [[sweepRefinement]];
-    * `m` arrives as a plan literal (the caller holds it as a bounded
-    * driver artifact anyway).
+  /** Per-node BEST local move with its exact-integer gain over a
+    * canonical edge frame and a label frame: one row per node that HAS
+    * a positive-able candidate — `(node, a_label, c, k, ka, d, dca,
+    * dcb, gain)`, c the node's best neighboring community under
+    * (gain DESC, c ASC). Shared by [[bestMoveRefinement]] and
+    * [[sweepRefinement]]; `m` arrives as a plan literal (the caller
+    * holds it as a bounded driver artifact anyway). Every consumer
+    * takes the global argmax under (gain DESC, node ASC, c ASC), and
+    * the per-node reduction preserves exactly that row — the
+    * equivalence the BestMoveCandidateSpec pins against the unfused
+    * all-candidates frame.
+    *
+    * The unweighted case is the weighted algebra at wt = 1 with
+    * count-degrees (canon is self-loop-free, so strength = degree).
     */
   private def candidateGains(canon: DataFrame, lab: DataFrame, m: Long): DataFrame = {
-    val und = canon.select(col("a").as("node"), col("b").as("nbr"))
-      .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
-    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val cd = deg.join(lab, deg("node") === lab("__n"))
-      .groupBy(col("__l")).agg(sum(col("d")).as("dc"))
-    // k_iC: i's edge count into each community it touches
-    val kic = und.join(lab, und("nbr") === lab("__n"))
-      .groupBy(col("node"), col("__l").as("c")).agg(count(lit(1)).as("k"))
-    val own = lab.select(col("__n").as("node"), col("__l").as("a_label"))
-    val kOwn = kic.join(own, Seq("node"))
-      .where(col("c") === col("a_label"))
-      .select(col("node"), col("k").as("ka"))
-    // the |C|-row community-degree frame joins un-hinted: AQE broadcasts
-    // it when detection output keeps |C| small, and degrades to a
-    // shuffled join for singleton-heavy assignments instead of OOMing
-    kic.join(own, Seq("node")).where(col("c") =!= col("a_label"))
-      .join(kOwn, Seq("node"), "left_outer")
-      .join(deg.select(col("node"), col("d")), Seq("node"))
-      .join(cd.select(col("__l").as("a_label"), col("dc").as("dca")), Seq("a_label"))
-      .join(cd.select(col("__l").as("c"), col("dc").as("dcb")), Seq("c"))
-      .select(
-        col("node"), col("a_label"), col("c"),
-        col("k"), coalesce(col("ka"), lit(0L)).as("ka"), col("d"),
-        col("dca"), col("dcb"),
-        (lit(4L) * m * (col("k") - coalesce(col("ka"), lit(0L))) -
-          lit(2L) * col("d") * (col("dcb") - (col("dca") - col("d"))))
-          .cast("bigint").as("gain"))
+    val und = canon
+      .select(col("a").as("node"), col("b").as("nbr"), lit(1L).as("wt"))
+      .unionAll(
+        canon.select(col("b").as("node"), col("a").as("nbr"), lit(1L).as("wt")))
+    val deg = und.groupBy(col("node")).agg(count(lit(1)).cast("bigint").as("d"))
+    weightedGains(und, deg, lab, m)
   }
 
   /** Apply the single globally best positive-gain move and report the
@@ -138,28 +125,34 @@ object Louvain {
       .orderBy(col("gain").desc, col("node").asc, col("c").asc)
       .limit(1)
       .localCheckpoint(true)
-    val moved = lab
-      .crossJoin(broadcast(best.select(
-        col("node").as("__mv"), col("c").as("__to"))))
-      .select(
-        col("__n"),
-        when(col("__n") === col("__mv"), col("__to")).otherwise(col("__l")).as("__l"))
-    def q(ints: DataFrame, suffix: String): DataFrame =
-      ints.select(
-        col("m"),
-        col("intra").as(s"intra_$suffix"),
-        col("sds").as(s"sum_deg_sq_$suffix"),
-        (col("intra").cast("double") / col("m") -
-          col("sds").cast("double") / (lit(4.0) * col("m") * col("m")))
-          .as(s"modularity_$suffix"))
-    val before = q(qInts(canon, lab), "before")
-    val after = q(qInts(canon, moved), "after").drop("m")
+    // after-stats DERIVE exactly from the move's own integer sufficient
+    // statistics (the sweepRefinement/mlCore update, require-verified
+    // there on every path): intra' = intra + (k − k_A),
+    // ΣD²' = ΣD² − D_A² − D_B² + (D_A−d)² + (D_B+d)². One O(E) stats
+    // pass instead of two — the oracle recomputes the after state from
+    // the updated labels independently, so the gate still confirms the
+    // derivation against a from-scratch computation.
     val out = best
+      .crossJoin(broadcast(qInts(canon, lab)))
+      .withColumn("__ia", (col("intra") + (col("k") - col("ka"))).cast("bigint"))
+      .withColumn("__sa",
+        (col("sds") - col("dca") * col("dca") - col("dcb") * col("dcb") +
+          (col("dca") - col("d")) * (col("dca") - col("d")) +
+          (col("dcb") + col("d")) * (col("dcb") + col("d"))).cast("bigint"))
       .select(
         col("node").as("moved_node"), col("a_label").as("from_label"),
-        col("c").as("to_label"), col("gain").as("gain_x4m2"))
-      .crossJoin(broadcast(before.withColumnRenamed("m", "n_edges")))
-      .crossJoin(broadcast(after))
+        col("c").as("to_label"), col("gain").as("gain_x4m2"),
+        col("m").as("n_edges"),
+        col("intra").as("intra_before"),
+        col("sds").as("sum_deg_sq_before"),
+        (col("intra").cast("double") / col("m") -
+          col("sds").cast("double") / (lit(4.0) * col("m") * col("m")))
+          .as("modularity_before"),
+        col("__ia").as("intra_after"),
+        col("__sa").as("sum_deg_sq_after"),
+        (col("__ia").cast("double") / col("m") -
+          col("__sa").cast("double") / (lit(4.0) * col("m") * col("m")))
+          .as("modularity_after"))
       .localCheckpoint(true)
     bridge.freeLocalCheckpoint(best)
     bridge.freeLocalCheckpoint(lab)
@@ -431,28 +424,33 @@ object Louvain {
       .orderBy(col("gain").desc, col("node").asc, col("c").asc)
       .limit(1)
       .localCheckpoint(true)
-    val moved = lab
-      .crossJoin(broadcast(best.select(
-        col("node").as("__mv"), col("c").as("__to"))))
-      .select(
-        col("__n"),
-        when(col("__n") === col("__mv"), col("__to")).otherwise(col("__l")).as("__l"))
-    def q(ints: DataFrame, suffix: String): DataFrame =
-      ints.select(
-        col("m"),
-        col("intra").as(s"intra_$suffix"),
-        col("sum_deg_sq").as(s"sum_deg_sq_$suffix"),
-        col("modularity").as(s"modularity_$suffix"))
-    def wq(l: DataFrame): DataFrame =
-      weightedModularity(w, "a", "b", "wt", l, "__n", "__l")
-    val before = q(wq(lab), "before")
-    val after = q(wq(moved), "after").drop("m")
+    // after-stats derive exactly from the move's integers (identical
+    // update to the unweighted form — the self-loop moves with the node
+    // and cancels; mlCore require-verifies this algebra every level);
+    // the oracle recomputes the after state independently.
     val out = best
+      .crossJoin(broadcast(
+        weightedModularity(w, "a", "b", "wt", lab, "__n", "__l")
+          .select(col("m"), col("intra"), col("sum_deg_sq").as("sds"))))
+      .withColumn("__ia", (col("intra") + (col("k") - col("ka"))).cast("bigint"))
+      .withColumn("__sa",
+        (col("sds") - col("dca") * col("dca") - col("dcb") * col("dcb") +
+          (col("dca") - col("d")) * (col("dca") - col("d")) +
+          (col("dcb") + col("d")) * (col("dcb") + col("d"))).cast("bigint"))
       .select(
         col("node").as("moved_node"), col("a_label").as("from_label"),
-        col("c").as("to_label"), col("gain").as("gain_x4m2"))
-      .crossJoin(broadcast(before.withColumnRenamed("m", "n_edges")))
-      .crossJoin(broadcast(after))
+        col("c").as("to_label"), col("gain").as("gain_x4m2"),
+        col("m").as("n_edges"),
+        col("intra").as("intra_before"),
+        col("sds").as("sum_deg_sq_before"),
+        (col("intra").cast("double") / col("m") -
+          col("sds").cast("double") / (lit(4.0) * col("m") * col("m")))
+          .as("modularity_before"),
+        col("__ia").as("intra_after"),
+        col("__sa").as("sum_deg_sq_after"),
+        (col("__ia").cast("double") / col("m") -
+          col("__sa").cast("double") / (lit(4.0) * col("m") * col("m")))
+          .as("modularity_after"))
       .localCheckpoint(true)
     bridge.freeLocalCheckpoint(best)
     bridge.freeLocalCheckpoint(lab)
@@ -460,15 +458,78 @@ object Louvain {
     out
   }
 
-  /** Candidate weighted moves with full sufficient statistics:
-    * `(node, a_label, c, k, ka, d, dca, dcb, gain)` over the undirected
-    * cross-edge view `und` (node, nbr, wt), the strength frame `deg`
-    * (node, d — self-loops already counted twice), and the label frame
-    * `lab` (__n, __l). The weighted generalization of [[candidateGains]]:
-    * ΔQ·4m² = 4m·(w_iB − w_iA) − 2·d_i·(D_B − D_A + d_i), the node's own
-    * self-loop excluded from w_iC (it moves with the node and cancels).
+  /** FUSED move-phase candidate generation — ONE aggregate per move
+    * round (the [[graft.expressions.MajorityLabel]] fusion generalized
+    * to the weighted gain argmax): undirected weighted edge rows are
+    * decorated scan-side with the neighbor's community, that
+    * community's degree mass, and the node's own (label, strength) —
+    * all joins AQE-adaptive, un-hinted (broadcast when the label/degree
+    * frames are small, shuffled otherwise; a shuffle by `node` is then
+    * REUSED by the groupBy) — and
+    * [[graft.expressions.BestMoveCandidate]] reduces each node's
+    * degree-bounded (community → (k, D_C)) histogram map-side to its
+    * single best candidate, k_iA read from the same histogram. The old
+    * two-aggregate + self-join + five-join chain is kept as
+    * [[weightedGainsAll]] purely as the spec's equivalence reference.
+    *
+    * Output: one row per node with a candidate —
+    * `(node, a_label, c, k, ka, d, dca, dcb, gain)` under the per-node
+    * (gain DESC, c ASC) rule, which preserves the global
+    * (gain DESC, node ASC, c ASC) argmax every consumer takes.
     */
   private def weightedGains(
+      und: DataFrame, deg: DataFrame, lab: DataFrame, m: Long): DataFrame = {
+    val cd = deg.join(lab, deg("node") === lab("__n"))
+      .groupBy(col("__l")).agg(sum(col("d")).cast("bigint").as("dc"))
+    val rows = und
+      .join(lab.select(col("__n").as("nbr"), col("__l").as("c")), Seq("nbr"))
+      .join(cd.select(col("__l").as("c"), col("dc").as("dcb")), Seq("c"))
+      .join(lab.select(col("__n").as("node"), col("__l").as("a_label")),
+        Seq("node"))
+      .join(deg.select(col("node"), col("d").cast("bigint").as("d")),
+        Seq("node"))
+    val bm = bridge.column(
+      graft.expressions.BestMoveCandidate(
+        bridge.expression(col("c").cast("bigint")),
+        bridge.expression(col("wt").cast("bigint")),
+        bridge.expression(col("dcb")),
+        bridge.expression(col("a_label").cast("bigint")),
+        bridge.expression(col("d")),
+        m).toAggregateExpression())
+    rows.groupBy(col("node"))
+      .agg(bm.as("__bm"))
+      .where(col("__bm").isNotNull)
+      .join(cd.select(col("__l").as("__al"), col("dc").as("dca")),
+        col("__bm.a_label") === col("__al"))
+      .select(
+        col("node"),
+        col("__bm.a_label").as("a_label"),
+        col("__bm.c").as("c"),
+        col("__bm.k").as("k"),
+        col("__bm.ka").as("ka"),
+        col("__bm.d").as("d"),
+        col("dca").cast("bigint").as("dca"),
+        col("__bm.dcb").as("dcb"),
+        (lit(4L) * m * (col("__bm.k") - col("__bm.ka")) -
+          lit(2L) * col("__bm.d") *
+            (col("__bm.dcb") - (col("dca") - col("__bm.d"))))
+          .cast("bigint").as("gain"))
+  }
+
+  /** Test-only window into the fused path (the spec cannot see the
+    * private production method).
+    */
+  private[graft] def weightedGainsTest(
+      und: DataFrame, deg: DataFrame, lab: DataFrame, m: Long): DataFrame =
+    weightedGains(und, deg, lab, m)
+
+  /** The UNFUSED all-candidates frame (two hash aggregates + the k_iA
+    * self-join + the five-join decoration): one row per (node,
+    * neighboring community ≠ own). Retained ONLY as the equivalence
+    * reference BestMoveCandidateSpec pins [[weightedGains]] against —
+    * no production path calls it.
+    */
+  private[graft] def weightedGainsAll(
       und: DataFrame, deg: DataFrame, lab: DataFrame, m: Long): DataFrame = {
     val cd = deg.join(lab, deg("node") === lab("__n"))
       .groupBy(col("__l")).agg(sum(col("d")).as("dc"))
