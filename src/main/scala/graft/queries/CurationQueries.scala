@@ -1122,8 +1122,90 @@ object CurationQueries extends QueryGroup {
       .orderBy("query_id")
   }
 
+  // URL canonicalization + registrable-domain cap (UrlOps — the crawl
+  // curation stage): in-plan URL corpus with mixed-case scheme/host,
+  // default and non-default ports, tracking params in every position,
+  // duplicate slashes, fragments, and two-part public suffixes; the
+  // oracle replays the full RE2 chain (engines differ only in backref
+  // spelling and the explicit 'g' flag), the embedded-suffix domain
+  // rule, and the md5-ranked per-domain cap.
+  private val qC29 = Q(
+    "q_c29_url_domain_cap",
+    """WITH u0 AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.Site' || CAST(doc_id % 37 AS VARCHAR) || '.Example.' ||
+      |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'COM' WHEN 1 THEN 'CO.UK'
+      |         WHEN 2 THEN 'com.au' ELSE 'org' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ':443'
+      |         WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
+      |    '//Articles//' || CAST(doc_id AS VARCHAR) || '/' ||
+      |    '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=x' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '&ref=tw' ELSE '' END ||
+      |    '#section' || CAST(doc_id AS VARCHAR) AS u
+      |  FROM documents),
+      |c1 AS (SELECT doc_id,
+      |         lower(regexp_extract(trim(u), '^([^:/?#]+://[^/?#]*)', 1)) ||
+      |         regexp_replace(trim(u), '^[^:/?#]+://[^/?#]*', '') AS s FROM u0),
+      |c2 AS (SELECT doc_id, regexp_replace(s, '#.*$', '', 'g') AS s FROM c1),
+      |c3 AS (SELECT doc_id,
+      |         regexp_replace(regexp_replace(s,
+      |           '^(http://[^/?#:]*):80(/|\?|$)', '\1\2'),
+      |           '^(https://[^/?#:]*):443(/|\?|$)', '\1\2') AS s FROM c2),
+      |c4 AS (SELECT doc_id,
+      |         regexp_replace(regexp_replace(regexp_replace(s,
+      |           '&(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+      |           '\?(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#]*&', '?', 'g'),
+      |           '\?(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#]*$', '', 'g')
+      |         AS s FROM c3),
+      |c5 AS (SELECT doc_id,
+      |         regexp_replace(regexp_replace(s, '([^:/])//+', '\1/', 'g'),
+      |           '([^:/?#])/(\?|$)', '\1\2', 'g') AS url_canon FROM c4),
+      |hd AS (SELECT doc_id, url_canon,
+      |         regexp_extract(url_canon, '^[^:/?#]+://([^/?#:]*)', 1) AS host
+      |       FROM c5),
+      |dm AS (SELECT doc_id, url_canon, host,
+      |         CASE WHEN len(regexp_extract(host,
+      |             '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|ne\.jp|or\.jp|com\.br|com\.cn|com\.mx|co\.in|co\.nz|co\.za))$',
+      |             1)) > 0
+      |         THEN regexp_extract(host,
+      |             '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|ne\.jp|or\.jp|com\.br|com\.cn|com\.mx|co\.in|co\.nz|co\.za))$',
+      |             1)
+      |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+      |       FROM hd),
+      |rk AS (SELECT doc_id, url_canon, host, domain,
+      |         CAST(row_number() OVER (PARTITION BY domain
+      |           ORDER BY md5(url_canon), url_canon) AS BIGINT) AS domain_rank,
+      |         CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_in_domain
+      |       FROM dm)
+      |SELECT doc_id, url_canon, host, domain, domain_rank, n_in_domain,
+      |       CAST(CASE WHEN domain_rank <= 3 THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val did = col("doc_id").cast("string")
+    val urls = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        lit("HTTPS://WWW.Site"), (col("doc_id") % 37).cast("string"),
+        lit(".Example."),
+        when(col("doc_id") % 4 === 0, "COM")
+          .when(col("doc_id") % 4 === 1, "CO.UK")
+          .when(col("doc_id") % 4 === 2, "com.au").otherwise("org"),
+        when(col("doc_id") % 5 === 0, ":443")
+          .when(col("doc_id") % 7 === 0, ":8080").otherwise(""),
+        lit("//Articles//"), did, lit("/"),
+        lit("?utm_source=feed&id="), did, lit("&utm_medium=x"),
+        when(col("doc_id") % 3 === 0, "&ref=tw").otherwise(""),
+        lit("#section"), did).as("url"))
+    graft.operators.UrlOps.domainCap(urls, "doc_id", "url", cap = 3)
+      .select(
+        col("doc_id"), col("url_canon"), col("host"), col("domain"),
+        col("domain_rank").cast("bigint").as("domain_rank"),
+        col("n_in_domain").cast("bigint").as("n_in_domain"),
+        col("kept").cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
       qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27,
-      qC28)
+      qC28, qC29)
 }

@@ -1543,8 +1543,65 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Within-document repetition removal (DocRepetition.dedupLines — the
+  // C4/Gopher template-line cleanup): planted nav/separator repeats
+  // around real text slices; exact duplicate lines drop keeping the
+  // FIRST occurrence, short lines (trimmed < 10 chars) exempt. The
+  // oracle replays split, the exempt-or-first keep rule, and the
+  // in-order reassembly; cleaned text pinned by md5 + length.
+  private val qT36 = Q(
+    "q_t36_line_dedup",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    substr(coalesce(text, ''), 1, 80) || chr(10) ||
+      |    'Home | About | Contact us today' || chr(10) ||
+      |    substr(coalesce(text, ''), 81, 80) || chr(10) ||
+      |    'Home | About | Contact us today' || chr(10) ||
+      |    '--' || chr(10) ||
+      |    substr(coalesce(text, ''), 1, 80) || chr(10) ||
+      |    '--' AS s
+      |  FROM documents),
+      |sp AS (SELECT doc_id, string_split(s, chr(10)) AS l FROM raw),
+      |ln0 AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS i, l FROM sp),
+      |ln AS (SELECT doc_id, i AS idx, l[i] AS line,
+      |              CAST(len(l) AS BIGINT) AS n_lines FROM ln0),
+      |keepd AS (
+      |  SELECT doc_id, idx, line, n_lines,
+      |         (len(trim(line)) < 10 OR
+      |          row_number() OVER (PARTITION BY doc_id, line ORDER BY idx) = 1)
+      |           AS keep
+      |  FROM ln),
+      |agg AS (
+      |  SELECT doc_id, n_lines,
+      |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_lines_kept,
+      |         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx)
+      |           AS clean
+      |  FROM keepd GROUP BY doc_id, n_lines)
+      |SELECT doc_id, md5(clean) AS clean_md5, n_lines, n_lines_kept,
+      |       CAST(len(clean) AS INT) AS n_chars_clean,
+      |       round((n_lines - n_lines_kept) / CAST(n_lines AS DOUBLE), 6)
+      |         AS dup_line_fraction
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val nav = "Home | About | Contact us today"
+    val planted = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws("\n",
+        expr("substring(coalesce(text, ''), 1, 80)"), lit(nav),
+        expr("substring(coalesce(text, ''), 81, 80)"), lit(nav),
+        lit("--"), expr("substring(coalesce(text, ''), 1, 80)"), lit("--"))
+        .as("text"))
+    graft.operators.DocRepetition.dedupLines(planted, "doc_id", "text")
+      .select(
+        col("doc_id"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"),
+        col("n_lines"), col("n_lines_kept"), col("n_chars_clean"),
+        col("dup_line_fraction"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36)
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(UrlOps.canonicalize(col("url")).as("c"))
+      .as[String].collect().toSeq
+
+  test("scheme+host lowercase; path/query case preserved") {
+    assert(canon("HTTPS://WWW.Example.COM/Path/File?Q=Mixed") ===
+      Seq("https://www.example.com/Path/File?Q=Mixed"))
+  }
+
+  test("fragment, default ports, dangling separators strip") {
+    assert(canon(
+      "https://ex.com/a#frag",
+      "http://ex.com:80/a",
+      "https://ex.com:443/a",
+      "http://ex.com:8080/a", // non-default port survives
+      "https://ex.com:443",
+      "http://ex.com:80?q=1") === Seq(
+      "https://ex.com/a",
+      "http://ex.com/a",
+      "https://ex.com/a",
+      "http://ex.com:8080/a",
+      "https://ex.com",
+      "http://ex.com?q=1"))
+  }
+
+  test("tracking params strip in every position, query stays well-formed") {
+    assert(canon(
+      "https://ex.com/p?utm_source=x&id=4",
+      "https://ex.com/p?id=4&utm_medium=y",
+      "https://ex.com/p?utm_a=1&utm_b=2&id=4",
+      "https://ex.com/p?utm_a=1&utm_b=2",
+      "https://ex.com/p?gclid=z",
+      "https://ex.com/p?id=4&fbclid=w&x=2",
+      "https://ex.com/p?ref=h&id=4") === Seq(
+      "https://ex.com/p?id=4",
+      "https://ex.com/p?id=4",
+      "https://ex.com/p?id=4",
+      "https://ex.com/p",
+      "https://ex.com/p",
+      "https://ex.com/p?id=4&x=2",
+      "https://ex.com/p?id=4"))
+  }
+
+  test("slash hygiene: duplicate path slashes collapse, trailing / drops") {
+    assert(canon(
+      "https://ex.com//a///b//",
+      "https://ex.com/a/",
+      "https://ex.com/",
+      "https://ex.com/a/?q=1") === Seq(
+      "https://ex.com/a/b",
+      "https://ex.com/a",
+      "https://ex.com",
+      "https://ex.com/a?q=1"))
+  }
+
+  test("registrable domain: two labels, three under two-part suffixes") {
+    val got = Seq(
+      (1L, "https://www.example.com/a"),
+      (2L, "https://news.bbc.CO.UK/x"),
+      (3L, "https://a.b.shop.com.au/y"),
+      (4L, "https://single/z"))
+      .toDF("id", "url")
+    val doms = UrlOps.normalize(got, "id", "url")
+      .orderBy("id").select("domain").as[String].collect().toSeq
+    assert(doms === Seq("example.com", "bbc.co.uk", "shop.com.au", ""))
+  }
+
+  test("domain cap keeps a deterministic hash-ranked subset") {
+    val urls = (0 until 10).map(i => (i.toLong, s"https://far.ex.com/p$i")) ++
+      Seq((100L, "https://other.org/only"))
+    val out = UrlOps.domainCap(urls.toDF("id", "url"), "id", "url", cap = 3)
+    val kept = out.filter(col("kept")).groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept === Map("ex.com" -> 3L, "other.org" -> 1L))
+    // determinism: same input, same survivors
+    val k1 = out.filter(col("kept")).select("url_canon")
+      .as[String].collect().toSet
+    val k2 = UrlOps.domainCap(urls.toDF("id", "url"), "id", "url", cap = 3)
+      .filter(col("kept")).select("url_canon").as[String].collect().toSet
+    assert(k1 === k2)
+  }
+}
