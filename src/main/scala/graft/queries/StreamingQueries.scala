@@ -808,8 +808,31 @@ object StreamingQueries extends QueryGroup {
       .orderBy("doc", "off")
   }
 
+  // Streaming HTML boilerplate extraction (q_t34's landing-zone twin):
+  // the jusText block classification is pure scan-side column algebra,
+  // so the per-micro-batch run over the sharded corpus must equal the
+  // batch run row for row — same oracle, streamed ≡ batch.
+  private val qSt35 = Q(
+    "q_st35_stream_html_extract",
+    TextQueries.qT34.oracle.get) { (s, dir) =>
+    import org.apache.spark.sql.functions.{col, md5}
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch =>
+        graft.operators.HtmlExtract
+          .blocks(TextQueries.htmlCorpusOf(batch), "doc_id", "html")
+          .select(
+            col("doc_id"),
+            col("block_idx").cast("int").as("block_idx"),
+            md5(col("block_text").cast("binary")).as("block_md5"),
+            col("n_chars"), col("n_words"), col("n_link_chars"),
+            col("link_density"),
+            col("is_content").cast("int").as("is_content"))
+    }.orderBy("doc_id", "block_idx")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
-      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33, qSt34)
+      qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33, qSt34,
+      qSt35)
 }

@@ -1327,7 +1327,7 @@ object TextQueries extends QueryGroup {
     * tag (doc_id % 9). Spark side of the construction; the oracle builds
     * the identical string with `||`.
     */
-  private def htmlCorpus(docs: DataFrame): DataFrame = {
+  private[queries] def htmlCorpusOf(docs: DataFrame): DataFrame = {
     val did = col("doc_id").cast("string")
     docs.select(col("doc_id"), concat(
       lit("<html><head><title>Doc "), did,
@@ -1430,7 +1430,7 @@ object TextQueries extends QueryGroup {
   // unclosed tags), per-block link-density classification, everything a
   // fixed RE2 chain + pure arithmetic over per-block counts that the
   // oracle replays verbatim. Block text pinned by md5 + length (q_t10).
-  private val qT34 = Q(
+  private[queries] val qT34 = Q(
     "q_t34_html_extract",
     s"""WITH $htmlCorpusSql,
       |$htmlBlocksSql
@@ -1443,7 +1443,7 @@ object TextQueries extends QueryGroup {
       |FROM b3
       |ORDER BY doc_id, block_idx""".stripMargin) { (s, dir) =>
     graft.operators.HtmlExtract
-      .blocks(htmlCorpus(Tables.load(s, dir, "documents")), "doc_id", "html")
+      .blocks(htmlCorpusOf(Tables.load(s, dir, "documents")), "doc_id", "html")
       .select(
         col("doc_id"),
         col("block_idx").cast("int").as("block_idx"),
