@@ -2511,8 +2511,72 @@ object MultimodalQueries extends QueryGroup {
     ahashParity5Frame(Tables.load(s, dir, "documents")).orderBy("doc_id")
   }
 
+  // WARC record walk (Warc.records — the container of web corpora):
+  // multi-record WARC files built in-plan (1-3 records each, payloads
+  // sliced from doc text, one payload family containing decoy
+  // `WARC/1.0` text that only a Content-Length-driven walk survives via
+  // construction, doc_id % 9 files version-corrupted). The oracle
+  // computes every expected field arithmetically from the construction
+  // (the q_m25 tar pattern) — the engine must PARSE what the oracle
+  // merely knows it planted.
+  private val qM28 = Q(
+    "q_m28_warc_records",
+    """WITH src AS (
+      |  SELECT doc_id, coalesce(text, '') AS text,
+      |         CAST(doc_id % 3 + 1 AS INT) AS nrec
+      |  FROM documents),
+      |r AS (SELECT doc_id, text, unnest(range(0, nrec)) AS k
+      |      FROM src WHERE doc_id % 9 <> 0),
+      |p AS (SELECT doc_id, CAST(k AS INT) AS rec_idx,
+      |        CASE WHEN k % 2 = 0 THEN 'response' ELSE 'request' END
+      |          AS warc_type,
+      |        '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '-' ||
+      |          CAST(k AS VARCHAR) || '>' AS record_id,
+      |        'https://site' || CAST(doc_id % 37 AS VARCHAR) ||
+      |          '.example.com/p/' || CAST(doc_id AS VARCHAR) || '/' ||
+      |          CAST(k AS VARCHAR) AS target_uri,
+      |        '2024-01-0' || CAST(k + 1 AS VARCHAR) || 'T00:00:00Z'
+      |          AS warc_date,
+      |        substr(text, CAST(1 + k * 50 AS INT),
+      |               CAST((doc_id + 13 * k) % 120 + 1 AS INT)) AS payload
+      |      FROM r)
+      |SELECT doc_id, rec_idx, warc_type, record_id, target_uri, warc_date,
+      |       CAST(len(payload) AS BIGINT) AS content_length,
+      |       md5(payload) AS payload_md5
+      |FROM p ORDER BY doc_id, rec_idx""".stripMargin) { (s, dir) =>
+    val did = col("doc_id").cast("string")
+    def payload(k: Int) = expr(
+      s"substring(coalesce(text, ''), ${1 + k * 50}, " +
+        s"CAST((doc_id + ${13 * k}) % 120 + 1 AS INT))")
+    def record(k: Int) = concat(
+      when(col("doc_id") % 9 === 0, "WARC/9.9\r\n").otherwise("WARC/1.0\r\n"),
+      lit(s"WARC-Type: ${if (k % 2 == 0) "response" else "request"}\r\n"),
+      lit("WARC-Record-ID: <urn:uuid:"), did, lit(s"-$k>\r\n"),
+      lit(s"WARC-Date: 2024-01-0${k + 1}T00:00:00Z\r\n"),
+      lit("WARC-Target-URI: https://site"), (col("doc_id") % 37).cast("string"),
+      lit(".example.com/p/"), did, lit(s"/$k\r\n"),
+      lit("Content-Type: application/http\r\n"),
+      lit("Content-Length: "), length(payload(k)).cast("string"),
+      lit("\r\n\r\n"), payload(k), lit("\r\n\r\n"))
+    val nrec = col("doc_id") % 3 + 1
+    val warcFile = concat(
+      record(0),
+      when(nrec >= 2, record(1)).otherwise(lit("")),
+      when(nrec >= 3, record(2)).otherwise(lit("")))
+    graft.operators.Warc.records(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), warcFile.as("w")),
+      "doc_id", "w")
+      .select(
+        col("file_id").as("doc_id"),
+        col("rec_idx"), col("warc_type"), col("record_id"),
+        col("target_uri"), col("warc_date"), col("content_length"),
+        col("payload_md5"))
+      .orderBy("doc_id", "rec_idx")
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
       qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22, qM23, qM24, qM25,
-      qM26, qM27)
+      qM26, qM27, qM28)
 }
