@@ -82,8 +82,16 @@ object SubstringIndex {
       path: String,
       L: Int,
       nBuckets: Int = 64): Unit =
-    grams(docs, idCol, textCol, L, nBuckets)
+    layoutByKp(grams(docs, idCol, textCol, L, nBuckets), nBuckets)
       .write.mode("overwrite").partitionBy("kp").parquet(postingsPath(path))
+
+  /** One shuffle partition per key prefix before the partitioned write —
+    * without it every upstream task writes a sliver into every kp
+    * directory (tasks x nBuckets small files; the small-file explosion
+    * is also what made the first probe benchmark slow).
+    */
+  private def layoutByKp(g: DataFrame, nBuckets: Int): DataFrame =
+    g.repartition(nBuckets, col("kp"))
 
   /** Fold a probed batch into the index. */
   def appendBatch(
@@ -93,7 +101,7 @@ object SubstringIndex {
       path: String,
       L: Int,
       nBuckets: Int = 64): Unit =
-    grams(docs, idCol, textCol, L, nBuckets)
+    layoutByKp(grams(docs, idCol, textCol, L, nBuckets), nBuckets)
       .write.mode("append").partitionBy("kp").parquet(postingsPath(path))
 
   /** Index-internal duplicate windows — the full-index twin of
@@ -178,7 +186,8 @@ object SubstringIndex {
       L: Int,
       nBuckets: Int = 64,
       crossDocOnly: Boolean = true): DataFrame = {
-    val g = grams(docs, idCol, textCol, L, nBuckets).localCheckpoint(true)
+    val g = layoutByKp(grams(docs, idCol, textCol, L, nBuckets), nBuckets)
+      .localCheckpoint(true)
     g.write.mode("overwrite").partitionBy("kp").parquet(postingsPath(path))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("kp", "fp")
     val dups = g
@@ -209,7 +218,8 @@ object SubstringIndex {
       L: Int,
       nBuckets: Int = 64,
       crossDocOnly: Boolean = true): DataFrame = {
-    val bg = grams(newDocs, idCol, textCol, L, nBuckets).localCheckpoint(true)
+    val bg = layoutByKp(grams(newDocs, idCol, textCol, L, nBuckets), nBuckets)
+      .localCheckpoint(true)
     val out = probeFrom(spark, path, bg, crossDocOnly).localCheckpoint(true)
     bg.write.mode("append").partitionBy("kp").parquet(postingsPath(path))
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(bg)

@@ -34,54 +34,72 @@ object Warc {
     "record_id:string,target_uri:string,warc_date:string," +
     "content_length:bigint,payload_md5:string>"
 
-  /** struct(valid: boolean, recs: array<record>) for one WARC cell. */
+  /** struct(valid: boolean, recs: array<record>) for one WARC cell.
+    *
+    * Every multiply-read subtree is `hof.bind`-let-bound (the q_m15
+    * lesson, hit a FOURTH time here): lambda bodies don't CSE, so an
+    * unbound walk re-evaluated the (in-plan constructed) file string at
+    * every `locate`/`substr` reference of every step — 63 s for the
+    * capped gate corpus; bound it prices like the other container
+    * walks.
+    */
   def walk(s0: Column, maxRecords: Int): Column = {
     require(maxRecords >= 1 && maxRecords <= 64,
       "maxRecords must be in [1, 64] (one landing-zone record group)")
-    val s = coalesce(s0, lit(""))
-    val init = struct(
-      lit(1L).as("pos"),
-      lit(true).as("ok"),
-      array().cast(s"array<$recType>").as("recs"))
-    val folded = aggregate(
-      sequence(lit(1), lit(maxRecords)),
-      init,
-      (acc, _) => {
-        val pos = acc.getField("pos")
-        val ok = acc.getField("ok")
-        val recs = acc.getField("recs")
-        val atEnd = pos > length(s)
-        val verOk = s.substr(pos, lit(10L)) === lit("WARC/1.0\r\n")
-        val hEnd = call_function("locate", lit(CRLF2), s, pos).cast("long")
-        val headers = s.substr(pos, greatest(hEnd - pos, lit(0L)))
-        def h(key: String): Column =
-          regexp_extract(headers, "(?:^|\r\n)" + key + ": ([^\r\n]*)", 1)
-        // digits-gated before the cast: ANSI mode faults a bare cast of
-        // a missing/garbage header ('' -> BIGINT) instead of nulling
-        val clStr = h("Content-Length")
-        val cl = when(clStr.rlike("^[0-9]{1,15}$"), clStr.cast("long"))
-        val trailerFits = hEnd + lit(7L) + cl <= length(s)
-        val trailerOk = s.substr(hEnd + lit(4L) + cl, lit(4L)) === lit(CRLF2)
-        val stepOk = ok && !atEnd && verOk && hEnd > 0 &&
-          cl.isNotNull && cl >= 0 && trailerFits && trailerOk
-        val rec = struct(
-          size(recs).as("rec_idx"),
-          h("WARC-Type").as("warc_type"),
-          h("WARC-Record-ID").as("record_id"),
-          h("WARC-Target-URI").as("target_uri"),
-          h("WARC-Date").as("warc_date"),
-          cl.as("content_length"),
-          md5(s.substr(hEnd + lit(4L), greatest(cl, lit(0L))).cast("binary"))
-            .as("payload_md5"))
-        struct(
-          when(stepOk, hEnd + lit(8L) + cl).otherwise(pos).as("pos"),
-          (ok && (atEnd || stepOk)).as("ok"),
-          when(stepOk, concat(recs, array(rec))).otherwise(recs).as("recs"))
-      })
-    struct(
-      (folded.getField("ok") &&
-        folded.getField("pos") === length(s) + lit(1L)).as("valid"),
-      folded.getField("recs").as("recs"))
+    graft.functions.hof.bind(coalesce(s0, lit(""))) { s =>
+      val init = struct(
+        lit(1L).as("pos"),
+        lit(true).as("ok"),
+        array().cast(s"array<$recType>").as("recs"))
+      val folded = aggregate(
+        sequence(lit(1), lit(maxRecords)),
+        init,
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val ok = acc.getField("ok")
+          val recs = acc.getField("recs")
+          val atEnd = pos > length(s)
+          val verOk = s.substr(pos, lit(10L)) === lit("WARC/1.0\r\n")
+          graft.functions.hof.bind(
+            call_function("locate", lit(CRLF2), s, pos).cast("long")) { hEnd =>
+            graft.functions.hof.bind(
+              s.substr(pos, greatest(hEnd - pos, lit(0L)))) { headers =>
+              def h(key: String): Column =
+                regexp_extract(headers,
+                  "(?:^|\r\n)" + key + ": ([^\r\n]*)", 1)
+              // digits-gated before the cast: ANSI mode faults a bare
+              // cast of a missing/garbage header ('' -> BIGINT)
+              val clStr = h("Content-Length")
+              graft.functions.hof.bind(
+                when(clStr.rlike("^[0-9]{1,15}$"), clStr.cast("long"))) { cl =>
+                val trailerFits = hEnd + lit(7L) + cl <= length(s)
+                val trailerOk =
+                  s.substr(hEnd + lit(4L) + cl, lit(4L)) === lit(CRLF2)
+                val stepOk = ok && !atEnd && verOk && hEnd > 0 &&
+                  cl.isNotNull && cl >= 0 && trailerFits && trailerOk
+                val rec = struct(
+                  size(recs).as("rec_idx"),
+                  h("WARC-Type").as("warc_type"),
+                  h("WARC-Record-ID").as("record_id"),
+                  h("WARC-Target-URI").as("target_uri"),
+                  h("WARC-Date").as("warc_date"),
+                  cl.as("content_length"),
+                  md5(s.substr(hEnd + lit(4L), greatest(cl, lit(0L)))
+                    .cast("binary")).as("payload_md5"))
+                struct(
+                  when(stepOk, hEnd + lit(8L) + cl).otherwise(pos).as("pos"),
+                  (ok && (atEnd || stepOk)).as("ok"),
+                  when(stepOk, concat(recs, array(rec))).otherwise(recs)
+                    .as("recs"))
+              }
+            }
+          }
+        })
+      struct(
+        (folded.getField("ok") &&
+          folded.getField("pos") === length(s) + lit(1L)).as("valid"),
+        folded.getField("recs").as("recs"))
+    }
   }
 
   /** One row per record of each VALID file:

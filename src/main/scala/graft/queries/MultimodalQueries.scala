@@ -2524,7 +2524,7 @@ object MultimodalQueries extends QueryGroup {
     """WITH src AS (
       |  SELECT doc_id, coalesce(text, '') AS text,
       |         CAST(doc_id % 3 + 1 AS INT) AS nrec
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < 500),
       |r AS (SELECT doc_id, text, unnest(range(0, nrec)) AS k
       |      FROM src WHERE doc_id % 9 <> 0),
       |p AS (SELECT doc_id, CAST(k AS INT) AS rec_idx,
@@ -2563,10 +2563,16 @@ object MultimodalQueries extends QueryGroup {
       record(0),
       when(nrec >= 2, record(1)).otherwise(lit("")),
       when(nrec >= 3, record(2)).otherwise(lit("")))
+    // 500-doc corpus cap (the q_r3/q_m16 rule): the walk is an
+    // interpreted HOF fold, linear in payload but per-step boxed —
+    // uncapped sf0.1 read 75 s; capped it prices like the other
+    // container gates. maxRecords = 4 bounds the fold to the
+    // construction's 3-record ceiling plus the over-length probe.
     graft.operators.Warc.records(
       Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 500)
         .select(col("doc_id"), warcFile.as("w")),
-      "doc_id", "w")
+      "doc_id", "w", maxRecords = 4)
       .select(
         col("file_id").as("doc_id"),
         col("rec_idx"), col("warc_type"), col("record_id"),
