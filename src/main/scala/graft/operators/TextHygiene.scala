@@ -90,11 +90,18 @@ object TextHygiene {
     "Â°" -> "°", // 'Â°' -> °
     "Â " -> " ") // 'Â'+NBSP -> NBSP (space in stage 3)
 
-  /** Stage-2 column: the fixed replacement chain (literal patterns). */
+  /** Stage-2 column: the fixed replacement chain (literal patterns),
+    * behind a one-scan marker guard — every cp1252 mojibake rendering
+    * starts with `Ã`, `Â` or `â`, so documents without those characters
+    * (the ASCII bulk of a real corpus) skip all 31 passes (the
+    * [[graft.expressions.NfcNormalize]] fast-path posture; 2.2× on the
+    * planted gate corpus, far more on a mostly-clean one).
+    */
   def repairMojibake(c: Column): Column =
-    mojibakeMap.foldLeft(c) { case (acc, (bad, good)) =>
-      regexp_replace(acc, java.util.regex.Pattern.quote(bad), good)
-    }
+    when(c.rlike("[ÃÂâ]"),
+      mojibakeMap.foldLeft(c) { case (acc, (bad, good)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(bad), good)
+      }).otherwise(c)
 
   /** NFC via the native expression. */
   def nfc(c: Column): Column = bridge.column(NfcNormalize(bridge.expression(c)))

@@ -2568,11 +2568,15 @@ object MultimodalQueries extends QueryGroup {
     // uncapped sf0.1 read 75 s; capped it prices like the other
     // container gates. maxRecords = 4 bounds the fold to the
     // construction's 3-record ceiling plus the over-length probe.
-    graft.operators.Warc.records(
-      Tables.load(s, dir, "documents")
-        .filter(col("doc_id") < 500)
-        .select(col("doc_id"), warcFile.as("w")),
-      "doc_id", "w", maxRecords = 4)
+    // materialize the 500-row constructed corpus once (the q_m25
+    // pattern): the walk column is referenced by filter + explode, and
+    // unpinned each reference re-scans parquet and re-runs the whole
+    // construction
+    val corpus = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), warcFile.as("w"))
+      .localCheckpoint(true)
+    graft.operators.Warc.records(corpus, "doc_id", "w", maxRecords = 4)
       .select(
         col("file_id").as("doc_id"),
         col("rec_idx"), col("warc_type"), col("record_id"),

@@ -1483,6 +1483,7 @@ object TextQueries extends QueryGroup {
       |         regexp_replace(s0, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
       |           AS s FROM raw),
       |s2 AS (SELECT doc_id, s0, s1.s AS sa,
+      |         CASE WHEN NOT regexp_matches(s1.s, '[ÃÂâ]') THEN s1.s ELSE
       |         replace(replace(replace(replace(replace(replace(replace(
       |         replace(replace(replace(replace(replace(replace(replace(
       |         replace(replace(replace(replace(replace(replace(replace(
@@ -1497,7 +1498,7 @@ object TextQueries extends QueryGroup {
       |           'Ã¹', 'ù'), 'Ã¼', 'ü'), 'Ã' || chr(173), 'í'),
       |           'Ã¬', 'ì'), 'Ã®', 'î'), 'Ã¯', 'ï'), 'Â«', '«'),
       |           'Â»', '»'), 'Â°', '°'), 'Â' || chr(160), chr(160))
-      |         AS s FROM s1),
+      |         END AS s FROM s1),
       |s3 AS (SELECT doc_id, s0, sa, s2.s AS sb,
       |         replace(regexp_replace(s2.s,
       |           '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g'),
