@@ -1601,8 +1601,72 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // Rule-based sentence segmentation (SentenceSplit.sentences): planted
+  // prose with abbreviations, initials, e.g./i.e., quote/paren-trailing
+  // terminators and digit openers around a real text slice; the oracle
+  // replays the exact protect -> break -> restore regex chain (engines
+  // differ only in backref spelling and the 'g' flag). Sentences pinned
+  // by md5 + counts.
+  private val qT37 = Q(
+    "q_t37_sentence_split",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    'Dr. Smith reviewed doc ' || CAST(doc_id AS VARCHAR) || '. ' ||
+      |    'The corpus says: ' || substr(coalesce(text, ''), 1, 120) || '. ' ||
+      |    'It was written by J. K. Author (no. ' ||
+      |    CAST(doc_id % 7 AS VARCHAR) || '). ' ||
+      |    'What a finding! Was it real? See fig. ' ||
+      |    CAST(doc_id % 9 AS VARCHAR) || ' vs. the baseline. ' ||
+      |    '"Quoted end." (Parenthetical.) Final words, e.g. these.' AS t
+      |  FROM documents),
+      |c1 AS (SELECT doc_id, translate(t, chr(1) || chr(2), '') AS s FROM raw),
+      |c2 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+      |         '([ (])e\.g\.', '\1e' || chr(2) || 'g' || chr(2), 'g'),
+      |         '([ (])i\.e\.', '\1i' || chr(2) || 'e' || chr(2), 'g') AS s
+      |       FROM c1),
+      |c3 AS (SELECT doc_id, regexp_replace(s,
+      |         '(^|[ (])((?i:Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Jr|Sr|Inc|Ltd|Co|No|Fig|al|approx|Dept)|[A-Z])\.',
+      |         '\1\2' || chr(2), 'g') AS s FROM c2),
+      |c4 AS (SELECT doc_id, regexp_replace(s,
+      |         '(^|[ (])((?i:Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Jr|Sr|Inc|Ltd|Co|No|Fig|al|approx|Dept)|[A-Z])\.',
+      |         '\1\2' || chr(2), 'g') AS s FROM c3),
+      |c5 AS (SELECT doc_id, replace(regexp_replace(s,
+      |         '([.!?]+["'')\]]*) +(["''(\[]*[A-Z0-9])',
+      |         '\1' || chr(1) || '\2', 'g'), chr(2), '.') AS s FROM c4),
+      |sp AS (SELECT doc_id, string_split(s, chr(1)) AS l FROM c5),
+      |sx AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS i, l FROM sp),
+      |st AS (SELECT doc_id, i, trim(l[i]) AS sentence FROM sx),
+      |ne AS (SELECT doc_id, sentence,
+      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+      |              AS INT) AS sent_idx
+      |       FROM st WHERE len(sentence) > 0)
+      |SELECT doc_id, sent_idx, md5(sentence) AS sent_md5,
+      |       CAST(len(sentence) AS INT) AS n_chars,
+      |       CAST(len(string_split_regex(sentence, '\s+')) AS INT) AS n_words
+      |FROM ne ORDER BY doc_id, sent_idx""".stripMargin) { (s, dir) =>
+    val did = col("doc_id").cast("string")
+    val planted = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        lit("Dr. Smith reviewed doc "), did, lit(". "),
+        lit("The corpus says: "),
+        expr("substring(coalesce(text, ''), 1, 120)"), lit(". "),
+        lit("It was written by J. K. Author (no. "),
+        (col("doc_id") % 7).cast("string"), lit("). "),
+        lit("What a finding! Was it real? See fig. "),
+        (col("doc_id") % 9).cast("string"), lit(" vs. the baseline. "),
+        lit("\"Quoted end.\" (Parenthetical.) Final words, e.g. these."))
+        .as("text"))
+    graft.operators.SentenceSplit.sentences(planted, "doc_id", "text")
+      .select(
+        col("doc_id"), col("sent_idx").cast("int").as("sent_idx"),
+        md5(col("sentence").cast("binary")).as("sent_md5"),
+        col("n_chars"), col("n_words"))
+      .orderBy("doc_id", "sent_idx")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37)
 }
