@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt exclusion decisions (RFC 9309, the subset every crawl
+  * pipeline enforces) — crawl GOVERNANCE: before any URL is fetched
+  * into a corpus, the frontier joins against each host's parsed
+  * exclusion rules. The parse is fully RELATIONAL — no per-file fold:
+  *
+  *   - lines explode with their index; comments (`#…`) strip; blank
+  *     lines drop;
+  *   - a GROUP starts at each `User-agent:` line not directly preceded
+  *     by another (RFC: consecutive UA lines share one group), so
+  *     `group id = running count of group starts` assigns every rule
+  *     line to its nearest preceding group in one per-host window;
+  *   - `Allow:`/`Disallow:` values become (pattern, allow) rules; an
+  *     EMPTY Disallow matches nothing (allow-all, per the RFC);
+  *   - agent resolution: groups naming the product token exactly
+  *     (case-insensitive) win; only when none exists do the `*` groups
+  *     apply — never both;
+  *   - URL decision: longest-matching pattern wins, Allow wins
+  *     length ties (least-restrictive, per the RFC), no match ⇒
+  *     allowed.
+  *
+  * Documented boundary: patterns match as literal PATH PREFIXES — the
+  * RFC's `*`/`$` wildcards and percent-encoding equivalence are not
+  * implemented (the dominant real-world rules are plain prefixes).
+  *
+  * Scale shape: parse = one explode + per-host windows (partition
+  * width = lines in one robots.txt, bounded); decision = one
+  * urls × host-rules equi-join on host (rule side is small —
+  * AQE-broadcast in practice) + one per-URL argmax aggregate.
+  */
+object Robots {
+
+  /** Parsed rules of the agent-resolved group per host:
+    * (host, pattern, allow) — already reduced to the rules that govern
+    * `agent` on each host (exact-match groups if any, else `*` groups).
+    */
+  def rules(
+      robots: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      agent: String): DataFrame = {
+    val wIdx = Window.partitionBy("host").orderBy("__i")
+    // group-start flag: a UA line starts a group iff the previous
+    // non-blank line was NOT a UA line (consecutive UA lines share)
+    val flagged = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(coalesce(col(bodyCol), lit("")), "\n"))
+          .as(Seq("__i", "__l")))
+      .withColumn("__l", trim(regexp_replace(col("__l"), "#.*$", "")))
+      .filter(length(col("__l")) > 0)
+      .withColumn("__isUa", lower(col("__l")).rlike("^user-agent:"))
+      .withColumn("__start",
+        col("__isUa") &&
+          !coalesce(lag(col("__isUa"), 1).over(wIdx), lit(false)))
+      .withColumn("__grp",
+        sum(col("__start").cast("int")).over(wIdx))
+      .filter(col("__grp") > 0)
+    val uas = flagged.filter(col("__isUa"))
+      .select(col("host"), col("__grp"),
+        lower(trim(regexp_replace(col("__l"), "(?i)^user-agent:", "")))
+          .as("ua"))
+    val ruleLines = flagged
+      .filter(lower(col("__l")).rlike("^(allow|disallow):"))
+      .select(col("host"), col("__grp"),
+        lower(col("__l")).startsWith("allow:").as("allow"),
+        trim(regexp_replace(col("__l"), "(?i)^(allow|disallow):", ""))
+          .as("pattern"))
+      // empty Disallow = allow all = matches nothing; empty Allow is
+      // equally vacuous under prefix matching
+      .filter(length(col("pattern")) > 0)
+    // agent resolution: exact groups beat * groups, never both
+    val agentLc = agent.toLowerCase
+    val hostMode = uas
+      .groupBy("host")
+      .agg(max(when(col("ua") === agentLc, 1).otherwise(0)).as("__exact"))
+    val chosenGroups = uas
+      .join(hostMode, Seq("host"))
+      .filter(
+        (col("__exact") === 1 && col("ua") === agentLc) ||
+          (col("__exact") === 0 && col("ua") === "*"))
+      .select("host", "__grp")
+      .distinct()
+    ruleLines.join(chosenGroups, Seq("host", "__grp"))
+      .select("host", "pattern", "allow")
+  }
+
+  /** Frontier decisions: (host, path, allowed, matched_pattern,
+    * matched_allow) — one row per input URL; `matched_*` null when no
+    * rule matched (⇒ allowed).
+    */
+  def decide(
+      robots: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      urls: DataFrame,
+      urlHostCol: String,
+      pathCol: String,
+      agent: String): DataFrame = {
+    val r = rules(robots, hostCol, bodyCol, agent)
+    val u = urls.select(
+      col(urlHostCol).as("host"), col(pathCol).as("path"))
+    u.join(r, Seq("host"), "left")
+      .withColumn("__m",
+        col("pattern").isNotNull && col("path").startsWith(col("pattern")))
+      .groupBy("host", "path")
+      .agg(
+        max_by(
+          struct(col("pattern"), col("allow")),
+          when(col("__m"),
+            struct(length(col("pattern")).as("l"),
+              col("allow").cast("int").as("a")))).as("__best"),
+        max(col("__m").cast("int")).as("__any"))
+      .select(
+        col("host"), col("path"),
+        when(col("__any") === 1, col("__best.allow")).otherwise(lit(true))
+          .as("allowed"),
+        when(col("__any") === 1, col("__best.pattern")).as("matched_pattern"),
+        when(col("__any") === 1, col("__best.allow")).as("matched_allow"))
+  }
+}

@@ -1204,8 +1204,82 @@ object CurationQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // robots.txt exclusion decisions (Robots.decide, RFC 9309 subset):
+  // three host classes of in-plan robots bodies (exact-agent group
+  // shadowing a catch-all star group / star-only with an Allow carve-out
+  // and an empty vacuous Disallow / allow-all), five path families. The
+  // ENGINE must parse group structure and apply longest-match + Allow-
+  // wins-ties + exact-beats-star; the oracle computes the expected
+  // decision arithmetically from the construction (the q_m25/q_m28
+  // pattern).
+  private val qC30 = Q(
+    "q_c30_robots_decisions",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'site' || CAST(doc_id % 23 AS VARCHAR) || '.example.com'
+      |           AS host,
+      |         CAST((doc_id % 23) % 3 AS INT) AS hc,
+      |         CAST(doc_id % 5 AS INT) AS pc,
+      |         CASE CAST(doc_id % 5 AS INT)
+      |           WHEN 0 THEN '/private/ok/p' || CAST(doc_id AS VARCHAR)
+      |           WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+      |           WHEN 2 THEN '/blocked/except/e' || CAST(doc_id AS VARCHAR)
+      |           WHEN 3 THEN '/blocked/b' || CAST(doc_id AS VARCHAR)
+      |           ELSE '/open/o' || CAST(doc_id AS VARCHAR) END AS path
+      |  FROM documents),
+      |d AS (
+      |  SELECT host, path,
+      |    CASE WHEN hc = 0 AND pc = 0 THEN '/private/ok/'
+      |         WHEN hc = 0 AND pc = 1 THEN '/private/'
+      |         WHEN hc = 1 AND pc = 2 THEN '/blocked/except/'
+      |         WHEN hc = 1 AND pc = 3 THEN '/blocked/' END AS matched_pattern,
+      |    CASE WHEN hc = 0 AND pc = 0 THEN 1
+      |         WHEN hc = 0 AND pc = 1 THEN 0
+      |         WHEN hc = 1 AND pc = 2 THEN 1
+      |         WHEN hc = 1 AND pc = 3 THEN 0 END AS matched_allow
+      |  FROM u)
+      |SELECT host, path,
+      |       CAST(CASE WHEN matched_pattern IS NULL THEN 1
+      |                 ELSE matched_allow END AS INT) AS allowed,
+      |       matched_pattern,
+      |       CAST(matched_allow AS INT) AS matched_allow
+      |FROM d ORDER BY host, path""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val host = concat(lit("site"), (col("doc_id") % 23).cast("string"),
+      lit(".example.com"))
+    val urls = docs.select(
+      host.as("host"),
+      concat(
+        when(col("doc_id") % 5 === 0, "/private/ok/p")
+          .when(col("doc_id") % 5 === 1, "/private/p")
+          .when(col("doc_id") % 5 === 2, "/blocked/except/e")
+          .when(col("doc_id") % 5 === 3, "/blocked/b")
+          .otherwise("/open/o"),
+        col("doc_id").cast("string")).as("path"))
+    val bodyExact = "User-agent: graftbot\nDisallow: /private/\n" +
+      "Allow: /private/ok/\n\nUser-agent: *\nDisallow: /\n"
+    val bodyStar = "# star only\nUser-agent: alpha\nUser-agent: *\n" +
+      "Disallow: /blocked/\nAllow: /blocked/except/\nDisallow:\n"
+    val bodyOpen = "User-agent: *\nDisallow:\n"
+    val robots = docs.select((col("doc_id") % 23).as("h")).distinct()
+      .select(
+        concat(lit("site"), col("h").cast("string"), lit(".example.com"))
+          .as("host"),
+        when(col("h") % 3 === 0, bodyExact)
+          .when(col("h") % 3 === 1, bodyStar)
+          .otherwise(bodyOpen).as("robots"))
+    graft.operators.Robots
+      .decide(robots, "host", "robots", urls, "host", "path", "graftbot")
+      .select(
+        col("host"), col("path"),
+        col("allowed").cast("int").as("allowed"),
+        col("matched_pattern"),
+        col("matched_allow").cast("int").as("matched_allow"))
+      .orderBy("host", "path")
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
       qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27,
-      qC28, qC29)
+      qC28, qC29, qC30)
 }
