@@ -908,7 +908,125 @@ object PipelineQueries extends QueryGroup {
       .orderBy("rec_id")
   }
 
+  // The WEB-INGEST pipeline end to end (the q_f9 composition posture
+  // for round 15's landing-zone stages): tag-soup corpus -> HTML
+  // boilerplate extraction -> Unicode/encoding hygiene -> within-doc
+  // line dedup, one row per document with the final text md5 plus each
+  // stage's evidence counters. The corpus plants work for EVERY stage
+  // (chrome/script/entity soup for the extractor; mojibake + a control
+  // char + an NFD pair in the div for hygiene; a verbatim paragraph
+  // repeat for the line dedup). The oracle chains the SAME stage CTEs
+  // the per-stage gates pin individually — composition is where silent
+  // contract drift between stages would surface.
+  private val qF15 = Q(
+    "q_f15_web_ingest_pipeline",
+    s"""WITH ${TextQueries.htmlCorpusSql},
+      |${TextQueries.htmlBlocksSql},
+      |ext AS (
+      |  SELECT h.doc_id,
+      |         coalesce(x.text, '') AS text,
+      |         coalesce(x.n_blocks_kept, 0) AS n_blocks_kept,
+      |         coalesce(x.n_blocks_dropped, 0) AS n_blocks_dropped
+      |  FROM h LEFT JOIN (
+      |    SELECT doc_id,
+      |           string_agg(CASE WHEN n_chars >= 25 AND
+      |                 n_link_chars / CAST(n_chars AS DOUBLE) <= 0.33
+      |               THEN block_text END, chr(10) ORDER BY block_idx)
+      |             AS text,
+      |           CAST(sum(CASE WHEN n_chars >= 25 AND
+      |                 n_link_chars / CAST(n_chars AS DOUBLE) <= 0.33
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks_kept,
+      |           CAST(sum(CASE WHEN n_chars >= 25 AND
+      |                 n_link_chars / CAST(n_chars AS DOUBLE) <= 0.33
+      |               THEN 0 ELSE 1 END) AS BIGINT) AS n_blocks_dropped
+      |    FROM b3 GROUP BY doc_id) x ON h.doc_id = x.doc_id),
+      |hy1 AS (SELECT doc_id, text AS s0, n_blocks_kept, n_blocks_dropped,
+      |          regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+      |                         '', 'g') AS s
+      |        FROM ext),
+      |hy2 AS (SELECT doc_id, s0, n_blocks_kept, n_blocks_dropped,
+      |          hy1.s AS sa,
+      |          CASE WHEN NOT regexp_matches(hy1.s, '[ÃÂâ]') THEN hy1.s ELSE
+      |          replace(replace(replace(replace(replace(replace(replace(
+      |          replace(replace(replace(replace(replace(replace(replace(
+      |          replace(replace(replace(replace(replace(replace(replace(
+      |          replace(replace(replace(replace(replace(replace(replace(
+      |          replace(replace(replace(hy1.s,
+      |            'â€™', '’'), 'â€˜', '‘'), 'â€œ', '“'), 'â€“', '–'),
+      |            'â€”', '—'), 'â€¦', '…'),
+      |            'Ã©', 'é'), 'Ã¨', 'è'), 'Ãª', 'ê'), 'Ã«', 'ë'),
+      |            'Ã¡', 'á'), 'Ã' || chr(160), 'à'), 'Ã¢', 'â'),
+      |            'Ã¤', 'ä'), 'Ã§', 'ç'), 'Ã±', 'ñ'), 'Ã³', 'ó'),
+      |            'Ã²', 'ò'), 'Ã´', 'ô'), 'Ã¶', 'ö'), 'Ãº', 'ú'),
+      |            'Ã¹', 'ù'), 'Ã¼', 'ü'), 'Ã' || chr(173), 'í'),
+      |            'Ã¬', 'ì'), 'Ã®', 'î'), 'Ã¯', 'ï'), 'Â«', '«'),
+      |            'Â»', '»'), 'Â°', '°'), 'Â' || chr(160), chr(160))
+      |          END AS s FROM hy1),
+      |hy3 AS (SELECT doc_id, s0, sa, n_blocks_kept, n_blocks_dropped,
+      |          hy2.s AS sb,
+      |          replace(regexp_replace(hy2.s,
+      |            '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]', '', 'g'),
+      |            chr(160), ' ') AS s FROM hy2),
+      |hy4 AS (SELECT doc_id, s0, sa, sb, n_blocks_kept, n_blocks_dropped,
+      |          hy3.s AS sc, nfc_normalize(hy3.s) AS clean FROM hy3),
+      |lsp AS (SELECT doc_id, n_blocks_kept, n_blocks_dropped,
+      |          CAST(len(sa) < len(s0) AS INT) AS had_control,
+      |          CAST(sb <> sa AS INT) AS had_mojibake,
+      |          CAST(clean <> sc AS INT) AS had_nfc,
+      |          string_split(clean, chr(10)) AS l
+      |        FROM hy4),
+      |ln0 AS (SELECT doc_id, n_blocks_kept, n_blocks_dropped, had_control,
+      |          had_mojibake, had_nfc, unnest(range(1, len(l)+1)) AS i, l
+      |        FROM lsp),
+      |ln AS (SELECT doc_id, n_blocks_kept, n_blocks_dropped, had_control,
+      |         had_mojibake, had_nfc, i AS idx, l[i] AS line,
+      |         CAST(len(l) AS BIGINT) AS n_lines FROM ln0),
+      |keepd AS (SELECT *,
+      |          (len(trim(line)) < 10 OR row_number() OVER (
+      |             PARTITION BY doc_id, line ORDER BY idx) = 1) AS keep
+      |        FROM ln),
+      |fin AS (SELECT doc_id, n_blocks_kept, n_blocks_dropped, had_control,
+      |          had_mojibake, had_nfc, n_lines,
+      |          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_lines_kept,
+      |          string_agg(CASE WHEN keep THEN line END, chr(10)
+      |                     ORDER BY idx) AS final
+      |        FROM keepd
+      |        GROUP BY doc_id, n_blocks_kept, n_blocks_dropped, had_control,
+      |                 had_mojibake, had_nfc, n_lines)
+      |SELECT doc_id, md5(final) AS final_md5,
+      |       CAST(len(final) AS INT) AS n_chars_final,
+      |       n_blocks_kept, n_blocks_dropped,
+      |       had_control, had_mojibake, had_nfc,
+      |       n_lines, n_lines_kept,
+      |       round((n_lines - n_lines_kept) / CAST(n_lines AS DOUBLE), 6)
+      |         AS dup_line_fraction
+      |FROM fin ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.{DocRepetition, HtmlExtract, TextHygiene}
+    val ext = HtmlExtract.extract(
+      TextQueries.htmlCorpusOf(Tables.load(s, dir, "documents")),
+      "doc_id", "html")
+    val hyg = TextHygiene.clean(ext, "doc_id", "text")
+    val dd = DocRepetition.dedupLines(
+      hyg.select(col("doc_id"), col("text_clean").as("text")),
+      "doc_id", "text")
+    ext.select(col("doc_id"), col("n_blocks_kept"), col("n_blocks_dropped"))
+      .join(hyg.select(col("doc_id"),
+        col("had_control").cast("int").as("had_control"),
+        col("had_mojibake").cast("int").as("had_mojibake"),
+        col("had_nfc").cast("int").as("had_nfc")), Seq("doc_id"))
+      .join(dd.select(col("doc_id"),
+        md5(col("text_clean").cast("binary")).as("final_md5"),
+        col("n_chars_clean").as("n_chars_final"),
+        col("n_lines"), col("n_lines_kept"),
+        col("dup_line_fraction")), Seq("doc_id"))
+      .select("doc_id", "final_md5", "n_chars_final", "n_blocks_kept",
+        "n_blocks_dropped", "had_control", "had_mojibake", "had_nfc",
+        "n_lines", "n_lines_kept", "dup_line_fraction")
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13,
-      qF14)
+      qF14, qF15)
 }

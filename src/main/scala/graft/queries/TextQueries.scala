@@ -1339,11 +1339,18 @@ object TextQueries extends QueryGroup {
       lit("<h1>Title &quot;"), did, lit("&quot;</h1>"),
       lit("<p>"), expr("substring(coalesce(text, ''), 1, 220)"), lit("</p>"),
       lit("<div>"), expr("substring(coalesce(text, ''), 221)"),
+      // hygiene dirt: cp1252 mojibake, a BEL control char, an NFD pair
+      // — inert to the extract stage (md5-pinned), food for q_f15's
+      // downstream hygiene pass
+      lit(" caff\u00C3\u00A9 \u0007ctl a\u0300grave"),
       lit(" tail &#39;quoted&#39;</div><p>tiny</p>"),
       when(col("doc_id") % 7 === 0,
         concat(lit("<p>Linked para: <a href=\"/x\">"),
           expr("substring(coalesce(text, ''), 1, 40)"),
           lit("</a> plus trailing words here</p>"))).otherwise(lit("")),
+      // a verbatim REPEAT of the first paragraph: survives extraction as
+      // a duplicate line for q_f15's line-dedup stage
+      lit("<p>"), expr("substring(coalesce(text, ''), 1, 220)"), lit("</p>"),
       when(col("doc_id") % 9 === 0, lit("<malformed attr=")).otherwise(lit("")),
       lit("<footer><a href=\"/terms\">Terms of Service</a> | " +
         "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
@@ -1351,7 +1358,7 @@ object TextQueries extends QueryGroup {
   }
 
   /** The oracle's identical page construction (DuckDB `||` form). */
-  private val htmlCorpusSql: String =
+  private[queries] val htmlCorpusSql: String =
     """sel AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
       |h AS (
       |  SELECT doc_id,
@@ -1364,10 +1371,12 @@ object TextQueries extends QueryGroup {
       |    '<h1>Title &quot;' || CAST(doc_id AS VARCHAR) || '&quot;</h1>' ||
       |    '<p>' || substr(text, 1, 220) || '</p>' ||
       |    '<div>' || substr(text, 221) ||
+      |    ' caffÃ© ' || chr(7) || 'ctl a' || chr(768) || 'grave' ||
       |    ' tail &#39;quoted&#39;</div><p>tiny</p>' ||
       |    CASE WHEN doc_id % 7 = 0
       |         THEN '<p>Linked para: <a href="/x">' || substr(text, 1, 40) ||
       |              '</a> plus trailing words here</p>' ELSE '' END ||
+      |    '<p>' || substr(text, 1, 220) || '</p>' ||
       |    CASE WHEN doc_id % 9 = 0 THEN '<malformed attr=' ELSE '' END ||
       |    '<footer><a href="/terms">Terms of Service</a> | ' ||
       |    '<a href="/privacy">Privacy</a></footer></body></html>' AS html
@@ -1381,7 +1390,7 @@ object TextQueries extends QueryGroup {
     * 'g' flag; replacement backrefs are `\1` (Java: `$1`) — the engines
     * differ ONLY in that spelling.
     */
-  private val htmlBlocksSql: String =
+  private[queries] val htmlBlocksSql: String =
     """t1 AS (SELECT doc_id,
       |         translate(html, chr(1)||chr(2)||chr(3), '') AS s FROM h),
       |t2 AS (SELECT doc_id,
