@@ -57,11 +57,17 @@ object AnnIndex {
       vecCol: String,
       path: String,
       numCentroids: Int = 16,
-      kmeansIters: Int = 3): Unit = {
+      kmeansIters: Int = 3,
+      fitOn: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // fitOn: fit the centroid model on a different frame than the one
+    // being indexed — the reference arm of the append-≡-rebuild gate
+    // (append-grown indexes carry the SEED corpus's centroids by
+    // construction, so the rebuild they must equal does too)
     val centroids = SimilaritySearch.kmeansCentroids(
-      corpus, idCol, vecCol, numCentroids, iters = kmeansIters)
+      fitOn.getOrElse(corpus), idCol, vecCol, numCentroids,
+      iters = kmeansIters)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
@@ -73,6 +79,31 @@ object AnnIndex {
         element_at(SimilaritySearch.bestCellsOf(cLits)(col(vecCol), 1), 1)
           .getField("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(assignmentsPath(path))
+  }
+
+  /** Fold an ingest batch into a persisted IVF index — the
+    * [[DedupIndex]]/[[SubstringIndex]] append discipline for ANN: the
+    * batch assigns against the PERSISTED centroid model (a bounded
+    * artifact read, no re-fit, no corpus re-scan) and appends into the
+    * cell-partitioned assignments, so probe-time pruning keeps working
+    * and the index state equals a rebuild that indexes the grown corpus
+    * under the SEED corpus's centroids (the q_v22 equality gate).
+    * Append work ∝ batch. Centroid drift under heavy growth is a
+    * re-fit decision for the caller — the model is versioned by the
+    * index path, the standard IVF operational posture.
+    */
+  def appendIvf(
+      newCorpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val spark = newCorpus.sparkSession
+    val cLits = loadIvfCentroids(spark, path).map(c => typedlit(c))
+    graft.Tables.spread(newCorpus)
+      .withColumn("cell",
+        element_at(SimilaritySearch.bestCellsOf(cLits)(col(vecCol), 1), 1)
+          .getField("cell"))
+      .write.mode("append").partitionBy("cell").parquet(assignmentsPath(path))
   }
 
   /** The persisted centroid set, cell-ordered — a bounded model-artifact

@@ -745,7 +745,47 @@ object SimilarityQueries extends QueryGroup {
       k = 8, iterations = 2)
   }
 
+  // Incremental persisted IVF (AnnIndex.appendIvf — the DedupIndex/
+  // SubstringIndex append discipline completing the index triad): seed
+  // slice indexed, batch appended against the PERSISTED centroids (no
+  // re-fit), and the grown index must serve queries IDENTICALLY to a
+  // rebuild of the full corpus under the seed's centroids — the
+  // append-≡-rebuild equality REQUIREd in-plan (the q_v10 assert_true
+  // posture), with the recall floor vs exact as the oracle row.
+  private val qV22 = Q(
+    "q_v22_ann_ivf_append",
+    """SELECT vec_id AS query_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val seed = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val qs = emb.filter(col("vec_id") < 8)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ann_app_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.operators.AnnIndex.writeIvf(
+      seed, "vec_id", "embedding", s"$base/grown",
+      numCentroids = 16, kmeansIters = 3)
+    graft.operators.AnnIndex.appendIvf(
+      batch, "vec_id", "embedding", s"$base/grown")
+    graft.operators.AnnIndex.writeIvf(
+      emb, "vec_id", "embedding", s"$base/rebuilt",
+      numCentroids = 16, kmeansIters = 3, fitOn = Some(seed))
+    val grown = graft.operators.AnnIndex.ivfTopKPersisted(
+      s, s"$base/grown", qs, "vec_id", "embedding", k = 10, nprobe = 8)
+    val rebuilt = graft.operators.AnnIndex.ivfTopKPersisted(
+      s, s"$base/rebuilt", qs, "vec_id", "embedding", k = 10, nprobe = 8)
+    val exact = SimilaritySearch.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10)
+    val nDiff = grown.exceptAll(rebuilt).union(rebuilt.exceptAll(grown))
+      .agg(count(lit(1)).as("__n_diff"))
+    SimilaritySearch.recallAtK(exact, grown, 10)
+      .select(col("query_id"), (col("recall") >= 0.3).as("recall_ok"))
+      .crossJoin(broadcast(nDiff))
+      .filter(assert_true(col("__n_diff") === 0,
+        lit("q_v22: append-grown IVF diverges from the seed-centroid rebuild")).isNull)
+      .drop("__n_diff")
+      .orderBy("query_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qV0, qV1, qV2, qV3, qV4, qV5, qV6, qV7, qV8, qV9, qV10, qV11, qV12, qV13,
-      qV14, qV15, qV16, qV17, qV18, qV19, qV20, qV21)
+      qV14, qV15, qV16, qV17, qV18, qV19, qV20, qV21, qV22)
 }

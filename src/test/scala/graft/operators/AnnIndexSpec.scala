@@ -64,4 +64,25 @@ class AnnIndexSpec extends SparkSpec {
     val books = AnnIndex.loadPqCodebooks(spark, s"$tmp/pq")
     assert(books.length === 8 && books.forall(_.length === 16))
   }
+
+  test("appendIvf: seed + append == rebuild under the seed's centroids") {
+    val seed = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    AnnIndex.writeIvf(seed, "vec_id", "embedding", s"$tmp/ivf_app",
+      numCentroids = 8, kmeansIters = 3)
+    AnnIndex.appendIvf(batch, "vec_id", "embedding", s"$tmp/ivf_app")
+    // reference: index the FULL corpus under the centroids fit on the
+    // seed slice only — exactly the state append must reproduce
+    AnnIndex.writeIvf(emb, "vec_id", "embedding", s"$tmp/ivf_ref",
+      numCentroids = 8, kmeansIters = 3, fitOn = Some(seed))
+    val qs = emb.filter(col("vec_id") < 6)
+    val grown = AnnIndex.ivfTopKPersisted(
+      spark, s"$tmp/ivf_app", qs, "vec_id", "embedding", k = 8, nprobe = 4)
+    val rebuilt = AnnIndex.ivfTopKPersisted(
+      spark, s"$tmp/ivf_ref", qs, "vec_id", "embedding", k = 8, nprobe = 4)
+    assert(grown.exceptAll(rebuilt).isEmpty, "grown ⊆ rebuilt")
+    assert(rebuilt.exceptAll(grown).isEmpty, "rebuilt ⊆ grown")
+    // batch vectors actually serve: a neighbor from the appended slice
+    assert(grown.filter(col("neighbor_id") % 4 === 0).count() > 0)
+  }
 }
