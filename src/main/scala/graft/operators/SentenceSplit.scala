@@ -37,15 +37,15 @@ object SentenceSplit {
     * `e.g.`/`i.e.` via their own entries below).
     */
   private val abbrevPattern =
-    s"(^|[ (])((?i:${abbrevs.mkString("|")})|[A-Z])\\."
+    s"(^|[ (\\n\\t])((?i:${abbrevs.mkString("|")})|[A-Z])\\."
 
   /** Segmented text with U+0001 sentence delimiters. */
   def markBoundaries(text: Column): Column = {
     val noCtl = translate(coalesce(text, lit("")), "\u0001\u0002", "")
     // e.g. / i.e. — both dots protected as a unit
     val egie = regexp_replace(
-      regexp_replace(noCtl, "([ (])e\\.g\\.", "$1e\u0002g\u0002"),
-      "([ (])i\\.e\\.", "$1i\u0002e\u0002")
+      regexp_replace(noCtl, "([ (\\n\\t])e\\.g\\.", "$1e\u0002g\u0002"),
+      "([ (\\n\\t])i\\.e\\.", "$1i\u0002e\u0002")
     // run twice: consecutive initials ("J. K. Rowling") overlap — the
     // second match starts inside the first's consumed region, which one
     // global pass cannot see (same two-pass idiom as the q_t34 chain)

@@ -75,9 +75,9 @@ object UrlOps {
     regexp_replace(deslashed, "([^:/?#])/(\\?|$)", "$1$2")
   }
 
-  /** Host of an (already canonical) URL. */
+  /** Host of an (already canonical) URL — userinfo (`user@`) skipped. */
   def host(url: Column): Column =
-    regexp_extract(url, "^[^:/?#]+://([^/?#:]*)", 1)
+    regexp_extract(url, "^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:@]*)", 1)
 
   /** Registrable domain of a host (see object doc for the suffix
     * subset).

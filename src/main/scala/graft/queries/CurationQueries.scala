@@ -1161,7 +1161,8 @@ object CurationQueries extends QueryGroup {
       |         regexp_replace(regexp_replace(s, '([^:/])//+', '\1/', 'g'),
       |           '([^:/?#])/(\?|$)', '\1\2', 'g') AS url_canon FROM c4),
       |hd AS (SELECT doc_id, url_canon,
-      |         regexp_extract(url_canon, '^[^:/?#]+://([^/?#:]*)', 1) AS host
+      |         regexp_extract(url_canon,
+      |           '^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:@]*)', 1) AS host
       |       FROM c5),
       |dm AS (SELECT doc_id, url_canon, host,
       |         CASE WHEN len(regexp_extract(host,

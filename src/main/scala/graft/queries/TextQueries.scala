@@ -1630,14 +1630,14 @@ object TextQueries extends QueryGroup {
       |  FROM documents),
       |c1 AS (SELECT doc_id, translate(t, chr(1) || chr(2), '') AS s FROM raw),
       |c2 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
-      |         '([ (])e\.g\.', '\1e' || chr(2) || 'g' || chr(2), 'g'),
-      |         '([ (])i\.e\.', '\1i' || chr(2) || 'e' || chr(2), 'g') AS s
+      |         '([ (\n\t])e\.g\.', '\1e' || chr(2) || 'g' || chr(2), 'g'),
+      |         '([ (\n\t])i\.e\.', '\1i' || chr(2) || 'e' || chr(2), 'g') AS s
       |       FROM c1),
       |c3 AS (SELECT doc_id, regexp_replace(s,
-      |         '(^|[ (])((?i:Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Jr|Sr|Inc|Ltd|Co|No|Fig|al|approx|Dept)|[A-Z])\.',
+      |         '(^|[ (\n\t])((?i:Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Jr|Sr|Inc|Ltd|Co|No|Fig|al|approx|Dept)|[A-Z])\.',
       |         '\1\2' || chr(2), 'g') AS s FROM c2),
       |c4 AS (SELECT doc_id, regexp_replace(s,
-      |         '(^|[ (])((?i:Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Jr|Sr|Inc|Ltd|Co|No|Fig|al|approx|Dept)|[A-Z])\.',
+      |         '(^|[ (\n\t])((?i:Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Jr|Sr|Inc|Ltd|Co|No|Fig|al|approx|Dept)|[A-Z])\.',
       |         '\1\2' || chr(2), 'g') AS s FROM c3),
       |c5 AS (SELECT doc_id, replace(regexp_replace(s,
       |         '([.!?]+["'')\]]*) +(["''(\[]*[A-Z0-9])',

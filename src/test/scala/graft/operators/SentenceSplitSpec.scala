@@ -43,6 +43,11 @@ class SentenceSplitSpec extends SparkSpec {
     assert(got === Seq(("What?!", 6, 1), ("Two words.", 10, 2), ("One.", 4, 1)))
   }
 
+  test("abbreviations protected after newlines and tabs too") {
+    assert(run("First line ends.\nDr. Smith continues. Done.") ===
+      Seq("First line ends.\nDr. Smith continues.", "Done."))
+  }
+
   test("degenerates: empty, null, whitespace-only") {
     assert(run("") === Seq())
     assert(run("   ") === Seq())

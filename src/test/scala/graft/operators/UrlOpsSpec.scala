@@ -75,6 +75,14 @@ class UrlOpsSpec extends SparkSpec {
     assert(doms === Seq("example.com", "bbc.co.uk", "shop.com.au", ""))
   }
 
+  test("userinfo is not part of the host or domain") {
+    val got = UrlOps.normalize(
+      Seq((1L, "https://user:pw@www.ex.com/a")).toDF("id", "url"),
+      "id", "url").select("host", "domain").as[(String, String)]
+      .collect().head
+    assert(got === ("www.ex.com", "ex.com"))
+  }
+
   test("domain cap keeps a deterministic hash-ranked subset") {
     val urls = (0 until 10).map(i => (i.toLong, s"https://far.ex.com/p$i")) ++
       Seq((100L, "https://other.org/only"))
