@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVectorDot, GifFramePixels, HyperplaneSignature, JaroWinkler, JpegBaselinePixels, MinHashSignature, MultiMatch, MultiMatchCounts, PngUnfilteredPixels, SimHash64, ZlibInflate}
+import graft.expressions.{FloatVectorDot, GifFramePixels, HyperplaneSignature, JaroWinkler, JpegBaselinePixels, MinHashSignature, MultiMatch, MultiMatchCounts, NfcNormalize, PngUnfilteredPixels, SimHash64, Utf8DecodeLenient, ZlibInflate}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users (and the registered
@@ -134,6 +134,21 @@ object GraftExtensions {
       children => {
         require(children.length == 2, "multi_match_counts(string, array<string>)")
         MultiMatchCounts(children(0), strArrayLit(children(1), "patterns"))
+      }),
+    (
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      children => {
+        require(children.length == 1, "nfc_normalize(string)")
+        NfcNormalize(children(0))
+      }),
+    (
+      new FunctionIdentifier("utf8_decode_lenient"),
+      new ExpressionInfo(classOf[Utf8DecodeLenient].getName,
+        "utf8_decode_lenient"),
+      children => {
+        require(children.length == 1, "utf8_decode_lenient(binary)")
+        Utf8DecodeLenient(children(0))
       }))
 
   /** Same registrations applied to an already-running session (extensions

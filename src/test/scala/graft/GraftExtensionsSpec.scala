@@ -15,6 +15,18 @@ class GraftExtensionsSpec extends SparkSpec {
     } finally spark.sql("DROP VIEW IF EXISTS v")
   }
 
+  test("nfc_normalize / utf8_decode_lenient are callable from SQL") {
+    GraftExtensions.register(spark)
+    val nfc = spark.sql(
+      s"SELECT nfc_normalize('e${"\u0301"}clair') AS s")
+      .collect()(0).getString(0)
+    assert(nfc === "\u00E9clair")
+    val dec = spark.sql(
+      "SELECT utf8_decode_lenient(cast(x'6f6bc378ff7a' AS BINARY)) AS s")
+      .collect()(0).getString(0)
+    assert(dec === "ok\uFFFDx\uFFFDz")
+  }
+
   test("registration is idempotent and registry-visible") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark) // createOrReplace semantics: no throw
