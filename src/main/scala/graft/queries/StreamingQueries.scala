@@ -830,9 +830,39 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id", "block_idx")
   }
 
+  // Streaming Unicode/encoding hygiene (q_t35's landing-zone twin):
+  // the 4-stage pass is scan-side column algebra, so the micro-batched
+  // run must equal the batch run row for row — same oracle.
+  private val qSt36 = Q(
+    "q_st36_stream_text_hygiene",
+    TextQueries.qT35.oracle.get) { (s, dir) =>
+    import org.apache.spark.sql.functions.{md5 => fmd5}
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch =>
+        graft.operators.TextHygiene
+          .clean(TextQueries.plantedHygieneCorpus(batch), "doc_id", "text")
+          .select(
+            org.apache.spark.sql.functions.col("doc_id"),
+            fmd5(org.apache.spark.sql.functions.col("text_clean")
+              .cast("binary")).as("clean_md5"),
+            org.apache.spark.sql.functions.col("n_chars_raw"),
+            org.apache.spark.sql.functions.col("n_chars_clean"),
+            org.apache.spark.sql.functions.col("had_control").cast("int")
+              .as("had_control"),
+            org.apache.spark.sql.functions.col("had_mojibake").cast("int")
+              .as("had_mojibake"),
+            org.apache.spark.sql.functions.col("had_invisible").cast("int")
+              .as("had_invisible"),
+            org.apache.spark.sql.functions.col("had_nfc").cast("int")
+              .as("had_nfc"),
+            org.apache.spark.sql.functions.col("changed").cast("int")
+              .as("changed"))
+    }.orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
       qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33, qSt34,
-      qSt35)
+      qSt35, qSt36)
 }

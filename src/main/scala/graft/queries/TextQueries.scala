@@ -1471,7 +1471,27 @@ object TextQueries extends QueryGroup {
   // members built with chr()), DuckDB nfc_normalize for the native
   // NfcNormalize expression. Cleaned text pinned by md5 + lengths;
   // flags CAST to INT (the q_m10 boolean rule).
-  private val qT35 = Q(
+  /** The q_t35 planted-dirt construction, shared with its streaming
+    * twin: mojibake / zero-width / control / NFD suffixes by doc_id
+    * residue appended to the document text.
+    */
+  private[queries] def plantedHygieneCorpus(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(
+        coalesce(col("text"), lit("")),
+        when(col("doc_id") % 3 === 0, lit(
+          " caff\u00C3\u00A9 \u00E2\u20AC\u0153moji\u00E2\u20AC\u2122" +
+            " l\u00C3\u00A0 v\u00C3\u00ADx")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(
+          " ze\u200Bro\uFEFFwi\u00ADdth")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(
+          " ct\u0007rl\u000Bs")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(
+          " ne\u0301e a\u0300")).otherwise(lit("")))
+        .as("text"))
+
+  private[queries] val qT35 = Q(
     "q_t35_text_hygiene",
     """WITH raw AS (
       |  SELECT doc_id,
@@ -1526,21 +1546,9 @@ object TextQueries extends QueryGroup {
       |       CAST(CASE WHEN clean <> s0 THEN 1 ELSE 0 END AS INT) AS changed
       |FROM s4
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val planted = Tables.load(s, dir, "documents").select(
-      col("doc_id"),
-      concat(
-        coalesce(col("text"), lit("")),
-        when(col("doc_id") % 3 === 0, lit(
-          " caff\u00C3\u00A9 \u00E2\u20AC\u0153moji\u00E2\u20AC\u2122" +
-            " l\u00C3\u00A0 v\u00C3\u00ADx")).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, lit(
-          " ze\u200Bro\uFEFFwi\u00ADdth")).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, lit(
-          " ct\u0007rl\u000Bs")).otherwise(lit("")),
-        when(col("doc_id") % 6 === 0, lit(
-          " ne\u0301e a\u0300")).otherwise(lit("")))
-        .as("text"))
-    graft.operators.TextHygiene.clean(planted, "doc_id", "text")
+    graft.operators.TextHygiene.clean(
+      plantedHygieneCorpus(Tables.load(s, dir, "documents")),
+      "doc_id", "text")
       .select(
         col("doc_id"),
         md5(col("text_clean").cast("binary")).as("clean_md5"),
