@@ -49,6 +49,11 @@ object Explain {
     "q_d24_substring_index_probe", // postings scan carries a PartitionFilters
                                // dynamicpruning(kp IN batch-prefixes) — the
                                // probe ∝ batch claim, plan-pinned
+    "q_t34_html_extract",      // the whole textify regex chain + block
+                               // classification runs scan-side: Scan →
+                               // Project → Generate → Filter → Projects,
+                               // then ONE per-doc window Exchange; the only
+                               // other Exchange is the output ORDER BY
     "q_t32_blocklist_annotate") // multi_match inside WholeStageCodegen;
                                // single text scan, zero shuffle pre-sort
 
