@@ -81,6 +81,21 @@ class HtmlExtractSpec extends SparkSpec {
       2L, 2L)))
   }
 
+  test("block tag nested inside an anchor: unbalanced markers count as text") {
+    // documented boundary: the <div> splits the anchor's markers across
+    // blocks; unbalanced markers never match the link-segment pattern,
+    // so the mass counts as plain text (undercounts link density)
+    val got = blockRows(
+      "<p>before text stays intact here</p>" +
+        "<a href='/x'><div>inside the anchor division</div></a>" +
+        "<p>after text also stays intact</p>", 1)
+    assert(got.map(_._1) === Seq(
+      "before text stays intact here",
+      "inside the anchor division",
+      "after text also stays intact"))
+    assert(got(1)._4 === 0) // no balanced segment -> zero link chars
+  }
+
   test("degenerate inputs: null html, empty html, all-boilerplate doc") {
     val df = Seq(
       (1L, null.asInstanceOf[String]),

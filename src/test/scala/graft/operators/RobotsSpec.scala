@@ -68,6 +68,19 @@ class RobotsSpec extends SparkSpec {
       ("/free", true))) // the empty Disallow did NOT block everything
   }
 
+  test("rules before any User-agent line are ignored (RFC: groupless)") {
+    val orphan = "Disallow: /\nUser-agent: *\nDisallow: /only/"
+    val got = Robots.decide(
+      Seq(("c.com", orphan)).toDF("host", "robots"), "host", "robots",
+      Seq(("c.com", "/anything"), ("c.com", "/only/x")).toDF("host", "path"),
+      "host", "path", "anybot")
+      .orderBy("path")
+      .as[(String, String, Boolean, Option[String], Option[Boolean])]
+      .collect().toSeq
+    assert(got.map(r => (r._2, r._3)) ===
+      Seq(("/anything", true), ("/only/x", false)))
+  }
+
   test("host without robots rows: everything allowed") {
     val got = Robots.decide(
       Seq(("a.com", body)).toDF("host", "robots"), "host", "robots",

@@ -82,6 +82,22 @@ class SubstringIndexSpec extends SparkSpec {
     assert((pa -- pc).exists(_._1 == 12L))
   }
 
+  test("probe after append: invariant holds against the grown index") {
+    val idx = Files.createTempDirectory("graft_ssi").toString
+    SubstringIndex.write(oldDocs.toDF("doc_id", "text"), "doc_id", "text",
+      idx, L, nBuckets = 8)
+    SubstringIndex.appendBatch(batch.toDF("doc_id", "text"), "doc_id", "text",
+      idx, L, nBuckets = 8)
+    val batch2 = Seq(
+      (20L, "jumps over the lazy cat"), // collides with doc 0's grams
+      (21L, "internal zzz again"))      // collides with doc 12's grams
+    val got = SubstringIndex.probe(spark, idx, batch2.toDF("doc_id", "text"),
+      "doc_id", "text", L, nBuckets = 8)
+      .unionByName(SubstringIndex.duplicateWindows(spark, idx))
+      .as[(Long, Long)].collect().toSet
+    assert(got === bruteDup(oldDocs ++ batch ++ batch2, crossDoc = true))
+  }
+
   test("batch of empty/short docs probes to nothing") {
     val idx = Files.createTempDirectory("graft_ssi").toString
     SubstringIndex.write(oldDocs.toDF("doc_id", "text"), "doc_id", "text",
