@@ -34,12 +34,21 @@ object Bench {
     // per-query references from the previously COMMITTED quiet sweep —
     // read before this run overwrites the file; powers the second-pass
     // retry below. json4s ships with Spark.
+    // a contended prior sweep is NOT a usable retry reference (its rows
+    // are noise — comparing against them would retry everything or
+    // nothing at random), so the retry pass disarms (the r15 ADVICE
+    // self-consistency fix)
     val priorQuietRef: Map[String, Double] = try {
       import org.json4s._
-      val txt = new String(
+      val parsed = org.json4s.jackson.JsonMethods.parse(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(benchOut)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+        java.nio.charset.StandardCharsets.UTF_8))
+      val priorContended = parsed \ "contended" match {
+        case JBool(b) => b
+        case _ => false
+      }
+      if (priorContended) Map.empty[String, Double]
+      else parsed \ "queries" match {
         case JObject(fields) => fields.collect {
           case (k, JDouble(v)) => k -> v
           case (k, JInt(v)) => k -> v.toDouble
@@ -158,9 +167,15 @@ object Bench {
       .mkString("{", ",", "}")
     val retriedJson = retried.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    // the UNSPLICED best-of-2 map rides along so the artifact is
+    // self-consistent: "first_pass" rows sum with the cold pass that
+    // produced "value"; "queries" is the retry-corrected view
+    val firstPassJson = results.map { case (k, _, b) => jstr(k) + ":" + b }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFinal,"errors":$errs,""" +
         s""""canaries":$canaryJson,"contended":$contended,"retried":$retriedJson,""" +
+        s""""first_pass":$firstPassJson,""" +
         s""""sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, which has truncated

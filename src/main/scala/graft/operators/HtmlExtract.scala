@@ -106,6 +106,30 @@ object HtmlExtract {
     * whitespace-collapsed trimmed block text; `n_link_chars` sums the
     * collapsed-trimmed lengths of the block's balanced anchor segments.
     */
+  /** Every split element (INCLUDING empty ones — a document whose html
+    * produces no text still yields its rows here, which is what lets
+    * [[extract]] stay total without a join back to the input):
+    * (doc_id, __b, block_text, n_chars, n_link_chars).
+    */
+  private def blocksRaw(
+      docs: DataFrame,
+      idCol: String,
+      htmlCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(textify(col(htmlCol)), BLK)).as(Seq("__b", "__raw")))
+      .withColumn("block_text",
+        trim(regexp_replace(translate(col("__raw"), LA + LZ, ""), "\\s+", " ")))
+      .withColumn("n_link_chars",
+        aggregate(
+          regexp_extract_all(col("__raw"),
+            lit(LA + "([^" + LA + LZ + "]*)" + LZ), lit(1)),
+          lit(0),
+          (acc, x) =>
+            acc + length(trim(regexp_replace(x, "\\s+", " ")))))
+      .withColumn("n_chars", length(col("block_text")))
+      .drop("__raw")
+
   def blocks(
       docs: DataFrame,
       idCol: String,
@@ -116,20 +140,8 @@ object HtmlExtract {
     require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
       "maxLinkDensity must be in [0, 1]")
     val w = Window.partitionBy("doc_id").orderBy("__b")
-    docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(textify(col(htmlCol)), BLK)).as(Seq("__b", "__raw")))
-      .withColumn("block_text",
-        trim(regexp_replace(translate(col("__raw"), LA + LZ, ""), "\\s+", " ")))
+    blocksRaw(docs, idCol, htmlCol)
       .filter(length(col("block_text")) > 0)
-      .withColumn("n_link_chars",
-        aggregate(
-          regexp_extract_all(col("__raw"),
-            lit(LA + "([^" + LA + LZ + "]*)" + LZ), lit(1)),
-          lit(0),
-          (acc, x) =>
-            acc + length(trim(regexp_replace(x, "\\s+", " ")))))
-      .withColumn("n_chars", length(col("block_text")))
       .select(
         col("doc_id"),
         (row_number().over(w) - 1).as("block_idx"),
@@ -145,25 +157,41 @@ object HtmlExtract {
   }
 
   /** The cleaned document: content blocks joined with `\n` in source
-    * order — (doc_id, text, n_blocks_kept, n_blocks_dropped). Documents
-    * whose every block is boilerplate come out with empty text (kept in
-    * the frame: a row per input document that produced any block).
+    * order — (doc_id, text, n_blocks_kept, n_blocks_dropped). TOTAL:
+    * one row per input document, including documents that produce no
+    * text block at all (empty text, zero counts) — aggregated over the
+    * unfiltered split elements, so totality costs no join back to the
+    * input (the r15 ADVICE q_f15 engine/oracle-divergence fix).
     */
   def extract(
       docs: DataFrame,
       idCol: String,
       htmlCol: String,
       minChars: Int = 25,
-      maxLinkDensity: Double = 0.33): DataFrame =
-    blocks(docs, idCol, htmlCol, minChars, maxLinkDensity)
+      maxLinkDensity: Double = 0.33): DataFrame = {
+    require(minChars >= 1, "minChars must be positive")
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      "maxLinkDensity must be in [0, 1]")
+    val nonEmpty = length(col("block_text")) > 0
+    // greatest(…, 1): empty rows reach this aggregate now, and ANSI
+    // faults a 0 divisor even under a false guard (subexpression
+    // elimination hoists the division); n_chars >= minChars >= 1 makes
+    // the clamp a no-op on every row the predicate can accept
+    val isContent = col("n_chars") >= minChars &&
+      col("n_link_chars").cast("double") / greatest(col("n_chars"), lit(1)) <=
+        maxLinkDensity
+    blocksRaw(docs, idCol, htmlCol)
       .groupBy(col("doc_id"))
       .agg(
         concat_ws("\n",
           transform(
             array_sort(collect_list(
-              when(col("is_content"),
-                struct(col("block_idx"), col("block_text"))))),
+              when(nonEmpty && isContent,
+                struct(col("__b"), col("block_text"))))),
             s => s.getField("block_text"))).as("text"),
-        sum(when(col("is_content"), 1L).otherwise(0L)).as("n_blocks_kept"),
-        sum(when(!col("is_content"), 1L).otherwise(0L)).as("n_blocks_dropped"))
+        sum(when(nonEmpty && isContent, 1L).otherwise(0L))
+          .as("n_blocks_kept"),
+        sum(when(nonEmpty && !isContent, 1L).otherwise(0L))
+          .as("n_blocks_dropped"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,18 +20,29 @@ import org.apache.spark.sql.functions._
   *   - agent resolution: groups naming the product token exactly
   *     (case-insensitive) win; only when none exists do the `*` groups
   *     apply — never both;
-  *   - URL decision: longest-matching pattern wins, Allow wins
+  *   - URL decision: longest-matching pattern wins (pattern length in
+  *     characters, the reference-parser convention), Allow wins
   *     length ties (least-restrictive, per the RFC), no match ⇒
-  *     allowed.
+  *     allowed;
+  *   - wildcards (RFC 9309 MUST-support, r15 VERDICT task #2): `*`
+  *     matches any character sequence anywhere in the pattern and a
+  *     TRAILING `$` anchors the match at the path end. Wildcard rules
+  *     compile in-plan to anchored RE2-safe regexes (metacharacters
+  *     escaped, `*` → `.*`, the trailing `$` kept as the anchor; a
+  *     non-trailing `$` is literal). Wildcard-FREE rules keep the
+  *     literal-prefix fast path — no regex evaluation on the dominant
+  *     real-world rule shape.
   *
-  * Documented boundary: patterns match as literal PATH PREFIXES — the
-  * RFC's `*`/`$` wildcards and percent-encoding equivalence are not
-  * implemented (the dominant real-world rules are plain prefixes).
+  * Documented boundary: percent-encoding equivalence is not
+  * implemented (rules and paths compare as given; canonicalize the
+  * frontier through [[UrlOps]] first).
   *
   * Scale shape: parse = one explode + per-host windows (partition
   * width = lines in one robots.txt, bounded); decision = one
-  * urls × host-rules equi-join on host (rule side is small —
-  * AQE-broadcast in practice) + one per-URL argmax aggregate.
+  * distinct-(host,path) × host-rules equi-join on host (rule side is
+  * small — AQE-broadcast in practice) + one per-URL argmax aggregate,
+  * then one join back to the frontier (so input multiplicity and any
+  * extra frontier columns survive — the r15 ADVICE contract fix).
   */
 object Robots {
 
@@ -89,9 +100,25 @@ object Robots {
       .select("host", "pattern", "allow")
   }
 
-  /** Frontier decisions: (host, path, allowed, matched_pattern,
-    * matched_allow) — one row per input URL; `matched_*` null when no
-    * rule matched (⇒ allowed).
+  /** Compile one rule pattern to its anchored RE2-safe regex: escape
+    * every metacharacter except `*`, `*` → `.*`, keep a TRAILING `$`
+    * as the end anchor (a non-trailing `$` is literal, escaped).
+    */
+  private[operators] def compiledRegex(pattern: Column): Column = {
+    val eol = pattern.endsWith("$")
+    val core = when(eol,
+      substring(pattern, lit(1), length(pattern) - 1)).otherwise(pattern)
+    val escaped =
+      regexp_replace(core, "([.^$+?(){}|\\[\\]\\\\])", "\\\\$1")
+    concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(eol, "$").otherwise(""))
+  }
+
+  /** Frontier decisions: the input frame with (allowed, matched_pattern,
+    * matched_allow) appended — one row per input URL row (duplicates
+    * preserved, extra columns passed through); `matched_*` null when no
+    * rule matched (⇒ allowed). A null host/path row matches no rules
+    * and comes back allowed.
     */
   def decide(
       robots: DataFrame,
@@ -102,11 +129,18 @@ object Robots {
       pathCol: String,
       agent: String): DataFrame = {
     val r = rules(robots, hostCol, bodyCol, agent)
-    val u = urls.select(
-      col(urlHostCol).as("host"), col(pathCol).as("path"))
-    u.join(r, Seq("host"), "left")
-      .withColumn("__m",
-        col("pattern").isNotNull && col("path").startsWith(col("pattern")))
+    // decisions per DISTINCT (host, path): the rule join + argmax runs
+    // once per unique frontier key, not once per duplicate row
+    val keys = urls
+      .select(col(urlHostCol).as("host"), col(pathCol).as("path"))
+      .distinct()
+    val hasWild =
+      col("pattern").contains("*") || col("pattern").endsWith("$")
+    val matched = col("pattern").isNotNull && when(hasWild,
+      regexp_like(col("path"), compiledRegex(col("pattern"))))
+      .otherwise(col("path").startsWith(col("pattern")))
+    val dec = keys.join(r, Seq("host"), "left")
+      .withColumn("__m", matched)
       .groupBy("host", "path")
       .agg(
         max_by(
@@ -116,10 +150,12 @@ object Robots {
               col("allow").cast("int").as("a")))).as("__best"),
         max(col("__m").cast("int")).as("__any"))
       .select(
-        col("host"), col("path"),
+        col("host").as(urlHostCol), col("path").as(pathCol),
         when(col("__any") === 1, col("__best.allow")).otherwise(lit(true))
           .as("allowed"),
         when(col("__any") === 1, col("__best.pattern")).as("matched_pattern"),
         when(col("__any") === 1, col("__best.allow")).as("matched_allow"))
+    urls.join(dec, Seq(urlHostCol, pathCol), "left")
+      .withColumn("allowed", coalesce(col("allowed"), lit(true)))
   }
 }

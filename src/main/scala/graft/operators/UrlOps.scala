@@ -15,18 +15,18 @@ import org.apache.spark.sql.functions._
   * Everything is a fixed RE2-compatible regexp chain (the q_t10 /
   * [[HtmlExtract]] oracle-parity discipline):
   *
-  *   - canonicalize: lowercase scheme+host (path/query case is
-  *     preserved — it is significant), strip `#fragment`, strip
+  *   - canonicalize: lowercase scheme+host (path/query case AND any
+  *     `user:pass@` userinfo are preserved — they are significant),
+  *     strip `#fragment`, strip
   *     default ports (`:80` http, `:443` https), strip the common
   *     tracking parameters (`utm_*`, `gclid`, `fbclid`, `ref`), strip
   *     a dangling `?`/`&`, collapse duplicate slashes in the path
   *     (scheme `//` preserved), drop one trailing `/` from a non-root
   *     path;
-  *   - registrable domain: the last two host labels, or the last
-  *     three under the common two-part public suffixes (`co.uk`,
-  *     `com.au`, …). The full Public Suffix List is a moving external
-  *     artifact; the embedded subset covers the dominant cases and the
-  *     boundary is explicit in this doc.
+  *   - registrable domain: decided against the PINNED Public Suffix
+  *     List snapshot in [[PublicSuffix]] (two- and three-label rules,
+  *     wildcards, exceptions — version-stamped; refreshing the
+  *     snapshot is a versioned code change, the explicit boundary).
   *
   * Scale shape: canonicalize + domain are pure scan-side column
   * transforms; the per-domain cap is one window ranked by a
@@ -36,8 +36,10 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Two-part public suffixes under which the registrable domain takes
-    * three labels (embedded subset; see object doc for the boundary).
+  /** Two-part public suffixes — LEGACY embedded subset kept only as
+    * documentation of the original boundary; the domain rule now rides
+    * the pinned PSL snapshot in [[PublicSuffix]] (version
+    * [[PublicSuffix.snapshotVersion]], r15 VERDICT task #4).
     */
   val twoPartSuffixes: Seq[String] = Seq(
     "co\\.uk", "org\\.uk", "ac\\.uk", "gov\\.uk",
@@ -58,9 +60,15 @@ object UrlOps {
     */
   def canonicalize(url: Column): Column = {
     val u0 = trim(coalesce(url, lit("")))
-    // lowercase scheme://host (userinfo-free authority up to /?#)
+    // lowercase ONLY the scheme and the post-@ host:port — userinfo
+    // (`User:Pass@`) is case-significant and passes through verbatim
+    // (the r15 ADVICE fix; first-`@` semantics, matching [[host]]).
+    // A scheme-less input leaves every extract empty and the replace a
+    // no-op, so it passes through unchanged, as before.
     val lowered = concat(
-      lower(regexp_extract(u0, "^([^:/?#]+://[^/?#]*)", 1)),
+      lower(regexp_extract(u0, "^([^:/?#]+://)", 1)),
+      regexp_extract(u0, "^[^:/?#]+://([^/?#@]*@)", 1),
+      lower(regexp_extract(u0, "^[^:/?#]+://(?:[^/?#@]*@)?([^/?#]*)", 1)),
       regexp_replace(u0, "^[^:/?#]+://[^/?#]*", ""))
     val noFrag = regexp_replace(lowered, "#.*$", "")
     val noPort = regexp_replace(
@@ -79,15 +87,14 @@ object UrlOps {
   def host(url: Column): Column =
     regexp_extract(url, "^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:@]*)", 1)
 
-  /** Registrable domain of a host (see object doc for the suffix
-    * subset).
+  /** Registrable domain of a host under the pinned PSL snapshot —
+    * scan-side `isin` membership over last-k-label extracts with full
+    * PSL precedence (exceptions > wildcards/three-label > two-label >
+    * default); read [[PublicSuffix]] for the snapshot's provenance and
+    * refresh boundary.
     */
-  def registrableDomain(hostCol: Column): Column = {
-    val three = regexp_extract(hostCol,
-      s"([^.]+\\.(?:${twoPartSuffixes.mkString("|")}))$$", 1)
-    val two = regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)
-    when(length(three) > 0, three).otherwise(two)
-  }
+  def registrableDomain(hostCol: Column): Column =
+    PublicSuffix.registrableDomain(hostCol)
 
   /** Canonicalize a URL column and annotate: (idCol…, url_canon, host,
     * domain) — one row per input row, pure scan-side.

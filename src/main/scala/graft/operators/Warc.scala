@@ -64,9 +64,14 @@ object Warc {
             call_function("locate", lit(CRLF2), s, pos).cast("long")) { hEnd =>
             graft.functions.hof.bind(
               s.substr(pos, greatest(hEnd - pos, lit(0L)))) { headers =>
+              // header names match case-insensitively with optional
+              // whitespace after the colon (spec-legal `content-length:42`
+              // parses; previously only `Content-Length: 42` did — the
+              // r15 ADVICE tolerance fix). Keys are literal here
+              // (letters/hyphens only), so no regex-quoting is needed.
               def h(key: String): Column =
                 regexp_extract(headers,
-                  "(?:^|\r\n)" + key + ": ([^\r\n]*)", 1)
+                  "(?i)(?:^|\r\n)" + key + ":[ \t]*([^\r\n]*)", 1)
               // digits-gated before the cast: ANSI mode faults a bare
               // cast of a missing/garbage header ('' -> BIGINT)
               val clStr = h("Content-Length")

@@ -1125,17 +1125,24 @@ object CurationQueries extends QueryGroup {
   // URL canonicalization + registrable-domain cap (UrlOps — the crawl
   // curation stage): in-plan URL corpus with mixed-case scheme/host,
   // default and non-default ports, tracking params in every position,
-  // duplicate slashes, fragments, and two-part public suffixes; the
-  // oracle replays the full RE2 chain (engines differ only in backref
-  // spelling and the explicit 'g' flag), the embedded-suffix domain
-  // rule, and the md5-ranked per-domain cap.
+  // duplicate slashes, fragments, and PSL suffix classes spanning the
+  // pinned snapshot's rule forms (r15 VERDICT task #4): one/two-label
+  // normal suffixes, THREE-label (act.gov.au, pref.aichi.jp), a
+  // wildcard *.ck host (domain varies per site label), and a !www.ck
+  // exception host (every site collapses to the one registrable
+  // domain). The oracle replays the full canonicalization RE2 chain
+  // and computes each expected domain arithmetically from the
+  // construction (the engine must DECIDE it from the snapshot), then
+  // replays the md5-ranked per-domain cap.
   private val qC29 = Q(
     "q_c29_url_domain_cap",
     """WITH u0 AS (
       |  SELECT doc_id,
       |    'HTTPS://WWW.Site' || CAST(doc_id % 37 AS VARCHAR) || '.Example.' ||
-      |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'COM' WHEN 1 THEN 'CO.UK'
-      |         WHEN 2 THEN 'com.au' ELSE 'org' END ||
+      |    CASE CAST(doc_id % 8 AS INT) WHEN 0 THEN 'COM' WHEN 1 THEN 'CO.UK'
+      |         WHEN 2 THEN 'com.au' WHEN 3 THEN 'org'
+      |         WHEN 4 THEN 'ACT.GOV.AU' WHEN 5 THEN 'pref.AICHI.jp'
+      |         WHEN 6 THEN 'ck' ELSE 'WwW.Ck' END ||
       |    CASE WHEN doc_id % 5 = 0 THEN ':443'
       |         WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
       |    '//Articles//' || CAST(doc_id AS VARCHAR) || '/' ||
@@ -1165,13 +1172,16 @@ object CurationQueries extends QueryGroup {
       |           '^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:@]*)', 1) AS host
       |       FROM c5),
       |dm AS (SELECT doc_id, url_canon, host,
-      |         CASE WHEN len(regexp_extract(host,
-      |             '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|ne\.jp|or\.jp|com\.br|com\.cn|com\.mx|co\.in|co\.nz|co\.za))$',
-      |             1)) > 0
-      |         THEN regexp_extract(host,
-      |             '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|ne\.jp|or\.jp|com\.br|com\.cn|com\.mx|co\.in|co\.nz|co\.za))$',
-      |             1)
-      |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+      |         CASE CAST(doc_id % 8 AS INT)
+      |           WHEN 0 THEN 'example.com'
+      |           WHEN 1 THEN 'example.co.uk'
+      |           WHEN 2 THEN 'example.com.au'
+      |           WHEN 3 THEN 'example.org'
+      |           WHEN 4 THEN 'example.act.gov.au'
+      |           WHEN 5 THEN 'example.pref.aichi.jp'
+      |           WHEN 6 THEN 'site' || CAST(doc_id % 37 AS VARCHAR) ||
+      |                       '.example.ck'
+      |           ELSE 'www.ck' END AS domain
       |       FROM hd),
       |rk AS (SELECT doc_id, url_canon, host, domain,
       |         CAST(row_number() OVER (PARTITION BY domain
@@ -1187,9 +1197,13 @@ object CurationQueries extends QueryGroup {
       concat(
         lit("HTTPS://WWW.Site"), (col("doc_id") % 37).cast("string"),
         lit(".Example."),
-        when(col("doc_id") % 4 === 0, "COM")
-          .when(col("doc_id") % 4 === 1, "CO.UK")
-          .when(col("doc_id") % 4 === 2, "com.au").otherwise("org"),
+        when(col("doc_id") % 8 === 0, "COM")
+          .when(col("doc_id") % 8 === 1, "CO.UK")
+          .when(col("doc_id") % 8 === 2, "com.au")
+          .when(col("doc_id") % 8 === 3, "org")
+          .when(col("doc_id") % 8 === 4, "ACT.GOV.AU")
+          .when(col("doc_id") % 8 === 5, "pref.AICHI.jp")
+          .when(col("doc_id") % 8 === 6, "ck").otherwise("WwW.Ck"),
         when(col("doc_id") % 5 === 0, ":443")
           .when(col("doc_id") % 7 === 0, ":8080").otherwise(""),
         lit("//Articles//"), did, lit("/"),
@@ -1279,8 +1293,90 @@ object CurationQueries extends QueryGroup {
       .orderBy("host", "path")
   }
 
+  // robots.txt RFC 9309 WILDCARD matching (Robots.decide with in-plan
+  // regex-compiled rules — r15 VERDICT task #2): two host classes —
+  // a wildcard-only body (`/*.pdf$` end-anchor, mid-pattern
+  // `/dl*secret` vs a longer `/dl/pub*secret` Allow, a `$`-anchored
+  // exact path) and a mixed body with an equal-length wildcard
+  // PRECEDENCE TIE (`/t/a*` Disallow vs `/t/*a` Allow, both length 5 —
+  // Allow wins per the RFC) plus a literal-prefix rule riding the
+  // wildcard-free fast path. Shared `/exact` paths across doc_ids also
+  // exercise the decide() multiplicity contract (decisions join back to
+  // every input row). The oracle computes each decision arithmetically
+  // from the construction (the q_c30/q_m28 pattern) — the ENGINE must
+  // compile and rank the wildcard rules.
+  private val qC31 = Q(
+    "q_c31_robots_wildcards",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'w' || CAST(doc_id % 11 AS VARCHAR) || '.example.net' AS host,
+      |         CAST((doc_id % 11) % 2 AS INT) AS hc,
+      |         CAST(doc_id % 6 AS INT) AS pc,
+      |         CASE CAST(doc_id % 6 AS INT)
+      |           WHEN 0 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+      |           WHEN 1 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.pdfx'
+      |           WHEN 2 THEN '/dl/x' || CAST(doc_id AS VARCHAR) || '/secret/s'
+      |           WHEN 3 THEN '/dl/pub/x' || CAST(doc_id AS VARCHAR) || '/secret/s'
+      |           WHEN 4 THEN '/t/a' || CAST(doc_id AS VARCHAR) || 'a'
+      |           ELSE '/exact' END AS path
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, host, path,
+      |    CASE WHEN hc = 0 AND pc = 0 THEN '/*.pdf$'
+      |         WHEN hc = 0 AND pc = 2 THEN '/dl*secret'
+      |         WHEN hc = 0 AND pc = 3 THEN '/dl/pub*secret'
+      |         WHEN hc = 0 AND pc = 5 THEN '/exact$'
+      |         WHEN hc = 1 AND pc = 0 THEN '/files/'
+      |         WHEN hc = 1 AND pc = 1 THEN '/files/'
+      |         WHEN hc = 1 AND pc = 4 THEN '/t/*a' END AS matched_pattern,
+      |    CASE WHEN hc = 0 AND pc = 0 THEN 0
+      |         WHEN hc = 0 AND pc = 2 THEN 0
+      |         WHEN hc = 0 AND pc = 3 THEN 1
+      |         WHEN hc = 0 AND pc = 5 THEN 0
+      |         WHEN hc = 1 AND pc = 0 THEN 0
+      |         WHEN hc = 1 AND pc = 1 THEN 0
+      |         WHEN hc = 1 AND pc = 4 THEN 1 END AS matched_allow
+      |  FROM u)
+      |SELECT doc_id, host, path,
+      |       CAST(CASE WHEN matched_pattern IS NULL THEN 1
+      |                 ELSE matched_allow END AS INT) AS allowed,
+      |       matched_pattern,
+      |       CAST(matched_allow AS INT) AS matched_allow
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val did = col("doc_id").cast("string")
+    val urls = docs.select(
+      col("doc_id"),
+      concat(lit("w"), (col("doc_id") % 11).cast("string"),
+        lit(".example.net")).as("host"),
+      when(col("doc_id") % 6 === 0, concat(lit("/files/f"), did, lit(".pdf")))
+        .when(col("doc_id") % 6 === 1, concat(lit("/files/f"), did, lit(".pdfx")))
+        .when(col("doc_id") % 6 === 2, concat(lit("/dl/x"), did, lit("/secret/s")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("/dl/pub/x"), did, lit("/secret/s")))
+        .when(col("doc_id") % 6 === 4, concat(lit("/t/a"), did, lit("a")))
+        .otherwise(lit("/exact")).as("path"))
+    val bodyWild = "User-agent: *\nDisallow: /*.pdf$\nDisallow: /dl*secret\n" +
+      "Allow: /dl/pub*secret\nDisallow: /exact$\n"
+    val bodyMixed = "User-agent: graftbot\nDisallow: /t/a*\nAllow: /t/*a\n" +
+      "Disallow: /files/\n\nUser-agent: *\nDisallow: /\n"
+    val robots = docs.select((col("doc_id") % 11).as("h")).distinct()
+      .select(
+        concat(lit("w"), col("h").cast("string"), lit(".example.net"))
+          .as("host"),
+        when(col("h") % 2 === 0, bodyWild).otherwise(bodyMixed).as("robots"))
+    graft.operators.Robots
+      .decide(robots, "host", "robots", urls, "host", "path", "graftbot")
+      .select(
+        col("doc_id"), col("host"), col("path"),
+        col("allowed").cast("int").as("allowed"),
+        col("matched_pattern"),
+        col("matched_allow").cast("int").as("matched_allow"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
       qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27,
-      qC28, qC29, qC30)
+      qC28, qC29, qC30, qC31)
 }

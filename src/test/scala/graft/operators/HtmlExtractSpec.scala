@@ -103,8 +103,11 @@ class HtmlExtractSpec extends SparkSpec {
       (3L, "<nav><a href='/'>Home</a></nav>")).toDF("doc_id", "html")
     assert(HtmlExtract.blocks(df, "doc_id", "html")
       .filter($"doc_id" < 3).count() === 0L)
+    // extract is TOTAL: zero-block docs (null/empty html) still come
+    // back, with empty text and zero block counts (the q_f15 oracle's
+    // LEFT-JOIN semantics, now the operator contract)
     val ex = HtmlExtract.extract(df, "doc_id", "html")
-      .as[(Long, String, Long, Long)].collect().toSeq
-    assert(ex === Seq((3L, "", 0L, 1L)))
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(ex === Seq((1L, "", 0L, 0L), (2L, "", 0L, 0L), (3L, "", 0L, 1L)))
   }
 }

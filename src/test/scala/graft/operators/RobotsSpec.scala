@@ -90,4 +90,65 @@ class RobotsSpec extends SparkSpec {
       .collect().toSeq
     assert(got === Seq(("nowhere.com", "/x", true, None, None)))
   }
+
+  // ---- RFC 9309 wildcards (r15 VERDICT task #2) ----
+
+  private val wildBody =
+    """User-agent: *
+      |Disallow: /*.pdf$
+      |Disallow: /search*private
+      |Allow: /search/public*private
+      |Disallow: /exact$
+      |Disallow: /a+b(c)
+      |""".stripMargin
+
+  private def decideWild(urls: Seq[String]) = Robots.decide(
+    Seq(("w.com", wildBody)).toDF("host", "robots"), "host", "robots",
+    urls.map(("w.com", _)).toDF("host", "path"), "host", "path", "anybot")
+    .orderBy("path")
+    .as[(String, String, Boolean, Option[String], Option[Boolean])]
+    .collect().toSeq
+
+  test("wildcards: trailing $ anchors at path end") {
+    val got = decideWild(Seq("/doc.pdf", "/doc.pdf?x=1", "/exact", "/exact2"))
+    assert(got.map(r => (r._2, r._3)) === Seq(
+      ("/doc.pdf", false),      // matches /*.pdf$
+      ("/doc.pdf?x=1", true),   // $ anchor: trailing query breaks it
+      ("/exact", false),        // /exact$ matches exactly
+      ("/exact2", true)))       // anchored, no prefix semantics
+  }
+
+  test("wildcards: mid-pattern * spans any sequence; precedence by pattern length") {
+    val got = decideWild(Seq(
+      "/search/x/private/1",          // Disallow /search*private (len 16)
+      "/search/public/x/private/1"))  // Allow (len 22) outranks it
+    assert(got.map(r => (r._2, r._3)) === Seq(
+      ("/search/public/x/private/1", true),
+      ("/search/x/private/1", false)))
+    assert(got(0)._4 === Some("/search/public*private"))
+  }
+
+  test("wildcards: regex metacharacters in patterns stay literal") {
+    val got = decideWild(Seq("/a+b(c)/page", "/aab(c)/page", "/doczpdf"))
+    assert(got.map(r => (r._2, r._3)) === Seq(
+      ("/a+b(c)/page", false), // literal +() prefix match
+      ("/aab(c)/page", true),  // '+' is not a regex quantifier here
+      ("/doczpdf", true)))     // '.' in *.pdf$ is literal, z doesn't match
+  }
+
+  test("decide preserves input multiplicity and extra frontier columns") {
+    val urls = Seq(
+      ("a.com", "/private/no", 101L),
+      ("a.com", "/private/no", 102L), // duplicate (host, path), distinct id
+      ("a.com", "/open", 103L)).toDF("host", "path", "url_id")
+    val got = Robots.decide(
+      Seq(("a.com", body)).toDF("host", "robots"), "host", "robots",
+      urls, "host", "path", "graftbot")
+      .select("url_id", "path", "allowed")
+      .as[(Long, String, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (101L, "/private/no", false),
+      (102L, "/private/no", false),
+      (103L, "/open", true)))
+  }
 }

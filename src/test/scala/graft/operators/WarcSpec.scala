@@ -47,6 +47,26 @@ class WarcSpec extends SparkSpec {
     assert(got(1)._4 === "<urn:uuid:bbb>")
   }
 
+  test("header names match case-insensitively, colon whitespace optional") {
+    // spec-legal variants: lowercase names, no space / tab after ':'
+    val loose = "WARC/1.0\r\n" +
+      "warc-type: response\r\n" +
+      "WARC-RECORD-ID:<urn:uuid:ddd>\r\n" +
+      "Warc-Date:\t2024-01-04T00:00:00Z\r\n" +
+      "warc-target-uri: https://ex.com/4\r\n" +
+      "content-length:5\r\n" +
+      "\r\nhello\r\n\r\n"
+    val got = Warc.records(Seq((1L, loose)).toDF("id", "w"), "id", "w")
+      .as[(Long, Int, String, String, String, String, Long, String)]
+      .collect().toSeq
+    assert(got.size === 1)
+    assert(got.head._3 === "response")
+    assert(got.head._4 === "<urn:uuid:ddd>")
+    assert(got.head._6 === "2024-01-04T00:00:00Z")
+    assert(got.head._7 === 5L)
+    assert(got.head._8 === md5hex("hello"))
+  }
+
   test("malformed tails invalidate the whole file") {
     val truncated = (r0 + r1).dropRight(3) // missing record trailer
     val wrongLen = r0.replace(
