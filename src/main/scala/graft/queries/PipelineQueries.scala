@@ -1034,7 +1034,57 @@ object PipelineQueries extends QueryGroup {
     out
   }
 
+  // Terminal TRAINING-SHARD export (ShardExport — the curation
+  // pipeline's last mile, r15 VERDICT task #6): documents in id order
+  // cut into 2000-token shards (whole docs, overshoot ≤ one doc), one
+  // MANIFEST row per shard — doc count, token count, source mix
+  // (src:count pairs sorted by source), and content_md5 = md5 of the
+  // member docs' text-md5s concatenated in id order. The oracle replays
+  // the shard boundaries with the naive global window cumsum (the
+  // engine computes them two-level) and the digest with ordered
+  // string_agg; the writer + re-run idempotence are spec-pinned
+  // (ShardExportSpec).
+  private val qF16 = Q(
+    "q_f16_shard_export",
+    """WITH t AS (
+      |  SELECT doc_id, source, text,
+      |         CASE WHEN trim(text) = '' THEN 0
+      |              ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+      |         END AS tc
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, text, tc,
+      |         coalesce(sum(tc) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM t),
+      |a AS (SELECT doc_id, source, text, tc,
+      |        CAST(floor(cum / 2000) AS BIGINT) AS shard_id FROM c),
+      |mix AS (
+      |  SELECT shard_id,
+      |         string_agg(src || ':' || CAST(n AS VARCHAR), ','
+      |                    ORDER BY src) AS source_mix
+      |  FROM (SELECT shard_id, source AS src, count(*) AS n
+      |        FROM a GROUP BY 1, 2)
+      |  GROUP BY shard_id),
+      |dig AS (
+      |  SELECT shard_id,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(tc) AS BIGINT) AS n_tokens,
+      |         md5(string_agg(md5(coalesce(text, '')), ''
+      |                        ORDER BY doc_id)) AS content_md5
+      |  FROM a GROUP BY shard_id)
+      |SELECT d.shard_id, d.n_docs, d.n_tokens, m.source_mix, d.content_md5
+      |FROM dig d JOIN mix m USING (shard_id)
+      |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+    val assigned = graft.operators.ShardExport.assign(
+      Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+      budget = 2000)
+    graft.operators.ShardExport
+      .manifest(assigned, "doc_id", "text", "source")
+      .orderBy("shard_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13,
-      qF14, qF15)
+      qF14, qF15, qF16)
 }

@@ -1682,8 +1682,140 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id", "sent_idx")
   }
 
+  /** One Viterbi DP + backtrace round of the q_t38 oracle: segment
+    * every vocabulary word under `piecesRel`, exactly mirroring
+    * [[graft.operators.UnigramTokenizer.segment]] (nano-quantized
+    * integer scores; ties break score DESC, piece length ASC).
+    *
+    * The DP is fully UNROLLED — `maxWordLen` chained CTEs carrying the
+    * growing (scores, lens) lists in-row, with each word's candidate
+    * (pos, len) → lpn lookups pre-joined ONCE into a per-word list —
+    * because DuckDB INLINES every non-recursive CTE per reference: the
+    * natural recursive-CTE formulation re-executes each earlier
+    * round's whole EM chain once per recursion step (12× per round —
+    * exponential across rounds; round 3 went from seconds to >5 min),
+    * and the `AS MATERIALIZED` hint silently DROPS rows when the
+    * materialized CTE wraps an inner recursion (both found while
+    * pinning this oracle). Unrolled, every CTE is referenced exactly
+    * once and the chain is linear.
+    */
+  private val uniMaxWordLen = 12
+  private val uniMaxPieceLen = 4
+
+  private def uniBestSql(p: Int): String =
+    s"""list_sort(list_filter(list_transform([1,2,3,4], l ->
+       | {'s': CASE WHEN l <= $p THEN scores[$p+1-l] +
+       |   list_filter(cands, c -> c.pos = $p AND c.len = l)[1].lpn END,
+       |  'nl': -l}), x -> x.s IS NOT NULL))[
+       | len(list_filter(list_transform([1,2,3,4], l ->
+       | {'s': CASE WHEN l <= $p THEN scores[$p+1-l] +
+       |   list_filter(cands, c -> c.pos = $p AND c.len = l)[1].lpn END,
+       |  'nl': -l}), x -> x.s IS NOT NULL))]""".stripMargin
+
+  private def uniDpSql(n: Int, piecesRel: String): String = {
+    val W = uniMaxWordLen
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""cand$n AS (
+      |  SELECT s.w, list(struct_pack(pos := s.e, len := s.l,
+      |                               lpn := p.lpn)) AS cands
+      |  FROM wsub s JOIN $piecesRel p ON p.piece = s.piece
+      |  GROUP BY s.w)""".stripMargin
+    ctes += s"""st${n}_0 AS (
+      |  SELECT r.w, r.wc, c.cands, [CAST(0 AS BIGINT)] AS scores,
+      |         [0] AS lens
+      |  FROM wrds r JOIN cand$n c ON c.w = r.w)""".stripMargin
+    (1 to W).foreach { p =>
+      val b = uniBestSql(p)
+      ctes += s"""st${n}_$p AS (
+        |  SELECT w, wc, cands,
+        |    CASE WHEN len(w) >= $p THEN list_append(scores, ($b).s)
+        |         ELSE scores END AS scores,
+        |    CASE WHEN len(w) >= $p THEN list_append(lens, -(($b).nl))
+        |         ELSE lens END AS lens
+        |  FROM st${n}_${p - 1})""".stripMargin
+    }
+    ctes += s"""bt${n}_0 AS (
+      |  SELECT w, wc, scores[len(w)+1] AS score_nanos, lens,
+      |         len(w) AS pos, CAST([] AS VARCHAR[]) AS seg
+      |  FROM st${n}_$W)""".stripMargin
+    (1 to W).foreach { p =>
+      ctes += s"""bt${n}_$p AS (
+        |  SELECT w, wc, score_nanos, lens,
+        |    CASE WHEN pos > 0 THEN pos - lens[pos+1] ELSE pos END AS pos,
+        |    CASE WHEN pos > 0 THEN list_prepend(
+        |        substr(w, pos - lens[pos+1] + 1, lens[pos+1]), seg)
+        |      ELSE seg END AS seg
+        |  FROM bt${n}_${p - 1})""".stripMargin
+    }
+    ctes += s"bt$n AS (SELECT w, wc, score_nanos, seg FROM bt${n}_$W)"
+    ctes.result().mkString(",\n")
+  }
+
+  /** Laplace re-estimation CTEs: Viterbi counts of round `n` over the
+    * fixed seed vocabulary → pieces${n+1}.
+    */
+  private def uniReestSql(n: Int): String = s"""
+    |cnt$n AS (SELECT piece, sum(wc) AS used
+    |          FROM (SELECT wc, unnest(seg) AS piece FROM bt$n) GROUP BY 1),
+    |est$n AS (SELECT v.piece, coalesce(c.used, 0) + 1 AS f2
+    |          FROM vocab v LEFT JOIN cnt$n c USING (piece)),
+    |tot$n AS (SELECT sum(f2) AS t FROM est$n),
+    |pieces${n + 1} AS (
+    |  SELECT piece,
+    |         CAST(CAST(round(ln(f2 / t), 9) AS DECIMAL(20,9))
+    |              * 1000000000 AS BIGINT) AS lpn
+    |  FROM est$n CROSS JOIN tot$n)""".stripMargin
+
+  // Unigram-LM (SentencePiece-style) tokenizer training
+  // (UnigramTokenizer.trainAndSegment — the second tokenizer family
+  // next to BPE, r15 VERDICT task #5): substring seed vocabulary
+  // (top-250 multi-char pieces + all single chars), TWO hard-EM rounds
+  // (Viterbi counts + Laplace over the fixed vocabulary), final
+  // Viterbi segmentation per distinct word. Scores are nano-quantized
+  // integer sums (exact in both engines); the oracle replays the EM as
+  // chained CTEs with one recursive-CTE Viterbi per round and pins
+  // every word's final score, piece count and '|'-joined segmentation.
+  private val qT38 = Q(
+    "q_t38_unigram_tokenizer",
+    s"""WITH wrds AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS wc
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      |        FROM documents WHERE doc_id < 300 AND trim(text) <> '')
+      |  WHERE len(w) BETWEEN 1 AND 12
+      |  GROUP BY w),
+      |wsub AS (
+      |  SELECT w, CAST(e AS INT) AS e, CAST(l AS INT) AS l,
+      |         substr(w, CAST(e - l + 1 AS INT), CAST(l AS INT)) AS piece
+      |  FROM wrds, range(1, 13) t(e), range(1, 5) u(l)
+      |  WHERE l <= e AND e <= len(w)),
+      |subs AS (
+      |  SELECT substr(w, CAST(ps AS INT), CAST(ln AS INT)) AS piece,
+      |         sum(wc) AS f
+      |  FROM wrds, range(1, 13) t(ps), range(1, 5) u(ln)
+      |  WHERE ps + ln - 1 <= len(w)
+      |  GROUP BY 1),
+      |topp AS (SELECT piece, f FROM subs WHERE len(piece) > 1
+      |         ORDER BY f DESC, piece LIMIT 250),
+      |vocab AS (SELECT piece, f FROM topp
+      |          UNION ALL SELECT piece, f FROM subs WHERE len(piece) = 1),
+      |tot0 AS (SELECT sum(f) AS t FROM vocab),
+      |pieces1 AS (
+      |  SELECT piece,
+      |         CAST(CAST(round(ln(f / t), 9) AS DECIMAL(20,9))
+      |              * 1000000000 AS BIGINT) AS lpn
+      |  FROM vocab CROSS JOIN tot0),${uniDpSql(1, "pieces1")},${uniReestSql(1)},${uniDpSql(2, "pieces2")},${uniReestSql(2)},${uniDpSql(3, "pieces3")}
+      |SELECT w, wc, score_nanos, CAST(len(seg) AS INT) AS n_pieces,
+      |       array_to_string(seg, '|') AS seg
+      |FROM bt3 ORDER BY w""".stripMargin) { (s, dir) =>
+    graft.operators.UnigramTokenizer
+      .trainAndSegment(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 300),
+        "text", rounds = 2)
+      .orderBy("w")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38)
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class ShardExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "web", "alpha beta gamma delta"),     // 4 tokens
+    (2L, "web", "one two three"),              // 3
+    (3L, "books", "lorem ipsum dolor sit amet"), // 5
+    (4L, "web", "x y"),                        // 2
+    (5L, "code", "def f a b c"),               // 5
+    (6L, "books", ""),                         // 0
+    (7L, "web", "tail doc tokens here")        // 4
+  ).toDF("doc_id", "source", "text")
+
+  test("budget boundaries: whole docs, overshoot bounded by one doc") {
+    // budget 6: cum-before = 0,4,7,12,14,19,19
+    // shards:   0,0,1,2,2,3,3
+    val a = ShardExport.assign(docs, "doc_id", "text", "source", budget = 6)
+      .select("doc_id", "shard_id", "seq_in_shard", "token_count")
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1)
+    assert(a.map(r => (r._1, r._2)).toSeq === Seq(
+      (1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 3L), (7L, 3L)))
+    assert(a.map(r => (r._1, r._3)).toSeq === Seq(
+      (1L, 1), (2L, 2), (3L, 1), (4L, 1), (5L, 2), (6L, 1), (7L, 2)))
+    // per-shard token totals never exceed budget + max single doc
+    val totals = a.groupBy(_._2).map { case (_, rs) => rs.map(_._4).sum }
+    assert(totals.forall(_ <= 6 + 5))
+  }
+
+  test("manifest: counts, sorted source mix, order-stable digest") {
+    val assigned = ShardExport.assign(docs, "doc_id", "text", "source", 6)
+    val m = ShardExport.manifest(assigned, "doc_id", "text", "source")
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(m.map(r => (r._1, r._2, r._3)) === Seq(
+      (0L, 2L, 7L), (1L, 1L, 5L), (2L, 2L, 7L), (3L, 2L, 4L)))
+    assert(m.map(_._4) === Seq("web:2", "books:1", "code:1,web:1", "books:1,web:1"))
+    // the digest is a pure function of member texts in id order:
+    // shuffling input row order must not change it
+    val m2 = ShardExport.manifest(
+      ShardExport.assign(docs.orderBy(col("text")), "doc_id", "text",
+        "source", 6), "doc_id", "text", "source")
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(m2 === m)
+  }
+
+  test("write is idempotent: two runs, identical members and manifests") {
+    val d1 = Files.createTempDirectory("shards1").toString
+    val d2 = Files.createTempDirectory("shards2").toString
+    ShardExport.write(docs, "doc_id", "text", "source", 6, d1)
+    ShardExport.write(docs, "doc_id", "text", "source", 6, d2)
+    def members(d: String) = spark.read.parquet(s"$d/shards")
+      .select("shard_id", "seq_in_shard", "doc_id", "source", "token_count")
+      .as[(Long, Int, Long, String, Int)].collect().toSeq.sorted
+    def mani(d: String) = spark.read.parquet(s"$d/_manifest")
+      .as[(Long, Long, Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(members(d1) === members(d2))
+    assert(mani(d1) === mani(d2))
+    assert(mani(d1).map(_._1) === Seq(0L, 1L, 2L, 3L))
+    // one data file per shard directory (no sliver files)
+    val shard0 = new java.io.File(s"$d1/shards/shard_id=0")
+    assert(shard0.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+  }
+}

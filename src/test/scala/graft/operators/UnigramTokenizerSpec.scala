@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[UnigramTokenizer]] against a DRIVER-SIDE reference EM — an
+  * independent plain-Scala implementation of the same pinned algorithm
+  * (substring seed, nano-quantized log-probs, Viterbi with
+  * score-DESC/len-ASC ties, Laplace hard-EM over the fixed vocabulary).
+  */
+class UnigramTokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- driver-side reference ----
+
+  private def quant(x: Double): Long =
+    (BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      * BigDecimal(1000000000L)).toLongExact
+
+  private def refWords(texts: Seq[String], maxWordLen: Int): Map[String, Long] =
+    texts.flatMap { t =>
+      val s = Option(t).getOrElse("").trim.toLowerCase
+      if (s.isEmpty) Seq.empty else s.split("\\s+").toSeq
+    }.filter(w => w.nonEmpty && w.length <= maxWordLen)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+
+  private def refSeed(
+      wc: Map[String, Long], maxPieceLen: Int, topPieces: Int): Map[String, Long] = {
+    val subs = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      for (ps <- 0 until w.length; ln <- 1 to maxPieceLen
+           if ps + ln <= w.length) {
+        val p = w.substring(ps, ps + ln)
+        subs(p) = subs.getOrElse(p, 0L) + c
+      }
+    }
+    val multi = subs.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, f) => (-f, p) }.take(topPieces)
+    val vocab = (multi ++ subs.toSeq.filter(_._1.length == 1)).toMap
+    val tot = vocab.values.sum
+    vocab.map { case (p, f) => p -> quant(f.toDouble / tot) }
+  }
+
+  private def refViterbi(
+      w: String, pieces: Map[String, Long],
+      maxPieceLen: Int): (Long, Seq[String]) = {
+    val best = Array.fill[Long](w.length + 1)(Long.MinValue)
+    val lens = Array.fill[Int](w.length + 1)(0)
+    best(0) = 0L
+    for (pos <- 1 to w.length) {
+      var bs = Long.MinValue; var bl = 0
+      for (ln <- 1 to math.min(maxPieceLen, pos)) {
+        pieces.get(w.substring(pos - ln, pos)).foreach { lp =>
+          val s = best(pos - ln) + lp
+          if (s > bs || (s == bs && ln < bl)) { bs = s; bl = ln }
+        }
+      }
+      best(pos) = bs; lens(pos) = bl
+    }
+    var pos = w.length
+    val seg = scala.collection.mutable.ListBuffer.empty[String]
+    while (pos > 0) { val l = lens(pos); w.substring(pos - l, pos) +=: seg; pos -= l }
+    (best(w.length), seg.toList)
+  }
+
+  private def refTrain(
+      texts: Seq[String], rounds: Int, maxPieceLen: Int = 4,
+      topPieces: Int = 250, maxWordLen: Int = 12): Seq[(String, Long, Long, Int, String)] = {
+    val wc = refWords(texts, maxWordLen)
+    val seed = refSeed(wc, maxPieceLen, topPieces)
+    var pieces = seed
+    (1 to rounds).foreach { _ =>
+      val used = scala.collection.mutable.Map.empty[String, Long]
+      wc.foreach { case (w, c) =>
+        refViterbi(w, pieces, maxPieceLen)._2.foreach { p =>
+          used(p) = used.getOrElse(p, 0L) + c
+        }
+      }
+      val est = seed.keys.map(p => p -> (used.getOrElse(p, 0L) + 1L)).toMap
+      val tot = est.values.sum
+      pieces = est.map { case (p, f) => p -> quant(f.toDouble / tot) }
+    }
+    wc.toSeq.sortBy(_._1).map { case (w, c) =>
+      val (s, seg) = refViterbi(w, pieces, maxPieceLen)
+      (w, c, s, seg.size, seg.mkString("|"))
+    }
+  }
+
+  // ---- specs ----
+
+  private val corpus = Seq(
+    (1L, "internationalization needs tokenization and normalization"),
+    (2L, "the tokenizer segments words into subword pieces"),
+    (3L, "subword pieces share statistics across words and words"),
+    (4L, "the pieces the model keeps are the frequent ones"),
+    (5L, "tokenization tokenization tokenization of rare words"),
+    (6L, "a ab abc abcd abcde"),
+    (7L, "statistics of the segments drive the segmentation"))
+
+  test("engine EM matches the driver-side reference, two rounds") {
+    val got = UnigramTokenizer
+      .trainAndSegment(corpus.toDF("doc_id", "text"), "text", rounds = 2)
+      .orderBy("w")
+      .as[(String, Long, Long, Int, String)].collect().toSeq
+    val want = refTrain(corpus.map(_._2), rounds = 2)
+    assert(got === want)
+  }
+
+  test("single chars guarantee coverage: unseen-bigram words still segment") {
+    val df = Seq((1L, "zq zq xyzzy")).toDF("doc_id", "text")
+    val got = UnigramTokenizer.trainAndSegment(df, "text", rounds = 1)
+      .orderBy("w").as[(String, Long, Long, Int, String)].collect().toSeq
+    val want = refTrain(Seq("zq zq xyzzy"), rounds = 1)
+    assert(got === want)
+    assert(got.map(_._1) === Seq("xyzzy", "zq"))
+  }
+
+  test("tie-break is pinned: equal scores prefer the shorter piece") {
+    // craft equal-frequency pieces so a tie arises; both implementations
+    // must agree — the assertion is engine == reference, plus the
+    // resulting segmentation is deterministic across repeated runs
+    val df = Seq((1L, "aa aa bb bb aabb bbaa")).toDF("doc_id", "text")
+    val r1 = UnigramTokenizer.trainAndSegment(df, "text", rounds = 2)
+      .orderBy("w").as[(String, Long, Long, Int, String)].collect().toSeq
+    val r2 = UnigramTokenizer.trainAndSegment(df, "text", rounds = 2)
+      .orderBy("w").as[(String, Long, Long, Int, String)].collect().toSeq
+    assert(r1 === r2)
+    assert(r1 === refTrain(Seq("aa aa bb bb aabb bbaa"), rounds = 2))
+  }
+}
