@@ -458,18 +458,12 @@ object Louvain {
     out
   }
 
-  /** FUSED move-phase candidate generation — ONE aggregate per move
-    * round (the [[graft.expressions.MajorityLabel]] fusion generalized
-    * to the weighted gain argmax): undirected weighted edge rows are
-    * decorated scan-side with the neighbor's community, that
-    * community's degree mass, and the node's own (label, strength) —
-    * all joins AQE-adaptive, un-hinted (broadcast when the label/degree
-    * frames are small, shuffled otherwise; a shuffle by `node` is then
-    * REUSED by the groupBy) — and
-    * [[graft.expressions.BestMoveCandidate]] reduces each node's
-    * degree-bounded (community → (k, D_C)) histogram map-side to its
-    * single best candidate, k_iA read from the same histogram. The old
-    * two-aggregate + self-join + five-join chain is kept as
+  /** Move-phase candidate generation — the AGGREGATE-FIRST fused shape
+    * ([[weightedGainsAggFirst]]; the r16 q_g14 A/B retired the
+    * decorate-then-aggregate r15 form, which paid its dcb/a_label/d
+    * joins on the 2|E|-row edge frame and regressed dense graphs
+    * 10.9 s vs 6.4 s — PERF.md §"louvain move-phase A/B (r16)"). The
+    * old two-aggregate + self-join + five-join chain is kept as
     * [[weightedGainsAll]] purely as the spec's equivalence reference.
     *
     * Output: one row per node with a candidate —
@@ -478,16 +472,15 @@ object Louvain {
     * (gain DESC, node ASC, c ASC) argmax every consumer takes.
     */
   private def weightedGains(
-      und: DataFrame, deg: DataFrame, lab: DataFrame, m: Long): DataFrame = {
-    val cd = deg.join(lab, deg("node") === lab("__n"))
-      .groupBy(col("__l")).agg(sum(col("d")).cast("bigint").as("dc"))
-    val rows = und
-      .join(lab.select(col("__n").as("nbr"), col("__l").as("c")), Seq("nbr"))
-      .join(cd.select(col("__l").as("c"), col("dc").as("dcb")), Seq("c"))
-      .join(lab.select(col("__n").as("node"), col("__l").as("a_label")),
-        Seq("node"))
-      .join(deg.select(col("node"), col("d").cast("bigint").as("d")),
-        Seq("node"))
+      und: DataFrame, deg: DataFrame, lab: DataFrame, m: Long): DataFrame =
+    weightedGainsAggFirst(und, deg, lab, m)
+
+  /** Shared tail of the fused paths: BestMoveCandidate argmax over a
+    * decorated (node, c, wt, dcb, a_label, d) frame + the dca/gain
+    * attach projection.
+    */
+  private def fusedArgmaxTail(
+      rows: DataFrame, cd: DataFrame, m: Long): DataFrame = {
     val bm = bridge.column(
       graft.expressions.BestMoveCandidate(
         bridge.expression(col("c").cast("bigint")),
@@ -514,6 +507,36 @@ object Louvain {
           lit(2L) * col("__bm.d") *
             (col("__bm.dcb") - (col("dca") - col("__bm.d"))))
           .cast("bigint").as("gain"))
+  }
+
+  /** AGGREGATE-FIRST fused variant: k_iC collapses the symmetrized edge
+    * frame to (node, neighboring community) BEFORE any decoration, so
+    * the dcb/a_label/d joins touch the degree-bounded candidate frame
+    * instead of the 2|E|-row edge frame; the same
+    * [[graft.expressions.BestMoveCandidate]] argmax then reduces each
+    * node's PRE-SUMMED histogram (feeding one (c, k) row per community
+    * is histogram-equivalent to feeding the raw edges). Two Exchanges
+    * instead of one, but both carry candidate-sized rows — the winning
+    * shape on DENSE graphs (q_g14's co-order graph: the r16 A/B
+    * measured fused-direct 10.9 s vs this 7.4 s; on the sparser q_g12/
+    * q_g15 frames the two shapes tie within noise, so this is the
+    * production path everywhere).
+    */
+  private def weightedGainsAggFirst(
+      und: DataFrame, deg: DataFrame, lab: DataFrame, m: Long): DataFrame = {
+    val cd = deg.join(lab, deg("node") === lab("__n"))
+      .groupBy(col("__l")).agg(sum(col("d")).cast("bigint").as("dc"))
+    val kic = und
+      .join(lab.select(col("__n").as("nbr"), col("__l").as("c")), Seq("nbr"))
+      .groupBy(col("node"), col("c"))
+      .agg(sum(col("wt")).cast("bigint").as("wt"))
+    val rows = kic
+      .join(cd.select(col("__l").as("c"), col("dc").as("dcb")), Seq("c"))
+      .join(lab.select(col("__n").as("node"), col("__l").as("a_label")),
+        Seq("node"))
+      .join(deg.select(col("node"), col("d").cast("bigint").as("d")),
+        Seq("node"))
+    fusedArgmaxTail(rows, cd, m)
   }
 
   /** Test-only window into the fused path (the spec cannot see the
