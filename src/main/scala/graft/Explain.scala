@@ -54,8 +54,14 @@ object Explain {
                                // Project → Generate → Filter → Projects,
                                // then ONE per-doc window Exchange; the only
                                // other Exchange is the output ORDER BY
-    "q_t32_blocklist_annotate") // multi_match inside WholeStageCodegen;
+    "q_t32_blocklist_annotate", // multi_match inside WholeStageCodegen;
                                // single text scan, zero shuffle pre-sort
+    "q_m29_warc_gz_records",   // gzip_members kernel + per-member parse +
+                               // forall validity ALL scan-side: the only
+                               // Exchange is the output ORDER BY
+    "q_f16_shard_export")      // two-level prefix sum: in-bucket window +
+                               // broadcast bucket offsets — NO corpus-sized
+                               // single-partition window anywhere
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

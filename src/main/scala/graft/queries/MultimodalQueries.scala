@@ -2585,6 +2585,65 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id", "rec_idx")
   }
 
+  /** The q_m29 `.warc.gz` corpus construction, shared with its
+    * streaming twin: 1–3 gzip members per file, one WARC record each,
+    * members as STORED-deflate blocks with real CRC32/ISIZE trailers
+    * (Spark's `crc32` supplies the gzip CRC-32 in-plan); doc_id%4==1
+    * members carry an FNAME field, doc_id%9==0 files flip the CRC and
+    * must quarantine. Returns (doc_id, gz binary).
+    */
+  private[queries] def warcGzCorpusOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val did = col("doc_id").cast("string")
+    def payload(k: Int) = expr(
+      s"substring(coalesce(text, ''), ${1 + k * 60}, " +
+        s"CAST((doc_id + ${11 * k}) % 100 + 1 AS INT))")
+    def record(k: Int) = concat(
+      lit("WARC/1.0\r\n"),
+      lit(s"WARC-Type: ${if (k % 2 == 0) "response" else "request"}\r\n"),
+      lit("WARC-Record-ID: <urn:uuid:gz-"), did, lit(s"-$k>\r\n"),
+      lit(s"WARC-Date: 2024-02-0${k + 1}T00:00:00Z\r\n"),
+      lit("WARC-Target-URI: https://crawl"), (col("doc_id") % 41).cast("string"),
+      lit(".example.org/d/"), did, lit(s"/$k\r\n"),
+      lit("Content-Length: "), length(payload(k)).cast("string"),
+      lit("\r\n\r\n"), payload(k), lit("\r\n\r\n"))
+    def le16(n: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(n), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32(v: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(v), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def memberHex(k: Int, rc: org.apache.spark.sql.Column) = {
+      val nameHex = (s"r$k.warc".getBytes("US-ASCII").map("%02x".format(_))
+        .mkString + "00").toUpperCase
+      val withName = col("doc_id") % 4 === 1
+      val crc = crc32(encode(rc, "UTF-8"))
+      val crcOut = when(col("doc_id") % 9 === 0,
+        pmod(crc + 1, lit(4294967296L))).otherwise(crc)
+      concat(
+        lit("1F8B08"),
+        when(withName, "08").otherwise("00"),
+        lit("000000000003"),
+        when(withName, nameHex).otherwise(""),
+        lit("01"), le16(length(rc)), le16(lit(65535) - length(rc)),
+        hex(encode(rc, "UTF-8")),
+        le32(crcOut), le32(length(rc)))
+    }
+    val nrec = col("doc_id") % 3 + 1
+    docs
+      .select(col("doc_id"), nrec.as("nrec"),
+        record(0).as("r0"), record(1).as("r1"), record(2).as("r2"))
+      .select(col("doc_id"),
+        unhex(concat(
+          memberHex(0, col("r0")),
+          when(col("nrec") >= 2, memberHex(1, col("r1"))).otherwise(lit("")),
+          when(col("nrec") >= 3, memberHex(2, col("r2"))).otherwise(lit(""))))
+          .as("gz"))
+  }
+
   // WARC.GZ record walk (WarcGz.records over the native GzipMembers
   // kernel — Common Crawl's ACTUAL landing format, r15 VERDICT task #1):
   // one gzip member per record, members built in-plan as STORED-deflate
@@ -2596,7 +2655,7 @@ object MultimodalQueries extends QueryGroup {
   // arithmetically from the construction (the q_m28 pattern) — the
   // ENGINE must inflate, verify and parse what the oracle merely knows
   // it planted.
-  private val qM29 = Q(
+  private[queries] val qM29 = Q(
     "q_m29_warc_gz_records",
     """WITH src AS (
       |  SELECT doc_id, coalesce(text, '') AS text,
@@ -2621,65 +2680,11 @@ object MultimodalQueries extends QueryGroup {
       |       CAST(len(payload) AS BIGINT) AS content_length,
       |       md5(payload) AS payload_md5
       |FROM p ORDER BY doc_id, rec_idx""".stripMargin) { (s, dir) =>
-    val did = col("doc_id").cast("string")
-    def payload(k: Int) = expr(
-      s"substring(coalesce(text, ''), ${1 + k * 60}, " +
-        s"CAST((doc_id + ${11 * k}) % 100 + 1 AS INT))")
-    def record(k: Int) = concat(
-      lit("WARC/1.0\r\n"),
-      lit(s"WARC-Type: ${if (k % 2 == 0) "response" else "request"}\r\n"),
-      lit("WARC-Record-ID: <urn:uuid:gz-"), did, lit(s"-$k>\r\n"),
-      lit(s"WARC-Date: 2024-02-0${k + 1}T00:00:00Z\r\n"),
-      lit("WARC-Target-URI: https://crawl"), (col("doc_id") % 41).cast("string"),
-      lit(".example.org/d/"), did, lit(s"/$k\r\n"),
-      lit("Content-Length: "), length(payload(k)).cast("string"),
-      lit("\r\n\r\n"), payload(k), lit("\r\n\r\n"))
-    // little-endian hex renderings for the gzip framing
-    def le16(n: org.apache.spark.sql.Column) = {
-      val h = lpad(hex(n), 4, "0")
-      concat(substring(h, 3, 2), substring(h, 1, 2))
-    }
-    def le32(v: org.apache.spark.sql.Column) = {
-      val h = lpad(hex(v), 8, "0")
-      concat(substring(h, 7, 2), substring(h, 5, 2),
-        substring(h, 3, 2), substring(h, 1, 2))
-    }
-    // one gzip member around one record: header (FNAME on doc_id%4==1),
-    // a single STORED deflate block, CRC32 + ISIZE trailer; doc_id%9==0
-    // flips the CRC (+1 mod 2^32) and must quarantine the whole file
-    def memberHex(k: Int, rc: org.apache.spark.sql.Column) = {
-      val nameHex = (s"r$k.warc".getBytes("US-ASCII").map("%02x".format(_))
-        .mkString + "00").toUpperCase
-      val withName = col("doc_id") % 4 === 1
-      val crc = crc32(encode(rc, "UTF-8"))
-      val crcOut = when(col("doc_id") % 9 === 0,
-        pmod(crc + 1, lit(4294967296L))).otherwise(crc)
-      concat(
-        lit("1F8B08"),
-        when(withName, "08").otherwise("00"),
-        lit("000000000003"),
-        when(withName, nameHex).otherwise(""),
-        lit("01"), le16(length(rc)), le16(lit(65535) - length(rc)),
-        hex(encode(rc, "UTF-8")),
-        le32(crcOut), le32(length(rc)))
-    }
-    val nrec = col("doc_id") % 3 + 1
-    // pin the per-record texts once: each feeds LEN, NLEN, payload hex,
-    // CRC and ISIZE of its member (the q_m25/q_m28 construction rule)
-    val recs = Tables.load(s, dir, "documents")
-      .filter(col("doc_id") < 500)
-      .select(col("doc_id"), nrec.as("nrec"),
-        record(0).as("r0"), record(1).as("r1"), record(2).as("r2"))
+    // pin the constructed corpus once (the q_m25/q_m28 rule): the walk
+    // column is consumed by filter + explode
+    val corpus = warcGzCorpusOf(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 500))
       .localCheckpoint(true)
-    val corpus = recs
-      .select(col("doc_id"),
-        unhex(concat(
-          memberHex(0, col("r0")),
-          when(col("nrec") >= 2, memberHex(1, col("r1"))).otherwise(lit("")),
-          when(col("nrec") >= 3, memberHex(2, col("r2"))).otherwise(lit(""))))
-          .as("gz"))
-      .localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(recs)
     graft.operators.WarcGz.records(corpus, "doc_id", "gz", maxMembers = 4)
       .select(
         col("file_id").as("doc_id"),

@@ -1076,12 +1076,18 @@ object PipelineQueries extends QueryGroup {
       |SELECT d.shard_id, d.n_docs, d.n_tokens, m.source_mix, d.content_md5
       |FROM dig d JOIN mix m USING (shard_id)
       |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+    // pin the assignment once (as ShardExport.write does): manifest's
+    // mix and digest branches would otherwise each re-derive the whole
+    // two-level prefix chain
     val assigned = graft.operators.ShardExport.assign(
       Tables.load(s, dir, "documents"), "doc_id", "text", "source",
-      budget = 2000)
-    graft.operators.ShardExport
+      budget = 2000).localCheckpoint(true)
+    val out = graft.operators.ShardExport
       .manifest(assigned, "doc_id", "text", "source")
       .orderBy("shard_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(assigned)
+    out
   }
 
   override val all: Seq[Q] =

@@ -860,9 +860,32 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id")
   }
 
+  // Streaming `.warc.gz` record walk (q_m29's landing-zone twin — the
+  // shape a Common Crawl drop actually arrives in): per micro-batch the
+  // batch's docs construct their member chains and WarcGz inflates +
+  // parses them; the walk is stateless scan-side column algebra over
+  // the native GzipMembers kernel, so the micro-batched run must equal
+  // the batch run row for row — same oracle, streamed ≡ batch.
+  private val qSt37 = Q(
+    "q_st37_stream_warc_gz",
+    MultimodalQueries.qM29.oracle.get) { (s, dir) =>
+    import org.apache.spark.sql.functions.col
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch =>
+        graft.operators.WarcGz.records(
+          MultimodalQueries.warcGzCorpusOf(batch.filter(col("doc_id") < 500)),
+          "doc_id", "gz", maxMembers = 4)
+          .select(
+            col("file_id").as("doc_id"),
+            col("rec_idx"), col("warc_type"), col("record_id"),
+            col("target_uri"), col("warc_date"), col("content_length"),
+            col("payload_md5"))
+    }.orderBy("doc_id", "rec_idx")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
       qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33, qSt34,
-      qSt35, qSt36)
+      qSt35, qSt36, qSt37)
 }
