@@ -164,11 +164,73 @@ object UnigramTokenizer {
       .select(col("piece"), lpNanos(col("f2"), col("t")).as("lpn"))
   }
 
-  /** Train `rounds` hard-EM rounds and return the FINAL per-word
-    * segmentation: (w, wc, score_nanos, n_pieces, seg) with `seg` the
-    * pieces `|`-joined — the digest-pinned gate frame.
+  /** Per-document tokenization under a TRAINED piece table — the
+    * inference path, through a VOCABULARY dedup (the
+    * [[Bpe.tokenizationSummaryByVocab]] Heaps-law economics: each
+    * DISTINCT word Viterbi-segments once, per-word sufficient
+    * statistics join back onto the positioned occurrence frame).
+    * Output per document: `(idCol, n_words, n_words_long, n_pieces,
+    * tok_digest)` with `tok_digest` = Σ len(piece)·(31·word_idx +
+    * piece_pos) over the ordered tokenization (1-based) — the exact
+    * order-sensitive integer pin of the BPE gates. Words longer than
+    * `maxWordLen` are INELIGIBLE (counted in `n_words_long`,
+    * contributing no pieces) — the documented DP bound; a production
+    * deployment adds a byte-fallback vocabulary for them. The corpus
+    * must be char-covered by the training slice (single-char pieces
+    * guarantee coverage exactly for characters the trainer saw).
     */
-  def trainAndSegment(
+  def applyByVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pieces: DataFrame,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    val words = docs.select(
+      col(idCol),
+      posexplode_outer(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("__wi0", "w")))
+    val eligible = words
+      .filter(col("w").isNotNull && length(col("w")) <= maxWordLen)
+      .select("w").distinct()
+      .withColumn("wc", lit(1L))
+    val vstats = segment(eligible, pieces, maxPieceLen)
+      .select(col("w"),
+        graft.functions.hof.bind(col("seg_arr")) { seg =>
+          struct(
+            size(seg).as("n_pieces"),
+            aggregate(seg, lit(0L), (a, s) => a + length(s)).as("s0len"),
+            aggregate(
+              seg,
+              struct(lit(0L).as("d"), lit(1L).as("si")),
+              (a, s) => struct(
+                (a.getField("d") +
+                  length(s).cast("bigint") * a.getField("si")).as("d"),
+                (a.getField("si") + 1L).as("si")),
+              fin => fin.getField("d")).as("s1len"))
+        }.as("__vs"))
+    words
+      .join(vstats, Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("w").isNotNull, 1).otherwise(0)).cast("int")
+          .as("n_words"),
+        sum(when(col("w").isNotNull && length(col("w")) > maxWordLen, 1)
+          .otherwise(0)).cast("int").as("n_words_long"),
+        coalesce(sum(col("__vs.n_pieces")), lit(0L)).cast("bigint")
+          .as("n_pieces"),
+        coalesce(
+          sum((col("__wi0") + 1L).cast("bigint") * 31L * col("__vs.s0len") +
+            col("__vs.s1len")),
+          lit(0L)).cast("bigint").as("tok_digest"))
+  }
+
+  /** [[seedPieces]] → `rounds` hard-EM re-estimations → the trained
+    * piece table (piece, lpn), each stage localCheckpoint-pinned and
+    * intermediates freed; the RETURNED frame stays pinned (caller
+    * frees).
+    */
+  def trainPieces(
       docs: DataFrame,
       textCol: String,
       rounds: Int,
@@ -188,6 +250,26 @@ object UnigramTokenizer {
       pieces = next
       r += 1
     }
+    if (pieces ne vocab) freeLocalCheckpoint(vocab)
+    freeLocalCheckpoint(wrds)
+    pieces
+  }
+
+  /** Train `rounds` hard-EM rounds and return the FINAL per-word
+    * segmentation: (w, wc, score_nanos, n_pieces, seg) with `seg` the
+    * pieces `|`-joined — the digest-pinned gate frame.
+    */
+  def trainAndSegment(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int,
+      maxPieceLen: Int = 4,
+      topPieces: Int = 250,
+      maxWordLen: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graft.bridge.freeLocalCheckpoint
+    val pieces = trainPieces(docs, textCol, rounds, maxPieceLen,
+      topPieces, maxWordLen)
+    val wrds = words(docs, textCol, maxWordLen).localCheckpoint(true)
     // pin the result, then free every intermediate (the q_f15 rule:
     // the returned plan must not depend on freed checkpoints)
     val out = segment(wrds, pieces, maxPieceLen)
@@ -195,8 +277,7 @@ object UnigramTokenizer {
         size(col("seg_arr")).cast("int").as("n_pieces"),
         concat_ws("|", col("seg_arr")).as("seg"))
       .localCheckpoint(true)
-    if (pieces ne vocab) freeLocalCheckpoint(pieces)
-    freeLocalCheckpoint(vocab)
+    freeLocalCheckpoint(pieces)
     freeLocalCheckpoint(wrds)
     out
   }

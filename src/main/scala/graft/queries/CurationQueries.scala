@@ -1305,7 +1305,7 @@ object CurationQueries extends QueryGroup {
   // every input row). The oracle computes each decision arithmetically
   // from the construction (the q_c30/q_m28 pattern) — the ENGINE must
   // compile and rank the wildcard rules.
-  private val qC31 = Q(
+  private[queries] val qC31 = Q(
     "q_c31_robots_wildcards",
     """WITH u AS (
       |  SELECT doc_id,
@@ -1343,7 +1343,17 @@ object CurationQueries extends QueryGroup {
       |       matched_pattern,
       |       CAST(matched_allow AS INT) AS matched_allow
       |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val docs = Tables.load(s, dir, "documents")
+    robotsWildDecisionsOf(Tables.load(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  /** The q_c31 wildcard-robots decision frame, shared with its
+    * streaming twin: per-batch rows depend only on their own
+    * (host, path) plus that host's FIXED body class, so the
+    * micro-batched union equals the batch run row for row.
+    */
+  private[queries] def robotsWildDecisionsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val did = col("doc_id").cast("string")
     val urls = docs.select(
       col("doc_id"),
@@ -1372,7 +1382,6 @@ object CurationQueries extends QueryGroup {
         col("allowed").cast("int").as("allowed"),
         col("matched_pattern"),
         col("matched_allow").cast("int").as("matched_allow"))
-      .orderBy("doc_id")
   }
 
   override val all: Seq[Q] =

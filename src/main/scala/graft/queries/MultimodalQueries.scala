@@ -2694,8 +2694,50 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id", "rec_idx")
   }
 
+  // The `.warc.gz` QUARANTINE LEDGER (WarcGz.fileSummary): one row per
+  // landing file — valid flag, record count, total declared payload —
+  // the frame an ingest run reports and alerts on (invalid files are
+  // the operational signal; q_m29 shows only the good side). The
+  // oracle computes the ledger arithmetically from the construction:
+  // CRC-flipped files (doc%9==0) invalid with zeroed counters, valid
+  // files carry nrec and the exact payload-length sum.
+  private val qM30 = Q(
+    "q_m30_warc_gz_summary",
+    """WITH src AS (
+      |  SELECT doc_id, coalesce(text, '') AS text,
+      |         CAST(doc_id % 3 + 1 AS INT) AS nrec
+      |  FROM documents WHERE doc_id < 500),
+      |r AS (SELECT doc_id, text, nrec, unnest(range(0, nrec)) AS k
+      |      FROM src),
+      |pl AS (SELECT doc_id,
+      |         sum(len(substr(text, CAST(1 + k * 60 AS INT),
+      |                        CAST((doc_id + 11 * k) % 100 + 1 AS INT))))
+      |           AS payload_total
+      |       FROM r GROUP BY doc_id)
+      |SELECT s.doc_id,
+      |       CAST(CASE WHEN s.doc_id % 9 = 0 THEN 0 ELSE 1 END AS INT)
+      |         AS valid,
+      |       CAST(CASE WHEN s.doc_id % 9 = 0 THEN 0 ELSE s.nrec END AS INT)
+      |         AS n_records,
+      |       CAST(CASE WHEN s.doc_id % 9 = 0 THEN 0
+      |                 ELSE pl.payload_total END AS BIGINT) AS total_payload
+      |FROM src s JOIN pl ON pl.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    val corpus = warcGzCorpusOf(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 500))
+      .localCheckpoint(true)
+    graft.operators.WarcGz
+      .fileSummary(corpus, "doc_id", "gz", maxMembers = 4)
+      .select(
+        col("file_id").as("doc_id"),
+        col("valid").cast("int").as("valid"),
+        col("n_records"),
+        col("total_payload"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
       qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22, qM23, qM24, qM25,
-      qM26, qM27, qM28, qM29)
+      qM26, qM27, qM28, qM29, qM30)
 }

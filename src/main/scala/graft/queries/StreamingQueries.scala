@@ -883,9 +883,23 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id", "rec_idx")
   }
 
+  // Streaming robots GOVERNANCE (q_c31's frontier twin): URL batches
+  // arrive and each decides against the hosts' FIXED rule bodies —
+  // wildcard compilation, longest-match precedence and the
+  // join-back-to-frontier multiplicity contract all run per
+  // micro-batch; a decision depends only on its own (host, path) and
+  // that host's body, so streamed ≡ batch under q_c31's oracle.
+  private val qSt38 = Q(
+    "q_st38_stream_robots_wildcards",
+    CurationQueries.qC31.oracle.get) { (s, dir) =>
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch => CurationQueries.robotsWildDecisionsOf(batch)
+    }.orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
       qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33, qSt34,
-      qSt35, qSt36, qSt37)
+      qSt35, qSt36, qSt37, qSt38)
 }

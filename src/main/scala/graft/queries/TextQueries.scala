@@ -1775,9 +1775,11 @@ object TextQueries extends QueryGroup {
   // integer sums (exact in both engines); the oracle replays the EM as
   // chained CTEs with one recursive-CTE Viterbi per round and pins
   // every word's final score, piece count and '|'-joined segmentation.
-  private val qT38 = Q(
-    "q_t38_unigram_tokenizer",
-    s"""WITH wrds AS (
+  /** The shared q_t38/q_t39 oracle WITH-body: word slice, substring
+    * seed, two EM rounds, final bt3 segmentation.
+    */
+  private lazy val uniOracleCtes: String =
+    s"""wrds AS (
       |  SELECT w, CAST(count(*) AS BIGINT) AS wc
       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
       |        FROM documents WHERE doc_id < 300 AND trim(text) <> '')
@@ -1803,7 +1805,11 @@ object TextQueries extends QueryGroup {
       |  SELECT piece,
       |         CAST(CAST(round(ln(f / t), 9) AS DECIMAL(20,9))
       |              * 1000000000 AS BIGINT) AS lpn
-      |  FROM vocab CROSS JOIN tot0),${uniDpSql(1, "pieces1")},${uniReestSql(1)},${uniDpSql(2, "pieces2")},${uniReestSql(2)},${uniDpSql(3, "pieces3")}
+      |  FROM vocab CROSS JOIN tot0),${uniDpSql(1, "pieces1")},${uniReestSql(1)},${uniDpSql(2, "pieces2")},${uniReestSql(2)},${uniDpSql(3, "pieces3")}""".stripMargin
+
+  private val qT38 = Q(
+    "q_t38_unigram_tokenizer",
+    s"""WITH $uniOracleCtes
       |SELECT w, wc, score_nanos, CAST(len(seg) AS INT) AS n_pieces,
       |       array_to_string(seg, '|') AS seg
       |FROM bt3 ORDER BY w""".stripMargin) { (s, dir) =>
@@ -1814,8 +1820,68 @@ object TextQueries extends QueryGroup {
       .orderBy("w")
   }
 
+  // Unigram tokenizer INFERENCE by vocabulary dedup
+  // (UnigramTokenizer.applyByVocab — the q_st20/BPE Heaps-law
+  // economics applied to the unigram family: each DISTINCT word
+  // Viterbi-segments once under the trained pieces, per-word
+  // sufficient statistics join back onto the positioned occurrence
+  // frame): per document (n_words, n_words_long, n_pieces,
+  // tok_digest) with the exact order-sensitive integer digest of the
+  // BPE gates. The oracle extends the q_t38 EM chain: bt3's per-word
+  // segmentations reduce to (n_pieces, Σlen, Σlen·pos) and fold over
+  // the per-doc positioned word frame.
+  private val qT39 = Q(
+    "q_t39_unigram_apply",
+    s"""WITH $uniOracleCtes,
+      |wstats AS (
+      |  SELECT w, CAST(len(seg) AS BIGINT) AS n_pieces,
+      |         CAST(list_sum(list_transform(seg, s -> len(s)))
+      |              AS BIGINT) AS s0len,
+      |         CAST(list_sum(list_transform(seg, (s, i) -> len(s) * i))
+      |              AS BIGINT) AS s1len
+      |  FROM bt3),
+      |dsplit AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      |  FROM documents WHERE doc_id < 300 AND trim(text) <> ''),
+      |dw0 AS (
+      |  SELECT doc_id, unnest(range(1, len(l)+1)) AS i, l FROM dsplit),
+      |dwords AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS wi, l[CAST(i AS INT)] AS w
+      |  FROM dw0),
+      |dagg AS (
+      |  SELECT d.doc_id,
+      |         CAST(count(*) AS INT) AS n_words,
+      |         CAST(sum(CASE WHEN len(d.w) > 12 THEN 1 ELSE 0 END) AS INT)
+      |           AS n_words_long,
+      |         CAST(coalesce(sum(s.n_pieces), 0) AS BIGINT) AS n_pieces,
+      |         CAST(coalesce(sum(d.wi * 31 * s.s0len + s.s1len), 0)
+      |              AS BIGINT) AS tok_digest
+      |  FROM dwords d LEFT JOIN wstats s ON s.w = d.w AND len(d.w) <= 12
+      |  GROUP BY d.doc_id)
+      |SELECT doc.doc_id,
+      |       CAST(coalesce(a.n_words, 0) AS INT) AS n_words,
+      |       CAST(coalesce(a.n_words_long, 0) AS INT) AS n_words_long,
+      |       CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+      |       CAST(coalesce(a.tok_digest, 0) AS BIGINT) AS tok_digest
+      |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) doc
+      |LEFT JOIN dagg a ON a.doc_id = doc.doc_id
+      |ORDER BY doc.doc_id""".stripMargin) { (s, dir) =>
+    val slice = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .localCheckpoint(true)
+    val pieces = graft.operators.UnigramTokenizer
+      .trainPieces(slice, "text", rounds = 2)
+    val out = graft.operators.UnigramTokenizer
+      .applyByVocab(slice, "doc_id", "text", pieces)
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pieces)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(slice)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39)
 }

@@ -114,6 +114,55 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(got.map(_._1) === Seq("xyzzy", "zq"))
   }
 
+  test("applyByVocab: per-doc digest matches a per-occurrence reference") {
+    import org.apache.spark.sql.functions.col
+    val df = corpus.toDF("doc_id", "text")
+    val pieces = UnigramTokenizer.trainPieces(df, "text", rounds = 2)
+    val got = UnigramTokenizer
+      .applyByVocab(df, "doc_id", "text", pieces)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Long, Long)].collect().toSeq
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pieces)
+    // reference: train via refTrain, then walk every occurrence
+    val segOf = refTrain(corpus.map(_._2), rounds = 2)
+      .map(r => r._1 -> r._5.split('|').toSeq).toMap
+    val want = corpus.map { case (id, text) =>
+      val ws = text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      var digest = 0L; var nPieces = 0L; var nLong = 0
+      ws.zipWithIndex.foreach { case (w, wi0) =>
+        if (w.length > 12) nLong += 1
+        else {
+          val seg = segOf(w)
+          nPieces += seg.size
+          seg.zipWithIndex.foreach { case (p, si0) =>
+            digest += p.length.toLong * ((wi0 + 1L) * 31L + (si0 + 1L))
+          }
+        }
+      }
+      (id, ws.size, nLong, nPieces, digest)
+    }
+    assert(got === want)
+  }
+
+  test("applyByVocab: over-long words are counted but contribute no pieces") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "short words only here"),
+      (2L, "a veryverylongtoken13 b")).toDF("doc_id", "text")
+    val pieces = UnigramTokenizer.trainPieces(df, "text", rounds = 1)
+    val got = UnigramTokenizer
+      .applyByVocab(df, "doc_id", "text", pieces)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Long, Long)].collect().toSeq
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pieces)
+    assert(got(0)._2 === 4)
+    assert(got(0)._3 === 0)
+    assert(got(1)._2 === 3)         // all words counted
+    assert(got(1)._3 === 1)         // the 21-char token is ineligible
+    // digest covers only the eligible words: positions 1 and 3
+    assert(got(1)._4 >= 2L)
+  }
+
   test("tie-break is pinned: equal scores prefer the shorter piece") {
     // craft equal-frequency pieces so a tie arises; both implementations
     // must agree — the assertion is engine == reference, plus the
