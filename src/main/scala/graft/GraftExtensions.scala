@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVectorDot, GifFramePixels, HyperplaneSignature, JaroWinkler, JpegBaselinePixels, MinHashSignature, MultiMatch, MultiMatchCounts, NfcNormalize, PngUnfilteredPixels, SimHash64, Utf8DecodeLenient, ZlibInflate}
+import graft.expressions.{FloatVectorDot, GifFramePixels, GzipInflate, GzipMembers, HyperplaneSignature, JaroWinkler, JpegBaselinePixels, MinHashSignature, MultiMatch, MultiMatchCounts, NfcNormalize, PngUnfilteredPixels, SimHash64, Utf8DecodeLenient, ZlibInflate}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users (and the registered
@@ -149,6 +149,22 @@ object GraftExtensions {
       children => {
         require(children.length == 1, "utf8_decode_lenient(binary)")
         Utf8DecodeLenient(children(0))
+      }),
+    (
+      new FunctionIdentifier("gzip_inflate"),
+      new ExpressionInfo(classOf[GzipInflate].getName, "gzip_inflate"),
+      children => {
+        require(children.length == 2, "gzip_inflate(binary, maxBytes)")
+        GzipInflate(children(0), intLit(children(1), "maxBytes"))
+      }),
+    (
+      new FunctionIdentifier("gzip_members"),
+      new ExpressionInfo(classOf[GzipMembers].getName, "gzip_members"),
+      children => {
+        require(children.length == 3,
+          "gzip_members(binary, maxMembers, maxBytesEach)")
+        GzipMembers(children(0), intLit(children(1), "maxMembers"),
+          intLit(children(2), "maxBytesEach"))
       }))
 
   /** Same registrations applied to an already-running session (extensions

@@ -27,6 +27,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(dec === "ok\uFFFDx\uFFFDz")
   }
 
+  test("gzip_inflate / gzip_members are callable from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    def gz(payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(payload); g.close(); bos.toByteArray
+    }
+    val a = "first member".getBytes("UTF-8")
+    val b = "second member".getBytes("UTF-8")
+    Seq(Tuple1(gz(a) ++ gz(b))).toDF("g").createOrReplaceTempView("gzv")
+    try {
+      val m = spark.sql(
+        "SELECT transform(gzip_members(g, 8, 1048576), " +
+          "x -> decode(x, 'UTF-8')) AS t FROM gzv")
+        .collect()(0).getAs[scala.collection.Seq[String]](0)
+      assert(m.toSeq === Seq("first member", "second member"))
+      // strict single-member form rejects a two-member chain
+      assert(spark.sql("SELECT gzip_inflate(g, 1048576) FROM gzv")
+        .collect()(0).isNullAt(0))
+      assert(spark.sql("SELECT gzip_members(CAST('x' AS BINARY), 8, 100)")
+        .collect()(0).isNullAt(0))
+    } finally spark.sql("DROP VIEW IF EXISTS gzv")
+  }
+
   test("registration is idempotent and registry-visible") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark) // createOrReplace semantics: no throw
