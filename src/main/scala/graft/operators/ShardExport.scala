@@ -87,6 +87,46 @@ object ShardExport {
       .select("shard_id", "n_docs", "n_tokens", "source_mix", "content_md5")
   }
 
+  /** INCREMENTAL append — the landing-zone posture of the index
+    * families (DedupIndex / SubstringIndex / AnnIndex) applied to the
+    * terminal artifact: new documents pack into FRESH shards starting
+    * after the existing maximum (each drop starts its own token
+    * budget — the WebDataset convention: shards are immutable once
+    * written, so a drop never rewrites or reopens an old shard, and a
+    * training run can mount old + new manifests unioned). Work ∝ the
+    * batch: one `_manifest` read for the max shard id, the batch's own
+    * two-level prefix sum, one partitioned append. Existing shard
+    * files and manifest rows are byte-untouched (spec-pinned).
+    */
+  def append(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      budget: Int,
+      outDir: String): Unit = {
+    val maxShard = spark.read.parquet(s"$outDir/_manifest")
+      .agg(max(col("shard_id"))).head().getLong(0)
+    val assigned = assign(docs, idCol, textCol, sourceCol, budget)
+      .withColumn("shard_id", col("shard_id") + (maxShard + 1L))
+      .localCheckpoint(true)
+    try {
+      assigned
+        .repartition(col("shard_id"))
+        .sortWithinPartitions("shard_id", "seq_in_shard")
+        .write.mode(SaveMode.Append)
+        .partitionBy("shard_id")
+        .parquet(s"$outDir/shards")
+      manifest(assigned, idCol, textCol, sourceCol)
+        .coalesce(1)
+        .write.mode(SaveMode.Append)
+        .parquet(s"$outDir/_manifest")
+    } finally {
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(assigned)
+    }
+  }
+
   /** Write the mountable artifact: shard member files partitioned by
     * shard_id (one file per shard directory) plus `_manifest` parquet.
     * Overwrites `outDir` — re-running the same input yields the same

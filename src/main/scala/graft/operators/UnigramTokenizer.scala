@@ -195,7 +195,7 @@ object UnigramTokenizer {
       .select("w").distinct()
       .withColumn("wc", lit(1L))
     val vstats = segment(eligible, pieces, maxPieceLen)
-      .select(col("w"),
+      .select(col("w"), col("score_nanos"),
         graft.functions.hof.bind(col("seg_arr")) { seg =>
           struct(
             size(seg).as("n_pieces"),
@@ -222,7 +222,39 @@ object UnigramTokenizer {
         coalesce(
           sum((col("__wi0") + 1L).cast("bigint") * 31L * col("__vs.s0len") +
             col("__vs.s1len")),
-          lit(0L)).cast("bigint").as("tok_digest"))
+          lit(0L)).cast("bigint").as("tok_digest"),
+        coalesce(sum(col("score_nanos")), lit(0L)).cast("bigint")
+          .as("sum_score_nanos"))
+  }
+
+  /** CCNet-style quality screen on the TRAINED unigram LM, exact in
+    * integers end to end: per document the summed Viterbi score (nano
+    * log-prob units) over its eligible word occurrences, and
+    * `keep` ⇔ the document's mean per-piece log-prob is at or above
+    * the corpus mean — decided by CROSS-MULTIPLICATION
+    * (`sum·N_total ≥ Sum_total·n`), never a division, so the flag is
+    * bit-identical in any engine. Documents with no pieces are kept
+    * (nothing to judge — the caller's length filters own them).
+    */
+  def qualityScreen(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pieces: DataFrame,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    val perDoc = applyByVocab(docs, idCol, textCol, pieces,
+      maxPieceLen, maxWordLen)
+    val totals = perDoc.agg(
+      sum(col("n_pieces")).cast("bigint").as("__tn"),
+      sum(col("sum_score_nanos")).cast("bigint").as("__ts"))
+    perDoc.crossJoin(broadcast(totals))
+      .select(
+        col(idCol), col("n_words"), col("n_words_long"),
+        col("n_pieces"), col("sum_score_nanos"),
+        (col("n_pieces") === 0L ||
+          col("sum_score_nanos") * col("__tn") >=
+            col("__ts") * col("n_pieces")).as("keep"))
   }
 
   /** [[seedPieces]] → `rounds` hard-EM re-estimations → the trained

@@ -1873,6 +1873,74 @@ object TextQueries extends QueryGroup {
       .trainPieces(slice, "text", rounds = 2)
     val out = graft.operators.UnigramTokenizer
       .applyByVocab(slice, "doc_id", "text", pieces)
+      .select("doc_id", "n_words", "n_words_long", "n_pieces", "tok_digest")
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pieces)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(slice)
+    out
+  }
+
+  // CCNet-style quality screen on the TRAINED unigram LM
+  // (UnigramTokenizer.qualityScreen): per-doc summed Viterbi score in
+  // integer nanos, keep ⇔ the doc's mean per-piece log-prob clears the
+  // corpus mean — decided by CROSS-MULTIPLICATION (sum·N_total ≥
+  // Sum_total·n), never a division, so the flag is engine-exact. The
+  // oracle extends the q_t38 chain: per-word scores from bt3 fold over
+  // the positioned occurrence frame, totals via one scalar CTE.
+  private val qT40 = Q(
+    "q_t40_unigram_quality",
+    s"""WITH $uniOracleCtes,
+      |wstats AS (
+      |  SELECT w, CAST(len(seg) AS BIGINT) AS n_pieces,
+      |         CAST(score_nanos AS BIGINT) AS score_nanos
+      |  FROM bt3),
+      |dsplit AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      |  FROM documents WHERE doc_id < 300 AND trim(text) <> ''),
+      |dw0 AS (
+      |  SELECT doc_id, unnest(range(1, len(l)+1)) AS i, l FROM dsplit),
+      |dwords AS (
+      |  SELECT doc_id, l[CAST(i AS INT)] AS w FROM dw0),
+      |dagg AS (
+      |  SELECT d.doc_id,
+      |         CAST(count(*) AS INT) AS n_words,
+      |         CAST(sum(CASE WHEN len(d.w) > 12 THEN 1 ELSE 0 END) AS INT)
+      |           AS n_words_long,
+      |         CAST(coalesce(sum(s.n_pieces), 0) AS BIGINT) AS n_pieces,
+      |         CAST(coalesce(sum(s.score_nanos), 0) AS BIGINT)
+      |           AS sum_score_nanos
+      |  FROM dwords d LEFT JOIN wstats s ON s.w = d.w AND len(d.w) <= 12
+      |  GROUP BY d.doc_id),
+      |perdoc AS (
+      |  SELECT doc.doc_id,
+      |         CAST(coalesce(a.n_words, 0) AS INT) AS n_words,
+      |         CAST(coalesce(a.n_words_long, 0) AS INT) AS n_words_long,
+      |         CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+      |         CAST(coalesce(a.sum_score_nanos, 0) AS BIGINT)
+      |           AS sum_score_nanos
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) doc
+      |  LEFT JOIN dagg a ON a.doc_id = doc.doc_id),
+      |tots AS (SELECT CAST(sum(n_pieces) AS BIGINT) AS tn,
+      |                CAST(sum(sum_score_nanos) AS BIGINT) AS ts
+      |         FROM perdoc)
+      |SELECT p.doc_id, p.n_words, p.n_words_long, p.n_pieces,
+      |       p.sum_score_nanos,
+      |       CAST(CASE WHEN p.n_pieces = 0
+      |                   OR p.sum_score_nanos * t.tn >= t.ts * p.n_pieces
+      |                 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM perdoc p CROSS JOIN tots t
+      |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+    val slice = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .localCheckpoint(true)
+    val pieces = graft.operators.UnigramTokenizer
+      .trainPieces(slice, "text", rounds = 2)
+    val out = graft.operators.UnigramTokenizer
+      .qualityScreen(slice, "doc_id", "text", pieces)
+      .select(col("doc_id"), col("n_words"), col("n_words_long"),
+        col("n_pieces"), col("sum_score_nanos"),
+        col("keep").cast("int").as("keep"))
       .orderBy("doc_id")
       .localCheckpoint(true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pieces)
@@ -1883,5 +1951,5 @@ object TextQueries extends QueryGroup {
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39, qT40)
 }

@@ -68,4 +68,38 @@ class ShardExportSpec extends SparkSpec {
     val shard0 = new java.io.File(s"$d1/shards/shard_id=0")
     assert(shard0.listFiles().count(_.getName.endsWith(".parquet")) === 1)
   }
+
+  test("append: new docs land in fresh shards, old files untouched") {
+    val d = Files.createTempDirectory("shards3").toString
+    ShardExport.write(docs, "doc_id", "text", "source", 6, d)
+    def fileState(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$d/shards"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = fileState()
+    val batch = Seq(
+      (10L, "web", "late arriving doc one two"),    // 5 tokens
+      (11L, "code", "late two")                     // 2 tokens
+    ).toDF("doc_id", "source", "text")
+    ShardExport.append(spark, batch, "doc_id", "text", "source", 6, d)
+    // old shard data files byte-untouched (same paths, same mtimes)
+    assert(fileState().view.filterKeys(before.contains).toMap === before)
+    // new docs start at max existing shard + 1 with a fresh budget
+    val got = spark.read.parquet(s"$d/shards")
+      .select("doc_id", "shard_id", "seq_in_shard")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L, 11L))
+    // both fit the fresh budget (5 + 2 with the boundary at cum-before)
+    assert(got.filter(_._1 >= 10L).map(r => (r._1, r._2)) ===
+      Seq((10L, 4L), (11L, 4L)))
+    // manifest: old rows unchanged, new rows appended
+    val mani = spark.read.parquet(s"$d/_manifest")
+      .as[(Long, Long, Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(mani.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(mani.filter(_._1 >= 4L).map(r => (r._1, r._2, r._3, r._4)) ===
+      Seq((4L, 2L, 7L, "code:1,web:1")))
+  }
 }

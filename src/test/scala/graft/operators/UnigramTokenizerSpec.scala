@@ -120,6 +120,7 @@ class UnigramTokenizerSpec extends SparkSpec {
     val pieces = UnigramTokenizer.trainPieces(df, "text", rounds = 2)
     val got = UnigramTokenizer
       .applyByVocab(df, "doc_id", "text", pieces)
+      .select("doc_id", "n_words", "n_words_long", "n_pieces", "tok_digest")
       .orderBy("doc_id")
       .as[(Long, Int, Int, Long, Long)].collect().toSeq
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pieces)
@@ -152,6 +153,7 @@ class UnigramTokenizerSpec extends SparkSpec {
     val pieces = UnigramTokenizer.trainPieces(df, "text", rounds = 1)
     val got = UnigramTokenizer
       .applyByVocab(df, "doc_id", "text", pieces)
+      .select("doc_id", "n_words", "n_words_long", "n_pieces", "tok_digest")
       .orderBy("doc_id")
       .as[(Long, Int, Int, Long, Long)].collect().toSeq
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pieces)
