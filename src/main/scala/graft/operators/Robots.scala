@@ -50,15 +50,19 @@ object Robots {
     * (host, pattern, allow) — already reduced to the rules that govern
     * `agent` on each host (exact-match groups if any, else `*` groups).
     */
-  def rules(
+  /** Comment-stripped, group-assigned non-blank lines:
+    * (host, __i, __l, __isUa, __grp) — `__grp = 0` marks groupless
+    * leading lines (kept here: host-global directives like `Sitemap:`
+    * legally appear before any group).
+    */
+  private def parsedLines(
       robots: DataFrame,
       hostCol: String,
-      bodyCol: String,
-      agent: String): DataFrame = {
+      bodyCol: String): DataFrame = {
     val wIdx = Window.partitionBy("host").orderBy("__i")
     // group-start flag: a UA line starts a group iff the previous
     // non-blank line was NOT a UA line (consecutive UA lines share)
-    val flagged = robots
+    robots
       .select(col(hostCol).as("host"),
         posexplode(split(coalesce(col(bodyCol), lit("")), "\n"))
           .as(Seq("__i", "__l")))
@@ -70,11 +74,36 @@ object Robots {
           !coalesce(lag(col("__isUa"), 1).over(wIdx), lit(false)))
       .withColumn("__grp",
         sum(col("__start").cast("int")).over(wIdx))
-      .filter(col("__grp") > 0)
+  }
+
+  /** The groups that govern `agent` on each host (exact-match groups
+    * if any exist, else the `*` groups — never both): (host, __grp).
+    */
+  private def chosenGroupsOf(flagged: DataFrame, agent: String): DataFrame = {
     val uas = flagged.filter(col("__isUa"))
       .select(col("host"), col("__grp"),
         lower(trim(regexp_replace(col("__l"), "(?i)^user-agent:", "")))
           .as("ua"))
+    val agentLc = agent.toLowerCase
+    val hostMode = uas
+      .groupBy("host")
+      .agg(max(when(col("ua") === agentLc, 1).otherwise(0)).as("__exact"))
+    uas
+      .join(hostMode, Seq("host"))
+      .filter(
+        (col("__exact") === 1 && col("ua") === agentLc) ||
+          (col("__exact") === 0 && col("ua") === "*"))
+      .select("host", "__grp")
+      .distinct()
+  }
+
+  def rules(
+      robots: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      agent: String): DataFrame = {
+    val flagged = parsedLines(robots, hostCol, bodyCol)
+      .filter(col("__grp") > 0)
     val ruleLines = flagged
       .filter(lower(col("__l")).rlike("^(allow|disallow):"))
       .select(col("host"), col("__grp"),
@@ -84,20 +113,54 @@ object Robots {
       // empty Disallow = allow all = matches nothing; empty Allow is
       // equally vacuous under prefix matching
       .filter(length(col("pattern")) > 0)
-    // agent resolution: exact groups beat * groups, never both
-    val agentLc = agent.toLowerCase
-    val hostMode = uas
-      .groupBy("host")
-      .agg(max(when(col("ua") === agentLc, 1).otherwise(0)).as("__exact"))
-    val chosenGroups = uas
-      .join(hostMode, Seq("host"))
-      .filter(
-        (col("__exact") === 1 && col("ua") === agentLc) ||
-          (col("__exact") === 0 && col("ua") === "*"))
-      .select("host", "__grp")
-      .distinct()
-    ruleLines.join(chosenGroups, Seq("host", "__grp"))
+    ruleLines.join(chosenGroupsOf(flagged, agent), Seq("host", "__grp"))
       .select("host", "pattern", "allow")
+  }
+
+  /** Per-host crawl metadata: (host, crawl_delay, n_sitemaps,
+    * sitemaps) — `crawl_delay` the MINIMUM digits-valid
+    * `Crawl-delay:` value among the agent-resolved groups (null when
+    * absent or non-numeric: an invalid delay must not silently become
+    * zero), `sitemaps` every host-GLOBAL `Sitemap:` URL in file order
+    * comma-joined (per the RFC sitemaps are independent of groups —
+    * groupless leading lines included; URL case preserved). One row
+    * per input robots row. Documented boundary: a literal `#` inside a
+    * sitemap URL is treated as a comment opener, like everywhere else
+    * in the file.
+    */
+  def meta(
+      robots: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      agent: String): DataFrame = {
+    val flagged = parsedLines(robots, hostCol, bodyCol)
+    val delayStr = trim(regexp_replace(col("__l"), "(?i)^crawl-delay:", ""))
+    val delays = flagged
+      .filter(col("__grp") > 0)
+      .filter(lower(col("__l")).rlike("^crawl-delay:"))
+      .join(chosenGroupsOf(flagged, agent), Seq("host", "__grp"))
+      .filter(delayStr.rlike("^[0-9]{1,9}$"))
+      .groupBy("host")
+      .agg(min(delayStr.cast("int")).as("crawl_delay"))
+    val sitemaps = flagged
+      .filter(lower(col("__l")).rlike("^sitemap:"))
+      .select(col("host"), col("__i"),
+        trim(regexp_replace(col("__l"), "(?i)^sitemap:", "")).as("sm"))
+      .filter(length(col("sm")) > 0)
+      .groupBy("host")
+      .agg(
+        count(lit(1)).cast("int").as("n_sitemaps"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("__i"), col("sm")))),
+            s => s.getField("sm"))).as("sitemaps"))
+    robots.select(col(hostCol).as("host"))
+      .join(delays, Seq("host"), "left")
+      .join(sitemaps, Seq("host"), "left")
+      .select(
+        col("host"),
+        col("crawl_delay"),
+        coalesce(col("n_sitemaps"), lit(0)).as("n_sitemaps"),
+        coalesce(col("sitemaps"), lit("")).as("sitemaps"))
   }
 
   /** Compile one rule pattern to its anchored RE2-safe regex: escape

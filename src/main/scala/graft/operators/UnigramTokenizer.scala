@@ -101,9 +101,21 @@ object UnigramTokenizer {
       .agg(map_from_entries(collect_list(
         struct((col("e") * 16 + col("l")).as("k"), col("lpn").as("v"))))
         .as("__m"))
-    val dp = wrds.join(lut, Seq("w"))
+    // OUT-OF-VOCABULARY FLOOR (the SentencePiece byte-fallback posture):
+    // a single-char candidate whose char the trainer never saw scores
+    // one whole nat below the worst trained piece — strictly worse than
+    // any in-vocabulary choice, so covered words segment EXACTLY as
+    // before (the q_t38 oracle is untouched) while any char-novel
+    // inference corpus stays TOTAL instead of undefined. The floor is a
+    // pure function of the piece table (min lpn − 1e9 nanos):
+    // deterministic and replayable.
+    val floorLpn = broadcast(pieces.agg(
+      (min(col("lpn")) - 1000000000L).as("__floor")))
+    val emptyMap = map_from_entries(
+      array().cast("array<struct<k:int,v:bigint>>"))
+    val dp = wrds.join(lut, Seq("w"), "left").crossJoin(floorLpn)
       .select(col("w"), col("wc"),
-        graft.functions.hof.bind(col("__m")) { mm =>
+        graft.functions.hof.bind(coalesce(col("__m"), emptyMap)) { mm =>
           aggregate(
             sequence(lit(1), length(col("w"))),
             struct(
@@ -114,12 +126,15 @@ object UnigramTokenizer {
                 transform(sequence(lit(1), lit(P)), l => struct(
                   when(pos - l >= 0,
                     element_at(st.getField("sc"), pos - l + 1) +
-                      try_element_at(mm, pos * 16 + l)).as("s"),
+                      when(l === 1,
+                        coalesce(try_element_at(mm, pos * 16 + l),
+                          col("__floor")))
+                        .otherwise(try_element_at(mm, pos * 16 + l))).as("s"),
                   (-l).as("nl"))),
                 c => c.getField("s").isNotNull)
               // argmax under (score DESC, len ASC): max struct compare
-              // on (s, -len); coverage (all single chars in vocab)
-              // guarantees cands is non-empty
+              // on (s, -len); coverage (single chars in vocab or the
+              // OOV floor) guarantees cands is non-empty
               val best = array_max(cands)
               struct(
                 concat(st.getField("sc"), array(best.getField("s")))
@@ -174,10 +189,10 @@ object UnigramTokenizer {
     * piece_pos) over the ordered tokenization (1-based) — the exact
     * order-sensitive integer pin of the BPE gates. Words longer than
     * `maxWordLen` are INELIGIBLE (counted in `n_words_long`,
-    * contributing no pieces) — the documented DP bound; a production
-    * deployment adds a byte-fallback vocabulary for them. The corpus
-    * must be char-covered by the training slice (single-char pieces
-    * guarantee coverage exactly for characters the trainer saw).
+    * contributing no pieces) — the documented DP bound. Char coverage
+    * is TOTAL: characters the trainer never saw segment as single
+    * chars at the OOV floor score (see [[segment]]), so any inference
+    * corpus tokenizes.
     */
   def applyByVocab(
       docs: DataFrame,

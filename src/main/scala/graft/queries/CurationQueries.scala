@@ -1384,8 +1384,67 @@ object CurationQueries extends QueryGroup {
         col("matched_allow").cast("int").as("matched_allow"))
   }
 
+  // robots.txt crawl METADATA (Robots.meta): Crawl-delay resolved
+  // against the same exact-beats-star group choice as the rules (MIN
+  // across valid values; a non-numeric delay stays NULL rather than
+  // silently zero) and host-GLOBAL Sitemap lines in file order —
+  // including a groupless leading line, per the RFC — with the
+  // documented '#'-comment boundary exercised by a fragment-bearing
+  // URL. Four host classes; the oracle computes every field
+  // arithmetically from the construction.
+  private val qC32 = Q(
+    "q_c32_robots_meta",
+    """WITH hh AS (SELECT DISTINCT CAST(doc_id % 19 AS INT) AS h
+      |           FROM documents),
+      |m AS (SELECT h, 'm' || CAST(h AS VARCHAR) || '.example.io' AS host,
+      |             CAST(h % 4 AS INT) AS hc
+      |      FROM hh)
+      |SELECT host,
+      |  CAST(CASE WHEN hc = 0 THEN h + 1
+      |            WHEN hc = 1 THEN least(7, h + 2) END AS INT)
+      |    AS crawl_delay,
+      |  CAST(CASE hc WHEN 0 THEN 2 WHEN 1 THEN 0 ELSE 1 END AS INT)
+      |    AS n_sitemaps,
+      |  CASE hc
+      |    WHEN 0 THEN 'https://m' || CAST(h AS VARCHAR) ||
+      |                '.example.io/sm-lead.xml,https://m' ||
+      |                CAST(h AS VARCHAR) || '.example.io/sm2.xml'
+      |    WHEN 1 THEN ''
+      |    WHEN 2 THEN 'https://m' || CAST(h AS VARCHAR) ||
+      |                '.example.io/s.xml'
+      |    ELSE 'https://m' || CAST(h AS VARCHAR) || '.example.io/a.xml'
+      |  END AS sitemaps
+      |FROM m ORDER BY host""".stripMargin) { (s, dir) =>
+    val hosts = Tables.load(s, dir, "documents")
+      .select((col("doc_id") % 19).cast("int").as("h")).distinct()
+    val hs = col("h").cast("string")
+    val base = concat(lit("https://m"), hs, lit(".example.io/"))
+    val body =
+      when(col("h") % 4 === 0, concat(
+        lit("Sitemap: "), base, lit("sm-lead.xml\n"),
+        lit("User-agent: graftbot\nCrawl-delay: "),
+        (col("h") + 1).cast("string"),
+        lit("\nDisallow: /x/\n\nUser-agent: *\nCrawl-delay: 99\n" +
+          "Disallow: /\nSitemap: "), base, lit("sm2.xml\n")))
+        .when(col("h") % 4 === 1, concat(
+          lit("User-agent: *\nCrawl-delay: 7\nCrawl-delay: "),
+          (col("h") + 2).cast("string"), lit("\nDisallow: /y/\n")))
+        .when(col("h") % 4 === 2, concat(
+          lit("User-agent: *\nCrawl-delay: fast\nDisallow: /z/\nSitemap: "),
+          base, lit("s.xml\n")))
+        .otherwise(concat(
+          lit("User-agent: graftbot\nDisallow: /w/\nSitemap: "),
+          base, lit("a.xml#frag\n")))
+    val robots = hosts.select(
+      concat(lit("m"), hs, lit(".example.io")).as("host"),
+      body.as("robots"))
+    graft.operators.Robots
+      .meta(robots, "host", "robots", "graftbot")
+      .orderBy("host")
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
       qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27,
-      qC28, qC29, qC30, qC31)
+      qC28, qC29, qC30, qC31, qC32)
 }

@@ -136,6 +136,36 @@ class RobotsSpec extends SparkSpec {
       ("/doczpdf", true)))     // '.' in *.pdf$ is literal, z doesn't match
   }
 
+  test("meta: delay from the chosen group only, min across values, invalid stays null") {
+    val b1 = "User-agent: graftbot\nCrawl-delay: 4\nCrawl-delay: 2\n" +
+      "Disallow: /a/\n\nUser-agent: *\nCrawl-delay: 9\nDisallow: /\n"
+    val b2 = "User-agent: *\nCrawl-delay: fast\nDisallow: /b/\n"
+    val b3 = "User-agent: *\nDisallow: /c/\n"
+    val got = Robots.meta(
+      Seq(("x.com", b1), ("y.com", b2), ("z.com", b3))
+        .toDF("host", "robots"),
+      "host", "robots", "graftbot")
+      .orderBy("host")
+      .as[(String, Option[Int], Int, String)].collect().toSeq
+    assert(got === Seq(
+      ("x.com", Some(2), 0, ""),   // exact group; min(4, 2); star's 9 ignored
+      ("y.com", None, 0, ""),      // non-numeric delay never becomes 0
+      ("z.com", None, 0, "")))
+  }
+
+  test("meta: sitemaps are host-global and in file order; # starts a comment") {
+    val b = "Sitemap: https://s.com/lead.xml\n" +
+      "User-agent: graftbot\nDisallow: /d/\n" +
+      "Sitemap: https://s.com/in-group.xml#frag\n" +
+      "User-agent: *\nDisallow: /\nSitemap: https://s.com/tail.xml\n"
+    val got = Robots.meta(
+      Seq(("s.com", b)).toDF("host", "robots"), "host", "robots", "graftbot")
+      .as[(String, Option[Int], Int, String)].collect().head
+    assert(got._3 === 3)
+    assert(got._4 === "https://s.com/lead.xml,https://s.com/in-group.xml," +
+      "https://s.com/tail.xml")
+  }
+
   test("decide preserves input multiplicity and extra frontier columns") {
     val urls = Seq(
       ("a.com", "/private/no", 101L),

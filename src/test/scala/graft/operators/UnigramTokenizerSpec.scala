@@ -165,6 +165,28 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(got(1)._4 >= 2L)
   }
 
+  test("OOV floor: chars the trainer never saw segment at the floor score") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq((1L, "abc abc bcd")).toDF("doc_id", "text")
+    val pieces = UnigramTokenizer.trainPieces(train, "text", rounds = 1)
+    val lpns = pieces.select("lpn").as[Long].collect()
+    val floor = lpns.min - 1000000000L
+    // 'xyz' shares no characters with the training corpus at all;
+    // 'axc' mixes seen and unseen
+    val infer = Seq((1L, "xyz axc abc")).toDF("doc_id", "text")
+    val got = UnigramTokenizer
+      .applyByVocab(infer, "doc_id", "text", pieces)
+      .select("doc_id", "n_words", "n_pieces", "sum_score_nanos")
+      .as[(Long, Int, Long, Long)].collect().head
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pieces)
+    assert(got._2 === 3)
+    // xyz -> 3 floor chars; axc -> a + 2 floor-or-vocab; abc -> 1 piece
+    assert(got._3 >= 5L)
+    // the score carries exactly the floor for each unseen char: the
+    // total must be <= 5 floors + anything (floors dominate negatively)
+    assert(got._4 <= 4L * floor) // at least 4 unseen chars hit the floor
+  }
+
   test("tie-break is pinned: equal scores prefer the shorter piece") {
     // craft equal-frequency pieces so a tie arises; both implementations
     // must agree — the assertion is engine == reference, plus the
