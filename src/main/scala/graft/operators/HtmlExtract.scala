@@ -156,6 +156,60 @@ object HtmlExtract {
             <= maxLinkDensity).as("is_content"))
   }
 
+  /** The jusText core stoplist dimension: the most frequent English
+    * function words (embedded, fixed — the classifier must be
+    * deterministic and oracle-replayable; language packs are a caller
+    * concern via the `stopwords` parameter).
+    */
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "it", "you", "that", "he",
+    "was", "for", "on", "are", "as", "with", "his", "they", "i", "at",
+    "be", "this", "have", "from", "or", "one", "had", "by", "but", "not",
+    "what", "all", "were", "we", "when", "your", "can", "said", "there",
+    "an", "which", "she", "do", "how", "their", "if", "will", "about",
+    "so", "them", "would", "then", "its", "these", "has", "more", "her",
+    "than", "him", "into", "no", "could", "our", "been", "who", "may",
+    "any", "over", "also", "only", "most", "some", "such", "very")
+
+  /** Full jusText-style block classification — link density AND
+    * stopword density (Pomikálek 2011 §3: high stopword density is the
+    * strongest single "this is prose" signal; chrome and code have
+    * almost none): one row per non-empty block with
+    * (doc_id, block_idx, block_text, n_chars, n_words, n_link_chars,
+    * n_stop_words, stop_density, blk_class) where `blk_class` is
+    * `short` (n_chars < minChars), `bad` (link-heavy OR stop-sparse)
+    * or `good`. Token matching is EXACT on lowercased space-split
+    * tokens — punctuation-attached tokens don't match (documented
+    * boundary; the collapsed block text makes the split well-defined).
+    * Pure scan-side like [[blocks]]: one extra array filter per block,
+    * no new shuffle.
+    */
+  def blocksClassified(
+      docs: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      minChars: Int = 25,
+      maxLinkDensity: Double = 0.33,
+      minStopDensity: Double = 0.30,
+      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    require(minStopDensity >= 0 && minStopDensity <= 1,
+      "minStopDensity must be in [0, 1]")
+    require(stopwords.nonEmpty, "stopwords must not be empty")
+    val nStop = size(filter(split(col("block_text"), " "),
+      x => lower(x).isInCollection(stopwords)))
+    blocks(docs, idCol, htmlCol, minChars, maxLinkDensity)
+      .withColumn("n_stop_words", nStop)
+      .withColumn("stop_density",
+        round(col("n_stop_words").cast("double") / col("n_words"), 6))
+      .withColumn("blk_class",
+        when(col("n_chars") < minChars, "short")
+          .when(!col("is_content"), "bad") // link-heavy
+          .when(col("n_stop_words").cast("double") / col("n_words") <
+            minStopDensity, "bad")
+          .otherwise("good"))
+      .drop("link_density", "is_content")
+  }
+
   /** The cleaned document: content blocks joined with `\n` in source
     * order — (doc_id, text, n_blocks_kept, n_blocks_dropped). TOTAL:
     * one row per input document, including documents that produce no

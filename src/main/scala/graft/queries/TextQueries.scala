@@ -1463,6 +1463,51 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id", "block_idx")
   }
 
+  // FULL jusText block classification (HtmlExtract.blocksClassified):
+  // link density AND stopword density over the same tag-soup corpus —
+  // the strongest single prose signal (chrome/code carry almost no
+  // function words). The oracle replays the q_t34 CTE chain plus one
+  // list_filter stop count per block against the SAME embedded
+  // stoplist; classes short/bad/good pinned per block.
+  private val qT41 = {
+    val stopsSql = graft.operators.HtmlExtract.defaultStopwords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    Q(
+      "q_t41_html_block_classes",
+      s"""WITH $htmlCorpusSql,
+        |$htmlBlocksSql
+        |SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+        |       md5(block_text) AS block_md5, n_chars, n_words,
+        |       n_link_chars,
+        |       CAST(len(list_filter(string_split(block_text, ' '),
+        |            x -> list_contains($stopsSql, lower(x)))) AS INT)
+        |         AS n_stop_words,
+        |       round(len(list_filter(string_split(block_text, ' '),
+        |            x -> list_contains($stopsSql, lower(x))))
+        |            / CAST(n_words AS DOUBLE), 6) AS stop_density,
+        |       CASE WHEN n_chars < 25 THEN 'short'
+        |            WHEN n_link_chars / CAST(n_chars AS DOUBLE) > 0.33
+        |              THEN 'bad'
+        |            WHEN len(list_filter(string_split(block_text, ' '),
+        |                 x -> list_contains($stopsSql, lower(x))))
+        |                 / CAST(n_words AS DOUBLE) < 0.30 THEN 'bad'
+        |            ELSE 'good' END AS blk_class
+        |FROM b3
+        |ORDER BY doc_id, block_idx""".stripMargin) { (s, dir) =>
+      graft.operators.HtmlExtract
+        .blocksClassified(
+          htmlCorpusOf(Tables.load(s, dir, "documents")), "doc_id", "html")
+        .select(
+          col("doc_id"),
+          col("block_idx").cast("int").as("block_idx"),
+          md5(col("block_text").cast("binary")).as("block_md5"),
+          col("n_chars"), col("n_words"), col("n_link_chars"),
+          col("n_stop_words").cast("int").as("n_stop_words"),
+          col("stop_density"), col("blk_class"))
+        .orderBy("doc_id", "block_idx")
+    }
+  }
+
   // Unicode/encoding hygiene (TextHygiene.clean): planted mojibake /
   // zero-width / control / NFD suffixes by doc_id residue, then the
   // 4-stage pass (control scrub -> cp1252 mojibake repair -> invisible
@@ -1951,5 +1996,5 @@ object TextQueries extends QueryGroup {
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39, qT40)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39, qT40, qT41)
 }

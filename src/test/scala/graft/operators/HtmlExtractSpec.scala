@@ -96,6 +96,25 @@ class HtmlExtractSpec extends SparkSpec {
     assert(got(1)._4 === 0) // no balanced segment -> zero link chars
   }
 
+  test("blocksClassified: good needs length AND link-sparsity AND stop density") {
+    val html =
+      "<p>The point of this test is that it should read like prose and " +
+        "the words in it are mostly the common ones.</p>" + // good
+      "<div><a href='/a'>Home</a> <a href='/b'>Products</a> " +
+        "<a href='/c'>Contact us for more details today</a></div>" + // bad: links
+      "<p>short bit</p>" + // short
+      "<p>XGBoost CUDA kernels: fp16 matmul latency 3ms throughput " +
+        "9000qps batchsize 128 quantization int8 sparsity 0.93</p>" // bad: stops
+    val got = HtmlExtract.blocksClassified(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .orderBy("block_idx")
+      .select("blk_class", "n_stop_words")
+      .as[(String, Int)].collect().toSeq
+    assert(got.map(_._1) === Seq("good", "bad", "short", "bad"))
+    assert(got(0)._2 > 5)  // prose is stopword-rich
+    assert(got(3)._2 <= 1) // the spec sheet has (almost) none
+  }
+
   test("degenerate inputs: null html, empty html, all-boilerplate doc") {
     val df = Seq(
       (1L, null.asInstanceOf[String]),
