@@ -65,4 +65,65 @@ object DocRepetition {
         round((col("n_lines") - col("n_lines_kept")).cast("double") /
           col("n_lines"), 6).as("dup_line_fraction"))
   }
+
+  /** CORPUS-GLOBAL line dedup — the other half of the C4 rule: cookie
+    * banners, subscribe prompts and copyright footers repeat ACROSS
+    * documents, and only the corpus-wide first occurrence (smallest
+    * (doc, idx)) survives; every later document loses the line. Short
+    * lines stay exempt exactly as in [[dedupLines]].
+    *
+    * Scale shape — deliberately NOT the per-line window of the
+    * within-doc form: a window partitioned by line CONTENT sorts every
+    * occurrence of a hot line in one task (a banner on 10⁸ pages is a
+    * straight skew stall). Instead the first occurrence per line is
+    * one `min(struct(doc, idx))` HASH AGGREGATE — partial aggregation
+    * collapses hot lines MAP-SIDE, so the shuffle carries one row per
+    * distinct line per input partition — and survivors join back on
+    * (line, doc, idx). Output schema matches [[dedupLines]].
+    */
+  def dedupLinesGlobal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int = 10): DataFrame = {
+    require(minLineChars >= 1, "minLineChars must be positive")
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__idx", "__line")))
+      .withColumn("__exempt", length(trim(col("__line"))) < minLineChars)
+    val firstOcc = lines
+      .filter(!col("__exempt"))
+      .groupBy(col("__line"))
+      .agg(min(struct(col("doc_id"), col("__idx"))).as("__first"))
+      .select(col("__line"), col("__first.doc_id").as("__fd"),
+        col("__first.__idx").as("__fi"))
+    // TOTAL by construction (the HtmlExtract.extract posture): one
+    // aggregate over ALL lines with a conditional collect — a document
+    // whose every substantial line first appeared elsewhere still
+    // comes back, with only its exempt lines (possibly empty text)
+    lines
+      .join(firstOcc, Seq("__line"), "left")
+      .withColumn("__keep",
+        col("__exempt") ||
+          (col("doc_id") === col("__fd") && col("__idx") === col("__fi")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_lines_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("__idx"), col("__line"))))),
+            s => s.getField("__line"))).as("text_clean"))
+      .select(
+        col("doc_id"),
+        col("text_clean"),
+        col("n_lines"),
+        col("n_lines_kept"),
+        length(col("text_clean")).as("n_chars_clean"),
+        round((col("n_lines") - col("n_lines_kept")).cast("double") /
+          col("n_lines"), 6).as("dup_line_fraction"))
+  }
 }

@@ -302,6 +302,49 @@ object UnigramTokenizer {
     pieces
   }
 
+  /** Persist a trained piece table as a versioned model artifact —
+    * the [[ShardExport]] posture for the tokenizer: training runs and
+    * landing zones load the SAME pinned vocabulary instead of
+    * re-training (a tokenizer that drifts between runs silently
+    * re-tokenizes the whole corpus). The artifact is plain parquet
+    * (piece, lpn) plus a one-row `_model` descriptor (format version,
+    * maxPieceLen, piece count) that [[loadPieces]] validates loudly.
+    */
+  def writePieces(
+      pieces: DataFrame,
+      maxPieceLen: Int,
+      outDir: String): Unit = {
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    val n = pieces.count()
+    pieces.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/pieces")
+    Seq(("graft-unigram-v1", maxPieceLen, n))
+      .toDF("format", "max_piece_len", "n_pieces")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/_model")
+  }
+
+  /** Load a [[writePieces]] artifact: (pieces, maxPieceLen). Fails
+    * loudly on a format/count mismatch — a truncated model must never
+    * silently tokenize differently.
+    */
+  def loadPieces(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Int) = {
+    val m = spark.read.parquet(s"$dir/_model").head()
+    require(m.getAs[String]("format") == "graft-unigram-v1",
+      s"unknown unigram model format: ${m.getAs[String]("format")}")
+    val pieces = spark.read.parquet(s"$dir/pieces")
+    val n = pieces.count()
+    require(n == m.getAs[Long]("n_pieces"),
+      s"unigram model truncated: ${m.getAs[Long]("n_pieces")} pieces " +
+        s"declared, $n found")
+    (pieces, m.getAs[Int]("max_piece_len"))
+  }
+
   /** Train `rounds` hard-EM rounds and return the FINAL per-word
     * segmentation: (w, wc, score_nanos, n_pieces, seg) with `seg` the
     * pieces `|`-joined — the digest-pinned gate frame.

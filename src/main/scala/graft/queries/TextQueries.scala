@@ -1508,6 +1508,66 @@ object TextQueries extends QueryGroup {
     }
   }
 
+  // CORPUS-GLOBAL line dedup (DocRepetition.dedupLinesGlobal — the
+  // cross-document half of the C4 rule): every doc carries one
+  // corpus-wide banner (only the smallest (doc, idx) keeps it), one of
+  // 7 shared footer classes (7 survivors), a short exempt separator
+  // (everyone keeps), a text slice and a unique tail. The engine's
+  // first-occurrence is a skew-proof min(struct) hash aggregate; the
+  // oracle replays with the per-line window — same semantics, the
+  // naive formulation.
+  private val qT42 = Q(
+    "q_t42_global_line_dedup",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    'SUBSCRIBE TO OUR NEWSLETTER TODAY PLEASE' || chr(10) ||
+      |    substr(coalesce(text, ''), 1, 80) || chr(10) ||
+      |    '--' || chr(10) ||
+      |    'Copyright footer variant ' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    ' all rights reserved' || chr(10) ||
+      |    'tail line for doc ' || CAST(doc_id AS VARCHAR) AS t
+      |  FROM documents),
+      |l0 AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM raw),
+      |l1 AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS i, l FROM l0),
+      |ln AS (SELECT doc_id, CAST(i AS INT) AS idx, l[CAST(i AS INT)] AS line
+      |       FROM l1),
+      |kp AS (SELECT *,
+      |         (len(trim(line)) < 10 OR row_number() OVER (
+      |            PARTITION BY line ORDER BY doc_id, idx) = 1) AS keep
+      |       FROM ln),
+      |fin AS (SELECT doc_id,
+      |          CAST(count(*) AS BIGINT) AS n_lines,
+      |          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_lines_kept,
+      |          string_agg(CASE WHEN keep THEN line END, chr(10)
+      |                     ORDER BY idx) AS txt
+      |        FROM kp GROUP BY doc_id)
+      |SELECT doc_id, md5(coalesce(txt, '')) AS clean_md5,
+      |       CAST(len(coalesce(txt, '')) AS INT) AS n_chars_clean,
+      |       n_lines, n_lines_kept,
+      |       round((n_lines - n_lines_kept) / CAST(n_lines AS DOUBLE), 6)
+      |         AS dup_line_fraction
+      |FROM fin ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val corpus = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        lit("SUBSCRIBE TO OUR NEWSLETTER TODAY PLEASE\n"),
+        substring(coalesce(col("text"), lit("")), 1, 80), lit("\n"),
+        lit("--\n"),
+        lit("Copyright footer variant "), (col("doc_id") % 7).cast("string"),
+        lit(" all rights reserved\n"),
+        lit("tail line for doc "), col("doc_id").cast("string")).as("text"))
+    graft.operators.DocRepetition
+      .dedupLinesGlobal(corpus, "doc_id", "text")
+      .select(
+        col("doc_id"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"),
+        col("n_chars_clean"),
+        col("n_lines"), col("n_lines_kept"),
+        col("dup_line_fraction"))
+      .orderBy("doc_id")
+  }
+
   // Unicode/encoding hygiene (TextHygiene.clean): planted mojibake /
   // zero-width / control / NFD suffixes by doc_id residue, then the
   // 4-stage pass (control scrub -> cp1252 mojibake repair -> invisible
@@ -1996,5 +2056,5 @@ object TextQueries extends QueryGroup {
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39, qT40, qT41)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39, qT40, qT41, qT42)
 }

@@ -47,6 +47,36 @@ class DocRepetitionSpec extends SparkSpec {
     assert(r._2 === "" && r._3 === 1L && r._4 === 1L)
   }
 
+  test("global dedup: cross-doc lines survive only at the smallest (doc, idx)") {
+    val banner = "SUBSCRIBE TO OUR NEWSLETTER NOW"
+    val docs = Seq(
+      (3L, s"$banner\nunique third body line\n--"),
+      (1L, s"$banner\nunique first body line\n--\n$banner"),
+      (2L, s"unique second body line\n$banner\n--")).toDF("doc_id", "text")
+    val got = DocRepetition.dedupLinesGlobal(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Int, Double)].collect().toSeq
+    // doc 1 keeps the banner (first occurrence is (1, 0)); its own
+    // within-doc repeat at idx 3 also drops; docs 2 and 3 lose theirs
+    assert(got.map(r => (r._1, r._2)) === Seq(
+      (1L, s"$banner\nunique first body line\n--"),
+      (2L, "unique second body line\n--"),
+      (3L, "unique third body line\n--")))
+    assert(got.map(_._4) === Seq(3L, 2L, 2L)) // kept counts
+  }
+
+  test("global dedup is total: a doc made entirely of seen lines survives") {
+    val docs = Seq(
+      (1L, "the only substantial line in this corpus"),
+      (2L, "the only substantial line in this corpus")).toDF("doc_id", "text")
+    val got = DocRepetition.dedupLinesGlobal(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Int, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) === Seq(
+      (1L, "the only substantial line in this corpus", 1L),
+      (2L, "", 0L))) // present, empty — never silently dropped
+  }
+
   test("leading/trailing whitespace differences are distinct lines") {
     val a = "A substantial content line."
     val r = run(Seq(a, "  " + a).mkString("\n"))

@@ -165,6 +165,28 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(got(1)._4 >= 2L)
   }
 
+  test("piece persistence: write/load round-trips and inference is identical") {
+    import org.apache.spark.sql.functions.col
+    val df = corpus.toDF("doc_id", "text")
+    val pieces = UnigramTokenizer.trainPieces(df, "text", rounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_model").toString
+    UnigramTokenizer.writePieces(pieces, maxPieceLen = 4, dir)
+    val (loaded, p) = UnigramTokenizer.loadPieces(spark, dir)
+    assert(p === 4)
+    def infer(ps: org.apache.spark.sql.DataFrame) = UnigramTokenizer
+      .applyByVocab(df, "doc_id", "text", ps)
+      .orderBy("doc_id")
+      .select("doc_id", "n_pieces", "tok_digest", "sum_score_nanos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(infer(loaded) === infer(pieces))
+    // truncated artifact fails loudly (fewer pieces than declared)
+    pieces.limit(1).write.mode("overwrite").parquet(s"$dir/pieces")
+    intercept[IllegalArgumentException] {
+      UnigramTokenizer.loadPieces(spark, dir)
+    }
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pieces)
+  }
+
   test("OOV floor: chars the trainer never saw segment at the floor score") {
     import org.apache.spark.sql.functions.col
     val train = Seq((1L, "abc abc bcd")).toDF("doc_id", "text")
