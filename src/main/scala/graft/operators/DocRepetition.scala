@@ -85,7 +85,8 @@ object DocRepetition {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minLineChars: Int = 10): DataFrame = {
+      minLineChars: Int = 10,
+      seenLines: Option[DataFrame] = None): DataFrame = {
     require(minLineChars >= 1, "minLineChars must be positive")
     val lines = docs
       .select(col(idCol).as("doc_id"),
@@ -98,15 +99,27 @@ object DocRepetition {
       .agg(min(struct(col("doc_id"), col("__idx"))).as("__first"))
       .select(col("__line"), col("__first.doc_id").as("__fd"),
         col("__first.__idx").as("__fi"))
+    // the incremental form (`seenLines`: one `__line` column — the
+    // landing-zone store): a line seen in an EARLIER drop drops here
+    // even at its in-batch first occurrence
+    val withSeen = seenLines match {
+      case Some(seen) =>
+        lines.join(
+          seen.select(col("__line")).distinct()
+            .withColumn("__seen", lit(true)),
+          Seq("__line"), "left")
+      case None => lines.withColumn("__seen", lit(null).cast("boolean"))
+    }
     // TOTAL by construction (the HtmlExtract.extract posture): one
     // aggregate over ALL lines with a conditional collect — a document
     // whose every substantial line first appeared elsewhere still
     // comes back, with only its exempt lines (possibly empty text)
-    lines
+    withSeen
       .join(firstOcc, Seq("__line"), "left")
       .withColumn("__keep",
         col("__exempt") ||
-          (col("doc_id") === col("__fd") && col("__idx") === col("__fi")))
+          (col("doc_id") === col("__fd") && col("__idx") === col("__fi") &&
+            col("__seen").isNull))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("bigint").as("n_lines"),

@@ -897,9 +897,33 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id")
   }
 
+  // Streaming corpus-GLOBAL line dedup (q_t42's landing-zone twin with
+  // the persisted seen-line store): each drop dedups internally, drops
+  // lines earlier drops already kept, appends its survivors. First
+  // occurrence is decided by ARRIVAL order — batch index (doc_id % 2
+  // under the 2-shard landing split) before (doc_id, idx) — which the
+  // oracle replays verbatim: a landing zone cannot keep a line that
+  // has not arrived yet, so its keep set legitimately differs from the
+  // batch gate's (doc_id, idx) order on cross-shard repeats.
+  private val qSt39 = Q(
+    "q_st39_stream_global_line_dedup",
+    TextQueries.globalDedupOracle("(doc_id % 2), doc_id, idx")) { (s, dir) =>
+    import org.apache.spark.sql.functions.{col, md5}
+    graft.streaming.CorpusStream
+      .globalLineDedupAvailableNow(s, dir,
+        b => TextQueries.globalDedupCorpusOf(b), shards = 2)
+      .select(
+        col("doc_id"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"),
+        col("n_chars_clean"),
+        col("n_lines"), col("n_lines_kept"),
+        col("dup_line_fraction"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
       qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33, qSt34,
-      qSt35, qSt36, qSt37, qSt38)
+      qSt35, qSt36, qSt37, qSt38, qSt39)
 }

@@ -1516,9 +1516,26 @@ object TextQueries extends QueryGroup {
   // first-occurrence is a skew-proof min(struct) hash aggregate; the
   // oracle replays with the per-line window — same semantics, the
   // naive formulation.
-  private val qT42 = Q(
-    "q_t42_global_line_dedup",
-    """WITH raw AS (
+  /** The q_t42 cross-doc planted corpus, shared with its streaming
+    * twin. */
+  private[queries] def globalDedupCorpusOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(
+        lit("SUBSCRIBE TO OUR NEWSLETTER TODAY PLEASE\n"),
+        substring(coalesce(col("text"), lit("")), 1, 80), lit("\n"),
+        lit("--\n"),
+        lit("Copyright footer variant "), (col("doc_id") % 7).cast("string"),
+        lit(" all rights reserved\n"),
+        lit("tail line for doc "), col("doc_id").cast("string")).as("text"))
+
+  /** The q_t42/q_st39 oracle, parametrized on the first-occurrence
+    * TOTAL ORDER: batch semantics use (doc_id, idx); the streaming
+    * twin uses ARRIVAL order ((doc_id % shards) batch index first — a
+    * landing zone cannot keep a line that has not arrived yet).
+    */
+  private[queries] def globalDedupOracle(orderBySql: String): String =
+    s"""WITH raw AS (
       |  SELECT doc_id,
       |    'SUBSCRIBE TO OUR NEWSLETTER TODAY PLEASE' || chr(10) ||
       |    substr(coalesce(text, ''), 1, 80) || chr(10) ||
@@ -1533,7 +1550,7 @@ object TextQueries extends QueryGroup {
       |       FROM l1),
       |kp AS (SELECT *,
       |         (len(trim(line)) < 10 OR row_number() OVER (
-      |            PARTITION BY line ORDER BY doc_id, idx) = 1) AS keep
+      |            PARTITION BY line ORDER BY $orderBySql) = 1) AS keep
       |       FROM ln),
       |fin AS (SELECT doc_id,
       |          CAST(count(*) AS BIGINT) AS n_lines,
@@ -1547,18 +1564,15 @@ object TextQueries extends QueryGroup {
       |       n_lines, n_lines_kept,
       |       round((n_lines - n_lines_kept) / CAST(n_lines AS DOUBLE), 6)
       |         AS dup_line_fraction
-      |FROM fin ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val corpus = Tables.load(s, dir, "documents").select(
-      col("doc_id"),
-      concat(
-        lit("SUBSCRIBE TO OUR NEWSLETTER TODAY PLEASE\n"),
-        substring(coalesce(col("text"), lit("")), 1, 80), lit("\n"),
-        lit("--\n"),
-        lit("Copyright footer variant "), (col("doc_id") % 7).cast("string"),
-        lit(" all rights reserved\n"),
-        lit("tail line for doc "), col("doc_id").cast("string")).as("text"))
+      |FROM fin ORDER BY doc_id""".stripMargin
+
+  private val qT42 = Q(
+    "q_t42_global_line_dedup",
+    globalDedupOracle("doc_id, idx")) { (s, dir) =>
     graft.operators.DocRepetition
-      .dedupLinesGlobal(corpus, "doc_id", "text")
+      .dedupLinesGlobal(
+        globalDedupCorpusOf(Tables.load(s, dir, "documents")),
+        "doc_id", "text")
       .select(
         col("doc_id"),
         md5(col("text_clean").cast("binary")).as("clean_md5"),

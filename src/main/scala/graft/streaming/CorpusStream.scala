@@ -530,6 +530,48 @@ object CorpusStream {
     }.distinct()
   }
 
+  /** Streaming CORPUS-GLOBAL line dedup — the cross-document C4 rule
+    * run where data arrives ([[graft.operators.DocRepetition]]
+    * `dedupLinesGlobal`'s landing-zone posture): each micro-batch
+    * dedups internally (smallest (doc, idx) within the batch), drops
+    * every substantial line already in the persisted SEEN-LINE store,
+    * then appends its survivors' lines to the store. The cumulative
+    * output is global first-occurrence dedup under ARRIVAL order —
+    * batches first, (doc, idx) within a batch — which is the streaming
+    * contract (a landing zone cannot keep a line that has not arrived
+    * yet); the gate's oracle replays exactly that order. Store growth
+    * is one row per DISTINCT substantial line — Heaps-bounded like the
+    * vocabulary frames, and the per-batch anti-join is the standard
+    * persisted-index probe shape.
+    */
+  def globalLineDedupAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      buildCorpus: DataFrame => DataFrame,
+      shards: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store =
+      java.nio.file.Files.createTempDirectory("graft_stream_lines").toString
+    var seeded = false
+    transformAvailableNow(spark, sfDir, shards) { b =>
+      val corpus = buildCorpus(b)
+      val seen =
+        if (seeded) Some(spark.read.parquet(store)) else None
+      val kept = graft.operators.DocRepetition
+        .dedupLinesGlobal(corpus, "doc_id", "text", seenLines = seen)
+        .localCheckpoint(true)
+      // append this batch's surviving substantial lines to the store
+      kept
+        .select(posexplode(split(col("text_clean"), "\n"))
+          .as(Seq("__i", "__line")))
+        .filter(length(trim(col("__line"))) >= 10)
+        .select("__line").distinct()
+        .write.mode("append").parquet(store)
+      seeded = true
+      kept
+    }
+  }
+
   /** Streaming TERMINAL-SHARD export — the landing-zone close of the
     * curation pipeline (the [[graft.operators.ShardExport]] incremental
     * posture per micro-batch): the first drop writes the shard
