@@ -124,6 +124,9 @@ object PublicSuffix {
     * wildcard) > (two-label normal | one-label-base wildcard) >
     * default `*` (last two labels). Empty string when the host IS a
     * public suffix (nothing registrable) or has too few labels.
+    * Contract: the host is already LOWERCASE (DNS names are
+    * case-insensitive and [[UrlOps.canonicalize]] lowers them; a raw
+    * mixed-case host here falls through to the default rule).
     */
   def registrableDomain(host: Column): Column = {
     val s1 = lastLabels(host, 1)

@@ -181,7 +181,10 @@ object Robots {
     * matched_allow) appended — one row per input URL row (duplicates
     * preserved, extra columns passed through); `matched_*` null when no
     * rule matched (⇒ allowed). A null host/path row matches no rules
-    * and comes back allowed.
+    * and comes back allowed. Boundary: the three output names are
+    * reserved — an input frame already carrying `allowed` /
+    * `matched_pattern` / `matched_allow` is the caller's naming bug,
+    * not a supported input.
     */
   def decide(
       robots: DataFrame,

@@ -106,8 +106,12 @@ object ShardExport {
       sourceCol: String,
       budget: Int,
       outDir: String): Unit = {
-    val maxShard = spark.read.parquet(s"$outDir/_manifest")
-      .agg(max(col("shard_id"))).head().getLong(0)
+    val maxRow = spark.read.parquet(s"$outDir/_manifest")
+      .agg(max(col("shard_id"))).head()
+    require(!maxRow.isNullAt(0),
+      s"append target has an EMPTY manifest ($outDir/_manifest): refuse " +
+        "to guess shard numbering — write() the first drop instead")
+    val maxShard = maxRow.getLong(0)
     val assigned = assign(docs, idCol, textCol, sourceCol, budget)
       .withColumn("shard_id", col("shard_id") + (maxShard + 1L))
       .localCheckpoint(true)
