@@ -70,7 +70,9 @@ object WarcGz {
               h("WARC-Date").as("warc_date"),
               cl.as("content_length"),
               md5(encode(s.substr(hEnd + lit(4L), greatest(cl, lit(0L))),
-                "ISO-8859-1")).as("payload_md5"))
+                "ISO-8859-1")).as("payload_md5"),
+              s.substr(hEnd + lit(4L), greatest(cl, lit(0L)))
+                .as("payload_text"))
           }
         }
       }
@@ -112,6 +114,32 @@ object WarcGz {
         col("r.warc_date").as("warc_date"),
         col("r.content_length").as("content_length"),
         col("r.payload_md5").as("payload_md5"))
+
+  /** [[records]] plus the PAYLOAD TEXT itself (`payload_text`, the
+    * lossless ISO-8859-1 view of the payload bytes) — the column the
+    * downstream text pipeline consumes directly (warc.gz → boilerplate
+    * extraction without a second container pass). Meaningful for
+    * text-plane payloads; binary payloads keep their byte-exact md5
+    * and route to the [[Multimodal]] kernels via re-encode.
+    */
+  def recordsWithText(
+      df: DataFrame,
+      idCol: String,
+      gzCol: String,
+      maxMembers: Int = 16,
+      maxRecordBytes: Int = 1 << 24): DataFrame =
+    df.select(col(idCol).as("file_id"),
+      walk(col(gzCol), maxMembers, maxRecordBytes).as("w"))
+      .filter(col("w.valid"))
+      .select(col("file_id"), posexplode(col("w.recs")).as(Seq("rec_idx", "r")))
+      .select(col("file_id"), col("rec_idx").cast("int").as("rec_idx"),
+        col("r.warc_type").as("warc_type"),
+        col("r.record_id").as("record_id"),
+        col("r.target_uri").as("target_uri"),
+        col("r.warc_date").as("warc_date"),
+        col("r.content_length").as("content_length"),
+        col("r.payload_md5").as("payload_md5"),
+        col("r.payload_text").as("payload_text"))
 
   /** Per-file ledger: (file_id, valid, n_records, total_payload). */
   def fileSummary(

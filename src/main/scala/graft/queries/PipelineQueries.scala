@@ -1090,7 +1090,117 @@ object PipelineQueries extends QueryGroup {
     out
   }
 
+  // The Common Crawl FRONT DOOR composed end to end: `.warc.gz` landing
+  // files (one gzip member per record, STORED-deflate construction with
+  // real CRC32 trailers; every 9th file CRC-corrupted and quarantined)
+  // → WarcGz.recordsWithText (inflate, verify, parse, payload TEXT out)
+  // → HtmlExtract.extract over the recovered pages. The page corpus is
+  // ASCII-only by construction (the ISO-8859-1 payload bridge is exact
+  // for it); the oracle supplies its own `h` CTE to the SHARED
+  // htmlBlocksSql chain and computes the quarantine set arithmetically
+  // — the ENGINE must inflate and parse its way to the same pages
+  // before the extraction algebra can even start.
+  private val qF17 = Q(
+    "q_f17_warc_gz_html_pipeline",
+    s"""WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Crawl ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title></head><body>' ||
+      |    '<nav><a href="/">Home</a> <a href="/c">Crawl index</a></nav>' ||
+      |    '<p>' || substr(coalesce(text, ''), 1, 200) || '</p>' ||
+      |    '<div>' || substr(coalesce(text, ''), 201, 160) ||
+      |    ' extra words for mass</div>' ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN '<p>Short promo: <a href="/buy">Buy this now</a></p>'
+      |         ELSE '' END ||
+      |    '<footer><a href="/t">Terms</a></footer></body></html>' AS html
+      |  FROM documents WHERE doc_id < 400),
+      |${TextQueries.htmlBlocksSql},
+      |ext AS (
+      |  SELECT h.doc_id,
+      |         coalesce(x.text, '') AS text,
+      |         coalesce(x.k, 0) AS n_blocks_kept,
+      |         coalesce(x.d, 0) AS n_blocks_dropped
+      |  FROM h LEFT JOIN (
+      |    SELECT doc_id,
+      |           string_agg(CASE WHEN n_chars >= 25 AND
+      |                 n_link_chars / CAST(n_chars AS DOUBLE) <= 0.33
+      |               THEN block_text END, chr(10) ORDER BY block_idx)
+      |             AS text,
+      |           CAST(sum(CASE WHEN n_chars >= 25 AND
+      |                 n_link_chars / CAST(n_chars AS DOUBLE) <= 0.33
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS k,
+      |           CAST(sum(CASE WHEN n_chars >= 25 AND
+      |                 n_link_chars / CAST(n_chars AS DOUBLE) <= 0.33
+      |               THEN 0 ELSE 1 END) AS BIGINT) AS d
+      |    FROM b3 GROUP BY doc_id) x ON h.doc_id = x.doc_id)
+      |SELECT doc_id, md5(text) AS text_md5,
+      |       CAST(len(text) AS INT) AS n_chars,
+      |       n_blocks_kept, n_blocks_dropped
+      |FROM ext WHERE doc_id % 9 <> 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val did = col("doc_id").cast("string")
+    val page = concat(
+      lit("<html><head><title>Crawl "), did, lit("</title></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/c\">Crawl index</a></nav>"),
+      lit("<p>"), expr("substring(coalesce(text, ''), 1, 200)"), lit("</p>"),
+      lit("<div>"), expr("substring(coalesce(text, ''), 201, 160)"),
+      lit(" extra words for mass</div>"),
+      when(col("doc_id") % 5 === 0,
+        "<p>Short promo: <a href=\"/buy\">Buy this now</a></p>")
+        .otherwise(""),
+      lit("<footer><a href=\"/t\">Terms</a></footer></body></html>"))
+    val record = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\n"),
+      lit("WARC-Record-ID: <urn:uuid:fp-"), did, lit(">\r\n"),
+      lit("WARC-Date: 2024-03-01T00:00:00Z\r\n"),
+      lit("WARC-Target-URI: https://crawl.example.org/p/"), did, lit("\r\n"),
+      lit("Content-Length: "), length(page).cast("string"),
+      lit("\r\n\r\n"), page, lit("\r\n\r\n"))
+    def le16(n: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(n), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32(v: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(v), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    // one STORED-deflate member per record (the q_m29 construction);
+    // pin the record text once — LEN/NLEN/hex/CRC/ISIZE all read it
+    val recs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), record.as("rc"))
+      .localCheckpoint(true)
+    val crc = crc32(encode(col("rc"), "UTF-8"))
+    val crcOut = when(col("doc_id") % 9 === 0,
+      pmod(crc + 1, lit(4294967296L))).otherwise(crc)
+    val corpus = recs.select(col("doc_id"),
+      unhex(concat(
+        lit("1F8B0800000000000003"),
+        lit("01"), le16(length(col("rc"))),
+        le16(lit(65535) - length(col("rc"))),
+        hex(encode(col("rc"), "UTF-8")),
+        le32(crcOut), le32(length(col("rc"))))).as("gz"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(recs)
+    val pages = graft.operators.WarcGz
+      .recordsWithText(corpus, "doc_id", "gz", maxMembers = 2)
+      .select(col("file_id").as("doc_id"), col("payload_text").as("html"))
+    val out = graft.operators.HtmlExtract
+      .extract(pages, "doc_id", "html")
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("text_md5"),
+        length(col("text")).as("n_chars"),
+        col("n_blocks_kept"), col("n_blocks_dropped"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(corpus)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13,
-      qF14, qF15, qF16)
+      qF14, qF15, qF16, qF17)
 }
