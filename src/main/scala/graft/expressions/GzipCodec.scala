@@ -21,9 +21,8 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType}
   * output bounded BEFORE allocation (the decompression-bomb guard a
   * 100 TB scan needs). This closes the r15 VERDICT gap #1: Common
   * Crawl's landing format is `.warc.gz`, which [[GzipMembers]] +
-  * `operators.WarcGz` walk; the reference stores only opaque string
-  * payloads (banner-connector/src/main/java/com/gac/macro/
-  * SisConnectorService.java:142) and never cracks a container.
+  * `operators.WarcGz` walk; the reference moves only uncompressed
+  * JSON/JDBC payloads and never cracks a compressed container.
   */
 case class GzipInflate(child: Expression, maxBytes: Int)
     extends UnaryExpression {

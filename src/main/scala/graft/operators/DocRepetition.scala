@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object DocRepetition {
 
+  /** Default `minLineChars`: trimmed lines shorter than this are EXEMPT
+    * from dedup. Shared with the streaming wrapper's persisted
+    * seen-line store (`CorpusStream.globalLineDedupAvailableNow`) so
+    * the store filter and the dedup rule can never diverge (r16
+    * ADVICE).
+    */
+  val defaultMinLineChars: Int = 10
+
   /** Per-document line dedup:
     * (doc_id, text_clean, n_lines, n_lines_kept, n_chars_clean,
     * dup_line_fraction r6) — `dup_line_fraction` the share of removed
@@ -36,7 +44,7 @@ object DocRepetition {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minLineChars: Int = 10): DataFrame = {
+      minLineChars: Int = defaultMinLineChars): DataFrame = {
     require(minLineChars >= 1, "minLineChars must be positive")
     val wOcc = Window.partitionBy("doc_id", "__line").orderBy("__idx")
     val wDoc = Window.partitionBy("doc_id")
@@ -85,7 +93,7 @@ object DocRepetition {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minLineChars: Int = 10,
+      minLineChars: Int = defaultMinLineChars,
       seenLines: Option[DataFrame] = None): DataFrame = {
     require(minLineChars >= 1, "minLineChars must be positive")
     val lines = docs

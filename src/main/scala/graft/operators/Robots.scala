@@ -213,7 +213,13 @@ object Robots {
           struct(col("pattern"), col("allow")),
           when(col("__m"),
             struct(length(col("pattern")).as("l"),
-              col("allow").cast("int").as("a")))).as("__best"),
+              col("allow").cast("int").as("a"),
+              // deterministic final tie-break: when two matching rules
+              // tie on length AND verdict (possible with wildcards),
+              // the lexicographically greatest pattern wins — verdict
+              // is identical either way, but matched_pattern must be
+              // stable across runs/engines (r16 ADVICE).
+              col("pattern").as("p")))).as("__best"),
         max(col("__m").cast("int")).as("__any"))
       .select(
         col("host").as(urlHostCol), col("path").as(pathCol),

@@ -87,6 +87,10 @@ object UnigramTokenizer {
       wrds: DataFrame,
       pieces: DataFrame,
       maxPieceLen: Int): DataFrame = {
+    // candidate keys pack as endpos·16 + len: len must fit in the
+    // radix or distinct (e, l) pairs would silently collide (r16 ADVICE)
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1,16] (key radix), got $maxPieceLen")
     val P = maxPieceLen
     // per-word candidate map: (endpos·16 + len) -> lpn, one broadcast
     // join over the word-substring frame (bounded: ≤ len·P rows/word)
@@ -201,6 +205,8 @@ object UnigramTokenizer {
       pieces: DataFrame,
       maxPieceLen: Int = 4,
       maxWordLen: Int = 12): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1,16] (key radix), got $maxPieceLen")
     val words = docs.select(
       col(idCol),
       posexplode_outer(TextAnalysis.tokens(col(textCol)))
@@ -285,6 +291,8 @@ object UnigramTokenizer {
       topPieces: Int = 250,
       maxWordLen: Int = 12): DataFrame = {
     require(rounds >= 1, "at least one EM round")
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1,16] (key radix), got $maxPieceLen")
     import org.apache.spark.sql.graft.bridge.freeLocalCheckpoint
     val wrds = words(docs, textCol, maxWordLen).localCheckpoint(true)
     val vocab = seedPieces(wrds, maxPieceLen, topPieces).localCheckpoint(true)

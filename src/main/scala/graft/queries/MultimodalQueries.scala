@@ -2736,8 +2736,165 @@ object MultimodalQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // HTTP RESPONSE ENVELOPE parse (HttpMessage.responses — r16 VERDICT
+  // task #1): six message classes built in-plan over a 500-doc corpus —
+  // identity + correct Content-Length, chunked (2 chunks, a `;ext`
+  // chunk extension, a trailer header), gzip Content-Encoding (the
+  // q_m29 STORED-deflate construction, inflated through the native
+  // GzipInflate kernel), deflate Content-Encoding (zlib stored block
+  // with an in-plan adler-32 fold, through ZlibInflate), a 404, and
+  // three MALFORMED subclasses (mangled status line / off-by-one
+  // Content-Length / unterminated chunk framing) that must quarantine
+  // with their err class while keeping the header-plane diagnosis. The
+  // oracle computes every field arithmetically from the construction
+  // (the q_m28/q_m29 pattern) — the ENGINE must parse, de-chunk and
+  // decompress its way to what the oracle merely knows it planted.
+  private val qM31 = Q(
+    "q_m31_http_envelope",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         substr(rpad(coalesce(text, ''), 120, 'x'), 1,
+      |                CAST(doc_id % 80 + 20 AS INT)) AS payload,
+      |         CAST(doc_id % 80 + 20 AS BIGINT) AS n,
+      |         CAST(doc_id % 6 AS INT) AS pc,
+      |         CAST((doc_id // 6) % 3 AS INT) AS m
+      |  FROM documents WHERE doc_id < 500)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN pc < 5 THEN 1 ELSE 0 END AS INT) AS ok,
+      |  CASE WHEN pc < 5 THEN ''
+      |       WHEN m = 0 THEN 'bad-status-line'
+      |       WHEN m = 1 THEN 'length-mismatch'
+      |       ELSE 'bad-chunk-framing' END AS err,
+      |  CASE WHEN pc = 5 AND m = 0 THEN NULL ELSE '1.1' END AS http_version,
+      |  CASE WHEN pc = 5 AND m = 0 THEN NULL
+      |       ELSE CAST(CASE WHEN pc = 4 THEN 404 ELSE 200 END AS INT)
+      |       END AS status_code,
+      |  CASE WHEN pc = 5 AND m = 0 THEN NULL
+      |       WHEN pc = 4 THEN 'Not Found' ELSE 'OK' END AS reason,
+      |  CASE WHEN pc = 1 OR pc = 4 THEN 'text/plain'
+      |       WHEN pc = 3 THEN 'application/json'
+      |       ELSE 'text/html' END AS content_type,
+      |  CASE WHEN pc = 0 THEN 'utf-8'
+      |       WHEN pc = 4 THEN 'iso-8859-1' ELSE '' END AS charset,
+      |  CASE WHEN pc = 0 THEN n
+      |       WHEN pc = 2 THEN n + 23
+      |       WHEN pc = 3 THEN n + 11
+      |       WHEN pc = 4 THEN CAST(9 AS BIGINT)
+      |       WHEN pc = 5 AND m = 0 THEN n
+      |       WHEN pc = 5 AND m = 1 THEN n + 1
+      |       ELSE NULL END AS content_length,
+      |  CAST(CASE WHEN pc = 1 OR (pc = 5 AND m = 2) THEN 1 ELSE 0 END AS INT)
+      |    AS chunked,
+      |  CASE WHEN pc = 2 THEN 'gzip'
+      |       WHEN pc = 3 THEN 'deflate' ELSE '' END AS content_encoding,
+      |  CASE WHEN pc = 5 THEN NULL
+      |       WHEN pc = 4 THEN 9 ELSE CAST(n AS INT) END AS n_body_bytes,
+      |  CASE WHEN pc = 5 THEN NULL
+      |       WHEN pc = 4 THEN md5('not found')
+      |       ELSE md5(payload) END AS body_md5
+      |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def le16(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    // pin the payload slice once: every class construction reads it
+    val base = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        expr("substring(rpad(coalesce(text, ''), 120, 'x'), 1, " +
+          "CAST(doc_id % 80 + 20 AS INT))").as("payload"))
+      .localCheckpoint(true)
+    val pl = col("payload")
+    val n = length(pl)
+    val pc = (col("doc_id") % 6).cast("int")
+    val m = expr("CAST((doc_id div 6) % 3 AS INT)")
+    // gzip member over the payload (the q_m29 STORED-deflate idiom)
+    val gzBody = decode(unhex(concat(
+      lit("1F8B0800000000000003"),
+      lit("01"), le16(n), le16(lit(65535) - n),
+      hex(encode(pl, "UTF-8")),
+      le32(crc32(encode(pl, "UTF-8"))), le32(n))), "ISO-8859-1")
+    // zlib stream: 7801 header, stored block, adler-32 fold (the
+    // pngHexFull idiom over the payload's ASCII bytes)
+    val adlerHex = graft.functions.hof.bind(
+      aggregate(
+        sequence(lit(1), n),
+        struct(lit(1L).as("s1"), lit(0L).as("s2")),
+        (acc, i) => {
+          val s1 = (acc.getField("s1") + ascii(pl.substr(i, lit(1)))) % 65521L
+          struct(s1.as("s1"), ((acc.getField("s2") + s1) % 65521L).as("s2"))
+        })) { ad =>
+      lpad(hex(ad.getField("s2") * 65536L + ad.getField("s1")), 8, "0")
+    }
+    val zlibBody = decode(unhex(concat(
+      lit("7801"), lit("01"), le16(n), le16(lit(65535) - n),
+      hex(encode(pl, "UTF-8")), adlerHex)), "ISO-8859-1")
+    // chunked framing: 2 data chunks (first with a chunk extension),
+    // 0-terminator, one trailer header
+    val len1 = (col("doc_id") % 7 + 5).cast("int")
+    val chunkedBody = concat(
+      lower(hex(len1)), lit(";ext=1\r\n"), pl.substr(lit(1), len1),
+      lit("\r\n"),
+      lower(hex(n - len1)), lit("\r\n"), pl.substr(len1 + 1, n),
+      lit("\r\n"), lit("0\r\nX-Checksum: abc\r\n\r\n"))
+    val badChunkBody =
+      concat(lower(hex(n)), lit("\r\n"), pl, lit("\r\n"))
+    val statusLine = when(pc === 4, "HTTP/1.1 404 Not Found\r\n")
+      .when(pc === 5 && m === 0, "HTTP/1.1200 OK\r\n")
+      .otherwise("HTTP/1.1 200 OK\r\n")
+    val ctHdr = concat(lit("Content-Type: "),
+      when(pc === 0, "text/html; charset=UTF-8")
+        .when(pc === 1, "text/plain")
+        .when(pc === 3, "application/json")
+        .when(pc === 4, "text/plain; charset=iso-8859-1")
+        .otherwise("text/html"), lit("\r\n"))
+    val frameHdr =
+      when(pc === 0, concat(lit("Content-Length: "), n.cast("string"),
+        lit("\r\n")))
+        .when(pc === 1, "Transfer-Encoding: chunked\r\n")
+        .when(pc === 2, concat(lit("Content-Encoding: gzip\r\n"),
+          lit("Content-Length: "), (n + 23).cast("string"), lit("\r\n")))
+        .when(pc === 3, concat(lit("Content-Encoding: deflate\r\n"),
+          lit("Content-Length: "), (n + 11).cast("string"), lit("\r\n")))
+        .when(pc === 4, "Content-Length: 9\r\n")
+        .when(pc === 5 && m === 0, concat(lit("Content-Length: "),
+          n.cast("string"), lit("\r\n")))
+        .when(pc === 5 && m === 1, concat(lit("Content-Length: "),
+          (n + 1).cast("string"), lit("\r\n")))
+        .otherwise("Transfer-Encoding: chunked\r\n")
+    val body = when(pc === 1, chunkedBody)
+      .when(pc === 2, gzBody)
+      .when(pc === 3, zlibBody)
+      .when(pc === 4, "not found")
+      .when(pc === 5 && m === 2, badChunkBody)
+      .otherwise(pl)
+    val msgs = base
+      .select(col("doc_id"),
+        concat(statusLine, ctHdr, frameHdr, lit("\r\n"), body).as("msg"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(base)
+    val out = graft.operators.HttpMessage
+      .responses(msgs, "doc_id", "msg", maxChunks = 4)
+      .select(
+        col("doc_id"),
+        col("ok").cast("int").as("ok"),
+        col("err"), col("http_version"), col("status_code"), col("reason"),
+        col("content_type"), col("charset"), col("content_length"),
+        col("chunked").cast("int").as("chunked"),
+        col("content_encoding"), col("n_body_bytes"), col("body_md5"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(msgs)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qM1, qM2, qM3, qM4, qM5, qM6, qM7, qM8, qM9, qM10, qM11, qM12, qM13,
       qM14, qM15, qM16, qM17, qM18, qM19, qM20, qM21, qM22, qM23, qM24, qM25,
-      qM26, qM27, qM28, qM29, qM30)
+      qM26, qM27, qM28, qM29, qM30, qM31)
 }

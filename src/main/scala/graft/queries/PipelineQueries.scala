@@ -1094,12 +1094,17 @@ object PipelineQueries extends QueryGroup {
   // files (one gzip member per record, STORED-deflate construction with
   // real CRC32 trailers; every 9th file CRC-corrupted and quarantined)
   // → WarcGz.recordsWithText (inflate, verify, parse, payload TEXT out)
-  // → HtmlExtract.extract over the recovered pages. The page corpus is
-  // ASCII-only by construction (the ISO-8859-1 payload bridge is exact
-  // for it); the oracle supplies its own `h` CTE to the SHARED
-  // htmlBlocksSql chain and computes the quarantine set arithmetically
-  // — the ENGINE must inflate and parse its way to the same pages
-  // before the extraction algebra can even start.
+  // → HttpMessage.responses over the record payloads (REAL Common Crawl
+  // response records carry a full HTTP message — status line, headers,
+  // body — and only verified 200 text/html bodies may reach the text
+  // pipeline; every 7th-mod-3 capture is a 404 the status gate must
+  // drop — the r16 VERDICT upgrade) → HtmlExtract.extract over the
+  // recovered pages. The page corpus is ASCII-only by construction (the
+  // ISO-8859-1 payload bridge is exact for it); the oracle supplies its
+  // own `h` CTE to the SHARED htmlBlocksSql chain and computes the
+  // quarantine + status exclusions arithmetically — the ENGINE must
+  // inflate, parse and crack the envelope to the same pages before the
+  // extraction algebra can even start.
   private val qF17 = Q(
     "q_f17_warc_gz_html_pipeline",
     s"""WITH h AS (
@@ -1137,7 +1142,7 @@ object PipelineQueries extends QueryGroup {
       |SELECT doc_id, md5(text) AS text_md5,
       |       CAST(len(text) AS INT) AS n_chars,
       |       n_blocks_kept, n_blocks_dropped
-      |FROM ext WHERE doc_id % 9 <> 0
+      |FROM ext WHERE doc_id % 9 <> 0 AND doc_id % 7 <> 3
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val did = col("doc_id").cast("string")
     val page = concat(
@@ -1150,13 +1155,24 @@ object PipelineQueries extends QueryGroup {
         "<p>Short promo: <a href=\"/buy\">Buy this now</a></p>")
         .otherwise(""),
       lit("<footer><a href=\"/t\">Terms</a></footer></body></html>"))
+    // the record payload is a full HTTP response message (the real
+    // Common Crawl `response` record shape): 200 text/html carrying the
+    // page, or a 404 text/plain the envelope's status gate must drop
+    val http = when(col("doc_id") % 7 === 3,
+      lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n" +
+        "Content-Length: 9\r\n\r\nnot found"))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=UTF-8\r\nContent-Length: "),
+        length(page).cast("string"), lit("\r\n\r\n"), page))
     val record = concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\n"),
       lit("WARC-Record-ID: <urn:uuid:fp-"), did, lit(">\r\n"),
       lit("WARC-Date: 2024-03-01T00:00:00Z\r\n"),
       lit("WARC-Target-URI: https://crawl.example.org/p/"), did, lit("\r\n"),
-      lit("Content-Length: "), length(page).cast("string"),
-      lit("\r\n\r\n"), page, lit("\r\n\r\n"))
+      lit("Content-Type: application/http;msgtype=response\r\n"),
+      lit("Content-Length: "), length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
     def le16(n: org.apache.spark.sql.Column) = {
       val h = lpad(hex(n), 4, "0")
       concat(substring(h, 3, 2), substring(h, 1, 2))
@@ -1184,9 +1200,17 @@ object PipelineQueries extends QueryGroup {
         le32(crcOut), le32(length(col("rc"))))).as("gz"))
       .localCheckpoint(true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(recs)
-    val pages = graft.operators.WarcGz
+    // crack the HTTP envelope: only VERIFIED 200 text/html bodies may
+    // feed the text pipeline (the 404s and anything malformed drop)
+    val envelopes = graft.operators.WarcGz
       .recordsWithText(corpus, "doc_id", "gz", maxMembers = 2)
-      .select(col("file_id").as("doc_id"), col("payload_text").as("html"))
+      .select(col("file_id").as("doc_id"),
+        col("payload_text").as("msg"))
+    val pages = graft.operators.HttpMessage
+      .responses(envelopes, "doc_id", "msg", maxChunks = 2)
+      .filter(col("ok") && col("status_code") === 200 &&
+        col("content_type") === "text/html")
+      .select(col("doc_id"), col("body_text").as("html"))
     val out = graft.operators.HtmlExtract
       .extract(pages, "doc_id", "html")
       .select(

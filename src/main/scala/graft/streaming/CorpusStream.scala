@@ -564,7 +564,11 @@ object CorpusStream {
       kept
         .select(posexplode(split(col("text_clean"), "\n"))
           .as(Seq("__i", "__line")))
-        .filter(length(trim(col("__line"))) >= 10)
+        // store filter MUST be the dedup rule's own threshold: a
+        // shorter line is exempt from dedup so must never enter the
+        // seen-line store (shared constant per r16 ADVICE)
+        .filter(length(trim(col("__line"))) >=
+          graft.operators.DocRepetition.defaultMinLineChars)
         .select("__line").distinct()
         .write.mode("append").parquet(store)
       seeded = true
@@ -599,13 +603,19 @@ object CorpusStream {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             _: Long) =>
-          if (!seeded) {
-            seeded = true
-            ShardExport.write(batch.toDF(), "doc_id", "text", "source",
-              budget, outDir)
-          } else {
-            ShardExport.append(batch.sparkSession, batch.toDF(), "doc_id",
-              "text", "source", budget, outDir)
+          // seed only on the first NON-EMPTY drop: an empty first
+          // micro-batch must not write an empty manifest, or every
+          // later append would hit its empty-manifest guard and kill
+          // the stream (r16 ADVICE); empty later drops are no-ops.
+          if (!batch.isEmpty) {
+            if (!seeded) {
+              seeded = true
+              ShardExport.write(batch.toDF(), "doc_id", "text", "source",
+                budget, outDir)
+            } else {
+              ShardExport.append(batch.sparkSession, batch.toDF(), "doc_id",
+                "text", "source", budget, outDir)
+            }
           }
           ()
       }
