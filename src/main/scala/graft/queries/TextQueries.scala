@@ -2067,8 +2067,94 @@ object TextQueries extends QueryGroup {
     out
   }
 
+  // Charset SNIFF + DECODE (CharsetDecode.decodeAll — r16 VERDICT task
+  // #2): six encoding classes planted in-plan — transport-declared
+  // utf-8, BOM'd utf-8 with a real multibyte char, cp1252 declared via
+  // an in-document <meta> (curly quotes + euro in the 0x80–0x9F range
+  // the translate table maps), undeclared latin-1 riding the HTTP
+  // default, a utf-16le BOM that must be DETECTED but honestly not
+  // decoded, and a precedence probe where the transport header
+  // (ISO-8859-1) outranks an in-document utf-8 meta so the utf-8 bytes
+  // decode as mojibake Ã© — exactly the cp1252 pipeline TextHygiene
+  // repairs downstream. The oracle rebuilds each expected decode with
+  // chr() arithmetic — the ENGINE must sniff precedence and run the
+  // table-driven decode arms to reach the same Unicode.
+  private val qT43 = Q(
+    "q_t43_charset_decode",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         substr(rpad(coalesce(text, ''), 120, 'x'), 1,
+      |                CAST(doc_id % 70 + 15 AS INT)) AS payload,
+      |         CAST(doc_id % 6 AS INT) AS pc
+      |  FROM documents WHERE doc_id < 600),
+      |e AS (
+      |  SELECT doc_id, pc,
+      |    CASE pc
+      |      WHEN 0 THEN payload
+      |      WHEN 1 THEN payload || chr(233)
+      |      WHEN 2 THEN '<html><head><meta charset="windows-1252">' ||
+      |                  '</head><body>' || payload ||
+      |                  chr(8220) || chr(8221) || chr(8364) ||
+      |                  '</body></html>'
+      |      WHEN 3 THEN payload || chr(233)
+      |      WHEN 5 THEN '<html><head><meta charset=utf-8></head><body>' ||
+      |                  payload || chr(195) || chr(169) ||
+      |                  '</body></html>'
+      |      ELSE NULL END AS expected
+      |  FROM src)
+      |SELECT doc_id,
+      |  CASE pc WHEN 2 THEN 'windows-1252'
+      |          WHEN 3 THEN 'iso-8859-1'
+      |          WHEN 4 THEN 'utf-16le'
+      |          WHEN 5 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+      |  CASE pc WHEN 0 THEN 'header' WHEN 1 THEN 'bom'
+      |          WHEN 2 THEN 'meta' WHEN 3 THEN 'default'
+      |          WHEN 4 THEN 'bom' ELSE 'header' END AS charset_source,
+      |  CAST(CASE WHEN pc = 4 THEN 0 ELSE 1 END AS INT) AS decodable,
+      |  CAST(len(expected) AS INT) AS n_chars,
+      |  md5(expected) AS text_md5
+      |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 600)
+      .select(col("doc_id"),
+        expr("substring(rpad(coalesce(text, ''), 120, 'x'), 1, " +
+          "CAST(doc_id % 70 + 15 AS INT))").as("payload"))
+      .localCheckpoint(true)
+    val pl = col("payload")
+    val pc = (col("doc_id") % 6).cast("int")
+    val raw = when(pc === 0, pl)
+      .when(pc === 1,
+        concat(lit("\u00EF\u00BB\u00BF"), pl, lit("\u00C3\u00A9")))
+      .when(pc === 2, concat(
+        lit("<html><head><meta charset=\"windows-1252\"></head><body>"),
+        pl, lit("\u0093\u0094\u0080"), lit("</body></html>")))
+      .when(pc === 3, concat(pl, lit("\u00E9")))
+      .when(pc === 4, concat(lit("\u00FF\u00FE"), pl))
+      .otherwise(concat(
+        lit("<html><head><meta charset=utf-8></head><body>"),
+        pl, lit("\u00C3\u00A9"), lit("</body></html>")))
+    val hdrCs = when(pc === 0, "UTF-8")
+      .when(pc === 5, "ISO-8859-1").otherwise("")
+    val frame = base
+      .select(col("doc_id"), raw.as("raw"), hdrCs.as("hdr_cs"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(base)
+    val out = graft.operators.CharsetDecode
+      .decodeAll(frame, "doc_id", "raw", Some("hdr_cs"))
+      .select(
+        col("doc_id"), col("charset"), col("charset_source"),
+        col("decodable").cast("int").as("decodable"),
+        col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(frame)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
-      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39, qT40, qT41, qT42)
+      qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39, qT40, qT41, qT42,
+      qT43)
 }
