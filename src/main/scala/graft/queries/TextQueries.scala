@@ -2152,9 +2152,82 @@ object TextQueries extends QueryGroup {
     out
   }
 
+  // TRAINED language ID (TrainedLangId.trainAndPredict — r16 VERDICT
+  // task #3): hashed char-trigram multiclass Naive Bayes, trained on
+  // the corpus' declared labels and replayed in the oracle as chained
+  // CTEs — trigram enumeration, the portable md5-bucket hash, the
+  // complete labels×256 Laplace grid at 9-decimal DECIMAL quantization,
+  // priors, per-doc histogram scoring, and the (score DESC, label ASC)
+  // argmax. Per-doc predictions pinned with the winning posterior; the
+  // TrainedLangIdSpec asserts this model beats the q_t3 stopword
+  // heuristic on the same corpus.
+  private val qT44 = Q(
+    "q_t44_trained_langid",
+    """WITH src AS (
+      |  SELECT doc_id, lang, lower(coalesce(text, '')) AS t
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, lang, t,
+      |         CAST(unnest(range(1, greatest(len(t) - 1, 1))) AS INT) AS k
+      |  FROM src),
+      |g AS (
+      |  SELECT doc_id, lang,
+      |         CAST(('0x' || substring(md5(substr(t, k, 3)), 1, 15))::BIGINT
+      |              % 256 AS INT) AS bucket
+      |  FROM g0),
+      |counts AS (
+      |  SELECT lang AS label, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM g GROUP BY 1, 2),
+      |tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS tc
+      |        FROM counts GROUP BY 1),
+      |grid AS (
+      |  SELECT l.lang AS label, CAST(b.range AS INT) AS bucket
+      |  FROM (SELECT DISTINCT lang FROM src) l, range(0, 256) b),
+      |model AS (
+      |  SELECT grid.label, grid.bucket,
+      |         CAST(round(ln((coalesce(c.c, 0) + 1) /
+      |           CAST(t.tc + 256 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ll
+      |  FROM grid
+      |  LEFT JOIN counts c ON c.label = grid.label AND c.bucket = grid.bucket
+      |  JOIN tot t ON t.label = grid.label),
+      |priors AS (
+      |  SELECT lang AS label,
+      |         CAST(round(ln(count(*) /
+      |           CAST((SELECT count(*) FROM src) AS DOUBLE)), 9)
+      |           AS DECIMAL(18,9)) AS prior
+      |  FROM src GROUP BY 1),
+      |hist AS (
+      |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM g GROUP BY 1, 2),
+      |dl AS (
+      |  SELECT hist.doc_id, model.label, sum(hist.cnt * model.ll) AS sc
+      |  FROM hist JOIN model USING (bucket) GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.doc_id, p.label,
+      |         p.prior + coalesce(dl.sc, CAST(0 AS DECIMAL(18,9))) AS score
+      |  FROM (SELECT DISTINCT doc_id FROM src) d
+      |  CROSS JOIN priors p
+      |  LEFT JOIN dl ON dl.doc_id = d.doc_id AND dl.label = p.label),
+      |pred AS (
+      |  SELECT doc_id, label, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, label ASC) AS rn
+      |  FROM scored)
+      |SELECT s.doc_id, s.lang AS lang_declared, p.label AS lang_predicted,
+      |       CAST(p.score AS DOUBLE) AS score
+      |FROM src s JOIN pred p ON p.doc_id = s.doc_id AND p.rn = 1
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TrainedLangId
+      .trainAndPredict(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang")
+      .select(col("doc_id"), col("lang_declared"), col("lang_predicted"),
+        col("score"))
+      .orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
       qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39, qT40, qT41, qT42,
-      qT43)
+      qT43, qT44)
 }
