@@ -1443,8 +1443,135 @@ object CurationQueries extends QueryGroup {
       .orderBy("host")
   }
 
+  // Sitemap XML frontier (Sitemap.governedFrontier — r16 VERDICT task
+  // #4): per host, an in-plan <sitemapindex> delegating to two child
+  // sitemaps (the protocol's one bounded nesting level, resolved as a
+  // self-join — never recursion), a urlset child with 1-3 dated locs,
+  // a /private/ child (MALFORMED for every 7th host — must classify
+  // invalid and contribute nothing), and a direct urlset the index
+  // never references (via_index must read false). The frontier then
+  // runs through Robots.decide: even hosts disallow /private/, so the
+  // emitted frame is GOVERNED. The engine parses real XML through
+  // Spark's native from_xml; the oracle computes every expected row
+  // arithmetically from the construction (the q_c30 pattern).
+  private val qC33 = Q(
+    "q_c33_sitemap_frontier",
+    """WITH hs AS (SELECT DISTINCT CAST(doc_id % 29 AS INT) AS h
+      |           FROM documents),
+      |hosts AS (
+      |  SELECT h, 'crawl' || CAST(h AS VARCHAR) || '.example.net' AS host
+      |  FROM hs),
+      |a AS (
+      |  SELECT host,
+      |         'https://' || host || '/sm/a.xml' AS sitemap_url,
+      |         1 AS via_index,
+      |         'https://' || host || '/p/' || CAST(h AS VARCHAR) || '/' ||
+      |           CAST(j AS VARCHAR) AS loc,
+      |         '2024-05-0' || CAST(j + 1 AS VARCHAR) AS lastmod,
+      |         1 AS allowed,
+      |         CAST(NULL AS VARCHAR) AS matched_pattern,
+      |         CAST(NULL AS INT) AS matched_allow
+      |  FROM (SELECT h, host, unnest(range(0, h % 3 + 1)) AS j FROM hosts)),
+      |b AS (
+      |  SELECT host,
+      |         'https://' || host || '/sm/b.xml' AS sitemap_url,
+      |         1 AS via_index,
+      |         'https://' || host || '/private/' || CAST(h AS VARCHAR) ||
+      |           '/' || CAST(j AS VARCHAR) AS loc,
+      |         CAST(NULL AS VARCHAR) AS lastmod,
+      |         CASE WHEN h % 2 = 0 THEN 0 ELSE 1 END AS allowed,
+      |         CASE WHEN h % 2 = 0 THEN '/private/' END AS matched_pattern,
+      |         CAST(CASE WHEN h % 2 = 0 THEN 0 END AS INT) AS matched_allow
+      |  FROM (SELECT h, host, unnest(range(0, 2)) AS j
+      |        FROM hosts WHERE h % 7 <> 0)),
+      |x AS (
+      |  SELECT host,
+      |         'https://' || host || '/extra.xml' AS sitemap_url,
+      |         0 AS via_index,
+      |         'https://' || host || '/open/' || CAST(h AS VARCHAR) AS loc,
+      |         '2024-06-01' AS lastmod,
+      |         1 AS allowed,
+      |         CAST(NULL AS VARCHAR) AS matched_pattern,
+      |         CAST(NULL AS INT) AS matched_allow
+      |  FROM hosts)
+      |SELECT host, sitemap_url, CAST(via_index AS INT) AS via_index,
+      |       loc, lastmod, CAST(allowed AS INT) AS allowed,
+      |       matched_pattern, matched_allow
+      |FROM (SELECT * FROM a UNION ALL SELECT * FROM b
+      |      UNION ALL SELECT * FROM x)
+      |ORDER BY host, sitemap_url, loc""".stripMargin) { (s, dir) =>
+    val hosts = Tables.load(s, dir, "documents")
+      .select((col("doc_id") % 29).cast("int").as("h")).distinct()
+      .select(col("h"),
+        concat(lit("crawl"), col("h").cast("string"), lit(".example.net"))
+          .as("host"))
+    val base = concat(lit("https://"), col("host"))
+    def entry(loc: org.apache.spark.sql.Column,
+        lastmod: Option[org.apache.spark.sql.Column]) = concat(
+      lit("<url><loc>"), loc, lit("</loc>"),
+      lastmod.map(lm => concat(lit("<lastmod>"), lm, lit("</lastmod>")))
+        .getOrElse(lit("")),
+      lit("</url>"))
+    def aLoc(j: Int) = concat(base, lit("/p/"), col("h").cast("string"),
+      lit(s"/$j"))
+    def bLoc(j: Int) = concat(base, lit("/private/"),
+      col("h").cast("string"), lit(s"/$j"))
+    val aBody = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      entry(aLoc(0), Some(lit("2024-05-01"))),
+      when(col("h") % 3 >= 1, entry(aLoc(1), Some(lit("2024-05-02"))))
+        .otherwise(""),
+      when(col("h") % 3 >= 2, entry(aLoc(2), Some(lit("2024-05-03"))))
+        .otherwise(""),
+      lit("</urlset>"))
+    val bBody = when(col("h") % 7 === 0,
+      lit("<urlset><url><loc>https://broken"))
+      .otherwise(concat(lit("<urlset>"),
+        entry(bLoc(0), None), entry(bLoc(1), None), lit("</urlset>")))
+    val idxBody = concat(
+      lit("<sitemapindex><sitemap><loc>"), base, lit("/sm/a.xml</loc>"),
+      lit("<lastmod>2024-04-01</lastmod></sitemap><sitemap><loc>"),
+      base, lit("/sm/b.xml</loc></sitemap></sitemapindex>"))
+    val xBody = concat(lit("<urlset>"),
+      entry(concat(base, lit("/open/"), col("h").cast("string")),
+        Some(lit("2024-06-01"))),
+      lit("</urlset>"))
+    val sitemaps = hosts.select(col("h"), col("host"),
+      explode(array(
+        struct(concat(base, lit("/sitemap.xml")).as("url"),
+          idxBody.as("body")),
+        struct(concat(base, lit("/sm/a.xml")).as("url"),
+          aBody.as("body")),
+        struct(concat(base, lit("/sm/b.xml")).as("url"),
+          bBody.as("body")),
+        struct(concat(base, lit("/extra.xml")).as("url"),
+          xBody.as("body")))).as("sm"))
+      .select(col("host"), col("sm.url").as("url"),
+        col("sm.body").as("body"))
+      .localCheckpoint(true)
+    val robots = hosts.select(col("host"),
+      when(col("h") % 2 === 0, "User-agent: *\nDisallow: /private/\n")
+        .otherwise("User-agent: *\nDisallow:\n").as("robots"))
+      .localCheckpoint(true)
+    val out = graft.operators.Sitemap
+      .governedFrontier(sitemaps, "host", "url", "body",
+        robots, "host", "robots", "graftbot")
+      .select(col("host"), col("sitemap_url"),
+        col("via_index").cast("int").as("via_index"),
+        col("loc"), col("lastmod"),
+        col("allowed").cast("int").as("allowed"),
+        col("matched_pattern"),
+        col("matched_allow").cast("int").as("matched_allow"))
+      .orderBy("host", "sitemap_url", "loc")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(sitemaps)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(robots)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
       qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27,
-      qC28, qC29, qC30, qC31, qC32)
+      qC28, qC29, qC30, qC31, qC32, qC33)
 }
