@@ -125,4 +125,83 @@ class ShardExportSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.max("tc")).as[Int].collect().head
     assert(mani.forall(_._3 <= 2000L + maxDoc))
   }
+
+  /** Hand-parse one ustar header field (NUL/space-terminated). */
+  private def tarField(b: Array[Byte], off: Int, len: Int): String =
+    new String(b.slice(off, off + len), "ISO-8859-1")
+      .takeWhile(c => c != '\u0000' && c != ' ')
+
+  test("writeTar: decodeTarMeta round-trips every shard; members exact") {
+    val out = Files.createTempDirectory("shards_tar").toString
+    ShardExport.writeTar(docs, "doc_id", "text", "source", budget = 6, out)
+    val mani = spark.read.parquet(s"$out/_manifest")
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    // manifest PARITY with the parquet writer
+    val outP = Files.createTempDirectory("shards_parq").toString
+    ShardExport.write(docs, "doc_id", "text", "source", budget = 6, outP)
+    val maniP = spark.read.parquet(s"$outP/_manifest")
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(mani === maniP)
+    // every shard file: the engine's own tar walk must verify it
+    val files = mani.map(m =>
+      (m._1, java.nio.file.Paths.get(out, f"shard-${m._1}%05d.tar")))
+    files.foreach { case (_, p) => assert(Files.exists(p), s"$p missing") }
+    val blobs = files.map { case (sid, p) => (sid, Files.readAllBytes(p)) }
+    val metas = blobs.toDF("shard_id", "tar")
+      .select(col("shard_id"),
+        Multimodal.decodeTarMeta(col("tar"), maxEntries = 8).as("m"))
+      .select("shard_id", "m.n_entries", "m.n_files", "m.total_size")
+      .as[(Long, Option[Int], Option[Int], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val docBytes = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().map { case (id, t) =>
+        id -> Option(t).getOrElse("").getBytes("UTF-8") }.toMap
+    val assigned = ShardExport
+      .assign(docs, "doc_id", "text", "source", 6)
+      .select("doc_id", "shard_id", "seq_in_shard")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._2).map { case (s, rs) =>
+        s -> rs.sortBy(_._3).map(_._1).toSeq }
+    for ((sid, ids) <- assigned) {
+      val expectBytes = ids.map(docBytes(_).length.toLong).sum
+      assert(metas(sid) ===
+        ((Some(ids.size), Some(ids.size), Some(expectBytes))),
+        s"shard $sid meta")
+      // hand-walk the members: names in id order, sizes + data exact
+      val b = blobs.toMap.apply(sid)
+      var pos = 0
+      for (id <- ids) {
+        assert(tarField(b, pos, 100) === s"$id.txt")
+        assert(tarField(b, pos + 257, 6) === "ustar")
+        val size = java.lang.Long.parseLong(tarField(b, pos + 124, 12), 8)
+        assert(size === docBytes(id).length.toLong)
+        val data = b.slice(pos + 512, pos + 512 + size.toInt)
+        assert(data.toSeq === docBytes(id).toSeq, s"member $id data")
+        pos += 512 + ((size.toInt + 511) / 512) * 512
+      }
+      // archive closes with two zero blocks
+      assert(b.length === pos + 1024)
+      assert(b.slice(pos, pos + 1024).forall(_ === 0))
+    }
+  }
+
+  test("writeTar is byte-idempotent and clears stale shard files") {
+    val out = Files.createTempDirectory("shards_tar2").toString
+    ShardExport.writeTar(docs, "doc_id", "text", "source", 6, out)
+    val first = java.nio.file.Paths.get(out).toFile.listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+      .map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq).toSeq
+    ShardExport.writeTar(docs, "doc_id", "text", "source", 6, out)
+    val second = java.nio.file.Paths.get(out).toFile.listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+      .map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq).toSeq
+    assert(first === second)
+    // a bigger-budget re-run has FEWER shards: stale files must go
+    ShardExport.writeTar(docs, "doc_id", "text", "source", 1000, out)
+    val third = java.nio.file.Paths.get(out).toFile.listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.getName).toSeq
+    assert(third === Seq("shard-00000.tar"))
+  }
 }
