@@ -1570,8 +1570,81 @@ object CurationQueries extends QueryGroup {
     out
   }
 
+  // Outlink extraction + RFC 3986 resolution (LinkExtract.outlinks):
+  // per doc, an in-plan page at https://www.site{k}.example.org/a/b/
+  // page{id}.html carrying eight anchor forms — absolute, protocol-
+  // relative, bare-attribute root-relative, dot-segment relative,
+  // query-only, fragment-only (self-link, must drop), javascript:
+  // (non-fetchable, must drop), and a tracking-param duplicate that
+  // must CANONICALIZE into the root-relative row (one surviving row,
+  // min raw) — and every 5th doc a <base href="/based/"> that
+  // re-bases the relative forms. The oracle computes all five expected
+  // outlinks per doc arithmetically from the construction; the engine
+  // must extract, resolve, canonicalize and dedup its way to them.
+  private val qC34 = Q(
+    "q_c34_outlink_resolve",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 13 AS VARCHAR) AS k,
+      |         CAST(doc_id % 7 AS VARCHAR) AS m,
+      |         CAST(doc_id % 3 AS VARCHAR) AS j,
+      |         CAST(doc_id AS VARCHAR) AS i,
+      |         (doc_id % 5 = 0) AS hb
+      |  FROM documents WHERE doc_id < 400),
+      |rws AS (
+      |  SELECT doc_id, '//cdn.example.net/lib' || j || '.js' AS url_raw,
+      |         'https://cdn.example.net/lib' || j || '.js' AS url FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 'https://ext' || m || '.example.com/abs/' || i,
+      |         'https://ext' || m || '.example.com/abs/' || i FROM d
+      |  UNION ALL
+      |  SELECT doc_id, '/root/' || i,
+      |         'https://www.site' || k || '.example.org/root/' || i FROM d
+      |  UNION ALL
+      |  SELECT doc_id, '../up/' || i,
+      |         'https://www.site' || k || '.example.org' ||
+      |         CASE WHEN hb THEN '/up/' ELSE '/a/up/' END || i FROM d
+      |  UNION ALL
+      |  SELECT doc_id, '?page=2',
+      |         'https://www.site' || k || '.example.org' ||
+      |         CASE WHEN hb THEN '/based?page=2'
+      |              ELSE '/a/b/page' || i || '.html?page=2' END FROM d)
+      |SELECT doc_id, url_raw, url FROM rws
+      |ORDER BY doc_id, url""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 400)
+      .select(col("doc_id"),
+        (col("doc_id") % 13).cast("string").as("k"),
+        (col("doc_id") % 7).cast("string").as("m"),
+        (col("doc_id") % 3).cast("string").as("j"),
+        col("doc_id").cast("string").as("i"),
+        (col("doc_id") % 5 === 0).as("hb"))
+    val pages = d.select(
+      col("doc_id"),
+      concat(lit("https://www.site"), col("k"),
+        lit(".example.org/a/b/page"), col("i"), lit(".html")).as("url"),
+      concat(
+        when(col("hb"), lit("<base href=\"/based/\">")).otherwise(""),
+        lit("<html><body><a href=\"https://ext"), col("m"),
+        lit(".example.com/abs/"), col("i"), lit("\">e</a>"),
+        lit("<a href='//cdn.example.net/lib"), col("j"),
+        lit(".js'>c</a><a href=/root/"), col("i"), lit(">r</a>"),
+        lit("<a href=\"../up/"), col("i"), lit("\">u</a>"),
+        lit("<a href=\"?page=2\">q</a><a href=\"#top\">t</a>"),
+        lit("<a href=\"javascript:void(0)\">x</a>"),
+        lit("<a href=\"/root/"), col("i"),
+        lit("?utm_source=x&gclid=9\">dup</a></body></html>")).as("html"))
+      .localCheckpoint(true)
+    val out = graft.operators.LinkExtract
+      .outlinks(pages, "doc_id", "url", "html")
+      .orderBy("doc_id", "url")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pages)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
       qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27,
-      qC28, qC29, qC30, qC31, qC32, qC33)
+      qC28, qC29, qC30, qC31, qC32, qC33, qC34)
 }
