@@ -84,8 +84,10 @@ object LinkExtract {
     val v = regexp_extract(
       coalesce(html, lit("")),
       "(?is)<base\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1)
-    val stripped = trim(regexp_replace(v, "^[\"']|[\"']$", ""))
-    when(stripped =!= "", stripped)
+    graft.functions.hof.bind(
+      trim(regexp_replace(v, "^[\"']|[\"']$", ""))) { stripped =>
+      when(stripped =!= "", stripped)
+    }
   }
 
   /** §5.2.4 remove_dot_segments over a path that starts with `/`:
@@ -107,34 +109,49 @@ object LinkExtract {
   /** Resolve one reference against an ABSOLUTE http(s) base URL.
     * Returns NULL for self-links (empty / fragment-only) and
     * non-fetchable schemes; otherwise an absolute, fragment-free URL.
+    *
+    * Every derived piece (trimmed ref, fragment-free ref, origin,
+    * base path) is `hof.bind`-bound so it evaluates ONCE — inlined,
+    * the when-chain references each up to 7× and CollapseProject
+    * multiplies that through any upstream base expression (the
+    * recurring hof.bind lesson; unbound, `outlinks` re-ran the whole
+    * base-tag resolve per branch).
     */
-  def resolve(base: Column, ref: Column): Column = {
-    val r = trim(coalesce(ref, lit("")))
-    val b = trim(coalesce(base, lit("")))
-    val scheme = regexp_extract(b, "^([^:/?#]+):", 1)
-    val origin = regexp_extract(b, "^([^:/?#]+://[^/?#]*)", 1)
-    val basePath0 = regexp_extract(b, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    val basePath = when(basePath0 === "", "/").otherwise(basePath0)
-    // directory of the base path: everything up to and incl. last '/'
-    val baseDir = regexp_replace(basePath, "[^/]*$", "")
-    val noFrag = regexp_replace(r, "#.*$", "")
-    val resolved =
-      when(r === "" || r.startsWith("#"), lit(null))
-        .when(r.rlike("(?i)^(?:javascript|mailto|data|tel):"), lit(null))
-        .when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), noFrag)
-        .when(noFrag.startsWith("//"), concat(scheme, lit(":"), noFrag))
-        .when(noFrag.startsWith("/"), concat(origin,
-          removeDotSegments(regexp_replace(noFrag, "\\?.*$", "")),
-          regexp_extract(noFrag, "(\\?.*)$", 1)))
-        .when(noFrag.startsWith("?"), concat(origin, basePath, noFrag))
-        .otherwise(concat(origin,
-          removeDotSegments(
-            concat(baseDir, regexp_replace(noFrag, "\\?.*$", ""))),
-          regexp_extract(noFrag, "(\\?.*)$", 1)))
-    // an absolute reference needs no base; everything else does
-    when(origin =!= "" ||
-      noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), resolved)
-  }
+  def resolve(base: Column, ref: Column): Column =
+    graft.functions.hof.bind(trim(coalesce(ref, lit("")))) { r =>
+      graft.functions.hof.bind(regexp_replace(r, "#.*$", "")) { noFrag =>
+        graft.functions.hof.bind(trim(coalesce(base, lit("")))) { b =>
+          graft.functions.hof.bind(
+            regexp_extract(b, "^([^:/?#]+://[^/?#]*)", 1)) { origin =>
+            val scheme = regexp_extract(b, "^([^:/?#]+):", 1)
+            val basePath0 =
+              regexp_extract(b, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+            val basePath = when(basePath0 === "", "/").otherwise(basePath0)
+            // directory of the base path: up to and incl. the last '/'
+            val baseDir = regexp_replace(basePath, "[^/]*$", "")
+            val resolved =
+              when(r === "" || r.startsWith("#"), lit(null))
+                .when(r.rlike("(?i)^(?:javascript|mailto|data|tel):"),
+                  lit(null))
+                .when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), noFrag)
+                .when(noFrag.startsWith("//"),
+                  concat(scheme, lit(":"), noFrag))
+                .when(noFrag.startsWith("/"), concat(origin,
+                  removeDotSegments(regexp_replace(noFrag, "\\?.*$", "")),
+                  regexp_extract(noFrag, "(\\?.*)$", 1)))
+                .when(noFrag.startsWith("?"),
+                  concat(origin, basePath, noFrag))
+                .otherwise(concat(origin,
+                  removeDotSegments(
+                    concat(baseDir, regexp_replace(noFrag, "\\?.*$", ""))),
+                  regexp_extract(noFrag, "(\\?.*)$", 1)))
+            // an absolute reference needs no base; everything else does
+            when(origin =!= "" ||
+              noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), resolved)
+          }
+        }
+      }
+    }
 
   /** Outlinks frame: one row per DISTINCT resolved outlink per page —
     * (idCol, url_raw, url) with `url` the [[UrlOps.canonicalize]]d
@@ -152,8 +169,9 @@ object LinkExtract {
         explode(hrefs(col(htmlCol))).as("url_raw"))
     exploded
       .select(col(idCol), col("url_raw"),
-        UrlOps.canonicalize(resolve(col("__base"), col("url_raw")))
-          .as("url"))
+        graft.functions.hof.bind(
+          resolve(col("__base"), col("url_raw")))(
+          r => UrlOps.canonicalize(r)).as("url"))
       .where(col("url").isNotNull && col("url") =!= "")
       .groupBy(col(idCol), col("url"))
       .agg(min(col("url_raw")).as("url_raw"))
