@@ -59,9 +59,17 @@ object Explain {
     "q_m29_warc_gz_records",   // gzip_members kernel + per-member parse +
                                // forall validity ALL scan-side: the only
                                // Exchange is the output ORDER BY
-    "q_f16_shard_export")      // two-level prefix sum: in-bucket window +
+    "q_f16_shard_export",      // two-level prefix sum: in-bucket window +
                                // broadcast bucket offsets — NO corpus-sized
                                // single-partition window anywhere
+    "q_m31_http_envelope",     // status/header/chunk/decode chain ALL
+                               // scan-side (bounded folds + codegen
+                               // inflate kernels): the only Exchange is
+                               // the output ORDER BY
+    "q_t44_trained_langid")    // model grid + priors BROADCAST; per-doc
+                               // histogram partial-aggregates map-side;
+                               // argmax window partitions per doc —
+                               // nothing corpus-wide in one partition
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
