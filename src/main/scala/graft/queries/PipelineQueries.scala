@@ -1224,7 +1224,122 @@ object PipelineQueries extends QueryGroup {
     out
   }
 
+  // CDX capture index + revisit dedup over the warc.gz landing format
+  // (Surt.cdxIndex → Surt.revisits): groups of 3 captures of the SAME
+  // logical URL (host carries case/www noise and the query args arrive
+  // unsorted — the SURT key must fold them to one index key), captures
+  // 0 and 1 byte-identical (capture 1 is a REVISIT), capture 2 a 404
+  // with a different digest (not a revisit). Every 9th file is
+  // CRC-corrupt and quarantined BEFORE the index — which also knocks
+  // out capture 0 of every 3rd group, so that group's capture 1 loses
+  // its predecessor and must read NOT-revisit (arrival-aware lag, not
+  // group arithmetic). The oracle computes every row — including the
+  // SURT keys and payload digests — arithmetically from the
+  // construction; the engine must inflate, verify, parse, crack the
+  // envelope, key and lag its way to them.
+  private val qF18 = Q(
+    "q_f18_cdx_revisit_index",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 3 AS g, CAST(doc_id % 3 AS INT) AS r
+      |  FROM documents WHERE doc_id < 360 AND doc_id % 9 <> 0),
+      |c AS (
+      |  SELECT doc_id, g, r,
+      |    'https://WWW.site' || CAST(g % 11 AS VARCHAR) ||
+      |      '.Example.org/p/' || CAST(g AS VARCHAR) || '?b=2&a=1' AS url,
+      |    'org,example,site' || CAST(g % 11 AS VARCHAR) || ')/p/' ||
+      |      CAST(g AS VARCHAR) || '?a=1&b=2' AS surt_key,
+      |    '2024-03-0' || CAST(r + 1 AS VARCHAR) || 'T00:00:00Z'
+      |      AS warc_date,
+      |    '<html><body><p>Page ' || CAST(g AS VARCHAR) ||
+      |      ' content for the capture index</p></body></html>' AS body
+      |  FROM d),
+      |m AS (
+      |  SELECT *,
+      |    CASE WHEN r = 2
+      |      THEN 'HTTP/1.1 404 Not Found' || chr(13) || chr(10) ||
+      |           'Content-Type: text/plain' || chr(13) || chr(10) ||
+      |           'Content-Length: 9' || chr(13) || chr(10) ||
+      |           chr(13) || chr(10) || 'not found'
+      |      ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+      |           'Content-Type: text/html; charset=UTF-8' ||
+      |           chr(13) || chr(10) || 'Content-Length: ' ||
+      |           CAST(len(body) AS VARCHAR) || chr(13) || chr(10) ||
+      |           chr(13) || chr(10) || body
+      |    END AS msg
+      |  FROM c)
+      |SELECT surt_key, warc_date, url,
+      |  CASE WHEN r = 2 THEN 'text/plain' ELSE 'text/html' END AS mime,
+      |  CAST(CASE WHEN r = 2 THEN 404 ELSE 200 END AS INT) AS status,
+      |  md5(msg) AS digest,
+      |  CAST(len(msg) AS BIGINT) AS length,
+      |  CAST(1 AS INT) AS rec_ok,
+      |  CAST(CASE WHEN r = 1 AND g % 3 <> 0 THEN 1 ELSE 0 END AS INT)
+      |    AS is_revisit
+      |FROM m ORDER BY surt_key, warc_date, url""".stripMargin) { (s, dir) =>
+    val g = (col("doc_id") / 3).cast("long")
+    val r = (col("doc_id") % 3).cast("int")
+    val gs = g.cast("string")
+    val url = concat(lit("https://WWW.site"), (g % 11).cast("string"),
+      lit(".Example.org/p/"), gs, lit("?b=2&a=1"))
+    val body = concat(lit("<html><body><p>Page "), gs,
+      lit(" content for the capture index</p></body></html>"))
+    val http = when(r === 2,
+      lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n" +
+        "Content-Length: 9\r\n\r\nnot found"))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=UTF-8\r\nContent-Length: "),
+        length(body).cast("string"), lit("\r\n\r\n"), body))
+    val record = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\n"),
+      lit("WARC-Record-ID: <urn:uuid:cdx-"), col("doc_id").cast("string"),
+      lit(">\r\n"),
+      lit("WARC-Date: 2024-03-0"), (r + 1).cast("string"),
+      lit("T00:00:00Z\r\n"),
+      lit("WARC-Target-URI: "), url, lit("\r\n"),
+      lit("Content-Type: application/http;msgtype=response\r\n"),
+      lit("Content-Length: "), length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+    def le16(n: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(n), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32(v: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(v), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val recs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 360)
+      .select(col("doc_id"), record.as("rc"))
+      .localCheckpoint(true)
+    val crc = crc32(encode(col("rc"), "UTF-8"))
+    val crcOut = when(col("doc_id") % 9 === 0,
+      pmod(crc + 1, lit(4294967296L))).otherwise(crc)
+    val corpus = recs.select(col("doc_id"),
+      unhex(concat(
+        lit("1F8B0800000000000003"),
+        lit("01"), le16(length(col("rc"))),
+        le16(lit(65535) - length(col("rc"))),
+        hex(encode(col("rc"), "UTF-8")),
+        le32(crcOut), le32(length(col("rc"))))).as("gz"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(recs)
+    val out = graft.operators.Surt
+      .revisits(graft.operators.Surt
+        .cdxIndex(corpus, "doc_id", "gz", maxMembers = 2))
+      .select(col("surt_key"), col("warc_date"), col("url"),
+        col("mime"), col("status").cast("int").as("status"),
+        col("digest"), col("length").cast("long").as("length"),
+        col("rec_ok").cast("int").as("rec_ok"),
+        col("is_revisit").cast("int").as("is_revisit"))
+      .orderBy("surt_key", "warc_date", "url")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(corpus)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13,
-      qF14, qF15, qF16, qF17)
+      qF14, qF15, qF16, qF17, qF18)
 }
