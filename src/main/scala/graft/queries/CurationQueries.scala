@@ -1643,8 +1643,66 @@ object CurationQueries extends QueryGroup {
     out
   }
 
+  // Per-host politeness scheduling (CrawlSchedule.schedule): 23 hosts
+  // share a ~2000-URL frontier, every 4th URL arrives DUPLICATED (must
+  // burn one slot), crawl delays come per host with every 4th host
+  // NULL (must fall back to the default of 2 s). Slot order within a
+  // host is the md5 of the URL — engine and oracle compute the same
+  // hash over the same string, so fetch_seq and fetch_at_sec pin
+  // value-exactly.
+  private val qC35 = Q(
+    "q_c35_politeness_schedule",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 23 AS INT) AS k
+      |  FROM documents WHERE doc_id < 2000),
+      |f AS (
+      |  SELECT DISTINCT
+      |    'h' || CAST(k AS VARCHAR) || '.example.net' AS host,
+      |    'https://h' || CAST(k AS VARCHAR) || '.example.net/p/' ||
+      |      CAST(doc_id AS VARCHAR) AS url,
+      |    k
+      |  FROM d),
+      |del AS (
+      |  SELECT k, CASE WHEN k % 4 = 3 THEN NULL ELSE k % 5 + 1 END AS delay
+      |  FROM (SELECT DISTINCT k FROM d)),
+      |s AS (
+      |  SELECT f.host, f.url,
+      |    CAST(coalesce(del.delay, 2) AS BIGINT) AS delay_sec,
+      |    CAST(row_number() OVER (PARTITION BY f.host
+      |           ORDER BY md5(f.url), f.url) - 1 AS INT) AS fetch_seq
+      |  FROM f JOIN del ON f.k = del.k)
+      |SELECT host, url, delay_sec, fetch_seq,
+      |       CAST(fetch_seq * delay_sec AS BIGINT) AS fetch_at_sec
+      |FROM s ORDER BY host, fetch_seq""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 2000)
+      .select(col("doc_id"), (col("doc_id") % 23).cast("int").as("k"))
+    val base = d.select(col("doc_id"), col("k"),
+      concat(lit("h"), col("k").cast("string"), lit(".example.net"))
+        .as("host"),
+      concat(lit("https://h"), col("k").cast("string"),
+        lit(".example.net/p/"), col("doc_id").cast("string")).as("url"))
+    val frontier = base.select("host", "url")
+      .unionByName(base.where(col("doc_id") % 4 === 0)
+        .select("host", "url"))
+    val delays = d.select(col("k")).distinct()
+      .select(
+        concat(lit("h"), col("k").cast("string"), lit(".example.net"))
+          .as("host"),
+        when(col("k") % 4 === 3, lit(null).cast("long"))
+          .otherwise((col("k") % 5 + 1).cast("long")).as("delay"))
+    graft.operators.CrawlSchedule
+      .schedule(frontier, "host", "url", delays, "host", "delay",
+        defaultDelaySec = 2)
+      .select(col("host"), col("url"),
+        col("delay_sec").cast("long").as("delay_sec"),
+        col("fetch_seq").cast("int").as("fetch_seq"),
+        col("fetch_at_sec").cast("long").as("fetch_at_sec"))
+      .orderBy("host", "fetch_seq")
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
       qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27,
-      qC28, qC29, qC30, qC31, qC32, qC33, qC34)
+      qC28, qC29, qC30, qC31, qC32, qC33, qC34, qC35)
 }

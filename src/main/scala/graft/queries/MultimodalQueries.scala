@@ -2749,7 +2749,7 @@ object MultimodalQueries extends QueryGroup {
   // oracle computes every field arithmetically from the construction
   // (the q_m28/q_m29 pattern) — the ENGINE must parse, de-chunk and
   // decompress its way to what the oracle merely knows it planted.
-  private val qM31 = Q(
+  private[queries] val qM31 = Q(
     "q_m31_http_envelope",
     """WITH src AS (
       |  SELECT doc_id,
@@ -2793,6 +2793,22 @@ object MultimodalQueries extends QueryGroup {
       |       WHEN pc = 4 THEN md5('not found')
       |       ELSE md5(payload) END AS body_md5
       |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pre = httpEnvelopeOf(Tables.load(s, dir, "documents"))
+    val out = pre.orderBy("doc_id").localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pre)
+    out
+  }
+
+  /** The q_m31 envelope frame over a documents batch: six constructed
+    * message classes (plain, chunked, gzip, deflate, 404, malformed×3)
+    * → [[graft.operators.HttpMessage.responses]] with the gate's casts.
+    * Decisions are per-row, so streamed ≡ batch (the streaming twin
+    * reuses this and the q_m31 oracle verbatim). Pins the constructed
+    * message corpus; the caller frees it by freeing the RETURNED plan's
+    * checkpoints once its own result is pinned.
+    */
+  private[queries] def httpEnvelopeOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def le16(c: org.apache.spark.sql.Column) = {
       val h = lpad(hex(c), 4, "0")
       concat(substring(h, 3, 2), substring(h, 1, 2))
@@ -2803,7 +2819,7 @@ object MultimodalQueries extends QueryGroup {
         substring(h, 3, 2), substring(h, 1, 2))
     }
     // pin the payload slice once: every class construction reads it
-    val base = Tables.load(s, dir, "documents")
+    val base = docs
       .filter(col("doc_id") < 500)
       .select(col("doc_id"),
         expr("substring(rpad(coalesce(text, ''), 120, 'x'), 1, " +
@@ -2878,7 +2894,9 @@ object MultimodalQueries extends QueryGroup {
         concat(statusLine, ctHdr, frameHdr, lit("\r\n"), body).as("msg"))
       .localCheckpoint(true)
     org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(base)
-    val out = graft.operators.HttpMessage
+    // msgs stays pinned inside the returned plan — freed by the caller
+    // via freeLocalCheckpoint on (a plan containing) this result
+    graft.operators.HttpMessage
       .responses(msgs, "doc_id", "msg", maxChunks = 4)
       .select(
         col("doc_id"),
@@ -2887,10 +2905,6 @@ object MultimodalQueries extends QueryGroup {
         col("content_type"), col("charset"), col("content_length"),
         col("chunked").cast("int").as("chunked"),
         col("content_encoding"), col("n_body_bytes"), col("body_md5"))
-      .orderBy("doc_id")
-      .localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(msgs)
-    out
   }
 
   override val all: Seq[Q] =
