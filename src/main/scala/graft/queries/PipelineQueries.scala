@@ -1339,7 +1339,86 @@ object PipelineQueries extends QueryGroup {
     out
   }
 
+  // Link-graph frontier prioritization (LinkExtract.hostGraph →
+  // PageRank.run): an in-plan page corpus over 13 hosts where each page
+  // links deterministically to 2-3 OTHER hosts (plus a root-relative
+  // self link hostGraph must EXCLUDE); the host-level link graph's edge
+  // weights are doc-count arithmetic — including two classes where
+  // distinct link paths land on the SAME destination host and the
+  // weights must merge (k=3's both outlinks; k=1's third link) — and
+  // 3-iteration weighted PageRank over it ranks hosts for crawl
+  // prioritization. The oracle reuses the q_g1 iteration chain
+  // verbatim over the arithmetically-derived edge frame: extraction,
+  // resolution, host folding and ranking must all agree for a single
+  // rank to match.
+  private val qF19 = Q(
+    "q_f19_link_frontier_rank",
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 13 AS INT) AS k
+      |  FROM documents WHERE doc_id < 600),
+      |cnt AS (
+      |  SELECT k, CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+      |              AS DOUBLE) AS n3
+      |  FROM d GROUP BY k),
+      |e0 AS (
+      |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.net' AS src,
+      |         'h' || CAST((k + 1) % 13 AS VARCHAR) || '.example.net' AS dst,
+      |         n AS w
+      |  FROM cnt
+      |  UNION ALL
+      |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.net',
+      |         'h' || CAST((5 * k + 2) % 13 AS VARCHAR) || '.example.net',
+      |         n
+      |  FROM cnt WHERE k <> 6
+      |  UNION ALL
+      |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.net',
+      |         'h' || CAST((k + 6) % 13 AS VARCHAR) || '.example.net',
+      |         n3
+      |  FROM cnt WHERE n3 > 0),
+      |e AS (SELECT src, dst, CAST(sum(w) AS DOUBLE) AS w
+      |      FROM e0 GROUP BY src, dst),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+      |p AS (SELECT src, dst, w / out_w AS p FROM e JOIN ow USING (src)),
+      |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+      |${GraphQueries.iter3}
+      |SELECT node AS host, rank FROM r3 ORDER BY host""".stripMargin) {
+    (s, dir) =>
+    val k = (col("doc_id") % 13).cast("int")
+    val did = col("doc_id").cast("string")
+    def hostOf(c: org.apache.spark.sql.Column) =
+      concat(lit("h"), c.cast("string"), lit(".example.net"))
+    val html = concat(
+      lit("<html><body><a href=\"https://"), hostOf((k + 1) % 13),
+      lit("/x/"), did, lit("\">a</a>"),
+      lit("<a href=\"https://"), hostOf((k * 5 + 2) % 13),
+      lit("/y/"), did, lit("\">b</a>"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit("<a href=\"https://"), hostOf((k + 6) % 13),
+        lit("/z/"), did, lit("\">c</a>"))).otherwise(""),
+      lit("<a href=\"/local/"), did, lit("\">self</a></body></html>"))
+    val pages = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 600)
+      .select(col("doc_id"),
+        concat(lit("https://"), hostOf(k), lit("/p/"), did).as("url"),
+        html.as("html"))
+      .localCheckpoint(true)
+    val edges = graft.operators.LinkExtract
+      .hostGraph(pages, "doc_id", "url", "html")
+      .select(col("src_host").as("src"), col("dst_host").as("dst"),
+        col("n_links").cast("double").as("weight"))
+    val out = graft.operators.PageRank.run(edges, iterations = 3)
+      .select(col("node").as("host"), col("rank"))
+      .orderBy("host")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pages)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13,
-      qF14, qF15, qF16, qF17, qF18)
+      qF14, qF15, qF16, qF17, qF18, qF19)
 }
