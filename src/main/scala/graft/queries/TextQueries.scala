@@ -2225,9 +2225,82 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  // HTML document metadata (HtmlMeta.meta): six page classes exercise
+  // both attribute orders, both quote forms, the first-match rule,
+  // entity decode + whitespace collapse in the title, a keywords/
+  // stylesheet decoy that must NOT leak into the selected fields, and
+  // full absence → NULL. Every expected value is arithmetic from the
+  // construction.
+  private val qT45 = Q(
+    "q_t45_html_meta",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS c,
+      |         CAST(doc_id AS VARCHAR) AS i
+      |  FROM documents WHERE doc_id < 1200)
+      |SELECT doc_id,
+      |  CASE WHEN c = 0 THEN 'Doc ' || i || ' & co'
+      |       WHEN c = 2 THEN 'T ' || i
+      |       END AS title,
+      |  CASE WHEN c = 0 THEN 'Summary ' || i
+      |       WHEN c = 1 THEN 'desc first ' || i
+      |       WHEN c = 3 THEN 'first ' || i
+      |       END AS description,
+      |  CASE WHEN c = 0 THEN 'https://c.example.net/p/' || i
+      |       WHEN c = 1 THEN 'https://k.example.net/p/' || i
+      |       END AS canonical,
+      |  CASE WHEN c = 0 THEN 'OG ' || i
+      |       WHEN c = 1 THEN 'og first ' || i
+      |       WHEN c = 5 THEN 'Only OG ' || i
+      |       END AS og_title,
+      |  CASE WHEN c = 0 THEN 'en'
+      |       WHEN c = 1 THEN 'de-AT'
+      |       END AS lang
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val c = (col("doc_id") % 6).cast("int")
+    val i = col("doc_id").cast("string")
+    val html =
+      when(c === 0, concat(
+        lit("<html lang=\"en\"><head><title>Doc "), i,
+        lit(" &amp; co</title><meta name=\"description\" content=\"Summary "),
+        i, lit("\"><link rel=\"canonical\" href=\"https://c.example.net/p/"),
+        i, lit("\"><meta property=\"og:title\" content=\"OG "), i,
+        lit("\"></head></html>")))
+        .when(c === 1, concat(
+          lit("<html LANG=de-AT><head>"),
+          lit("<meta content='desc first "), i,
+          lit("' name='description'>"),
+          lit("<link href='https://k.example.net/p/"), i,
+          lit("' rel='canonical'>"),
+          lit("<meta content='og first "), i,
+          lit("' property='og:title'></head></html>")))
+        .when(c === 2, concat(
+          lit("<html><head><title>  T\n  "), i,
+          lit(" </title></head></html>")))
+        .when(c === 3, concat(
+          lit("<head><meta name=\"description\" content=\"first "), i,
+          lit("\"><meta name=\"description\" content=\"second "), i,
+          lit("\"></head>")))
+        .when(c === 4, lit("<html><body><p>no head</p></body></html>"))
+        .otherwise(concat(
+          lit("<head><meta name=\"keywords\" content=\"k1,k2\">"),
+          lit("<link rel=\"stylesheet\" href=\"/s.css\">"),
+          lit("<meta property=\"og:title\" content=\"Only OG "), i,
+          lit("\"></head>")))
+    val pages = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 1200)
+      .select(col("doc_id"), html.as("html"))
+      .localCheckpoint(true)
+    val out = graft.operators.HtmlMeta
+      .meta(pages, "doc_id", "html")
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pages)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qT1, qT2, qT3, qT4, qT5, qT5x, qT6, qT7, qT8, qT9, qT10, qT11, qT12, qT13,
       qT14, qT15, qT16, qT17, qT18, qT19, qT20, qT21, qT22, qT23, qT24, qT25, qT26,
       qT27, qT28, qT29, qT30, qT31, qT32, qT33, qT34, qT35, qT36, qT37, qT38, qT39, qT40, qT41, qT42,
-      qT43, qT44)
+      qT43, qT44, qT45)
 }
