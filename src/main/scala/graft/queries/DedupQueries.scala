@@ -964,7 +964,78 @@ object DedupQueries extends QueryGroup {
       .orderBy("doc", "off")
   }
 
+  // Canonical-link collapse (CanonicalDedup.collapse): groups of 5
+  // pages per canonical cluster — the target itself (no canonical
+  // link), a session-id variant declaring the absolute target, a
+  // /print variant declaring a RELATIVE canonical (`../<g>` must
+  // resolve through the dot-segment chain), a solo page (own group),
+  // and a variant whose declared canonical carries tracking params
+  // that must strip before keying. The target is the kept
+  // representative; the oracle computes keys and keep flags
+  // arithmetically.
+  private val qD25 = Q(
+    "q_d25_canonical_collapse",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS c,
+      |         doc_id // 5 AS g, CAST(doc_id AS VARCHAR) AS i
+      |  FROM documents WHERE doc_id < 1500),
+      |b AS (
+      |  SELECT doc_id, c, i,
+      |         's' || CAST(g % 17 AS VARCHAR) || '.example.org' AS host,
+      |         'https://s' || CAST(g % 17 AS VARCHAR) ||
+      |           '.example.org/a/' || CAST(g AS VARCHAR) AS tgt
+      |  FROM d)
+      |SELECT doc_id,
+      |  CASE c WHEN 0 THEN tgt
+      |         WHEN 1 THEN tgt || '?sess=' || i
+      |         WHEN 2 THEN tgt || '/print'
+      |         WHEN 3 THEN 'https://' || host || '/solo/' || i
+      |         ELSE tgt || '?v=2' END AS url_canon,
+      |  CASE WHEN c = 3 THEN 'https://' || host || '/solo/' || i
+      |       ELSE tgt END AS canonical_key,
+      |  CAST(CASE WHEN c = 0 OR c = 3 THEN 1 ELSE 0 END AS INT) AS is_self,
+      |  CAST(CASE WHEN c = 0 OR c = 3 THEN 1 ELSE 0 END AS INT) AS is_kept
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val c = (col("doc_id") % 5).cast("int")
+    val g = (col("doc_id") / 5).cast("long")
+    val i = col("doc_id").cast("string")
+    val host = concat(lit("s"), (g % 17).cast("string"),
+      lit(".example.org"))
+    val tgt = concat(lit("https://"), host, lit("/a/"), g.cast("string"))
+    val url =
+      when(c === 0, tgt)
+        .when(c === 1, concat(tgt, lit("?sess="), i))
+        .when(c === 2, concat(tgt, lit("/print")))
+        .when(c === 3, concat(lit("https://"), host, lit("/solo/"), i))
+        .otherwise(concat(tgt, lit("?v=2")))
+    val html =
+      when(c === 0, lit("<html><p>the canonical target</p></html>"))
+        .when(c === 1, concat(
+          lit("<link rel=\"canonical\" href=\""), tgt, lit("\">")))
+        .when(c === 2, concat(
+          lit("<link href='../"), g.cast("string"),
+          lit("' rel='canonical'>")))
+        .when(c === 3, lit("<html><p>solo</p></html>"))
+        .otherwise(concat(
+          lit("<link rel=canonical href=\""), tgt,
+          lit("?utm_source=z\">")))
+    val pages = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 1500)
+      .select(col("doc_id"), url.as("url"), html.as("html"))
+      .localCheckpoint(true)
+    val out = graft.operators.CanonicalDedup
+      .collapse(pages, "doc_id", "url", "html")
+      .select(col("doc_id"), col("url_canon"), col("canonical_key"),
+        col("is_self").cast("int").as("is_self"),
+        col("is_kept").cast("int").as("is_kept"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pages)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD4b, qD4x, qD5, qD6, qD7, qD8, qD9, qD10, qD11,
-      qD12, qD13, qD14, qD15, qD16, qD17, qD18, qD19, qD20, qD21, qD22, qD23, qD24)
+      qD12, qD13, qD14, qD15, qD16, qD17, qD18, qD19, qD20, qD21, qD22, qD23, qD24,
+      qD25)
 }
