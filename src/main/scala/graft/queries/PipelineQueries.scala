@@ -1418,7 +1418,103 @@ object PipelineQueries extends QueryGroup {
     out
   }
 
+  // The crawl's NEXT-WAVE plan, composed end to end (LinkExtract →
+  // Robots.decide → CrawlSchedule): pages on 11 hosts each link to an
+  // open path, a /private/ path (disallowed by EVEN hosts' robots —
+  // must drop from the frontier) and a cross-host page (governed by
+  // the TARGET host's robots, not the linking page's); the surviving
+  // frontier schedules under per-host crawl delays with every 3rd host
+  // defaulting. The oracle computes the governed frontier and every
+  // fetch slot arithmetically — extraction, resolution, governance and
+  // scheduling must all agree for a single (fetch_seq, fetch_at) to
+  // match.
+  private val qF20 = Q(
+    "q_f20_frontier_pipeline",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 11 AS INT) AS k,
+      |         CAST(doc_id AS VARCHAR) AS i
+      |  FROM documents WHERE doc_id < 500),
+      |u0 AS (
+      |  SELECT k AS hk, 'https://h' || CAST(k AS VARCHAR) ||
+      |         '.example.net/open/' || i AS url
+      |  FROM d
+      |  UNION ALL
+      |  SELECT k, 'https://h' || CAST(k AS VARCHAR) ||
+      |         '.example.net/private/' || i
+      |  FROM d WHERE k % 2 = 1
+      |  UNION ALL
+      |  SELECT CAST((k + 1) % 11 AS INT),
+      |         'https://h' || CAST((k + 1) % 11 AS VARCHAR) ||
+      |         '.example.net/x/' || i
+      |  FROM d),
+      |f AS (SELECT hk, 'h' || CAST(hk AS VARCHAR) || '.example.net' AS host,
+      |             url
+      |      FROM u0),
+      |del AS (SELECT DISTINCT hk,
+      |               CASE WHEN hk % 3 = 2 THEN NULL ELSE hk % 4 + 1 END
+      |                 AS delay
+      |        FROM u0),
+      |s AS (
+      |  SELECT f.host, f.url,
+      |    CAST(coalesce(del.delay, 2) AS BIGINT) AS delay_sec,
+      |    CAST(row_number() OVER (PARTITION BY f.host
+      |           ORDER BY md5(f.url), f.url) - 1 AS INT) AS fetch_seq
+      |  FROM f JOIN del USING (hk))
+      |SELECT host, url, delay_sec, fetch_seq,
+      |       CAST(fetch_seq * delay_sec AS BIGINT) AS fetch_at_sec
+      |FROM s ORDER BY host, fetch_seq""".stripMargin) { (s, dir) =>
+    val k = (col("doc_id") % 11).cast("int")
+    val i = col("doc_id").cast("string")
+    def hostOf(c: org.apache.spark.sql.Column) =
+      concat(lit("h"), c.cast("string"), lit(".example.net"))
+    val html = concat(
+      lit("<a href=\"/open/"), i, lit("\">o</a>"),
+      lit("<a href=\"/private/"), i, lit("\">p</a>"),
+      lit("<a href=\"https://"), hostOf((k + 1) % 11),
+      lit("/x/"), i, lit("\">c</a>"))
+    val pages = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 500)
+      .select(col("doc_id"),
+        concat(lit("https://"), hostOf(k), lit("/p/"), i).as("url"),
+        html.as("html"))
+      .localCheckpoint(true)
+    val hosts = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 500)
+      .select((col("doc_id") % 11).cast("int").as("k")).distinct()
+    val robots = hosts.select(
+      hostOf(col("k")).as("host"),
+      when(col("k") % 2 === 0, "User-agent: *\nDisallow: /private/\n")
+        .otherwise("User-agent: *\nDisallow:\n").as("robots"))
+      .localCheckpoint(true)
+    val delays = hosts.select(
+      hostOf(col("k")).as("host"),
+      when(col("k") % 3 === 2, lit(null).cast("long"))
+        .otherwise((col("k") % 4 + 1).cast("long")).as("delay"))
+    val frontier = graft.operators.LinkExtract
+      .outlinks(pages, "doc_id", "url", "html")
+      .select(
+        graft.operators.UrlOps.host(col("url")).as("host"), col("url"),
+        regexp_replace(col("url"), "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+          .as("path"))
+    val governed = graft.operators.Robots
+      .decide(robots, "host", "robots", frontier, "host", "path",
+        "graftbot")
+      .where(col("allowed"))
+    val out = graft.operators.CrawlSchedule
+      .schedule(governed, "host", "url", delays, "host", "delay",
+        defaultDelaySec = 2)
+      .select(col("host"), col("url"),
+        col("delay_sec").cast("long").as("delay_sec"),
+        col("fetch_seq").cast("int").as("fetch_seq"),
+        col("fetch_at_sec").cast("long").as("fetch_at_sec"))
+      .orderBy("host", "fetch_seq")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pages)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(robots)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13,
-      qF14, qF15, qF16, qF17, qF18, qF19)
+      qF14, qF15, qF16, qF17, qF18, qF19, qF20)
 }
