@@ -1581,7 +1581,44 @@ object CurationQueries extends QueryGroup {
   // re-bases the relative forms. The oracle computes all five expected
   // outlinks per doc arithmetically from the construction; the engine
   // must extract, resolve, canonicalize and dedup its way to them.
-  private val qC34 = Q(
+  /** The q_c34 outlink frame over a documents batch — construction +
+    * extraction + resolution are per-row (dedup is per (doc, url),
+    * within one document), so streamed ≡ batch (q_st41 reuses this and
+    * the q_c34 oracle verbatim).
+    */
+  private[queries] def outlinkResolveOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = docs
+      .where(col("doc_id") < 400)
+      .select(col("doc_id"),
+        (col("doc_id") % 13).cast("string").as("k"),
+        (col("doc_id") % 7).cast("string").as("m"),
+        (col("doc_id") % 3).cast("string").as("j"),
+        col("doc_id").cast("string").as("i"),
+        (col("doc_id") % 5 === 0).as("hb"))
+    val pages = d.select(
+      col("doc_id"),
+      concat(lit("https://www.site"), col("k"),
+        lit(".example.org/a/b/page"), col("i"), lit(".html")).as("url"),
+      concat(
+        when(col("hb"), lit("<base href=\"/based/\">")).otherwise(""),
+        lit("<html><body><a href=\"https://ext"), col("m"),
+        lit(".example.com/abs/"), col("i"), lit("\">e</a>"),
+        lit("<a href='//cdn.example.net/lib"), col("j"),
+        lit(".js'>c</a><a href=/root/"), col("i"), lit(">r</a>"),
+        lit("<a href=\"../up/"), col("i"), lit("\">u</a>"),
+        lit("<a href=\"?page=2\">q</a><a href=\"#top\">t</a>"),
+        lit("<a href=\"javascript:void(0)\">x</a>"),
+        lit("<a href=\"/root/"), col("i"),
+        lit("?utm_source=x&gclid=9\">dup</a></body></html>")).as("html"))
+      .localCheckpoint(true)
+    // pages stays pinned inside the returned plan — freed by the
+    // caller via freeLocalCheckpoint once its own result is pinned
+    graft.operators.LinkExtract
+      .outlinks(pages, "doc_id", "url", "html")
+  }
+
+  private[queries] val qC34 = Q(
     "q_c34_outlink_resolve",
     """WITH d AS (
       |  SELECT doc_id,
@@ -1611,35 +1648,9 @@ object CurationQueries extends QueryGroup {
       |              ELSE '/a/b/page' || i || '.html?page=2' END FROM d)
       |SELECT doc_id, url_raw, url FROM rws
       |ORDER BY doc_id, url""".stripMargin) { (s, dir) =>
-    val d = Tables.load(s, dir, "documents")
-      .where(col("doc_id") < 400)
-      .select(col("doc_id"),
-        (col("doc_id") % 13).cast("string").as("k"),
-        (col("doc_id") % 7).cast("string").as("m"),
-        (col("doc_id") % 3).cast("string").as("j"),
-        col("doc_id").cast("string").as("i"),
-        (col("doc_id") % 5 === 0).as("hb"))
-    val pages = d.select(
-      col("doc_id"),
-      concat(lit("https://www.site"), col("k"),
-        lit(".example.org/a/b/page"), col("i"), lit(".html")).as("url"),
-      concat(
-        when(col("hb"), lit("<base href=\"/based/\">")).otherwise(""),
-        lit("<html><body><a href=\"https://ext"), col("m"),
-        lit(".example.com/abs/"), col("i"), lit("\">e</a>"),
-        lit("<a href='//cdn.example.net/lib"), col("j"),
-        lit(".js'>c</a><a href=/root/"), col("i"), lit(">r</a>"),
-        lit("<a href=\"../up/"), col("i"), lit("\">u</a>"),
-        lit("<a href=\"?page=2\">q</a><a href=\"#top\">t</a>"),
-        lit("<a href=\"javascript:void(0)\">x</a>"),
-        lit("<a href=\"/root/"), col("i"),
-        lit("?utm_source=x&gclid=9\">dup</a></body></html>")).as("html"))
-      .localCheckpoint(true)
-    val out = graft.operators.LinkExtract
-      .outlinks(pages, "doc_id", "url", "html")
-      .orderBy("doc_id", "url")
-      .localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pages)
+    val pre = outlinkResolveOf(Tables.load(s, dir, "documents"))
+    val out = pre.orderBy("doc_id", "url").localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pre)
     out
   }
 

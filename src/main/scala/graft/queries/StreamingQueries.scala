@@ -934,9 +934,21 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id")
   }
 
+  // Streaming outlink extraction (q_c34's landing-zone twin): each
+  // micro-batch extracts, resolves and dedups its own pages' links —
+  // dedup is per (doc, url) WITHIN one document, so streamed ≡ batch
+  // under q_c34's oracle verbatim.
+  private val qSt41 = Q(
+    "q_st41_stream_outlinks",
+    CurationQueries.qC34.oracle.get) { (s, dir) =>
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch => CurationQueries.outlinkResolveOf(batch)
+    }.orderBy("doc_id", "url")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
       qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33, qSt34,
-      qSt35, qSt36, qSt37, qSt38, qSt39, qSt40)
+      qSt35, qSt36, qSt37, qSt38, qSt39, qSt40, qSt41)
 }
