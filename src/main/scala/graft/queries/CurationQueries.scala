@@ -1712,8 +1712,90 @@ object CurationQueries extends QueryGroup {
       .orderBy("host", "fetch_seq")
   }
 
+  // Redirect chain resolution (Redirects.finalTargets): six capture
+  // classes per doc — direct hit, one-hop with a RELATIVE Location
+  // (must resolve against the redirecting capture), two-hop, dangling
+  // onto an unfetched URL, a two-cycle that must classify LOOP (exact
+  // visited-list detection, not a budget heuristic), and a 3xx without
+  // Location that danglings in place. Every chain member resolves (not
+  // just the head), and the oracle computes all outcomes
+  // arithmetically.
+  private val qC36 = Q(
+    "q_c36_redirect_chains",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS c,
+      |         CAST(doc_id % 19 AS INT) AS k, CAST(doc_id AS VARCHAR) AS i
+      |  FROM documents WHERE doc_id < 600),
+      |b AS (
+      |  SELECT doc_id, c,
+      |         'https://r' || CAST(k AS VARCHAR) || '.example.net/d/' ||
+      |           i || '/' AS p
+      |  FROM d),
+      |rws AS (
+      |  SELECT doc_id, p || '0' AS url,
+      |    CASE c WHEN 0 THEN p || '0' WHEN 1 THEN p || '1'
+      |           WHEN 2 THEN p || '2' WHEN 3 THEN p || 'x'
+      |           WHEN 4 THEN p || '1' ELSE p || '0' END AS final_url,
+      |    CASE c WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+      |           WHEN 3 THEN 1 WHEN 4 THEN 1 ELSE 0 END AS n_hops,
+      |    CASE c WHEN 3 THEN 'dangling' WHEN 4 THEN 'loop'
+      |           WHEN 5 THEN 'dangling' ELSE 'ok' END AS status
+      |  FROM b
+      |  UNION ALL
+      |  SELECT doc_id, p || '1',
+      |    CASE c WHEN 1 THEN p || '1' WHEN 2 THEN p || '2'
+      |           ELSE p || '0' END,
+      |    CASE c WHEN 1 THEN 0 ELSE 1 END,
+      |    CASE c WHEN 4 THEN 'loop' ELSE 'ok' END
+      |  FROM b WHERE c IN (1, 2, 4)
+      |  UNION ALL
+      |  SELECT doc_id, p || '2', p || '2', 0, 'ok' FROM b WHERE c = 2)
+      |SELECT doc_id, url, final_url, CAST(n_hops AS INT) AS n_hops,
+      |       status
+      |FROM rws ORDER BY doc_id, url""".stripMargin) { (s, dir) =>
+    val c = (col("doc_id") % 6).cast("int")
+    val i = col("doc_id").cast("string")
+    val p = concat(lit("https://r"), (col("doc_id") % 19).cast("string"),
+      lit(".example.net/d/"), i, lit("/"))
+    val nullStr = lit(null).cast("string")
+    val m0 = struct(
+      concat(p, lit("0")).as("url"),
+      when(c === 0, 200).when(c === 5, 308).when(c === 2, 302)
+        .otherwise(301).as("status"),
+      when(c === 1, concat(lit("/d/"), i, lit("/1"))) // relative Location
+        .when(c === 2, concat(p, lit("1")))
+        .when(c === 3, concat(p, lit("x")))
+        .when(c === 4, concat(p, lit("1")))
+        .otherwise(nullStr).as("location"))
+    val m1 = when(c.isin(1, 2, 4), struct(
+      concat(p, lit("1")).as("url"),
+      when(c === 1, 200).when(c === 2, 301).otherwise(302).as("status"),
+      when(c === 2, concat(p, lit("2")))
+        .when(c === 4, concat(p, lit("0")))
+        .otherwise(nullStr).as("location")))
+    val m2 = when(c === 2, struct(
+      concat(p, lit("2")).as("url"), lit(200).as("status"),
+      nullStr.as("location")))
+    val captures = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 600)
+      .select(col("doc_id"),
+        explode(filter(array(m0, m1, m2), x => x.isNotNull)).as("cap"))
+      .select(col("doc_id"), col("cap.url").as("url"),
+        col("cap.status").as("status"),
+        col("cap.location").as("location"))
+      .localCheckpoint(true)
+    val out = graft.operators.Redirects
+      .finalTargets(captures, "url", "status", "location", maxHops = 5)
+      .select(col("doc_id"), col("url"), col("final_url"),
+        col("n_hops").cast("int").as("n_hops"), col("status"))
+      .orderBy("doc_id", "url")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(captures)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
       qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27,
-      qC28, qC29, qC30, qC31, qC32, qC33, qC34, qC35)
+      qC28, qC29, qC30, qC31, qC32, qC33, qC34, qC35, qC36)
 }
