@@ -120,6 +120,75 @@ object ScaleProbe {
         run("LinkExtract.outlinks")(
           graft.operators.LinkExtract.outlinks(
             pages, "doc_id", "url", "html"))
+      case "meta" =>
+        val pages = docs.select(col("doc_id"),
+          concat(lit("<html lang=\"en\"><head><title>Doc "),
+            col("doc_id").cast("string"),
+            lit(" &amp; co</title><meta name=\"description\" content=\""),
+            substring(coalesce(col("text"), lit("")), 1, 80),
+            lit("\"><link rel=\"canonical\" href=\"https://c"),
+            (col("doc_id") % 997).cast("string"), lit(".example.net/p/"),
+            col("doc_id").cast("string"),
+            lit("\"><meta property=\"og:title\" content=\"OG "),
+            col("doc_id").cast("string"),
+            lit("\"></head></html>")).as("html"))
+          .localCheckpoint(true)
+        run("HtmlMeta.meta")(
+          graft.operators.HtmlMeta.meta(pages, "doc_id", "html"))
+      case "canon" =>
+        // clusters of 5: target + 4 variants declaring it
+        val g = (col("doc_id") / 5).cast("long")
+        val tgt = concat(lit("https://s"), (g % 997).cast("string"),
+          lit(".example.org/a/"), g.cast("string"))
+        val pages = docs.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, tgt)
+            .otherwise(concat(tgt, lit("?v="),
+              col("doc_id").cast("string"))).as("url"),
+          when(col("doc_id") % 5 === 0, lit("<p>target</p>"))
+            .otherwise(concat(lit("<link rel=\"canonical\" href=\""),
+              tgt, lit("\">"))).as("html"))
+          .localCheckpoint(true)
+        run("CanonicalDedup.collapse")(
+          graft.operators.CanonicalDedup.collapse(
+            pages, "doc_id", "url", "html"))
+      case "schedule" =>
+        val frontier = docs.select(
+          concat(lit("h"), (col("doc_id") % 997).cast("string"),
+            lit(".example.net")).as("host"),
+          concat(lit("https://h"), (col("doc_id") % 997).cast("string"),
+            lit(".example.net/p/"), col("doc_id").cast("string"))
+            .as("url"))
+          .localCheckpoint(true)
+        val delays = frontier.select(col("host")).distinct()
+          .select(col("host"), lit(2L).as("delay")).localCheckpoint(true)
+        run("CrawlSchedule.schedule")(
+          graft.operators.CrawlSchedule.schedule(
+            frontier, "host", "url", delays, "host", "delay", 1))
+      case "redirects" =>
+        // one 2-hop chain per doc: /0 -> /1 -> /2 (200)
+        val p = concat(lit("https://r"), (col("doc_id") % 997).cast("string"),
+          lit(".example.net/d/"), col("doc_id").cast("string"), lit("/"))
+        val caps = docs.select(col("doc_id"), explode(array(
+          struct(concat(p, lit("0")).as("url"), lit(301).as("status"),
+            concat(p, lit("1")).as("location")),
+          struct(concat(p, lit("1")).as("url"), lit(302).as("status"),
+            concat(p, lit("2")).as("location")),
+          struct(concat(p, lit("2")).as("url"), lit(200).as("status"),
+            lit(null).cast("string").as("location")))).as("cap"))
+          .select(col("cap.url").as("url"), col("cap.status").as("status"),
+            col("cap.location").as("location"))
+          .localCheckpoint(true)
+        run("Redirects.finalTargets")(
+          graft.operators.Redirects.finalTargets(
+            caps, "url", "status", "location", 5))
+      case "surt" =>
+        val urls = docs.select(
+          concat(lit("https://WWW.Site"), (col("doc_id") % 997).cast("string"),
+            lit(".Example.org:443/P/"), col("doc_id").cast("string"),
+            lit("?b=2&a=1#frag")).as("url"))
+          .localCheckpoint(true)
+        run("Surt.surtKey")(
+          urls.select(graft.operators.Surt.surtKey(col("url")).as("k")))
       case "unigram-apply" =>
         val pieces = graft.operators.UnigramTokenizer
           .trainPieces(docs, "text", rounds = 2)

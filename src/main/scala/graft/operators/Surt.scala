@@ -114,6 +114,30 @@ object Surt {
       .orderBy("surt_key", "warc_date", "url")
   }
 
+  /** Incremental-crawl fetch plan: probe a frontier against the
+    * capture index — per frontier URL (keyed by SURT, so spelling
+    * variants still match their captures), the LATEST capture per key
+    * (max (warc_date, url, digest) — deterministic) decides `new`
+    * (never captured — fetch it) vs `seen` (annotated with last_date +
+    * last_digest for the caller's refresh policy). One hash aggregate
+    * over the index + one join; the index side reduces to one row per
+    * key BEFORE the join, so frontier skew never multiplies captures.
+    */
+  def fetchPlan(
+      index: DataFrame, frontier: DataFrame, urlCol: String): DataFrame = {
+    val latest = index
+      .groupBy("surt_key")
+      .agg(max(struct(col("warc_date"), col("url"), col("digest")))
+        .as("__l"))
+      .select(col("surt_key"), col("__l.warc_date").as("last_date"),
+        col("__l.digest").as("last_digest"))
+    frontier
+      .withColumn("surt_key", surtKey(col(urlCol)))
+      .join(latest, Seq("surt_key"), "left")
+      .withColumn("status",
+        when(col("last_date").isNull, "new").otherwise("seen"))
+  }
+
   /** URL-level revisit dedup over a [[cdxIndex]]-shaped frame — the
     * archive's storage saver: within one surt key, a capture whose
     * payload digest equals the PREVIOUS capture's digest is a REVISIT

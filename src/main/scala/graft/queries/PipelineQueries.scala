@@ -1514,7 +1514,66 @@ object PipelineQueries extends QueryGroup {
     out
   }
 
+  // Incremental-crawl fetch plan (Surt.fetchPlan): the frontier spells
+  // every URL DIFFERENTLY from the index (www + case noise, query args
+  // in the other order) so only the SURT key can match a URL to its
+  // captures; every 3rd URL was never captured (must plan 'new'), the
+  // rest carry TWO captures and must surface the latest (date, digest)
+  // pair. Keys, statuses and digests all arithmetic from the
+  // construction.
+  private val qF21 = Q(
+    "q_f21_incremental_fetch_plan",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 17 AS INT) AS k,
+      |         CAST(doc_id AS VARCHAR) AS i
+      |  FROM documents WHERE doc_id < 1500)
+      |SELECT doc_id,
+      |  'https://WWW.s' || CAST(k AS VARCHAR) || '.example.org/p/' || i ||
+      |    '?b=2&a=1' AS url,
+      |  'org,example,s' || CAST(k AS VARCHAR) || ')/p/' || i ||
+      |    '?a=1&b=2' AS surt_key,
+      |  CASE WHEN doc_id % 3 = 2 THEN 'new' ELSE 'seen' END AS status,
+      |  CASE WHEN doc_id % 3 = 2 THEN NULL
+      |       ELSE '2024-04-02T00:00:00Z' END AS last_date,
+      |  CASE WHEN doc_id % 3 = 2 THEN NULL
+      |       ELSE md5('cap' || i || '2') END AS last_digest
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val k = (col("doc_id") % 17).cast("string")
+    val i = col("doc_id").cast("string")
+    val d = Tables.load(s, dir, "documents").where(col("doc_id") < 1500)
+    val frontier = d.select(col("doc_id"),
+      concat(lit("https://WWW.s"), k, lit(".example.org/p/"), i,
+        lit("?b=2&a=1")).as("url"))
+      .localCheckpoint(true)
+    val iurl = concat(lit("https://s"), k, lit(".example.org/p/"), i,
+      lit("?a=1&b=2"))
+    val index = d.where(col("doc_id") % 3 =!= 2)
+      .select(explode(array(
+        struct(lit("2024-04-01T00:00:00Z").as("warc_date"),
+          iurl.as("url"),
+          md5(concat(lit("cap"), i, lit("1")).cast("binary"))
+            .as("digest")),
+        struct(lit("2024-04-02T00:00:00Z").as("warc_date"),
+          iurl.as("url"),
+          md5(concat(lit("cap"), i, lit("2")).cast("binary"))
+            .as("digest")))).as("cap"))
+      .select(
+        graft.operators.Surt.surtKey(col("cap.url")).as("surt_key"),
+        col("cap.warc_date").as("warc_date"), col("cap.url").as("url"),
+        col("cap.digest").as("digest"))
+      .localCheckpoint(true)
+    val out = graft.operators.Surt
+      .fetchPlan(index, frontier, "url")
+      .select(col("doc_id"), col("url"), col("surt_key"), col("status"),
+        col("last_date"), col("last_digest"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(frontier)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(index)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13,
-      qF14, qF15, qF16, qF17, qF18, qF19, qF20)
+      qF14, qF15, qF16, qF17, qF18, qF19, qF20, qF21)
 }

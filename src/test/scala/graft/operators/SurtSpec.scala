@@ -52,6 +52,27 @@ class SurtSpec extends SparkSpec {
     assert(got === Seq(false, true, false, false, false))
   }
 
+  test("fetch plan: surt-matched probe, latest capture wins, new vs seen") {
+    val index = Seq(
+      ("com,a)/p", "2024-01-01", "https://a.com/p", "d1"),
+      ("com,a)/p", "2024-01-03", "https://a.com/p", "d3"),
+      ("com,a)/p", "2024-01-02", "https://a.com/p", "d2"))
+      .toDF("surt_key", "warc_date", "url", "digest")
+    val frontier = Seq(
+      "https://WWW.A.com/p", // spelling variant of the indexed capture
+      "https://a.com/q")     // never captured
+      .toDF("url")
+    val got = Surt.fetchPlan(index, frontier, "url")
+      .orderBy("url")
+      .select("url", "surt_key", "status", "last_date", "last_digest")
+      .as[(String, String, String, Option[String], Option[String])]
+      .collect().toSeq
+    assert(got === Seq(
+      ("https://WWW.A.com/p", "com,a)/p", "seen",
+        Some("2024-01-03"), Some("d3")),
+      ("https://a.com/q", "com,a)/q", "new", None, None)))
+  }
+
   test("cdx index: warc.gz walk + inline envelope, index order") {
     def gzip(b: Array[Byte]): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
