@@ -1573,7 +1573,95 @@ object PipelineQueries extends QueryGroup {
     out
   }
 
+  // Sitemap DISCOVERY through robots.txt (Robots.meta →
+  // Sitemap.governedFrontier): only sitemaps a host's robots file
+  // NAMES are parsed — an unreferenced sitemap on the same host must
+  // contribute nothing, a host declaring none contributes nothing, and
+  // the discovered frontier still passes through the same robots
+  // rules (/private/ locs flagged disallowed). The oracle enumerates
+  // the discovered set arithmetically per host class.
+  private val qF22 = Q(
+    "q_f22_sitemap_discovery",
+    """WITH hs AS (SELECT DISTINCT CAST(doc_id % 19 AS INT) AS j
+      |            FROM documents),
+      |h AS (SELECT j, CAST(j % 4 AS INT) AS c,
+      |             'g' || CAST(j AS VARCHAR) || '.example.io' AS host
+      |      FROM hs),
+      |rws AS (
+      |  SELECT host, 'https://' || host || '/sm/a.xml' AS sitemap_url,
+      |         'https://' || host || '/p/' || CAST(j AS VARCHAR) || '/1'
+      |           AS loc,
+      |         '2024-05-01' AS lastmod, 1 AS allowed
+      |  FROM h WHERE c IN (0, 1)
+      |  UNION ALL
+      |  SELECT host, 'https://' || host || '/sm/a.xml',
+      |         'https://' || host || '/private/' || CAST(j AS VARCHAR),
+      |         CAST(NULL AS VARCHAR), 0
+      |  FROM h WHERE c IN (0, 1)
+      |  UNION ALL
+      |  SELECT host, 'https://' || host || '/sm/b.xml',
+      |         'https://' || host || '/q/' || CAST(j AS VARCHAR),
+      |         CAST(NULL AS VARCHAR), 1
+      |  FROM h WHERE c IN (0, 3))
+      |SELECT host, sitemap_url, loc, lastmod,
+      |       CAST(allowed AS INT) AS allowed
+      |FROM rws ORDER BY host, sitemap_url, loc""".stripMargin) { (s, dir) =>
+    val hosts = Tables.load(s, dir, "documents")
+      .select((col("doc_id") % 19).cast("int").as("j")).distinct()
+      .select(col("j"), (col("j") % 4).cast("int").as("c"),
+        concat(lit("g"), col("j").cast("string"), lit(".example.io"))
+          .as("host"))
+    val base = concat(lit("https://"), col("host"))
+    val js = col("j").cast("string")
+    val robotsBody = concat(
+      when(col("c") === 0, concat(lit("Sitemap: "), base,
+        lit("/sm/a.xml\n"))).otherwise(""),
+      lit("User-agent: *\nCrawl-delay: "), (col("j") % 5 + 1).cast("string"),
+      lit("\nDisallow: /private/\n"),
+      when(col("c") === 0, concat(lit("Sitemap: "), base,
+        lit("/sm/b.xml\n")))
+        .when(col("c") === 1, concat(lit("Sitemap: "), base,
+          lit("/sm/a.xml\n")))
+        .when(col("c") === 3, concat(lit("Sitemap: "), base,
+          lit("/sm/b.xml\n")))
+        .otherwise(""))
+    val robots = hosts.select(col("host"), robotsBody.as("robots"))
+      .localCheckpoint(true)
+    val aBody = concat(
+      lit("<urlset><url><loc>"), base, lit("/p/"), js,
+      lit("/1</loc><lastmod>2024-05-01</lastmod></url><url><loc>"),
+      base, lit("/private/"), js, lit("</loc></url></urlset>"))
+    val bBody = concat(lit("<urlset><url><loc>"), base, lit("/q/"), js,
+      lit("</loc></url></urlset>"))
+    val cBody = concat(lit("<urlset><url><loc>"), base, lit("/x/"), js,
+      lit("</loc></url></urlset>"))
+    val bodies = hosts.select(col("host"), explode(array(
+      struct(concat(base, lit("/sm/a.xml")).as("url"), aBody.as("body")),
+      struct(concat(base, lit("/sm/b.xml")).as("url"), bBody.as("body")),
+      struct(concat(base, lit("/sm/c.xml")).as("url"), cBody.as("body"))))
+      .as("sm"))
+      .select(col("host"), col("sm.url").as("url"),
+        col("sm.body").as("body"))
+      .localCheckpoint(true)
+    val discovered = graft.operators.Robots
+      .meta(robots, "host", "robots", "graftbot")
+      .where(col("sitemaps") =!= "")
+      .select(col("host"),
+        explode(split(col("sitemaps"), ",")).as("url"))
+    val sm = discovered.join(bodies, Seq("host", "url"))
+    val out = graft.operators.Sitemap
+      .governedFrontier(sm, "host", "url", "body",
+        robots, "host", "robots", "graftbot")
+      .select(col("host"), col("sitemap_url"), col("loc"),
+        col("lastmod"), col("allowed").cast("int").as("allowed"))
+      .orderBy("host", "sitemap_url", "loc")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(robots)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(bodies)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13,
-      qF14, qF15, qF16, qF17, qF18, qF19, qF20, qF21)
+      qF14, qF15, qF16, qF17, qF18, qF19, qF20, qF21, qF22)
 }
