@@ -66,10 +66,17 @@ object Explain {
                                // scan-side (bounded folds + codegen
                                // inflate kernels): the only Exchange is
                                // the output ORDER BY
-    "q_t44_trained_langid")    // model grid + priors BROADCAST; per-doc
+    "q_t44_trained_langid",    // model grid + priors BROADCAST; per-doc
                                // histogram partial-aggregates map-side;
                                // argmax window partitions per doc —
                                // nothing corpus-wide in one partition
+    "q_f20_frontier_pipeline", // outlinks scan-side; robots decision on
+                               // DISTINCT (host, path) then join back;
+                               // schedule window partitions per host —
+                               // never corpus-wide
+    "q_c36_redirect_chains")   // maxHops+1 hash joins against ONE
+                               // materialized lookup; live set shrinks
+                               // monotonically; no corpus-wide window
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
