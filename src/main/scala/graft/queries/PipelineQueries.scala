@@ -1661,7 +1661,66 @@ object PipelineQueries extends QueryGroup {
     out
   }
 
+  // warc.gz EXPORT manifest (WarcExport.write — the landing format's
+  // WRITE path): captures shard 50 records each in id order (the
+  // packSequences exclusive-prefix arithmetic: shard = doc_id // 50 on
+  // consecutive ids), and the per-shard digest chains every RECORD's
+  // md5 in id order — the oracle reconstructs the full WARC record
+  // byte string (headers + payload + terminator) arithmetically, so a
+  // single header byte off anywhere flips a shard digest. The actual
+  // .warc.gz bytes round-trip through WarcGz.records AND a stock gzip
+  // decoder in WarcExportSpec.
+  private val qF23 = Q(
+    "q_f23_warc_export_manifest",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |         CAST(doc_id % 23 AS VARCHAR) AS k,
+      |         substr(rpad(coalesce(text, ''), 150, 'y'), 1,
+      |                CAST(doc_id % 90 + 30 AS INT)) AS pl
+      |  FROM documents WHERE doc_id < 1000),
+      |r AS (
+      |  SELECT doc_id, doc_id // 50 AS shard_id, pl,
+      |    'WARC/1.0' || chr(13) || chr(10) ||
+      |    'WARC-Type: response' || chr(13) || chr(10) ||
+      |    'WARC-Record-ID: <urn:uuid:' || i || '>' || chr(13) || chr(10) ||
+      |    'WARC-Date: 2024-06-01T00:00:00Z' || chr(13) || chr(10) ||
+      |    'WARC-Target-URI: https://w' || k || '.example.org/p/' || i ||
+      |      chr(13) || chr(10) ||
+      |    'Content-Length: ' || CAST(len(pl) AS VARCHAR) ||
+      |      chr(13) || chr(10) || chr(13) || chr(10) ||
+      |    pl || chr(13) || chr(10) || chr(13) || chr(10) AS rc
+      |  FROM d)
+      |SELECT shard_id,
+      |       CAST(count(*) AS BIGINT) AS n_records,
+      |       CAST(sum(len(pl)) AS BIGINT) AS total_payload,
+      |       md5(string_agg(md5(rc), '' ORDER BY doc_id)) AS content_md5
+      |FROM r GROUP BY shard_id ORDER BY shard_id""".stripMargin) {
+    (s, dir) =>
+    val captures = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 1000)
+      .select(col("doc_id"),
+        concat(lit("https://w"), (col("doc_id") % 23).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string")).as("url"),
+        lit("2024-06-01T00:00:00Z").as("date"),
+        expr("substring(rpad(coalesce(text, ''), 150, 'y'), 1, " +
+          "CAST(doc_id % 90 + 30 AS INT))").as("payload"))
+      .localCheckpoint(true)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_warc_export").toString
+    val m = graft.operators.WarcExport
+      .write(captures, "doc_id", "url", "date", "payload",
+        budget = 50, outDir)
+      .select(col("shard_id").cast("long").as("shard_id"),
+        col("n_records").cast("long").as("n_records"),
+        col("total_payload").cast("long").as("total_payload"),
+        col("content_md5"))
+      .orderBy("shard_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(captures)
+    m
+  }
+
   override val all: Seq[Q] =
     Seq(qF1, qF2, qF3, qF4, qF5, qF6, qF7, qF8, qF9, qF10, qF11, qF12, qF13,
-      qF14, qF15, qF16, qF17, qF18, qF19, qF20, qF21, qF22)
+      qF14, qF15, qF16, qF17, qF18, qF19, qF20, qF21, qF22, qF23)
 }
