@@ -181,6 +181,23 @@ object ScaleProbe {
         run("Redirects.finalTargets")(
           graft.operators.Redirects.finalTargets(
             caps, "url", "status", "location", 5))
+      case "warcexport" =>
+        val caps = docs.select(col("doc_id"),
+          concat(lit("https://w"), (col("doc_id") % 997).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string"))
+            .as("url"),
+          lit("2024-06-01T00:00:00Z").as("date"),
+          substring(coalesce(col("text"), lit("")), 1, 4000).as("payload"))
+          .localCheckpoint(true)
+        val out = java.nio.file.Files
+          .createTempDirectory("probe_warc").toString
+        (1 to reps).foreach { r =>
+          val t0 = System.nanoTime()
+          graft.operators.WarcExport.write(
+            caps, "doc_id", "url", "date", "payload", 1000, out)
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"[probe] WarcExport.write rep$r: $s%.2f s")
+        }
       case "surt" =>
         val urls = docs.select(
           concat(lit("https://WWW.Site"), (col("doc_id") % 997).cast("string"),

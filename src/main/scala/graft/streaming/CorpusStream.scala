@@ -623,4 +623,49 @@ object CorpusStream {
     q.awaitTermination()
     spark.read.parquet(s"$outDir/_manifest")
   }
+
+  /** Streaming `.warc.gz` export — the landing zone's ARCHIVE write
+    * path: each non-empty drop serializes its own captures (via `mk`:
+    * batch docs → (idCol, url, date, payload) frame) into a FRESH
+    * `segment-NNN/` directory of warc.gz shards + manifest
+    * ([[graft.operators.WarcExport.write]]). Segment-per-drop is the
+    * Common Crawl convention: segments are immutable once written, a
+    * later drop never reopens an earlier one, and work is ∝ the batch.
+    * Returns the unioned manifests with their segment ids.
+    */
+  def warcExportAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      shards: Int = 2,
+      budget: Int = 1000)(
+      mk: DataFrame => DataFrame): DataFrame = {
+    import graft.operators.WarcExport
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeLandingZone(docs, shards))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          if (!batch.isEmpty) {
+            val seg = f"$outDir/segment-$batchId%03d"
+            val m = WarcExport.write(mk(batch.toDF()), "doc_id", "url",
+              "date", "payload", budget, seg)
+            org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(m)
+          }
+          ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read
+      .option("basePath", outDir)
+      .parquet(s"$outDir/segment-*/_manifest")
+      .withColumn("segment",
+        regexp_extract(input_file_name(), "segment-([0-9]+)", 1)
+          .cast("int"))
+  }
 }
