@@ -1794,8 +1794,85 @@ object CurationQueries extends QueryGroup {
     out
   }
 
+  // Crawl-trap detection (TrapDetect.report): 12 hosts in three
+  // classes — calendar-trap hosts whose every URL collapses to ONE
+  // template (must flag), diverse hosts spread over four templates
+  // (must not), and sparse hosts that are fully concentrated but under
+  // the minUrls floor (must not flag at the small scale — and the
+  // SAME oracle arithmetic flips them at a scale where they cross the
+  // floor, because the verdict is derived, not hardcoded). Tie-breaks
+  // and the threshold are exact integer arithmetic on both sides.
+  private val qC37 = Q(
+    "q_c37_trap_detection",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 12 AS INT) AS j,
+      |         CAST(doc_id AS VARCHAR) AS i
+      |  FROM documents WHERE doc_id < 2000),
+      |u AS (
+      |  SELECT j, '/cal/2024/' || i || '/' ||
+      |           CAST(doc_id % 28 AS VARCHAR) AS path,
+      |         '/cal/N/N/N' AS tmpl
+      |  FROM d WHERE j % 3 = 0
+      |  UNION ALL
+      |  SELECT j,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN '/p/' || i WHEN 1 THEN '/tag/' || i || '/x'
+      |      WHEN 2 THEN '/u-' || i ELSE '/d/' || i || '/' || i END,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN '/p/N' WHEN 1 THEN '/tag/N/x'
+      |      WHEN 2 THEN '/u-N' ELSE '/d/N/N' END
+      |  FROM d WHERE j % 3 = 1
+      |  UNION ALL
+      |  SELECT j, '/cal/2024/' || i, '/cal/N/N'
+      |  FROM d WHERE j % 3 = 2 AND doc_id % 25 = 0),
+      |g AS (SELECT j, tmpl, count(*) AS c FROM u GROUP BY 1, 2),
+      |r AS (
+      |  SELECT j, tmpl, c,
+      |    row_number() OVER (PARTITION BY j ORDER BY c DESC, tmpl DESC)
+      |      AS rn,
+      |    CAST(sum(c) OVER (PARTITION BY j) AS BIGINT) AS n_urls,
+      |    CAST(count(*) OVER (PARTITION BY j) AS BIGINT) AS n_templates
+      |  FROM g)
+      |SELECT 't' || CAST(j AS VARCHAR) || '.example.com' AS host,
+      |       n_urls, n_templates, tmpl AS top_template,
+      |       CAST(c AS BIGINT) AS top_count,
+      |       CAST(CASE WHEN n_urls >= 10 AND c * 100 >= n_urls * 50
+      |            THEN 1 ELSE 0 END AS INT) AS is_trap
+      |FROM r WHERE rn = 1 ORDER BY host""".stripMargin) { (s, dir) =>
+    val j = (col("doc_id") % 12).cast("int")
+    val i = col("doc_id").cast("string")
+    val host = concat(lit("t"), j.cast("string"), lit(".example.com"))
+    val path =
+      when(j % 3 === 0, concat(lit("/cal/2024/"), i, lit("/"),
+        (col("doc_id") % 28).cast("string")))
+        .when(j % 3 === 1,
+          when(col("doc_id") % 4 === 0, concat(lit("/p/"), i))
+            .when(col("doc_id") % 4 === 1, concat(lit("/tag/"), i, lit("/x")))
+            .when(col("doc_id") % 4 === 2, concat(lit("/u-"), i))
+            .otherwise(concat(lit("/d/"), i, lit("/"), i)))
+        .otherwise(concat(lit("/cal/2024/"), i))
+    val frontier = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < 2000 &&
+        (j % 3 =!= 2 || col("doc_id") % 25 === 0))
+      .select(host.as("host"),
+        concat(lit("https://"), host, path).as("url"))
+      .localCheckpoint(true)
+    val out = graft.operators.TrapDetect
+      .report(frontier, "host", "url", minUrls = 10, thresholdPct = 50)
+      .select(col("host"),
+        col("n_urls").cast("long").as("n_urls"),
+        col("n_templates").cast("long").as("n_templates"),
+        col("top_template"),
+        col("top_count").cast("long").as("top_count"),
+        col("is_trap").cast("int").as("is_trap"))
+      .orderBy("host")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(frontier)
+    out
+  }
+
   override val all: Seq[Q] =
     Seq(qC1, qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC9, qC10, qC11, qC12, qC13, qC14,
       qC15, qC16, qC17, qC18, qC19, qC20, qC21, qC22, qC23, qC24, qC25, qC26, qC27,
-      qC28, qC29, qC30, qC31, qC32, qC33, qC34, qC35, qC36)
+      qC28, qC29, qC30, qC31, qC32, qC33, qC34, qC35, qC36, qC37)
 }

@@ -946,9 +946,20 @@ object StreamingQueries extends QueryGroup {
     }.orderBy("doc_id", "url")
   }
 
+  // Streaming HTML metadata (q_t45's landing-zone twin): six page
+  // classes extracted per micro-batch; every field decision is
+  // per-row, so streamed ≡ batch under q_t45's oracle verbatim.
+  private val qSt42 = Q(
+    "q_st42_stream_html_meta",
+    TextQueries.qT45.oracle.get) { (s, dir) =>
+    graft.streaming.CorpusStream.transformAvailableNow(s, dir, shards = 2) {
+      batch => TextQueries.htmlMetaOf(batch)
+    }.orderBy("doc_id")
+  }
+
   override val all: Seq[Q] =
     Seq(qSt1, qSt2, qSt3, qSt4, qSt5, qSt6, qSt7, qSt8, qSt9, qSt10, qSt11, qSt12,
       qSt13, qSt14, qSt15, qSt16, qSt17, qSt18, qSt19, qSt20, qSt21, qSt22, qSt23,
       qSt24, qSt25, qSt26, qSt27, qSt28, qSt29, qSt30, qSt31, qSt32, qSt33, qSt34,
-      qSt35, qSt36, qSt37, qSt38, qSt39, qSt40, qSt41)
+      qSt35, qSt36, qSt37, qSt38, qSt39, qSt40, qSt41, qSt42)
 }

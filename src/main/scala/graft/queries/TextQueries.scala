@@ -2231,31 +2231,13 @@ object TextQueries extends QueryGroup {
   // stylesheet decoy that must NOT leak into the selected fields, and
   // full absence → NULL. Every expected value is arithmetic from the
   // construction.
-  private val qT45 = Q(
-    "q_t45_html_meta",
-    """WITH d AS (
-      |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS c,
-      |         CAST(doc_id AS VARCHAR) AS i
-      |  FROM documents WHERE doc_id < 1200)
-      |SELECT doc_id,
-      |  CASE WHEN c = 0 THEN 'Doc ' || i || ' & co'
-      |       WHEN c = 2 THEN 'T ' || i
-      |       END AS title,
-      |  CASE WHEN c = 0 THEN 'Summary ' || i
-      |       WHEN c = 1 THEN 'desc first ' || i
-      |       WHEN c = 3 THEN 'first ' || i
-      |       END AS description,
-      |  CASE WHEN c = 0 THEN 'https://c.example.net/p/' || i
-      |       WHEN c = 1 THEN 'https://k.example.net/p/' || i
-      |       END AS canonical,
-      |  CASE WHEN c = 0 THEN 'OG ' || i
-      |       WHEN c = 1 THEN 'og first ' || i
-      |       WHEN c = 5 THEN 'Only OG ' || i
-      |       END AS og_title,
-      |  CASE WHEN c = 0 THEN 'en'
-      |       WHEN c = 1 THEN 'de-AT'
-      |       END AS lang
-      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+  /** The q_t45 metadata frame over a documents batch — construction
+    * and extraction are per-row, so streamed ≡ batch (q_st42 reuses
+    * this and the q_t45 oracle verbatim). Pins the page corpus; the
+    * caller frees it through the returned plan.
+    */
+  private[queries] def htmlMetaOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val c = (col("doc_id") % 6).cast("int")
     val i = col("doc_id").cast("string")
     val html =
@@ -2286,15 +2268,41 @@ object TextQueries extends QueryGroup {
           lit("<link rel=\"stylesheet\" href=\"/s.css\">"),
           lit("<meta property=\"og:title\" content=\"Only OG "), i,
           lit("\"></head>")))
-    val pages = Tables.load(s, dir, "documents")
+    val pages = docs
       .where(col("doc_id") < 1200)
       .select(col("doc_id"), html.as("html"))
       .localCheckpoint(true)
-    val out = graft.operators.HtmlMeta
-      .meta(pages, "doc_id", "html")
-      .orderBy("doc_id")
-      .localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pages)
+    graft.operators.HtmlMeta.meta(pages, "doc_id", "html")
+  }
+
+  private[queries] val qT45 = Q(
+    "q_t45_html_meta",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS c,
+      |         CAST(doc_id AS VARCHAR) AS i
+      |  FROM documents WHERE doc_id < 1200)
+      |SELECT doc_id,
+      |  CASE WHEN c = 0 THEN 'Doc ' || i || ' & co'
+      |       WHEN c = 2 THEN 'T ' || i
+      |       END AS title,
+      |  CASE WHEN c = 0 THEN 'Summary ' || i
+      |       WHEN c = 1 THEN 'desc first ' || i
+      |       WHEN c = 3 THEN 'first ' || i
+      |       END AS description,
+      |  CASE WHEN c = 0 THEN 'https://c.example.net/p/' || i
+      |       WHEN c = 1 THEN 'https://k.example.net/p/' || i
+      |       END AS canonical,
+      |  CASE WHEN c = 0 THEN 'OG ' || i
+      |       WHEN c = 1 THEN 'og first ' || i
+      |       WHEN c = 5 THEN 'Only OG ' || i
+      |       END AS og_title,
+      |  CASE WHEN c = 0 THEN 'en'
+      |       WHEN c = 1 THEN 'de-AT'
+      |       END AS lang
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pre = htmlMetaOf(Tables.load(s, dir, "documents"))
+    val out = pre.orderBy("doc_id").localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(pre)
     out
   }
 
