@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only weak-scaling probe (deleted before round close): times the
-  * round's NEW operator families UNCAPPED over the natural documents
-  * table of a given sf dir. `runMain graft.ScaleProbe <sfDir> <probe>`.
+/** Dev-only weak-scaling probe (NOT part of the driver contract):
+  * times operator families UNCAPPED over the natural documents table
+  * of a given sf dir — the source of PERF.md's weak-scaling rows.
+  * `runMain graft.ScaleProbe <sfDir> <probe> [reps]`.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
