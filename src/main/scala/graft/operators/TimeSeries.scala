@@ -43,9 +43,28 @@ object TimeSeries {
       .agg(
         sum(col(valueCol).cast("decimal(18,2)")).as("__sv"),
         count(lit(1)).as("__n"))
+    // The spans frame is tiny (one row per key) and compresses to KBs,
+    // so AQE's size-based coalescing folds its exchange reader into ONE
+    // partition — and the explode right above it then expands every
+    // key's full hour grid on a single task, serializing the fill and
+    // both downstream windows (r17 opt: profiled 2× ~4.5 s single-task
+    // stages on a ~1M-row grid at sf0.1; the hourly side broadcasts, so
+    // no later exchange re-spreads it). Byte-based coalescing misjudges
+    // this shape: the grid is byte-light but row-CPU-heavy. Pin an
+    // explicit keyed repartition between the aggregate and the
+    // expansion — user-specified partition counts are exempt from AQE
+    // coalescing, and hash(key) satisfies the (key, h) join clustering
+    // and the per-key window distribution, so this is the plan's LAST
+    // exchange before the output sort. The count is 2× parallelism, not
+    // 1×: an exchange identical to the aggregate's own hash(key, P)
+    // would be optimizer-removed as redundant (measured — the pin must
+    // differ to survive). Scale-adaptive, not a local constant:
+    // defaultParallelism is the executor-core total on a real cluster.
     val slots = hourly
       .groupBy(col(keyCol))
       .agg(min(col("h")).as("__h0"), max(col("h")).as("__h1"))
+      .repartition(
+        2 * events.sparkSession.sparkContext.defaultParallelism, col(keyCol))
       .select(
         col(keyCol),
         explode(sequence(col("__h0"), col("__h1"), expr("interval 1 hour"))).as("h"))

@@ -1355,7 +1355,7 @@ object CurationQueries extends QueryGroup {
   private[queries] def robotsWildDecisionsOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val did = col("doc_id").cast("string")
-    val urls = docs.select(
+    val urls = graft.Tables.spread(docs).select(
       col("doc_id"),
       concat(lit("w"), (col("doc_id") % 11).cast("string"),
         lit(".example.net")).as("host"),
@@ -1588,8 +1588,7 @@ object CurationQueries extends QueryGroup {
     */
   private[queries] def outlinkResolveOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val d = docs
-      .where(col("doc_id") < 400)
+    val d = graft.Tables.spread(docs.where(col("doc_id") < 400))
       .select(col("doc_id"),
         (col("doc_id") % 13).cast("string").as("k"),
         (col("doc_id") % 7).cast("string").as("m"),

@@ -40,7 +40,7 @@ object MultimodalQueries extends QueryGroup {
       |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
       |       hex(encode(substr(text, 1, 8))) AS prefix_hex
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    withPayload(Tables.load(s, dir, "documents"))
+    withPayload(Tables.spread(Tables.load(s, dir, "documents")))
       .select(
         col("doc_id"),
         length(col("payload")).as("n_bytes"),
@@ -79,7 +79,7 @@ object MultimodalQueries extends QueryGroup {
        |       CAST(fl[16] AS DOUBLE) AS f_last,
        |       4 AS n_frames, frames_md5
        |FROM rec ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val docs = withPayload(Tables.load(s, dir, "documents"))
+    val docs = withPayload(Tables.spread(Tables.load(s, dir, "documents")))
     Multimodal
       .decodeStage(
         Multimodal.withMediaMeta(docs, "payload", "text/plain", portable = true),
@@ -183,7 +183,7 @@ object MultimodalQueries extends QueryGroup {
       |            WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 4 END AS INT) END AS channels,
       |       ok AS valid_png
       |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(pngPayloadHex).as("payload"))
       .withColumn("m", Multimodal.decodePngMeta(col("payload")))
       .select(
@@ -246,7 +246,7 @@ object MultimodalQueries extends QueryGroup {
       lit("28000000"),                                           // DIB header size 40
       leHex(bw, 4), leHex(bh, 4),
       lit("0100"), lit("1800"))                                  // planes=1, bpp=24
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
         unhex(gifHex).as("gif_payload"), unhex(bmpHex).as("bmp_payload"))
       .withColumn("g", Multimodal.decodeGifMeta(col("gif_payload")))
@@ -301,7 +301,7 @@ object MultimodalQueries extends QueryGroup {
       sof, lit("0011"), lit("08"), beHex(h), beHex(w),              // SOF: len, precision, dims
       lit("03"), lit("011100021101031101"),                         // 3 components
       lit("FFDA"), lit("0002"), lit("DEADBEEF"))                    // SOS + entropy bytes
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(jpegHex).as("payload"))
       .withColumn("m", Multimodal.decodeJpegMeta(col("payload")))
       .select(
@@ -338,7 +338,7 @@ object MultimodalQueries extends QueryGroup {
       |       CAST(33 AS BIGINT) AS n_bytes
       |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val zone = java.nio.file.Files.createTempDirectory("graft_binzone").toString
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .where(col("doc_id") < 120)
       .select(col("doc_id"), unhex(pngPayloadHex).as("payload"))
       .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
@@ -419,8 +419,16 @@ object MultimodalQueries extends QueryGroup {
       le32(rate), le32(byteRate),
       le16(blockAlign), le16(bits),
       lit("64617461"), le32(dataSize)) //               "data" header
-    Tables.load(s, dir, "documents")
-      .withColumn("m", Multimodal.decodeWavMeta(unhex(payloadHex)))
+    // payload materialized before decoding (the q_m9/q_m10 posture —
+    // r17 opt: without the boundary, the 5 struct-field selects each
+    // re-reference the full synth+decode tree and the DRIVER spends
+    // ~4 s just planning/optimizing the multiplied expression DAG;
+    // executed job time was 0.7 s)
+    val withPayload = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+      .localCheckpoint(true) // 5k rows × 44 B — trivial residency
+    withPayload
+      .withColumn("m", Multimodal.decodeWavMeta(col("payload")))
       .select(
         col("doc_id"),
         col("m.channels").as("channels"),
@@ -565,7 +573,7 @@ object MultimodalQueries extends QueryGroup {
     // whole in-plan construction tree at every reference blows codegen
     // up (the driver OOMs compiling it); decoding a bound binary column
     // is the real-world shape anyway (bytes come from storage)
-    val withPayload = Tables.load(s, dir, "documents")
+    val withPayload = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(payloadHex).as("payload"))
       .localCheckpoint(true) // ≤500 rows × ≤400 B — trivial residency
     withPayload
@@ -672,7 +680,7 @@ object MultimodalQueries extends QueryGroup {
       when(gap, lit("DEADBEEF")).otherwise(lit("")),
       rowsHex)
     // materialized for the same codegen-inlining reason as q_m9
-    val withPayload = Tables.load(s, dir, "documents")
+    val withPayload = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(payloadHex).as("payload"))
       .localCheckpoint(true)
     withPayload
@@ -745,7 +753,10 @@ object MultimodalQueries extends QueryGroup {
       lit("00" * 24),
       when(gap, lit("DEADBEEF")).otherwise(lit("")),
       rowsHex)
-    val withPayload = docs
+    // r17 opt: spread INSIDE the shared frame so the batch gate, the
+    // streaming twin's per-micro-batch call, and any future caller all
+    // break the one-input-split ceiling before the per-row construction
+    val withPayload = graft.Tables.spread(docs)
       .select(col("doc_id"), unhex(payloadHex).as("payload"))
       .localCheckpoint(true)
     val out = withPayload
@@ -868,7 +879,7 @@ object MultimodalQueries extends QueryGroup {
     // possible ACROSS groups (a genuine near-dup corpus), so the pair
     // output grows quadratically with the corpus — the gate bounds it
     // the q_g13 way (fixed slice) while the operator stays corpus-scale.
-    val withPayload = Tables.load(s, dir, "documents")
+    val withPayload = Tables.spread(Tables.load(s, dir, "documents"))
       .filter(col("doc_id") < 400)
       .select(col("doc_id"), unhex(payloadHex).as("payload"))
       .localCheckpoint(true)
@@ -1004,7 +1015,7 @@ object MultimodalQueries extends QueryGroup {
       le16(blockAlign), le16(bits),
       lit("64617461"), le32(dataSize),
       dataHex)
-    val withPayload = Tables.load(s, dir, "documents")
+    val withPayload = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(payloadHex).as("payload"))
       .localCheckpoint(true)
     withPayload
@@ -1085,7 +1096,7 @@ object MultimodalQueries extends QueryGroup {
           be32h(ts), be32h(d32), lit(tail80)))
     val moovSize = when(isV1, lit("0000008C")).otherwise(lit("00000080"))
     val mp4Hex = concat(ftyp, free, moovSize, lit("6D6F6F76"), udta, mvhd)
-    df
+    graft.Tables.spread(df)
       .select(col("doc_id"), unhex(mp4Hex).as("payload"))
       .withColumn("m", Multimodal.decodeMp4Meta(col("payload")))
       .select(
@@ -1147,7 +1158,7 @@ object MultimodalQueries extends QueryGroup {
       lit("FFE1"), app1Len, lit("457869660000"), tiff,
       lit("FFC0" + "0011" + "08" + "0010" + "0010" + "03" +
         "011100021101031101" + "FFDA" + "0002" + "DEADBEEF"))
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(jpegHex).as("payload"))
       .withColumn("o", Multimodal.jpegExifOrientation(col("payload")))
       .select(
@@ -1228,23 +1239,31 @@ object MultimodalQueries extends QueryGroup {
       when(k === 0, (y + ftOff) % 5)
         .otherwise(pngFilteredByte(pix, ch, ftOff, y, k - 1))
     }
-    val rawHex = array_join(
-      transform(sequence(lit(0L), n - 1L), p =>
-        lpad(hex(rawByte(p)), 2, "0")), "")
-    // adler-32 over the raw scanline bytes: the sequential (s1,s2) fold,
-    // mod 65521 — bound once (consumed twice for the 4 trailer bytes)
-    val adlerHex = graft.functions.hof.bind(
-      aggregate(
-        sequence(lit(0L), n - 1L),
-        struct(lit(1L).as("s1"), lit(0L).as("s2")),
-        (acc, p) => {
-          val s1 = (acc.getField("s1") + rawByte(p)) % 65521L
-          struct(s1.as("s1"), ((acc.getField("s2") + s1) % 65521L).as("s2"))
-        })) { ad =>
-      val word = ad.getField("s2") * 65536L + ad.getField("s1")
-      beHexN(when(adlerFlip, pmod(word + 1L, lit(4294967296L)))
-        .otherwise(word), 4)
+    // r17 opt: the raw scanline bytes are materialized ONCE into a bound
+    // array — the previous shape evaluated the interpreted rawByte tree
+    // (4 pix() reads + the Paeth branch per byte) TWICE per byte: once
+    // for the hex rendering and again inside the adler fold, and the
+    // fold also allocated a (s1, s2) struct per byte. The adler word is
+    // instead computed in closed form over the bound array —
+    // s1 = (1 + Σ raw_j) mod 65521, s2 = (n + Σ (n−j)·raw_j) mod 65521
+    // (Σ s1_p telescopes; intermediate mods only change representatives,
+    // never the residue; the weighted sum tops out at n²·255 ≈ 2·10⁸ for
+    // the ≤ 900-byte gate payloads, far inside long range) — byte-
+    // identical output, half the rawByte evaluations, no struct allocs.
+    val rawArr = transform(sequence(lit(0L), n - 1L), p => rawByte(p))
+    def bodyHex(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val rawHex = array_join(
+        transform(raw, b => lpad(hex(b), 2, "0")), "")
+      val s1 = (lit(1L) + aggregate(raw, lit(0L), (a, b) => a + b)) % 65521L
+      val s2 = (n + aggregate(
+        zip_with(raw, sequence(lit(0L), n - 1L), (b, j) => b * (n - j)),
+        lit(0L), (a, x) => a + x)) % 65521L
+      val word = s2 * 65536L + s1
+      concat(rawHex,
+        beHexN(when(adlerFlip, pmod(word + 1L, lit(4294967296L)))
+          .otherwise(word), 4))
     }
+    val rawPlusAdlerHex = graft.functions.hof.bind(rawArr)(bodyHex)
     concat(
       lit("89504E470D0A1A0A"),
       lit("0000000D"), lit("49484452"),
@@ -1255,7 +1274,7 @@ object MultimodalQueries extends QueryGroup {
       lit("7801"),                       // zlib CMF/FLG (30721 % 31 = 0)
       lit("01"),                         // BFINAL=1, BTYPE=00 (stored)
       leHexN(n, 2), leHexN(lit(65535L) - n, 2),
-      rawHex, adlerHex,
+      rawPlusAdlerHex,
       lit("00000000"),                   // IDAT CRC — not verified
       lit("0000000049454E4400000000"))   // IEND
   }
@@ -1337,7 +1356,7 @@ object MultimodalQueries extends QueryGroup {
     // construction folds are HOF-interpreted and grow with SF while the
     // gate only needs correctness coverage — the OPERATOR's scale story
     // is the kernel (linear in payload bytes, whole-stage codegen)
-    val withPayload = Tables.load(s, dir, "documents")
+    val withPayload = Tables.spread(Tables.load(s, dir, "documents"))
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), unhex(pngHex).as("payload"))
       .localCheckpoint(true) // ≤500 rows × ≤900 B — trivial residency
@@ -1376,7 +1395,7 @@ object MultimodalQueries extends QueryGroup {
     // doc_id < 500 caps the gate corpus (the q_r3 rule — the dual PNG
     // construction is HOF-interpreted per byte); applied INSIDE the
     // shared frame so batch gate, streaming twin, and oracle agree
-    val docs = docs0.filter(col("doc_id") < 500)
+    val docs = graft.Tables.spread(docs0.filter(col("doc_id") < 500))
     val w = (col("doc_id") % 6 + 4).cast("bigint")
     val h = (col("doc_id") % 5 + 3).cast("bigint")
     val seed = (col("doc_id") % 251).cast("bigint")
@@ -1542,7 +1561,7 @@ object MultimodalQueries extends QueryGroup {
       leHexN(w * h * 2L + 1L, 1),       // single sub-block length
       codesHex,
       lit("00"), lit("3B"))             // terminator + trailer
-    val withPayload = Tables.load(s, dir, "documents")
+    val withPayload = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(gifHex).as("payload"))
       .localCheckpoint(true) // ≤500 rows × ≤600 B — trivial residency
     withPayload
@@ -1623,7 +1642,7 @@ object MultimodalQueries extends QueryGroup {
       .otherwise(vp8xBody)
     val riff = when(badRiff, lit("52494658")).otherwise(lit("52494646"))
     val webpHex = concat(riff, leHexN(lit(30L), 4), lit("57454250"), body)
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(webpHex).as("payload"))
       .withColumn("m", Multimodal.decodeWebpMeta(col("payload")))
       .select(
@@ -1698,7 +1717,7 @@ object MultimodalQueries extends QueryGroup {
       beHexN(b19, 1), beHexN(b20, 1), beHexN(b21, 1), beHexN(b22, 1),
       beHexN(pmod(total, lit(4294967296L)), 4),
       lit("00" * 16))                 // md5 signature
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(flacHex).as("payload"))
       .withColumn("m", Multimodal.decodeFlacMeta(col("payload")))
       .select(
@@ -1799,7 +1818,7 @@ object MultimodalQueries extends QueryGroup {
       when(bps3, concat(u16h(lit(16L)), u16h(lit(16L)), u16h(lit(16L))))
         .otherwise(lit("")))
 
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("n_chars"),
         unhex(concat(header, body)).as("payload"))
       .withColumn("m", graft.operators.Multimodal.decodeTiffMeta(col("payload")))
@@ -1896,7 +1915,7 @@ object MultimodalQueries extends QueryGroup {
     val filler = col("n_chars").cast("bigint") % 50
     val fillerHex = lit("41" * 50).substr(lit(1), (filler * 2).cast("int"))
 
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("n_chars"),
         unhex(concat(id3Hex, hdr, fillerHex)).as("payload"))
       .withColumn("m", graft.operators.Multimodal.decodeMp3Meta(col("payload")))
@@ -2009,7 +2028,7 @@ object MultimodalQueries extends QueryGroup {
     val payload = when(col("doc_id") % 11 === 0,
       full.substr(lit(1), (length(full) - 10).cast("int")))
       .otherwise(full)
-    val corpus = Tables.load(s, dir, "documents")
+    val corpus = Tables.spread(Tables.load(s, dir, "documents"))
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), payload.as("payload"))
     graft.operators.Multimodal.pnmDecodedFrame(corpus, "doc_id", "payload")
@@ -2090,8 +2109,7 @@ object MultimodalQueries extends QueryGroup {
       le16(commentLen),
       lit("63" * 20).substr(lit(1), (commentLen * 2).cast("int")))
     val payload = unhex(concat(locals, cds, eocd))
-    val corpus = df
-      .filter(col("doc_id") < 500)
+    val corpus = graft.Tables.spread(df.filter(col("doc_id") < 500))
       .select(col("doc_id"), payload.as("payload"))
       .localCheckpoint(true)
     corpus
@@ -2213,7 +2231,7 @@ object MultimodalQueries extends QueryGroup {
       transform(sequence(lit(0L), nE - 1), k => entryHex(k, 48L, sz(k))), "")
     val payload = unhex(concat(dirPart, files, lit("0" * 2048)))
 
-    val corpus = Tables.load(s, dir, "documents")
+    val corpus = Tables.spread(Tables.load(s, dir, "documents"))
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), payload.as("payload"))
       .localCheckpoint(true)
@@ -2359,7 +2377,7 @@ object MultimodalQueries extends QueryGroup {
       case _ => _ => lit(8L) + pmod(seed, lit(4L))
     }
     val jpegHex = jpegHexFlat(w, h, gray, upOf, corrupt = !ok)
-    val withPayload = Tables.load(s, dir, "documents")
+    val withPayload = Tables.spread(Tables.load(s, dir, "documents"))
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), unhex(jpegHex).as("payload"))
       .localCheckpoint(true) // <=500 rows x <=400 B - trivial residency
@@ -2440,8 +2458,7 @@ object MultimodalQueries extends QueryGroup {
     val ppmHex = concat(hex(ppmHeader.cast("binary")), ppmPix)
     val jpegHex = jpegHexFlat(w, h, gray = lit(true),
       _ => (j => lit(8L) + pmod(seed + j, lit(8L))), corrupt = !ok)
-    val withPayload = docs
-      .filter(col("doc_id") < 250)
+    val withPayload = graft.Tables.spread(docs.filter(col("doc_id") < 250))
       .select(
         col("doc_id"),
         unhex(grayPng).as("p_gpng"), unhex(rgbPng).as("p_cpng"),
@@ -2572,7 +2589,7 @@ object MultimodalQueries extends QueryGroup {
     // pattern): the walk column is referenced by filter + explode, and
     // unpinned each reference re-scans parquet and re-runs the whole
     // construction
-    val corpus = Tables.load(s, dir, "documents")
+    val corpus = Tables.spread(Tables.load(s, dir, "documents"))
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), warcFile.as("w"))
       .localCheckpoint(true)
@@ -2633,7 +2650,7 @@ object MultimodalQueries extends QueryGroup {
         le32(crcOut), le32(length(rc)))
     }
     val nrec = col("doc_id") % 3 + 1
-    docs
+    graft.Tables.spread(docs)
       .select(col("doc_id"), nrec.as("nrec"),
         record(0).as("r0"), record(1).as("r1"), record(2).as("r2"))
       .select(col("doc_id"),
@@ -2819,8 +2836,7 @@ object MultimodalQueries extends QueryGroup {
         substring(h, 3, 2), substring(h, 1, 2))
     }
     // pin the payload slice once: every class construction reads it
-    val base = docs
-      .filter(col("doc_id") < 500)
+    val base = graft.Tables.spread(docs.filter(col("doc_id") < 500))
       .select(col("doc_id"),
         expr("substring(rpad(coalesce(text, ''), 120, 'x'), 1, " +
           "CAST(doc_id % 80 + 20 AS INT))").as("payload"))

@@ -1329,7 +1329,10 @@ object TextQueries extends QueryGroup {
     */
   private[queries] def htmlCorpusOf(docs: DataFrame): DataFrame = {
     val did = col("doc_id").cast("string")
-    docs.select(col("doc_id"), concat(
+    // r17 opt: spread inside the shared corpus constructor — the heavy
+    // extract/hygiene chain downstream is scan-side and inherits this
+    // partitioning, so one spread here parallelizes every caller
+    graft.Tables.spread(docs).select(col("doc_id"), concat(
       lit("<html><head><title>Doc "), did,
       lit("</title><style>p{color:red}</style></head><body>"),
       lit("<script type=\"text/javascript\">var x = \"<p>nope</p>\";</script>"),
@@ -1519,7 +1522,7 @@ object TextQueries extends QueryGroup {
   /** The q_t42 cross-doc planted corpus, shared with its streaming
     * twin. */
   private[queries] def globalDedupCorpusOf(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.Tables.spread(docs).select(
       col("doc_id"),
       concat(
         lit("SUBSCRIBE TO OUR NEWSLETTER TODAY PLEASE\n"),
@@ -1595,7 +1598,7 @@ object TextQueries extends QueryGroup {
     * residue appended to the document text.
     */
   private[queries] def plantedHygieneCorpus(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.Tables.spread(docs).select(
       col("doc_id"),
       concat(
         coalesce(col("text"), lit("")),
@@ -2268,8 +2271,7 @@ object TextQueries extends QueryGroup {
           lit("<link rel=\"stylesheet\" href=\"/s.css\">"),
           lit("<meta property=\"og:title\" content=\"Only OG "), i,
           lit("\"></head>")))
-    val pages = docs
-      .where(col("doc_id") < 1200)
+    val pages = graft.Tables.spread(docs.where(col("doc_id") < 1200))
       .select(col("doc_id"), html.as("html"))
       .localCheckpoint(true)
     graft.operators.HtmlMeta.meta(pages, "doc_id", "html")
