@@ -30,7 +30,9 @@ object Bm25 {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
-    val toks = docs.select(
+    // r17 opt: spread — tokenization is consumed twice (stats + tf) and
+    // a one-row-group corpus otherwise tokenizes on one input split
+    val toks = graft.Tables.spread(docs).select(
       col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
     // corpus stats: one scan-side aggregate to a single broadcast row
     val stats = toks

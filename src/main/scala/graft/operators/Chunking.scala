@@ -105,7 +105,9 @@ object Chunking {
             least(len - j * maxLen.toLong, lit(maxLen.toLong)).as("len")))
       }))
     }
-    df.filter(length(coalesce(col(textCol), lit(""))) >= 1)
+    // r17 opt: the per-char rolling-hash boundary scan is the hot path —
+    // spread so a one-row-group corpus doesn't run it on one input split
+    graft.Tables.spread(df.filter(length(coalesce(col(textCol), lit(""))) >= 1))
       .select(col(idCol), text.as("__cdc_txt"),
         posexplode(chunks).as(Seq("chunk_idx", "c")))
       .select(

@@ -52,12 +52,15 @@ object Cooccurrence {
     * canonicalization, counting, and rounded-PMI contract.
     */
   def pmiPairsOfArrays(
-      df: DataFrame,
+      df0: DataFrame,
       seqCol: String,
       window: Int,
       minPairCount: Long): DataFrame = {
     require(window >= 1, "window must be positive")
     require(minPairCount >= 1, "minPairCount must be positive")
+    // r17 opt: the windowed pair explosion is the per-row hot path —
+    // spread so a one-row-group corpus doesn't run it on one input split
+    val df = graft.Tables.spread(df0)
     val toks = coalesce(col(seqCol), array().cast("array<string>"))
     val pairsOfDoc = graft.functions.hof.bind(toks) { tk =>
       val n = size(tk)

@@ -49,7 +49,7 @@ object TextIndex {
     // postings: an empty doc has no postings rows but still counts
     // toward n_docs/avgdl). MEMORY_AND_DISK so a 100 TB build spills
     // rather than OOMs; freed before return.
-    val toks = docs.select(
+    val toks = graft.Tables.spread(docs).select(
       col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -108,7 +108,7 @@ object TextIndex {
       case other => throw new IllegalStateException(
         s"TextIndex.appendBatch: stats at $path/stats must be one row, got ${other.length}")
     }
-    val toks = docs.select(
+    val toks = graft.Tables.spread(docs).select(
       col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -43,7 +43,9 @@ object UnigramTokenizer {
     * URLs/artifacts, not vocabulary).
     */
   def words(docs: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
-    docs
+    // r17 opt: spread — the tokenize+explode is the corpus hot path and
+    // a one-row-group corpus otherwise runs it on one input split
+    graft.Tables.spread(docs)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(length(col("w")).between(1, maxWordLen))
       .groupBy("w").agg(count(lit(1)).as("wc"))
@@ -207,7 +209,7 @@ object UnigramTokenizer {
       maxWordLen: Int = 12): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"maxPieceLen must be in [1,16] (key radix), got $maxPieceLen")
-    val words = docs.select(
+    val words = graft.Tables.spread(docs).select(
       col(idCol),
       posexplode_outer(TextAnalysis.tokens(col(textCol)))
         .as(Seq("__wi0", "w")))

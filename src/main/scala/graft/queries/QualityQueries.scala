@@ -846,12 +846,17 @@ object QualityQueries extends QueryGroup {
       |  UNION ALL SELECT l_returnflag, n, 0.9, q[2] FROM g
       |  UNION ALL SELECT l_returnflag, n, 0.99, q[3] FROM g)
       |ORDER BY l_returnflag, p""".stripMargin) { (s, dir) =>
+    // r17 opt: materialize the 3-row percentile aggregate ONCE — the
+    // three union branches below otherwise each re-run the final
+    // percentile merge of the (reused) partial-agg exchange, profiled
+    // as 3 × ~1.3 s stages for one 3-row answer
     val g = Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
         expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.5, 0.9, 0.99))")
           .as("q"))
+      .localCheckpoint(true)
     g.select(col("l_returnflag"), col("n"), lit(0.5).as("p"),
         round(element_at(col("q"), 1), 6).as("value"))
       .unionByName(g.select(col("l_returnflag"), col("n"), lit(0.9).as("p"),
