@@ -59,7 +59,12 @@ object SubstringIndex {
       nBuckets: Int): DataFrame = {
     require(L >= 1, "window length must be positive")
     require(nBuckets >= 1, "nBuckets must be positive")
-    docs
+    // r17 opt: spread — a one-row-group corpus otherwise fingerprints on
+    // a single input split. (A char-array split + slice/array_join window
+    // was A/B'd against substr here and LOST: at L=40 the per-position
+    // 40-element slice+join allocations cost more than substr's
+    // offset re-scan on these document lengths.)
+    graft.Tables.spread(docs)
       .select(col(idCol).cast("long").as("doc"),
         coalesce(col(textCol).cast("string"), lit("")).as("txt"))
       .select(col("doc"), col("txt"), length(col("txt")).cast("long").as("len"))

@@ -103,7 +103,10 @@ object SuffixArray {
     // ordered mode ranks char-by-char so the sentinel tie rule composes
     // exactly; the wide base key is a dedup-path (equality-only) shortcut
     val w0 = if (ordered) 1 else baseWindow
-    val base = docs.select(
+    // r17 opt: spread — the per-position base-window pass below is the
+    // hot path, and a one-row-group corpus otherwise runs it (and the
+    // whole first ranking round's map side) on one input split
+    val base = graft.Tables.spread(docs).select(
       col(idCol).cast("long").as("doc"),
       coalesce(col(textCol).cast("string"), lit("")).as("txt"))
 
@@ -123,6 +126,11 @@ object SuffixArray {
     val measured = base
       .select(col("doc"), col("txt"), length(col("txt")).cast("long").as("len"))
     val eligible = if (ordered) measured else measured.filter(col("len") > 0)
+    // (r17 opt note: a per-char split + element_at/slice window was
+    // A/B'd here against substr and did NOT win at these document
+    // lengths — the allocation cost of the array path exceeds substr's
+    // offset re-scan; kept on substr, unlike the 3-char q_t44 gram pass
+    // where the array path is 2.3x.)
     val positions = eligible
       .select(col("doc"), col("len"), col("txt"),
         explode(sequence(lit(1L),
