@@ -15,8 +15,8 @@ object GraftSession {
   /** Number of local cores; the driver exports SPARK_GRAFT_CPUS. */
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  def builder(appName: String = "graft"): SparkSession.Builder =
-    SparkSession
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,6 +26,17 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // Deployment-tuning knobs, env-gated so the driver's bench runs the
+    // defaults unchanged (the r18 A/B harness for guide §2.3/§3.1 —
+    // numbers in OPTIMIZATION_r18.md; production values justified there):
+    //  SPARK_GRAFT_SHUFFLE_CODEC  spark.io.compression.codec (default lz4)
+    //  SPARK_GRAFT_PREFER_SMJ     spark.sql.join.preferSortMergeJoin
+    sys.env.get("SPARK_GRAFT_SHUFFLE_CODEC")
+      .foreach(c => b.config("spark.io.compression.codec", c))
+    sys.env.get("SPARK_GRAFT_PREFER_SMJ")
+      .foreach(v => b.config("spark.sql.join.preferSortMergeJoin", v))
+    b
+  }
 
   /** Local session for tests / benchmarks. */
   def local(appName: String = "graft"): SparkSession = {

@@ -83,11 +83,21 @@ object Tables {
     * upstream shuffle stage just to learn a partition count. File count
     * under-estimates splits for multi-row-group files (large files split
     * further by maxPartitionBytes), erring toward a harmless repartition
-    * of inputs that are small anyway; non-file plans (in-memory test
-    * frames, post-join frames) report zero files and are spread too.
+    * of inputs that are small anyway.
+    *
+    * Non-file plans report ZERO files; for those whose leaves are all
+    * in-memory RDDs (checkpointed frames, foreachBatch micro-batch
+    * frames) the leaf partition counts are known without running a job
+    * (r18 — previously such frames paid an unconditional exchange even
+    * when already wide, e.g. an already-spread-then-checkpointed corpus
+    * re-entering a shared constructor). Other non-file plans (local test
+    * relations, post-join frames) still spread unconditionally.
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= target) df else df.repartition(target)
+    if (df.inputFiles.length >= target) df
+    else if (org.apache.spark.sql.graft.bridge.leafRddPartitionCounts(df)
+        .exists(ps => ps.min >= target)) df
+    else df.repartition(target)
   }
 }

@@ -160,6 +160,25 @@ object Louvain {
     out
   }
 
+  /** Current labels = the checkpointed base frame with the applied moves
+    * overlaid as ONE literal-map lookup (r18): a move loop that
+    * re-checkpointed the |V|-row label frame per move paid one
+    * materialization job per move for a one-row change; the overlay keeps
+    * the loop's only per-move action the argmax collect itself. Lookup is
+    * O(|moves|) per row scan-side — moves are bounded by the gate's
+    * maxMoves, and the map is keyed by node so a node moved twice
+    * resolves to its LATEST label, exactly the sequential-update
+    * semantics. The overlay is rebuilt per move from the driver's map, so
+    * every argmax sees precisely the labels the checkpoint chain used to.
+    */
+  private def overlaid(lab0: DataFrame, overrides: Map[Long, Long]): DataFrame =
+    if (overrides.isEmpty) lab0
+    else lab0.select(
+      col("__n"),
+      coalesce(
+        try_element_at(typedlit(overrides), col("__n")),
+        col("__l")).as("__l"))
+
   /** Louvain PHASE-1 SWEEP: apply the globally best positive-gain move
     * repeatedly — up to `maxMoves` times or until the assignment is
     * local-move optimal — and report one row PER APPLIED MOVE:
@@ -214,10 +233,11 @@ object Louvain {
           greatest(col(srcCol), col(dstCol)).cast("bigint").as("b"))
         .distinct()
         .localCheckpoint(true)
-    var lab = labels.select(
+    val lab0 = labels.select(
       col(nodeCol).cast("bigint").as("__n"), col(labelCol).cast("bigint").as("__l"))
       .localCheckpoint(true)
-    val q0 = qInts(canon, lab).head()
+    var overrides = Map.empty[Long, Long]
+    val q0 = qInts(canon, lab0).head()
     val m = q0.getLong(0)
     var intra = q0.getLong(1)
     var sds = q0.getLong(2)
@@ -227,7 +247,7 @@ object Louvain {
     var moveNo = 1
     var done = false
     while (moveNo <= maxMoves && !done) {
-      val best = candidateGains(canon, lab, m)
+      val best = candidateGains(canon, overlaid(lab0, overrides), m)
         .where(col("gain") > 0)
         .orderBy(col("gain").desc, col("node").asc, col("c").asc)
         .limit(1)
@@ -245,22 +265,17 @@ object Louvain {
           intra, sds, q(intra, sds), intraAfter, sdsAfter, q(intraAfter, sdsAfter)))
         intra = intraAfter
         sds = sdsAfter
-        val next = lab.select(
-          col("__n"),
-          when(col("__n") === node, lit(bLab)).otherwise(col("__l")).as("__l"))
-          .localCheckpoint(true)
-        bridge.freeLocalCheckpoint(lab)
-        lab = next
+        overrides += (node -> bLab)
       }
       moveNo += 1
     }
     // the one self-check recompute: derived running stats must equal the
     // from-scratch integers over the final assignment
-    val fin = qInts(canon, lab).head()
+    val fin = qInts(canon, overlaid(lab0, overrides)).head()
     require(fin.getLong(1) == intra && fin.getLong(2) == sds,
       s"sweepRefinement drift: derived (intra=$intra, sds=$sds) != " +
         s"recomputed (${fin.getLong(1)}, ${fin.getLong(2)})")
-    bridge.freeLocalCheckpoint(lab)
+    bridge.freeLocalCheckpoint(lab0)
     if (!assumeCanonical) bridge.freeLocalCheckpoint(canon)
     moves.result().toDF(
       "move_no", "moved_node", "from_label", "to_label", "gain_x4m2", "n_edges",
@@ -591,12 +606,18 @@ object Louvain {
       .join(lab.select(col("__n").as("a"), col("__l").as("__la")), Seq("a"))
       .join(lab.select(col("__n").as("b"), col("__l").as("__lb")), Seq("b"))
       .agg(sum(when(col("__la") === col("__lb"), col("wt")).otherwise(0L)).as("__ic"))
+    // n_pairs/n_nodes ride along on aggregates this pass runs anyway
+    // (r18 — they were separate count() jobs per multilevel level)
     val massAndSelf = w.agg(
       sum(col("wt")).cast("bigint").as("m"),
-      sum(when(col("a") === col("b"), col("wt")).otherwise(0L)).as("__is"))
+      sum(when(col("a") === col("b"), col("wt")).otherwise(0L)).as("__is"),
+      count(lit(1)).cast("bigint").as("n_pairs"))
     val sds = deg.join(lab, deg("node") === lab("__n"))
-      .groupBy(col("__l")).agg(sum(col("d")).as("__dc"))
-      .agg(sum(col("__dc") * col("__dc")).cast("bigint").as("sum_deg_sq"))
+      .groupBy(col("__l")).agg(
+        sum(col("d")).as("__dc"), count(lit(1)).as("__nc"))
+      .agg(
+        sum(col("__dc") * col("__dc")).cast("bigint").as("sum_deg_sq"),
+        coalesce(sum(col("__nc")), lit(0L)).cast("bigint").as("n_nodes"))
     massAndSelf
       .crossJoin(broadcast(intraCross))
       .crossJoin(broadcast(sds))
@@ -604,7 +625,9 @@ object Louvain {
         col("m"),
         (coalesce(col("__ic"), lit(0L)) + coalesce(col("__is"), lit(0L)))
           .cast("bigint").as("intra"),
-        col("sum_deg_sq"))
+        col("sum_deg_sq"),
+        col("n_pairs"),
+        col("n_nodes"))
   }
 
   /** The FULL multi-level Louvain driver (Blondel et al. §2, both
@@ -786,14 +809,15 @@ object Louvain {
           s"multilevel level $level: contraction drift — carried " +
             s"(intra=$pi, sds=$ps) != recomputed ($intra0, $sds0)")
       }
-      val nNodes = deg.count()
-      val nPairs = w.count()
+      val nPairs = q0.getAs[Long]("n_pairs")
+      val nNodes = q0.getAs[Long]("n_nodes")
+      var overrides = Map.empty[Long, Long]
       var intra = intra0
       var sds = sds0
       var moves = 0
       var optimal = false
       while (moves < maxMovesPerLevel && !optimal) {
-        val best = weightedGains(und, deg, lab, m)
+        val best = weightedGains(und, deg, overlaid(lab, overrides), m)
           .where(col("gain") > 0)
           .orderBy(col("gain").desc, col("node").asc, col("c").asc)
           .limit(1)
@@ -807,14 +831,16 @@ object Louvain {
           intra += (k - ka)
           sds += -dca * dca - dcb * dcb +
             (dca - d) * (dca - d) + (dcb + d) * (dcb + d)
-          val next = lab.select(
-            col("__n"),
-            when(col("__n") === node, lit(bLab)).otherwise(col("__l")).as("__l"))
-            .localCheckpoint(true)
-          bridge.freeLocalCheckpoint(lab)
-          lab = next
+          overrides += (node -> bLab)
           moves += 1
         }
+      }
+      if (overrides.nonEmpty) {
+        // materialize the level's final labels ONCE (contraction, the
+        // assignment compose, and the self-check all read them)
+        val labF = overlaid(lab, overrides).localCheckpoint(true)
+        bridge.freeLocalCheckpoint(lab)
+        lab = labF
       }
       // one self-check recompute per level: running integers must equal
       // the from-scratch stats over the final assignment

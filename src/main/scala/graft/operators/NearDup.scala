@@ -266,10 +266,24 @@ object NearDup {
     val base = graft.Tables.spread(docs).select(
       col(idCol),
       signatureOf(col(textCol)).as("__sim"))
+    // r18 opt (guide §2.5, the TimeSeries/q_e8 mechanism): the band-key
+    // exchange carries KBs (8-byte signatures + band keys), so AQE's
+    // byte-based coalescing folded the ENTIRE within-band pairing —
+    // candidate enumeration, hamming, the distinct's partial aggregate —
+    // onto one task (profiled: a 3.3 s tasks=1 stage under q_d18, ~60% of
+    // the query). Pin an explicit keyed repartition; both join sides
+    // derive from it, so the self-join reuses ONE exchange. 2× (not 1×)
+    // parallelism: a pin identical to what the join would insert is
+    // optimizer-removed as redundant. Scale-adaptive, not a local
+    // constant: defaultParallelism is the executor-core total on a
+    // real cluster.
     val blocked = base.select(
       col(idCol), col("__sim"),
       explode(Hashing.simHashBlocks(col("__sim"), numBlocks)).as("__bk"))
       .select(col(idCol), col("__sim"), col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+      .repartition(
+        2 * docs.sparkSession.sparkContext.defaultParallelism,
+        col("__band"), col("__key"))
     val aB = blocked.toDF("id_a", "__sima", "__band", "__key")
     val bB = blocked.toDF("id_b", "__simb", "__band2", "__key2")
     aB

@@ -30,17 +30,26 @@ import org.apache.spark.sql.graft.bridge
   * more rounds fails loudly instead of silently hash-mismatching.
   *
   * Shape at scale: per round ONE join of the (symmetrized,
-  * localCheckpoint'd once) edge frame against the improved-node
+  * persisted-once) edge frame against the improved-node
   * frontier — broadcast by default, the [[Bfs]] discipline, so the edge
   * frame never re-shuffles after its one-time materialization — then a
-  * node-keyed min-aggregate to fold candidates into the distance frame.
-  * Rounds = length (in hops) of the longest shortest weighted path,
-  * which exceeds the BFS diameter when many cheap hops beat one
-  * expensive one; small-world graphs still finish in tens of rounds.
-  * Every round `localCheckpoint`s the new distance frame and frees the
-  * superseded one: flat lineage, superseded executor blocks released
-  * eagerly, and the improved-count that drives termination reads the
-  * just-checkpointed frontier — no extra job.
+  * FULL-OUTER merge of the candidate frame into the distance frame that
+  * carries an `improved` flag per row. Rounds = length (in hops) of the
+  * longest shortest weighted path, which exceeds the BFS diameter when
+  * many cheap hops beat one expensive one; small-world graphs still
+  * finish in tens of rounds.
+  *
+  * One ACTION per round (r18): the merged frame lazily localCheckpoints
+  * and the improved-row count that drives termination is the very job
+  * that materializes it — the previous shape paid three driver actions
+  * per round (improved-set checkpoint, isEmpty probe, grown-map
+  * checkpoint; 215 jobs for a 19-round run), pure scheduling floor at
+  * any scale. Superseded rounds free as soon as their successor lands.
+  * The checkpoint (vs persist) choice is deliberate: both alternatives
+  * that keep lineage were measured and LOST — chained raw plans double
+  * the printed tree per round (driver OOM in AQE's plan-string render),
+  * and a persisted-RDD chain grows every subsequent job's stage DAG
+  * (profiled: 44-stage jobs by round 19, +60% wall).
   *
   * Memory contract: each round broadcasts the improved-node frontier
   * (and nothing else), bounded by the widest relaxation wave. For
@@ -85,9 +94,15 @@ object Sssp {
       .select(col(aCol).as("s"), col(bCol).as("d"), col(weightCol).cast("long").as("w"))
       .unionByName(
         edges.select(col(bCol).as("s"), col(aCol).as("d"), col(weightCol).cast("long").as("w")))
-      .localCheckpoint(true) // probed every round; don't re-derive
-    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
+      .localCheckpoint(true) // probed every round (raw-row blocks: the
+    // persisted-InMemoryRelation variant pays a columnar decode per
+    // round-read); safe to free at the end because every round's frame
+    // is itself checkpointed, so the returned map never re-derives e.
+    var dist = Seq((source, 0L)).toDF("node", "dist")
     var frontier = dist
+    // the round before last frees once its successor is materialized
+    var current: DataFrame = null
+    var previous: DataFrame = null
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -97,33 +112,41 @@ object Sssp {
       val cand = e.join(f, f("node") === e("s"))
         .select(col("d").as("node"), (col("dist") + col("w")).as("__cd"))
         .groupBy("node").agg(min("__cd").as("__cd"))
-      // ... improved = candidates that beat (or first reach) the known map
-      val improved = cand.join(dist, Seq("node"), "left_outer")
-        .where(col("dist").isNull || col("__cd") < col("dist"))
-        .select(col("node"), col("__cd").as("dist"))
-        .localCheckpoint(true)
-      converged = improved.isEmpty
-      if (converged) {
-        bridge.freeLocalCheckpoint(improved)
-      } else {
-        val grown = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
-          .unionByName(improved)
-          .localCheckpoint(true)
-        bridge.freeLocalCheckpoint(dist)
-        if (frontier ne dist) bridge.freeLocalCheckpoint(frontier)
-        dist = grown
-        frontier = improved
-      }
+      // ... merged map: fold candidates that beat (or first reach) the
+      // known map, flagging the improved rows — the flag count is the
+      // convergence signal AND the materializing action (one job).
+      // LAZY localCheckpoint: truncates plan AND RDD lineage per round
+      // (chained raw plans double the printed tree per round and OOM'd
+      // the driver in AQE's plan-string render; a persisted-RDD chain
+      // kept lineage but grew every job's stage DAG — profiled jobs with
+      // 44 stages and +60% wall), while the count right after is the one
+      // job that materializes it — no separate checkpoint job. The FT
+      // trade is explicit: blocks live on executors between rounds, the
+      // r17 posture; see q_m8 for the persist-based boundary used where
+      // a frame is consumed once.
+      val imp = col("__cd").isNotNull && (col("dist").isNull || col("__cd") < col("dist"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(
+          col("node"),
+          when(imp, col("__cd")).otherwise(col("dist")).as("dist"),
+          imp.as("__imp"))
+        .localCheckpoint(false)
+      val improvedCount = merged.where(col("__imp")).count()
+      converged = improvedCount == 0L
+      if (previous != null) bridge.freeLocalCheckpoint(previous)
+      previous = current
+      current = merged
+      dist = merged.select(col("node"), col("dist"))
+      frontier = merged.where(col("__imp")).select(col("node"), col("dist"))
     }
     bridge.freeLocalCheckpoint(e)
+    if (previous != null) bridge.freeLocalCheckpoint(previous)
     if (!converged && requireConvergence) {
-      if (frontier ne dist) bridge.freeLocalCheckpoint(frontier)
-      bridge.freeLocalCheckpoint(dist)
+      if (current != null) bridge.freeLocalCheckpoint(current)
       throw new IllegalStateException(
         s"Bellman-Ford did not converge within $maxRounds rounds — " +
           "raise maxRounds (and the oracle's unroll depth with it)")
     }
-    if (frontier ne dist) bridge.freeLocalCheckpoint(frontier)
     dist
   }
 }

@@ -145,7 +145,17 @@ object SubstringIndex {
       L: Int,
       nBuckets: Int = 64,
       crossDocOnly: Boolean = true): DataFrame =
-    probeFrom(spark, path, grams(newDocs, idCol, textCol, L, nBuckets),
+    // r18 opt: persist — [[probeFrom]] consumes the batch grams THREE
+    // times (key-prefix set, batch stats, output join), and unpinned the
+    // per-position fingerprint explode re-ran per consumer. Lazy persist
+    // (not localCheckpoint): zero extra jobs — the cache fills during the
+    // one plan that reads all three branches — and lineage stays intact
+    // for fault tolerance (the streaming twin [[probeAndAppend]] pins
+    // eagerly instead because its probe must materialize BEFORE the
+    // append mutates the postings).
+    probeFrom(spark, path,
+      grams(newDocs, idCol, textCol, L, nBuckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       crossDocOnly)
 
   private def probeFrom(

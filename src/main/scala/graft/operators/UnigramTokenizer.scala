@@ -43,9 +43,13 @@ object UnigramTokenizer {
     * URLs/artifacts, not vocabulary).
     */
   def words(docs: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
-    // r17 opt: spread — the tokenize+explode is the corpus hot path and
-    // a one-row-group corpus otherwise runs it on one input split
-    graft.Tables.spread(docs)
+    // r18: the r17 spread was REVERTED here after the driver's r16→r17
+    // bench showed q_t38/39/40 regressing 25-32% — the added round-robin
+    // exchange costs more than the one-split tokenize at this corpus
+    // size, because the downstream word-count aggregate immediately
+    // re-shuffles to the vocabulary key anyway (unlike the Bm25/TextIndex
+    // paths, where heavy per-row work follows the spread directly).
+    docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(length(col("w")).between(1, maxWordLen))
       .groupBy("w").agg(count(lit(1)).as("wc"))
@@ -209,7 +213,8 @@ object UnigramTokenizer {
       maxWordLen: Int = 12): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"maxPieceLen must be in [1,16] (key radix), got $maxPieceLen")
-    val words = graft.Tables.spread(docs).select(
+    // r18: spread reverted (see [[words]] — the q_t38/39/40 A/B)
+    val words = docs.select(
       col(idCol),
       posexplode_outer(TextAnalysis.tokens(col(textCol)))
         .as(Seq("__wi0", "w")))

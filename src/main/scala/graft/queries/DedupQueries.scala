@@ -953,13 +953,19 @@ object DedupQueries extends QueryGroup {
     import graft.operators.SubstringIndex
     val docs = Tables.load(s, dir, "documents")
     val idx = java.nio.file.Files.createTempDirectory("graft_ssi_idx").toString
-    SubstringIndex.write(
+    // r18 opt: writeAndDuplicates — the index docs fingerprint ONCE
+    // (checkpointed) and the index-internal duplicate windows come off
+    // that frame instead of a full read-back of the just-written
+    // postings (the streaming twin q_st34 already ran this fused shape);
+    // same rows by construction — both forms window over the identical
+    // postings. Probe unchanged.
+    val idxDups = SubstringIndex.writeAndDuplicates(
       docs.where(col("doc_id") % 4 =!= 0), "doc_id", "text", idx, L = 40)
     // distinct: an index position can be BOTH an index-internal dup and
     // a probe hit (its window recurs in the index AND in the batch)
     SubstringIndex.probe(
       s, idx, docs.where(col("doc_id") % 4 === 0), "doc_id", "text", L = 40)
-      .unionByName(SubstringIndex.duplicateWindows(s, idx))
+      .unionByName(idxDups)
       .distinct()
       .orderBy("doc", "off")
   }

@@ -423,10 +423,16 @@ object MultimodalQueries extends QueryGroup {
     // r17 opt: without the boundary, the 5 struct-field selects each
     // re-reference the full synth+decode tree and the DRIVER spends
     // ~4 s just planning/optimizing the multiplied expression DAG;
-    // executed job time was 0.7 s)
+    // executed job time was 0.7 s). r18: persist, not localCheckpoint —
+    // the cache swap happens BEFORE optimization too (same planning
+    // truncation, A/B-verified same bench level), but lineage survives:
+    // this frame is corpus-wide (one row per document), and at 100 TB a
+    // localCheckpoint's executor-resident blocks turn one executor loss
+    // into query death where persist recomputes. Lazy: the one
+    // downstream plan fills the cache, zero extra jobs.
     val withPayload = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(payloadHex).as("payload"))
-      .localCheckpoint(true) // 5k rows × 44 B — trivial residency
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withPayload
       .withColumn("m", Multimodal.decodeWavMeta(col("payload")))
       .select(

@@ -310,14 +310,73 @@ object CorpusStream {
   /** Shard a corpus into one parquet file per shard under a temp landing
     * zone (`pmod(doc_id, shards)`) — the multi-drop stream-source shape
     * the foreachBatch gates read with `maxFilesPerTrigger = 1`.
+    *
+    * r18: the per-shard single-file writes are independent jobs, so they
+    * run CONCURRENTLY from a small thread pool (guide §2.6 — actions are
+    * only sequential because the driver calls them sequentially; the
+    * previous shape paid `shards` sequential scan+write jobs per gate).
+    * Each shard writes into its own staging dir (concurrent appends into
+    * ONE dir would race on the committer's shared `_temporary`), then the
+    * part file moves into place under a shard-ordered NAME and a strictly
+    * increasing MTIME — so the file stream's arrival order is shard order
+    * by construction under either tie-break, where before it leaned on
+    * millisecond mtime ordering of sequential commits. Arrival order is a
+    * declared contract downstream: q_st39's oracle replays first-arrival
+    * as `(doc_id % shards), doc_id, idx`.
     */
   private def writeLandingZone(docs: DataFrame, shards: Int): String = {
     val landing = java.nio.file.Files.createTempDirectory("graft_landing").toString
-    (0 until shards).foreach { i =>
-      docs.where(pmod(col("doc_id"), lit(shards)) === i)
-        .coalesce(1).write.mode("append").parquet(landing)
-    }
+    writeShardFiles(docs, shards, landing)
     landing
+  }
+
+  /** The concurrent shard writer behind [[writeLandingZone]] (shared by
+    * the gates that inline their own landing dirs). Leaves `dir` holding
+    * exactly `shards` parquet files named `shard-NNNNN.parquet` with
+    * mtimes ascending in shard order; per-shard file CONTENT is
+    * byte-identical to the sequential form (same single plan per shard).
+    */
+  private[streaming] def writeShardFiles(
+      docs: DataFrame, shards: Int, dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(shards, 4))
+    try {
+      val staged = (0 until shards).map { i =>
+        pool.submit(new java.util.concurrent.Callable[java.nio.file.Path] {
+          override def call(): java.nio.file.Path = {
+            val tmp = s"$dir/.stage-$i"
+            docs.where(pmod(col("doc_id"), lit(shards)) === i)
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            val parts = listDir(Paths.get(tmp))
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+            require(parts.length == 1,
+              s"shard $i wrote ${parts.length} part files, expected 1")
+            parts.head
+          }
+        })
+      }
+      val base = System.currentTimeMillis()
+      staged.zipWithIndex.foreach { case (fut, i) =>
+        val part = fut.get()
+        val dest = Paths.get(dir, f"shard-$i%05d.parquet")
+        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        deleteRecursively(Paths.get(s"$dir/.stage-$i"))
+      }
+    } finally pool.shutdown()
+  }
+
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(p)
+    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+    finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
+    ()
   }
 
   /** Filter + content-dedup with WATERMARK-BOUNDED state, run to
@@ -377,10 +436,7 @@ object CorpusStream {
     require(shards >= 1)
     val docs = Tables.load(spark, sfDir, "documents")
     val landing = java.nio.file.Files.createTempDirectory("graft_stream_report").toString
-    (0 until shards).foreach { i =>
-      docs.where(pmod(col("doc_id"), lit(shards)) === i)
-        .coalesce(1).write.mode("append").parquet(landing)
-    }
+    writeShardFiles(docs, shards, landing)
     val startedAt = java.time.Instant.now().toString
     val batches =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
@@ -447,10 +503,7 @@ object CorpusStream {
     require(shards >= 1)
     val docs = Tables.load(spark, sfDir, "documents")
     val landing = java.nio.file.Files.createTempDirectory("graft_stream_cc").toString
-    (0 until shards).foreach { i =>
-      docs.where(pmod(col("doc_id"), lit(shards)) === i)
-        .coalesce(1).write.mode("append").parquet(landing)
-    }
+    writeShardFiles(docs, shards, landing)
     val idx = java.nio.file.Files.createTempDirectory("graft_stream_cc_idx").toString
     var indexed = false
     var labeling: DataFrame = null

@@ -53,6 +53,22 @@ object bridge {
       case _ => ()
     }
 
+  /** Partition counts of a frame's in-memory RDD leaves (checkpointed
+    * frames, micro-batch frames), available WITHOUT running a job —
+    * `None` when any leaf is something else (file scans, local
+    * relations), where the caller has better signals (`inputFiles`) or
+    * no cheap one at all. `rdd.getNumPartitions` on the full frame is
+    * not an alternative: under AQE it materializes every upstream
+    * shuffle stage just to learn a count.
+    */
+  def leafRddPartitionCounts(df: org.apache.spark.sql.DataFrame): Option[Seq[Int]] = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val rdds = leaves.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.getNumPartitions
+    }
+    if (rdds.nonEmpty && rdds.length == leaves.length) Some(rdds) else None
+  }
+
   /** Block until every queued listener-bus event has been delivered.
     * `SparkContext.listenerBus` is `private[spark]`; specs that count
     * query executions (e.g. "the sketch build is the only eager action")
