@@ -120,11 +120,13 @@ object Louvain {
       .localCheckpoint(true)
     // edge count as a bounded 1-value driver artifact → plan literal
     val mVal = canon.agg(count(lit(1)).cast("bigint")).head().getLong(0)
+    // r18: the 1-row argmax is consumed exactly once by the output plan —
+    // its former localCheckpoint was a whole extra action per gate; the
+    // TakeOrderedAndProject now runs inside the single output job.
     val cand = candidateGains(canon, lab, mVal)
     val best = cand.where(col("gain") > 0)
       .orderBy(col("gain").desc, col("node").asc, col("c").asc)
       .limit(1)
-      .localCheckpoint(true)
     // after-stats DERIVE exactly from the move's own integer sufficient
     // statistics (the sweepRefinement/mlCore update, require-verified
     // there on every path): intra' = intra + (k − k_A),
@@ -154,7 +156,7 @@ object Louvain {
           col("__sa").cast("double") / (lit(4.0) * col("m") * col("m")))
           .as("modularity_after"))
       .localCheckpoint(true)
-    bridge.freeLocalCheckpoint(best)
+
     bridge.freeLocalCheckpoint(lab)
     if (!assumeCanonical) bridge.freeLocalCheckpoint(canon)
     out
@@ -434,11 +436,12 @@ object Louvain {
       .localCheckpoint(true)
     val (cross, und, deg) = weightedParts(w)
     val mVal = w.agg(sum(col("wt")).cast("bigint")).head().getLong(0)
+    // r18: argmax consumed once — no checkpoint action (see
+    // [[bestMoveRefinement]])
     val cand = weightedGains(und, deg, lab, mVal)
     val best = cand.where(col("gain") > 0)
       .orderBy(col("gain").desc, col("node").asc, col("c").asc)
       .limit(1)
-      .localCheckpoint(true)
     // after-stats derive exactly from the move's integers (identical
     // update to the unweighted form — the self-loop moves with the node
     // and cancels; mlCore require-verifies this algebra every level);
@@ -467,7 +470,7 @@ object Louvain {
           col("__sa").cast("double") / (lit(4.0) * col("m") * col("m")))
           .as("modularity_after"))
       .localCheckpoint(true)
-    bridge.freeLocalCheckpoint(best)
+
     bridge.freeLocalCheckpoint(lab)
     bridge.freeLocalCheckpoint(w)
     out

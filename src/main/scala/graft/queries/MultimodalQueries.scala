@@ -685,10 +685,12 @@ object MultimodalQueries extends QueryGroup {
       lit("00" * 24),
       when(gap, lit("DEADBEEF")).otherwise(lit("")),
       rowsHex)
-    // materialized for the same codegen-inlining reason as q_m9
+    // materialized for the same codegen-inlining reason as q_m9.
+    // r18: persist (the q_m8 posture) — corpus-wide frame, one consumer:
+    // same planning truncation, lineage survives, no eager job.
     val withPayload = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), unhex(payloadHex).as("payload"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withPayload
       .withColumn("m", Multimodal.bmpPixelStats(col("payload")))
       .select(
